@@ -1,0 +1,302 @@
+package graft
+
+/** DuckDB oracle SQL — one entry per oracle-checkable query in
+  * [[Queries]]. Each statement is the ANSI-SQL twin of the Spark plan:
+  * identical column NAMES and (post-cast) types, identical rounding
+  * applied to every derived double, identical tiebreaks on every rank.
+  *
+  * Queries absent here (minhash/simhash/winnowing fingerprints, HLL
+  * approx counts, mapPartitions decode) use engine-specific hash
+  * families or estimators and get the driver's rows-only check; their
+  * exact semantics are locked by ScalaTest specs instead.
+  */
+object Oracles {
+
+  // Exact average: BIGINT micro-sum then IEEE divisions — bit-identical
+  // to Spark's plan (see Queries.exactAvg).
+  private val exactAvgSql =
+    "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / count(value) / 1000000"
+
+  private val dailySilverCte =
+    s"""SELECT event_type AS indicator,
+      |       CAST(year(ts) AS INTEGER) AS observation_year,
+      |       CAST(month(ts) AS INTEGER) AS observation_month,
+      |       CAST(day(ts) AS INTEGER) AS observation_day,
+      |       $exactAvgSql AS value,
+      |       count(value) AS observation_count
+      |FROM events GROUP BY 1, 2, 3, 4""".stripMargin
+
+  private val dailySeriesCte =
+    s"SELECT indicator, observation_day, value FROM ($dailySilverCte)"
+
+  val all: Map[String, String] = Map(
+
+    "fred_monthly_agg" ->
+      s"""SELECT event_type AS indicator,
+        |       CAST(year(ts) AS INTEGER) AS observation_year,
+        |       CAST(month(ts) AS INTEGER) AS observation_month,
+        |       $exactAvgSql AS value,
+        |       count(value) AS observation_count
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "fred_daily_agg" -> dailySilverCte,
+
+    "fred_clean_cast" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS k_sum,
+        |       count(v) AS k_count
+        |FROM (
+        |  SELECT event_type,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NULL
+        |     OR json_extract_string(props, '$.k') <> '.'
+        |)
+        |WHERE v IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "fred_yearly_gold" ->
+      s"""WITH silver AS ($dailySilverCte)
+         |SELECT indicator, observation_year, observation_month, observation_day,
+         |       round_even(value, 2) AS value, observation_count
+         |FROM (
+         |  SELECT * FROM silver WHERE observation_day <= 15
+         |  UNION ALL
+         |  SELECT * FROM silver WHERE observation_day > 15
+         |)""".stripMargin,
+
+    "fred_dedup_sync" ->
+      """SELECT user_id, event_type
+        |FROM (SELECT DISTINCT user_id, event_type FROM events) i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.event_id % 7 = 0
+        |    AND e.user_id = i.user_id AND e.event_type = i.event_type)""".stripMargin,
+
+    "fred_upsert_merge" ->
+      """SELECT user_id, event_type, event_id, value
+        |FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY CASE WHEN day(ts) > 20 THEN 1 ELSE 0 END DESC,
+        |                    event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "scalar_dates" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+        |       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |       lower(trim(o_orderpriority)) AS priority_key
+        |FROM orders""".stripMargin,
+
+    "join_star_revenue" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE day(ts) <= 15
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE day(ts) > 15""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT DISTINCT user_id FROM events
+        | WHERE event_type = (SELECT min(event_type) FROM events)
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events
+        | WHERE event_type <> (SELECT min(event_type) FROM events)""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT event_type, CAST(day(ts) AS INTEGER) AS observation_day,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(day(ts) AS INTEGER))""".stripMargin,
+
+    "window_mom" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       value - lag(value) OVER (
+         |         PARTITION BY indicator ORDER BY observation_day) AS change
+         |FROM d""".stripMargin,
+
+    "window_moving_avg" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       round(avg(value) OVER (
+         |         PARTITION BY indicator ORDER BY observation_day
+         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+         |FROM d""".stripMargin,
+
+    "window_rank_share" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       CAST(rank() OVER (
+         |         PARTITION BY indicator
+         |         ORDER BY value DESC, observation_day) AS INTEGER) AS day_rank,
+         |       round(value / sum(value) OVER (PARTITION BY indicator), 4) AS share
+         |FROM d""".stripMargin,
+
+    "series_asof" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),
+         |u AS (
+         |  SELECT indicator, observation_day, value, 1 AS side, CAST(NULL AS DOUBLE) AS rv FROM d
+         |  UNION ALL
+         |  SELECT indicator, observation_day, NULL, 0, value FROM sparse)
+         |SELECT indicator, observation_day, value, asof_value FROM (
+         |  SELECT indicator, observation_day, value, side,
+         |         last_value(rv IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+         |  FROM u)
+         |WHERE side = 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        |       min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in generate_series(1, len(toks) - 2)]) AS s
+        |       FROM w WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+        |SELECT id_a, id_b,
+        |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_dot_product(a.v, b.v) /
+        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "similarity_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+        |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    "similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+        |  FROM e c JOIN q ON c.label = q.label WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "text_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_quality" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
+        |         length(text) AS n_chars_raw,
+        |         length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens, n_stopwords,
+        |         round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+        |         round(CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw, 4) AS punct_ratio,
+        |         round(CAST(n_chars_raw - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mean_token_len
+        |  FROM sig)
+        |SELECT doc_id, n_tokens, n_stopwords, stop_ratio, punct_ratio, mean_token_len,
+        |       round(least(1.0, greatest(0.0,
+        |         0.5 * stop_ratio * 10.0 / 3.0 +
+        |         0.5 * (1.0 - abs(mean_token_len - 5.0) / 5.0))), 4) AS quality_score
+        |FROM r""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','que','una'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','une','dans'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(['il','la','che','e','di','un','per','non'], x))) AS s_it
+        |  FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) <= 0 THEN 'und'
+        |            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'de'
+        |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+        |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+        |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+        |            ELSE 'it' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "mm_payload_meta" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+        |       CAST(strlen(text) * 7 % 480 + 1 AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+        |FROM documents""".stripMargin
+  )
+}

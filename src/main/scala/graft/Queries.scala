@@ -1,0 +1,347 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
+import graft.ext.{Dedup, MultiModal, SeriesOps, Similarity, TextOps}
+
+/** The operator catalog: every SURVEY §2 operator (and the contract's
+  * `[EXT]` training-data ops) expressed as a named query over the
+  * driver testdata, each paired (in [[Oracles]]) with ANSI SQL DuckDB
+  * can run on the same tables.
+  *
+  * Determinism rules (SURVEY §5): no wall-clock columns; every double
+  * produced by arithmetic is rounded (4 dp) or summed as decimal so the
+  * hash compare is immune to summation-order float noise; ranks always
+  * carry an id tiebreak.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact micro-scaled sum: values are ≤2-dp doubles in the testdata,
+    * so `round(v*1e6)` is an exact integer and the BIGINT sum is
+    * order-independent — the only way a sum of doubles hashes
+    * identically between Spark and the DuckDB oracle. */
+  private def sumE6(c: org.apache.spark.sql.Column) =
+    sum(round(c * 1e6).cast("long"))
+
+  /** Exact average as double: integer sum then two IEEE-754 divisions,
+    * each correctly rounded, hence bit-identical across engines (a
+    * plain `round(avg(x), 4)` lands on `.xxxx5` boundaries constantly
+    * with 2-dp inputs and flips the last digit per summation order). */
+  private def exactAvg(c: org.apache.spark.sql.Column) =
+    sumE6(c).cast("double") / count(c) / 1e6
+
+  /** The FRED silver analog at daily grain: events is a daily-ish
+    * observation stream; group to (indicator=event_type, y, m, d). */
+  private def dailySilver(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_type").as("indicator"),
+        year(col("ts")).as("observation_year"),
+        month(col("ts")).as("observation_month"),
+        dayofmonth(col("ts")).as("observation_day"),
+        col("value"))
+      .groupBy("indicator", "observation_year", "observation_month", "observation_day")
+      .agg(exactAvg(col("value")).as("value"),
+        count(col("value")).as("observation_count"))
+
+  /** Same, only the series columns (for window/as-of queries). */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    dailySilver(s, dir).select("indicator", "observation_day", "value")
+
+  // ======================================================== [REF] core
+
+  /** A1 — the reference's group-agg (daily→monthly grain change). */
+  val fredMonthlyAgg: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        col("event_type").as("indicator"),
+        year(col("ts")).as("observation_year"),
+        month(col("ts")).as("observation_month"),
+        col("value"))
+      .groupBy("indicator", "observation_year", "observation_month")
+      .agg(exactAvg(col("value")).as("value"),
+        count(col("value")).as("observation_count"))
+
+  /** A1 at daily grain (the richer silver layer). */
+  val fredDailyAgg: Q = (s, dir) => dailySilver(s, dir)
+
+  /** B4+B5+C3 — sentinel filter, lenient cast, null drop (on a JSON-
+    * extracted string column, also covering the C-ext json path). */
+  val fredCleanCast: Q = (s, dir) => {
+    val withVal = Tables.events(s, dir)
+      .withColumn("value", get_json_object(col("props"), "$.k"))
+    Clean.cleanValues(withVal)
+      .groupBy("event_type")
+      .agg((sumE6(col("value")).cast("double") / 1e6).as("k_sum"),
+        count(col("value")).as("k_count"))
+  }
+
+  /** E1+C6 — union monthly halves, HALF_EVEN round to 2 (gold layer). */
+  val fredYearlyGold: Q = (s, dir) => {
+    val silver = dailySilver(s, dir)
+    val first = silver.filter(col("observation_day") <= 15)
+    val second = silver.filter(col("observation_day") > 15)
+    YearlyGold.unionMonths(Seq(first, second))
+      .withColumn("value", bround(col("value"), 2))
+  }
+
+  /** D1 — dedup-against-sink left anti join. */
+  val fredDedupSync: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val incoming = ev.select("user_id", "event_type").distinct()
+    val existing = ev.filter(col("event_id") % 7 === 0)
+    DedupSync.newRows(incoming, existing, Seq("user_id", "event_type"))
+  }
+
+  /** D2 — keyed upsert: late batch (day>20) overrides base on the
+    * natural key; recency = event_id (monotone). */
+  val fredUpsertMerge: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+        dayofmonth(col("ts")).as("d"))
+    val base = ev.filter(col("d") <= 20).drop("d")
+    val delta = ev.filter(col("d") > 20).drop("d")
+    Merge.upsert(base, delta, Seq("user_id", "event_type"), Seq(col("event_id").desc))
+  }
+
+  /** C1/C2/C7 — date parsing/parts and string normalization. */
+  val scalarDates: Q = (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      year(col("o_orderdate")).as("order_year"),
+      quarter(col("o_orderdate")).as("order_quarter"),
+      month(col("o_orderdate")).as("order_month"),
+      lower(trim(col("o_orderpriority"))).as("priority_key"))
+
+  // ====================================================== [EXT] joins
+
+  /** Star join with broadcast dims + decimal-exact revenue rollup. */
+  val joinStarRevenue: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .groupBy("r_name", "n_name")
+      // prices/discounts are 2-dp doubles: scale to exact BIGINT cents
+      // so the revenue sum is order-independent and oracle-identical
+      .agg(
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+             (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("double") / 1e4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Left semi join — EXISTS. */
+  val joinSemi: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Top-k by global order (TakeOrderedAndProject, no full sort). */
+  val topkOrders: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  // ==================================================== [EXT] set ops
+
+  val setExcept: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    ev.filter(dayofmonth(col("ts")) <= 15).select("user_id").distinct()
+      .except(ev.filter(dayofmonth(col("ts")) > 15).select("user_id").distinct())
+  }
+
+  val setIntersect: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === first_event_type(s, dir)).select("user_id").distinct()
+      .intersect(
+        ev.filter(col("event_type") =!= first_event_type(s, dir)).select("user_id").distinct())
+  }
+
+  /** Smallest event_type value — a deterministic pick for filters. */
+  private def first_event_type(s: SparkSession, dir: String): String = {
+    // tiny dimension lookup; cached per (session, dir) to avoid re-reads
+    val key = s"$dir#first_event_type"
+    cache.computeIfAbsent(key, _ =>
+      Tables.events(s, dir).agg(min("event_type")).head().getString(0))
+  }
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ROLLUP grouping sets with decimal-exact sums. */
+  val aggRollup: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .rollup(col("event_type"), dayofmonth(col("ts")).as("observation_day"))
+      .agg(count(lit(1)).as("n"),
+        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+
+  // ==================================================== [EXT] windows
+
+  /** lag — period-over-period change (FRED MoM analog at day grain).
+    * No rounding: both engines subtract bit-identical doubles. */
+  val windowMom: Q = (s, dir) =>
+    SeriesOps.periodChange(dailySeries(s, dir),
+      Seq("indicator"), Seq("observation_day"))
+
+  /** Trailing 7-observation moving average. */
+  val windowMovingAvg: Q = (s, dir) =>
+    SeriesOps.movingAvg(dailySeries(s, dir),
+        Seq("indicator"), Seq("observation_day"), n = 7)
+      .withColumn("moving_avg", round(col("moving_avg"), 4))
+
+  /** rank + partition share. */
+  val windowRankShare: Q = (s, dir) => {
+    val d = dailySeries(s, dir)
+    val byInd = Window.partitionBy("indicator")
+    d.withColumn("day_rank",
+        rank().over(byInd.orderBy(col("value").desc, col("observation_day"))))
+      .withColumn("share",
+        round(col("value") / sum("value").over(byInd), 4))
+  }
+
+  /** As-of join: align each daily point with the most recent sparse
+    * (every-3rd-day) observation at or before it. */
+  val seriesAsof: Q = (s, dir) => {
+    val d = dailySeries(s, dir)
+    val sparse = d.filter(col("observation_day") % 3 === 0)
+    SeriesOps.asofJoin(d, sparse, Seq("indicator"), "observation_day", "value")
+  }
+
+  // ====================================================== [EXT] dedup
+
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+
+  val dedupNgram: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  val dedupMinhashLsh: Q = (s, dir) =>
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+
+  val dedupEmbedding: Q = (s, dir) =>
+    Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", threshold = 0.4)
+
+  val aggDistinct: Q = (s, dir) =>
+    Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
+
+  val aggApproxDistinct: Q = (s, dir) =>
+    Dedup.approxDistinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
+
+  // ================================================= [EXT] similarity
+
+  val similarityTopk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.topK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+  }
+
+  val similarityIvf: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.topKBlocked(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      "label", k = 5)
+  }
+
+  // ======================================================= [EXT] text
+
+  val textStats: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val toks = TextOps.tokenCount(col("text"))
+    d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks.cast("long")).as("total_tokens"),
+      round(avg(toks), 4).as("avg_tokens"),
+      max("n_chars").as("max_chars"))
+  }
+
+  val textQuality: Q = (s, dir) =>
+    TextOps.qualityScore(TextOps.qualitySignals(Tables.documents(s, dir)))
+      .select("doc_id", "n_tokens", "n_stopwords", "stop_ratio", "punct_ratio",
+        "mean_token_len", "quality_score")
+
+  val textLangid: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+
+  /** Winnowing-style rolling-hash fingerprint (rows-only check: the
+    * hash family is engine-specific). */
+  val textFingerprint: Q = (s, dir) => {
+    val t = col("text")
+    val k = 8 // gram length
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => xxhash64(t.substr(i, lit(k))))
+    val winnowed = array_distinct(transform(
+      sequence(lit(0), greatest(size(grams) - 4, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(4)))))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(winnowed).as("n_fingerprints"),
+      array_min(winnowed).as("min_fp"),
+      array_max(winnowed).as("max_fp"))
+  }
+
+  // ================================================= [EXT] multimodal
+
+  val mmPayloadMeta: Q = (s, dir) =>
+    MultiModal.payloadMeta(Tables.documents(s, dir))
+
+  val mmDecodeFeatures: Q = (s, dir) =>
+    MultiModal.decodeFeatures(
+      MultiModal.withPayload(Tables.documents(s, dir))).toDF()
+
+  // =================================================== registry
+
+  val all: Map[String, Q] = Map(
+    "fred_monthly_agg" -> fredMonthlyAgg,
+    "fred_daily_agg" -> fredDailyAgg,
+    "fred_clean_cast" -> fredCleanCast,
+    "fred_yearly_gold" -> fredYearlyGold,
+    "fred_dedup_sync" -> fredDedupSync,
+    "fred_upsert_merge" -> fredUpsertMerge,
+    "scalar_dates" -> scalarDates,
+    "join_star_revenue" -> joinStarRevenue,
+    "join_semi" -> joinSemi,
+    "topk_orders" -> topkOrders,
+    "set_except" -> setExcept,
+    "set_intersect" -> setIntersect,
+    "agg_rollup" -> aggRollup,
+    "window_mom" -> windowMom,
+    "window_moving_avg" -> windowMovingAvg,
+    "window_rank_share" -> windowRankShare,
+    "series_asof" -> seriesAsof,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "similarity_topk" -> similarityTopk,
+    "similarity_ivf" -> similarityIvf,
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "mm_payload_meta" -> mmPayloadMeta,
+    "mm_decode_features" -> mmDecodeFeatures
+  )
+}

@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash group-by), n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine. Designed so the quadratic step is always
+  * bounded: candidate generation goes through equality joins on
+  * shingles / LSH bands / blocks, never an unconstrained cross join —
+  * the property that keeps them alive at 100 TB.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup via canonical-text hash group-by: one shuffle on the
+    * hash, map-side partial agg. Returns (text_hash, keep_id, dup_count).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of `textCol` as an array column.
+    * Documents shorter than `n` words yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    // sequence(0, x) with x<0 generates a DEscending sequence, so short
+    // docs must short-circuit to an empty array instead.
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
+  }
+
+  /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity
+    * over shingle sets. The shingle explode + equality self-join is the
+    * scalable form: work is Σ bucket², bounded by shingle frequency,
+    * not |docs|². Callers filter rare giant buckets upstream if the
+    * corpus has degenerate shingles (stopword runs).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+    val sizes = sh.select(col("doc"), size(col("s")).as("n_sh"))
+    val ex = sh.select(col("doc"), explode(col("s")).as("sh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** MinHash signature: k independent hash slots, slot j =
+    * min over shingles of xxhash64(shingle, j). Seeding xxhash64 with
+    * the slot index gives k independent hash families without carrying
+    * coefficient tables. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+
+  /** MinHash + LSH banding: signatures of length `k` are cut into
+    * `bands` bands; docs agreeing on any full band become candidates;
+    * candidates are verified with exact shingle Jaccard. Collision
+    * probability per band = s^(k/bands) — with k=64, bands=16 a 0.9-
+    * similar pair is caught with p ≈ 1-(1-0.9^4)^16 ≈ 0.9998, while a
+    * 0.2-similar pair fires a band with p ≈ 16·0.2^4 ≈ 2.6%.
+    *
+    * Plan shape at scale: explode to (band_idx, band_hash, doc) —
+    * one shuffle on the band key — then Σ bucket² candidate pairs, then
+    * a verification join. No cross product anywhere.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      verifyThreshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("s"), k))
+    val banded = sig.select(col("doc"), col("s"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("n_inter", size(array_intersect(col("s_a"), col("s_b"))))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (size(col("s_a")) + size(col("s_b")) - col("n_inter")), 4))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of a token array: per-token xxhash64, signed bit
+    * votes, sign → bit. Near-dups have small Hamming distance. */
+  def simhash64(toks: Column): Column = {
+    // bit i of the simhash = 1 iff Σ_tokens sign(bit i of xxhash64(tok)) > 0
+    // shiftright/shiftleft take a literal Int in the Scala DSL, so the
+    // column-valued shift amounts go through call_function.
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(
+        aggregate(toks, lit(0),
+          (acc, t) => acc +
+            when(call_function("shiftright", xxhash64(t), i)
+              .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+          > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)),
+        (b, i) => call_function("shiftleft", b, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit
+    * blocks (pigeonhole: Hamming ≤ 3 ⇒ at least one block equal),
+    * join on any equal block, verify Hamming ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("doc"),
+      simhash64(TextOps.tokens(col(textCol))).as("sh"))
+    val blocked = hashed.select(col("doc"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("block_idx", "block_val")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs within blocks: candidate pairs share a
+    * `blockCol` value (coarse quantization / cluster id), verified by
+    * exact cosine ≥ threshold. Blocking caps pair count at Σ block²,
+    * the standard trick to keep vector dedup sub-quadratic. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorMath.cosineF
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosineF(col("a.v"), col("b.v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  // ------------------------------------------------------ distinct counts
+
+  /** Exact distinct count per group — the correctness baseline. */
+  def distinctPerGroup(df: DataFrame, groupCol: String, target: String): DataFrame =
+    df.groupBy(groupCol).agg(countDistinct(col(target)).as("n_distinct"))
+
+  /** Approximate distinct (HyperLogLog++) — the 100 TB path: constant
+    * memory per group, mergeable partial sketches, no exact-distinct
+    * shuffle explosion. */
+  def approxDistinctPerGroup(df: DataFrame, groupCol: String, target: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCol).agg(approx_count_distinct(col(target), rsd).as("n_approx"))
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** F2 — time-series analytics natural to economic series: period-over-
+  * period change, moving averages, and an as-of join for aligning two
+  * series. All window-based: one shuffle on the series key, sorted
+  * within partitions, no driver state. The reference computes none of
+  * these, but they are the obvious consumer queries over its gold layer
+  * (README.md:27 — "indicator trends over time").
+  */
+object SeriesOps {
+
+  private def seriesWindow(keys: Seq[String], time: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(time.map(col): _*)
+
+  /** Period-over-period delta: value - lag(value) within each series. */
+  def periodChange(df: DataFrame, keys: Seq[String], time: Seq[String],
+      valueCol: String = "value", outCol: String = "change"): DataFrame = {
+    val w = seriesWindow(keys, time)
+    df.withColumn(outCol, col(valueCol) - lag(valueCol, 1).over(w))
+  }
+
+  /** Trailing moving average over the last `n` observations (inclusive). */
+  def movingAvg(df: DataFrame, keys: Seq[String], time: Seq[String], n: Int,
+      valueCol: String = "value", outCol: String = "moving_avg"): DataFrame = {
+    val w = seriesWindow(keys, time).rowsBetween(-(n - 1), 0)
+    df.withColumn(outCol, avg(valueCol).over(w))
+  }
+
+  /** As-of join: for each left row, the most recent right value at or
+    * before the left row's time, per series key.
+    *
+    * Implemented without a range join (which degenerates to a
+    * per-key cross product at scale): union both sides tagged, sort one
+    * window per key on (time, side) with right rows first at equal
+    * times, and carry the right value forward with
+    * `last(_, ignoreNulls = true)`. One shuffle, linear work, skew
+    * bounded by the largest single key — the same plan shape Flink and
+    * kdb-style engines use for temporal alignment.
+    *
+    * @param time     ordering column name present on both sides
+    * @param keys     equality keys present on both sides (may be empty)
+    * @param rightVal column on `right` to carry; emitted as `outCol`
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      time: String, rightVal: String, outCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+    val rTagged = right.select((keys :+ time).map(col) :+ col(rightVal).as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.select(
+        (leftCols.map(col) :+ col("__side") :+ col("__rv")).toSeq: _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
+  }
+
+  /** Year-over-year change at monthly grain: value minus the value 12
+    * observations earlier in the same series. */
+  def yoyChange(df: DataFrame, keys: Seq[String], time: Seq[String],
+      valueCol: String = "value", outCol: String = "yoy_change"): DataFrame = {
+    val w = seriesWindow(keys, time)
+    df.withColumn(outCol, col(valueCol) - lag(valueCol, 12).over(w))
+  }
+}

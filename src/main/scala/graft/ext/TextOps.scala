@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * per-row scalar pipelines — embarrassingly parallel, no shuffle, and
+  * built from codegen'd `functions._` so they stay inside
+  * WholeStageCodegen at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. For the synthetic corpus (single-space
+    * separated) this equals the BPE-ish regex variant below. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish tokenizer: splits on word/number/punctuation boundaries,
+    * lowercased — a deterministic approximation of subword pre-
+    * tokenization (GPT-2 style pre-tokenizer word splitting). */
+  def regexTokens(text: Column): Column =
+    filter(
+      split(lower(text), "[^\\p{L}\\p{N}]+"),
+      t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** English-ish stopwords present in typical corpora; used for the
+    * stopword-ratio quality signal. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  def stopwordCount(toks: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t)))
+  }
+
+  /** Quality scoring signals (length, punctuation ratio, stopword
+    * ratio, mean token length) — the standard cheap heuristics used to
+    * filter web-scale training text. Emits one struct column. */
+  def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_calc", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stopwords", stopwordCount(toks))
+      .withColumn("stop_ratio",
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 4))
+      .withColumn("punct_ratio",
+        round(
+          (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+            / length(t), 4))
+      .withColumn("mean_token_len",
+        round((length(t) - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"), 4))
+  }
+
+  /** Scalar quality score in [0,1]: high when token lengths are
+    * word-like and some stopwords are present. Deterministic linear
+    * blend — the point is the plumbing (any learned scorer slots in). */
+  def qualityScore(df: DataFrame): DataFrame =
+    df.withColumn("quality_score",
+      round(
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.5) * col("stop_ratio") * lit(10.0) / lit(3.0) +
+            lit(0.5) * (lit(1.0) - abs(col("mean_token_len") - lit(5.0)) / lit(5.0)))),
+        4))
+
+  /** Marker-word profiles for cheap n-gram/keyword language ID. Public
+    * closed-class words per language — the classic heuristic used as a
+    * first-pass filter before a real classifier. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "que", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "une", "dans"),
+    "it" -> Seq("il", "la", "che", "e", "di", "un", "per", "non"))
+
+  /** Language-ID heuristic: score = marker-word hits per language;
+    * argmax wins, alphabetical tiebreak, `und` (undetermined) when no
+    * marker hits at all. One pass, codegen-friendly, no shuffle. */
+  def langId(text: Column): Column = {
+    val toks = regexTokens(text)
+    val scored = LangProfiles.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(m, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct uses (score, lang) lexicographic ordering —
+    // ties resolve to the alphabetically LAST lang, so invert by
+    // sorting on lang descending via a stable two-step: pick max score,
+    // then the first lang reaching it.
+    val maxScore = greatest(scored.map(_.getField("score")): _*)
+    val winner = LangProfiles.map(_._1).zip(scored).foldRight(lit("und")) {
+      case ((lang, s), acc) =>
+        when(s.getField("score") === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    winner
+  }
+
+  /** Canonical-form document fingerprint: md5 of the whitespace- and
+    * case-normalized text. Exact-dup detection key that survives
+    * formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

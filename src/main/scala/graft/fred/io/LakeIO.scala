@@ -1,0 +1,57 @@
+package graft.fred.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Partitioned-lake read/write (G2, G3, H1, H2).
+  *
+  * The reference hand-builds Hive-style paths
+  * (`raw_data/indicator=…/year=…/month=…`, `extract_fred_data.py:216-219`)
+  * and overwrites one file per partition (`load_bytes(replace=True)`,
+  * `:225`). The Spark-native equivalent: write the partitioned ROOT with
+  * dynamic partition overwrite — only the partitions present in the
+  * frame are replaced, exactly the reference's per-key `replace=True`
+  * semantics — and read the root with filters, letting Catalyst's
+  * `PruneFileSourcePartitions` skip everything else. No string-built
+  * paths anywhere; at 100 TB the pruning + parquet row-group stats do
+  * the work the reference's path arithmetic did.
+  */
+object LakeIO {
+
+  val PartitionCols: Seq[String] = Seq("indicator", "observation_year", "observation_month")
+
+  private def dynamicOverwrite(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  /** H1: bronze JSON-lines write, partition-overwriting (`extract_fred_data.py:213-226`). */
+  def writeBronze(df: DataFrame, root: String): Unit = {
+    dynamicOverwrite(df.sparkSession)
+    df.write.mode(SaveMode.Overwrite).partitionBy(PartitionCols: _*).json(root)
+  }
+
+  /** G2: bronze read with explicit schema — never infer
+    * (`transform_fred_data.py:83` re-infers per file; SURVEY §7.4.4). */
+  def readBronze(spark: SparkSession, root: String): DataFrame =
+    readJson(spark, root, graft.fred.Schemas.bronze)
+
+  def readJson(spark: SparkSession, root: String, schema: StructType): DataFrame = {
+    // Partition columns (indicator/year/month) come from the directory
+    // layout; the data schema is the non-partition remainder.
+    val dataFields = schema.fields.filterNot(f => PartitionCols.contains(f.name))
+    spark.read.schema(StructType(dataFields)).json(root)
+  }
+
+  /** H2: silver/gold parquet write, partition-overwriting
+    * (`transform_fred_data.py:150-175`, `aggregate_fred_data.py:64-86`). */
+  def writeParquet(df: DataFrame, root: String,
+      partitionCols: Seq[String] = PartitionCols): Unit = {
+    dynamicOverwrite(df.sparkSession)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(root)
+  }
+
+  /** G3: partitioned parquet read; missing partitions simply yield no
+    * rows (the reference swallows per-file NoSuchKey into empty frames,
+    * `aggregate_fred_data.py:47-58`). */
+  def readParquet(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+}

@@ -1,0 +1,39 @@
+package graft.fred.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D2 — keyed upsert (merge), the dataframe-level semantics of the
+  * reference's `INSERT … ON CONFLICT (key) DO UPDATE SET col = EXCLUDED.col`
+  * (`load_fred_data.py:49-59`, key at `:121`).
+  *
+  * `latestByKey` is the pure relational form: given rows carrying a
+  * recency ordering, keep exactly the winning row per natural key.
+  * Implemented with `row_number` over a key-partitioned window — one
+  * shuffle on the key, no driver-side state, spill-safe at any scale.
+  * The JDBC side-effecting form lives in [[graft.fred.io.UpsertSink]].
+  */
+object Merge {
+
+  /** One row per key: the first under `recency` ordering (descending
+    * recommended by caller, e.g. `col("event_id").desc`). Ordering must
+    * be total per key for deterministic output — pass tiebreak columns.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], recency: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toSeq: _*).orderBy(recency: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Upsert `delta` onto `base`: delta rows win on key collision,
+    * base rows without a delta match survive unchanged. Within each
+    * side, callers should pre-deduplicate or rely on `recency`. */
+  def upsert(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      recency: Seq[Column]): DataFrame = {
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(delta.withColumn("__src", lit(1)))
+    latestByKey(tagged, keys, col("__src").desc +: recency).drop("__src")
+  }
+}
