@@ -281,17 +281,11 @@ object Queries {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
 
-  /** Winnowing-style rolling-hash fingerprint (rows-only check: the
-    * hash family is engine-specific). */
+  /** Winnowing rolling-hash fingerprint via the native
+    * [[graft.functions.WinnowingFingerprint]] expression (rows-only
+    * check: the hash family is engine-specific). */
   val textFingerprint: Q = (s, dir) => {
-    val t = col("text")
-    val k = 8 // gram length
-    val grams = transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => xxhash64(t.substr(i, lit(k))))
-    val winnowed = array_distinct(transform(
-      sequence(lit(0), greatest(size(grams) - 4, lit(0))),
-      i => array_min(slice(grams, i + 1, lit(4)))))
+    val winnowed = graft.functions.Winnowing.winnow(col("text"), k = 8, w = 4)
     Tables.documents(s, dir).select(
       col("doc_id"),
       size(winnowed).as("n_fingerprints"),

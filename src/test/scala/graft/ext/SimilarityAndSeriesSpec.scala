@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorMath
+
+class SimilarityAndSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------- VectorMath
+
+  test("dotF: sequential-order float dot product, null-safe") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (null, Array(1.0f))
+    ).toDF("a", "b")
+    val out = df.select(VectorMath.dotF(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("cosineF: 1 for parallel, 0 for orthogonal vectors") {
+    val df = Seq(
+      (Array(2.0f, 0.0f), Array(5.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 3.0f))
+    ).toDF("a", "b")
+    val out = df.select(round(VectorMath.cosineF(col("a"), col("b")), 6))
+      .as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 0.0))
+  }
+
+  // -------------------------------------------------------- Similarity
+
+  private val corpus = Seq(
+    (1L, "A", Array(1.0f, 0.0f)),
+    (2L, "A", Array(0.9f, 0.1f)),
+    (3L, "B", Array(0.0f, 1.0f)),
+    (4L, "B", Array(0.1f, 0.9f))
+  ).toDF("vec_id", "label", "embedding")
+
+  test("topK: correct neighbor ordering, self excluded, rank bounded by k") {
+    val q = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.topK(corpus, q, "vec_id", "embedding", k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 2)
+    assert(out(0)._2 == 2L) // nearest is the 0.9/0.1 vector
+    assert(out.forall(_._2 != 1L)) // self excluded
+    assert(out(0)._3 > out(1)._3)
+  }
+
+  test("topKBlocked: scoring restricted to the query's block") {
+    val q = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.topKBlocked(corpus, q, "vec_id", "embedding", "label", k = 10)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._2).toSet == Set(2L)) // only block-A rows scored (minus self)
+  }
+
+  test("topK plan broadcasts the query side (no corpus shuffle)") {
+    val q = corpus.filter(col("vec_id") === 1L)
+    val plan = Similarity.topK(corpus, q, "vec_id", "embedding", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in plan:\n$plan")
+  }
+
+  // ---------------------------------------------------------- SeriesOps
+
+  private val series = Seq(
+    ("X", 1, 10.0), ("X", 2, 12.0), ("X", 3, 9.0), ("Y", 1, 100.0), ("Y", 2, 100.0)
+  ).toDF("indicator", "t", "value")
+
+  test("periodChange: per-series lag delta, null at series start") {
+    val out = SeriesOps.periodChange(series, Seq("indicator"), Seq("t"))
+      .select("indicator", "t", "change")
+      .as[(String, Int, Option[Double])].collect().toSet
+    assert(out == Set(
+      ("X", 1, None), ("X", 2, Some(2.0)), ("X", 3, Some(-3.0)),
+      ("Y", 1, None), ("Y", 2, Some(0.0))))
+  }
+
+  test("movingAvg: trailing window clipped at series start") {
+    val out = SeriesOps.movingAvg(series, Seq("indicator"), Seq("t"), n = 2)
+      .filter(col("indicator") === "X").orderBy("t")
+      .select("moving_avg").as[Double].collect()
+    assert(out.toSeq == Seq(10.0, 11.0, 10.5))
+  }
+
+  test("yoyChange: 12-period lag within series") {
+    val monthly = (1 to 24).map(i => ("X", i, i.toDouble)).toDF("indicator", "t", "value")
+    val out = SeriesOps.yoyChange(monthly, Seq("indicator"), Seq("t"))
+      .filter(col("t") === 13).select("yoy_change").as[Double].head()
+    assert(out == 12.0)
+  }
+
+  test("asofJoin: most recent right value at-or-before each left time") {
+    val left = Seq(("X", 1), ("X", 2), ("X", 3), ("X", 5), ("Y", 1))
+      .toDF("indicator", "t")
+    val right = Seq(("X", 2, 20.0), ("X", 4, 40.0)).toDF("indicator", "t", "v")
+    val out = SeriesOps.asofJoin(left, right, Seq("indicator"), "t", "v")
+      .select("indicator", "t", "asof_value")
+      .as[(String, Int, Option[Double])].collect().toSet
+    assert(out == Set(
+      ("X", 1, None),        // nothing at or before t=1
+      ("X", 2, Some(20.0)),  // equal time: right row visible
+      ("X", 3, Some(20.0)),
+      ("X", 5, Some(40.0)),
+      ("Y", 1, None)))       // key isolation
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAndMultiModalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- TextOps
+
+  test("regexTokens: splits on non-letter/number runs, lowercases, drops empties") {
+    val out = Seq("Hello, World!! 42x").toDF("text")
+      .select(TextOps.regexTokens(col("text"))).as[Seq[String]].head()
+    assert(out == Seq("hello", "world", "42x"))
+  }
+
+  test("stopwordCount counts only profile words") {
+    val out = Seq("the cat and the dog").toDF("text")
+      .select(TextOps.stopwordCount(TextOps.tokens(col("text")))).as[Int].head()
+    assert(out == 3) // the, and, the
+  }
+
+  test("langId: marker-word argmax with alphabetical tiebreak and 'und' fallback") {
+    val out = Seq(
+      ("en", "the cat is in that house and it is warm"),
+      ("de", "der hund ist nicht mit der katze und das ist gut"),
+      ("fr", "le chat est dans les jardins et la maison"),
+      ("und", "zzz qqq xxx")
+    ).toDF("expected", "text")
+      .select(col("expected"), TextOps.langId(col("text")).as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("fingerprint: whitespace/case-normalized md5 equality") {
+    val out = Seq(("a B  c", "A b C "), ("a b c", "a b d")).toDF("x", "y")
+      .select(
+        (TextOps.fingerprint(col("x")) === TextOps.fingerprint(col("y"))).as("eq"))
+      .as[Boolean].collect()
+    assert(out.toSeq == Seq(true, false))
+  }
+
+  test("qualitySignals + qualityScore: ratios and bounded score") {
+    val df = Seq((1L, "the cat sat on a mat, quietly.")).toDF("doc_id", "text")
+    val row = TextOps.qualityScore(TextOps.qualitySignals(df)).head()
+    val get = (n: String) => row.getAs[Any](n)
+    assert(get("n_tokens") == 7)
+    assert(get("n_stopwords") == 2) // the, a ("on" is not in the profile)
+    assert(get("stop_ratio") == 0.2857)
+    val score = row.getAs[Double]("quality_score")
+    assert(score >= 0.0 && score <= 1.0)
+  }
+
+  // -------------------------------------------------------- MultiModal
+
+  test("decodeFeatures: deterministic stub decode via mapPartitions, typed output") {
+    val df = Seq((7L, "payload-bytes")).toDF("doc_id", "text")
+    val out = MultiModal.decodeFeatures(MultiModal.withPayload(df)).collect()
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.doc_id == 7L && f.n_bytes == 13L && f.channels == 3)
+    // decode twice → identical features (determinism contract of the stub)
+    val again = MultiModal.decodeFeatures(MultiModal.withPayload(df)).collect().head
+    assert(f == again)
+  }
+
+  test("payloadMeta: column-only metadata agrees with stub geometry") {
+    val df = Seq((7L, "payload-bytes")).toDF("doc_id", "text")
+    val meta = MultiModal.payloadMeta(df).head()
+    val decoded = MultiModal.decodeFeatures(MultiModal.withPayload(df)).collect().head
+    assert(meta.getAs[Long]("n_bytes") == decoded.n_bytes)
+    assert(meta.getAs[Int]("width") == decoded.width)
+    assert(meta.getAs[Int]("height") == decoded.height)
+    assert(meta.getAs[Int]("first_byte") == 'p'.toInt)
+  }
+
+  test("decodeFeatures plan has no shuffle (partition-local decode)") {
+    val df = Seq((1L, "abc"), (2L, "def")).toDF("doc_id", "text")
+    val plan = MultiModal.decodeFeatures(MultiModal.withPayload(df))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+  }
+}
