@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumblingAgg: watermarked hourly windows aggregate per event type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingAgg(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0),
+        (ts("2024-01-01 11:10:00"), "click", 4.0),
+        (ts("2024-01-01 10:20:00"), "view", 8.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling")
+        .select("window_start", "event_type", "n_events", "value_sum")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(out == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "click", 1L, 4.0),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionAgg: events within the gap fuse into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // session windows emit in Append mode only: a session materializes
+    // once the watermark passes its end
+    val q = EventStreams.sessionAgg(events, "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 1.0), // same session (10 min gap)
+        (ts("2024-01-01 12:00:00"), 1L, 1.0)) // new session (110 min gap)
+      q.processAllAvailable()
+      // advance the watermark past both sessions' ends (12:30 + 1h delay)
+      input.addData((ts("2024-01-01 14:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+      assert(out.sorted == Seq((1L, 1L), (1L, 2L))) // user 2's session still open
+    } finally q.stop()
+  }
+
+  test("runningMonthlyMean: flatMapGroupsWithState accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Obs]
+    val q = EventStreams.runningMonthlyMean(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventStreams.Obs("DGS10", 2024, 1, 2.0, ts("2024-01-02 00:00:00")),
+        EventStreams.Obs("DGS10", 2024, 1, 4.0, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      // second batch revises the same month: state carries (sum=6, count=2)
+      input.addData(
+        EventStreams.Obs("DGS10", 2024, 1, 6.0, ts("2024-01-04 00:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("running")
+        .as[EventStreams.MonthUpdate].collect()
+      val latest = out.maxBy(_.observation_count)
+      assert(latest == EventStreams.MonthUpdate("DGS10", 2024, 1, 4.0, 3L))
+      // first emission saw only batch 1: mean 3.0 over 2 observations
+      assert(out.contains(EventStreams.MonthUpdate("DGS10", 2024, 1, 3.0, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming silver: file-source catchup over bronze produces batch-identical silver") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val bronzeRoot = s"$tmp/bronze"
+    val silverRoot = s"$tmp/silver"
+    // land one bronze month the way the batch pipeline would
+    val raw = Seq(("2024-01-02", "3.95"), ("2024-01-03", "4.05"), ("2024-01-04", "."))
+      .toDF("date", "value")
+    graft.fred.io.LakeIO.writeBronze(
+      graft.fred.ops.Derive.toBronze(raw, "DGS10"), bronzeRoot)
+    val stream = StreamingSilver.readBronzeStream(spark, bronzeRoot)
+    assert(stream.isStreaming)
+    val q = StreamingSilver.writeSilverIncremental(
+      StreamingSilver.monthlySilver(stream), silverRoot, s"$tmp/ckpt").start()
+    try q.awaitTermination(60000) finally q.stop()
+    val silver = spark.read.parquet(silverRoot)
+      .select("indicator", "observation_year", "observation_month", "value", "observation_count")
+      .as[(String, Int, Int, Double, Long)].collect()
+    assert(silver.toSeq == Seq(("DGS10", 2024, 1, 4.0, 2L)))
+  }
+}
