@@ -44,7 +44,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("s"))
+    // hashed shingles (codegen'd single pass): a 64-bit hash stands in
+    // for each shingle string — set sizes and intersections, hence
+    // Jaccard, are unchanged (collision p ≈ |sh|²/2^64)
+    val sh = df.select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
     val sizes = sh.select(col("doc"), size(col("s")).as("n_sh"))
     val ex = sh.select(col("doc"), explode(col("s")).as("sh"))
@@ -88,9 +92,11 @@ object Dedup {
       verifyThreshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("s"))
+    val sh = df.select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("s"), k))
+    val sig = sh.withColumn("sig",
+      graft.functions.TextHashes.minhashSig(col("s"), k))
     val banded = sig.select(col("doc"), col("s"),
         posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
@@ -138,7 +144,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val hashed = df.select(col(idCol).as("doc"),
-      simhash64(TextOps.tokens(col(textCol))).as("sh"))
+      graft.functions.TextHashes.simhash(col(textCol)).as("sh"))
     val blocked = hashed.select(col("doc"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16)
