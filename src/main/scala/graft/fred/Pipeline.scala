@@ -1,0 +1,80 @@
+package graft.fred
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fred.io.{FredSource, LakeIO}
+import graft.fred.ops.{Clean, Derive, MonthlyAgg, YearlyGold}
+
+/** K — the orchestration layer: the reference's per-indicator DAG
+  * `extract >> transform >> aggregate >> load`
+  * (`dags/fred_historical_backfill.py:172`) as a plain Scala driver.
+  *
+  * Each stage is idempotent (dynamic partition overwrite / keyed
+  * upsert), so re-running any window is safe — the property the
+  * reference gets from Airflow `catchup` + overwrite semantics.
+  * Indicators never interact until the serving sink, so a real
+  * deployment runs [[runIndicator]] for all indicators concurrently;
+  * within one indicator the layers are sequential by data dependency.
+  */
+class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String) {
+
+  def bronzeRoot: String = s"$lakeRoot/raw_data"
+  def silverRoot: String = s"$lakeRoot/processed_data"
+  def goldRoot: String = s"$lakeRoot/aggregated_data"
+
+  /** Extract one indicator over [start, end]: month-ranged API calls
+    * (C8), bronze shaping (B1-B3, C1-C2), partitioned JSON-lines write
+    * (H1). One write per month mirrors the reference's per-month
+    * S3 object (`extract_fred_data.py:238-290`). */
+  def extract(seriesId: String, start: LocalDate, end: LocalDate): Unit =
+    FredSource.monthRanges(start, end).foreach { case (first, last) =>
+      val obs = FredSource.observations(
+        spark, source.fetchMonth(seriesId, first, last))
+      LakeIO.writeBronze(Derive.toBronze(obs, seriesId), bronzeRoot)
+    }
+
+  /** Transform bronze months of one indicator to silver monthly grain:
+    * read the partitioned root with pruning filters (no path
+    * arithmetic), clean (B4-B5, C3), group-agg (A1), write (H2). */
+  def transform(seriesId: String, years: Seq[Int]): Unit = {
+    val bronze = LakeIO.readBronze(spark, bronzeRoot)
+      .where(col("indicator") === seriesId &&
+        col("observation_year").isin(years: _*))
+    val cleaned = Clean.cleanValues(bronze)
+      .withColumn("observation_year", col("observation_year").cast("int"))
+      .withColumn("observation_month", col("observation_month").cast("int"))
+    LakeIO.writeParquet(MonthlyAgg.toSilver(cleaned), silverRoot)
+  }
+
+  /** Aggregate silver to gold for given years: the union loop is
+    * obviated by one pruned scan (SURVEY §2 E1); round + stamp (C6,
+    * B3), write partitioned by (indicator, year). */
+  def aggregate(seriesId: String, years: Seq[Int]): Unit = {
+    val silver = LakeIO.readParquet(spark, silverRoot)
+      .where(col("indicator") === seriesId &&
+        col("observation_year").isin(years: _*))
+    LakeIO.writeParquet(YearlyGold.toGold(silver), goldRoot,
+      Seq("indicator", "observation_year"))
+  }
+
+  /** Serving load: gold rows for the window, upserted on the natural
+    * key (D2/H3) — callers pass a sink function so tests can capture
+    * rows while prod wires [[graft.fred.io.UpsertSink.write]]. */
+  def load(seriesId: String, years: Seq[Int])(sink: DataFrame => Unit): Unit =
+    sink(LakeIO.readParquet(spark, goldRoot)
+      .where(col("indicator") === seriesId &&
+        col("observation_year").isin(years: _*)))
+
+  /** The full reference DAG for one indicator over a date window. */
+  def runIndicator(seriesId: String, start: LocalDate, end: LocalDate)
+      (sink: DataFrame => Unit): Unit = {
+    val years = (start.getYear to end.getYear).toSeq
+    extract(seriesId, start, end)
+    transform(seriesId, years)
+    aggregate(seriesId, years)
+    load(seriesId, years)(sink)
+  }
+}

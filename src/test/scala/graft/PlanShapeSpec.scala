@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Physical-plan regression tests: the properties that decide whether
+  * a query survives a 100 TB / 1000-executor scale-up. Each test pins
+  * a plan shape (pushdown, pruning, broadcast, partial aggregation,
+  * top-k short-circuit) rather than a result — results are covered by
+  * the oracle gate; these fail loudly if a refactor silently
+  * de-optimizes the plan.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan (pushdown, pruning)") {
+    val df = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("A1 aggregate plans partial+final HashAggregate around one exchange") {
+    val plan = executed(Queries.fredMonthlyAgg(spark, sf))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+    assert(exchanges == 1, s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("star join broadcasts the small dimensions") {
+    val plan = executed(Queries.joinStarRevenue(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"nation/region must broadcast:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executed(Queries.topkOrders(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k short-circuit:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort crept in:\n$plan")
+  }
+
+  test("partitioned-lake scan prunes partitions from a key filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val df = Seq(
+      ("A", 2024, 1, 1.0), ("A", 2024, 2, 2.0), ("B", 2024, 1, 3.0)
+    ).toDF("indicator", "observation_year", "observation_month", "value")
+    graft.fred.io.LakeIO.writeParquet(df, tmp)
+    val pruned = graft.fred.io.LakeIO.readParquet(spark, tmp)
+      .where(col("indicator") === "A" && col("observation_month") === 2)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    // partition filters appear as PartitionFilters, and only one
+    // directory's file is selected
+    assert(scan.contains("PartitionFilters:") && scan.contains("isnotnull(indicator"),
+      s"no partition pruning:\n$scan")
+    assert(pruned.count() == 1)
+  }
+
+  test("winnowing/minhash/simhash expressions run inside WholeStageCodegen") {
+    val df = Tables.documents(spark, sf).select(
+      graft.functions.Winnowing.winnow(col("text")).as("w"),
+      graft.functions.TextHashes.simhash(col("text")).as("s"),
+      graft.functions.TextHashes.minhashSig(
+        graft.functions.TextHashes.hashedShingles(col("text"), 3), 16).as("m"))
+    val plan = executed(df)
+    // the project sits under a WholeStageCodegen span, not a standalone
+    // interpreted Project
+    assert(plan.contains("*(1) Project"), s"expression fell out of codegen:\n$plan")
+  }
+
+  test("dedup-sync anti join broadcasts the sink side") {
+    val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
+    val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)
+    val plan = executed(graft.fred.ops.DedupSync.newRows(
+      incoming, existing, Seq("user_id", "event_type")))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti join must broadcast existing keys:\n$plan")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.fred
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.fred.io.{DdlOps, FredSource}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full DAG golden test: extract → transform → aggregate → load") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    // two months of FRED-shaped fixtures, with a '.' sentinel and a
+    // bad value that must be coerced out
+    val fixture = new FredSource.Fixture(Map(
+      ("DGS10", 2024, 1) ->
+        """{"observations":[
+          |{"date":"2024-01-02","value":"3.95"},
+          |{"date":"2024-01-03","value":"4.055"},
+          |{"date":"2024-01-04","value":"."}]}""".stripMargin.replace("\n", ""),
+      ("DGS10", 2024, 2) ->
+        """{"observations":[
+          |{"date":"2024-02-01","value":"4.20"},
+          |{"date":"2024-02-02","value":"oops"}]}""".stripMargin.replace("\n", "")))
+    val pipe = new Pipeline(spark, fixture, tmp)
+    var served: Array[(String, Int, Int, Double, Long)] = Array.empty
+    pipe.runIndicator("DGS10",
+      LocalDate.parse("2024-01-01"), LocalDate.parse("2024-02-29")) { gold =>
+      served = gold
+        .select("indicator", "observation_year", "observation_month", "value", "observation_count")
+        .as[(String, Int, Int, Double, Long)].collect()
+    }
+    // Jan mean(3.95, 4.055) = 4.0025 → bround(2) HALF_EVEN → 4.0
+    // Feb: 'oops' coerced out → mean(4.20) over count 1
+    assert(served.sortBy(_._3).toSeq == Seq(
+      ("DGS10", 2024, 1, 4.0, 2L),
+      ("DGS10", 2024, 2, 4.2, 1L)))
+    // layers exist, partitioned
+    assert(spark.read.parquet(s"$tmp/processed_data").count() == 2)
+    assert(new java.io.File(s"$tmp/raw_data/indicator=DGS10").exists())
+    // re-running the window is idempotent (overwrite semantics)
+    pipe.runIndicator("DGS10",
+      LocalDate.parse("2024-01-01"), LocalDate.parse("2024-02-29"))(_ => ())
+    assert(spark.read.parquet(s"$tmp/aggregated_data").count() == 2)
+  }
+
+  test("DdlOps: create/rename/add/truncate against the session catalog") {
+    val t = s"graft_ddl_test_${System.nanoTime()}"
+    DdlOps.createTable(spark, t, Seq(
+      "indicator" -> "STRING", "observation_year" -> "INT", "value" -> "DOUBLE"))
+    try {
+      spark.sql(s"INSERT INTO $t VALUES ('X', 2024, 1.5)")
+      DdlOps.renameColumn(spark, t, "value", "avg_value")
+      DdlOps.addColumn(spark, t, "note", "STRING")
+      val cols = spark.table(t).columns.toSeq
+      assert(cols == Seq("indicator", "observation_year", "avg_value", "note"))
+      assert(spark.table(t).count() == 1)
+      DdlOps.truncate(spark, t)
+      assert(spark.table(t).count() == 0)
+      intercept[IllegalArgumentException] {
+        DdlOps.addColumn(spark, t, "bad; DROP TABLE x", "STRING")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("jdbcCreateTableSql: reference-shaped serving DDL") {
+    val sql = DdlOps.jdbcCreateTableSql("economic_indicators",
+      Seq("indicator" -> "TEXT", "observation_year" -> "INT",
+        "observation_month" -> "INT", "value" -> "DOUBLE PRECISION"),
+      primaryKey = Seq("indicator", "observation_year", "observation_month"))
+    assert(sql == "CREATE TABLE IF NOT EXISTS economic_indicators " +
+      "(indicator TEXT, observation_year INT, observation_month INT, " +
+      "value DOUBLE PRECISION, " +
+      "PRIMARY KEY (indicator, observation_year, observation_month))")
+  }
+}
