@@ -128,6 +128,12 @@ object Oracles {
         |SELECT DISTINCT user_id FROM events
         | WHERE event_type <> (SELECT min(event_type) FROM events)""".stripMargin,
 
+    "agg_salted" ->
+      s"""SELECT event_type,
+        |       $exactAvgSql AS value,
+        |       count(value) AS observation_count
+        |FROM events GROUP BY 1""".stripMargin,
+
     "agg_rollup" ->
       """SELECT event_type, CAST(day(ts) AS INTEGER) AS observation_day,
         |       count(*) AS n,

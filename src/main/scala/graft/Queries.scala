@@ -183,6 +183,20 @@ object Queries {
   }
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Salted two-stage aggregate (hot-key mitigation) — result-identical
+    * to the direct group-by: exact integer partial sums merge to the
+    * same mean regardless of the salt split. */
+  val aggSalted: Q = (s, dir) =>
+    graft.operators.Skew.saltedAgg(
+      Tables.events(s, dir).select("event_type", "event_id", "value"),
+      keys = Seq("event_type"), spread = col("event_id"), salts = 8,
+      partial = Seq(
+        sum(round(col("value") * 1e6).cast("long")).as("__sum"),
+        count(col("value")).as("__cnt")),
+      merge = Seq(
+        (sum("__sum").cast("double") / sum("__cnt") / 1e6).as("value"),
+        sum("__cnt").as("observation_count")))
+
   /** ROLLUP grouping sets with decimal-exact sums. */
   val aggRollup: Q = (s, dir) =>
     Tables.events(s, dir)
@@ -318,6 +332,7 @@ object Queries {
     "set_except" -> setExcept,
     "set_intersect" -> setIntersect,
     "agg_rollup" -> aggRollup,
+    "agg_salted" -> aggSalted,
     "window_mom" -> windowMom,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,
