@@ -293,7 +293,8 @@ object Queries {
 
   val textLangid: Q = (s, dir) =>
     Tables.documents(s, dir)
-      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"),
+        graft.functions.LangId.langId(col("text")).as("lang_pred"))
 
   /** Winnowing rolling-hash fingerprint via the native
     * [[graft.functions.WinnowingFingerprint]] expression (rows-only
