@@ -165,6 +165,28 @@ object Oracles {
          |       round(value / sum(value) OVER (PARTITION BY indicator), 4) AS share
          |FROM d""".stripMargin,
 
+    "window_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM o)
+        |SELECT epoch_us(min(ts)) AS session_start_us, user_id,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+
     "series_asof" ->
       s"""WITH d AS ($dailySeriesCte),
          |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),

@@ -228,6 +228,30 @@ object Queries {
         round(col("value") / sum("value").over(byInd), 4))
   }
 
+  /** Tumbling event-time windows in batch mode — the same groupBy
+    * shape [[graft.streaming.EventStreams.tumblingAgg]] runs on a
+    * stream (SURVEY §2.J). Window starts emitted as epoch micros so
+    * the oracle compare is timestamp-representation-free. */
+  val windowTumbling: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** Sessionization in batch mode: session_window with a 30-minute
+    * gap per user — sessions close when the next event is ≥ gap after
+    * the previous one, the exact islands semantics the SQL oracle
+    * reproduces with lag + cumulative break counts. */
+  val windowSession: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+      .select(unix_micros(col("session_window.start")).as("session_start_us"),
+        col("user_id"), col("n_events"), col("value_sum"))
+
   /** As-of join: align each daily point with the most recent sparse
     * (every-3rd-day) observation at or before it. */
   val seriesAsof: Q = (s, dir) => {
@@ -337,6 +361,8 @@ object Queries {
     "window_mom" -> windowMom,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,
+    "window_tumbling" -> windowTumbling,
+    "window_session" -> windowSession,
     "series_asof" -> seriesAsof,
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,

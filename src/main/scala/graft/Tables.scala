@@ -32,7 +32,10 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`, not `/`: float division of epoch nanos (~1.7e18)
+    // sits beyond double's 2^53 mantissa and corrupts the last
+    // microsecond digit
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
