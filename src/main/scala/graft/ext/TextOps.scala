@@ -99,7 +99,10 @@ object TextOps {
 
   /** Canonical-form document fingerprint: md5 of the whitespace- and
     * case-normalized text. Exact-dup detection key that survives
-    * formatting noise. */
+    * formatting noise. Normalization runs through the single-pass
+    * [[graft.functions.CanonTextExpr]] (byte-identical to
+    * `regexp_replace(lower(trim(text)), "\s+", " ")` on ASCII;
+    * spec-pinned) instead of a per-row regex matcher. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(graft.functions.CanonText.canon(text))
 }

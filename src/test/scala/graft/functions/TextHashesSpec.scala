@@ -64,6 +64,29 @@ class TextHashesSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("canon matches the regexp normalization on whitespace/case edges") {
+    val cases = Seq(
+      "Plain Text Here", "  leading and trailing  ", "tabs\tand\nnewlines",
+      "\tstarts with tab", "ends with tab\t", "multi   spaces\t\t\nmix",
+      "", "   ", "\t\t", "a", " A ", "already canonical text")
+    val out = cases.toDF("t").select(
+        TextHashes_canon(col("t")).as("native"),
+        regexp_replace(lower(trim(col("t"))), "\\s+", " ").as("regex"))
+      .as[(String, String)].collect()
+    out.zip(cases).foreach { case ((n, r), c) =>
+      assert(n == r, s"canon mismatch on ${c.inspect}")
+    }
+  }
+
+  private def TextHashes_canon(c: org.apache.spark.sql.Column) =
+    graft.functions.CanonText.canon(c)
+
+  private implicit class StrOps(s: String) {
+    def inspect: String = s.map {
+      case '\t' => "\\t"; case '\n' => "\\n"; case c => c.toString
+    }.mkString("\"", "", "\"")
+  }
+
   test("empty/short text: no shingles; simhash still defined") {
     val out = docs.filter(col("id") === 2L || col("id") === 5L)
       .select(size(TextHashes.hashedShingles(col("text"), 3))).as[Int].collect()
