@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
-import graft.ext.{Dedup, MultiModal, SeriesOps, Similarity, TextOps}
+import graft.ext.{Dedup, Ivf, MultiModal, SeriesOps, Similarity, TextOps}
 
 /** The operator catalog: every SURVEY §2 operator (and the contract's
   * `[EXT]` training-data ops) expressed as a named query over the
@@ -298,6 +298,16 @@ object Queries {
       "label", k = 5)
   }
 
+  /** KMeans-IVF ANN: train coarse centroids, probe the 2 nearest of 8
+    * clusters per query (rows-only check: cluster assignment is
+    * engine-specific; exhaustive-probe ≡ brute-force is spec-pinned). */
+  val similarityIvfKmeans: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
+    Ivf.searchTopK(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5, nprobe = 2)
+  }
+
   // ======================================================= [EXT] text
 
   val textStats: Q = (s, dir) => {
@@ -373,6 +383,7 @@ object Queries {
     "agg_approx_distinct" -> aggApproxDistinct,
     "similarity_topk" -> similarityTopk,
     "similarity_ivf" -> similarityIvf,
+    "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,

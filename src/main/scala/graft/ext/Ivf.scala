@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorMath.cosineF
+
+/** IVF (inverted-file) approximate-nearest-neighbor index: k-means
+  * coarse quantization + multi-probe search.
+  *
+  * The 100 TB shape: training samples the corpus (k-means over a
+  * bounded sample is standard — centroid quality saturates quickly),
+  * assignment is one broadcast-join-free `ml` transform over the full
+  * corpus, and the index is just a `cluster` column — storable as a
+  * partition/bucket key so each query wave touches `nprobe/nClusters`
+  * of the data. Search joins the (small, broadcast) probed query set
+  * against the corpus on cluster equality: no corpus shuffle, work
+  * `Σ |probed cluster|` per query.
+  *
+  * With `nprobe = nClusters` the search is exhaustive and exactly
+  * equals brute force (spec-pinned); recall at lower nprobe depends on
+  * how clusterable the corpus is, which is the operator's documented
+  * trade.
+  */
+object Ivf {
+
+  /** The trained index: per-cluster corpus assignment + centroids. */
+  case class Index(assigned: DataFrame, centroids: Array[Array[Float]])
+
+  /** Fit k-means on (a sample of) the corpus and assign every row a
+    * cluster id. `fitSampleFraction < 1` bounds training cost on huge
+    * corpora; assignment always covers the full corpus. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): Index = {
+    val featured = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("__fv", array_to_vector(col("cv")))
+    val trainSet =
+      if (fitSampleFraction < 1.0) featured.sample(fitSampleFraction, seed)
+      else featured
+    val model = new KMeans()
+      .setK(nClusters).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("cluster")
+      .fit(trainSet)
+    val assigned = model.transform(featured).drop("__fv")
+    val centroids = model.clusterCenters
+      .map(_.toArray.map(_.toFloat))
+    Index(assigned, centroids)
+  }
+
+  /** Top-k search probing each query's `nprobe` nearest clusters.
+    * Queries are few (bounded per wave) — their centroid ranking runs
+    * in one pass over a literal centroid array; the corpus-side join is
+    * cluster-equality with the query side broadcast. */
+  def searchTopK(index: Index, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val nClusters = index.centroids.length
+    require(nprobe >= 1 && nprobe <= nClusters, "nprobe out of range")
+    // centroid matrix as a literal array<array<float>> column
+    val centroidsLit = array(index.centroids.map(c =>
+      array(c.map(v => lit(v)): _*)): _*)
+    // rank clusters by cosine to the query vector, keep nprobe best
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__scored", transform(centroidsLit, cv => cosineF(col("qv"), cv)))
+      .withColumn("cluster",
+        slice(array_sort(
+            zip_with(col("__scored"), sequence(lit(0), lit(nClusters - 1)),
+              (s, i) => struct((-s).as("negScore"), i.as("cluster"))))
+          .getField("cluster"), 1, nprobe))
+      .withColumn("cluster", explode(col("cluster")))
+      .drop("__scored")
+    val self = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = index.assigned.join(broadcast(probed),
+        index.assigned("cluster") === probed("cluster") && self)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineF(col("qv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

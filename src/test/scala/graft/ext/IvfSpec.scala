@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embeddings = graft.Tables.embeddings(spark, sf)
+
+  test("exhaustive probe (nprobe = nClusters) equals brute-force top-k") {
+    import spark.implicits._
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val index = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
+    val ivf = Ivf.searchTopK(index, queries, "vec_id", "embedding",
+        k = 10, nprobe = 8)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val brute = Similarity.topK(embeddings, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
+  test("self is always found at rank 1 (own cluster is the nearest probe)") {
+    import spark.implicits._
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val index = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
+    val top1 = Ivf.searchTopK(index, queries, "vec_id", "embedding",
+        k = 1, nprobe = 1, excludeSelf = false)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(top1.length == 3)
+    top1.foreach { case (q, n, r) => assert(r == 1 && q == n, s"query $q found $n") }
+  }
+
+  test("low nprobe bounds scored candidates to the probed clusters") {
+    import spark.implicits._
+    val queries = embeddings.filter(col("vec_id") === 0)
+    val index = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
+    val clusterSizes = index.assigned.groupBy("cluster").count()
+      .as[(Int, Long)].collect().toMap
+    // candidates scored with nprobe=2 can't exceed the two largest clusters
+    val scoredAll = Ivf.searchTopK(index, queries, "vec_id", "embedding",
+      k = 1000, nprobe = 2, excludeSelf = false)
+    val n = scoredAll.count()
+    val bound = clusterSizes.values.toSeq.sorted.takeRight(2).sum
+    assert(n <= bound, s"scored $n rows > 2-cluster bound $bound")
+    assert(n < embeddings.count(), "nprobe=2 must not scan the full corpus")
+  }
+
+  test("index assignment covers the corpus exactly once") {
+    val index = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
+    assert(index.assigned.count() == embeddings.count())
+    assert(index.centroids.length == 8)
+    assert(index.assigned.select("cluster").distinct().count() <= 8)
+  }
+}
