@@ -275,6 +275,12 @@ object Queries {
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
+  /** Winnowing containment dedup (rows-only: engine-specific hash
+    * family; the fingerprint algebra is spec-pinned). */
+  val dedupWinnowing: Q = (s, dir) =>
+    Dedup.winnowingContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.3)
+
   val dedupEmbedding: Q = (s, dir) =>
     Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       "label", threshold = 0.4)
@@ -378,6 +384,7 @@ object Queries {
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_winnowing" -> dedupWinnowing,
     "dedup_embedding" -> dedupEmbedding,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,

@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("winnowingContainmentPairs: containment is high for prefix-copy, zero for unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " plus an appended epilogue that extends the document"),
+      (3L, "completely different material with no shared phrases at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowingContainmentPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2) -> r._4).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.9, s"prefix copy containment: ${pairs((1L, 2L))}")
+  }
+
   test("embeddingCosinePairs: blocked candidates verified by exact cosine") {
     val vecs = Seq(
       (1L, "A", Array(1.0f, 0.0f)),
