@@ -60,6 +60,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: replayed keys within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "payload")
+    val q = EventStreams.dedupStream(events, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:01:00"), 2L, "b"))
+      q.processAllAvailable()
+      // replay of id=1 in a later batch, still inside the watermark
+      input.addData(
+        (ts("2024-01-01 10:02:00"), 1L, "a-replay"),
+        (ts("2024-01-01 10:03:00"), 3L, "c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").select("event_id", "payload")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("runningMonthlyMean: flatMapGroupsWithState accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Obs]
