@@ -54,4 +54,22 @@ object LakeIO {
     * `aggregate_fred_data.py:47-58`). */
   def readParquet(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
+
+  /** Bucketed catalog table write: co-locates rows by `bucketCols`
+    * hash so joins and aggregations on those keys need no Exchange —
+    * the pre-shuffle trade that pays for itself once a big table is
+    * joined more than once on its natural key. At 100 TB this is the
+    * difference between re-shuffling the fact table per query and
+    * scanning it in place; both sides of a join must agree on bucket
+    * count (and AQE keeps the bucketed scan when it helps).
+    */
+  def writeBucketedTable(df: DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty)
+      w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.format("parquet").saveAsTable(table)
+  }
 }

@@ -78,6 +78,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"expression fell out of codegen:\n$plan")
   }
 
+  test("bucketed tables join and aggregate with zero Exchange") {
+    val ta = s"graft_bkt_a_${System.nanoTime()}"
+    val tb = s"graft_bkt_b_${System.nanoTime()}"
+    try {
+      val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+      graft.fred.io.LakeIO.writeBucketedTable(ev, ta, Seq("user_id"), 4)
+      graft.fred.io.LakeIO.writeBucketedTable(
+        ev.groupBy("user_id").count(), tb, Seq("user_id"), 4)
+      // disable broadcast so the join would otherwise shuffle both sides
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table(ta).join(spark.table(tb), "user_id")
+        val planJoin = joined.queryExecution.executedPlan.toString
+        assert(!planJoin.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$planJoin")
+        val agg = spark.table(ta).groupBy("user_id").agg(sum("value"))
+        val planAgg = agg.queryExecution.executedPlan.toString
+        assert(!planAgg.contains("Exchange"),
+          s"bucketed aggregation must not shuffle:\n$planAgg")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+    }
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)
