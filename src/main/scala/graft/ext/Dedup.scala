@@ -183,14 +183,13 @@ object Dedup {
       maxDocFreq: Int = 50): DataFrame = {
     val fp = df.select(col(idCol).as("doc"),
       graft.functions.Winnowing.winnow(col(textCol), k, w).as("fps"))
-    val exAll = fp.select(col("doc"), explode(col("fps")).as("f"))
-    // distinct (doc, f) then doc-frequency filter: hot boilerplate
-    // fingerprints out before the self-join
-    val ex = exAll.distinct()
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("f")))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
+    val exAll = fp.select(col("doc"), explode(col("fps")).as("f")).distinct()
+    // doc-frequency cap via a broadcast anti-join against the (tiny)
+    // hot-fingerprint list: one partial-aggregated shuffle of the
+    // fingerprint keys instead of windowing every exploded row
+    val hot = exAll.groupBy("f").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select("f")
+    val ex = exAll.join(broadcast(hot), Seq("f"), "left_anti")
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n_fp"))
     ex.as("a").join(ex.as("b"),
         col("a.f") === col("b.f") && col("a.doc") < col("b.doc"))

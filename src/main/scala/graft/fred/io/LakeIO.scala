@@ -55,6 +55,20 @@ object LakeIO {
   def readParquet(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** Typed silver read: the `Dataset[SilverObservation]` boundary for
+    * consumers that want compile-time row shapes (SURVEY §1.3 —
+    * case classes at layer boundaries, DataFrame internally). Partition
+    * columns come back as ints from the directory layout and fold into
+    * the case class fields. */
+  def readSilverTyped(spark: SparkSession, root: String):
+      org.apache.spark.sql.Dataset[graft.fred.SilverObservation] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(root)
+      .select(graft.fred.Schemas.silver.fieldNames.map(col).toSeq: _*)
+      .as[graft.fred.SilverObservation]
+  }
+
   /** Bucketed catalog table write: co-locates rows by `bucketCols`
     * hash so joins and aggregations on those keys need no Exchange —
     * the pre-shuffle trade that pays for itself once a big table is

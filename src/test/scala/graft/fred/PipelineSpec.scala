@@ -45,6 +45,18 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/aggregated_data").count() == 2)
   }
 
+  test("typed silver boundary: Dataset[SilverObservation] round-trips the lake") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-typed").toString
+    val silver = Seq(
+      ("DGS10", 2024, 1, Some(4.0), Some(2L), Some("t1"), Some("p1"))
+    ).toDF("indicator", "observation_year", "observation_month",
+      "value", "observation_count", "ingested_at", "processed_at")
+    graft.fred.io.LakeIO.writeParquet(silver, tmp)
+    val typed = graft.fred.io.LakeIO.readSilverTyped(spark, tmp).collect()
+    assert(typed.toSeq == Seq(SilverObservation(
+      "DGS10", Some(2024), Some(1), Some(4.0), Some(2L), Some("t1"), Some("p1"))))
+  }
+
   test("DdlOps: create/rename/add/truncate against the session catalog") {
     val t = s"graft_ddl_test_${System.nanoTime()}"
     DdlOps.createTable(spark, t, Seq(
