@@ -272,6 +272,12 @@ object Queries {
   val dedupMinhashLsh: Q = (s, dir) =>
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Linear-output dedup: (doc, cluster-representative) assignments
+    * (rows-only: LSH banding is engine-specific; spec + 100k-doc scale
+    * smoke pin semantics and runtime). */
+  val dedupMinhashClusters: Q = (s, dir) =>
+    Dedup.minhashClusters(Tables.documents(s, dir), "doc_id", "text")
+
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
@@ -383,6 +389,7 @@ object Queries {
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_clusters" -> dedupMinhashClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_embedding" -> dedupEmbedding,

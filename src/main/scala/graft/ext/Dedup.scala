@@ -117,6 +117,45 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** MinHash dedup with LINEAR output: one (doc, cluster) row per
+    * document instead of all near-dup pairs. Pair enumeration is
+    * inherently quadratic in duplicate-group size — a corpus with
+    * 200-copy groups yields C(200,2) ≈ 20k pairs per group (measured:
+    * 10.9M pairs / 6 min at 100k docs), which no pipeline should
+    * materialize. Production dedup assigns a cluster representative
+    * instead: propagate the minimum doc id through shared LSH buckets
+    * (star-contraction over the doc–bucket bipartite graph; `iters`
+    * rounds handle chains of near-dups up to that graph diameter —
+    * exact duplicate groups share every band, so they converge in one).
+    * Work per round: two hash-key shuffles over |docs| × `bands` rows.
+    * Keep-set = rows where doc_id == cluster.
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, iters: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sh = df.select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+    val banded = sh
+      .withColumn("sig", graft.functions.TextHashes.minhashSig(col("s"), k))
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as(Seq("band_idx", "band_hash")))
+      .select(col("doc"), struct(col("band_idx"), col("band_hash")).as("bucket"))
+    var labels = sh.select(col("doc"), col("doc").as("cluster"))
+    var i = 0
+    while (i < iters) {
+      val bucketMin = banded.join(labels, "doc")
+        .groupBy("bucket").agg(min("cluster").as("bmin"))
+      labels = banded.join(bucketMin, "bucket")
+        .groupBy("doc").agg(min("bmin").as("cluster"))
+      i += 1
+    }
+    labels
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token array: per-token xxhash64, signed bit

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.ext.{Dedup, SeriesOps, Similarity}
+import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg}
+
+/** B6 — the reference guards every stage against empty inputs
+  * (`transform_fred_data.py:112-114` etc.). Spark relations handle
+  * empties structurally; these specs pin that every operator yields an
+  * empty, correctly-shaped result rather than throwing — the property
+  * that lets the pipeline run on months with no observations and
+  * corpora with no candidates.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDf(fields: (String, DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map { case (n, t) => StructField(n, t) }))
+
+  test("clean + monthly agg on an empty bronze frame") {
+    val bronze = emptyDf(
+      "indicator" -> StringType, "observation_year" -> IntegerType,
+      "observation_month" -> IntegerType, "value" -> StringType,
+      "ingested_at" -> StringType)
+    val out = MonthlyAgg.aggregate(Clean.cleanValues(bronze))
+    assert(out.isEmpty)
+    assert(out.columns.toSeq ==
+      Seq("indicator", "observation_year", "observation_month",
+        "value", "observation_count", "ingested_at"))
+  }
+
+  test("merge/dedup-sync with one side empty") {
+    val rows = Seq(("k1", 1, "v")).toDF("k", "seq", "v")
+    val empty = rows.limit(0)
+    assert(Merge.upsert(rows, empty, Seq("k"), Seq(col("seq").desc)).count() == 1)
+    assert(Merge.upsert(empty, rows, Seq("k"), Seq(col("seq").desc)).count() == 1)
+    assert(DedupSync.newRows(rows, empty, Seq("k")).count() == 1)
+    assert(DedupSync.newRows(empty, rows, Seq("k")).isEmpty)
+  }
+
+  test("dedup family on an empty corpus") {
+    val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    assert(Dedup.exactGroups(docs, "doc_id", "text").isEmpty)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).isEmpty)
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text").isEmpty)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").isEmpty)
+    assert(Dedup.winnowingContainmentPairs(docs, "doc_id", "text").isEmpty)
+  }
+
+  test("similarity and series ops on empty inputs") {
+    val vecs = emptyDf("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType))
+    assert(Similarity.topK(vecs, vecs, "vec_id", "embedding", 5).isEmpty)
+    val series = emptyDf("indicator" -> StringType, "t" -> IntegerType,
+      "value" -> DoubleType)
+    assert(SeriesOps.periodChange(series, Seq("indicator"), Seq("t")).isEmpty)
+    assert(SeriesOps.asofJoin(series, series, Seq("indicator"), "t", "value").isEmpty)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.Dedup
+
+/** Opt-in scale smoke (set GRAFT_SCALE_SMOKE=1): runs the candidate-
+  * generating dedup operators over a 100k-doc corpus (200× sf0.01) to
+  * catch quadratic blowups the small fixtures can't see — the class of
+  * regression that took winnowing containment from 3 s to 40 s when
+  * gram length let boilerplate fingerprints form giant buckets.
+  * Thresholds are generous (CI machine noise); the failure mode being
+  * guarded is minutes-vs-seconds, not percent.
+  */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private val enabled = sys.env.contains("GRAFT_SCALE_SMOKE")
+
+  private def smokeTest(name: String)(body: => Unit): Unit =
+    if (enabled) test(name)(body) else ignore(name)(())
+
+  private lazy val corpus = {
+    import spark.implicits._
+    // 100k docs: 20 paraphrase groups of mostly-shared sentences plus
+    // per-doc unique tails — realistic shingle-frequency skew
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    (0 until 200).map { rep =>
+      base.withColumn("doc_id", col("doc_id") + lit(rep * 1000000L))
+        .withColumn("text",
+          concat(col("text"), lit(s" unique tail $rep variant "),
+            (col("doc_id") % 97).cast("string")))
+    }.reduce(_.unionByName(_)).repartition(8).cache()
+  }
+
+  smokeTest("minhash cluster dedup is linear-output at 100k docs with 200-dup groups") {
+    // pair enumeration is the wrong operator here by construction:
+    // 200-copy groups → C(200,2) pairs each (measured 10.9M pairs,
+    // 6 min). The cluster form must emit one row per doc and finish
+    // in well under a minute.
+    val t0 = System.nanoTime()
+    val total = corpus.count() // materialize cache outside the timed window
+    val clusters = Dedup.minhashClusters(corpus, "doc_id", "text").cache()
+    val nRows = clusters.count()
+    val nClusters = clusters.select("cluster").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"cluster dedup: $nRows rows, $nClusters clusters in ${secs.round} s")
+    assert(nRows == total, "must emit exactly one row per doc")
+    assert(nClusters < total / 50, "200-dup groups must collapse")
+    assert(secs < 120, s"cluster dedup blew up: $secs s")
+  }
+
+  smokeTest("winnowing containment stays sub-quadratic at 100k docs") {
+    val t0 = System.nanoTime()
+    corpus.count()
+    val n = Dedup.winnowingContainmentPairs(corpus, "doc_id", "text",
+      threshold = 0.8).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"winnowing: $n pairs in ${secs.round} s")
+    assert(secs < 300, s"winnowing blew up: $secs s")
+  }
+}

@@ -49,6 +49,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhashClusters: dup groups collapse to min-id cluster, linear output") {
+    val out = Dedup.minhashClusters(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 5) // one row per doc — never pairs
+    assert(out(1L) == 1L && out(2L) == 1L) // identical docs share cluster 1
+    assert(out(3L) == 1L) // near-dup chains into the same cluster
+    assert(out(4L) == 4L) // unrelated doc is its own representative
+    assert(out(5L) == 5L) // minhash is raw-text: case variant isn't an LSH dup
+  }
+
   test("simhashPairs: identical docs at Hamming 0; unrelated docs absent") {
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
