@@ -207,18 +207,24 @@ object Oracles {
         |       min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // Mirrors ngramJaccardPairs including the maxDocFreq=50 hot-shingle
+    // cap: shingles in >50 docs are dropped BEFORE the self-join, and
+    // Jaccard uses the retained set sizes.
     "dedup_ngram" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                        for i in generate_series(1, len(toks) - 2)]) AS s
         |       FROM w WHERE len(toks) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |ex_all AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hot AS (SELECT shingle FROM ex_all GROUP BY 1 HAVING count(*) > 50),
+        |ex AS (SELECT * FROM ex_all
+        |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = ex_all.shingle)),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1)
         |SELECT id_a, id_b,
         |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
         |FROM inter

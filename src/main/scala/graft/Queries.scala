@@ -267,7 +267,7 @@ object Queries {
 
   val dedupNgram: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, maxDocFreq = 50)
 
   val dedupMinhashLsh: Q = (s, dir) =>
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")

@@ -39,19 +39,33 @@ object Dedup {
   /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity
     * over shingle sets. The shingle explode + equality self-join is the
     * scalable form: work is Σ bucket², bounded by shingle frequency,
-    * not |docs|². Callers filter rare giant buckets upstream if the
-    * corpus has degenerate shingles (stopword runs).
+    * not |docs|².
+    *
+    * `maxDocFreq` drops shingles appearing in more documents than that
+    * before the self-join: a stop-phrase trigram in f docs contributes
+    * f² join rows but ~zero Jaccard signal (it inflates every set
+    * equally), so on web corpora the uncapped join is quadratic in
+    * practice. Same mitigation as [[winnowingContainmentPairs]] — the
+    * hot-shingle list is tiny (≤ total-occurrences / cap entries), so
+    * a broadcast anti-join removes them without an extra shuffle of
+    * the exploded rows. Jaccard is computed over the RETAINED sets
+    * (both intersection and sizes), keeping the metric internally
+    * consistent and oracle-expressible.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDocFreq: Int = 50): DataFrame = {
     // hashed shingles (codegen'd single pass): a 64-bit hash stands in
     // for each shingle string — set sizes and intersections, hence
     // Jaccard, are unchanged (collision p ≈ |sh|²/2^64)
     val sh = df.select(col(idCol).as("doc"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
-    val sizes = sh.select(col("doc"), size(col("s")).as("n_sh"))
-    val ex = sh.select(col("doc"), explode(col("s")).as("sh"))
+    // shingles are distinct per doc, so count(*) per shingle = doc freq
+    val exAll = sh.select(col("doc"), explode(col("s")).as("sh"))
+    val hot = exAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select("sh")
+    val ex = exAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
@@ -129,14 +143,26 @@ object Dedup {
     * exact duplicate groups share every band, so they converge in one).
     * Work per round: two hash-key shuffles over |docs| × `bands` rows.
     * Keep-set = rows where doc_id == cluster.
+    *
+    * Iteration hygiene for scale: each round's labels are
+    * `localCheckpoint()`ed so round r+1 reads a materialized result
+    * instead of re-deriving r rounds of join→agg lineage (plan depth —
+    * and with it optimizer and scheduler cost — would otherwise grow
+    * per round), and the loop stops early once no label changed
+    * (fixpoint), which exact-duplicate corpora reach after one round.
+    * Documents with fewer than n words have no shingles, hence no LSH
+    * buckets; they are unioned back as singleton clusters (doc → doc)
+    * so the output is exactly one row per input document.
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, iters: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = df.select(col(idCol).as("doc"),
-        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
-      .filter(size(col("s")) > 0)
+    val shAll = df.select(col(idCol).as("doc"),
+      graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+    val sh = shAll.filter(size(col("s")) > 0)
+    val singletons = shAll.filter(size(col("s")) === 0)
+      .select(col("doc"), col("doc").as("cluster"))
     val banded = sh
       .withColumn("sig", graft.functions.TextHashes.minhashSig(col("s"), k))
       .select(col("doc"),
@@ -144,16 +170,22 @@ object Dedup {
           b => hash(slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band_idx", "band_hash")))
       .select(col("doc"), struct(col("band_idx"), col("band_hash")).as("bucket"))
-    var labels = sh.select(col("doc"), col("doc").as("cluster"))
+    var labels = sh.select(col("doc"), col("doc").as("cluster")).localCheckpoint()
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val bucketMin = banded.join(labels, "doc")
         .groupBy("bucket").agg(min("cluster").as("bmin"))
-      labels = banded.join(bucketMin, "bucket")
+      val next = banded.join(bucketMin, "bucket")
         .groupBy("doc").agg(min("bmin").as("cluster"))
+        .localCheckpoint()
+      // fixpoint probe on the two materialized label sets (limit-1 scan)
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc")
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next
       i += 1
     }
-    labels
+    labels.unionByName(singletons)
   }
 
   // -------------------------------------------------------------- SimHash
@@ -177,18 +209,49 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit
-    * blocks (pigeonhole: Hamming ≤ 3 ⇒ at least one block equal),
-    * join on any equal block, verify Hamming ≤ maxHamming. */
+  /** SimHash near-dup pairs via combination banding (the Manku/Jain/
+    * Sarma web-dedup scheme): split the 64-bit hash into `pieces`
+    * roughly-equal bit ranges; a pair at Hamming ≤ h differs in at
+    * most h pieces, so at least `pieces − h` pieces are equal — and in
+    * particular SOME combination of `pieces − h` specific pieces is
+    * all-equal. Indexing every C(pieces, h) such combination as a join
+    * table therefore has recall exactly 1.0 for Hamming ≤ maxHamming
+    * (pigeonhole), for ANY pieces > maxHamming; false candidates are
+    * removed by the exact Hamming verify, so the OUTPUT is invariant
+    * in `pieces` — only the candidate volume changes.
+    *
+    * Bucket math that picks the default: a table keyed on c pieces has
+    * key width ≈ 64·c/pieces bits, so expected bucket size is
+    * N · 2^−(64·c/pieces) and candidate work is Σ bucket² ≈
+    * tables · N² · 2^−(64·c/pieces) for random hashes.
+    *  - pieces=4 (the naive 4×16 split): 4 tables, 16-bit keys →
+    *    buckets ≈ N/2¹⁶ — at 10⁹ docs that is ~15k docs per bucket,
+    *    ~10⁸ candidate pairs per bucket value: quadratic in practice.
+    *  - pieces=6 (default): C(6,3)=20 tables, keys of 3 pieces ≈ 32
+    *    bits → buckets ≈ N/2³² ≲ 1 even at 10⁹ docs. 5× the exploded
+    *    rows buys ~2¹⁶× smaller buckets — the right trade at scale.
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, pieces: Int = 6): DataFrame = {
+    require(pieces > maxHamming, "need more pieces than maxHamming (pigeonhole)")
+    require(pieces >= 2 && pieces <= 64, "pieces must be in [2, 64]")
+    // piece p covers widths(p) bits starting at offsets(p); widths
+    // differ by ≤1 so keys are as wide (selective) as possible
+    val widths = Array.tabulate(pieces)(p => 64 / pieces + (if (p < 64 % pieces) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def piece(sh: Column, p: Int): Column =
+      shiftright(sh, offsets(p)).bitwiseAND(lit((1L << widths(p)) - 1))
+    // one join key per combination of (pieces − maxHamming) pieces:
+    // the selected piece values concatenated into a ≤64-bit long
+    val combos = (0 until pieces).combinations(pieces - maxHamming).toSeq
+    def keys(sh: Column): Column = array(combos.map { combo =>
+      combo.foldLeft(lit(0L): Column)((acc, p) =>
+        shiftleft(acc, widths(p)).bitwiseOR(piece(sh, p)))
+    }: _*)
     val hashed = df.select(col(idCol).as("doc"),
       graft.functions.TextHashes.simhash(col(textCol)).as("sh"))
     val blocked = hashed.select(col("doc"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sh"), b * 16)
-          .bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("block_idx", "block_val")))
+      posexplode(keys(col("sh"))).as(Seq("block_idx", "block_val")))
     blocked.as("a").join(blocked.as("b"),
         col("a.block_idx") === col("b.block_idx") &&
           col("a.block_val") === col("b.block_val") &&

@@ -19,18 +19,20 @@ class ScaleSmokeSpec extends SparkSpec {
   private def smokeTest(name: String)(body: => Unit): Unit =
     if (enabled) test(name)(body) else ignore(name)(())
 
-  private lazy val corpus = {
-    import spark.implicits._
-    // 100k docs: 20 paraphrase groups of mostly-shared sentences plus
-    // per-doc unique tails — realistic shingle-frequency skew
+  // 100k docs: 500 base docs × 200 near-copies (unique tails) —
+  // realistic shingle-frequency skew with 200-deep duplicate groups.
+  // The cache is materialized HERE (count inside the lazy val) so no
+  // test bills corpus construction to its timed window.
+  private lazy val (corpus, corpusSize) = {
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.01")
       .select(col("doc_id"), col("text"))
-    (0 until 200).map { rep =>
+    val c = (0 until 200).map { rep =>
       base.withColumn("doc_id", col("doc_id") + lit(rep * 1000000L))
         .withColumn("text",
           concat(col("text"), lit(s" unique tail $rep variant "),
             (col("doc_id") % 97).cast("string")))
     }.reduce(_.unionByName(_)).repartition(8).cache()
+    (c, c.count())
   }
 
   smokeTest("minhash cluster dedup is linear-output at 100k docs with 200-dup groups") {
@@ -38,8 +40,8 @@ class ScaleSmokeSpec extends SparkSpec {
     // 200-copy groups → C(200,2) pairs each (measured 10.9M pairs,
     // 6 min). The cluster form must emit one row per doc and finish
     // in well under a minute.
+    val total = corpusSize
     val t0 = System.nanoTime()
-    val total = corpus.count() // materialize cache outside the timed window
     val clusters = Dedup.minhashClusters(corpus, "doc_id", "text").cache()
     val nRows = clusters.count()
     val nClusters = clusters.select("cluster").distinct().count()
@@ -51,12 +53,37 @@ class ScaleSmokeSpec extends SparkSpec {
   }
 
   smokeTest("winnowing containment stays sub-quadratic at 100k docs") {
+    corpusSize // force corpus
     val t0 = System.nanoTime()
-    corpus.count()
     val n = Dedup.winnowingContainmentPairs(corpus, "doc_id", "text",
       threshold = 0.8).count()
     val secs = (System.nanoTime() - t0) / 1e9
     info(s"winnowing: $n pairs in ${secs.round} s")
     assert(secs < 300, s"winnowing blew up: $secs s")
+  }
+
+  smokeTest("ngram Jaccard with doc-frequency cap stays sub-quadratic at 100k docs") {
+    // every base-text shingle recurs in 200 near-copies (df=200 > 50):
+    // uncapped, each contributes 200² ≈ 40k join rows × ~300 shingles
+    // × 500 groups — the quadratic blowup. The cap drops them up front;
+    // only the low-frequency tail shingles join.
+    corpusSize
+    val t0 = System.nanoTime()
+    val n = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDocFreq = 50).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"ngram capped: $n pairs in ${secs.round} s")
+    assert(secs < 180, s"ngram dedup blew up: $secs s")
+  }
+
+  smokeTest("simhash combination banding stays sub-quadratic at 100k docs") {
+    // pieces=6 ⇒ 20 tables keyed on ~32 bits: random-hash buckets are
+    // ≈ N/2³² ≪ 1; only true near-dup groups form buckets.
+    corpusSize
+    val t0 = System.nanoTime()
+    val n = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"simhash: $n pairs in ${secs.round} s")
+    assert(secs < 300, s"simhash blew up: $secs s")
   }
 }

@@ -40,6 +40,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngramJaccardPairs: maxDocFreq drops corpus-wide shingles before the join") {
+    // every doc shares the boilerplate prefix; only 1/2 share a real tail
+    val corpus = Seq(
+      (1L, "terms of service apply here widget alpha beta gamma"),
+      (2L, "terms of service apply here widget alpha beta gamma"),
+      (3L, "terms of service apply here unrelated content entirely"),
+      (4L, "terms of service apply here something else altogether now")
+    ).toDF("doc_id", "text")
+    // cap=3: the prefix shingles appear in 4 docs and are dropped, so
+    // (1,2) still matches on the tail shingles but 3/4 pair with nobody
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(capped.head._3 == 1.0) // retained sets are identical
+    // without the cap the boilerplate makes everything look similar
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.3, maxDocFreq = Int.MaxValue)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.length > 1)
+  }
+
   test("minhashLshPairs: identical and near-dup docs surface, unrelated do not") {
     val out = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3)
       .as[(Long, Long, Double)].collect()
@@ -57,6 +79,41 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == 1L) // near-dup chains into the same cluster
     assert(out(4L) == 4L) // unrelated doc is its own representative
     assert(out(5L) == 5L) // minhash is raw-text: case variant isn't an LSH dup
+  }
+
+  test("minhashClusters: docs shorter than n words survive as singleton clusters") {
+    val withShort = docs.unionByName(Seq(
+      (6L, "hi"), (7L, "ok then")).toDF("doc_id", "text"))
+    val out = Dedup.minhashClusters(withShort, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 7, "one row per input doc, short docs included")
+    assert(out(6L) == 6L && out(7L) == 7L)
+    assert(out(1L) == 1L && out(2L) == 1L) // long-doc clustering unchanged
+  }
+
+  test("minhashClusters: early-stop at label fixpoint returns the converged labels") {
+    // exact dups converge in one round; extra iters must be no-ops
+    val a = Dedup.minhashClusters(docs, "doc_id", "text", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.minhashClusters(docs, "doc_id", "text", iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("simhashPairs: output is invariant in the banding scheme (pigeonhole recall 1.0)") {
+    // brute-force truth: every pair at Hamming ≤ 3
+    import graft.functions.TextHashes
+    val hashed = docs.select(col("doc_id"), TextHashes.simhash(col("text")).as("sh"))
+    val truth = hashed.as("a").join(hashed.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    for (pieces <- Seq(4, 5, 6, 8)) {
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, pieces = pieces)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == truth, s"pieces=$pieces must equal the brute-force pair set")
+    }
   }
 
   test("simhashPairs: identical docs at Hamming 0; unrelated docs absent") {
