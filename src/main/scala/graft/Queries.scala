@@ -169,19 +169,16 @@ object Queries {
 
   val setIntersect: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
-    ev.filter(col("event_type") === first_event_type(s, dir)).select("user_id").distinct()
+    // deterministic pick = min(event_type), kept INSIDE the plan as a
+    // broadcast 1-row aggregate (scalar-subquery shape) — no driver
+    // action at plan-build time
+    val minType = broadcast(ev.agg(min("event_type").as("__min_et")))
+    ev.join(minType).filter(col("event_type") === col("__min_et"))
+      .select("user_id").distinct()
       .intersect(
-        ev.filter(col("event_type") =!= first_event_type(s, dir)).select("user_id").distinct())
+        ev.join(minType).filter(col("event_type") =!= col("__min_et"))
+          .select("user_id").distinct())
   }
-
-  /** Smallest event_type value — a deterministic pick for filters. */
-  private def first_event_type(s: SparkSession, dir: String): String = {
-    // tiny dimension lookup; cached per (session, dir) to avoid re-reads
-    val key = s"$dir#first_event_type"
-    cache.computeIfAbsent(key, _ =>
-      Tables.events(s, dir).agg(min("event_type")).head().getString(0))
-  }
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Salted two-stage aggregate (hot-key mitigation) — result-identical
     * to the direct group-by: exact integer partial sums merge to the

@@ -53,7 +53,9 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String) {
     * obviated by one pruned scan (SURVEY §2 E1); round + stamp (C6,
     * B3), write partitioned by (indicator, year). */
   def aggregate(seriesId: String, years: Seq[Int]): Unit = {
-    val silver = LakeIO.readParquet(spark, silverRoot)
+    // first-ever run: no silver root yet → empty silver-shaped frame
+    // (the reference's missing-file-to-empty-frame behavior)
+    val silver = LakeIO.readParquet(spark, silverRoot, Some(Schemas.silver))
       .where(col("indicator") === seriesId &&
         col("observation_year").isin(years: _*))
     LakeIO.writeParquet(YearlyGold.toGold(silver), goldRoot,
@@ -64,7 +66,7 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String) {
     * key (D2/H3) — callers pass a sink function so tests can capture
     * rows while prod wires [[graft.fred.io.UpsertSink.write]]. */
   def load(seriesId: String, years: Seq[Int])(sink: DataFrame => Unit): Unit =
-    sink(LakeIO.readParquet(spark, goldRoot)
+    sink(LakeIO.readParquet(spark, goldRoot, Some(Schemas.gold))
       .where(col("indicator") === seriesId &&
         col("observation_year").isin(years: _*)))
 

@@ -55,13 +55,34 @@ object FredSource {
       byMonth((seriesId, start.getYear, start.getMonthValue))
   }
 
+  /** One HTTP exchange as seen by the retry loop. */
+  case class HttpReply(status: Int, retryAfter: Option[String], body: String)
+
   /** Real HTTP client. Retries 5xx/429 with linear backoff like the
-    * reference's `urllib3.Retry(total=3, backoff_factor=1)`. Kept
-    * driver-side; zero-egress environments never construct it. */
+    * reference's `urllib3.Retry(total=3, backoff_factor=1)`, and
+    * spaces successive calls by `throttleMillis` — the reference's
+    * inter-month politeness sleep (`extract_fred_data.py:284` sleeps
+    * 5 s between calls). Kept driver-side; zero-egress environments
+    * never construct it. `sleep`/`nowMillis` are injectable so the
+    * timing behavior is unit-testable with a fake clock, and
+    * [[request]] is overridable to fake the transport.
+    */
   class Http(apiKey: String,
       baseUrl: String = "https://api.stlouisfed.org/fred/series/observations",
-      maxRetries: Int = 3) extends FredSource {
+      maxRetries: Int = 3,
+      throttleMillis: Long = 5000L,
+      sleep: Long => Unit = Thread.sleep,
+      nowMillis: () => Long = () => System.currentTimeMillis()) extends FredSource {
     private lazy val client = java.net.http.HttpClient.newHttpClient()
+    private var lastCallAt = Long.MinValue / 2 // first call never throttles
+
+    /** One GET exchange — the only method that touches the network. */
+    protected def request(url: String): HttpReply = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      val ra = resp.headers().firstValue("Retry-After")
+      HttpReply(resp.statusCode(), if (ra.isPresent) Some(ra.get) else None, resp.body())
+    }
 
     def fetchMonth(seriesId: String, start: LocalDate, end: LocalDate): String = {
       val url = s"$baseUrl?series_id=$seriesId&api_key=$apiKey&file_type=json" +
@@ -69,16 +90,20 @@ object FredSource {
       var attempt = 0
       var result: Option[String] = None
       while (result.isEmpty) {
-        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-        resp.statusCode() match {
-          case 200 => result = Some(resp.body())
+        val throttle = lastCallAt + throttleMillis - nowMillis()
+        if (throttle > 0) sleep(throttle)
+        val resp = request(url)
+        lastCallAt = nowMillis()
+        resp.status match {
+          case 200 => result = Some(resp.body)
           case code if (code == 429 || code >= 500) && attempt < maxRetries =>
-            val retryAfter = resp.headers().firstValue("Retry-After")
-            val wait = // linear backoff unless the server names a wait
-              if (retryAfter.isPresent) retryAfter.get.toLong
-              else (attempt + 1).toLong
-            Thread.sleep(wait * 1000L)
+            // Retry-After may be delta-seconds OR an HTTP-date
+            // (RFC 9110 §10.2.3); a non-integer value falls back to
+            // the linear backoff instead of aborting the retry loop
+            val waitSec = resp.retryAfter
+              .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+              .getOrElse((attempt + 1).toLong)
+            sleep(waitSec * 1000L)
             attempt += 1
           case code => sys.error(s"FRED API error $code for $seriesId")
         }

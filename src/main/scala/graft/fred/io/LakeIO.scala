@@ -51,9 +51,26 @@ object LakeIO {
 
   /** G3: partitioned parquet read; missing partitions simply yield no
     * rows (the reference swallows per-file NoSuchKey into empty frames,
-    * `aggregate_fred_data.py:47-58`). */
-  def readParquet(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root)
+    * `aggregate_fred_data.py:47-58`, `load_fred_data.py:83-105`).
+    * A root that does not exist AT ALL — the first-ever run of a
+    * downstream stage before any upstream write — yields an empty frame
+    * with `schemaIfMissing` instead of an AnalysisException, matching
+    * the same reference behavior; without a schema the error
+    * propagates (callers who can't name a schema can't use an empty
+    * frame either). */
+  def readParquet(spark: SparkSession, root: String,
+      schemaIfMissing: Option[StructType] = None): DataFrame =
+    schemaIfMissing match {
+      case None => spark.read.parquet(root)
+      case Some(s) =>
+        val path = new org.apache.hadoop.fs.Path(root)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(path))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        // explicit schema also covers the exists-but-no-files case (a
+        // prior run wrote an empty frame): no inference, empty result
+        else spark.read.schema(s).parquet(root)
+    }
 
   /** Typed silver read: the `Dataset[SilverObservation]` boundary for
     * consumers that want compile-time row shapes (SURVEY §1.3 —

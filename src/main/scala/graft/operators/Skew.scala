@@ -62,6 +62,14 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       spread: Column, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 1, "need at least 2 salts")
+    // right/full joins are unsupported: the right side is replicated
+    // `salts` times, so an unmatched right row would be emitted once
+    // per salt — silently wrong results, not a performance question.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+        "semi", "anti")(normalized),
+      s"saltedJoin supports left-preserving join types only, got '$joinType' " +
+        "(unmatched right rows would be duplicated once per salt)")
     val l = left.withColumn("__salt", pmod(hash(spread), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -69,10 +69,14 @@ object StreamingSilver {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // stamp processed_at like the batch path (MonthlyAgg.toSilver)
+          // so stream- and batch-written silver share Schemas.silver and
+          // readSilverTyped works on either
           graft.fred.io.LakeIO.writeParquet(
-            batch.select(
-              col("value"), col("observation_count"), col("ingested_at"),
-              col("indicator"), col("observation_year"), col("observation_month")),
+            batch
+              .withColumn("processed_at",
+                date_format(current_timestamp(), Schemas.IsoMicrosUtc))
+              .select(Schemas.silver.fieldNames.map(col).toSeq: _*),
             root)
         }
       }

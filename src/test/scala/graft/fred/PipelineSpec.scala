@@ -57,6 +57,40 @@ class PipelineSpec extends SparkSpec {
       "DGS10", Some(2024), Some(1), Some(4.0), Some(2L), Some("t1"), Some("p1"))))
   }
 
+  test("first-ever aggregate run: missing silver root yields empty gold, no throw") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-firstrun").toString
+    val pipe = new Pipeline(spark, new FredSource.Fixture(Map.empty), tmp)
+    // nothing extracted or transformed yet — the reference swallows the
+    // missing files into empty frames; aggregate must do the same
+    pipe.aggregate("DGS10", Seq(2024))
+    var rows = -1L
+    pipe.load("DGS10", Seq(2024))(gold => rows = gold.count())
+    assert(rows == 0L)
+  }
+
+  test("SheetSink.syncAppend: appends only new keys; second sync appends zero") {
+    val gold = Seq(
+      ("DGS10", 2024, 1, 4.0),
+      ("DGS10", 2024, 2, 4.2)
+    ).toDF("indicator", "observation_year", "observation_month", "value")
+    val sheet = new graft.fred.io.SheetSink.InMemory(gold.schema)
+    assert(graft.fred.io.SheetSink.syncAppend(gold, sheet) == 2L)
+    assert(sheet.size == 2)
+    // idempotence: same frame again → nothing appended
+    assert(graft.fred.io.SheetSink.syncAppend(gold, sheet) == 0L)
+    assert(sheet.size == 2)
+    // a new month flows through; existing keys stay deduplicated
+    val withMarch = gold.unionByName(
+      Seq(("DGS10", 2024, 3, 4.4)).toDF("indicator", "observation_year", "observation_month", "value"))
+    assert(graft.fred.io.SheetSink.syncAppend(withMarch, sheet) == 1L)
+    assert(sheet.size == 3)
+    // bounded collect: a sheet is not a lake
+    intercept[IllegalArgumentException] {
+      graft.fred.io.SheetSink.syncAppend(withMarch,
+        new graft.fred.io.SheetSink.InMemory(gold.schema), maxAppendRows = 2)
+    }
+  }
+
   test("DdlOps: create/rename/add/truncate against the session catalog") {
     val t = s"graft_ddl_test_${System.nanoTime()}"
     DdlOps.createTable(spark, t, Seq(

@@ -46,6 +46,19 @@ class SkewSpec extends SparkSpec {
     assert(lj.count() == 200 && lj.filter(col("label").isNull).count() == 200)
   }
 
+  test("saltedJoin rejects right/full join types (replicated right side)") {
+    val right = Seq(("H", "hot")).toDF("k", "label")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(skewed, right, Seq("k"), col("id"), salts = 4, jt)
+      }
+      assert(e.getMessage.contains("left-preserving"), s"joinType $jt")
+    }
+    // left-preserving aliases still pass the guard
+    assert(Skew.saltedJoin(skewed, right, Seq("k"), col("id"), 4, "left_semi").count() == 180)
+    assert(Skew.saltedJoin(skewed, right, Seq("k"), col("id"), 4, "anti").count() == 20)
+  }
+
   test("salts are deterministic (no rand): same input, same split") {
     val a = skewed.withColumn("s", pmod(hash(col("id")), lit(8))).select("id", "s")
       .as[(Long, Int)].collect().toMap

@@ -125,5 +125,9 @@ class StreamingSpec extends SparkSpec {
       .select("indicator", "observation_year", "observation_month", "value", "observation_count")
       .as[(String, Int, Int, Double, Long)].collect()
     assert(silver.toSeq == Seq(("DGS10", 2024, 1, 4.0, 2L)))
+    // stream-written silver conforms to Schemas.silver (processed_at
+    // stamped in foreachBatch), so the typed batch reader accepts it
+    val typed = graft.fred.io.LakeIO.readSilverTyped(spark, silverRoot).collect()
+    assert(typed.length == 1 && typed.head.processed_at.exists(_.nonEmpty))
   }
 }
