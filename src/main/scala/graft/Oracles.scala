@@ -331,6 +331,29 @@ object Oracles {
         |       CAST(strlen(text) * 7 % 480 + 1 AS INTEGER) AS height,
         |       CAST(3 AS INTEGER) AS channels,
         |       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Mirrors MultiModal.StubDecoder byte-exactly: the geometry columns
+    // are pure functions of payload length, and the rolling checksum
+    // (ck = ck*31 + byte, wrapping signed 64-bit) is a HUGEINT
+    // list_reduce mod 2^64 mapped back to the signed range. ord() ==
+    // byte value because the corpus is ASCII (payload = utf-8 of text);
+    // the `<> ''` guard keeps a hypothetical empty payload at the seed
+    // (DuckDB splits '' into [''] and ord('') is -1).
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+        |       CAST(strlen(text) * 7 % 480 + 1 AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(CASE WHEN ck >= 9223372036854775808::HUGEINT
+        |                 THEN ck - 18446744073709551616::HUGEINT
+        |                 ELSE ck END AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT doc_id, text, list_reduce(
+        |           list_prepend(1125899906842597::HUGEINT,
+        |             [ord(c)::HUGEINT for c in split(text, '') if c <> '']),
+        |           (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS ck
+        |  FROM documents)""".stripMargin
   )
 }
