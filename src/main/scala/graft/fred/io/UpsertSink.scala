@@ -30,14 +30,24 @@ object UpsertSink {
       s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $sets"
   }
 
+  /** Plain-INSERT statement builder — for appends to fresh tables and
+    * for engines without `ON CONFLICT` (the embedded-Derby test rig). */
+  def insertSql(table: String, columns: Seq[String], keys: Seq[String]): String =
+    s"INSERT INTO $table (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+
   /** Write `df` to `table` via upsert. `batchSize` bounds statement
-    * batches; executors each open one connection. */
+    * batches; executors each open one connection. `sqlBuilder` swaps
+    * the per-row statement dialect (default: Postgres `ON CONFLICT`
+    * like the reference); the partition/batch/transaction machinery is
+    * dialect-independent. */
   def write(df: DataFrame, url: String, table: String,
       keys: Seq[String] = graft.fred.Schemas.servingKey,
       props: java.util.Properties = new java.util.Properties(),
-      batchSize: Int = 500): Unit = {
+      batchSize: Int = 500,
+      sqlBuilder: (String, Seq[String], Seq[String]) => String = upsertSql): Unit = {
     val columns = df.columns.toSeq
-    val sql = upsertSql(table, columns, keys)
+    val sql = sqlBuilder(table, columns, keys)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url, props)
