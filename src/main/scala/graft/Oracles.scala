@@ -241,6 +241,37 @@ object Oracles {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
 
+    // Mirrors Decontam.overlapStats: distinct 5-gram shingles of each
+    // training doc probed against the benchmark's distinct shingle set
+    // (benchmark = every 20th doc), counts per contaminated doc.
+    "decontam_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |                        for i in generate_series(1, len(toks) - 4)]) AS s
+        |       FROM w WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+        |train AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n_sh, unnest(s) AS shingle
+        |          FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT doc_id, n_sh, count(*) AS n_overlap,
+        |       round(CAST(count(*) AS DOUBLE) / n_sh, 4) AS contamination
+        |FROM train JOIN bench USING (shingle)
+        |GROUP BY doc_id, n_sh""".stripMargin,
+
+    // Mirrors Splits.assign bit-for-bit: top 60 bits of
+    // md5(doc_id || 'graft') mod 100 → 80/10/10 ranges.
+    "split_assign" ->
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+        |              % 100 AS INTEGER) AS bucket
+        |  FROM documents)""".stripMargin,
+
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1""".stripMargin,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
-import graft.ext.{Dedup, Ivf, MultiModal, SeriesOps, Similarity, TextOps}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, SeriesOps, Similarity, Splits, TextOps}
 
 /** The operator catalog: every SURVEY §2 operator (and the contract's
   * `[EXT]` training-data ops) expressed as a named query over the
@@ -288,6 +288,25 @@ object Queries {
     Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       "label", threshold = 0.4)
 
+  /** Benchmark decontamination: every-20th doc plays the held-out eval
+    * set; training docs sharing ≥1 distinct 5-gram with it are flagged
+    * with overlap counts. Benchmark shingles broadcast; corpus
+    * unshuffled. */
+  val decontamOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontam.overlapStats(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  /** Deterministic 80/10/10 split keyed on md5(doc_id‖salt) — stable
+    * under re-reads/appends, engine-portable (oracle reproduces it). */
+  val splitAssign: Q = (s, dir) =>
+    Splits.assign(Tables.documents(s, dir).select("doc_id"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "graft")
+      .select("doc_id", "bucket", "split")
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -390,6 +409,8 @@ object Queries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_embedding" -> dedupEmbedding,
+    "decontam_overlap" -> decontamOverlap,
+    "split_assign" -> splitAssign,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "similarity_topk" -> similarityTopk,

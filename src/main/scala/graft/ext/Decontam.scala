@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data hygiene op: find (and
+  * drop) training documents that share long n-gram spans with a
+  * held-out evaluation corpus, so benchmark answers don't leak into the
+  * training set. This is the published GPT-3/PaLM recipe: collide
+  * n-gram shingles of the training corpus against the benchmark's
+  * shingle set and flag documents above an overlap threshold.
+  *
+  * Scale shape — the part that matters at 100 TB: the benchmark side is
+  * always tiny (thousands of eval documents vs billions of training
+  * docs), so its distinct shingle set is BROADCAST and the training
+  * corpus is never shuffled for the probe; each training partition
+  * hash-probes locally and only matched (doc, shingle) rows reach the
+  * per-doc count aggregation. One shuffle of matches, zero shuffles of
+  * the corpus.
+  */
+object Decontam {
+
+  /** Distinct-shingle overlap stats per contaminated training doc:
+    * (doc_id, n_sh, n_overlap, contamination = n_overlap/n_sh), only
+    * docs with ≥ 1 colliding shingle. A 64-bit shingle hash stands in
+    * for the string (collision p ≈ |sh|²/2⁶⁴, negligible).
+    */
+  def overlapStats(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      broadcastBench: Boolean = true): DataFrame = {
+    val trainSh = train.select(col(idCol).as("doc_id"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+    val benchSh = bench
+      .select(explode(
+        graft.functions.TextHashes.hashedShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val benchSide = if (broadcastBench) broadcast(benchSh) else benchSh
+    trainSh
+      .select(col("doc_id"), size(col("s")).as("n_sh"), explode(col("s")).as("sh"))
+      .join(benchSide, "sh") // broadcast hash probe, corpus stays put
+      .groupBy("doc_id", "n_sh")
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_sh"), 4))
+  }
+
+  /** Training rows with fewer than `minOverlap` benchmark-shared
+    * shingles — the decontaminated corpus. Implemented as a broadcast
+    * left-anti join against the (small) flagged-doc list so the kept
+    * side streams through unshuffled. Documents too short to shingle
+    * cannot overlap and are kept. */
+  def clean(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    val flagged = overlapStats(train, bench, idCol, textCol, n)
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id").as(idCol))
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

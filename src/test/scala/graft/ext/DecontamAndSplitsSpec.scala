@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DecontamAndSplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- decontam
+
+  private val bench = Seq(
+    (100L, "what is the capital of france paris obviously")
+  ).toDF("doc_id", "text")
+
+  private val train = Seq(
+    (1L, "leaked what is the capital of france paris obviously end"),  // contains the benchmark
+    (2L, "the capital of france has great food"),                      // short partial overlap
+    (3L, "entirely unrelated training document about spark executors"),
+    (4L, "tiny")                                                       // < n words
+  ).toDF("doc_id", "text")
+
+  test("overlapStats counts distinct shared shingles per contaminated doc") {
+    val out = Decontam.overlapStats(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1: 10 tokens → 6 5-gram shingles; the 4 inner benchmark
+    // shingles of "what … obviously" all appear
+    assert(out.contains(1L))
+    val (n1, o1, c1) = out(1L)
+    assert(n1 == 6 && o1 == 4 && c1 == 0.6667)
+    // doc 2 shares no full 5-gram with the benchmark; docs 3/4 nothing
+    assert(!out.contains(2L) && !out.contains(3L) && !out.contains(4L))
+  }
+
+  test("clean drops flagged docs, keeps clean and too-short docs") {
+    val kept = Decontam.clean(train, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("decontamination plan broadcasts the benchmark, never shuffles the corpus scan") {
+    val plan = Decontam.overlapStats(train, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+  }
+
+  // ----------------------------------------------------------- splits
+
+  test("assign: stable buckets, exact CASE ranges, weights enforced") {
+    val docs = (1L to 1000L).toDF("doc_id")
+    val out = Splits.assign(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "s1")
+    val rows = out.select("doc_id", "bucket", "split")
+      .as[(Long, Int, String)].collect()
+    assert(rows.forall { case (_, b, s) =>
+      (b >= 0 && b < 100) && s == (if (b < 80) "train" else if (b < 90) "val" else "test")
+    })
+    // roughly proportional (md5 is uniform; 1000 keys)
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit("train") > 700 && bySplit("train") < 900)
+    assert(bySplit("val") > 50 && bySplit("test") > 50)
+    // re-running yields the identical assignment (no rand anywhere)
+    val again = Splits.assign(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "s1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(rows.forall { case (id, _, s) => again(id) == s })
+  }
+
+  test("assign: appending rows never moves existing assignments") {
+    val w = Seq("train" -> 90, "test" -> 10)
+    val first = Splits.assign((1L to 100L).toDF("doc_id"), "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val grown = Splits.assign((1L to 200L).toDF("doc_id"), "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("assign: salt re-rolls; bad weights rejected") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val a = Splits.assign(docs, "doc_id", Seq("a" -> 50, "b" -> 50), "salt1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Splits.assign(docs, "doc_id", Seq("a" -> 50, "b" -> 50), "salt2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a != b, "different salts must re-roll some assignments")
+    intercept[IllegalArgumentException] {
+      Splits.assign(docs, "doc_id", Seq("a" -> 50, "b" -> 40))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.assign(docs, "doc_id", Seq("a" -> 110, "b" -> -10))
+    }
+  }
+}
