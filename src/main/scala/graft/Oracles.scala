@@ -355,6 +355,39 @@ object Oracles {
         |            ELSE 'it' END AS lang_pred
         |FROM s""".stripMargin,
 
+    // Mirrors Packing.packByBudget: per-source running token totals,
+    // pack = floor(preceding_total / 512).
+    "pack_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
+
+    // Mirrors TextOps.redactPii/piiCount: email → IP → long-digit-run
+    // replacement chain, each pattern counted on the text state it is
+    // applied to; md5 verifies the full scrubbed payload.
+    "text_redact" ->
+      """WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+        |s1 AS (SELECT doc_id, t0,
+        |         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |       FROM s0),
+        |s2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(t2, '\d{7,}', '<NUM>', 'g') AS t3 FROM s2)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |          + len(regexp_extract_all(t1, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+        |          + len(regexp_extract_all(t2, '\d{7,}')) AS INTEGER) AS n_pii,
+        |       md5(t3) AS redacted_md5
+        |FROM s3""".stripMargin,
+
     "mm_payload_meta" ->
       """SELECT doc_id,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
-import graft.ext.{Decontam, Dedup, Ivf, MultiModal, SeriesOps, Similarity, Splits, TextOps}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, SeriesOps, Similarity, Splits, TextOps}
 
 /** The operator catalog: every SURVEY §2 operator (and the contract's
   * `[EXT]` training-data ops) expressed as a named query over the
@@ -370,6 +370,24 @@ object Queries {
       array_max(winnowed).as("max_fp"))
   }
 
+  /** Token-budget sequence packing per source: deterministic doc order,
+    * window cumsum, new pack at each budget crossing. */
+  val packBudget: Q = (s, dir) =>
+    Packing.packByBudget(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        groupCols = Seq("source"), orderCols = Seq("doc_id"),
+        tokens = TextOps.tokenCount(col("text")), budget = 512)
+      .select("doc_id", "source", "n_tokens", "pack_id")
+
+  /** PII scrub: replacement count + md5 of the scrubbed text (the
+    * md5 lets the oracle verify the full redacted payload without
+    * hauling the text through the compare). */
+  val textRedact: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.piiCount(col("text")).cast("int").as("n_pii"),
+      md5(TextOps.redactPii(col("text"))).as("redacted_md5"))
+
   // ================================================= [EXT] multimodal
 
   val mmPayloadMeta: Q = (s, dir) =>
@@ -420,6 +438,8 @@ object Queries {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_redact" -> textRedact,
+    "pack_budget" -> packBudget,
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_decode_features" -> mmDecodeFeatures
   )

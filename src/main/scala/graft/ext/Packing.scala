@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to consecutive fixed token-budget
+  * packs (context windows) ahead of training-example assembly.
+  *
+  * Exact first-fit bin packing is prefix-sequential — each placement
+  * depends on every previous one — so it cannot be a window function
+  * and does not scale past one partition. The standard distributed
+  * approximation used here: within each group, order documents
+  * deterministically, take the running token total, and start a new
+  * pack each time the running total crosses the budget
+  * (`pack_id = floor(preceding_total / budget)`). Packs can overflow by
+  * at most one document; no document is split.
+  *
+  * Scale shape: one window per GROUP, so `groupCols` must be a sharding
+  * key with bounded group size (source × date × shard in a real lake) —
+  * then the sort is per-group and the whole operator is one shuffle.
+  * An empty `groupCols` means one global window: fine for tests,
+  * single-partition bottleneck at scale (documented, guarded below by
+  * requiring explicit opt-in via the dedicated method).
+  */
+object Packing {
+
+  /** Add (`n_tokens`, `pack_id`) within each group. `orderCols` must be
+    * a deterministic total order (include a unique id). */
+  def packByBudget(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (a global pack order is a single-partition " +
+        "sort; shard first, or pack per source/date)")
+    require(orderCols.nonEmpty, "need a deterministic order within groups")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Per-pack summary: document count and token fill. */
+  def packStats(packed: DataFrame, groupCols: Seq[String]): DataFrame =
+    packed.groupBy((groupCols.map(col) :+ col("pack_id")): _*)
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+}

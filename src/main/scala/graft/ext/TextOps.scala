@@ -105,4 +105,34 @@ object TextOps {
     * spec-pinned) instead of a per-row regex matcher. */
   def fingerprint(text: Column): Column =
     md5(graft.functions.CanonText.canon(text))
+
+  /** PII scrub patterns, applied in order (emails first so their local
+    * parts aren't half-eaten by the digit rule). Deliberately restricted
+    * to syntax portable between Java regex and RE2 — character classes,
+    * bounded repetition, `\b`, `\d` — so the DuckDB oracle replays the
+    * scrub byte-for-byte. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b" -> "<IP>",
+    "\\d{7,}" -> "<NUM>")
+
+  /** Redact emails / IPv4s / long digit runs (ids, phones, accounts).
+    * Per-row regexp chain: codegen'd, no shuffle — the cheap first-pass
+    * scrub every web-scale corpus gets before model-based PII removal. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Number of replacements [[redactPii]] performs: each pattern is
+    * counted against the text state it is applied to (an email's digit
+    * run is already gone when the digit rule runs, so nothing double-
+    * counts). */
+  def piiCount(text: Column): Column = {
+    val (_, total) = PiiPatterns
+      .foldLeft((text, lit(0))) { case ((c, acc), (pat, repl)) =>
+        (regexp_replace(c, pat, repl), acc + regexp_count(c, lit(pat)))
+      }
+    total
+  }
 }

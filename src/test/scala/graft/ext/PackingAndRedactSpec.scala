@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PackingAndRedactSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- packing
+
+  test("packByBudget starts a new pack at each budget crossing, never splits a doc") {
+    // per-doc token counts: 300, 300, 300, 100, 500 (source A)
+    val docs = Seq(
+      (1L, "A", 300), (2L, "A", 300), (3L, "A", 300), (4L, "A", 100), (5L, "A", 500),
+      (6L, "B", 600)
+    ).toDF("doc_id", "source", "n")
+    val packed = Packing.packByBudget(docs, Seq("source"), Seq("doc_id"),
+        col("n"), budget = 512)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // preceding totals A: 0, 300, 600, 900, 1000 → packs 0, 0, 1, 1, 1
+    assert(packed(1L) == 0 && packed(2L) == 0)
+    assert(packed(3L) == 1 && packed(4L) == 1)
+    // doc 5 starts at 1000 → floor(1000/512) = 1 (overflows pack 1;
+    // by-construction overflow is ≤ one document)
+    assert(packed(5L) == 1)
+    assert(packed(6L) == 0, "groups pack independently")
+  }
+
+  test("packStats reports per-pack doc counts and token fill") {
+    val docs = Seq((1L, "A", 300), (2L, "A", 300), (3L, "A", 300))
+      .toDF("doc_id", "source", "n")
+    val stats = Packing.packStats(
+        Packing.packByBudget(docs, Seq("source"), Seq("doc_id"), col("n"), 512),
+        Seq("source"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(stats(("A", 0L)) == (2L, 600L))
+    assert(stats(("A", 1L)) == (1L, 300L))
+  }
+
+  test("packByBudget guards: global packing and zero budget are rejected") {
+    val docs = Seq((1L, "A", 10)).toDF("doc_id", "source", "n")
+    intercept[IllegalArgumentException] {
+      Packing.packByBudget(docs, Nil, Seq("doc_id"), col("n"), 512)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packByBudget(docs, Seq("source"), Seq("doc_id"), col("n"), 0)
+    }
+  }
+
+  // --------------------------------------------------------- redaction
+
+  test("redactPii scrubs emails, IPs, and long digit runs; piiCount matches") {
+    val rows = Seq(
+      (1L, "contact alice.smith+x@example.org or call 5551234567 via 10.0.0.1 now"),
+      (2L, "x1234567@example.com then 1.2.3.4"), // email digits must not double-count
+      (3L, "clean text with the number 42 and ip-free prose")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("t"),
+        TextOps.piiCount(col("text")).cast("int").as("n"))
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == "contact <EMAIL> or call <NUM> via <IP> now")
+    assert(out(1L)._2 == 3)
+    assert(out(2L)._1 == "<EMAIL> then <IP>")
+    assert(out(2L)._2 == 2, "digits inside the redacted email must not recount")
+    assert(out(3L)._1 == "clean text with the number 42 and ip-free prose")
+    assert(out(3L)._2 == 0)
+  }
+}
