@@ -355,6 +355,30 @@ object Oracles {
         |            ELSE 'it' END AS lang_pred
         |FROM s""".stripMargin,
 
+    // Mirrors TextOps.repetitionSignals: total trigram occurrences vs
+    // distinct trigrams per doc.
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id,
+        |        CAST(len(toks) - 2 AS BIGINT) AS n_ngrams,
+        |        CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                for i in generate_series(1, len(toks) - 2)])) AS BIGINT) AS n_distinct
+        |      FROM w WHERE len(toks) >= 3)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        |       round(CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams, 4) AS repetition
+        |FROM d""".stripMargin,
+
+    // Mirrors Dedup.newAgainstReference over the odd/even batch split:
+    // canonical fingerprint anti-join (same canon form as dedup_exact).
+    "dedup_incremental" ->
+      """SELECT doc_id, text FROM documents d
+        |WHERE doc_id % 2 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents r
+        |    WHERE r.doc_id % 2 = 0
+        |      AND md5(regexp_replace(lower(trim(r.text)), '\s+', ' ', 'g')) =
+        |          md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')))""".stripMargin,
+
     // Mirrors Packing.packByBudget: per-source running token totals,
     // pack = floor(preceding_total / 512).
     "pack_budget" ->

@@ -307,6 +307,17 @@ object Queries {
         Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "graft")
       .select("doc_id", "bucket", "split")
 
+  /** Incremental ingestion dedup: odd-id docs are the "new batch",
+    * even-id docs the already-ingested corpus; keep new docs whose
+    * canonical fingerprint is unseen. */
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.newAgainstReference(
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+  }
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -369,6 +380,11 @@ object Queries {
       array_min(winnowed).as("min_fp"),
       array_max(winnowed).as("max_fp"))
   }
+
+  /** Gopher-style intra-doc repetition: share of n-gram occurrences
+    * that repeat an earlier n-gram in the same document. */
+  val textRepetition: Q = (s, dir) =>
+    TextOps.repetitionSignals(Tables.documents(s, dir))
 
   /** Token-budget sequence packing per source: deterministic doc order,
     * window cumsum, new pack at each budget crossing. */
@@ -439,7 +455,9 @@ object Queries {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_redact" -> textRedact,
+    "text_repetition" -> textRepetition,
     "pack_budget" -> packBudget,
+    "dedup_incremental" -> dedupIncremental,
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_decode_features" -> mmDecodeFeatures
   )

@@ -322,6 +322,25 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  // -------------------------------------------- incremental (cross-batch)
+
+  /** Rows of `incoming` whose canonical-text fingerprint does not occur
+    * in `reference` — incremental ingestion dedup: each new crawl/batch
+    * is checked against the corpus already ingested. A left-anti join
+    * on the 128-bit canonical hash: both sides shuffle ONLY the
+    * (id, hash) projection, never full text, and the reference side is
+    * pre-aggregated to distinct hashes so its size is bounded by corpus
+    * cardinality, not row count. */
+  def newAgainstReference(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val refHashes = reference
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    incoming
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(refHashes, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   // ------------------------------------------------------ distinct counts
 
   /** Exact distinct count per group — the correctness baseline. */

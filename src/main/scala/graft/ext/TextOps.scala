@@ -106,6 +106,25 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(graft.functions.CanonText.canon(text))
 
+  /** Intra-document repetition signals (the Gopher-rule family): the
+    * fraction of n-gram occurrences that are repeats of an earlier
+    * n-gram in the same document. Boilerplate/spam text repeats
+    * heavily; clean prose barely. Per-row, codegen'd (the distinct
+    * count rides the same single-pass hashed-shingle expression the
+    * dedup family uses), no shuffle. Documents with fewer than n words
+    * have no n-grams and are excluded by the caller's filter. */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val total = (size(tokens(col(textCol))) - lit(n - 1)).cast("long")
+    val distinctSh =
+      size(graft.functions.TextHashes.hashedShingles(col(textCol), n)).cast("long")
+    df.filter(total > 0)
+      .select(col(idCol),
+        total.as("n_ngrams"),
+        distinctSh.as("n_distinct"),
+        round((total - distinctSh).cast("double") / total, 4).as("repetition"))
+  }
+
   /** PII scrub patterns, applied in order (emails first so their local
     * parts aren't half-eaten by the digit rule). Deliberately restricted
     * to syntax portable between Java regex and RE2 — character classes,

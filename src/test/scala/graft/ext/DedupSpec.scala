@@ -151,6 +151,35 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 > 0.99)
   }
 
+  test("newAgainstReference keeps only canonically-unseen incoming docs") {
+    val reference = Seq(
+      (10L, "the cat sat on the mat today"),
+      (11L, "reference only material")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "THE CAT  SAT ON THE MAT TODAY"), // canonical dup of ref 10
+      (2L, "a genuinely new document"),
+      (3L, "reference only material")        // exact dup of ref 11
+    ).toDF("doc_id", "text")
+    val kept = Dedup.newAgainstReference(incoming, reference, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(kept.columns.toSeq == Seq("doc_id", "text"), "helper column dropped")
+  }
+
+  test("repetitionSignals: repeated n-grams raise the ratio; short docs excluded") {
+    val docs = Seq(
+      (1L, "x y x y x y x y"),                       // 6 trigrams, 2 distinct
+      (2L, "all words completely different here now"), // no repeats
+      (3L, "one two")                                  // < 3 words
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (6L, 2L, 0.6667))
+    assert(out(2L) == (4L, 4L, 0.0))
+    assert(!out.contains(3L))
+  }
+
   test("distinct vs approx distinct per group") {
     val ev = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 1)).toDF("g", "u")
     val exact = Dedup.distinctPerGroup(ev, "g", "u").as[(String, Long)].collect().toMap
