@@ -105,6 +105,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("split/redact/repetition queries are pure per-row pipelines: zero Exchange") {
+    for (q <- Seq("split_assign", "text_redact", "text_repetition")) {
+      val plan = executed(Queries.all(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+      assert(plan.contains("*(1)"), s"$q fell out of WholeStageCodegen:\n$plan")
+    }
+  }
+
+  test("pack_budget plans exactly one shuffle (the per-group window)") {
+    val plan = executed(Queries.packBudget(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"packing must cost one group-partitioned shuffle:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a global sort crept into packing:\n$plan")
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)
