@@ -304,6 +304,19 @@ object Oracles {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    // Mirrors VectorQuant bit-for-bit: float→double widening, exact
+    // IEEE 127/max|x| scale, explicit floor(x·scale + 0.5) rounding.
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |             ELSE 0.0 END AS scale
+        |      FROM e)
+        |SELECT vec_id, scale,
+        |       list_transform(v, x -> CAST(floor(x * scale + 0.5) AS TINYINT)) AS q
+        |FROM s""".stripMargin,
+
     "text_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

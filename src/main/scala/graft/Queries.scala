@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
-import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, SeriesOps, Similarity, Splits, TextOps}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, SeriesOps, Similarity, Splits, TextOps, VectorQuant}
 
 /** The operator catalog: every SURVEY §2 operator (and the contract's
   * `[EXT]` training-data ops) expressed as a named query over the
@@ -347,6 +347,13 @@ object Queries {
       k = 5, nprobe = 2)
   }
 
+  /** Int8 embedding quantization: per-vector scale + quantized bytes —
+    * the 4× shuffle/storage cut applied before ANN at scale. */
+  val embeddingQuantize: Q = (s, dir) =>
+    VectorQuant.withQuantized(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), "embedding")
+      .select("vec_id", "scale", "q")
+
   // ======================================================= [EXT] text
 
   val textStats: Q = (s, dir) => {
@@ -450,6 +457,7 @@ object Queries {
     "similarity_topk" -> similarityTopk,
     "similarity_ivf" -> similarityIvf,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
+    "embedding_quantize" -> embeddingQuantize,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,

@@ -1,5 +1,6 @@
 package graft.ext
 
+
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.functions.VectorMath
@@ -27,6 +28,34 @@ class SimilarityAndSeriesSpec extends SparkSpec {
     val out = df.select(round(VectorMath.cosineF(col("a"), col("b")), 6))
       .as[Double].collect()
     assert(out.toSeq == Seq(1.0, 0.0))
+  }
+
+  // -------------------------------------------------------- VectorQuant
+
+  test("int8 quantization: bounded error, exact extremes, zero-vector safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.003f, 0.001f, -0.002f, 0.004f)), // tiny magnitudes
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))           // zero vector
+    ).toDF("vec_id", "embedding")
+    val out = VectorQuant.withQuantized(vecs, "embedding")
+      .select(col("vec_id"), col("scale"), col("q"),
+        VectorQuant.dequantize(col("q"), col("scale")).as("dq"))
+      .as[(Long, Double, Seq[Byte], Seq[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // the max-|x| component always quantizes to ±127 exactly
+    assert(out(1L)._2.toSeq == Seq[Byte](64, -127, 32, 0))
+    // dequantization error ≤ half a quantization step per component
+    for ((id, orig) <- Seq(1L -> Seq(0.5, -1.0, 0.25, 0.0),
+        2L -> Seq(0.003, 0.001, -0.002, 0.004))) {
+      val (scale, _, dq) = out(id)
+      orig.zip(dq).foreach { case (x, d) =>
+        assert(math.abs(x - d) <= 0.5 / scale + 1e-9,
+          s"vec $id component $x dequantized to $d (scale $scale)")
+      }
+    }
+    // zero vector: scale 0, all-zero bytes, dequantizes to zeros
+    assert(out(3L)._1 == 0.0 && out(3L)._2.forall(_ == 0) && out(3L)._3.forall(_ == 0.0))
   }
 
   // -------------------------------------------------------- Similarity
