@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static incremental dedup: new batches anti-join the static reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      (100L, "already ingested document"),
+      (101L, "another known document")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // the SAME batch operator composes over a streaming frame:
+    // stream-static left-anti on the canonical fingerprint
+    val q = graft.ext.Dedup.newAgainstReference(stream, reference, "doc_id", "text")
+      .writeStream.format("memory").queryName("fresh_docs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "ALREADY  INGESTED DOCUMENT"),  // canonical dup of ref 100
+        (2L, "a brand new document"),
+        (3L, "another known document"))       // exact dup of ref 101
+      q.processAllAvailable()
+      input.addData((4L, "later batch, also new"))
+      q.processAllAvailable()
+      val kept = spark.table("fresh_docs").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionAgg: events within the gap fuse into one session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
