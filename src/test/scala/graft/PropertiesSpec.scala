@@ -98,6 +98,79 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  private val weightsGen: Gen[List[Int]] = for {
+    n <- Gen.choose(2, 4)
+    cuts <- Gen.listOfN(n - 1, Gen.choose(1, 99))
+  } yield {
+    val distinct = cuts.distinct.sorted
+    ((0 +: distinct) :+ 100).sliding(2).map(p => p(1) - p(0)).toList.filter(_ > 0)
+  }
+
+  test("splits partition the corpus: every key in exactly one split, ranges exact") {
+    forAllSamples(Gen.zip(weightsGen, Gen.choose(0L, 10000L)), 10) { case (ws, base) =>
+      val weights = ws.zipWithIndex.map { case (w, i) => s"s$i" -> w }
+      val docs = (base until base + 300L).toDF("doc_id")
+      val out = graft.ext.Splits.assign(docs, "doc_id", weights, salt = "p")
+        .select("doc_id", "bucket", "split").as[(Long, Int, String)].collect()
+      assert(out.length == 300, "no row lost or duplicated")
+      val cumulative = weights.scanLeft(0)(_ + _._2).tail
+      out.foreach { case (_, b, s) =>
+        val expected = weights.zip(cumulative).collectFirst {
+          case ((name, _), upper) if b < upper => name
+        }.get
+        assert(s == expected, s"bucket $b mapped to $s, expected $expected")
+      }
+      // invariant to partitioning: repartitioned input, same assignment
+      val shuffled = graft.ext.Splits.assign(docs.repartition(7), "doc_id", weights, "p")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(out.forall { case (id, _, s) => shuffled(id) == s })
+    }
+  }
+
+  private val packDocsGen: Gen[List[Int]] =
+    Gen.listOfN(60, Gen.choose(1, 400))
+
+  test("packing conserves docs and starts pack p exactly at preceding total ≥ p·budget") {
+    forAllSamples(Gen.zip(packDocsGen, Gen.choose(200, 600)), 10) { case (tokens, budget) =>
+      val docs = tokens.zipWithIndex.map { case (t, i) => (i.toLong, "g", t) }
+        .toDF("doc_id", "grp", "n")
+      val out = graft.ext.Packing.packByBudget(docs, Seq("grp"), Seq("doc_id"),
+          col("n"), budget)
+        .select("doc_id", "n_tokens", "pack_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(out.length == tokens.length, "every doc packed exactly once")
+      // the law: pack = floor(preceding_total / budget). (Pack ids may
+      // legitimately skip values when one doc spans multiple budgets.)
+      var cum = 0L
+      out.foreach { case (_, n, p) =>
+        assert(p == cum / budget, s"pack of doc with preceding total $cum")
+        cum += n
+      }
+      assert(out.head._3 == 0L, "packing starts at pack 0")
+    }
+  }
+
+  private val corpusGen: Gen[List[String]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    Gen.listOfN(30, Gen.choose(3, 12).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" "))))
+  }
+
+  test("decontamination partitions train: clean ∪ flagged = train, disjoint") {
+    forAllSamples(Gen.zip(corpusGen, corpusGen), 8) { case (trainTexts, benchTexts) =>
+      val train = trainTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val bench = benchTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val flagged = graft.ext.Decontam.overlapStats(train, bench, "doc_id", "text", n = 3)
+        .select("doc_id").as[Long].collect().toSet
+      val clean = graft.ext.Decontam.clean(train, bench, "doc_id", "text", n = 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert((flagged intersect clean).isEmpty)
+      assert((flagged union clean) == (0L until trainTexts.length.toLong).toSet)
+    }
+  }
+
   test("upsert idempotence: applying the same delta twice changes nothing") {
     forAllSamples(obsGen, 5) { rows =>
       val base = toDf(rows).withColumn("seq", lit(0))
