@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   * projections and would under-time expression-heavy queries). One
   * warm-up of the flagship query first so JVM/codegen warmup isn't
   * billed to the first query measured.
+  *
+  * Per query the reported number is the BEST of two back-to-back runs:
+  * this host shows sporadic 5-10× single-query spikes from background
+  * load (a 3.5 s query measured 23.6 s once, identical plan), and
+  * min-of-2 measures the plan rather than the scheduler's bad luck.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,7 +22,7 @@ object Bench {
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -25,6 +30,13 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    def run(name: String): Double = {
+      val a = runOnce(name)
+      if (a < 0) return a
+      val b = runOnce(name)
+      if (b < 0) a else math.min(a, b)
     }
 
     // JVM + codegen warmup, not billed

@@ -37,11 +37,15 @@ object VectorQuant {
     transform(q, x =>
       when(scale > 0, x.cast("double") / scale).otherwise(lit(0.0)))
 
-  /** Attach (`scale`, `q`) columns for `vecCol`. Per-row, codegen'd,
-    * no shuffle. */
+  /** Attach (`scale`, `q`) columns for `vecCol`. Per-row, no shuffle.
+    * `quantize` must reference the MATERIALIZED scale column, not the
+    * scale expression: inlining the expression into the per-element
+    * lambda recomputes the array_max reduction once per component
+    * (measured 10 s vs 0.3 s on the 64-dim bench query — higher-order
+    * functions evaluate interpreted, so Catalyst won't CSE inside the
+    * lambda). */
   def withQuantized(df: DataFrame, vecCol: String,
-      scaleCol: String = "scale", qCol: String = "q"): DataFrame = {
-    val s = scaleOf(col(vecCol))
-    df.withColumn(scaleCol, s).withColumn(qCol, quantize(col(vecCol), s))
-  }
+      scaleCol: String = "scale", qCol: String = "q"): DataFrame =
+    df.withColumn(scaleCol, scaleOf(col(vecCol)))
+      .withColumn(qCol, quantize(col(vecCol), col(scaleCol)))
 }
