@@ -408,6 +408,39 @@ object Oracles {
         |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
 
+    // Mirrors Packing.packTexts over packByBudget: per-pack ordered
+    // concatenation, verified through md5 of the assembled text.
+    "pack_concat" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |  FROM c)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |       md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS pack_md5
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors TextOps.vocabTopK (regex tokens, lowercased): wordcount
+    // top-100 with the token-string tiebreak making the set exact.
+    "vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (
+        |  SELECT unnest(list_filter(
+        |           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |GROUP BY 1
+        |ORDER BY n DESC, token ASC
+        |LIMIT 100""".stripMargin,
+
     // Mirrors TextOps.redactPii/piiCount: email → IP → long-digit-run
     // replacement chain, each pattern counted on the text state it is
     // applied to; md5 verifies the full scrubbed payload.

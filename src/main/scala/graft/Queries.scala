@@ -402,6 +402,22 @@ object Queries {
         tokens = TextOps.tokenCount(col("text")), budget = 512)
       .select("doc_id", "source", "n_tokens", "pack_id")
 
+  /** Pack assembly: each pack's member docs joined into one training
+    * text (md5 in the output so the full string is hash-verified). */
+  val packConcat: Q = (s, dir) => {
+    val packed = Packing.packByBudget(
+      Tables.documents(s, dir).select("doc_id", "source", "text"),
+      groupCols = Seq("source"), orderCols = Seq("doc_id"),
+      tokens = TextOps.tokenCount(col("text")), budget = 512)
+    Packing.packTexts(packed, Seq("source"), "doc_id", "text")
+      .select(col("source"), col("pack_id"), col("n_docs"),
+        md5(col("pack_text")).as("pack_md5"))
+  }
+
+  /** Corpus vocabulary: top-100 tokens by frequency (wordcount). */
+  val vocabTopk: Q = (s, dir) =>
+    TextOps.vocabTopK(Tables.documents(s, dir), "text", k = 100)
+
   /** PII scrub: replacement count + md5 of the scrubbed text (the
     * md5 lets the oracle verify the full redacted payload without
     * hauling the text through the compare). */
@@ -465,6 +481,8 @@ object Queries {
     "text_redact" -> textRedact,
     "text_repetition" -> textRepetition,
     "pack_budget" -> packBudget,
+    "pack_concat" -> packConcat,
+    "vocab_topk" -> vocabTopk,
     "dedup_incremental" -> dedupIncremental,
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_decode_features" -> mmDecodeFeatures

@@ -46,4 +46,21 @@ object Packing {
   def packStats(packed: DataFrame, groupCols: Seq[String]): DataFrame =
     packed.groupBy((groupCols.map(col) :+ col("pack_id")): _*)
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+
+  /** Assemble each pack's training text: member documents joined by
+    * `sep` in `orderCol` order. `collect_list` gives no ordering
+    * guarantee under distributed execution, so the collected
+    * (order, text) structs are `array_sort`ed before joining — the
+    * assembled string is deterministic on any cluster. One pack is one
+    * training example, so the per-pack collect is budget-bounded by
+    * construction. */
+  def packTexts(packed: DataFrame, groupCols: Seq[String], orderCol: String,
+      textCol: String, sep: String = "\n\n"): DataFrame =
+    packed.groupBy((groupCols.map(col) :+ col("pack_id")): _*)
+      .agg(collect_list(struct(col(orderCol), col(textCol))).as("__members"))
+      .withColumn("pack_text",
+        concat_ws(sep,
+          transform(array_sort(col("__members")), m => m.getField(textCol))))
+      .withColumn("n_docs", size(col("__members")).cast("long"))
+      .drop("__members")
 }

@@ -125,6 +125,22 @@ object TextOps {
         round((total - distinctSh).cast("double") / total, 4).as("repetition"))
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with counts —
+    * the wordcount that seeds tokenizer/vocab construction. Explode →
+    * partial-aggregated count (map-side combine collapses each
+    * partition to its distinct tokens before the shuffle) →
+    * `TakeOrderedAndProject` top-k; deterministic via the token-string
+    * tiebreak. At 100 TB the shuffle carries ≤ |vocab| rows per
+    * partition, not |tokens|. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int,
+      lowercase: Boolean = true): DataFrame = {
+    val toks = if (lowercase) regexTokens(col(textCol)) else tokens(col(textCol))
+    df.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** PII scrub patterns, applied in order (emails first so their local
     * parts aren't half-eaten by the digit rule). Deliberately restricted
     * to syntax portable between Java regex and RE2 — character classes,

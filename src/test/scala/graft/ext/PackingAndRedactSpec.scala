@@ -48,6 +48,32 @@ class PackingAndRedactSpec extends SparkSpec {
     }
   }
 
+  test("packTexts assembles members in order regardless of input partitioning") {
+    val docs = Seq(
+      (2L, "A", "second", 300), (1L, "A", "first", 300), (3L, "A", "third", 300)
+    ).toDF("doc_id", "source", "text", "n").repartition(5)
+    val packed = Packing.packByBudget(docs, Seq("source"), Seq("doc_id"),
+      col("n"), budget = 500)
+    val out = Packing.packTexts(packed, Seq("source"), "doc_id", "text", sep = " | ")
+      .select("source", "pack_id", "pack_text", "n_docs")
+      .as[(String, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // preceding totals 0, 300, 600 → packs 0, 0, 1 (budget 500)
+    assert(out(("A", 0L)) == ("first | second", 2L))
+    assert(out(("A", 1L)) == ("third", 1L))
+  }
+
+  test("vocabTopK: counts and (count, token) ordering") {
+    val docs = Seq(
+      (1L, "apple banana apple Cherry"),
+      (2L, "banana apple date")
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocabTopK(docs, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("apple", 3L), ("banana", 2L), ("cherry", 1L)),
+      "lowercased, count-desc with token tiebreak (cherry < date)")
+  }
+
   // --------------------------------------------------------- redaction
 
   test("redactPii scrubs emails, IPs, and long digit runs; piiCount matches") {
