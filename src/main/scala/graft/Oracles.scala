@@ -187,6 +187,21 @@ object Oracles {
         |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
         |FROM g GROUP BY user_id, grp""".stripMargin,
 
+    // Mirrors the bucketed interval join (plain BETWEEN in SQL —
+    // bucketing is a physical strategy, not a semantic one).
+    "join_range" ->
+      """WITH windows AS (
+        |  SELECT event_type, d_lo, d_hi
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |  CROSS JOIN (VALUES (2, 9), (12, 19), (22, 29)) w(d_lo, d_hi)),
+        |p AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS d, value FROM events)
+        |SELECT p.event_type, CAST(d_lo AS BIGINT) AS d_lo, CAST(d_hi AS BIGINT) AS d_hi,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM p JOIN windows
+        |  ON p.event_type = windows.event_type AND p.d BETWEEN d_lo AND d_hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "series_asof" ->
       s"""WITH d AS ($dailySeriesCte),
          |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),

@@ -249,6 +249,25 @@ object Queries {
       .select(unix_micros(col("session_window.start")).as("session_start_us"),
         col("user_id"), col("n_events"), col("value_sum"))
 
+  /** Interval join via bucketing: events (point = day-of-month) matched
+    * to per-type promo windows — the scale-safe equi-bucket form of
+    * `t BETWEEN lo AND hi`, never a nested loop. */
+  val joinRange: Q = (s, dir) => {
+    val sess = s
+    import sess.implicits._
+    val points = Tables.events(s, dir)
+      .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("d"),
+        col("value"))
+    val windows = Tables.events(s, dir).select("event_type").distinct()
+      .crossJoin(Seq((2L, 9L), (12L, 19L), (22L, 29L)).toDF("d_lo", "d_hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, windows, "d", "d_lo", "d_hi",
+        keys = Seq("event_type"), bucketWidth = 8L)
+      .groupBy("event_type", "d_lo", "d_hi")
+      .agg(count(lit(1)).as("n_events"),
+        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+  }
+
   /** As-of join: align each daily point with the most recent sparse
     * (every-3rd-day) observation at or before it. */
   val seriesAsof: Q = (s, dir) => {
@@ -459,6 +478,7 @@ object Queries {
     "window_tumbling" -> windowTumbling,
     "window_session" -> windowSession,
     "series_asof" -> seriesAsof,
+    "join_range" -> joinRange,
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
