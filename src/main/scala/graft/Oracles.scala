@@ -473,6 +473,53 @@ object Oracles {
         |       md5(t3) AS redacted_md5
         |FROM s3""".stripMargin,
 
+    // Mirrors curateCorpus end to end: quality gate (same rounded
+    // signal algebra as text_quality) → min-doc-id keep per canonical
+    // md5 → drop docs sharing any 5-gram with the benchmark set →
+    // md5-bucket split.
+    "curate_corpus" ->
+      """WITH sig AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
+        |         length(text) AS n_chars_raw
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         round(least(1.0, greatest(0.0,
+        |           0.5 * round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) * 10.0 / 3.0 +
+        |           0.5 * (1.0 - abs(round(CAST(n_chars_raw - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) - 5.0) / 5.0))), 4) AS quality_score
+        |  FROM sig),
+        |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |deduped AS (
+        |  SELECT k.* FROM kept k
+        |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |                        for i in generate_series(1, len(toks) - 4)]) AS s
+        |       FROM w WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 20 <> 0) t
+        |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.shingle = t.shingle)),
+        |cleaned AS (
+        |  SELECT * FROM deduped d
+        |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id))
+        |SELECT doc_id, quality_score,
+        |       CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+        |FROM (
+        |  SELECT doc_id, quality_score,
+        |         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+        |              % 100 AS INTEGER) AS bucket
+        |  FROM cleaned)""".stripMargin,
+
     "mm_payload_meta" ->
       """SELECT doc_id,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes,

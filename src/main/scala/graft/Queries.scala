@@ -455,6 +455,30 @@ object Queries {
     MultiModal.decodeFeatures(
       MultiModal.withPayload(Tables.documents(s, dir))).toDF()
 
+  // ================================================ [EXT] composite
+
+  /** The flagship curation composite: the end-to-end corpus-prep job
+    * every piece above exists for — quality gate → exact-dedup keep-set
+    * → benchmark decontamination → stable split assignment — composed
+    * into ONE declarative plan Catalyst optimizes end to end (filter
+    * pushdown through all four stages; both membership checks are
+    * broadcast anti/semi joins; the corpus is scanned, never shuffled
+    * whole). */
+  val curateCorpus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val scored = TextOps.qualityScore(TextOps.qualitySignals(train))
+      .filter(col("quality_score") >= 0.5)
+      .select("doc_id", "text", "quality_score")
+    val keep = Dedup.exactGroups(scored, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = scored.join(keep, Seq("doc_id"), "left_semi")
+    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
+    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
+      .select("doc_id", "quality_score", "split")
+  }
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -505,6 +529,7 @@ object Queries {
     "vocab_topk" -> vocabTopk,
     "dedup_incremental" -> dedupIncremental,
     "mm_payload_meta" -> mmPayloadMeta,
-    "mm_decode_features" -> mmDecodeFeatures
+    "mm_decode_features" -> mmDecodeFeatures,
+    "curate_corpus" -> curateCorpus
   )
 }

@@ -121,6 +121,13 @@ class PlanShapeSpec extends SparkSpec {
       s"a global sort crept into packing:\n$plan")
   }
 
+  test("curation composite: membership checks are semi/anti joins, no cartesian") {
+    val plan = executed(Queries.curateCorpus(spark, sf))
+    assert(plan.contains("LeftSemi"), s"dedup keep-set must be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"decontam must be an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)
