@@ -163,6 +163,11 @@ object Dedup {
     val sh = shAll.filter(size(col("s")) > 0)
     val singletons = shAll.filter(size(col("s")) === 0)
       .select(col("doc"), col("doc").as("cluster"))
+    // banded is joined TWICE per round: without materialization every
+    // round re-derives the shingle + k-slot minhash computation (the
+    // dominant cost) from lineage. One checkpoint, reused 2×iters
+    // times. (A cluster deployment would persist(DISK_ONLY) instead of
+    // the memory-backed local checkpoint.)
     val banded = sh
       .withColumn("sig", graft.functions.TextHashes.minhashSig(col("s"), k))
       .select(col("doc"),
@@ -170,6 +175,7 @@ object Dedup {
           b => hash(slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band_idx", "band_hash")))
       .select(col("doc"), struct(col("band_idx"), col("band_hash")).as("bucket"))
+      .localCheckpoint()
     var labels = sh.select(col("doc"), col("doc").as("cluster")).localCheckpoint()
     var i = 0
     var converged = false
