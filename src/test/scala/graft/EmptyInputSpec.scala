@@ -52,6 +52,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.winnowingContainmentPairs(docs, "doc_id", "text").isEmpty)
   }
 
+  test("curation/packing/range ops on empty inputs") {
+    val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    val someDocs = Seq((1L, "real document text here")).toDF("doc_id", "text")
+    // decontam: empty bench flags nothing; empty train yields nothing
+    assert(graft.ext.Decontam.overlapStats(someDocs, docs, "doc_id", "text").isEmpty)
+    assert(graft.ext.Decontam.clean(someDocs, docs, "doc_id", "text").count() == 1)
+    assert(graft.ext.Decontam.clean(docs, someDocs, "doc_id", "text").isEmpty)
+    assert(graft.ext.Dedup.newAgainstReference(docs, someDocs, "doc_id", "text").isEmpty)
+    assert(graft.ext.Dedup.newAgainstReference(someDocs, docs, "doc_id", "text").count() == 1)
+    // splits/packing/vocab on empty frames: empty, correctly-shaped
+    val es = graft.ext.Splits.assign(docs, "doc_id", Seq("a" -> 50, "b" -> 50))
+    assert(es.isEmpty && es.columns.contains("split"))
+    val ep = graft.ext.Packing.packByBudget(
+      emptyDf("doc_id" -> LongType, "g" -> StringType, "n" -> IntegerType),
+      Seq("g"), Seq("doc_id"), col("n"), 512)
+    assert(ep.isEmpty && ep.columns.contains("pack_id"))
+    assert(graft.ext.TextOps.vocabTopK(docs, "text", 10).isEmpty)
+    assert(graft.ext.TextOps.repetitionSignals(docs).isEmpty)
+    // interval join with either side empty
+    val pts = emptyDf("k" -> StringType, "t" -> LongType)
+    val ivs = emptyDf("k" -> StringType, "lo" -> LongType, "hi" -> LongType)
+    assert(graft.operators.RangeJoin.pointInInterval(pts, ivs, "t", "lo", "hi", Seq("k")).isEmpty)
+  }
+
   test("similarity and series ops on empty inputs") {
     val vecs = emptyDf("vec_id" -> LongType,
       "embedding" -> ArrayType(FloatType))
