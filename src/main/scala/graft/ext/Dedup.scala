@@ -100,10 +100,17 @@ object Dedup {
     * Plan shape at scale: explode to (band_idx, band_hash, doc) —
     * one shuffle on the band key — then Σ bucket² candidate pairs, then
     * a verification join. No cross product anywhere.
+    *
+    * Pair OUTPUT is inherently quadratic in duplicate-group size
+    * (a d-copy group is C(d,2) pairs — use [[minhashClusters]] when
+    * groups can be deep). `maxBucket` guards the pair form against that
+    * degeneracy: band buckets holding more than `maxBucket` docs are
+    * skipped (they are exact-dup clusters or degenerate text, both
+    * better handled by the cluster form); default keeps every bucket.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      verifyThreshold: Double = 0.5): DataFrame = {
+      verifyThreshold: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sh = df.select(col(idCol).as("doc"),
@@ -111,10 +118,19 @@ object Dedup {
       .filter(size(col("s")) > 0)
     val sig = sh.withColumn("sig",
       graft.functions.TextHashes.minhashSig(col("s"), k))
-    val banded = sig.select(col("doc"), col("s"),
+    val bandedAll = sig.select(col("doc"), col("s"),
         posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
             b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band_idx", "band_hash")))
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else {
+        // tiny giant-bucket list → broadcast anti-join, like hot shingles
+        val giant = bandedAll.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("band_idx", "band_hash")
+        bandedAll.join(broadcast(giant), Seq("band_idx", "band_hash"), "left_anti")
+      }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&

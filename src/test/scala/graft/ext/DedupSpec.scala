@@ -71,6 +71,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhashLshPairs: maxBucket skips giant band buckets, default keeps all") {
+    // 4 identical docs: every band bucket has 4 members
+    val clones = (1L to 4L).map(i => (i, "the same text repeated in every document"))
+      .toDF("doc_id", "text")
+    val all = Dedup.minhashLshPairs(clones, "doc_id", "text").count()
+    assert(all == 6, "C(4,2) pairs by default")
+    val capped = Dedup.minhashLshPairs(clones, "doc_id", "text", maxBucket = 3).count()
+    assert(capped == 0, "buckets deeper than maxBucket are skipped")
+    // a cap above the group size changes nothing
+    assert(Dedup.minhashLshPairs(clones, "doc_id", "text", maxBucket = 10).count() == 6)
+  }
+
   test("minhashClusters: dup groups collapse to min-id cluster, linear output") {
     val out = Dedup.minhashClusters(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
