@@ -134,6 +134,16 @@ object Oracles {
         |       count(value) AS observation_count
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Mirrors aggQuantiles: same (n−1)·q linear interpolation over the
+    // micro-scaled integers, descaled per element.
+    "agg_quantiles" ->
+      """SELECT event_type,
+        |       list_transform(
+        |         quantile_cont(CAST(round(value * 1000000) AS BIGINT),
+        |                       [0.25, 0.5, 0.75]),
+        |         x -> x / 1000000) AS quartiles
+        |FROM events GROUP BY 1""".stripMargin,
+
     "agg_rollup" ->
       """SELECT event_type, CAST(day(ts) AS INTEGER) AS observation_day,
         |       count(*) AS n,

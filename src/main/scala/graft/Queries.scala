@@ -194,6 +194,17 @@ object Queries {
         (sum("__sum").cast("double") / sum("__cnt") / 1e6).as("value"),
         sum("__cnt").as("observation_count")))
 
+  /** Exact quartiles per group — the profiling aggregate. Micro-scaled
+    * BIGINT inputs make the (n−1)·q linear interpolation bit-identical
+    * across engines (fractions are .0/.25/.5/.75 — binary-exact). */
+  val aggQuantiles: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(transform(
+        percentile(round(col("value") * 1e6).cast("long"),
+          array(lit(0.25), lit(0.5), lit(0.75))),
+        x => x / 1e6).as("quartiles"))
+
   /** ROLLUP grouping sets with decimal-exact sums. */
   val aggRollup: Q = (s, dir) =>
     Tables.events(s, dir)
@@ -496,6 +507,7 @@ object Queries {
     "set_intersect" -> setIntersect,
     "agg_rollup" -> aggRollup,
     "agg_salted" -> aggSalted,
+    "agg_quantiles" -> aggQuantiles,
     "window_mom" -> windowMom,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,
