@@ -349,6 +349,8 @@ object Oracles {
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // quality_score mirrors TextOps.qualityScore's integer-exact HALF_UP
+    // ((q30+15)//30): engine round(double,4) diverges on .xxxx5 scores.
     "text_quality" ->
       """WITH sig AS (
         |  SELECT doc_id,
@@ -363,12 +365,15 @@ object Oracles {
         |         round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) AS stop_ratio,
         |         round(CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw, 4) AS punct_ratio,
         |         round(CAST(n_chars_raw - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mean_token_len
-        |  FROM sig)
+        |  FROM sig),
+        |q AS (
+        |  SELECT *, least(300000, greatest(0,
+        |           50 * CAST(round(stop_ratio * 10000) AS BIGINT) + 150000
+        |           - 3 * abs(CAST(round(mean_token_len * 10000) AS BIGINT) - 50000))) AS q30
+        |  FROM r)
         |SELECT doc_id, n_tokens, n_stopwords, stop_ratio, punct_ratio, mean_token_len,
-        |       round(least(1.0, greatest(0.0,
-        |         0.5 * stop_ratio * 10.0 / 3.0 +
-        |         0.5 * (1.0 - abs(mean_token_len - 5.0) / 5.0))), 4) AS quality_score
-        |FROM r""".stripMargin,
+        |       CAST((q30 + 15) // 30 AS DOUBLE) / 10000 AS quality_score
+        |FROM q""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (
@@ -497,9 +502,10 @@ object Oracles {
         |  FROM documents WHERE doc_id % 20 <> 0),
         |q AS (
         |  SELECT doc_id, text,
-        |         round(least(1.0, greatest(0.0,
-        |           0.5 * round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) * 10.0 / 3.0 +
-        |           0.5 * (1.0 - abs(round(CAST(n_chars_raw - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) - 5.0) / 5.0))), 4) AS quality_score
+        |         CAST((least(300000, greatest(0,
+        |             50 * CAST(round(round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) * 10000) AS BIGINT) + 150000
+        |             - 3 * abs(CAST(round(round(CAST(n_chars_raw - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) * 10000) AS BIGINT) - 50000)))
+        |           + 15) // 30 AS DOUBLE) / 10000 AS quality_score
         |  FROM sig),
         |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
         |keep AS (

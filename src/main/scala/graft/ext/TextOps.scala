@@ -56,14 +56,24 @@ object TextOps {
 
   /** Scalar quality score in [0,1]: high when token lengths are
     * word-like and some stopwords are present. Deterministic linear
-    * blend — the point is the plumbing (any learned scorer slots in). */
-  def qualityScore(df: DataFrame): DataFrame =
+    * blend — the point is the plumbing (any learned scorer slots in).
+    *
+    * Computed in EXACT integer space, not float-then-round: the blend
+    * (5/3)·sr + 1/2 − |mtl−5|/10 over 4-dp inputs is a rational with
+    * denominator 30, and its 4-dp HALF_UP rounding frequently lands on
+    * .xxxx5 boundaries where engines' `round(double, 4)` disagree by
+    * one ULP (Spark rounds the exact binary value via BigDecimal,
+    * DuckDB scales by 10⁴ in doubles first — found as a real sf0.1
+    * divergence at score 0.49635). Integer q30 = 30·10⁴·score and
+    * `(q30+15) div 30` is HALF_UP exactly, identically, everywhere. */
+  def qualityScore(df: DataFrame): DataFrame = {
+    val sr4 = round(col("stop_ratio") * 1e4).cast("long")
+    val mtl4 = round(col("mean_token_len") * 1e4).cast("long")
+    val q30 = least(lit(300000L), greatest(lit(0L),
+      lit(50L) * sr4 + lit(150000L) - lit(3L) * abs(mtl4 - lit(50000L))))
     df.withColumn("quality_score",
-      round(
-        least(lit(1.0), greatest(lit(0.0),
-          lit(0.5) * col("stop_ratio") * lit(10.0) / lit(3.0) +
-            lit(0.5) * (lit(1.0) - abs(col("mean_token_len") - lit(5.0)) / lit(5.0)))),
-        4))
+      (floor((q30 + lit(15L)) / lit(30L)).cast("double") / 1e4))
+  }
 
   /** Marker-word profiles for cheap n-gram/keyword language ID. Public
     * closed-class words per language — the classic heuristic used as a
