@@ -251,11 +251,11 @@ object Oracles {
         |  GROUP BY 1, 2),
         |sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1)
         |SELECT id_a, id_b,
-        |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        |       round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 AS jaccard
         |FROM inter
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
-        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5""".stripMargin,
+        |WHERE round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 >= 0.5""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -73,9 +73,13 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      // 4-dp Jaccard via integer scaling: k/d rationals land exactly on
+      // .xxxx5 boundaries where engine round(double,4) diverges by one
+      // ULP; round(10⁴k/d) at 0 dp only meets .5 on exactly-
+      // representable doubles, where every engine agrees
       .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 4))
+        round(col("n_inter") * lit(10000.0) /
+          (col("n_a") + col("n_b") - col("n_inter"))) / 1e4)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -140,9 +144,10 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     cand
       .withColumn("n_inter", size(array_intersect(col("s_a"), col("s_b"))))
+      // integer-scaled rounding — see ngramJaccardPairs
       .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (size(col("s_a")) + size(col("s_b")) - col("n_inter")), 4))
+        round(col("n_inter") * lit(10000.0) /
+          (size(col("s_a")) + size(col("s_b")) - col("n_inter"))) / 1e4)
       .filter(col("jaccard") >= verifyThreshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -321,8 +326,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_fp", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_fp", "n_b"), "id_b")
+      // integer-scaled rounding — see ngramJaccardPairs
       .withColumn("containment",
-        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 4))
+        round(col("n_shared") * lit(10000.0) / least(col("n_a"), col("n_b"))) / 1e4)
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "n_shared", "containment")
   }
