@@ -163,7 +163,7 @@ object Oracles {
          |SELECT indicator, observation_day, value,
          |       round(avg(value) OVER (
          |         PARTITION BY indicator ORDER BY observation_day
-         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000) / 10000 AS moving_avg
          |FROM d""".stripMargin,
 
     "window_rank_share" ->
@@ -172,7 +172,7 @@ object Oracles {
          |       CAST(rank() OVER (
          |         PARTITION BY indicator
          |         ORDER BY value DESC, observation_day) AS INTEGER) AS day_rank,
-         |       round(value / sum(value) OVER (PARTITION BY indicator), 4) AS share
+         |       round(value * 10000 / sum(value) OVER (PARTITION BY indicator)) / 10000 AS share
          |FROM d""".stripMargin,
 
     "window_tumbling" ->
@@ -280,7 +280,7 @@ object Oracles {
         |train AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n_sh, unnest(s) AS shingle
         |          FROM sh WHERE doc_id % 20 <> 0)
         |SELECT doc_id, n_sh, count(*) AS n_overlap,
-        |       round(CAST(count(*) AS DOUBLE) / n_sh, 4) AS contamination
+        |       round(CAST(count(*) * 10000 AS DOUBLE) / n_sh) / 10000 AS contamination
         |FROM train JOIN bench USING (shingle)
         |GROUP BY doc_id, n_sh""".stripMargin,
 
@@ -345,7 +345,8 @@ object Oracles {
     "text_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |       round(CAST(sum(len(string_split(text, ' '))) * 10000 AS DOUBLE)
+        |             / count(*)) / 10000 AS avg_tokens,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
 
@@ -362,9 +363,9 @@ object Oracles {
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, n_tokens, n_stopwords,
-        |         round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-        |         round(CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw, 4) AS punct_ratio,
-        |         round(CAST(n_chars_raw - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mean_token_len
+        |         round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) / 10000 AS stop_ratio,
+        |         round(CAST((n_chars_raw - n_nopunct) * 10000 AS DOUBLE) / n_chars_raw) / 10000 AS punct_ratio,
+        |         round(CAST((n_chars_raw - (n_tokens - 1)) * 10000 AS DOUBLE) / n_tokens) / 10000 AS mean_token_len
         |  FROM sig),
         |q AS (
         |  SELECT *, least(300000, greatest(0,
@@ -408,7 +409,7 @@ object Oracles {
         |                                for i in generate_series(1, len(toks) - 2)])) AS BIGINT) AS n_distinct
         |      FROM w WHERE len(toks) >= 3)
         |SELECT doc_id, n_ngrams, n_distinct,
-        |       round(CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams, 4) AS repetition
+        |       round(CAST((n_ngrams - n_distinct) * 10000 AS DOUBLE) / n_ngrams) / 10000 AS repetition
         |FROM d""".stripMargin,
 
     // Mirrors Dedup.newAgainstReference over the odd/even batch split:
@@ -503,8 +504,8 @@ object Oracles {
         |q AS (
         |  SELECT doc_id, text,
         |         CAST((least(300000, greatest(0,
-        |             50 * CAST(round(round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) * 10000) AS BIGINT) + 150000
-        |             - 3 * abs(CAST(round(round(CAST(n_chars_raw - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) * 10000) AS BIGINT) - 50000)))
+        |             50 * CAST(round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) AS BIGINT) + 150000
+        |             - 3 * abs(CAST(round(CAST((n_chars_raw - (n_tokens - 1)) * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
         |           + 15) // 30 AS DOUBLE) / 10000 AS quality_score
         |  FROM sig),
         |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),

@@ -220,11 +220,12 @@ object Queries {
     SeriesOps.periodChange(dailySeries(s, dir),
       Seq("indicator"), Seq("observation_day"))
 
-  /** Trailing 7-observation moving average. */
+  /** Trailing 7-observation moving average (integer-scaled rounding —
+    * mean-of-7 rationals hit .xxxx5 boundaries). */
   val windowMovingAvg: Q = (s, dir) =>
     SeriesOps.movingAvg(dailySeries(s, dir),
         Seq("indicator"), Seq("observation_day"), n = 7)
-      .withColumn("moving_avg", round(col("moving_avg"), 4))
+      .withColumn("moving_avg", round(col("moving_avg") * lit(10000.0)) / 1e4)
 
   /** rank + partition share. */
   val windowRankShare: Q = (s, dir) => {
@@ -233,7 +234,7 @@ object Queries {
     d.withColumn("day_rank",
         rank().over(byInd.orderBy(col("value").desc, col("observation_day"))))
       .withColumn("share",
-        round(col("value") / sum("value").over(byInd), 4))
+        round(col("value") * lit(10000.0) / sum("value").over(byInd)) / 1e4)
   }
 
   /** Tumbling event-time windows in batch mode — the same groupBy
@@ -392,7 +393,8 @@ object Queries {
     d.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(toks.cast("long")).as("total_tokens"),
-      round(avg(toks), 4).as("avg_tokens"),
+      (round(sum(toks.cast("long")) * lit(10000.0) / count(lit(1))) / 1e4)
+        .as("avg_tokens"),
       max("n_chars").as("max_chars"))
   }
 

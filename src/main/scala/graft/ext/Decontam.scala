@@ -41,8 +41,10 @@ object Decontam {
       .join(benchSide, "sh") // broadcast hash probe, corpus stays put
       .groupBy("doc_id", "n_sh")
       .agg(count(lit(1)).as("n_overlap"))
+      // integer-scaled rounding (see TextOps.qualitySignals): k/d
+      // ratios meet .xxxx5 boundaries where round(double,4) diverges
       .withColumn("contamination",
-        round(col("n_overlap").cast("double") / col("n_sh"), 4))
+        round(col("n_overlap") * lit(10000.0) / col("n_sh")) / 1e4)
   }
 
   /** Training rows with fewer than `minOverlap` benchmark-shared

@@ -41,17 +41,22 @@ object TextOps {
   def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
+    // all ratios are k/d rationals rounded to 4 dp — use the integer-
+    // scaled form (round(10⁴k/d) at 0 dp, then descale): engine
+    // round(double, 4) diverges one ULP on non-representable .xxxx5
+    // boundaries, which k/d hits whenever d has a factor of 3 or 7
     df.withColumn("n_chars_calc", length(t).cast("long"))
       .withColumn("n_tokens", size(toks))
       .withColumn("n_stopwords", stopwordCount(toks))
       .withColumn("stop_ratio",
-        round(col("n_stopwords").cast("double") / col("n_tokens"), 4))
+        round(col("n_stopwords") * lit(10000.0) / col("n_tokens")) / 1e4)
       .withColumn("punct_ratio",
         round(
-          (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
-            / length(t), 4))
+          (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))) * lit(10000.0)
+            / length(t)) / 1e4)
       .withColumn("mean_token_len",
-        round((length(t) - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"), 4))
+        round((length(t) - (col("n_tokens") - lit(1))) * lit(10000.0)
+          / col("n_tokens")) / 1e4)
   }
 
   /** Scalar quality score in [0,1]: high when token lengths are
@@ -132,7 +137,8 @@ object TextOps {
       .select(col(idCol),
         total.as("n_ngrams"),
         distinctSh.as("n_distinct"),
-        round((total - distinctSh).cast("double") / total, 4).as("repetition"))
+        // integer-scaled rounding — see qualitySignals
+        (round((total - distinctSh) * lit(10000.0) / total) / 1e4).as("repetition"))
   }
 
   /** Corpus vocabulary: the `k` most frequent tokens with counts —
