@@ -76,6 +76,20 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 180, s"ngram dedup blew up: $secs s")
   }
 
+  smokeTest("decontamination probes 100k docs against a broadcast benchmark in one pass") {
+    // bench = the 500 base docs; every replica shares shingles with it,
+    // so the probe matches ~everything — worst case for the join side
+    corpusSize
+    val bench = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val n = graft.ext.Decontam.overlapStats(corpus, bench, "doc_id", "text").count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"decontam: $n flagged docs in ${secs.round} s")
+    assert(n == corpusSize, "every near-copy must be flagged")
+    assert(secs < 120, s"decontam blew up: $secs s")
+  }
+
   smokeTest("simhash combination banding stays sub-quadratic at 100k docs") {
     // pieces=6 ⇒ 20 tables keyed on ~32 bits: random-hash buckets are
     // ≈ N/2³² ≪ 1; only true near-dup groups form buckets.
