@@ -48,16 +48,18 @@ object Decontam {
   }
 
   /** Training rows with fewer than `minOverlap` benchmark-shared
-    * shingles — the decontaminated corpus. Implemented as a broadcast
-    * left-anti join against the (small) flagged-doc list so the kept
-    * side streams through unshuffled. Documents too short to shingle
-    * cannot overlap and are kept. */
+    * shingles — the decontaminated corpus. A left-anti join against the
+    * flagged-doc list WITHOUT a broadcast hint: flagged size is bounded
+    * only by the contamination rate (a fully-contaminated corpus flags
+    * every row), so the planner/AQE picks broadcast when it actually
+    * fits and a shuffle anti-join when it doesn't. Documents too short
+    * to shingle cannot overlap and are kept. */
   def clean(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       minOverlap: Int = 1): DataFrame = {
     val flagged = overlapStats(train, bench, idCol, textCol, n)
       .filter(col("n_overlap") >= minOverlap)
       .select(col("doc_id").as(idCol))
-    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+    train.join(flagged, Seq(idCol), "left_anti")
   }
 }

@@ -34,8 +34,13 @@ object Packing {
       "groupCols must be non-empty (a global pack order is a single-partition " +
         "sort; shard first, or pack per source/date)")
     require(orderCols.nonEmpty, "need a deterministic order within groups")
+    // explicit ROWS frame: Spark's default with an ORDER BY is RANGE,
+    // which merges tied order keys into one cumsum step and would break
+    // the floor(preceding/budget) law (and the oracle's ROWS frame)
+    // whenever orderCols aren't unique
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", tokens.cast("long"))
       .withColumn("pack_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens"))

@@ -35,8 +35,10 @@ object SheetSink {
   /** In-memory fake — the test/sandbox stand-in for a Sheets client. */
   class InMemory(val schema: StructType) extends SheetSink {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-    def read(spark: SparkSession): DataFrame =
-      spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq), schema)
+    def read(spark: SparkSession): DataFrame = {
+      val snapshot = synchronized { buf.toList }
+      spark.createDataFrame(spark.sparkContext.parallelize(snapshot), schema)
+    }
     def append(rows: Seq[Row]): Unit = synchronized { buf ++= rows }
     def size: Int = synchronized { buf.size }
   }

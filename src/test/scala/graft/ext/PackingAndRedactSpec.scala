@@ -38,6 +38,18 @@ class PackingAndRedactSpec extends SparkSpec {
     assert(stats(("A", 1L)) == (1L, 300L))
   }
 
+  test("packByBudget uses a ROWS frame: tied order keys still step the cumsum per doc") {
+    // A(1,300) B(2,300) C(2,300): with Spark's default RANGE frame the
+    // tied keys 2 would share cum=900 and BOTH land in pack 1; the ROWS
+    // frame steps per row, so exactly one of B/C closes pack 0
+    val docs = Seq((1L, "A", 300), (2L, "A", 300), (2L, "A", 300))
+      .toDF("doc_id", "source", "n")
+    val packs = Packing.packByBudget(docs, Seq("source"), Seq("doc_id"),
+        col("n"), budget = 512)
+      .select("pack_id").as[Long].collect().sorted.toSeq
+    assert(packs == Seq(0L, 0L, 1L))
+  }
+
   test("packByBudget guards: global packing and zero budget are rejected") {
     val docs = Seq((1L, "A", 10)).toDF("doc_id", "source", "n")
     intercept[IllegalArgumentException] {

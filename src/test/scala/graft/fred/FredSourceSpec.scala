@@ -58,11 +58,11 @@ class FredSourceSpec extends AnyFunSuite {
       FredSource.HttpReply(503, Some("Wed, 21 Oct 2026 07:28:00 GMT"), ""),
       ok)
     h.fetchMonth("DGS10", jan, jan.plusMonths(1))
-    // linear backoff: attempt 0 → 1 s, attempt 1 → 2 s; plus the
-    // post-retry throttle is NOT charged within one fetch (the loop
-    // throttles relative to the previous completed exchange)
-    assert(h.sleeps.count(s => s == 1000L) == 1)
-    assert(h.sleeps.count(s => s == 2000L) == 1)
+    // linear backoff: attempt 0 → 1 s, attempt 1 → 2 s. Retries ALSO
+    // respect the inter-call throttle (each retry is a real API call),
+    // so the full sleep sequence interleaves backoff and throttle
+    // remainders — asserted by exact sequence
+    assert(h.sleeps.toSeq == Seq(1000L, 4000L, 2000L, 3000L))
   }
 
   test("retries exhaust into an error on persistent 5xx") {
