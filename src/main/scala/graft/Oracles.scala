@@ -135,14 +135,20 @@ object Oracles {
         |FROM events GROUP BY 1""".stripMargin,
 
     // Mirrors aggQuantiles: same (n−1)·q linear interpolation over the
-    // micro-scaled integers, descaled per element.
+    // micro-scaled integers, descaled, one scalar row per quartile
+    // (UNION ALL of the three quantile_cont calls ≡ posexplode'd array).
     "agg_quantiles" ->
-      """SELECT event_type,
-        |       list_transform(
-        |         quantile_cont(CAST(round(value * 1000000) AS BIGINT),
-        |                       [0.25, 0.5, 0.75]),
-        |         x -> x / 1000000) AS quartiles
-        |FROM events GROUP BY 1""".stripMargin,
+      """WITH s AS (SELECT event_type,
+        |                  CAST(round(value * 1000000) AS BIGINT) AS v
+        |           FROM events)
+        |SELECT event_type, 25 AS q_pct, quantile_cont(v, 0.25) / 1000000 AS value
+        |FROM s GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 50 AS q_pct, quantile_cont(v, 0.5) / 1000000 AS value
+        |FROM s GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 75 AS q_pct, quantile_cont(v, 0.75) / 1000000 AS value
+        |FROM s GROUP BY 1""".stripMargin,
 
     "agg_rollup" ->
       """SELECT event_type, CAST(day(ts) AS INTEGER) AS observation_day,
@@ -262,7 +268,7 @@ object Oracles {
         |SELECT id_a, id_b, cosine FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |         round(list_dot_product(a.v, b.v) /
-        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
 
@@ -307,7 +313,7 @@ object Oracles {
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         round(list_dot_product(q.v, c.v) /
-        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
         |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT *, CAST(row_number() OVER (
@@ -321,7 +327,7 @@ object Oracles {
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         round(list_dot_product(q.v, c.v) /
-        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
         |  FROM e c JOIN q ON c.label = q.label WHERE q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT *, CAST(row_number() OVER (
@@ -331,16 +337,23 @@ object Oracles {
 
     // Mirrors VectorQuant bit-for-bit: float→double widening, exact
     // IEEE 127/max|x| scale, explicit floor(x·scale + 0.5) rounding.
+    // Scalar rows (vec_id, pos, q_i, scale): unnest + generate_subscripts
+    // zip row-wise, matching the Spark side's posexplode.
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
         |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
         |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
         |             ELSE 0.0 END AS scale
-        |      FROM e)
-        |SELECT vec_id, scale,
-        |       list_transform(v, x -> CAST(floor(x * scale + 0.5) AS TINYINT)) AS q
-        |FROM s""".stripMargin,
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS TINYINT)) AS qv
+        |      FROM s)
+        |SELECT vec_id,
+        |       CAST(generate_subscripts(qv, 1) - 1 AS INTEGER) AS pos,
+        |       unnest(qv) AS q_i,
+        |       scale
+        |FROM q""".stripMargin,
 
     "text_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -196,14 +196,37 @@ object Queries {
 
   /** Exact quartiles per group — the profiling aggregate. Micro-scaled
     * BIGINT inputs make the (n−1)·q linear interpolation bit-identical
-    * across engines (fractions are .0/.25/.5/.75 — binary-exact). */
+    * across engines (fractions are .0/.25/.5/.75 — binary-exact).
+    * Output is one SCALAR row per (group, quartile) — no catalog query
+    * may emit an array column (the driver's pandas-based checker can't
+    * sort numpy arrays; SURVEY §5). */
   val aggQuantiles: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy("event_type")
-      .agg(transform(
-        percentile(round(col("value") * 1e6).cast("long"),
-          array(lit(0.25), lit(0.5), lit(0.75))),
-        x => x / 1e6).as("quartiles"))
+      .agg(percentile(round(col("value") * 1e6).cast("long"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")))
+      .select(col("event_type"),
+        ((col("pos") + 1) * 25).as("q_pct"),
+        (col("col") / 1e6).as("value"))
+
+  /** Approximate quartiles per group — the scale form of
+    * [[aggQuantiles]]. `approx_percentile` (Greenwald-Khanna sketch) is
+    * a partial aggregate: each task summarizes its partition into a
+    * bounded sketch and only sketches shuffle, so a 100 TB profiling
+    * pass never sorts the column (`percentile` is holistic — exact but
+    * full-sort). Rows-only check: sketch interpolation is
+    * engine-specific; AggSketchSpec pins the rank-error bound against
+    * the exact twin instead. Scalar rows, same shape as aggQuantiles. */
+  val aggApproxPercentile: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_percentile(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")))
+      .select(col("event_type"),
+        ((col("pos") + 1) * 25).as("q_pct"),
+        col("col").as("value"))
 
   /** ROLLUP grouping sets with decimal-exact sums. */
   val aggRollup: Q = (s, dir) =>
@@ -379,11 +402,15 @@ object Queries {
   }
 
   /** Int8 embedding quantization: per-vector scale + quantized bytes —
-    * the 4× shuffle/storage cut applied before ANN at scale. */
+    * the 4× shuffle/storage cut applied before ANN at scale. The
+    * quantized array is posexploded to one (vec_id, pos, q_i) row per
+    * component (array outputs break the driver's checker; SURVEY §5) —
+    * library users call VectorQuant.withQuantized for the packed form. */
   val embeddingQuantize: Q = (s, dir) =>
     VectorQuant.withQuantized(
         Tables.embeddings(s, dir).select("vec_id", "embedding"), "embedding")
-      .select("vec_id", "scale", "q")
+      .select(col("vec_id"), col("scale"), posexplode(col("q")))
+      .select(col("vec_id"), col("pos"), col("col").as("q_i"), col("scale"))
 
   // ======================================================= [EXT] text
 
@@ -510,6 +537,7 @@ object Queries {
     "agg_rollup" -> aggRollup,
     "agg_salted" -> aggSalted,
     "agg_quantiles" -> aggQuantiles,
+    "agg_approx_percentile" -> aggApproxPercentile,
     "window_mom" -> windowMom,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,

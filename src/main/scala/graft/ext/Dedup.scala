@@ -62,9 +62,13 @@ object Dedup {
       .filter(size(col("s")) > 0)
     // shingles are distinct per doc, so count(*) per shingle = doc freq
     val exAll = sh.select(col("doc"), explode(col("s")).as("sh"))
+    // no broadcast() hint on the hot list: ≤ total-occurrences/cap rows,
+    // usually tiny, but data-dependent (a heavily templated corpus can
+    // push it past driver memory) — AQE picks broadcast when it fits,
+    // same rule as Decontam.clean
     val hot = exAll.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq).select("sh")
-    val ex = exAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    val ex = exAll.join(hot, Seq("sh"), "left_anti")
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -313,12 +317,14 @@ object Dedup {
     val fp = df.select(col(idCol).as("doc"),
       graft.functions.Winnowing.winnow(col(textCol), k, w).as("fps"))
     val exAll = fp.select(col("doc"), explode(col("fps")).as("f")).distinct()
-    // doc-frequency cap via a broadcast anti-join against the (tiny)
-    // hot-fingerprint list: one partial-aggregated shuffle of the
-    // fingerprint keys instead of windowing every exploded row
+    // doc-frequency cap via an anti-join against the hot-fingerprint
+    // list: one partial-aggregated shuffle of the fingerprint keys
+    // instead of windowing every exploded row. No broadcast() hint —
+    // the list is usually tiny but its size is data-dependent, so AQE
+    // decides (same rule as Decontam.clean)
     val hot = exAll.groupBy("f").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq).select("f")
-    val ex = exAll.join(broadcast(hot), Seq("f"), "left_anti")
+    val ex = exAll.join(hot, Seq("f"), "left_anti")
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n_fp"))
     ex.as("a").join(ex.as("b"),
         col("a.f") === col("b.f") && col("a.doc") < col("b.doc"))
@@ -346,7 +352,10 @@ object Dedup {
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosineF(col("a.v"), col("b.v")), 4).as("cosine"))
+        // integer-scaled rounding — see ngramJaccardPairs (cosine is a
+        // ratio of float dot-products; keeps "no round(x,4) on derived
+        // doubles" true repo-wide)
+        (round(cosineF(col("a.v"), col("b.v")) * lit(10000.0)) / 1e4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

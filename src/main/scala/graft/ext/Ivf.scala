@@ -79,7 +79,8 @@ object Ivf {
     val scored = index.assigned.join(broadcast(probed),
         index.assigned("cluster") === probed("cluster") && self)
       .select(col("query_id"), col("neighbor_id"),
-        round(cosineF(col("qv"), col("cv")), 4).as("cosine"))
+        // integer-scaled rounding — see Dedup.ngramJaccardPairs
+        (round(cosineF(col("qv"), col("cv")) * lit(10000.0)) / 1e4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

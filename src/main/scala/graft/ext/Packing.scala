@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: one window per GROUP, so `groupCols` must be a sharding
   * key with bounded group size (source × date × shard in a real lake) —
   * then the sort is per-group and the whole operator is one shuffle.
-  * An empty `groupCols` means one global window: fine for tests,
-  * single-partition bottleneck at scale (documented, guarded below by
-  * requiring explicit opt-in via the dedicated method).
+  * An empty `groupCols` would mean one global window — a
+  * single-partition sort bottleneck at scale — so [[packByBudget]]
+  * rejects it outright; shard first (or pack per source/date) instead.
   */
 object Packing {
 

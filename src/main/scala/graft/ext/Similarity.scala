@@ -38,7 +38,8 @@ object Similarity {
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
     val scored = c.join(broadcast(q), joinCond)
       .select(col("query_id"), col("neighbor_id"),
-        round(cosineF(col("qv"), col("cv")), 4).as("cosine"))
+        // integer-scaled rounding — see Dedup.ngramJaccardPairs
+        (round(cosineF(col("qv"), col("cv")) * lit(10000.0)) / 1e4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -57,7 +58,8 @@ object Similarity {
     val self = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
     val scored = c.join(broadcast(q), col("blk") === col("qblk") && self)
       .select(col("query_id"), col("neighbor_id"),
-        round(cosineF(col("qv"), col("cv")), 4).as("cosine"))
+        // integer-scaled rounding — see Dedup.ngramJaccardPairs
+        (round(cosineF(col("qv"), col("cv")) * lit(10000.0)) / 1e4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
