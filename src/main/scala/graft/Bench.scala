@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   * this host shows sporadic 5-10× single-query spikes from background
   * load (a 3.5 s query measured 23.6 s once, identical plan), and
   * min-of-2 measures the plan rather than the scheduler's bad luck.
+  *
+  * Alongside each timing the output carries a fingerprint of the
+  * query's canonicalized optimized plan (`plans` key): when a number
+  * moves between rounds, an unchanged hash proves the plan didn't —
+  * the delta is scheduler luck, not a regression (this host has twice
+  * produced phantom regressions that way).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,11 +49,28 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // 48-bit md5 of the canonicalized optimized plan: expression ids
+    // are normalized away, so the hash is stable run-to-run and moves
+    // only when the query's plan actually changes
+    def planHash(name: String): String =
+      try {
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan.canonicalized.toString
+          // lambda closures (mapPartitions) print a per-JVM identity
+          // (…$$Lambda$123/0x…@hash) — mask it or the hash churns
+          .replaceAll("\\$\\$Lambda[$/][^,\\s)]*", "<lambda>")
+          .replaceAll("@[0-9a-f]{6,}", "@id")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(plan.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      } catch { case _: Throwable => "err" }
+
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ps = results.map { case (k, _) => "\"" + k + "\":\"" + planHash(k) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Benchmark decontamination — the training-data hygiene op: find (and
   * drop) training documents that share long n-gram spans with a
@@ -62,4 +63,25 @@ object Decontam {
       .select(col("doc_id").as(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Streaming form of [[clean]] for incremental ingest: each
+    * micro-batch is decontaminated with full batch semantics via
+    * `foreachBatch`, and `sink` receives the kept rows.
+    *
+    * Correct under ANY micro-batch partitioning because the keep/drop
+    * decision is per-document against the STATIC benchmark — no
+    * cross-document or cross-batch state — so the stream's union of
+    * outputs ≡ batch [[clean]] over the union of inputs (asserted in
+    * StreamingSpec). The per-doc overlap count inside [[clean]] is why
+    * this is `foreachBatch` rather than a single stream-static join:
+    * the flagged-doc list is an aggregate OF the stream, which
+    * Structured Streaming can't anti-join back in one pass. Scale
+    * shape is unchanged — the benchmark probe stays broadcast and the
+    * aggregation is bounded by the micro-batch. */
+  def cleanStream(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minOverlap: Int = 1)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    train.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(clean(batch.toDF(), bench, idCol, textCol, n, minOverlap), batchId)
+    }
 }

@@ -62,6 +62,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination (foreachBatch) ≡ batch clean across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today and more"), // shares an 8-gram
+      (2L, "completely unrelated content about economic time series data")) // no overlap
+    val batch2 = Seq(
+      (3L, "short"),                                                      // too short to shingle → kept
+      (4L, "prefix then the quick brown fox jumps over the lazy dog today")) // shares an 8-gram
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.ext.Decontam.cleanStream(stream, bench, "doc_id", "text", n = 8) {
+      (kept, _) =>
+        val rows = kept.select("doc_id", "text").as[(Long, String)].collect()
+        out.synchronized { out ++= rows }
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchClean = graft.ext.Decontam.clean(
+        (batch1 ++ batch2).toDF("doc_id", "text"), bench, "doc_id", "text", n = 8)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(out.toSet == batchClean)
+    assert(out.map(_._1).toSet == Set(2L, 3L)) // contaminated 1 and 4 dropped
+  }
+
+  test("split assignment is stateless: identical on a stream in Append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val input = MemoryStream[Long]
+    val q = graft.ext.Splits.assign(
+        input.toDF().toDF("doc_id"), "doc_id", weights, salt = "graft")
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(1L to 50L: _*)
+      q.processAllAvailable()
+      input.addData(51L to 100L: _*) // appending never moves an existing row
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("split_stream")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val batch = graft.ext.Splits.assign(
+        (1L to 100L).toDF("doc_id"), "doc_id", weights, salt = "graft")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(streamed.size == 100 && streamed == batch)
+  }
+
   test("sessionAgg: events within the gap fuse into one session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
