@@ -150,6 +150,52 @@ object Oracles {
         |SELECT event_type, 75 AS q_pct, quantile_cont(v, 0.75) / 1000000 AS value
         |FROM s GROUP BY 1""".stripMargin,
 
+    // Mirrors Profile.histogram: identical IEEE bucket arithmetic, so
+    // edge-landing values bucket identically.
+    "agg_histogram" ->
+      """SELECT event_type, bucket, count(*) AS n,
+        |       0.0 + bucket * 10.0 AS bucket_lo
+        |FROM (
+        |  SELECT event_type,
+        |         CASE WHEN value < 0.0 THEN -1
+        |              WHEN value >= 500.0 THEN 50
+        |              ELSE CAST(floor((value - 0.0) / 10.0) AS INTEGER) END AS bucket
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors Profile.winsorize: micro-scaled exact quartiles (same
+    // interpolation as agg_quantiles), broadcast clamp.
+    "scalar_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(CAST(round(value * 1000000) AS BIGINT), 0.25)
+        |           / 1000000 AS lo,
+        |         quantile_cont(CAST(round(value * 1000000) AS BIGINT), 0.75)
+        |           / 1000000 AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       least(greatest(value, lo), hi) AS value_w
+        |FROM events JOIN b USING (event_type)""".stripMargin,
+
+    // Mirrors Sampling.stratified: same md5 60-bit bucket as
+    // split_assign, thresholded per stratum.
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+        |           % 100 AS INTEGER)
+        |      < CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 50 ELSE 100 END""".stripMargin,
+
+    // Mirrors Sampling.capPerGroup: k smallest md5(key‖salt) per group,
+    // key tiebreak (hex strings compare identically in both engines).
+    "sample_cap_per_group" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(doc_id::VARCHAR || 'graft'), doc_id) AS INTEGER)
+        |           AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 10""".stripMargin,
+
     "agg_rollup" ->
       """SELECT event_type, CAST(day(ts) AS INTEGER) AS observation_day,
         |       count(*) AS n,

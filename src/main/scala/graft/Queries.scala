@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
-import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, SeriesOps, Similarity, Splits, TextOps, VectorQuant}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SeriesOps, Similarity, Splits, TextOps, VectorQuant}
 
 /** The operator catalog: every SURVEY §2 operator (and the contract's
   * `[EXT]` training-data ops) expressed as a named query over the
@@ -412,6 +412,40 @@ object Queries {
       .select(col("vec_id"), col("scale"), posexplode(col("q")))
       .select(col("vec_id"), col("pos"), col("col").as("q_i"), col("scale"))
 
+  // ============================================ [EXT] profile / sample
+
+  /** Fixed-width value histogram per event type: 50 buckets of width
+    * 10 over [0, 500) plus under/overflow — the profiling pass run
+    * before picking quality thresholds. One map-side-combined shuffle
+    * of ≤ |groups|·52 rows regardless of input size. */
+  val aggHistogram: Q = (s, dir) =>
+    Profile.histogram(Tables.events(s, dir), Seq("event_type"), col("value"),
+      lo = 0.0, hi = 500.0, nBuckets = 50)
+
+  /** IQR winsorization: clamp each value to its event type's exact
+    * [p25, p75]. Quartile fractions are binary-exact, so the
+    * interpolation — hence the clamp — is bit-identical in the oracle
+    * (any other p needs approx_percentile + rows-only at scale). */
+  val scalarWinsorize: Q = (s, dir) =>
+    Profile.winsorize(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      Seq("event_type"), "value", pLo = 0.25, pHi = 0.75)
+
+  /** Corpus re-balancing: keep 10% of dominant 'en', half of 'es',
+    * everything else — deterministic per-row hash membership, zero
+    * shuffle, and the DuckDB oracle replays the exact sample. */
+  val sampleStratified: Q = (s, dir) =>
+    Sampling.stratified(Tables.documents(s, dir), "doc_id", "lang",
+        rates = Seq("en" -> 10, "es" -> 50), defaultPct = 100, salt = "graft")
+      .select("doc_id", "lang", "source")
+
+  /** Per-source cap: at most 10 docs per source by consistent hash
+    * order — the over-represented-domain cap. */
+  val sampleCapPerGroup: Q = (s, dir) =>
+    Sampling.capPerGroup(Tables.documents(s, dir), Seq("source"), "doc_id",
+        k = 10, salt = "graft")
+      .select("doc_id", "source", "sample_rank")
+
   // ======================================================= [EXT] text
 
   val textStats: Q = (s, dir) => {
@@ -538,6 +572,10 @@ object Queries {
     "agg_salted" -> aggSalted,
     "agg_quantiles" -> aggQuantiles,
     "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_histogram" -> aggHistogram,
+    "scalar_winsorize" -> scalarWinsorize,
+    "sample_stratified" -> sampleStratified,
+    "sample_cap_per_group" -> sampleCapPerGroup,
     "window_mom" -> windowMom,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ProfileAndSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ histogram
+
+  test("histogram: bucket law, under/overflow, counts conserve rows") {
+    val df = Seq(
+      ("a", -5.0), // underflow
+      ("a", 0.0),  // bucket 0
+      ("a", 9.99), // bucket 0
+      ("a", 10.0), // bucket 1
+      ("a", 99.0), // bucket 9
+      ("a", 100.0), // overflow (hi inclusive-exclusive)
+      ("b", 55.5)  // bucket 5
+    ).toDF("g", "v")
+    val h = Profile.histogram(df, Seq("g"), col("v"), lo = 0.0, hi = 100.0, nBuckets = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(h.map(_._3).sum == 7) // every row lands in exactly one bucket
+    val a = h.filter(_._1 == "a").map(x => x._2 -> x._3).toMap
+    assert(a == Map(-1 -> 1L, 0 -> 2L, 1 -> 1L, 9 -> 1L, 10 -> 1L))
+    // bucket_lo edge = lo + bucket*w
+    assert(h.find(x => x._1 == "b" && x._2 == 5).map(_._4).contains(50.0))
+  }
+
+  test("histogram: rejects degenerate ranges") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, Seq("g"), col("v"), lo = 1.0, hi = 1.0, nBuckets = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, Seq("g"), col("v"), lo = 0.0, hi = 1.0, nBuckets = 0)
+    }
+  }
+
+  // ------------------------------------------------------ winsorize
+
+  test("winsorize: interior values unchanged, outliers clamp to exact quartiles") {
+    // group of 1..9: p25 = 3.0, p75 = 7.0 (exact at quartile fractions)
+    val df = (1 to 9).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = Profile.winsorize(df, Seq("g"), "v", 0.25, 0.75)
+      .select("id", "v", "v_w").as[(Long, Double, Double)].collect().sortBy(_._1)
+    out.foreach { case (_, v, w) =>
+      if (v >= 3.0 && v <= 7.0) assert(w == v, s"interior $v moved to $w")
+      else if (v < 3.0) assert(w == 3.0)
+      else assert(w == 7.0)
+    }
+    assert(out.length == 9)
+    intercept[IllegalArgumentException] {
+      Profile.winsorize(df, Seq("g"), "v", 0.75, 0.25)
+    }
+  }
+
+  // ------------------------------------------------------- sampling
+
+  test("hashSample: deterministic, append-invariant membership") {
+    val base = (1L to 400L).toDF("id")
+    val s1 = Sampling.hashSample(base, "id", 25, "s").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(base.repartition(7), "id", 25, "s")
+      .as[Long].collect().toSet
+    assert(s1 == s2, "membership must not depend on partitioning")
+    // appending new rows never changes membership of existing keys
+    val appended = (1L to 600L).toDF("id")
+    val s3 = Sampling.hashSample(appended, "id", 25, "s").as[Long].collect().toSet
+    assert(s3.filter(_ <= 400L) == s1)
+    // rate is roughly honored (md5 is uniform; 25% of 400 ± wide margin)
+    assert(s1.size > 50 && s1.size < 150)
+    // monotone in pct: a 10% sample is a subset of the 25% sample
+    val s10 = Sampling.hashSample(base, "id", 10, "s").as[Long].collect().toSet
+    assert(s10.subsetOf(s1))
+  }
+
+  test("stratified: per-stratum rates, 0 drops and 100 keeps") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratified(df, "id", "lang",
+        rates = Seq("en" -> 0, "fr" -> 100), defaultPct = 50, salt = "s")
+      .as[(Long, String)].collect()
+    assert(!out.exists(_._2 == "en"), "rate 0 must drop the stratum")
+    assert(out.count(_._2 == "fr") == 100, "rate 100 must keep every row")
+    val de = out.filter(_._2 == "de").map(_._1).toSet
+    // the de stratum at 50% is exactly hashSample(50) restricted to de
+    val expected = Sampling.hashSample(df.filter($"lang" === "de"), "id", 50, "s")
+      .select("id").as[Long].collect().toSet
+    assert(de == expected)
+  }
+
+  test("capPerGroup: at most k per group, stable under repartition") {
+    val df = (1L to 200L).map(i => (i, "g" + (i % 3))).toDF("id", "g")
+    val out = Sampling.capPerGroup(df, Seq("g"), "id", k = 5, salt = "s")
+      .select("g", "id").as[(String, Long)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == 5))
+    val again = Sampling.capPerGroup(df.repartition(11), Seq("g"), "id", k = 5, salt = "s")
+      .select("g", "id").as[(String, Long)].collect()
+    assert(out.toSet == again.toSet, "cap must pick the same rows on any layout")
+    // groups smaller than k pass through whole
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
+    assert(Sampling.capPerGroup(tiny, Seq("g"), "id", k = 5).count() == 2)
+  }
+}
