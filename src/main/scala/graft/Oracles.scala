@@ -203,6 +203,32 @@ object Oracles {
         |FROM events
         |GROUP BY ROLLUP(event_type, CAST(day(ts) AS INTEGER))""".stripMargin,
 
+    "agg_cube" ->
+      """SELECT event_type, CAST(day(ts) AS INTEGER) AS observation_day,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(day(ts) AS INTEGER))""".stripMargin,
+
+    // Mirrors aggMode: count-desc/id-asc tiebreak makes the mode unique.
+    "agg_mode" ->
+      """SELECT event_type, user_id, n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY count(*) DESC, user_id ASC) AS rk
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rk = 1""".stripMargin,
+
+    // Mirrors pivotDaily's explicit value list, one CASE sum per type.
+    "pivot_daily" ->
+      """SELECT CAST(day(ts) AS INTEGER) AS observation_day,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+
     "window_mom" ->
       s"""WITH d AS ($dailySeriesCte)
          |SELECT indicator, observation_day, value,
@@ -400,6 +426,61 @@ object Oracles {
         |       unnest(qv) AS q_i,
         |       scale
         |FROM q""".stripMargin,
+
+    // Mirrors VectorStats.vectorStats: same widened-float dot product
+    // (sequential, bit-identical), micro-scaled exact component mean.
+    "embedding_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id,
+        |       CAST(len(v) AS INTEGER) AS dim,
+        |       round(sqrt(list_dot_product(v, v)) * 10000) / 10000 AS l2_norm,
+        |       list_max(list_transform(v, x -> abs(x))) AS max_abs,
+        |       CAST(list_sum(list_transform(v,
+        |              x -> CAST(round(x * 1000000) AS BIGINT))) AS DOUBLE)
+        |         / CAST(len(v) AS INTEGER) / 1000000 AS mean_c
+        |FROM e""".stripMargin,
+
+    // Mirrors VectorStats.componentCentroids: unnest+subscripts zip,
+    // order-independent integer sums.
+    "embedding_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos,
+        |         unnest(v) AS c
+        |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings))
+        |SELECT label, pos,
+        |       CAST(sum(CAST(round(c * 1000000) AS BIGINT)) AS DOUBLE)
+        |         / count(*) / 1000000 AS centroid
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // text_quality's score chain + lang, binned with ntile (both
+    // engines give remainder rows to the first buckets).
+    "quality_ntile" ->
+      """WITH sig AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
+        |         length(text) AS n_chars_raw,
+        |         length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) / 10000 AS stop_ratio,
+        |         round(CAST((n_chars_raw - (n_tokens - 1)) * 10000 AS DOUBLE) / n_tokens) / 10000 AS mean_token_len
+        |  FROM sig),
+        |q AS (
+        |  SELECT *, least(300000, greatest(0,
+        |           50 * CAST(round(stop_ratio * 10000) AS BIGINT) + 150000
+        |           - 3 * abs(CAST(round(mean_token_len * 10000) AS BIGINT) - 50000))) AS q30
+        |  FROM r),
+        |sc AS (
+        |  SELECT doc_id, lang, CAST((q30 + 15) // 30 AS DOUBLE) / 10000 AS quality_score
+        |  FROM q)
+        |SELECT doc_id, lang, quality_score,
+        |       CAST(ntile(10) OVER (PARTITION BY lang
+        |         ORDER BY quality_score ASC, doc_id ASC) AS INTEGER) AS decile
+        |FROM sc""".stripMargin,
 
     "text_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
-import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SeriesOps, Similarity, Splits, TextOps, VectorQuant}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SeriesOps, Similarity, Splits, TextOps, VectorQuant, VectorStats}
 
 /** The operator catalog: every SURVEY §2 operator (and the contract's
   * `[EXT]` training-data ops) expressed as a named query over the
@@ -235,6 +235,38 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
 
+  /** CUBE grouping sets — all four (type × day) marginal combinations
+    * in one pass (Spark expands grouping sets in a single shuffle). */
+  val aggCube: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .cube(col("event_type"), dayofmonth(col("ts")).as("observation_day"))
+      .agg(count(lit(1)).as("n"),
+        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+
+  /** Per-group mode with deterministic tiebreak: the most frequent
+    * user per event type (count desc, id asc). Two map-side-combined
+    * shuffles — never a driver-side value scan. */
+  val aggMode: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("user_id").asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select("event_type", "user_id", "n")
+  }
+
+  /** Pivot: one column per event type (explicit value list — no
+    * schema-inference job, plan stable at any scale), decimal-exact
+    * daily sums. */
+  val pivotDaily: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(dayofmonth(col("ts")).as("observation_day"),
+        col("event_type"), col("value"))
+      .groupBy("observation_day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg((sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+
   // ==================================================== [EXT] windows
 
   /** lag — period-over-period change (FRED MoM analog at day grain).
@@ -446,7 +478,28 @@ object Queries {
         k = 10, salt = "graft")
       .select("doc_id", "source", "sample_rank")
 
+  /** Per-vector QA scalars (dim, L2 norm, max|c|, exact mean) — the
+    * embedding-batch health check; per-row, no shuffle. */
+  val embeddingStats: Q = (s, dir) =>
+    VectorStats.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding")
+
+  /** Exact per-label component centroids as (label, pos, centroid)
+    * scalar rows — label-drift monitoring / IVF seeding input. */
+  val embeddingCentroids: Q = (s, dir) =>
+    VectorStats.componentCentroids(Tables.embeddings(s, dir), "label", "embedding")
+
   // ======================================================= [EXT] text
+
+  /** Quality deciles per language: ntile(10) over (score, doc_id) —
+    * the curriculum-binning step (both engines distribute remainder
+    * rows to the first buckets, so decile edges agree exactly). */
+  val qualityNtile: Q = (s, dir) => {
+    val scored = TextOps.qualityScore(TextOps.qualitySignals(Tables.documents(s, dir)))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_score").asc, col("doc_id").asc)
+    scored.withColumn("decile", ntile(10).over(w))
+      .select("doc_id", "lang", "quality_score", "decile")
+  }
 
   val textStats: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
@@ -573,9 +626,15 @@ object Queries {
     "agg_quantiles" -> aggQuantiles,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
+    "agg_cube" -> aggCube,
+    "agg_mode" -> aggMode,
+    "pivot_daily" -> pivotDaily,
     "scalar_winsorize" -> scalarWinsorize,
     "sample_stratified" -> sampleStratified,
     "sample_cap_per_group" -> sampleCapPerGroup,
+    "embedding_stats" -> embeddingStats,
+    "embedding_centroids" -> embeddingCentroids,
+    "quality_ntile" -> qualityNtile,
     "window_mom" -> windowMom,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,
