@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":…,"queries":{…}}.
+  * prints two JSON lines: {"metric":"total",…,"queries":{…}} with the
+  * timings, then {"metric":"plans","plans":{…}} with the plan
+  * fingerprints (separate lines so a truncated tail capture never
+  * loses the timings — it did in r3).
   *
   * Each query is forced end-to-end with a `noop`-format write so the
   * timing covers the full plan (a bare `count()` lets Catalyst prune
@@ -70,7 +73,12 @@ object Bench {
     val ps = results.map { case (k, _) => "\"" + k + "\":\"" + planHash(k) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"sf":"$sfDir"}""")
+    // Two SEPARATE lines: r3's single line outgrew the driver's tail
+    // capture and the timings were truncated away. Timings first (the
+    // round's primary record), plan fingerprints second — either line
+    // survives truncation of the other.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"plans","plans":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -112,6 +112,32 @@ object Oracles {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
 
+    // Mirrors joinLeftOuter: LEFT JOIN against the filtered dim, null
+    // extension counted per side (sum skips null balances identically).
+    "join_left_outer" ->
+      """SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       count(c_custkey) AS n_matched,
+        |       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unmatched,
+        |       CAST(sum(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
+        |         / 1000000 AS bal_sum
+        |FROM orders
+        |LEFT OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+        |                 WHERE c_mktsegment = 'BUILDING') c
+        |  ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // Mirrors joinFullOuter: USING coalesces the key in both engines.
+    "join_full_outer" ->
+      """SELECT user_id, n_clicks, n_purchases
+        |FROM (SELECT user_id, count(*) AS n_clicks FROM events
+        |      WHERE event_type = 'click' GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1) p
+        |USING (user_id)""".stripMargin,
+
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
@@ -184,6 +210,12 @@ object Oracles {
         |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
         |           % 100 AS INTEGER)
         |      < CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 50 ELSE 100 END""".stripMargin,
+
+    // Mirrors Sampling.hashSample: same md5 60-bit bucket, fixed 25%.
+    "sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+        |           % 100 AS INTEGER) < 25""".stripMargin,
 
     // Mirrors Sampling.capPerGroup: k smallest md5(key‖salt) per group,
     // key tiebreak (hex strings compare identically in both engines).

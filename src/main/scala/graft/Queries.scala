@@ -152,6 +152,40 @@ object Queries {
       .select("c_custkey", "c_name")
   }
 
+  /** Left outer join — the enrichment-join shape every pipeline uses
+    * when the dim side has gaps: all orders kept, customers outside the
+    * BUILDING segment null-extend. The null-extension semantics are
+    * pinned by counting matched vs unmatched per order status (plus an
+    * exact balance sum over the matched side, where sum skips nulls).
+    * The dim side is a filtered projection of a small table — AQE
+    * broadcasts it; the fact side never shuffles. */
+  val joinLeftOuter: Q = (s, dir) => {
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_acctbal")
+    Tables.orders(s, dir)
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("c_custkey")).as("n_matched"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        (sumE6(col("c_acctbal")).cast("double") / 1e6).as("bal_sum"))
+  }
+
+  /** Full outer join of two aggregated activity sides: users who only
+    * click and users who only purchase both survive with nulls on the
+    * absent side; the join key coalesces (USING semantics). Both sides
+    * pre-aggregate before the join, so the shuffle carries one row per
+    * (user, side) — the scale-correct order for outer enrichment. */
+  val joinFullOuter: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("user_id"), "full_outer")
+  }
+
   /** Top-k by global order (TakeOrderedAndProject, no full sort). */
   val topkOrders: Q = (s, dir) =>
     Tables.orders(s, dir)
@@ -471,6 +505,15 @@ object Queries {
         rates = Seq("en" -> 10, "es" -> 50), defaultPct = 100, salt = "graft")
       .select("doc_id", "lang", "source")
 
+  /** Uniform 25% sample by stable hash membership — the simplest
+    * sampling primitive ([[Sampling.hashSample]]): same md5 bucket as
+    * the stratified/split family, zero shuffle, re-read/append stable,
+    * and the oracle replays the exact membership. */
+  val sampleHash: Q = (s, dir) =>
+    Sampling.hashSample(Tables.documents(s, dir), "doc_id", pct = 25,
+        salt = "graft")
+      .select("doc_id", "lang", "source")
+
   /** Per-source cap: at most 10 docs per source by consistent hash
     * order — the over-represented-domain cap. */
   val sampleCapPerGroup: Q = (s, dir) =>
@@ -618,6 +661,8 @@ object Queries {
     "scalar_dates" -> scalarDates,
     "join_star_revenue" -> joinStarRevenue,
     "join_semi" -> joinSemi,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
     "topk_orders" -> topkOrders,
     "set_except" -> setExcept,
     "set_intersect" -> setIntersect,
@@ -631,6 +676,7 @@ object Queries {
     "pivot_daily" -> pivotDaily,
     "scalar_winsorize" -> scalarWinsorize,
     "sample_stratified" -> sampleStratified,
+    "sample_hash" -> sampleHash,
     "sample_cap_per_group" -> sampleCapPerGroup,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> embeddingCentroids,

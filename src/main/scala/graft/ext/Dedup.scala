@@ -98,6 +98,24 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(shingleCol, s => xxhash64(s, j))))
 
+  /** LSH band keys for a document set: one (doc, band_idx, band_hash)
+    * row per band — and NOTHING else. Keeping the banded frame down to
+    * three fixed-width columns is the load-bearing property at scale:
+    * this frame is exploded `bands`× and shuffled on the band key, so
+    * every extra column (in r3, the full shingle array) multiplies the
+    * heaviest shuffle by `bands`. Callers that need the shingle sets
+    * re-join them AFTER candidate pruning ([[minhashLshPairs]]).
+    * Shared by the pair and cluster forms. */
+  private[graft] def lshBandKeys(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    sh.withColumn("sig", graft.functions.TextHashes.minhashSig(col("s"), k))
+      .select(col("doc"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band_idx", "band_hash")))
+  }
+
   /** MinHash + LSH banding: signatures of length `k` are cut into
     * `bands` bands; docs agreeing on any full band become candidates;
     * candidates are verified with exact shingle Jaccard. Collision
@@ -105,9 +123,13 @@ object Dedup {
     * similar pair is caught with p ≈ 1-(1-0.9^4)^16 ≈ 0.9998, while a
     * 0.2-similar pair fires a band with p ≈ 16·0.2^4 ≈ 2.6%.
     *
-    * Plan shape at scale: explode to (band_idx, band_hash, doc) —
-    * one shuffle on the band key — then Σ bucket² candidate pairs, then
-    * a verification join. No cross product anywhere.
+    * Plan shape at scale: explode to (band_idx, band_hash, doc) — three
+    * fixed-width columns, one shuffle on the band key — then Σ bucket²
+    * candidate pairs, deduped, and only THEN are shingle sets joined
+    * back (one hash join per pair side) for the exact-Jaccard verify.
+    * No cross product anywhere, and the `bands`×-exploded shuffle never
+    * carries the shingle arrays (r3 carried them through the band join;
+    * banding on keys alone cuts that shuffle's volume ~`bands`×).
     *
     * Pair OUTPUT is inherently quadratic in duplicate-group size
     * (a d-copy group is C(d,2) pairs — use [[minhashClusters]] when
@@ -119,17 +141,10 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       verifyThreshold: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
     val sh = df.select(col(idCol).as("doc"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
-    val sig = sh.withColumn("sig",
-      graft.functions.TextHashes.minhashSig(col("s"), k))
-    val bandedAll = sig.select(col("doc"), col("s"),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band_idx", "band_hash")))
+    val bandedAll = lshBandKeys(sh, k, bands)
     val banded =
       if (maxBucket == Int.MaxValue) bandedAll
       else {
@@ -143,10 +158,14 @@ object Dedup {
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // shingle sets join back ONCE per side, post-dedup: the band-key
+    // shuffle stays arrays-free, and the array shuffle volume is 2·|docs|
+    // rows instead of bands·|docs| (plus only surviving pairs verify)
     cand
+      .join(sh.select(col("doc").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("s_a"), col("s_b"))))
       // integer-scaled rounding — see ngramJaccardPairs
       .withColumn("jaccard",
@@ -181,8 +200,6 @@ object Dedup {
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, iters: Int = 3): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
     val shAll = df.select(col(idCol).as("doc"),
       graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
     val sh = shAll.filter(size(col("s")) > 0)
@@ -193,12 +210,7 @@ object Dedup {
     // dominant cost) from lineage. One checkpoint, reused 2×iters
     // times. (A cluster deployment would persist(DISK_ONLY) instead of
     // the memory-backed local checkpoint.)
-    val banded = sh
-      .withColumn("sig", graft.functions.TextHashes.minhashSig(col("s"), k))
-      .select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows)))))
-          .as(Seq("band_idx", "band_hash")))
+    val banded = lshBandKeys(sh, k, bands)
       .select(col("doc"), struct(col("band_idx"), col("band_hash")).as("bucket"))
       .localCheckpoint()
     var labels = sh.select(col("doc"), col("doc").as("cluster")).localCheckpoint()

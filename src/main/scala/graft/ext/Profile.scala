@@ -44,8 +44,14 @@ object Profile {
     * hygiene step. Percentiles are computed over micro-scaled BIGINTs
     * (exact interpolation, oracle-portable — see Queries.aggQuantiles;
     * keep pLo/pHi at .25-style binary-exact fractions for hash-checked
-    * use). The bounds frame is |groups| rows, so the clamp join is a
-    * broadcast; the data side never shuffles.
+    * use). The bounds frame is |groups| rows; no broadcast hint is
+    * attached — `groupCols` is caller-chosen, so |groups| is unbounded
+    * (per-domain winsorization over a web crawl is tens of millions of
+    * groups) and a forced broadcast would be a driver-OOM hazard. AQE
+    * broadcasts the clamp join at runtime whenever the measured bounds
+    * frame fits under `spark.sql.autoBroadcastJoinThreshold`, which is
+    * every catalog-scale use; above that it degrades to a sort-merge
+    * join instead of failing.
     *
     * At 100 TB swap the exact `percentile` for `approx_percentile` —
     * same plan shape, sketch-mergeable partials instead of a holistic
@@ -62,7 +68,7 @@ object Profile {
           .as("__lo"),
         (percentile(round(col(valueCol) * 1e6).cast("long"), lit(pHi)) / 1e6)
           .as("__hi"))
-    df.join(broadcast(bounds), groupCols)
+    df.join(bounds, groupCols) // no hint: AQE decides (see scaladoc)
       .withColumn(valueCol + "_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")

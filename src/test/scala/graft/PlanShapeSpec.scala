@@ -128,6 +128,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
 
+  test("winsorize clamp join: no static hint, AQE broadcasts at catalog scale") {
+    val df = Queries.all("scalar_winsorize")(spark, sf)
+    df.count() // materialize so AQE finalizes the join strategy
+    val plan = executed(df)
+    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"),
+      s"winsorize must not carry a data-dependent broadcast hint:\n${df.queryExecution.logical}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the tiny bounds frame at catalog scale:\n$plan")
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)

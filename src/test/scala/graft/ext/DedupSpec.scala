@@ -83,6 +83,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(clones, "doc_id", "text", maxBucket = 10).count() == 6)
   }
 
+  test("lshBandKeys: banded frame is (doc, band_idx, band_hash) only — no arrays") {
+    // the band-key shuffle is the heaviest in LSH; it must never carry
+    // the shingle array (r3 did: ~bands× extra shuffle volume)
+    val sh = docs.select(col("doc_id").as("doc"),
+      graft.functions.TextHashes.hashedShingles(col("text"), 3).as("s"))
+    val banded = Dedup.lshBandKeys(sh, k = 64, bands = 16)
+    assert(banded.schema.fieldNames.toSeq == Seq("doc", "band_idx", "band_hash"))
+    assert(banded.schema.fields.forall(!_.dataType.typeName.contains("array")),
+      s"banded frame must be fixed-width only: ${banded.schema}")
+    assert(banded.count() == docs.count() * 16)
+  }
+
   test("minhashClusters: dup groups collapse to min-id cluster, linear output") {
     val out = Dedup.minhashClusters(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
