@@ -189,6 +189,49 @@ object Oracles {
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Mirrors Profile.moments: cents-scaled HUGEINT power sums (exact,
+    // order-free), single double conversion at the end, same 4-dp
+    // integer-scaled rounding.
+    "agg_stats_moments" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(round(value * 100) AS HUGEINT)) AS s1,
+        |         sum(CAST(round(value * 100) AS HUGEINT)
+        |             * CAST(round(value * 100) AS HUGEINT)) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |       CAST(s1 AS DOUBLE) / n / 100 AS mean,
+        |       CASE WHEN n > 1 THEN
+        |         round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |               / CAST(n * (n - 1) AS DOUBLE)) / 10000 END AS var_samp,
+        |       CASE WHEN n > 1 THEN
+        |         round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |                    / CAST(n * (n - 1) AS DOUBLE) / 10000) * 10000) / 10000
+        |         END AS stddev_samp
+        |FROM m""".stripMargin,
+
+    // Mirrors Profile.pearsonCorr over (value, day): five exact integer
+    // partials, closed-form ratio, 4-dp integer-scaled rounding.
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(round(value * 100) AS HUGEINT)) AS sx,
+        |         sum(CAST(round(CAST(day(ts) AS DOUBLE) * 100) AS HUGEINT)) AS sy,
+        |         sum(CAST(round(value * 100) AS HUGEINT)
+        |             * CAST(round(value * 100) AS HUGEINT)) AS sxx,
+        |         sum(CAST(round(CAST(day(ts) AS DOUBLE) * 100) AS HUGEINT)
+        |             * CAST(round(CAST(day(ts) AS DOUBLE) * 100) AS HUGEINT)) AS syy,
+        |         sum(CAST(round(value * 100) AS HUGEINT)
+        |             * CAST(round(CAST(day(ts) AS DOUBLE) * 100) AS HUGEINT)) AS sxy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000) / 10000
+        |         END AS corr
+        |FROM m""".stripMargin,
+
     // Mirrors Profile.winsorize: micro-scaled exact quartiles (same
     // interpolation as agg_quantiles), broadcast clamp.
     "scalar_winsorize" ->
@@ -283,6 +326,17 @@ object Oracles {
          |         PARTITION BY indicator
          |         ORDER BY value DESC, observation_day) AS INTEGER) AS day_rank,
          |       round(value * 10000 / sum(value) OVER (PARTITION BY indicator)) / 10000 AS share
+         |FROM d""".stripMargin,
+
+    // Mirrors windowCume: distinct ORDER BY keys make percent_rank and
+    // cume_dist exact rationals — no rounding needed.
+    "window_cume" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       percent_rank() OVER (PARTITION BY indicator
+         |         ORDER BY value, observation_day) AS pct_rank,
+         |       cume_dist() OVER (PARTITION BY indicator
+         |         ORDER BY value, observation_day) AS cume
          |FROM d""".stripMargin,
 
     "window_tumbling" ->
@@ -643,6 +697,30 @@ object Oracles {
         |GROUP BY 1
         |ORDER BY n DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    // Mirrors TextOps.tfidfTopK (logIdf=false): same tokenizer as
+    // vocab_topk, exact rational idf (N+1)/(df+1), integer-scaled
+    // rounding, (score desc, token) tiebreak.
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc, token, count(*) AS tf FROM (
+        |    SELECT doc_id AS doc,
+        |           unnest(list_filter(
+        |             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |             x -> len(x) > 0)) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc, token, tf, df,
+        |         round(tf * (n_docs + 1) * 10000.0 / (df + 1)) / 10000 AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc, token, tf, df, score, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+        |  FROM s)
+        |WHERE rank <= 3""".stripMargin,
 
     // Mirrors TextOps.redactPii/piiCount: email → IP → long-digit-run
     // replacement chain, each pattern counted on the text state it is

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
-import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SeriesOps, Similarity, Splits, TextOps, VectorQuant, VectorStats}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SeriesOps, Similarity, Splits, TextOps, VectorLsh, VectorQuant, VectorStats}
 
 /** The operator catalog: every SURVEY §2 operator (and the contract's
   * `[EXT]` training-data ops) expressed as a named query over the
@@ -326,6 +326,19 @@ object Queries {
         round(col("value") * lit(10000.0) / sum("value").over(byInd)) / 1e4)
   }
 
+  /** percent_rank + cume_dist per indicator: the full-distribution
+    * placement windows (curriculum position, percentile features).
+    * The day tiebreak makes every ORDER BY key distinct, so both are
+    * exact rationals — (rn−1)/(n−1) and rn/n — bit-identical across
+    * engines with no rounding needed. */
+  val windowCume: Q = (s, dir) => {
+    val w = Window.partitionBy("indicator")
+      .orderBy(col("value").asc, col("observation_day").asc)
+    dailySeries(s, dir)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+  }
+
   /** Tumbling event-time windows in batch mode — the same groupBy
     * shape [[graft.streaming.EventStreams.tumblingAgg]] runs on a
     * stream (SURVEY §2.J). Window starts emitted as epoch micros so
@@ -467,6 +480,13 @@ object Queries {
       k = 5, nprobe = 2)
   }
 
+  /** Hyperplane-LSH near-neighbor pairs at cosine ≥ 0.4 (rows-only:
+    * sign-bit signatures are engine-specific; VectorLshSpec pins
+    * determinism, subset-of-brute-force, and the keys-only explode). */
+  val similarityLsh: Q = (s, dir) =>
+    VectorLsh.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4)
+
   /** Int8 embedding quantization: per-vector scale + quantized bytes —
     * the 4× shuffle/storage cut applied before ANN at scale. The
     * quantized array is posexploded to one (vec_id, pos, q_i) row per
@@ -487,6 +507,23 @@ object Queries {
   val aggHistogram: Q = (s, dir) =>
     Profile.histogram(Tables.events(s, dir), Seq("event_type"), col("value"),
       lo = 0.0, hi = 500.0, nBuckets = 50)
+
+  /** Exact second moments per event type: mean / sample variance /
+    * sample stddev from cents-scaled DECIMAL power sums — order-
+    * independent, hence hash-identical in the oracle (naive stddev
+    * is summation-order noise). */
+  val aggStatsMoments: Q = (s, dir) =>
+    Profile.moments(Tables.events(s, dir), Seq("event_type"), col("value"))
+
+  /** Exact Pearson correlation of value vs day-of-month per event
+    * type — the drift probe ("does this metric trend through the
+    * month?"), closed-form over five integer partials. */
+  val aggCorr: Q = (s, dir) =>
+    Profile.pearsonCorr(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          dayofmonth(col("ts")).cast("double").as("d")),
+      Seq("event_type"), col("value"), col("d"))
 
   /** IQR winsorization: clamp each value to its event type's exact
     * [p25, p75]. Quartile fractions are binary-exact, so the
@@ -603,6 +640,12 @@ object Queries {
         md5(col("pack_text")).as("pack_md5"))
   }
 
+  /** TF-IDF top-3 salient terms per document (exact rational idf —
+    * see TextOps.tfidfTopK; the log-idf form is spec-tested). */
+  val textTfidf: Q = (s, dir) =>
+    TextOps.tfidfTopK(Tables.documents(s, dir), "doc_id", "text",
+      k = 3, logIdf = false)
+
   /** Corpus vocabulary: top-100 tokens by frequency (wordcount). */
   val vocabTopk: Q = (s, dir) =>
     TextOps.vocabTopK(Tables.documents(s, dir), "text", k = 100)
@@ -671,6 +714,8 @@ object Queries {
     "agg_quantiles" -> aggQuantiles,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
+    "agg_stats_moments" -> aggStatsMoments,
+    "agg_corr" -> aggCorr,
     "agg_cube" -> aggCube,
     "agg_mode" -> aggMode,
     "pivot_daily" -> pivotDaily,
@@ -684,6 +729,7 @@ object Queries {
     "window_mom" -> windowMom,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,
+    "window_cume" -> windowCume,
     "window_tumbling" -> windowTumbling,
     "window_session" -> windowSession,
     "series_asof" -> seriesAsof,
@@ -702,6 +748,7 @@ object Queries {
     "similarity_topk" -> similarityTopk,
     "similarity_ivf" -> similarityIvf,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
+    "similarity_lsh" -> similarityLsh,
     "embedding_quantize" -> embeddingQuantize,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
@@ -712,6 +759,7 @@ object Queries {
     "pack_budget" -> packBudget,
     "pack_concat" -> packConcat,
     "vocab_topk" -> vocabTopk,
+    "text_tfidf" -> textTfidf,
     "dedup_incremental" -> dedupIncremental,
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_decode_features" -> mmDecodeFeatures,

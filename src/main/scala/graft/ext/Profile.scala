@@ -39,6 +39,74 @@ object Profile {
       .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(w))
   }
 
+  /** Exact per-group second moments (mean, sample variance, sample
+    * stddev) over a 2-dp value column. Inputs are cents-scaled to exact
+    * BIGINTs and the power sums accumulate as DECIMAL(38,0), so the
+    * moments are order-independent and bit-identical in the DuckDB
+    * oracle (a naive `stddev(x)` differs per summation order). One
+    * map-side-combined shuffle of three partials per group — the same
+    * shape at 100 TB, where the decimal accumulator is also the
+    * overflow-proof path (Σx² over 10¹² cents-scaled rows exceeds
+    * BIGINT but sits far below 10³⁸).
+    *
+    * var = (n·Σx² − (Σx)²) / (n·(n−1)), computed on exact integers and
+    * converted to double once at the end (a single correctly-rounded
+    * conversion per engine). Groups with n = 1 get null variance.
+    */
+  def moments(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(value * 100).cast("long")
+    val agged = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(dec).as("__s1"),
+        sum((x * x).cast(dec)).as("__s2"))
+    val num = col("n").cast(dec) * col("__s2") - col("__s1") * col("__s1")
+    val den = (col("n") * (col("n") - 1)).cast("double")
+    val varUnits = num.cast("double") / den / 1e4 // cents² → units²
+    agged
+      .withColumn("mean", col("__s1").cast("double") / col("n") / 1e2)
+      // integer-scaled 4-dp rounding — see Queries (round(v·10⁴)/10⁴)
+      .withColumn("var_samp",
+        when(col("n") > 1, round(num.cast("double") / den) / 1e4))
+      .withColumn("stddev_samp",
+        when(col("n") > 1, round(sqrt(varUnits) * lit(10000.0)) / 1e4))
+      .drop("__s1", "__s2")
+  }
+
+  /** Exact per-group Pearson correlation of two 2-dp numeric columns,
+    * via the same cents-scaled DECIMAL power-sum discipline as
+    * [[moments]]: one shuffle of five integer partials, a closed-form
+    * ratio at the end, 4-dp integer-scaled rounding. Groups where
+    * either side is constant (zero denominator) get null.
+    */
+  def pearsonCorr(df: DataFrame, groupCols: Seq[String],
+      xCol: Column, yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(xCol * 100).cast("long")
+    val y = round(yCol * 100).cast("long")
+    val agged = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(dec).as("__sx"),
+        sum(y).cast(dec).as("__sy"),
+        sum((x * x).cast(dec)).as("__sxx"),
+        sum((y * y).cast(dec)).as("__syy"),
+        sum((x * y).cast(dec)).as("__sxy"))
+    val nD = col("n").cast(dec)
+    val cov = nD * col("__sxy") - col("__sx") * col("__sy")
+    val vx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nD * col("__syy") - col("__sy") * col("__sy")
+    agged
+      .withColumn("corr",
+        when(vx > 0 && vy > 0,
+          round(cov.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))) * lit(10000.0)) / 1e4))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
   /** Winsorization (outlier clipping): clamp `value` to its per-group
     * [pLo, pHi] exact percentiles — the standard pre-training numeric
     * hygiene step. Percentiles are computed over micro-scaled BIGINTs

@@ -157,6 +157,45 @@ object TextOps {
       .limit(k)
   }
 
+  /** TF-IDF salient terms: the `k` highest-scoring tokens per document
+    * — keyword extraction / topic features for corpus triage.
+    *
+    * Plan shape at scale: explode → partial-aggregated (doc, token, tf)
+    * shuffle; document frequency is one more partial agg over that
+    * (already-distinct) frame; the df side joins back by token (AQE
+    * broadcasts it when the vocabulary fits — it is |vocab| rows, not
+    * |tokens|); corpus size N enters as a broadcast 1-row aggregate
+    * (scalar-subquery shape — never a driver-side action); one per-doc
+    * window takes the top k. Nothing in the plan is quadratic and the
+    * full token stream is shuffled exactly once.
+    *
+    * `logIdf = true` is the classic tf·(ln((N+1)/(df+1)) + 1).
+    * `logIdf = false` scores tf·(N+1)/(df+1) — an exact rational, so
+    * results hash-match any ANSI engine bit-for-bit (ln is not
+    * correctly-rounded across libms); rankings agree with the log form
+    * per fixed tf, and the catalog uses this form for the oracle gate.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+      logIdf: Boolean = true): DataFrame = {
+    val nDocs = broadcast(df.agg(countDistinct(col(idCol)).as("__n_docs")))
+    val tf = df
+      .select(col(idCol).as("doc"), explode(regexTokens(col(textCol))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(docFreq, "token").join(nDocs)
+    val ratio = (col("__n_docs") + 1).cast("double") / (col("df") + 1).cast("double")
+    val score =
+      if (logIdf) round(col("tf") * (log(ratio) + 1) * lit(10000.0)) / 1e4
+      // integer-scaled rounding — see qualitySignals
+      else round(col("tf") * (col("__n_docs") + 1) * lit(10000.0) / (col("df") + 1)) / 1e4
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc", "token", "tf", "df", "score", "rank")
+  }
+
   /** PII scrub patterns, applied in order (emails first so their local
     * parts aren't half-eaten by the digit rule). Deliberately restricted
     * to syntax portable between Java regex and RE2 — character classes,

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hyperplane (random-projection / sign-bit) LSH for cosine
+  * similarity — the vector-side analog of [[Dedup.minhashLshPairs]]:
+  * candidate pairs come from equality joins on compact signatures,
+  * never an all-pairs product, and survivors are verified with the
+  * exact cosine. Charikar's SimHash-for-vectors scheme: for a random
+  * hyperplane w, P[sign(w·a) = sign(w·b)] = 1 − θ(a,b)/π, so an
+  * nBits-bit signature collides with probability (1 − θ/π)^nBits and
+  * `tables` independent signatures amplify recall to
+  * 1 − (1 − p^nBits)^tables (OR-of-ANDs banding).
+  *
+  * Hyperplanes are PSEUDO-random: component d of table t's bit-h plane
+  * is xxhash64("vlsh", t, h, d) scaled to [−1, 1) — deterministic
+  * across runs, executors, and cluster sizes, so signatures never need
+  * to be stored or broadcast and incremental batches hash consistently
+  * (the same property the md5-bucket split/sampling family relies on).
+  * Uniform components stand in for Gaussians: the sign of w·v is
+  * rotation-biased only negligibly for the collision bound, and the
+  * determinism is worth far more at scale than the exact constant.
+  *
+  * Plan shape: per-row signature computation (codegen'd HOF folds,
+  * O(tables·nBits·dim) hashes per vector), explode to `tables` rows of
+  * (id, t, sig) — three fixed-width columns, same discipline as
+  * [[Dedup.lshBandKeys]]: the exploded shuffle never carries the
+  * vector — equi-join on (t, sig), dedup, then vectors join back once
+  * per side for the exact-cosine verify. Output ⊆ the brute-force
+  * pair set at the same threshold (the verify is exact); recall is the
+  * amplified bound above (engine-specific signatures → rows-only at
+  * the oracle gate; semantics are spec-pinned).
+  */
+object VectorLsh {
+
+  /** Packed nBits-bit sign signature of `vec` against table `t`'s
+    * pseudo-random hyperplanes. nBits ≤ 63 (bits pack into a long). */
+  private[graft] def signature(vec: Column, t: Column, nBits: Int): Column = {
+    val dim = size(vec)
+    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, h) => {
+      val dot = aggregate(sequence(lit(0), dim - 1), lit(0.0d),
+        (a, d) => a + element_at(vec, d + 1).cast("double") *
+          (xxhash64(lit("vlsh"), t, h, d).cast("double") /
+            lit(9.223372036854776e18)))
+      shiftleft(acc, 1).bitwiseOR(when(dot > 0, lit(1L)).otherwise(lit(0L)))
+    })
+  }
+
+  /** Near-neighbor pairs with exact cosine ≥ `threshold`, candidates
+    * from `tables` independent sign-bit signatures. Unlike
+    * [[Dedup.embeddingCosinePairs]] this needs no precomputed blocking
+    * column — the signatures ARE the blocks. */
+  def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, tables: Int = 16): DataFrame = {
+    require(nBits >= 1 && nBits <= 63, "nBits must be in [1, 63]")
+    require(tables >= 1, "tables must be positive")
+    import graft.functions.VectorMath.cosineF
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // keys only — the tables×-exploded shuffle must not carry vectors
+    val keys = v.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(tables - 1)),
+        t => signature(col("v"), t, nBits))).as(Seq("t", "sig")))
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      // integer-scaled rounding — see Dedup.ngramJaccardPairs
+      .select(col("id_a"), col("id_b"),
+        (round(cosineF(col("v_a"), col("v_b")) * lit(10000.0)) / 1e4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -86,6 +86,33 @@ object LakeIO {
       .as[graft.fred.SilverObservation]
   }
 
+  /** ORC write, partition-overwriting — same dynamic-overwrite contract
+    * as [[writeParquet]] for deployments standardized on ORC (both are
+    * columnar with predicate-pushdown stats; the operators above are
+    * format-agnostic). */
+  def writeOrc(df: DataFrame, root: String,
+      partitionCols: Seq[String] = PartitionCols): Unit = {
+    dynamicOverwrite(df.sparkSession)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).orc(root)
+  }
+
+  def readOrc(spark: SparkSession, root: String): DataFrame =
+    spark.read.orc(root)
+
+  /** CSV read with an EXPLICIT schema — the interchange-format path for
+    * hand-off files. Never schema-infer (inference is a full extra scan
+    * and types drift per file — the same rule as [[readJson]]); header
+    * handling is by position with the header row skipped. */
+  def readCsv(spark: SparkSession, root: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(root)
+
+  def writeCsv(df: DataFrame, root: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(root)
+
   /** Bucketed catalog table write: co-locates rows by `bucketCols`
     * hash so joins and aggregations on those keys need no Exchange —
     * the pre-shuffle trade that pays for itself once a big table is

@@ -90,6 +90,21 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"decontam blew up: $secs s")
   }
 
+  smokeTest("minhash LSH pairs with maxBucket guard stay bounded at 100k docs") {
+    // 200-deep dup groups fill every band bucket: the pair form's
+    // C(200,2)-per-group degeneracy. maxBucket=50 skips those buckets
+    // (the cluster form owns deep groups); what remains must run in
+    // seconds now that the banded shuffle carries keys only — the r3
+    // form shuffled each doc's full shingle array bands=16×.
+    corpusSize
+    val t0 = System.nanoTime()
+    val n = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      verifyThreshold = 0.8, maxBucket = 50).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"lsh pairs (capped): $n pairs in ${secs.round} s")
+    assert(secs < 180, s"LSH pair dedup blew up: $secs s")
+  }
+
   smokeTest("simhash combination banding stays sub-quadratic at 100k docs") {
     // pieces=6 ⇒ 20 tables keyed on ~32 bits: random-hash buckets are
     // ≈ N/2³² ≪ 1; only true near-dup groups form buckets.

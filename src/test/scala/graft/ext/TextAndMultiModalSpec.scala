@@ -80,4 +80,41 @@ class TextAndMultiModalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
+
+  // ------------------------------------------------------------ tf-idf
+
+  private val tfidfDocs = Seq(
+    (1L, "apple apple banana common"),
+    (2L, "banana cherry common"),
+    (3L, "cherry cherry cherry common")
+  ).toDF("doc_id", "text")
+
+  test("tfidfTopK (log idf): rare repeated terms outrank corpus-wide ones") {
+    val out = TextOps.tfidfTopK(tfidfDocs, "doc_id", "text", k = 1)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: apple tf=2 df=1 beats common tf=1 df=3
+    assert(out(1L)._2 == "apple" && out(1L)._3 == 2L && out(1L)._4 == 1L)
+    assert(out(3L)._2 == "cherry")
+    // 'common' appears in every doc: idf = ln(4/4)+1 = 1, score = tf
+    val all = TextOps.tfidfTopK(tfidfDocs, "doc_id", "text", k = 10)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    val common = all.filter(_._2 == "common")
+    assert(common.forall(r => r._5 == r._3.toDouble))
+  }
+
+  test("tfidfTopK: rational and log idf agree on per-doc ranking here") {
+    def ranks(logIdf: Boolean) =
+      TextOps.tfidfTopK(tfidfDocs, "doc_id", "text", k = 10, logIdf = logIdf)
+        .as[(Long, String, Long, Long, Double, Int)].collect()
+        .map(r => (r._1, r._2) -> r._6).toMap
+    assert(ranks(logIdf = true) == ranks(logIdf = false))
+  }
+
+  test("tfidfTopK: corpus size N is in-plan (no driver-side count action)") {
+    // the N aggregate must appear as a broadcast join, not be collected
+    val plan = TextOps.tfidfTopK(tfidfDocs, "doc_id", "text", k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__n_docs"), s"N must be a plan-side aggregate:\n$plan")
+  }
 }

@@ -178,4 +178,39 @@ class FredOpsSpec extends SparkSpec {
     val pruned = after.filter(col("observation_month") === 2)
     assert(pruned.count() == 1)
   }
+
+  test("LakeIO ORC round-trip: dynamic partition overwrite, same contract as parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val jan = Seq(("DGS10", 2024, 1, "3.95"), ("DGS10", 2024, 2, "4.05"))
+      .toDF("indicator", "observation_year", "observation_month", "value")
+    graft.fred.io.LakeIO.writeOrc(jan, tmp)
+    // overwrite only month=1; month=2 must survive
+    val jan2 = jan.filter(col("observation_month") === 1)
+      .withColumn("value", lit("9.99"))
+    graft.fred.io.LakeIO.writeOrc(jan2, tmp)
+    val back = graft.fred.io.LakeIO.readOrc(spark, tmp)
+    assert(back.count() == 2)
+    assert(back.filter(col("observation_month") === 1)
+      .select("value").head().getString(0) == "9.99")
+    // ORC scans push filters like parquet (stats-backed columnar)
+    val scan = back.filter(col("value") === "9.99")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(value), EqualTo(value,9.99)]"),
+      s"filter not pushed to ORC scan:\n$scan")
+  }
+
+  test("LakeIO CSV round-trip with explicit schema (no inference scan)") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/out"
+    val df = Seq(("DGS10", 2024, 3.95), ("UNRATE", 2024, 4.1))
+      .toDF("indicator", "observation_year", "value")
+    graft.fred.io.LakeIO.writeCsv(df, tmp)
+    val schema = StructType(Seq(
+      StructField("indicator", StringType),
+      StructField("observation_year", IntegerType),
+      StructField("value", DoubleType)))
+    val back = graft.fred.io.LakeIO.readCsv(spark, tmp, schema)
+    assert(back.schema == schema) // declared, not inferred
+    assert(back.collect().toSet == df.collect().toSet)
+  }
 }
