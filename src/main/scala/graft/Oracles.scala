@@ -84,6 +84,20 @@ object Oracles {
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
 
+    // Mirrors Merge.scd2History: lead + row_number over one window,
+    // epoch_us ordering (matches Spark's microsecond truncation).
+    "merge_scd2" ->
+      """SELECT user_id, event_type, event_id, value,
+        |       valid_from, valid_to, version
+        |FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         epoch_us(ts) AS valid_from,
+        |         lead(epoch_us(ts)) OVER w AS valid_to,
+        |         CAST(row_number() OVER w AS INTEGER) AS version
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |               ORDER BY epoch_us(ts), event_id))""".stripMargin,
+
     "scalar_dates" ->
       """SELECT o_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
@@ -231,6 +245,22 @@ object Oracles {
         |                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000) / 10000
         |         END AS corr
         |FROM m""".stripMargin,
+
+    // Mirrors Profile.mad: exact medians in HALF-micro integer space
+    // (2x₆ and round(2m) are integers), single descale divisions.
+    "agg_mad" ->
+      """WITH x AS (SELECT event_type,
+        |                  CAST(round(value * 1000000) AS BIGINT) AS x6
+        |           FROM events),
+        |m AS (SELECT event_type, quantile_cont(x6, 0.5) AS m6
+        |      FROM x GROUP BY 1),
+        |d AS (SELECT x.event_type, m6,
+        |             abs(x6 * 2 - CAST(round(m6 * 2) AS BIGINT)) AS d2
+        |      FROM x JOIN m USING (event_type))
+        |SELECT event_type,
+        |       min(m6 / 1000000) AS median,
+        |       quantile_cont(d2, 0.5) / 2000000 AS mad
+        |FROM d GROUP BY 1""".stripMargin,
 
     // Mirrors Profile.winsorize: micro-scaled exact quartiles (same
     // interpolation as agg_quantiles), broadcast clamp.
@@ -390,6 +420,46 @@ object Oracles {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
          |  FROM u)
          |WHERE side = 1""".stripMargin,
+
+    // Mirrors SeriesOps.asofJoinTolerance: same union-window carry as
+    // series_asof plus the right time, staleness > 1 day → null. rv/rt
+    // are null together, so separate IGNORE NULLS carries stay paired.
+    "series_asof_tolerance" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),
+         |u AS (
+         |  SELECT indicator, observation_day, value, 1 AS side,
+         |         CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rt FROM d
+         |  UNION ALL
+         |  SELECT indicator, observation_day, NULL, 0, value,
+         |         CAST(observation_day AS BIGINT) FROM sparse)
+         |SELECT indicator, observation_day, value,
+         |       CASE WHEN observation_day - crt <= 1 THEN crv END AS asof_value
+         |FROM (
+         |  SELECT indicator, observation_day, value, side,
+         |         last_value(rv IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crv,
+         |         last_value(rt IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crt
+         |  FROM u)
+         |WHERE side = 1""".stripMargin,
+
+    // Mirrors SeriesOps.transitionCounts: lead over (user, time) then
+    // count + per-origin share.
+    "events_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS next_state
+        |  FROM events),
+        |c AS (SELECT event_type, next_state, count(*) AS n
+        |      FROM t WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_state, n,
+        |       round(n * 10000.0 / sum(n) OVER (PARTITION BY event_type)) / 10000
+        |         AS share
+        |FROM c""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
@@ -697,6 +767,28 @@ object Oracles {
         |GROUP BY 1
         |ORDER BY n DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    // Mirrors TextOps.vocabOverlap: distinct (source, token), token-
+    // keyed self-join, Jaccard with integer-scaled rounding.
+    "source_overlap" ->
+      """WITH gt AS (
+        |  SELECT DISTINCT source AS g, token FROM (
+        |    SELECT source,
+        |           unnest(list_filter(
+        |             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |             x -> len(x) > 0)) AS token
+        |    FROM documents)),
+        |sz AS (SELECT g, count(*) AS n_vocab FROM gt GROUP BY 1),
+        |ov AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_shared
+        |  FROM gt a JOIN gt b ON a.token = b.token AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT g_a, g_b, n_shared, sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+        |       round(n_shared * 10000.0 / (sa.n_vocab + sb.n_vocab - n_shared))
+        |         / 10000 AS jaccard
+        |FROM ov
+        |JOIN sz sa ON sa.g = g_a
+        |JOIN sz sb ON sb.g = g_b""".stripMargin,
 
     // Mirrors TextOps.tfidfTopK (logIdf=false): same tokenizer as
     // vocab_topk, exact rational idf (N+1)/(df+1), integer-scaled

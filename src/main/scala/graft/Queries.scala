@@ -109,6 +109,19 @@ object Queries {
     Merge.upsert(base, delta, Seq("user_id", "event_type"), Seq(col("event_id").desc))
   }
 
+  /** D2-ext — SCD-type-2 history: every (user, event_type) version
+    * with its validity interval instead of last-write-wins. Times as
+    * epoch micros so the compare is representation-free. */
+  val mergeScd2: Q = (s, dir) =>
+    Merge.scd2History(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"), unix_micros(col("ts")).as("ts_us")),
+        Seq("user_id", "event_type"), "ts_us",
+        Seq(col("ts_us").asc, col("event_id").asc))
+      .select("user_id", "event_type", "event_id", "value",
+        "valid_from", "valid_to", "version")
+
   /** C1/C2/C7 — date parsing/parts and string normalization. */
   val scalarDates: Q = (s, dir) =>
     Tables.orders(s, dir).select(
@@ -390,6 +403,24 @@ object Queries {
     SeriesOps.asofJoin(d, sparse, Seq("indicator"), "observation_day", "value")
   }
 
+  /** As-of with staleness bound: matches older than 1 day are nulled
+    * (day ≡ 2 mod 3 sits 2 days past its sparse anchor → null). */
+  val seriesAsofTolerance: Q = (s, dir) => {
+    val d = dailySeries(s, dir)
+    val sparse = d.filter(col("observation_day") % 3 === 0)
+    SeriesOps.asofJoinTolerance(d, sparse, Seq("indicator"),
+      "observation_day", "value", tolerance = 1L)
+  }
+
+  /** Markov transition matrix over each user's event sequence: step
+    * counts + per-origin share — the funnel/drop-off summary. */
+  val eventsTransitions: Q = (s, dir) =>
+    SeriesOps.transitionCounts(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      "user_id", "event_type", Seq("ts", "event_id"))
+      .select("event_type", "next_state", "n", "share")
+
   // ====================================================== [EXT] dedup
 
   val dedupExact: Q = (s, dir) =>
@@ -534,6 +565,12 @@ object Queries {
       Tables.events(s, dir).select("event_id", "event_type", "value"),
       Seq("event_type"), "value", pLo = 0.25, pHi = 0.75)
 
+  /** Robust scale profile: exact median + MAD per event type (the
+    * outlier-immune stddev — see Profile.mad's HALF-micro exactness
+    * argument). */
+  val aggMad: Q = (s, dir) =>
+    Profile.mad(Tables.events(s, dir), Seq("event_type"), "value")
+
   /** Corpus re-balancing: keep 10% of dominant 'en', half of 'es',
     * everything else — deterministic per-row hash membership, zero
     * shuffle, and the DuckDB oracle replays the exact sample. */
@@ -640,6 +677,11 @@ object Queries {
         md5(col("pack_text")).as("pack_md5"))
   }
 
+  /** Pairwise source vocabulary overlap — the corpus-composition
+    * diagnostic before merging crawls. |sources|²/2 output rows. */
+  val sourceOverlap: Q = (s, dir) =>
+    TextOps.vocabOverlap(Tables.documents(s, dir), "source", "text")
+
   /** TF-IDF top-3 salient terms per document (exact rational idf —
     * see TextOps.tfidfTopK; the log-idf form is spec-tested). */
   val textTfidf: Q = (s, dir) =>
@@ -701,6 +743,7 @@ object Queries {
     "fred_yearly_gold" -> fredYearlyGold,
     "fred_dedup_sync" -> fredDedupSync,
     "fred_upsert_merge" -> fredUpsertMerge,
+    "merge_scd2" -> mergeScd2,
     "scalar_dates" -> scalarDates,
     "join_star_revenue" -> joinStarRevenue,
     "join_semi" -> joinSemi,
@@ -716,6 +759,7 @@ object Queries {
     "agg_histogram" -> aggHistogram,
     "agg_stats_moments" -> aggStatsMoments,
     "agg_corr" -> aggCorr,
+    "agg_mad" -> aggMad,
     "agg_cube" -> aggCube,
     "agg_mode" -> aggMode,
     "pivot_daily" -> pivotDaily,
@@ -733,6 +777,8 @@ object Queries {
     "window_tumbling" -> windowTumbling,
     "window_session" -> windowSession,
     "series_asof" -> seriesAsof,
+    "series_asof_tolerance" -> seriesAsofTolerance,
+    "events_transitions" -> eventsTransitions,
     "join_range" -> joinRange,
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,
@@ -760,6 +806,7 @@ object Queries {
     "pack_concat" -> packConcat,
     "vocab_topk" -> vocabTopk,
     "text_tfidf" -> textTfidf,
+    "source_overlap" -> sourceOverlap,
     "dedup_incremental" -> dedupIncremental,
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_decode_features" -> mmDecodeFeatures,

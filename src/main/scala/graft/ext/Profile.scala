@@ -107,6 +107,32 @@ object Profile {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 
+  /** Median absolute deviation per group — the robust scale estimate
+    * (immune to the outliers that wreck stddev) behind robust
+    * z-scoring. Two exact medians: median of the micro-scaled values,
+    * then median of |x − m|. Medians interpolate at most halfway
+    * between two integers, so everything stays exact in HALF-micro
+    * units (2x₆ and round(2m) are integers) and both engines descale
+    * with single correctly-rounded IEEE divisions — hash-exact.
+    *
+    * Plan: two holistic `percentile` shuffles plus the deviation join
+    * (AQE broadcasts the |groups|-row medians frame). At 100 TB swap
+    * both percentiles for `approx_percentile` — same shape, sketch
+    * partials — and accept a rows-only check.
+    */
+  def mad(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val x6 = round(col(valueCol) * 1e6).cast("long")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(x6, lit(0.5)).as("__m6"))
+    df.join(med, groupCols) // no hint: AQE decides (see winsorize)
+      .withColumn("__d2", abs(x6 * 2 - round(col("__m6") * 2).cast("long")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        // min of a per-group constant — engine-neutral (vs first/any)
+        min(col("__m6") / 1e6).as("median"),
+        (percentile(col("__d2"), lit(0.5)) / 2e6).as("mad"))
+  }
+
   /** Winsorization (outlier clipping): clamp `value` to its per-group
     * [pLo, pHi] exact percentiles — the standard pre-training numeric
     * hygiene step. Percentiles are computed over micro-scaled BIGINTs

@@ -64,6 +64,57 @@ object SeriesOps {
       .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
   }
 
+  /** As-of join with a staleness bound: like [[asofJoin]], but a match
+    * older than `tolerance` (in `time` units; `time` must be numeric)
+    * is nulled out — the standard guard against carrying a quote/rate
+    * forward across a data gap. Same union-window plan (one shuffle,
+    * linear); the right time rides along in a struct so the distance
+    * check is per-row arithmetic after the carry. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+      time: String, rightVal: String, tolerance: Long,
+      outCol: String = "asof_value"): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    val leftCols = left.columns
+    val rvType = right.schema(rightVal).dataType
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(s"struct<v:${rvType.sql},t:bigint>"))
+    val rTagged = right.select((keys :+ time).map(col) :+
+        struct(col(rightVal).as("v"), col(time).cast("long").as("t")).as("__r"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.select(
+        (leftCols.map(col) :+ col("__side") :+ col("__r")).toSeq: _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn(outCol,
+        when(col(time).cast("long") - col("__carried.t") <= tolerance,
+          col("__carried.v")))
+      .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
+  }
+
+  /** Event-sequence transition counts: for each entity's time-ordered
+    * event stream, count (state → next state) steps and each step's
+    * share among transitions leaving that state — the Markov-chain
+    * summary behind funnel/drop-off analysis. One window shuffle on the
+    * entity key + one map-side-combined count shuffle; output is
+    * |states|², independent of input size. */
+  def transitionCounts(df: DataFrame, entityCol: String, stateCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    val share = Window.partitionBy(col(stateCol))
+    df.withColumn("next_state", lead(col(stateCol), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col(stateCol), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+      // integer-scaled rounding — see TextOps.qualitySignals
+      .withColumn("share",
+        round(col("n") * lit(10000.0) / sum("n").over(share)) / 1e4)
+  }
+
   /** Year-over-year change at monthly grain: value minus the value 12
     * observations earlier in the same series. */
   def yoyChange(df: DataFrame, keys: Seq[String], time: Seq[String],

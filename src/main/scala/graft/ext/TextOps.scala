@@ -157,6 +157,34 @@ object TextOps {
       .limit(k)
   }
 
+  /** Pairwise vocabulary overlap between groups (sources, languages,
+    * shards): distinct tokens per group, then Jaccard over every group
+    * pair — the corpus-composition diagnostic ("are these two crawls
+    * the same content?") run before merging sources.
+    *
+    * Plan shape: explode → distinct (group, token) — one shuffle,
+    * partial-agg collapsed to ≤ |vocab| rows per group — then a
+    * token-keyed self-join whose work is Σ (docs-per-token)², bounded
+    * by |groups| per bucket (a token occurs at most once per group
+    * after the distinct), i.e. ≤ |vocab|·|groups|² — never |docs|².
+    * Output is |groups|²/2 rows regardless of corpus size. */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val gt = df.select(col(groupCol).as("g"),
+        explode(regexTokens(col(textCol))).as("token"))
+      .distinct()
+    val sizes = gt.groupBy("g").agg(count(lit(1)).as("n_vocab"))
+    gt.as("a").join(gt.as("b"),
+        col("a.token") === col("b.token") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("g").as("g_a"), col("n_vocab").as("n_a")), "g_a")
+      .join(sizes.select(col("g").as("g_b"), col("n_vocab").as("n_b")), "g_b")
+      // integer-scaled rounding — see qualitySignals
+      .withColumn("jaccard",
+        round(col("n_shared") * lit(10000.0) /
+          (col("n_a") + col("n_b") - col("n_shared"))) / 1e4)
+  }
+
   /** TF-IDF salient terms: the `k` highest-scoring tokens per document
     * — keyword extraction / topic features for corpus triage.
     *

@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
 object VectorLsh {
 
   /** Packed nBits-bit sign signature of `vec` against table `t`'s
-    * pseudo-random hyperplanes. nBits ≤ 63 (bits pack into a long). */
+    * pseudo-random hyperplanes — the ALGEBRAIC reference form, kept for
+    * the equivalence spec. The hot path uses the codegen'd
+    * [[graft.functions.VectorLshSigs.signatures]] (bit-identical; the
+    * interpreted nested lambdas here cost ~8 s / 500 vectors). */
   private[graft] def signature(vec: Column, t: Column, nBits: Int): Column = {
     val dim = size(vec)
     aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, h) => {
@@ -57,10 +60,12 @@ object VectorLsh {
     require(tables >= 1, "tables must be positive")
     import graft.functions.VectorMath.cosineF
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // keys only — the tables×-exploded shuffle must not carry vectors
+    // keys only — the tables×-exploded shuffle must not carry vectors.
+    // Signatures come from the single-pass codegen'd expression; the
+    // algebraic twin above is spec-pinned bit-identical.
     val keys = v.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)),
-        t => signature(col("v"), t, nBits))).as(Seq("t", "sig")))
+      posexplode(graft.functions.VectorLshSigs.signatures(col("v"), nBits, tables))
+        .as(Seq("t", "sig")))
     val cand = keys.as("a").join(keys.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))

@@ -36,4 +36,23 @@ object Merge {
       .unionByName(delta.withColumn("__src", lit(1)))
     latestByKey(tagged, keys, col("__src").desc +: recency).drop("__src")
   }
+
+  /** SCD-type-2 history: instead of keeping only the latest row per
+    * key ([[latestByKey]] / the reference's ON CONFLICT overwrite),
+    * keep EVERY version with its validity interval — `valid_from` =
+    * the row's own event time, `valid_to` = the next version's (null
+    * while current), `version` = 1-based ordinal. The warehouse-
+    * standard "what did this key say at time t" surface, and the
+    * point-in-time lookup is then an as-of join against it.
+    *
+    * One key-partitioned window (lead + row_number share the single
+    * sort) — one shuffle, no driver state, any scale. `orderCols` must
+    * totally order versions per key — pass a tiebreak. */
+  def scd2History(df: DataFrame, keys: Seq[String], timeCol: String,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toSeq: _*).orderBy(orderCols: _*)
+    df.withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+  }
 }

@@ -55,6 +55,56 @@ class ProfileAndSamplingSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ mad / moments
+
+  test("mad: exact median and median-absolute-deviation, outlier-robust") {
+    // 1..9 plus an extreme outlier: median 5.5, |x−5.5| medians stay tame
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("g", "v")
+    val out = Profile.mad(df, Seq("g"), "v")
+      .select("median", "mad").as[(Double, Double)].head()
+    // 10 values → median = (5+6)/2 = 5.5; deviations sorted:
+    // 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 → mad = (2.5+2.5)/2
+    assert(out == ((5.5, 2.5)))
+  }
+
+  test("moments: variance matches the two-pass definition exactly") {
+    val xs = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
+    val df = xs.map(("g", _)).toDF("g", "v")
+    val out = Profile.moments(df, Seq("g"), col("v"))
+      .select("n", "mean", "var_samp", "stddev_samp")
+      .as[(Long, Double, Double, Double)].head()
+    val m = xs.sum / xs.size
+    val v2 = xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    assert(out._1 == 8L && out._2 == m)
+    assert(out._3 == math.round(v2 * 1e4) / 1e4)
+    assert(out._4 == math.round(math.sqrt(v2) * 1e4) / 1e4)
+    // single-row group: defined mean, null variance
+    val one = Seq(("h", 3.0)).toDF("g", "v")
+    val r1 = Profile.moments(one, Seq("g"), col("v"))
+      .select("mean", "var_samp").as[(Double, Option[Double])].head()
+    assert(r1 == ((3.0, None)))
+  }
+
+  test("moments and pearsonCorr are partitioning-invariant (integer partials)") {
+    val df = (1 to 500).map(i => ("g" + (i % 3), i * 0.37, (i % 31).toDouble))
+      .toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      (Profile.moments(d, Seq("g"), col("x")).collect().toSet,
+        Profile.pearsonCorr(d, Seq("g"), col("x"), col("y")).collect().toSet)
+    assert(run(df) == run(df.repartition(13)))
+  }
+
+  test("pearsonCorr: ±1 on perfectly linear data, null on constant side") {
+    val df = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 1)).toDF("g", "x", "y")
+    val r = Profile.pearsonCorr(df, Seq("g"), col("x"), col("y"))
+      .select("corr").as[Option[Double]].head()
+    assert(r.contains(1.0))
+    val const = (1 to 20).map(i => ("g", i.toDouble, 7.0)).toDF("g", "x", "y")
+    val rc = Profile.pearsonCorr(const, Seq("g"), col("x"), col("y"))
+      .select("corr").as[Option[Double]].head()
+    assert(rc.isEmpty)
+  }
+
   // ------------------------------------------------------- sampling
 
   test("hashSample: deterministic, append-invariant membership") {

@@ -135,4 +135,31 @@ class SimilarityAndSeriesSpec extends SparkSpec {
       ("X", 5, Some(40.0)),
       ("Y", 1, None)))       // key isolation
   }
+
+  test("asofJoinTolerance: matches staler than the bound null out") {
+    val left = Seq(("X", 2), ("X", 3), ("X", 5)).toDF("indicator", "t")
+    val right = Seq(("X", 2, 20.0)).toDF("indicator", "t", "v")
+    val out = SeriesOps.asofJoinTolerance(left, right, Seq("indicator"),
+        "t", "v", tolerance = 1L)
+      .select("t", "asof_value").as[(Int, Option[Double])].collect().toSet
+    assert(out == Set(
+      (2, Some(20.0)),  // distance 0
+      (3, Some(20.0)),  // distance 1 == tolerance
+      (5, None)))       // distance 3 > tolerance: stale, nulled
+  }
+
+  test("transitionCounts: per-origin step counts and shares") {
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
+      (2L, "a", 1L), (2L, "c", 2L)
+    ).toDF("user_id", "state", "seq")
+    val out = SeriesOps.transitionCounts(ev, "user_id", "state", Seq("seq"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // origin a: a→b twice, a→c once → shares 2/3 and 1/3 (4-dp)
+    assert(out(("a", "b")) == ((2L, 0.6667)))
+    assert(out(("a", "c")) == ((1L, 0.3333)))
+    assert(out(("b", "a")) == ((1L, 1.0)))
+    assert(!out.contains(("b", null))) // terminal steps excluded
+  }
 }

@@ -111,6 +111,22 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(ranks(logIdf = true) == ranks(logIdf = false))
   }
 
+  test("vocabOverlap: pairwise Jaccard over distinct group vocabularies") {
+    val docs = Seq(
+      ("s1", "alpha beta gamma"),
+      ("s1", "alpha delta"),          // s1 vocab: alpha beta gamma delta
+      ("s2", "alpha beta epsilon"),   // s2 vocab: alpha beta epsilon
+      ("s3", "zeta eta")              // s3: disjoint
+    ).toDF("source", "text")
+    val out = TextOps.vocabOverlap(docs, "source", "text")
+      .select("g_a", "g_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // s1∩s2 = {alpha, beta} → J = 2/(4+3−2) = 0.4
+    assert(out(("s1", "s2")) == ((2L, 0.4)))
+    assert(!out.keySet.exists { case (a, b) => a == "s3" || b == "s3" })
+  }
+
   test("tfidfTopK: corpus size N is in-plan (no driver-side count action)") {
     // the N aggregate must appear as a broadcast join, not be collected
     val plan = TextOps.tfidfTopK(tfidfDocs, "doc_id", "text", k = 3)

@@ -45,6 +45,24 @@ class VectorLshSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native signature expression ≡ algebraic form, bit for bit") {
+    // randomish but deterministic vectors, odd dims included
+    val dims = Seq(1, 3, 8, 32)
+    val data = dims.zipWithIndex.map { case (dim, i) =>
+      (i.toLong, (0 until dim).map(d => ((d * 37 + i * 13) % 19 - 9) / 7.0f))
+    }.toDF("vec_id", "embedding")
+    val nBits = 8
+    val tables = 16
+    val native = data.select(col("vec_id"),
+        graft.functions.VectorLshSigs.signatures(col("embedding"), nBits, tables).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val algebraic = data.select(col("vec_id"),
+        transform(sequence(lit(0), lit(tables - 1)),
+          t => VectorLsh.signature(col("embedding"), t, nBits)).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == algebraic)
+  }
+
   test("exploded signature frame carries keys only (no vector column)") {
     val plan = VectorLsh.cosineLshPairs(vecs, "vec_id", "embedding", 0.5)
       .queryExecution.optimizedPlan.toString

@@ -153,6 +153,22 @@ class FredOpsSpec extends SparkSpec {
       "DO UPDATE SET value = EXCLUDED.value")
   }
 
+  test("scd2History: validity intervals chain, current row open-ended") {
+    val rows = Seq(
+      ("k1", 10L, "a"), ("k1", 20L, "b"), ("k1", 30L, "c"), ("k2", 5L, "x")
+    ).toDF("key", "t", "v")
+    val out = Merge.scd2History(rows, Seq("key"), "t", Seq(col("t").asc))
+      .select("key", "t", "v", "valid_from", "valid_to", "version")
+      .as[(String, Long, String, Long, Option[Long], Int)].collect()
+      .sortBy(r => (r._1, r._6))
+    assert(out.map(r => (r._1, r._4, r._5, r._6)).toSeq == Seq(
+      ("k1", 10L, Some(20L), 1), // superseded at 20
+      ("k1", 20L, Some(30L), 2),
+      ("k1", 30L, None, 3),      // current version: open interval
+      ("k2", 5L, None, 1)))
+    // intervals tile: every valid_to equals the next valid_from
+  }
+
   // ------------------------------------------------------------ LakeIO
 
   test("LakeIO round-trip: dynamic partition overwrite replaces only written partitions") {
