@@ -246,6 +246,32 @@ object Oracles {
         |         END AS corr
         |FROM m""".stripMargin,
 
+    // Mirrors Profile.linearFit: same power sums as agg_corr; the
+    // intercept chain reuses the unrounded slope operation-for-
+    // operation, descaled last.
+    "agg_linfit" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(round(CAST(day(ts) AS DOUBLE) * 100) AS HUGEINT)) AS sx,
+        |         sum(CAST(round(value * 100) AS HUGEINT)) AS sy,
+        |         sum(CAST(round(CAST(day(ts) AS DOUBLE) * 100) AS HUGEINT)
+        |             * CAST(round(CAST(day(ts) AS DOUBLE) * 100) AS HUGEINT)) AS sxx,
+        |         sum(CAST(round(CAST(day(ts) AS DOUBLE) * 100) AS HUGEINT)
+        |             * CAST(round(value * 100) AS HUGEINT)) AS sxy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |       CASE WHEN n * sxx - sx * sx > 0 THEN
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |               / CAST(n * sxx - sx * sx AS DOUBLE) * 10000) / 10000
+        |         END AS slope,
+        |       CASE WHEN n * sxx - sx * sx > 0 THEN
+        |         round((CAST(sy AS DOUBLE)
+        |                - CAST(n * sxy - sx * sy AS DOUBLE)
+        |                  / CAST(n * sxx - sx * sx AS DOUBLE)
+        |                  * CAST(sx AS DOUBLE)) / n / 100 * 10000) / 10000
+        |         END AS intercept
+        |FROM m""".stripMargin,
+
     // Mirrors Profile.mad: exact medians in HALF-micro integer space
     // (2x₆ and round(2m) are integers), single descale divisions.
     "agg_mad" ->
@@ -333,6 +359,27 @@ object Oracles {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS "view"
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Mirrors unpivotDaily: explicit UNION ALL melt of the pivot
+    // (engine UNPIVOT null defaults differ; nulls dropped both sides).
+    "unpivot_daily" ->
+      """WITH p AS (
+        |  SELECT CAST(day(ts) AS INTEGER) AS observation_day,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS "view"
+        |  FROM events GROUP BY 1)
+        |SELECT observation_day, 'click' AS event_type, click AS value_sum FROM p WHERE click IS NOT NULL
+        |UNION ALL
+        |SELECT observation_day, 'error', error FROM p WHERE error IS NOT NULL
+        |UNION ALL
+        |SELECT observation_day, 'purchase', purchase FROM p WHERE purchase IS NOT NULL
+        |UNION ALL
+        |SELECT observation_day, 'signup', signup FROM p WHERE signup IS NOT NULL
+        |UNION ALL
+        |SELECT observation_day, 'view', "view" FROM p WHERE "view" IS NOT NULL""".stripMargin,
 
     "window_mom" ->
       s"""WITH d AS ($dailySeriesCte)
@@ -499,6 +546,21 @@ object Oracles {
         |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
+
+    // Mirrors Dedup.editDistancePairs: canonical text, 16-byte prefix
+    // block + length band (a Levenshtein lower bound), exact verify.
+    "dedup_editdist" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS canon
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.canon, b.canon) AS INTEGER) AS dist
+        |FROM c a JOIN c b
+        |  ON substr(a.canon, 1, 16) = substr(b.canon, 1, 16)
+        | AND a.doc_id < b.doc_id
+        | AND abs(strlen(a.canon) - strlen(b.canon)) <= 8
+        |WHERE levenshtein(a.canon, b.canon) <= 8""".stripMargin,
 
     // Mirrors Decontam.overlapStats: distinct 5-gram shingles of each
     // training doc probed against the benchmark's distinct shingle set

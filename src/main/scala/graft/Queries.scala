@@ -314,6 +314,23 @@ object Queries {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg((sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
 
+  /** Unpivot (melt): the wide pivot back to long — the reshape pair
+    * proving both directions round-trip. Nulls dropped on both sides
+    * (engines differ on default null retention). */
+  val unpivotDaily: Q = (s, dir) =>
+    pivotDaily(s, dir)
+      .unpivot(Array(col("observation_day")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "value_sum")
+      .filter(col("value_sum").isNotNull)
+
+  /** Edit-distance near-dups over canonical text: 16-byte prefix
+    * blocking + length band, threshold-bounded Levenshtein verify. */
+  val dedupEditdist: Q = (s, dir) =>
+    Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+      maxDist = 8)
+
   // ==================================================== [EXT] windows
 
   /** lag — period-over-period change (FRED MoM analog at day grain).
@@ -565,6 +582,15 @@ object Queries {
       Tables.events(s, dir).select("event_id", "event_type", "value"),
       Seq("event_type"), "value", pLo = 0.25, pHi = 0.75)
 
+  /** OLS trend per event type: value regressed on day-of-month from
+    * the same exact power sums as agg_corr — drift detection. */
+  val aggLinfit: Q = (s, dir) =>
+    Profile.linearFit(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          dayofmonth(col("ts")).cast("double").as("d")),
+      Seq("event_type"), col("d"), col("value"))
+
   /** Robust scale profile: exact median + MAD per event type (the
     * outlier-immune stddev — see Profile.mad's HALF-micro exactness
     * argument). */
@@ -760,9 +786,11 @@ object Queries {
     "agg_stats_moments" -> aggStatsMoments,
     "agg_corr" -> aggCorr,
     "agg_mad" -> aggMad,
+    "agg_linfit" -> aggLinfit,
     "agg_cube" -> aggCube,
     "agg_mode" -> aggMode,
     "pivot_daily" -> pivotDaily,
+    "unpivot_daily" -> unpivotDaily,
     "scalar_winsorize" -> scalarWinsorize,
     "sample_stratified" -> sampleStratified,
     "sample_hash" -> sampleHash,
@@ -787,6 +815,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_editdist" -> dedupEditdist,
     "decontam_overlap" -> decontamOverlap,
     "split_assign" -> splitAssign,
     "agg_distinct" -> aggDistinct,

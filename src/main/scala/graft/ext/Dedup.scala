@@ -351,6 +351,46 @@ object Dedup {
       .select("id_a", "id_b", "n_shared", "containment")
   }
 
+  // ------------------------------------------------- edit distance
+
+  /** Edit-distance near-dup pairs over canonical text — the
+    * short-string family (titles, queries, product names) where
+    * set-similarity is too coarse and character-level distance is the
+    * metric. Candidates share a `prefixLen`-byte canonical prefix and
+    * sit within `maxDist` of each other's length (a Levenshtein lower
+    * bound, so the length band never loses a true pair); the verify is
+    * Spark's threshold-bounded `levenshtein`, which early-exits above
+    * `maxDist` (O(maxDist·n) per pair, not O(n²)).
+    *
+    * Standard blocking trade-off, stated: a pair whose edits touch the
+    * shared prefix is missed — prefix blocking is the classic
+    * first-pass; compose with [[ngramJaccardPairs]] when full recall
+    * matters. `maxBucket` guards against prefix-boilerplate corpora
+    * (the same giant-bucket anti-join as the LSH pair form). Work is
+    * Σ bucket², never |docs|².
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, prefixLen: Int = 16, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && prefixLen > 0, "need maxDist >= 0, prefixLen > 0")
+    val keyedAll = df.select(col(idCol).as("doc"),
+        graft.functions.CanonText.canon(col(textCol)).as("canon"))
+      .withColumn("p", substring(col("canon"), 1, prefixLen))
+      .withColumn("len", length(col("canon")))
+    val keyed =
+      if (maxBucket == Int.MaxValue) keyedAll
+      else {
+        val giant = keyedAll.groupBy("p").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket).select("p")
+        keyedAll.join(broadcast(giant), Seq("p"), "left_anti")
+      }
+    keyed.as("a").join(keyed.as("b"),
+        col("a.p") === col("b.p") && col("a.doc") < col("b.doc") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        levenshtein(col("a.canon"), col("b.canon"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // threshold form returns -1 above maxDist
+  }
+
   // ---------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs within blocks: candidate pairs share a

@@ -107,6 +107,42 @@ object Profile {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 
+  /** Per-group ordinary-least-squares line y = slope·x + intercept —
+    * closed form over the SAME five cents-scaled DECIMAL power sums as
+    * [[pearsonCorr]] (one shuffle, exact integers; the scale factor
+    * cancels in the slope and divides out of the intercept). The trend
+    * estimator behind drift detection. Constant-x groups get nulls.
+    * The intercept chain reuses the UNROUNDED slope and descales last —
+    * mirrored operation-for-operation in the oracle so every IEEE step
+    * is identical. */
+  def linearFit(df: DataFrame, groupCols: Seq[String],
+      xCol: Column, yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(xCol * 100).cast("long")
+    val y = round(yCol * 100).cast("long")
+    val agged = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(dec).as("__sx"),
+        sum(y).cast(dec).as("__sy"),
+        sum((x * x).cast(dec)).as("__sxx"),
+        sum((x * y).cast(dec)).as("__sxy"))
+    val nD = col("n").cast(dec)
+    val cov = nD * col("__sxy") - col("__sx") * col("__sy")
+    val vx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val slope = cov.cast("double") / vx.cast("double")
+    val intercept =
+      (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+        col("n") / 1e2
+    agged
+      .withColumn("slope",
+        when(vx > 0, round(slope * lit(10000.0)) / 1e4))
+      .withColumn("intercept",
+        when(vx > 0, round(intercept * lit(10000.0)) / 1e4))
+      .drop("__sx", "__sy", "__sxx", "__sxy")
+  }
+
   /** Median absolute deviation per group — the robust scale estimate
     * (immune to the outliers that wreck stddev) behind robust
     * z-scoring. Two exact medians: median of the micro-scaled values,

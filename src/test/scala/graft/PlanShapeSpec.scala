@@ -138,6 +138,24 @@ class PlanShapeSpec extends SparkSpec {
       s"AQE should broadcast the tiny bounds frame at catalog scale:\n$plan")
   }
 
+  test("scd2 history plans one shuffle: lead and row_number share the window sort") {
+    val plan = executed(Queries.all("merge_scd2")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"scd2 must cost one key-partitioned shuffle:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 1 && !plan.contains("Exchange rangepartitioning"),
+      s"no global sort in scd2:\n$plan")
+  }
+
+  test("moments/corr/linfit plan partial+final aggregation around one exchange") {
+    for (q <- Seq("agg_stats_moments", "agg_corr", "agg_linfit")) {
+      val plan = executed(Queries.all(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q must partial-aggregate map-side:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"$q must cost exactly one shuffle:\n$plan")
+    }
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)

@@ -105,6 +105,31 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 180, s"LSH pair dedup blew up: $secs s")
   }
 
+  smokeTest("profiling aggregates scan 10M rows in single-shuffle plans") {
+    // events sf0.1 × 100 = 10M rows: the profiling family must stay a
+    // single map-side-combined shuffle each — histogram buckets,
+    // DECIMAL power-sum moments, correlation. (Medians/winsorize are
+    // documented holistic — excluded; their scale path is
+    // approx_percentile.)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_type"), col("value"), dayofmonth(col("ts")).cast("double").as("d"))
+    val big = (0 until 100).map(i => ev.withColumn("value", col("value") + i * 0.01))
+      .reduce(_.unionByName(_)).repartition(16).cache()
+    val total = big.count()
+    assert(total == 10000000L)
+    val t0 = System.nanoTime()
+    val h = graft.ext.Profile.histogram(big, Seq("event_type"), col("value"),
+      0.0, 600.0, 60).count()
+    val m = graft.ext.Profile.moments(big, Seq("event_type"), col("value")).count()
+    val c = graft.ext.Profile.pearsonCorr(big, Seq("event_type"),
+      col("value"), col("d")).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"10M-row histogram($h)+moments($m)+corr($c) in ${secs.round} s")
+    assert(m == 5 && c == 5)
+    assert(secs < 120, s"profiling scan blew up: $secs s")
+    big.unpersist()
+  }
+
   smokeTest("simhash combination banding stays sub-quadratic at 100k docs") {
     // pieces=6 ⇒ 20 tables keyed on ~32 bits: random-hash buckets are
     // ≈ N/2³² ≪ 1; only true near-dup groups form buckets.

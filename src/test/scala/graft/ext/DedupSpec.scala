@@ -83,6 +83,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(clones, "doc_id", "text", maxBucket = 10).count() == 6)
   }
 
+  test("editDistancePairs: canonical-prefix blocking + bounded Levenshtein verify") {
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 10)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // 1/2/5 share canonical text exactly → dist 0
+    assert(out((1L, 2L)) == 0 && out((1L, 5L)) == 0 && out((2L, 5L)) == 0)
+    // "today" vs "yesterday": same 16-byte prefix, lev("today","yesterday")=5
+    assert(out((1L, 3L)) == 5)
+    // doc 4 shares no prefix with anything
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // tighter bound drops the near pair but keeps exact dups
+    val tight = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 2)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(tight == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
   test("lshBandKeys: banded frame is (doc, band_idx, band_hash) only — no arrays") {
     // the band-key shuffle is the heaviest in LSH; it must never carry
     // the shingle array (r3 did: ~bands× extra shuffle volume)

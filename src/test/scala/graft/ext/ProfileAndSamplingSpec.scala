@@ -94,6 +94,18 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("linearFit: recovers slope/intercept of exact linear data") {
+    val df = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 3)).toDF("g", "x", "y")
+    val out = Profile.linearFit(df, Seq("g"), col("x"), col("y"))
+      .select("slope", "intercept").as[(Option[Double], Option[Double])].head()
+    assert(out == ((Some(2.0), Some(3.0))))
+    // constant x: no fit
+    val const = (1 to 20).map(i => ("g", 5.0, i.toDouble)).toDF("g", "x", "y")
+    val rc = Profile.linearFit(const, Seq("g"), col("x"), col("y"))
+      .select("slope").as[Option[Double]].head()
+    assert(rc.isEmpty)
+  }
+
   test("pearsonCorr: ±1 on perfectly linear data, null on constant side") {
     val df = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 1)).toDF("g", "x", "y")
     val r = Profile.pearsonCorr(df, Seq("g"), col("x"), col("y"))
