@@ -760,6 +760,30 @@ object Queries {
       .select("doc_id", "quality_score", "split")
   }
 
+  /** The curation composite with NEAR-dup dedup: same four stages as
+    * [[curateCorpus]] but the keep-set comes from MinHash cluster
+    * representatives (doc == cluster) instead of exact-hash groups —
+    * the form recommended at 100 TB, where duplicate groups are deep
+    * and pair enumeration is quadratic. Rows-only at the gate (LSH
+    * banding is engine-specific); the exact-dedup twin above is the
+    * hash-checked oracle anchor, and near-dedup can only remove MORE
+    * rows than exact (spec-pinned). */
+  val curateCorpusNear: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val scored = TextOps.qualityScore(TextOps.qualitySignals(train))
+      .filter(col("quality_score") >= 0.5)
+      .select("doc_id", "text", "quality_score")
+    val keep = Dedup.minhashClusters(scored, "doc_id", "text")
+      .filter(col("doc") === col("cluster"))
+      .select(col("doc").as("doc_id"))
+    val deduped = scored.join(keep, Seq("doc_id"), "left_semi")
+    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
+    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
+      .select("doc_id", "quality_score", "split")
+  }
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -839,6 +863,7 @@ object Queries {
     "dedup_incremental" -> dedupIncremental,
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_decode_features" -> mmDecodeFeatures,
-    "curate_corpus" -> curateCorpus
+    "curate_corpus" -> curateCorpus,
+    "curate_corpus_near" -> curateCorpusNear
   )
 }

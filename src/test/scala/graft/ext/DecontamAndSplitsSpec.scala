@@ -89,4 +89,20 @@ class DecontamAndSplitsSpec extends SparkSpec {
       Splits.assign(docs, "doc_id", Seq("a" -> 110, "b" -> -10))
     }
   }
+
+  test("near-dup curation keeps a subset of the exact-dedup curation") {
+    // the near-dup keep-set collapses every RAW-identical dup group
+    // (identical docs share every band) and possibly more, so the
+    // composite's survivors ⊆ the exact composite's on this corpus.
+    // (Exact dedup canonicalizes case/whitespace and minhash does not,
+    // so a corpus of case-variant dups could break the subset — this
+    // corpus's duplicate groups are raw-identical.)
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.Queries.all("curate_corpus")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val near = graft.Queries.all("curate_corpus_near")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(near.nonEmpty && near.subsetOf(exact),
+      s"near-dedup must only remove more: |near|=${near.size} |exact|=${exact.size}")
+  }
 }
