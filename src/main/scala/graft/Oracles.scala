@@ -302,6 +302,43 @@ object Oracles {
         |       least(greatest(value, lo), hi) AS value_w
         |FROM events JOIN b USING (event_type)""".stripMargin,
 
+    // Mirrors Profile.zscore: same power sums as agg_stats_moments,
+    // every IEEE step from integer sums to z mirrored in order.
+    "scalar_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(round(value * 100) AS HUGEINT)) AS s1,
+        |         sum(CAST(round(value * 100) AS HUGEINT)
+        |             * CAST(round(value * 100) AS HUGEINT)) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0 THEN
+        |         round((value - CAST(s1 AS DOUBLE) / n / 100)
+        |               / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |                      / CAST(n * (n - 1) AS DOUBLE) / 10000)
+        |               * 10000) / 10000
+        |         END AS zscore
+        |FROM events JOIN st USING (event_type)""".stripMargin,
+
+    // Mirrors Clean.imputeGroupMean over the fred_clean_cast extract
+    // chain: sentinel → try_cast, per-type exact mean fills nulls.
+    "scalar_impute" ->
+      """WITH x AS (
+        |  SELECT event_id, event_type,
+        |         TRY_CAST(CASE WHEN json_extract_string(props, '$.k') = '.'
+        |                       THEN NULL
+        |                       ELSE json_extract_string(props, '$.k') END
+        |                  AS DOUBLE) AS k
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |             CAST(sum(CAST(round(k * 1000000) AS BIGINT)) AS DOUBLE)
+        |               / count(k) / 1000000 AS mean
+        |      FROM x GROUP BY 1)
+        |SELECT event_id, event_type, k,
+        |       coalesce(k, mean) AS k_filled,
+        |       CAST(k IS NULL AND mean IS NOT NULL AS INTEGER) AS was_imputed
+        |FROM x JOIN m USING (event_type)""".stripMargin,
+
     // Mirrors Sampling.stratified: same md5 60-bit bucket as
     // split_assign, thresholded per stratum.
     "sample_stratified" ->

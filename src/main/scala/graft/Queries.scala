@@ -573,6 +573,28 @@ object Queries {
           dayofmonth(col("ts")).cast("double").as("d")),
       Seq("event_type"), col("value"), col("d"))
 
+  /** Per-group z-score standardization over the exact power sums —
+    * the feature-normalization per-row companion of agg_stats_moments. */
+  val scalarZscore: Q = (s, dir) =>
+    Profile.zscore(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      Seq("event_type"), "value")
+
+  /** Mean imputation on the JSON-extracted `k` column (the same
+    * sentinel→try_cast chain as fred_clean_cast, but rows with missing
+    * k survive and take their event type's exact mean). */
+  val scalarImpute: Q = (s, dir) => {
+    val withVal = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("raw_k"))
+      .withColumn("k",
+        Clean.lenientDouble(
+          when(col("raw_k") === Clean.MissingSentinel, lit(null))
+            .otherwise(col("raw_k"))))
+    Clean.imputeGroupMean(withVal, Seq("event_type"), "k")
+      .select("event_id", "event_type", "k", "k_filled", "was_imputed")
+  }
+
   /** IQR winsorization: clamp each value to its event type's exact
     * [p25, p75]. Quartile fractions are binary-exact, so the
     * interpolation — hence the clamp — is bit-identical in the oracle
@@ -816,6 +838,8 @@ object Queries {
     "pivot_daily" -> pivotDaily,
     "unpivot_daily" -> unpivotDaily,
     "scalar_winsorize" -> scalarWinsorize,
+    "scalar_zscore" -> scalarZscore,
+    "scalar_impute" -> scalarImpute,
     "sample_stratified" -> sampleStratified,
     "sample_hash" -> sampleHash,
     "sample_cap_per_group" -> sampleCapPerGroup,

@@ -107,6 +107,34 @@ object Profile {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 
+  /** Per-group z-score standardization: z = (x − mean)/stddev with the
+    * mean and (sample) stddev derived from the same exact cents-scaled
+    * DECIMAL power sums as [[moments]] — the stats frame is |groups|
+    * rows (AQE broadcasts the join; data side never shuffles) and
+    * every IEEE step from the integer sums to z is mirrored
+    * operation-for-operation in the oracle. Constant groups (zero
+    * variance) and single-row groups get null. 4-dp integer-scaled
+    * rounding on z. */
+  def zscore(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(col(valueCol) * 100).cast("long")
+    val stats = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(x).cast(dec).as("__s1"),
+        sum((x * x).cast(dec)).as("__s2"))
+    val num = col("__n").cast(dec) * col("__s2") - col("__s1") * col("__s1")
+    val mean = col("__s1").cast("double") / col("__n") / 1e2
+    val std = sqrt(num.cast("double") /
+      (col("__n") * (col("__n") - 1)).cast("double") / 1e4)
+    df.join(stats, groupCols) // no hint: AQE decides (see winsorize)
+      .withColumn("zscore",
+        when(col("__n") > 1 && num > 0,
+          round((col(valueCol) - mean) / std * lit(10000.0)) / 1e4))
+      .drop("__n", "__s1", "__s2")
+  }
+
   /** Per-group ordinary-least-squares line y = slope·x + intercept —
     * closed form over the SAME five cents-scaled DECIMAL power sums as
     * [[pearsonCorr]] (one shuffle, exact integers; the scale factor

@@ -46,4 +46,27 @@ object Clean {
     val cast = sentinelFree.withColumn(valueCol, lenientDouble(col(valueCol)))
     dropMissing(cast, Seq(valueCol))
   }
+
+  /** The keep-the-row alternative to [[cleanValues]]' drop: fill null
+    * values with the per-group exact mean of the PRESENT values —
+    * mean imputation, the standard feature-hygiene step when rows are
+    * too precious to drop. The mean is the micro-scaled integer sum
+    * over non-null rows (order-free, oracle-exact; nulls skipped by
+    * sum/count in every engine); the fill frame is |groups| rows, so
+    * the join broadcasts under AQE and the data side never shuffles.
+    * Emits `<valueCol>_filled` plus a `was_imputed` flag; groups with
+    * NO present value keep null (nothing to impute from). */
+  def imputeGroupMean(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val means = df
+      .groupBy(groupCols.map(col): _*)
+      .agg((sum(round(col(valueCol) * 1e6).cast("long")).cast("double")
+        / count(col(valueCol)) / 1e6).as("__mean"))
+    df.join(means, groupCols) // no hint: AQE decides
+      .withColumn(valueCol + "_filled",
+        coalesce(col(valueCol), col("__mean")))
+      .withColumn("was_imputed",
+        (col(valueCol).isNull && col("__mean").isNotNull).cast("int"))
+      .drop("__mean")
+  }
 }

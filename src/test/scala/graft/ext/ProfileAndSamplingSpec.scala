@@ -94,6 +94,18 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("zscore: standardized values, null for constant/single-row groups") {
+    val df = Seq(("g", 1L, 2.0), ("g", 2L, 4.0), ("g", 3L, 6.0),
+      ("c", 4L, 5.0), ("c", 5L, 5.0), ("one", 6L, 9.0))
+      .toDF("g", "id", "v")
+    val out = Profile.zscore(df, Seq("g"), "v")
+      .select("id", "zscore").as[(Long, Option[Double])].collect().toMap
+    // mean 4, std 2 → z = -1, 0, 1
+    assert(out(1L).contains(-1.0) && out(2L).contains(0.0) && out(3L).contains(1.0))
+    assert(out(4L).isEmpty && out(5L).isEmpty) // zero variance
+    assert(out(6L).isEmpty)                    // n = 1
+  }
+
   test("linearFit: recovers slope/intercept of exact linear data") {
     val df = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 3)).toDF("g", "x", "y")
     val out = Profile.linearFit(df, Seq("g"), col("x"), col("y"))

@@ -153,6 +153,22 @@ class FredOpsSpec extends SparkSpec {
       "DO UPDATE SET value = EXCLUDED.value")
   }
 
+  test("imputeGroupMean: nulls take the group mean of present values") {
+    val df = Seq(
+      ("a", Some(2.0)), ("a", None), ("a", Some(4.0)),
+      ("b", None) // group with nothing to impute from
+    ).toDF("g", "v")
+    val out = Clean.imputeGroupMean(df, Seq("g"), "v")
+      .select("g", "v", "v_filled", "was_imputed")
+      .as[(String, Option[Double], Option[Double], Int)].collect()
+    val aRows = out.filter(_._1 == "a")
+    assert(aRows.filter(_._2.isEmpty).head._3.contains(3.0)) // mean(2,4)
+    assert(aRows.filter(_._2.isEmpty).head._4 == 1)
+    assert(aRows.filter(_._2.isDefined).forall(r => r._3 == r._2 && r._4 == 0))
+    val bRow = out.filter(_._1 == "b").head
+    assert(bRow._3.isEmpty && bRow._4 == 0) // nothing present: stays null
+  }
+
   test("scd2History: validity intervals chain, current row open-ended") {
     val rows = Seq(
       ("k1", 10L, "a"), ("k1", 20L, "b"), ("k1", 30L, "c"), ("k2", 5L, "x")
