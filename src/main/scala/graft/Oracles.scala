@@ -203,6 +203,19 @@ object Oracles {
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Mirrors aggEquidepth: ntile over the same (micro-value, id)
+    // total order; both engines give remainder rows to early buckets.
+    "agg_equidepth" ->
+      """SELECT event_type, bucket, count(*) AS n,
+        |       min(value) AS lo, max(value) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |         CAST(ntile(10) OVER (PARTITION BY event_type
+        |           ORDER BY CAST(round(value * 1000000) AS BIGINT), event_id)
+        |           AS INTEGER) AS bucket
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
     // Mirrors Profile.moments: cents-scaled HUGEINT power sums (exact,
     // order-free), single double conversion at the end, same 4-dp
     // integer-scaled rounding.
@@ -853,6 +866,33 @@ object Oracles {
         |SELECT source, pack_id, count(*) AS n_docs,
         |       md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS pack_md5
         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors packStats over the pack_budget CTE: per-pack totals,
+    // then per-source fill efficiency vs the 512 budget.
+    "pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |p AS (
+        |  SELECT source, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+        |         n_tokens
+        |  FROM c),
+        |packs AS (
+        |  SELECT source, pack_id, count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |  FROM p GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_packs,
+        |       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+        |       round(sum(pack_tokens) * 10000.0 / (count(*) * 512)) / 10000
+        |         AS mean_fill,
+        |       max(pack_tokens) AS max_pack_tokens
+        |FROM packs GROUP BY 1""".stripMargin,
 
     // Mirrors TextOps.vocabTopK (regex tokens, lowercased): wordcount
     // top-100 with the token-string tiebreak making the set exact.

@@ -573,6 +573,41 @@ object Queries {
           dayofmonth(col("ts")).cast("double").as("d")),
       Seq("event_type"), col("value"), col("d"))
 
+  /** Equi-depth (quantile-bucket) histogram: ntile(10) buckets per
+    * event type with exact counts and value ranges — the companion of
+    * the fixed-width agg_histogram for skewed columns (every bucket
+    * holds ~n/10 rows; boundaries adapt to the data). Deterministic
+    * via the (value, event_id) total order; one window + one
+    * map-side-combined shuffle. */
+  val aggEquidepth: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type")
+      .orderBy(round(col("value") * 1e6).cast("long").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+  }
+
+  /** Packing QA: per-source pack counts and fill efficiency against
+    * the 512-token budget — the "how much padding am I paying for"
+    * check run after pack_budget. */
+  val packStats: Q = (s, dir) => {
+    val packed = Packing.packByBudget(
+      Tables.documents(s, dir).select("doc_id", "source", "text"),
+      groupCols = Seq("source"), orderCols = Seq("doc_id"),
+      tokens = TextOps.tokenCount(col("text")), budget = 512)
+    packed
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_packs"),
+        sum("pack_tokens").as("total_tokens"),
+        // integer-scaled mean fill vs budget — see qualitySignals
+        (round(sum("pack_tokens") * lit(10000.0) / (count(lit(1)) * 512)) / 1e4)
+          .as("mean_fill"),
+        max("pack_tokens").as("max_pack_tokens"))
+  }
+
   /** Per-group z-score standardization over the exact power sums —
     * the feature-normalization per-row companion of agg_stats_moments. */
   val scalarZscore: Q = (s, dir) =>
@@ -829,6 +864,7 @@ object Queries {
     "agg_quantiles" -> aggQuantiles,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
+    "agg_equidepth" -> aggEquidepth,
     "agg_stats_moments" -> aggStatsMoments,
     "agg_corr" -> aggCorr,
     "agg_mad" -> aggMad,
@@ -881,6 +917,7 @@ object Queries {
     "text_repetition" -> textRepetition,
     "pack_budget" -> packBudget,
     "pack_concat" -> packConcat,
+    "pack_stats" -> packStats,
     "vocab_topk" -> vocabTopk,
     "text_tfidf" -> textTfidf,
     "source_overlap" -> sourceOverlap,
