@@ -156,6 +156,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("catalog-wide invariant: no query plans a CartesianProduct") {
+    // every membership/candidate step must be an equality/semi/anti
+    // join — a cartesian anywhere is the one plan shape that cannot
+    // survive 100 TB. (Tiny literal fixtures and 1-row scalar frames
+    // broadcast as BroadcastNestedLoopJoin, which is fine and distinct.)
+    for ((name, q) <- Queries.all) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)
