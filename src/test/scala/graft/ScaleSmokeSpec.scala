@@ -105,6 +105,21 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 180, s"LSH pair dedup blew up: $secs s")
   }
 
+  smokeTest("edit-distance dedup with maxBucket guard stays bounded at 100k docs") {
+    // every base doc's 200 replicas share its 16-byte canonical prefix:
+    // unguarded, each prefix bucket holds 200+ docs → ~C(200,2)·500 ≈
+    // 10M levenshtein candidates. maxBucket=50 drops boilerplate
+    // buckets up front (the documented mitigation); the remainder must
+    // run in seconds.
+    corpusSize
+    val t0 = System.nanoTime()
+    val n = Dedup.editDistancePairs(corpus, "doc_id", "text",
+      maxDist = 8, maxBucket = 50).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"editdist (capped): $n pairs in ${secs.round} s")
+    assert(secs < 120, s"edit-distance dedup blew up: $secs s")
+  }
+
   smokeTest("profiling aggregates scan 10M rows in single-shuffle plans") {
     // events sf0.1 × 100 = 10M rows: the profiling family must stay a
     // single map-side-combined shuffle each — histogram buckets,
