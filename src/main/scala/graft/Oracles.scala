@@ -455,6 +455,75 @@ object Oracles {
          |       round(value * 10000 / sum(value) OVER (PARTITION BY indicator)) / 10000 AS share
          |FROM d""".stripMargin,
 
+    // Mirrors windowLocf: sparse series densified with
+    // last_value IGNORE NULLS over the same frame.
+    "window_locf" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, v_sparse,
+         |       last_value(v_sparse IGNORE NULLS) OVER (
+         |         PARTITION BY indicator ORDER BY observation_day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM (SELECT indicator, observation_day,
+         |             CASE WHEN observation_day % 3 = 0 THEN value END AS v_sparse
+         |      FROM d)""".stripMargin,
+
+    // Mirrors SeriesOps.sessionize: lag-gap break flags, running sum
+    // (epoch_us ordering matches Spark's µs truncation).
+    "window_sessionize" ->
+      """SELECT user_id, event_id, ts_us,
+        |       CAST(sum(brk) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |                PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |              >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events)""".stripMargin,
+
+    // Mirrors Profile.expectations: one scan, CASE sums per rule,
+    // null predicate counts as violation, unfolded to rows.
+    "quality_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN coalesce(value >= 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        |         CAST(sum(CASE WHEN coalesce(value < 1000, false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |         CAST(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |         CAST(sum(CASE WHEN coalesce(event_type IN ('click','error','purchase','signup','view'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v3
+        |  FROM events)
+        |SELECT rule, n_violations, n_rows,
+        |       round(n_violations * 10000.0 / n_rows) / 10000 AS violation_pct
+        |FROM (
+        |  SELECT 'value_non_negative' AS rule, v0 AS n_violations, n_rows FROM a
+        |  UNION ALL SELECT 'value_below_1000', v1, n_rows FROM a
+        |  UNION ALL SELECT 'user_id_present', v2, n_rows FROM a
+        |  UNION ALL SELECT 'known_event_type', v3, n_rows FROM a)""".stripMargin,
+
+    // Mirrors Profile.columnProfile: per-column null/distinct counts
+    // in one logical pass, ts at microsecond grain like the engine.
+    "profile_columns" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |                  event_type, value FROM events),
+        |a AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn0,
+        |         count(DISTINCT event_id) AS nd0,
+        |         CAST(sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+        |         count(DISTINCT ts_us) AS nd1,
+        |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+        |         count(DISTINCT user_id) AS nd2,
+        |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+        |         count(DISTINCT event_type) AS nd3,
+        |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+        |         count(DISTINCT value) AS nd4
+        |  FROM e)
+        |SELECT "column", n_nulls, n_distinct, n_rows FROM (
+        |  SELECT 'event_id' AS "column", nn0 AS n_nulls, nd0 AS n_distinct, n_rows FROM a
+        |  UNION ALL SELECT 'ts_us', nn1, nd1, n_rows FROM a
+        |  UNION ALL SELECT 'user_id', nn2, nd2, n_rows FROM a
+        |  UNION ALL SELECT 'event_type', nn3, nd3, n_rows FROM a
+        |  UNION ALL SELECT 'value', nn4, nd4, n_rows FROM a)""".stripMargin,
+
     // Mirrors windowCume: distinct ORDER BY keys make percent_rank and
     // cume_dist exact rationals — no rounding needed.
     "window_cume" ->

@@ -369,6 +369,27 @@ object Queries {
       .withColumn("cume", cume_dist().over(w))
   }
 
+  /** LOCF gap fill: the daily series sparsified to every 3rd day, then
+    * densified by carrying the last observation forward (leading gaps
+    * stay null). */
+  val windowLocf: Q = (s, dir) =>
+    SeriesOps.locfFill(
+      dailySeries(s, dir)
+        .withColumn("v_sparse",
+          when(col("observation_day") % 3 === 0, col("value")))
+        .drop("value"),
+      Seq("indicator"), Seq("observation_day"), "v_sparse")
+
+  /** Row-level sessionization: each event tagged with its 0-based
+    * session ordinal (30-minute gap) — the joinable form of
+    * window_session. */
+  val windowSessionize: Q = (s, dir) =>
+    SeriesOps.sessionize(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", Seq("ts_us", "event_id"), gapUs = 30L * 60 * 1000000)
+
   /** Tumbling event-time windows in batch mode — the same groupBy
     * shape [[graft.streaming.EventStreams.tumblingAgg]] runs on a
     * stream (SURVEY §2.J). Window starts emitted as epoch micros so
@@ -572,6 +593,26 @@ object Queries {
         .select(col("event_type"), col("value"),
           dayofmonth(col("ts")).cast("double").as("d")),
       Seq("event_type"), col("value"), col("d"))
+
+  /** Data-quality expectations: four declared rules validated in one
+    * scan, one row per rule with violation counts — the pre-ingest
+    * gate every pipeline runs. */
+  val qualityExpectations: Q = (s, dir) =>
+    Profile.expectations(Tables.events(s, dir), Seq(
+      "value_non_negative" -> (col("value") >= 0),
+      "value_below_1000" -> (col("value") < 1000),
+      "user_id_present" -> col("user_id").isNotNull,
+      "known_event_type" -> col("event_type").isin(
+        "click", "error", "purchase", "signup", "view")))
+
+  /** Per-column null/distinct profile of the events table in one
+    * pass — the schema-health summary (ts profiled at its microsecond
+    * grain, mirroring the engine's timestamp resolution). */
+  val profileColumns: Q = (s, dir) =>
+    Profile.columnProfile(
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts"),
+      Seq("event_id", "ts_us", "user_id", "event_type", "value"))
 
   /** Equi-depth (quantile-bucket) histogram: ntile(10) buckets per
     * event type with exact counts and value ranges — the companion of
@@ -865,6 +906,8 @@ object Queries {
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_histogram" -> aggHistogram,
     "agg_equidepth" -> aggEquidepth,
+    "quality_expectations" -> qualityExpectations,
+    "profile_columns" -> profileColumns,
     "agg_stats_moments" -> aggStatsMoments,
     "agg_corr" -> aggCorr,
     "agg_mad" -> aggMad,
@@ -886,6 +929,8 @@ object Queries {
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,
     "window_cume" -> windowCume,
+    "window_locf" -> windowLocf,
+    "window_sessionize" -> windowSessionize,
     "window_tumbling" -> windowTumbling,
     "window_session" -> windowSession,
     "series_asof" -> seriesAsof,

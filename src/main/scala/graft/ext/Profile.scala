@@ -107,6 +107,53 @@ object Profile {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 
+  /** Declarative data-quality expectations (the Deequ-style validation
+    * gate): each rule is a named boolean predicate; the output is one
+    * row per rule with violation counts — a null predicate counts as a
+    * violation (unknown is not a pass). ALL rules evaluate in ONE scan
+    * with a single 1-row aggregate (no per-rule passes), then unfold
+    * to rows; violation shares use integer-scaled rounding. */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val sums = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    }
+    val agged = df.agg(count(lit(1)).as("n_rows"), sums: _*)
+    val entries = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__v$i").as("n_violations"))
+    }
+    agged
+      .select(col("n_rows"), explode(array(entries: _*)).as("x"))
+      .select(col("x.rule").as("rule"), col("x.n_violations").as("n_violations"),
+        col("n_rows"),
+        // integer-scaled rounding — see TextOps.qualitySignals
+        (round(col("x.n_violations") * lit(10000.0) / col("n_rows")) / 1e4)
+          .as("violation_pct"))
+  }
+
+  /** Per-column profiling summary in ONE pass: null count and exact
+    * distinct count per listed column, one output row per column.
+    * Multiple count-distincts compile to a single Expand-based
+    * aggregate — |cols|× the scan rows through one shuffle, the
+    * standard profiler trade (swap in approx_count_distinct at 100 TB
+    * for sketch partials and accept rows-only checks). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"))
+    }
+    val agged = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_nulls"),
+        col(s"__d_$c").as("n_distinct"))
+    }
+    agged
+      .select(col("n_rows"), explode(array(entries: _*)).as("x"))
+      .select(col("x.column").as("column"), col("x.n_nulls").as("n_nulls"),
+        col("x.n_distinct").as("n_distinct"), col("n_rows"))
+  }
+
   /** Per-group z-score standardization: z = (x − mean)/stddev with the
     * mean and (sample) stddev derived from the same exact cents-scaled
     * DECIMAL power sums as [[moments]] — the stats frame is |groups|

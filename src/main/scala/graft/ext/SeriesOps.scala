@@ -96,6 +96,35 @@ object SeriesOps {
       .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
   }
 
+  /** Last-observation-carried-forward gap fill: nulls in `valueCol`
+    * take the most recent non-null value within the series — the
+    * standard sparse-series densification (LOCF). One window per key,
+    * `last(_, ignoreNulls)` over an unbounded-preceding frame; leading
+    * nulls (nothing to carry) stay null. */
+  def locfFill(df: DataFrame, keys: Seq[String], time: Seq[String],
+      valueCol: String, outCol: String = "filled"): DataFrame = {
+    val w = seriesWindow(keys, time)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Per-event session assignment: a session breaks when the gap to
+    * the previous event is ≥ `gapUs` microseconds; `session_seq` is the
+    * 0-based running session ordinal within the entity — the row-level
+    * form of the session_window aggregate (events keep their identity,
+    * so features join back). lag + running sum share one window sort. */
+  def sessionize(df: DataFrame, entityCol: String, tsUsCol: String,
+      orderCols: Seq[String], gapUs: Long): DataFrame = {
+    require(gapUs > 0, "gap must be positive")
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__brk",
+        when(col(tsUsCol) - lag(col(tsUsCol), 1).over(w) >= gapUs, 1L)
+          .otherwise(0L)) // first row per entity: lag null → 0 (session 0)
+      .withColumn("session_seq", sum(col("__brk")).over(run))
+      .drop("__brk")
+  }
+
   /** Event-sequence transition counts: for each entity's time-ordered
     * event stream, count (state → next state) steps and each step's
     * share among transitions leaving that state — the Markov-chain

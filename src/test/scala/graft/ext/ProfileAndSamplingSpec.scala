@@ -94,6 +94,32 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("expectations: one-scan rule validation, null predicate = violation") {
+    val df = Seq(
+      (Some(5.0), "a"), (Some(-1.0), "a"), (None, "b"), (Some(3.0), null)
+    ).toDF("v", "t")
+    val out = Profile.expectations(df, Seq(
+      "v_non_negative" -> (col("v") >= 0),     // -1 fails, null-v fails
+      "t_present" -> col("t").isNotNull))      // one null t
+      .select("rule", "n_violations", "n_rows", "violation_pct")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("v_non_negative") == (("v_non_negative", 2L, 4L, 0.5)))
+    assert(out("t_present") == (("t_present", 1L, 4L, 0.25)))
+  }
+
+  test("columnProfile: null and exact distinct counts per column, one pass") {
+    val df = Seq(
+      (Some(1L), "x"), (Some(1L), "y"), (None, "y"), (Some(2L), null)
+    ).toDF("id", "s")
+    val out = Profile.columnProfile(df, Seq("id", "s"))
+      .select("column", "n_nulls", "n_distinct", "n_rows")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("id") == (("id", 1L, 2L, 4L)))  // distinct skips null
+    assert(out("s") == (("s", 1L, 2L, 4L)))
+  }
+
   test("zscore: standardized values, null for constant/single-row groups") {
     val df = Seq(("g", 1L, 2.0), ("g", 2L, 4.0), ("g", 3L, 6.0),
       ("c", 4L, 5.0), ("c", 5L, 5.0), ("one", 6L, 9.0))

@@ -148,6 +148,31 @@ class SimilarityAndSeriesSpec extends SparkSpec {
       (5, None)))       // distance 3 > tolerance: stale, nulled
   }
 
+  test("locfFill: nulls carry the last observation; leading gaps stay null") {
+    val df = Seq(
+      ("X", 1, None), ("X", 2, Some(2.0)), ("X", 3, None), ("X", 4, None),
+      ("X", 5, Some(5.0)), ("Y", 1, None)
+    ).toDF("k", "t", "v")
+    val out = SeriesOps.locfFill(df, Seq("k"), Seq("t"), "v")
+      .select("k", "t", "filled").as[(String, Int, Option[Double])].collect().toSet
+    assert(out == Set(
+      ("X", 1, None), ("X", 2, Some(2.0)), ("X", 3, Some(2.0)),
+      ("X", 4, Some(2.0)), ("X", 5, Some(5.0)), ("Y", 1, None)))
+  }
+
+  test("sessionize: gap >= threshold starts a new 0-based session") {
+    val df = Seq(
+      (1L, 10L, 0L), (1L, 11L, 1000L), (1L, 12L, 5000L), (1L, 13L, 5500L),
+      (2L, 20L, 0L)
+    ).toDF("user_id", "event_id", "ts_us")
+    val out = SeriesOps.sessionize(df, "user_id", "ts_us",
+        Seq("ts_us", "event_id"), gapUs = 3000L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out(10L) == 0L && out(11L) == 0L) // gap 1000 < 3000
+    assert(out(12L) == 1L && out(13L) == 1L) // gap 4000 >= 3000 breaks
+    assert(out(20L) == 0L)                   // fresh entity restarts at 0
+  }
+
   test("transitionCounts: per-origin step counts and shares") {
     val ev = Seq(
       (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
