@@ -29,6 +29,30 @@ object Oracles {
   private val dailySeriesCte =
     s"SELECT indicator, observation_day, value FROM ($dailySilverCte)"
 
+  // The n-gram Jaccard pair query — used standalone (dedup_ngram) and
+  // as the edge set of the connected-components oracle.
+  private val dedupNgramSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                        for i in generate_series(1, len(toks) - 2)]) AS s
+      |       FROM w WHERE len(toks) >= 3),
+      |ex_all AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |hot AS (SELECT shingle FROM ex_all GROUP BY 1 HAVING count(*) > 50),
+      |ex AS (SELECT * FROM ex_all
+      |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = ex_all.shingle)),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1)
+      |SELECT id_a, id_b,
+      |       round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 >= 0.5""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "fred_monthly_agg" ->
@@ -635,27 +659,22 @@ object Oracles {
     // Mirrors ngramJaccardPairs including the maxDocFreq=50 hot-shingle
     // cap: shingles in >50 docs are dropped BEFORE the self-join, and
     // Jaccard uses the retained set sizes.
-    "dedup_ngram" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |                        for i in generate_series(1, len(toks) - 2)]) AS s
-        |       FROM w WHERE len(toks) >= 3),
-        |ex_all AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |hot AS (SELECT shingle FROM ex_all GROUP BY 1 HAVING count(*) > 50),
-        |ex AS (SELECT * FROM ex_all
-        |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = ex_all.shingle)),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1)
-        |SELECT id_a, id_b,
-        |       round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 AS jaccard
-        |FROM inter
-        |JOIN sz sa ON sa.doc_id = id_a
-        |JOIN sz sb ON sb.doc_id = id_b
-        |WHERE round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 >= 0.5""".stripMargin,
+    "dedup_ngram" -> dedupNgramSql,
+
+    // Mirrors ConnectedComponents.run over the SAME pair set: exact
+    // transitive closure (recursive CTE) then min reachable id —
+    // label propagation's fixpoint, computed exactly.
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$dedupNgramSql
+         |),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         |SELECT node, min(r) AS label FROM reach GROUP BY node""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

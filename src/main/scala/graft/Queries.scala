@@ -486,6 +486,16 @@ object Queries {
     Dedup.winnowingContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
       threshold = 0.3)
 
+  /** Near-dup GROUPS from the n-gram pair graph: connected components
+    * collapse transitive duplicate chains (a~b, b~c → one group) —
+    * pairs are the metric, components are what curation acts on.
+    * Exact recursive-SQL oracle over the identical pair set. */
+  val dedupComponents: Q = (s, dir) =>
+    graft.operators.ConnectedComponents.run(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 50),
+      "id_a", "id_b")
+
   val dedupEmbedding: Q = (s, dir) =>
     Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       "label", threshold = 0.4)
@@ -945,6 +955,7 @@ object Queries {
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_editdist" -> dedupEditdist,
+    "dedup_components" -> dedupComponents,
     "decontam_overlap" -> decontamOverlap,
     "split_assign" -> splitAssign,
     "agg_distinct" -> aggDistinct,

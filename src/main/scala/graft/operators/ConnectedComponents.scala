@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the entity-resolution /
+  * dedup-grouping primitive (near-dup pairs → duplicate groups, id
+  * graphs → canonical entities). Spark has no built-in; this is
+  * min-label propagation (the same star-contraction loop
+  * [[graft.ext.Dedup.minhashClusters]] runs over doc–bucket bipartite
+  * graphs, generalized to an arbitrary edge list).
+  *
+  * Per round: every node takes the minimum label among itself and its
+  * neighbors — two hash-key shuffles over |edges| rows. Labels
+  * converge in O(diameter) rounds (real dup/identity graphs are
+  * shallow); each round's labels are `localCheckpoint`ed so plan depth
+  * stays constant (a cluster deployment would persist to disk), and
+  * the loop exits early at fixpoint via a limit-1 probe. Output is one
+  * (node, label) row per node that appears in any edge; label = the
+  * minimum node id reachable from it. Deterministic for a given edge
+  * set regardless of partitioning.
+  */
+object ConnectedComponents {
+
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 10): DataFrame = {
+    require(maxIters > 0, "maxIters must be positive")
+    // symmetrize once: propagation below only follows a→b edges
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, cycles, and stars collapse to their minimum node") {
+    // chain 1-2-3-4, separate cycle 10-11-12-10, star 20-(21,22,23)
+    val out = cc(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L)))
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(out(_) == 20L))
+    assert(out.size == 11)
+  }
+
+  test("long path needs multiple rounds: fixpoint still reaches the min") {
+    // path 1-2-...-9: diameter 8, converges within maxIters=10
+    val out = cc((1L until 9L).map(i => (i, i + 1)))
+    assert((1L to 9L).forall(out(_) == 1L))
+  }
+
+  test("deterministic under repartitioning and edge direction") {
+    val edges = Seq((5L, 3L), (3L, 8L), (100L, 7L))
+    val a = cc(edges)
+    val b = ConnectedComponents.run(
+      edges.toDF("src", "dst").repartition(7), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a(8L) == 3L && a(100L) == 7L)
+  }
+}
