@@ -131,6 +131,21 @@ object Profile {
           .as("violation_pct"))
   }
 
+  /** Merge per-batch [[expectations]] reports into one corpus-level
+    * report: violation counts and row counts are additive, so
+    * incremental validation (micro-batches via `foreachBatch`, or
+    * per-partition-of-the-lake runs) composes exactly to the
+    * whole-corpus result — the property that lets a 100 TB validation
+    * run as many small scans instead of one monolith (spec-pinned). */
+  def mergeExpectationReports(reports: Seq[DataFrame]): DataFrame = {
+    require(reports.nonEmpty, "need at least one report")
+    reports.reduce(_.unionByName(_))
+      .groupBy("rule")
+      .agg(sum("n_violations").as("n_violations"), sum("n_rows").as("n_rows"))
+      .withColumn("violation_pct",
+        round(col("n_violations") * lit(10000.0) / col("n_rows")) / 1e4)
+  }
+
   /** Per-column profiling summary in ONE pass: null count and exact
     * distinct count per listed column, one output row per column.
     * Multiple count-distincts compile to a single Expand-based

@@ -108,6 +108,22 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(out("t_present") == (("t_present", 1L, 4L, 0.25)))
   }
 
+  test("expectations decompose: per-batch reports merge to the whole-corpus report") {
+    val df = (1 to 100).map(i => (i.toLong, if (i % 7 == 0) -1.0 else i.toDouble))
+      .toDF("id", "v")
+    val rules = Seq("v_non_negative" -> (col("v") >= 0))
+    val whole = Profile.expectations(df, rules)
+      .select("rule", "n_violations", "n_rows", "violation_pct")
+      .collect().toSet
+    // split on an arbitrary predicate — batches of a stream / lake scan
+    val merged = Profile.mergeExpectationReports(Seq(
+        Profile.expectations(df.filter(col("id") <= 40), rules),
+        Profile.expectations(df.filter(col("id") > 40), rules)))
+      .select("rule", "n_violations", "n_rows", "violation_pct")
+      .collect().toSet
+    assert(merged == whole)
+  }
+
   test("columnProfile: null and exact distinct counts per column, one pass") {
     val df = Seq(
       (Some(1L), "x"), (Some(1L), "y"), (None, "y"), (Some(2L), null)
