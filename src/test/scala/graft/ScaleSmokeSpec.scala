@@ -120,6 +120,24 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"edit-distance dedup blew up: $secs s")
   }
 
+  smokeTest("tf-idf and vocab overlap stay linear at 100k docs") {
+    // tf-idf: one token-stream shuffle + vocab-sized df join; overlap:
+    // per-token buckets are ≤ |groups| after the distinct — both must
+    // scale with tokens, not docs², on the replicated corpus.
+    corpusSize
+    val withSrc = corpus.withColumn("src",
+      (col("doc_id") % 20).cast("string"))
+    val t0 = System.nanoTime()
+    val nTfidf = graft.ext.TextOps.tfidfTopK(corpus, "doc_id", "text", k = 3,
+      logIdf = false).count()
+    val nOverlap = graft.ext.TextOps.vocabOverlap(withSrc, "src", "text").count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"tfidf($nTfidf rows) + overlap($nOverlap pairs) in ${secs.round} s")
+    assert(nTfidf >= 100000 * 1L, "k=3 rows per doc with ≥1 token")
+    assert(nOverlap == 20 * 19 / 2, "all source pairs overlap on this corpus")
+    assert(secs < 180, s"text analytics blew up: $secs s")
+  }
+
   smokeTest("profiling aggregates scan 10M rows in single-shuffle plans") {
     // events sf0.1 × 100 = 10M rows: the profiling family must stay a
     // single map-side-combined shuffle each — histogram buckets,
