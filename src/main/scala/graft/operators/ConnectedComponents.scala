@@ -25,9 +25,14 @@ object ConnectedComponents {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 10): DataFrame = {
     require(maxIters > 0, "maxIters must be positive")
+    // materialize the edge list BEFORE symmetrizing: the union reads it
+    // twice, and `edges` is often an expensive upstream (e.g. the n-gram
+    // pair join) that must not evaluate once per side
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint()
     // symmetrize once: propagation below only follows a→b edges
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    val sym = e
+      .unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("a").as("node")).distinct()
