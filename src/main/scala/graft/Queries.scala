@@ -624,6 +624,14 @@ object Queries {
         .withColumn("ts_us", unix_micros(col("ts"))).drop("ts"),
       Seq("event_id", "ts_us", "user_id", "event_type", "value"))
 
+  /** The sketch form of profile_columns (HLL distincts, no Expand;
+    * rows-only — estimator engine-specific, error bound spec-pinned). */
+  val profileColumnsApprox: Q = (s, dir) =>
+    Profile.columnProfileApprox(
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts"),
+      Seq("event_id", "ts_us", "user_id", "event_type", "value"))
+
   /** Equi-depth (quantile-bucket) histogram: ntile(10) buckets per
     * event type with exact counts and value ranges — the companion of
     * the fixed-width agg_histogram for skewed columns (every bucket
@@ -918,6 +926,7 @@ object Queries {
     "agg_equidepth" -> aggEquidepth,
     "quality_expectations" -> qualityExpectations,
     "profile_columns" -> profileColumns,
+    "profile_columns_approx" -> profileColumnsApprox,
     "agg_stats_moments" -> aggStatsMoments,
     "agg_corr" -> aggCorr,
     "agg_mad" -> aggMad,

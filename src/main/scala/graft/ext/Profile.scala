@@ -169,6 +169,30 @@ object Profile {
         col("x.n_distinct").as("n_distinct"), col("n_rows"))
   }
 
+  /** The 100 TB form of [[columnProfile]]: HyperLogLog++ sketches
+    * replace exact distinct counts — partials are constant-memory and
+    * mergeable, so the profile is one ordinary map-side-combined pass
+    * with NO Expand multiplication of the scan. Rows-only at the
+    * oracle gate (estimator is engine-specific); ProfileAndSamplingSpec
+    * pins the rsd error bound against the exact twin. */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__d_$c"))
+    }
+    val agged = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_nulls"),
+        col(s"__d_$c").as("n_distinct_approx"))
+    }
+    agged
+      .select(col("n_rows"), explode(array(entries: _*)).as("x"))
+      .select(col("x.column").as("column"), col("x.n_nulls").as("n_nulls"),
+        col("x.n_distinct_approx").as("n_distinct_approx"), col("n_rows"))
+  }
+
   /** Per-group z-score standardization: z = (x − mean)/stddev with the
     * mean and (sample) stddev derived from the same exact cents-scaled
     * DECIMAL power sums as [[moments]] — the stats frame is |groups|

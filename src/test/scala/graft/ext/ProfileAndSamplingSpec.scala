@@ -136,6 +136,18 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(out("s") == (("s", 1L, 2L, 4L)))
   }
 
+  test("columnProfileApprox: HLL distincts within the rsd bound of exact") {
+    val df = (1L to 5000L).map(i => (i, i % 137)).toDF("id", "m")
+    val exact = Profile.columnProfile(df, Seq("id", "m"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = Profile.columnProfileApprox(df, Seq("id", "m"), rsd = 0.05)
+      .select("column", "n_distinct_approx").as[(String, Long)].collect().toMap
+    for (c <- Seq("id", "m")) {
+      val err = math.abs(approx(c) - exact(c)).toDouble / exact(c)
+      assert(err <= 0.15, s"$c: approx ${approx(c)} vs exact ${exact(c)} — 3σ bound")
+    }
+  }
+
   test("zscore: standardized values, null for constant/single-row groups") {
     val df = Seq(("g", 1L, 2.0), ("g", 2L, 4.0), ("g", 3L, 6.0),
       ("c", 4L, 5.0), ("c", 5L, 5.0), ("one", 6L, 9.0))
