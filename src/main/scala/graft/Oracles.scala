@@ -462,6 +462,20 @@ object Oracles {
          |         PARTITION BY indicator ORDER BY observation_day) AS change
          |FROM d""".stripMargin,
 
+    // Mirrors windowYoy: lag-12 observations within each status series.
+    "window_yoy" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(year(o_orderdate) AS INTEGER) AS y,
+        |         CAST(month(o_orderdate) AS INTEGER) AS m,
+        |         CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+        |           / 1000000 AS value
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT status, y, m, value,
+        |       value - lag(value, 12) OVER (
+        |         PARTITION BY status ORDER BY y, m) AS yoy_change
+        |FROM m""".stripMargin,
+
     "window_moving_avg" ->
       s"""WITH d AS ($dailySeriesCte)
          |SELECT indicator, observation_day, value,

@@ -369,6 +369,18 @@ object Queries {
       .withColumn("cume", cume_dist().over(w))
   }
 
+  /** Year-over-year change: monthly order revenue per status, minus
+    * the value 12 observations earlier in the same series (orders span
+    * 6+ years; exact integer-cent sums, subtraction of bit-identical
+    * doubles needs no rounding — see window_mom). */
+  val windowYoy: Q = (s, dir) => {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg((sumE6(col("o_totalprice")).cast("double") / 1e6).as("value"))
+    SeriesOps.yoyChange(monthly, Seq("status"), Seq("y", "m"))
+  }
+
   /** LOCF gap fill: the daily series sparsified to every 3rd day, then
     * densified by carrying the last observation forward (leading gaps
     * stay null). */
@@ -945,6 +957,7 @@ object Queries {
     "embedding_centroids" -> embeddingCentroids,
     "quality_ntile" -> qualityNtile,
     "window_mom" -> windowMom,
+    "window_yoy" -> windowYoy,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,
     "window_cume" -> windowCume,

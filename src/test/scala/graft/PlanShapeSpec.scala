@@ -156,6 +156,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pivot → unpivot round-trips to the direct long-form aggregate") {
+    import org.apache.spark.sql.functions.{col => c}
+    val direct = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.dayofmonth(c("ts")).as("observation_day"),
+        c("event_type"))
+      .agg((org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.round(c("value") * 1e6).cast("long"))
+        .cast("double") / 1e6).as("value_sum"))
+      .collect().toSet
+    val roundTrip = Queries.all("unpivot_daily")(spark, sf).collect().toSet
+    assert(roundTrip == direct)
+  }
+
   test("catalog-wide invariant: no query plans a CartesianProduct") {
     // every membership/candidate step must be an equality/semi/anti
     // join — a cartesian anywhere is the one plan shape that cannot

@@ -173,6 +173,32 @@ class SimilarityAndSeriesSpec extends SparkSpec {
     assert(out(20L) == 0L)                   // fresh entity restarts at 0
   }
 
+  test("sessionize ≡ session_window: row-level sessions aggregate to the window form") {
+    // grouping the row-level ordinals must reproduce the aggregate
+    // session query exactly — the two forms are one semantics
+    val sf = "/root/testdata/sf0.001"
+    val fromRows = graft.Queries.all("window_sessionize")(spark, sf)
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts_us").as("session_start_us"), count(lit(1)).as("n_events"))
+      .select("session_start_us", "user_id", "n_events")
+      .collect().toSet
+    val fromWindow = graft.Queries.all("window_session")(spark, sf)
+      .select("session_start_us", "user_id", "n_events")
+      .collect().toSet
+    assert(fromRows == fromWindow)
+  }
+
+  test("asofJoinTolerance with a huge bound degenerates to plain asofJoin") {
+    val left = Seq(("X", 1), ("X", 5), ("X", 9)).toDF("indicator", "t")
+    val right = Seq(("X", 2, 20.0), ("X", 4, 40.0)).toDF("indicator", "t", "v")
+    val plain = SeriesOps.asofJoin(left, right, Seq("indicator"), "t", "v")
+      .collect().toSet
+    val tol = SeriesOps.asofJoinTolerance(left, right, Seq("indicator"),
+        "t", "v", tolerance = Long.MaxValue)
+      .collect().toSet
+    assert(plain == tol)
+  }
+
   test("transitionCounts: per-origin step counts and shares") {
     val ev = Seq(
       (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
