@@ -2,10 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
-  * prints two JSON lines: {"metric":"total",…,"queries":{…}} with the
-  * timings, then {"metric":"plans","plans":{…}} with the plan
-  * fingerprints (separate lines so a truncated tail capture never
-  * loses the timings — it did in r3).
+  * prints two JSON lines: {"metric":"plans","plans":{…}} with the plan
+  * fingerprints first, then {"metric":"total",…,"queries":{…}} with
+  * the timings LAST — the driver's capture keeps the TAIL of stdout,
+  * and r4/r5 proved the first line is what truncation eats (both
+  * official records lost their timings). Both lines are also written
+  * to `bench_out.json` in the working directory as a durable copy.
   *
   * Each query is forced end-to-end with a `noop`-format write so the
   * timing covers the full plan (a bare `count()` lets Catalyst prune
@@ -73,12 +75,19 @@ object Bench {
     val ps = results.map { case (k, _) => "\"" + k + "\":\"" + planHash(k) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Two SEPARATE lines: r3's single line outgrew the driver's tail
-    // capture and the timings were truncated away. Timings first (the
-    // round's primary record), plan fingerprints second — either line
-    // survives truncation of the other.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"plans","plans":$ps,"sf":"$sfDir"}""")
+    // Two SEPARATE lines, timings LAST: the driver keeps the END of
+    // stdout, and in r4/r5 truncation started mid-way through the
+    // FIRST line — printing timings first lost two rounds of official
+    // timing history. Plans first (sacrificial), timings last.
+    val plansLine = s"""{"metric":"plans","plans":$ps,"sf":"$sfDir"}"""
+    val timingsLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // durable copy, immune to stdout truncation entirely
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (plansLine + "\n" + timingsLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(plansLine)
+    println(timingsLine)
     spark.stop()
   }
 }

@@ -699,8 +699,10 @@ object Oracles {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
 
-    // Mirrors Dedup.editDistancePairs: canonical text, 16-byte prefix
+    // Mirrors Dedup.editDistancePairs: canonical text, 16-CHAR prefix
     // block + length band (a Levenshtein lower bound), exact verify.
+    // DuckDB length() counts characters like Spark length() — strlen
+    // counts BYTES and diverges on multi-byte text (r4 ADVICE #3).
     "dedup_editdist" ->
       """WITH c AS (
         |  SELECT doc_id,
@@ -711,7 +713,7 @@ object Oracles {
         |FROM c a JOIN c b
         |  ON substr(a.canon, 1, 16) = substr(b.canon, 1, 16)
         | AND a.doc_id < b.doc_id
-        | AND abs(strlen(a.canon) - strlen(b.canon)) <= 8
+        | AND abs(length(a.canon) - length(b.canon)) <= 8
         |WHERE levenshtein(a.canon, b.canon) <= 8""".stripMargin,
 
     // Mirrors Decontam.overlapStats: distinct 5-gram shingles of each

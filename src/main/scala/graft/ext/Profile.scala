@@ -47,7 +47,13 @@ object Profile {
     * map-side-combined shuffle of three partials per group — the same
     * shape at 100 TB, where the decimal accumulator is also the
     * overflow-proof path (Σx² over 10¹² cents-scaled rows exceeds
-    * BIGINT but sits far below 10³⁸).
+    * BIGINT but sits far below 10³⁸). The cast to DECIMAL happens
+    * BEFORE the square and BEFORE the sum: `x² ` in LongType would
+    * silently wrap (non-ANSI) for |x| above ~3·10⁹ cents while the
+    * DuckDB oracle multiplies in HUGEINT, and Σx in LongType can wrap
+    * on enough rows. Squaring in decimal(38,0) is exact at scale 0 and
+    * overflows to NULL — loud, not wrong — if a value ever exceeds
+    * 10¹⁹ cents.
     *
     * var = (n·Σx² − (Σx)²) / (n·(n−1)), computed on exact integers and
     * converted to double once at the end (a single correctly-rounded
@@ -55,13 +61,13 @@ object Profile {
     */
   def moments(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val x = round(value * 100).cast("long")
+    val xd = round(value * 100).cast("long").cast(dec)
     val agged = df
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(x).cast(dec).as("__s1"),
-        sum((x * x).cast(dec)).as("__s2"))
+        sum(xd).cast(dec).as("__s1"),
+        sum(xd * xd).cast(dec).as("__s2"))
     val num = col("n").cast(dec) * col("__s2") - col("__s1") * col("__s1")
     val den = (col("n") * (col("n") - 1)).cast("double")
     val varUnits = num.cast("double") / den / 1e4 // cents² → units²
@@ -84,17 +90,18 @@ object Profile {
   def pearsonCorr(df: DataFrame, groupCols: Seq[String],
       xCol: Column, yCol: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val x = round(xCol * 100).cast("long")
-    val y = round(yCol * 100).cast("long")
+    // decimal BEFORE square/sum — see moments for the overflow rationale
+    val xd = round(xCol * 100).cast("long").cast(dec)
+    val yd = round(yCol * 100).cast("long").cast(dec)
     val agged = df
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(x).cast(dec).as("__sx"),
-        sum(y).cast(dec).as("__sy"),
-        sum((x * x).cast(dec)).as("__sxx"),
-        sum((y * y).cast(dec)).as("__syy"),
-        sum((x * y).cast(dec)).as("__sxy"))
+        sum(xd).cast(dec).as("__sx"),
+        sum(yd).cast(dec).as("__sy"),
+        sum(xd * xd).cast(dec).as("__sxx"),
+        sum(yd * yd).cast(dec).as("__syy"),
+        sum(xd * yd).cast(dec).as("__sxy"))
     val nD = col("n").cast(dec)
     val cov = nD * col("__sxy") - col("__sx") * col("__sy")
     val vx = nD * col("__sxx") - col("__sx") * col("__sx")
@@ -203,13 +210,14 @@ object Profile {
     * rounding on z. */
   def zscore(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val x = round(col(valueCol) * 100).cast("long")
+    // decimal BEFORE square/sum — see moments for the overflow rationale
+    val xd = round(col(valueCol) * 100).cast("long").cast(dec)
     val stats = df
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("__n"),
-        sum(x).cast(dec).as("__s1"),
-        sum((x * x).cast(dec)).as("__s2"))
+        sum(xd).cast(dec).as("__s1"),
+        sum(xd * xd).cast(dec).as("__s2"))
     val num = col("__n").cast(dec) * col("__s2") - col("__s1") * col("__s1")
     val mean = col("__s1").cast("double") / col("__n") / 1e2
     val std = sqrt(num.cast("double") /
@@ -232,16 +240,17 @@ object Profile {
   def linearFit(df: DataFrame, groupCols: Seq[String],
       xCol: Column, yCol: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val x = round(xCol * 100).cast("long")
-    val y = round(yCol * 100).cast("long")
+    // decimal BEFORE square/sum — see moments for the overflow rationale
+    val xd = round(xCol * 100).cast("long").cast(dec)
+    val yd = round(yCol * 100).cast("long").cast(dec)
     val agged = df
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(x).cast(dec).as("__sx"),
-        sum(y).cast(dec).as("__sy"),
-        sum((x * x).cast(dec)).as("__sxx"),
-        sum((x * y).cast(dec)).as("__sxy"))
+        sum(xd).cast(dec).as("__sx"),
+        sum(yd).cast(dec).as("__sy"),
+        sum(xd * xd).cast(dec).as("__sxx"),
+        sum(xd * yd).cast(dec).as("__sxy"))
     val nD = col("n").cast(dec)
     val cov = nD * col("__sxy") - col("__sx") * col("__sy")
     val vx = nD * col("__sxx") - col("__sx") * col("__sx")

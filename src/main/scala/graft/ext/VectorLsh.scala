@@ -41,8 +41,14 @@ object VectorLsh {
     * interpreted nested lambdas here cost ~8 s / 500 vectors). */
   private[graft] def signature(vec: Column, t: Column, nBits: Int): Column = {
     val dim = size(vec)
+    // dim = 0 must yield an EMPTY index array, not sequence(0, -1)
+    // (which descends to [0, -1] and indexes off the vector): the fold
+    // then leaves dot = 0.0 for every bit → the all-zero signature the
+    // native VectorLshSigs emits for empty vectors (r4 ADVICE #4)
+    val dims = when(dim > 0, sequence(lit(0), dim - 1))
+      .otherwise(array().cast("array<int>"))
     aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, h) => {
-      val dot = aggregate(sequence(lit(0), dim - 1), lit(0.0d),
+      val dot = aggregate(dims, lit(0.0d),
         (a, d) => a + element_at(vec, d + 1).cast("double") *
           (xxhash64(lit("vlsh"), t, h, d).cast("double") /
             lit(9.223372036854776e18)))

@@ -19,11 +19,31 @@ import org.apache.spark.sql.functions._
   * (node, label) row per node that appears in any edge; label = the
   * minimum node id reachable from it. Deterministic for a given edge
   * set regardless of partitioning.
+  *
+  * If the fixpoint is NOT reached within `maxIters` rounds, [[run]]
+  * THROWS (`IllegalStateException`) rather than returning labels that
+  * look valid but merge nothing beyond radius `maxIters` — a silent
+  * wrong answer is the one failure mode a dedup pipeline can't detect
+  * downstream. Callers that want partial labels opt in explicitly via
+  * [[runWithStatus]], which returns the labels plus a `converged` flag.
   */
 object ConnectedComponents {
 
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 10): DataFrame = {
+    val (labels, converged, iters) = runWithStatus(edges, srcCol, dstCol, maxIters)
+    if (!converged) throw new IllegalStateException(
+      s"ConnectedComponents did not converge in $iters rounds: a component " +
+        s"with eccentricity > $maxIters from its min-id node exists; raise " +
+        "maxIters (rounds needed = graph diameter) or use runWithStatus to " +
+        "accept partial labels explicitly")
+    labels
+  }
+
+  /** [[run]] without the convergence gate: returns (labels, converged,
+    * roundsUsed). Labels are only exact when `converged` is true. */
+  def runWithStatus(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 10): (DataFrame, Boolean, Int) = {
     require(maxIters > 0, "maxIters must be positive")
     // materialize the edge list BEFORE symmetrizing: the union reads it
     // twice, and `edges` is often an expensive upstream (e.g. the n-gram
@@ -54,6 +74,6 @@ object ConnectedComponents {
       labels = next
       i += 1
     }
-    labels
+    (labels, converged, i)
   }
 }

@@ -94,6 +94,28 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("power sums survive magnitudes whose Long squares overflow (r4 ADVICE #1)") {
+    // 4e8 units → 4e10 cents → x² ≈ 1.6e21 ≫ Long.MaxValue (9.2e18):
+    // squaring in LongType wrapped silently; decimal-first is exact
+    val big = 4e8
+    val df = Seq(("g", big), ("g", big + 1), ("g", big + 2)).toDF("g", "v")
+    val m = Profile.moments(df, Seq("g"), col("v"))
+      .select("mean", "var_samp", "stddev_samp")
+      .as[(Double, Double, Double)].head()
+    assert(m == ((big + 1, 1.0, 1.0)))
+    val z = Profile.zscore(df, Seq("g"), "v")
+      .select("v", "zscore").as[(Double, Double)].collect().toMap
+    assert(z(big) == -1.0 && z(big + 1) == 0.0 && z(big + 2) == 1.0)
+    // y = 2x − 1e8 on the same magnitudes: slope/intercept exact
+    val xy = Seq(1e8, 2e8, 3e8).map(x => ("g", x, 2 * x - 1e8)).toDF("g", "x", "y")
+    val fit = Profile.linearFit(xy, Seq("g"), col("x"), col("y"))
+      .select("slope", "intercept").as[(Double, Double)].head()
+    assert(fit == ((2.0, -1e8)))
+    val corr = Profile.pearsonCorr(xy, Seq("g"), col("x"), col("y"))
+      .select("corr").as[Double].head()
+    assert(corr == 1.0)
+  }
+
   test("expectations: one-scan rule validation, null predicate = violation") {
     val df = Seq(
       (Some(5.0), "a"), (Some(-1.0), "a"), (None, "b"), (Some(3.0), null)

@@ -46,8 +46,10 @@ class VectorLshSpec extends SparkSpec {
   }
 
   test("native signature expression ≡ algebraic form, bit for bit") {
-    // randomish but deterministic vectors, odd dims included
-    val dims = Seq(1, 3, 8, 32)
+    // randomish but deterministic vectors, odd dims included — and the
+    // EMPTY vector (r4 ADVICE #4: sequence(0, dim−1) descends for
+    // dim=0; both forms must emit the all-zero signature)
+    val dims = Seq(0, 1, 3, 8, 32)
     val data = dims.zipWithIndex.map { case (dim, i) =>
       (i.toLong, (0 until dim).map(d => ((d * 37 + i * 13) % 19 - 9) / 7.0f))
     }.toDF("vec_id", "embedding")
@@ -61,6 +63,8 @@ class VectorLshSpec extends SparkSpec {
           t => VectorLsh.signature(col("embedding"), t, nBits)).as("s"))
       .as[(Long, Seq[Long])].collect().toMap
     assert(native == algebraic)
+    // the dim-0 row is index 0: all-zero signatures in every table
+    assert(native(0L).forall(_ == 0L))
   }
 
   test("exploded signature frame carries keys only (no vector column)") {

@@ -28,6 +28,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert((1L to 9L).forall(out(_) == 1L))
   }
 
+  test("non-convergence THROWS instead of returning partial labels (r4 ADVICE #2)") {
+    // path 1-...-15: min label needs 14 rounds to reach node 15, so
+    // maxIters=3 cannot converge — run() must refuse, not hand back
+    // labels that silently merge nothing beyond radius 3
+    val deep = (1L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(deep, "src", "dst", maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the explicit opt-in surfaces the same labels plus the flag
+    val (labels, converged, iters) =
+      ConnectedComponents.runWithStatus(deep, "src", "dst", maxIters = 3)
+    assert(!converged && iters == 3)
+    assert(labels.count() == 15)
+    // with enough rounds the same graph converges and run() returns
+    val ok = ConnectedComponents.run(deep, "src", "dst", maxIters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 15L).forall(ok(_) == 1L))
+  }
+
   test("deterministic under repartitioning and edge direction") {
     val edges = Seq((5L, 3L), (3L, 8L), (100L, 7L))
     val a = cc(edges)
