@@ -1152,6 +1152,98 @@ object Oracles {
         |           list_prepend(1125899906842597::HUGEINT,
         |             [ord(c)::HUGEINT for c in split(text, '') if c <> '']),
         |           (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS ck
-        |  FROM documents)""".stripMargin
+        |  FROM documents)""".stripMargin,
+
+    // Mirrors Chunking.chunkByTokens(32, 8): starts every 24 tokens,
+    // 32-token windows (DuckDB list slice is end-INCLUSIVE), tail
+    // windows adding no new tokens dropped. chunk_idx = (start−1)/step.
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         unnest(generate_series(1, len(toks), 24)) AS st
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |       CAST((st - 1) // 24 AS INTEGER) AS chunk_idx,
+        |       CAST(st AS INTEGER) AS chunk_start,
+        |       CAST(least(32, n - st + 1) AS INTEGER) AS n_chunk_tokens,
+        |       array_to_string(toks[st : st + 31], ' ') AS chunk_text
+        |FROM x
+        |WHERE st = 1 OR n - st + 1 > 8""".stripMargin,
+
+    // Mirrors Profile.driftChiSquare: agg_histogram bucket law at 10
+    // buckets, marginals as windows over the counts, the telescoped
+    // χ² = Σ o²N/(n_g·N_b) − n_g with each term an exact-integer ratio
+    // (HUGEINT numerator ↔ Spark decimal(38,0)), one double division,
+    // 0-dp round, integer sum.
+    "drift_chisq" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 0.0 THEN -1
+        |              WHEN value >= 500.0 THEN 10
+        |              ELSE CAST(floor((value - 0.0) / 50.0) AS INTEGER) END AS bkt
+        |  FROM events),
+        |c AS (SELECT event_type, bkt, count(*) AS o FROM b GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bkt, o,
+        |         sum(o) OVER (PARTITION BY bkt) AS nb,
+        |         sum(o) OVER (PARTITION BY event_type) AS ng,
+        |         sum(o) OVER () AS N
+        |  FROM c),
+        |t AS (
+        |  SELECT event_type, ng,
+        |         CAST(round(CAST(CAST(o AS HUGEINT) * o * N * 10000 AS DOUBLE)
+        |                    / CAST(CAST(ng AS HUGEINT) * nb AS DOUBLE))
+        |              AS BIGINT) AS term
+        |  FROM m)
+        |SELECT event_type, CAST(max(ng) AS BIGINT) AS n,
+        |       CAST(sum(term) - max(ng) * 10000 AS DOUBLE) / 1e4 AS chi_square
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // Mirrors Profile.minmaxScale: cents-scaled group min/max, exact
+    // integer ratio ×10⁴, one double division, NULL for constant groups.
+    "scalar_minmax" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         min(CAST(round(value * 100) AS BIGINT)) AS mn,
+        |         max(CAST(round(value * 100) AS BIGINT)) AS mx
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       CASE WHEN mx > mn THEN
+        |         round((CAST(round(value * 100) AS BIGINT) - mn) * 10000.0
+        |               / (mx - mn)) / 1e4
+        |         END AS minmax
+        |FROM events JOIN s USING (event_type)""".stripMargin,
+
+    // Mirrors Profile.filterFunnel: cumulative-conjunction counts in
+    // one scan, a row per stage, integer-scaled pass_pct.
+    "quality_funnel" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n0,
+        |         CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS p1,
+        |         CAST(sum(CASE WHEN n_chars >= 150 AND lang = 'en'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |         CAST(sum(CASE WHEN n_chars >= 150 AND lang = 'en'
+        |                        AND n_chars <= 450
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |         CAST(sum(CASE WHEN n_chars >= 150 AND lang = 'en'
+        |                        AND n_chars <= 450 AND source <> 'src3'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS p4
+        |  FROM documents),
+        |f AS (
+        |  SELECT 1 AS stage_idx, 'min_chars' AS stage, n0 AS n_in, p1 AS n_pass FROM a
+        |  UNION ALL
+        |  SELECT 2, 'english', p1, p2 FROM a
+        |  UNION ALL
+        |  SELECT 3, 'max_chars', p2, p3 FROM a
+        |  UNION ALL
+        |  SELECT 4, 'source_ok', p3, p4 FROM a)
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, n_in, n_pass,
+        |       n_in - n_pass AS n_dropped,
+        |       CASE WHEN n_in > 0
+        |            THEN round(n_pass * 10000.0 / n_in) / 1e4 END AS pass_pct
+        |FROM f""".stripMargin
   )
 }

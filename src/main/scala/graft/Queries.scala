@@ -912,6 +912,35 @@ object Queries {
       .select("doc_id", "quality_score", "split")
   }
 
+  /** Context-window chunking of documents: 32-token chunks overlapping
+    * by 8 — zero-shuffle per-row explode (see [[ext.Chunking]]). */
+  val textChunk: Q = (s, dir) =>
+    ext.Chunking.chunkByTokens(Tables.documents(s, dir)
+      .select("doc_id", "text"), "doc_id", "text", chunkSize = 32, overlap = 8)
+
+  /** Per-event-type distribution drift of `value` vs the whole corpus:
+    * exact χ² over the agg_histogram bucket law (coarser buckets so
+    * every type has populated cells). */
+  val driftChisq: Q = (s, dir) =>
+    Profile.driftChiSquare(Tables.events(s, dir), "event_type", col("value"),
+      lo = 0.0, hi = 500.0, nBuckets = 10)
+
+  /** Min–max feature scaling per event type — same shape as
+    * scalar_zscore, range-normalized instead of standardized. */
+  val scalarMinmax: Q = (s, dir) =>
+    Profile.minmaxScale(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      Seq("event_type"), "value")
+
+  /** Curation-funnel report over documents: ordered quality gates,
+    * entry/survivor counts per stage in one scan. */
+  val qualityFunnel: Q = (s, dir) =>
+    Profile.filterFunnel(Tables.documents(s, dir), Seq(
+      "min_chars" -> (col("n_chars") >= 150),
+      "english" -> (col("lang") === "en"),
+      "max_chars" -> (col("n_chars") <= 450),
+      "source_ok" -> (col("source") =!= "src3")))
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -1003,6 +1032,10 @@ object Queries {
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_decode_features" -> mmDecodeFeatures,
     "curate_corpus" -> curateCorpus,
-    "curate_corpus_near" -> curateCorpusNear
+    "curate_corpus_near" -> curateCorpusNear,
+    "text_chunk" -> textChunk,
+    "drift_chisq" -> driftChisq,
+    "scalar_minmax" -> scalarMinmax,
+    "quality_funnel" -> qualityFunnel
   )
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operators: the "what does this column look like"
@@ -325,5 +326,96 @@ object Profile {
       .withColumn(valueCol + "_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
+  }
+
+  /** Per-group min–max normalization of a 2-dp value column to [0, 1]
+    * — the feature-scaling sibling of [[zscore]], same plan: one
+    * cents-scaled min/max aggregate, AQE-decided join back, NULL for
+    * constant groups (zero range). The normalized value is an exact
+    * integer ratio ((x−min)·10⁴ / (max−min) in cents, one double
+    * division + 0-dp round) so the oracle is bit-identical. */
+  def minmaxScale(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val xc = round(col(valueCol) * 100).cast("long")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(min(xc).as("__mn"), max(xc).as("__mx"))
+    df.join(stats, groupCols) // no hint: AQE decides (see winsorize)
+      .withColumn("minmax",
+        when(col("__mx") > col("__mn"),
+          round((xc - col("__mn")) * lit(10000.0) /
+            (col("__mx") - col("__mn"))) / 1e4))
+      .drop("__mn", "__mx")
+  }
+
+  /** Distribution drift per group: Pearson's χ² of the group's
+    * fixed-bucket histogram (the [[histogram]] bucket law) against the
+    * whole corpus — the train/serve skew and per-source drift detector.
+    *
+    * One map-side-combined count shuffle over `df`; every marginal
+    * (per-bucket, per-group, grand total) is a window over the COUNTS
+    * frame, which is ≤ |groups|·(nBuckets+2) rows no matter how big
+    * `df` is — the raw data is scanned exactly once. χ² = Σ(o−e)²/e
+    * with e = n_g·N_b/N telescopes to Σ o²·N/(n_g·N_b) − n_g, so empty
+    * cells contribute nothing and no group×bucket grid is built. Each
+    * term is a ratio of exact integers (DECIMAL numerator, one double
+    * division, 0-dp round) summed as longs — order-free, oracle
+    * bit-identical. */
+  def driftChiSquare(df: DataFrame, groupCol: String, value: Column,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need hi > lo and nBuckets > 0")
+    val dec = "decimal(38,0)"
+    val w = (hi - lo) / nBuckets
+    val bucket = when(value < lo, lit(-1))
+      .when(value >= hi, lit(nBuckets))
+      .otherwise(floor((value - lit(lo)) / lit(w)).cast("int"))
+    val counts = df.withColumn("__b", bucket)
+      .groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val withMarginals = counts
+      .withColumn("__nb", sum("__o").over(Window.partitionBy("__b")))
+      .withColumn("__ng", sum("__o").over(Window.partitionBy(groupCol)))
+      .withColumn("__N", sum("__o").over(Window.partitionBy()))
+    val term = round(
+      (col("__o").cast(dec) * col("__o") * col("__N") * lit(10000))
+        .cast("double") /
+        (col("__ng").cast(dec) * col("__nb")).cast("double")).cast("long")
+    withMarginals
+      .withColumn("__t", term)
+      .groupBy(col(groupCol))
+      .agg(max("__ng").as("n"), sum("__t").as("__st"))
+      .withColumn("chi_square",
+        (col("__st") - col("n") * lit(10000L)).cast("double") / lit(1e4))
+      .drop("__st")
+  }
+
+  /** Curation-funnel report: for an ORDERED chain of filter stages,
+    * how many rows enter and survive each stage — the observability
+    * companion to [[expectations]] (which scores rules independently;
+    * the funnel composes them in pipeline order). ALL stages count in
+    * ONE scan via cumulative conjunctions in a single 1-row aggregate,
+    * then unfold to a row per stage; a null predicate fails its stage.
+    * `pass_pct` uses integer-scaled rounding. */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val cum = stages.scanLeft(lit(true)) { case (acc, (_, pred)) =>
+      acc && coalesce(pred, lit(false))
+    }.tail
+    val sums = cum.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"__p$i")
+    }
+    val agged = df.agg(count(lit(1)).as("__n0"), sums: _*)
+    val entries = stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        (if (i == 0) col("__n0") else col(s"__p${i - 1}")).as("n_in"),
+        col(s"__p$i").as("n_pass"))
+    }
+    agged
+      .select(explode(array(entries: _*)).as("x"))
+      .select(col("x.stage_idx").as("stage_idx"), col("x.stage").as("stage"),
+        col("x.n_in").as("n_in"), col("x.n_pass").as("n_pass"),
+        (col("x.n_in") - col("x.n_pass")).as("n_dropped"),
+        when(col("x.n_in") > 0,
+          round(col("x.n_pass") * lit(10000.0) / col("x.n_in")) / 1e4)
+          .as("pass_pct"))
   }
 }

@@ -207,6 +207,49 @@ class ProfileAndSamplingSpec extends SparkSpec {
 
   // ------------------------------------------------------- sampling
 
+  test("minmaxScale: range-normalizes per group, null for constant groups") {
+    val df = Seq(("g", 1L, 2.0), ("g", 2L, 4.0), ("g", 3L, 10.0),
+      ("c", 4L, 5.0), ("c", 5L, 5.0)).toDF("g", "id", "v")
+    val out = Profile.minmaxScale(df, Seq("g"), "v")
+      .select("id", "minmax").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(0.0) && out(3L).contains(1.0))
+    assert(out(2L).contains(0.25)) // (4−2)/(10−2)
+    assert(out(4L).isEmpty && out(5L).isEmpty) // zero range
+  }
+
+  test("filterFunnel: ordered cumulative gates, one scan, exact counts") {
+    val df = (1 to 100).map(i => (i.toLong, i % 10, i % 2)).toDF("id", "m", "p")
+    val out = Profile.filterFunnel(df, Seq(
+        "m_small" -> (col("m") < 5),   // 50 pass
+        "even" -> (col("p") === 0)))   // of those, m ∈ {0,2,4} even ids
+      .select("stage_idx", "stage", "n_in", "n_pass", "n_dropped", "pass_pct")
+      .as[(Int, String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1) == ((1, "m_small", 100L, 50L, 50L, 0.5)))
+    // m<5 ∧ even: i%10∈{0..4} ∧ i%2=0 → i%10∈{0,2,4} → 30 rows
+    assert(out(2) == ((2, "even", 50L, 30L, 20L, 0.6)))
+    // stages evaluate in ONE aggregate: a single row in the pre-explode plan
+    val plan = Profile.filterFunnel(df, Seq("a" -> (col("m") < 5)))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Aggregate")) == 1)
+  }
+
+  test("driftChiSquare: zero for proportional groups, positive under drift") {
+    // group A: 60 low + 30 high; B: 20 low + 10 high — same 2:1 mix → χ² = 0
+    val same = (Seq.fill(60)(("A", 1.0)) ++ Seq.fill(30)(("A", 7.0)) ++
+      Seq.fill(20)(("B", 1.0)) ++ Seq.fill(10)(("B", 7.0))).toDF("g", "v")
+    val s = Profile.driftChiSquare(same, "g", col("v"), 0.0, 10.0, 2)
+      .select("g", "n", "chi_square").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(s("A") == (("A", 90L, 0.0)) && s("B") == (("B", 30L, 0.0)))
+    // flip B's mix → both groups drift from the pooled distribution
+    val skew = (Seq.fill(60)(("A", 1.0)) ++ Seq.fill(30)(("A", 7.0)) ++
+      Seq.fill(10)(("B", 1.0)) ++ Seq.fill(20)(("B", 7.0))).toDF("g", "v")
+    val k = Profile.driftChiSquare(skew, "g", col("v"), 0.0, 10.0, 2)
+      .select("g", "chi_square").as[(String, Double)].collect().toMap
+    assert(k("A") > 0 && k("B") > 0 && k("B") > k("A"))
+  }
+
   test("hashSample: deterministic, append-invariant membership") {
     val base = (1L to 400L).toDF("id")
     val s1 = Sampling.hashSample(base, "id", 25, "s").as[Long].collect().toSet
