@@ -128,6 +128,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
 
+  test("text_chunk is a pure per-row pipeline: zero Exchange") {
+    val plan = executed(Queries.all("text_chunk")(spark, sf))
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("drift_chisq scans the raw data exactly once") {
+    // every marginal (per-bucket, per-group, total) must derive from
+    // the counts frame, never a second pass over events
+    val plan = executed(Queries.all("drift_chisq")(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"drift marginals must reuse the one counts shuffle, not rescan:\n$plan")
+  }
+
+  test("minmax scale join: no static hint, AQE broadcasts at catalog scale") {
+    val df = Queries.all("scalar_minmax")(spark, sf)
+    df.count() // materialize so AQE finalizes the join strategy
+    val plan = executed(df)
+    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"),
+      s"minmax must not carry a data-dependent broadcast hint:\n${df.queryExecution.logical}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the tiny min/max frame at catalog scale:\n$plan")
+  }
+
   test("winsorize clamp join: no static hint, AQE broadcasts at catalog scale") {
     val df = Queries.all("scalar_winsorize")(spark, sf)
     df.count() // materialize so AQE finalizes the join strategy
