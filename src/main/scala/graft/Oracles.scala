@@ -1244,6 +1244,26 @@ object Oracles {
         |       n_in - n_pass AS n_dropped,
         |       CASE WHEN n_in > 0
         |            THEN round(n_pass * 10000.0 / n_in) / 1e4 END AS pass_pct
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Mirrors Sampling.mixtureResample(4:3:2:1:1 over src0..src4,
+    // salt "mix"): bottleneck = min (n/wt, source), keep_bp/10⁴ =
+    // (w_s·n_m)/(w_m·n_s) floored after one mirrored double division,
+    // membership on the 10⁴-grain md5 bucket.
+    "sample_mixture" ->
+      """WITH w(source, wt) AS (
+        |  VALUES ('src0', 4), ('src1', 3), ('src2', 2), ('src3', 1), ('src4', 1)),
+        |c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |j AS (SELECT c.source, n, wt FROM c JOIN w USING (source)),
+        |m AS (SELECT n AS nm, wt AS wm FROM j
+        |      ORDER BY CAST(n AS DOUBLE) / wt, source LIMIT 1),
+        |r AS (SELECT source,
+        |             CAST(floor(10000.0 * wt * nm / (wm * n)) AS INTEGER)
+        |               AS keep_bp
+        |      FROM j, m)
+        |SELECT doc_id, source
+        |FROM documents JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
+        |           % 10000 AS INTEGER) < keep_bp""".stripMargin
   )
 }

@@ -941,6 +941,16 @@ object Queries {
       "max_chars" -> (col("n_chars") <= 450),
       "source_ok" -> (col("source") =!= "src3")))
 
+  /** Corpus re-weighting to a 4:3:2:1:1 source mixture — unlisted
+    * sources drop, the bottleneck source keeps 100%, everything else
+    * down-samples on the stable md5 bucket. */
+  val sampleMixture: Q = (s, dir) =>
+    Sampling.mixtureResample(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      "doc_id", "source",
+      Seq("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1, "src4" -> 1),
+      salt = "mix")
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -1036,6 +1046,7 @@ object Queries {
     "text_chunk" -> textChunk,
     "drift_chisq" -> driftChisq,
     "scalar_minmax" -> scalarMinmax,
-    "quality_funnel" -> qualityFunnel
+    "quality_funnel" -> qualityFunnel,
+    "sample_mixture" -> sampleMixture
   )
 }

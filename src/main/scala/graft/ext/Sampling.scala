@@ -55,4 +55,58 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Re-weight a corpus to a target mixture — the data-mixing step of
+    * corpus assembly: down-sample each stratum so FINAL counts are
+    * proportional to `weights`, keeping the maximum possible corpus
+    * (the bottleneck stratum — the one most under target, min n/w —
+    * keeps 100%; no stratum is ever up-sampled). Strata not listed in
+    * `weights` are dropped: the mixture DEFINES the corpus.
+    *
+    * Membership is the stable md5 bucket at 1/10⁴ grain, so the sample
+    * is append-stable (keep rates move as counts grow, but membership
+    * at a given rate never re-rolls) and engine-portable. Keep rates
+    * derive from exact integer counts with ONE mirrored double
+    * division each, so the DuckDB oracle replays the identical sample;
+    * realized counts are rate·n in expectation (hash-binomial, not
+    * exact quotas — quotas would need a global sort).
+    *
+    * Plan: one column-pruned counts aggregate (≤ |weights| rows after
+    * the inner join), a window over that bounded frame to find the
+    * bottleneck, broadcast join back (bounded by the caller's literal
+    * weight list), per-row hash filter. Two scans of `df` total — the
+    * counts pass reads only `strataCol`. */
+  def mixtureResample(df: DataFrame, keyCol: String, strataCol: String,
+      weights: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "need at least one stratum weight")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate stratum in weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(strataCol, "__wt")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .join(w, strataCol) // inner: unlisted strata drop here
+    // bottleneck = lexicographic min of (n/w, stratum): the struct min
+    // mirrors the oracle's ORDER BY ratio, stratum LIMIT 1 — one window
+    // over a ≤|weights|-row frame
+    val bottleneck = min(struct(
+      (col("__n").cast("double") / col("__wt")).as("r"),
+      col(strataCol).as("s"), col("__n").as("n"), col("__wt").as("w")))
+      .over(Window.partitionBy())
+    val rates = counts
+      .withColumn("__m", bottleneck)
+      // keep_bp/10⁴ = (w_s·n_m)/(w_m·n_s): exact-integer ratio, one
+      // double division, floor — bit-identical in the oracle; the
+      // bottleneck itself lands on exactly 10⁴ (keeps everything)
+      .select(col(strataCol),
+        floor(lit(10000.0) * col("__wt") * col("__m.n") /
+          (col("__m.w") * col("__n"))).cast("int").as("__keep_bp"))
+    val bucket = (conv(substring(
+      md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long") % 10000).cast("int")
+    df.join(broadcast(rates), strataCol)
+      .filter(bucket < col("__keep_bp"))
+      .drop("__keep_bp")
+  }
 }

@@ -282,6 +282,28 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(de == expected)
   }
 
+  test("mixtureResample: bottleneck keeps all, rates track target weights") {
+    // a: 4000 rows, b: 1000, c: 3000, d unlisted. Weights a:1, b:2, c:1
+    // → deficit ratios n/w: a 4000, b 500, c 3000 → bottleneck b keeps
+    // 100%; targets ∝ (1,2,1)·500 → a keeps 500/4000=12.5%, c 16.67%
+    val df = ((1 to 4000).map(i => (s"a$i", "a")) ++
+      (1 to 1000).map(i => (s"b$i", "b")) ++
+      (1 to 3000).map(i => (s"c$i", "c")) ++
+      (1 to 500).map(i => (s"d$i", "d"))).toDF("id", "g")
+    val out = Sampling.mixtureResample(df, "id", "g",
+      Seq("a" -> 1, "b" -> 2, "c" -> 1))
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("d"), "unlisted strata must drop")
+    assert(counts("b") == 1000L, "bottleneck stratum must keep everything")
+    // hash-binomial realization: expect ~500 ± a generous band
+    assert(math.abs(counts("a") - 500L) <= 100, s"a kept ${counts("a")}")
+    assert(math.abs(counts("c") - 500L) <= 100, s"c kept ${counts("c")}")
+    // deterministic under re-read and repartition
+    val again = Sampling.mixtureResample(df.repartition(7), "id", "g",
+      Seq("a" -> 1, "b" -> 2, "c" -> 1)).select("id").as[String].collect().toSet
+    assert(again == out.select("id").as[String].collect().toSet)
+  }
+
   test("capPerGroup: at most k per group, stable under repartition") {
     val df = (1L to 200L).map(i => (i, "g" + (i % 3))).toDF("id", "g")
     val out = Sampling.capPerGroup(df, Seq("g"), "id", k = 5, salt = "s")
