@@ -1264,6 +1264,28 @@ object Oracles {
         |SELECT doc_id, source
         |FROM documents JOIN r USING (source)
         |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
-        |           % 10000 AS INTEGER) < keep_bp""".stripMargin
+        |           % 10000 AS INTEGER) < keep_bp""".stripMargin,
+
+    // Mirrors Dedup.canonicalPerCluster over the dedup_components
+    // closure: same exact recursive-CTE labels, then the longest member
+    // per cluster (doc id tiebreak).
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$dedupNgramSql
+         |),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+         |SELECT cluster, canonical_doc_id, n_chars FROM (
+         |  SELECT comp.label AS cluster, comp.node AS canonical_doc_id,
+         |         d.n_chars,
+         |         row_number() OVER (PARTITION BY comp.label
+         |           ORDER BY d.n_chars DESC, comp.node) AS rk
+         |  FROM comp JOIN documents d ON comp.node = d.doc_id)
+         |WHERE rk = 1""".stripMargin
   )
 }

@@ -951,6 +951,21 @@ object Queries {
       Seq("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1, "src4" -> 1),
       salt = "mix")
 
+  /** Quality-aware canonical selection: for each near-dup cluster from
+    * the n-gram pair graph, keep the LONGEST member (doc id tiebreak) —
+    * the doc a curation pipeline would actually retain, vs the
+    * arbitrary min-id label of dedup_components. Exact recursive-CTE
+    * closure + window oracle. */
+  val dedupCanonical: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val labels = graft.operators.ConnectedComponents.run(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 50),
+      "id_a", "id_b")
+    Dedup.canonicalPerCluster(labels,
+      docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
+  }
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -1047,6 +1062,7 @@ object Queries {
     "drift_chisq" -> driftChisq,
     "scalar_minmax" -> scalarMinmax,
     "quality_funnel" -> qualityFunnel,
-    "sample_mixture" -> sampleMixture
+    "sample_mixture" -> sampleMixture,
+    "dedup_canonical" -> dedupCanonical
   )
 }

@@ -450,4 +450,28 @@ object Dedup {
   def approxDistinctPerGroup(df: DataFrame, groupCol: String, target: String,
       rsd: Double = 0.05): DataFrame =
     df.groupBy(groupCol).agg(approx_count_distinct(col(target), rsd).as("n_approx"))
+
+  /** Canonical representative per duplicate cluster — the selection
+    * step after grouping: within each cluster, keep the member the
+    * caller actually wants (longest text, best quality score, newest
+    * crawl), not the arbitrary min-id. `labels` is the (node, label)
+    * frame of [[graft.operators.ConnectedComponents]]; `attrs` carries
+    * the preference columns keyed by `nodeCol`; `prefer` orders
+    * DESCENDING (best first), with the node id as the final tiebreak so
+    * selection is total and deterministic. One window shuffle on the
+    * cluster label — cluster sizes are dup-group sizes (small by
+    * construction), so no skew hazard. */
+  def canonicalPerCluster(labels: DataFrame, attrs: DataFrame,
+      nodeCol: String, prefer: Seq[String]): DataFrame = {
+    require(prefer.nonEmpty, "need at least one preference column")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      .orderBy(prefer.map(col(_).desc) :+ col(nodeCol).asc: _*)
+    labels.withColumnRenamed("node", nodeCol)
+      .join(attrs, nodeCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+      .withColumnRenamed("label", "cluster")
+      .withColumnRenamed(nodeCol, "canonical_" + nodeCol)
+  }
 }

@@ -220,6 +220,18 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("canonicalPerCluster keeps the preferred member, id tiebreak") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "label")
+    val attrs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 2L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.canonicalPerCluster(labels, attrs, "doc_id", Seq("n_chars"))
+      .select("cluster", "canonical_doc_id", "n_chars")
+      .as[(Long, Long, Long)].collect().toSet
+    // cluster 1: 2 and 3 tie at 9 chars → lower id 2 wins; cluster 10: 10
+    assert(out == Set((1L, 2L, 9L), (10L, 10L, 4L)))
+  }
+
   test("distinct vs approx distinct per group") {
     val ev = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 1)).toDF("g", "u")
     val exact = Dedup.distinctPerGroup(ev, "g", "u").as[(String, Long)].collect().toMap
