@@ -395,6 +395,23 @@ object Profile {
     * ONE scan via cumulative conjunctions in a single 1-row aggregate,
     * then unfold to a row per stage; a null predicate fails its stage.
     * `pass_pct` uses integer-scaled rounding. */
+  /** Merge per-batch [[filterFunnel]] reports into one corpus-level
+    * funnel: entry and survivor counts are additive across disjoint
+    * batches (each row passes stage i in the whole corpus iff it
+    * passes in its own batch), so incremental curation reporting
+    * composes exactly — the same many-small-scans property as
+    * [[mergeExpectationReports]] (spec-pinned). */
+  def mergeFunnelReports(reports: Seq[DataFrame]): DataFrame = {
+    require(reports.nonEmpty, "need at least one report")
+    reports.reduce(_.unionByName(_))
+      .groupBy("stage_idx", "stage")
+      .agg(sum("n_in").as("n_in"), sum("n_pass").as("n_pass"))
+      .withColumn("n_dropped", col("n_in") - col("n_pass"))
+      .withColumn("pass_pct",
+        when(col("n_in") > 0,
+          round(col("n_pass") * lit(10000.0) / col("n_in")) / 1e4))
+  }
+
   def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
     val cum = stages.scanLeft(lit(true)) { case (acc, (_, pred)) =>

@@ -163,6 +163,18 @@ class ScaleSmokeSpec extends SparkSpec {
     big.unpersist()
   }
 
+  smokeTest("context-window chunking stays linear (zero-shuffle) at 100k docs") {
+    corpusSize
+    val t0 = System.nanoTime()
+    val n = graft.ext.Chunking
+      .chunkByTokens(corpus, "doc_id", "text", chunkSize = 32, overlap = 8)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"chunking: $n chunks in ${secs.round} s")
+    assert(n >= 100000L, "every doc must yield at least one chunk")
+    assert(secs < 60, s"chunking blew up: $secs s")
+  }
+
   smokeTest("simhash combination banding stays sub-quadratic at 100k docs") {
     // pieces=6 ⇒ 20 tables keyed on ~32 bits: random-hash buckets are
     // ≈ N/2³² ≪ 1; only true near-dup groups form buckets.

@@ -234,6 +234,20 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Aggregate")) == 1)
   }
 
+  test("filterFunnel decomposes: per-batch reports merge to the whole-corpus funnel") {
+    val df = (1 to 200).map(i => (i.toLong, i % 10, i % 2)).toDF("id", "m", "p")
+    val stages = Seq("m_small" -> (col("m") < 5), "even" -> (col("p") === 0))
+    val whole = Profile.filterFunnel(df, stages)
+      .select("stage_idx", "stage", "n_in", "n_pass", "n_dropped", "pass_pct")
+      .collect().toSet
+    val merged = Profile.mergeFunnelReports(Seq(
+        Profile.filterFunnel(df.filter(col("id") <= 77), stages),
+        Profile.filterFunnel(df.filter(col("id") > 77), stages)))
+      .select("stage_idx", "stage", "n_in", "n_pass", "n_dropped", "pass_pct")
+      .collect().toSet
+    assert(merged == whole)
+  }
+
   test("driftChiSquare: zero for proportional groups, positive under drift") {
     // group A: 60 low + 30 high; B: 20 low + 10 high — same 2:1 mix → χ² = 0
     val same = (Seq.fill(60)(("A", 1.0)) ++ Seq.fill(30)(("A", 7.0)) ++
