@@ -197,6 +197,16 @@ object Dedup {
     * Documents with fewer than n words have no shingles, hence no LSH
     * buckets; they are unioned back as singleton clusters (doc → doc)
     * so the output is exactly one row per input document.
+    *
+    * `iters` is an intentional MERGE-RADIUS bound, not a convergence
+    * promise (contrast [[graft.operators.ConnectedComponents.run]],
+    * which throws when its fixpoint isn't reached): a chain a~b~c~…
+    * of pairwise near-dups drifts semantically with every hop, and
+    * collapsing an unboundedly long chain into one cluster is usually
+    * a dedup BUG (boilerplate templates chain for miles). Labels past
+    * radius ~2·iters bucket-hops stay separate clusters by design; run
+    * the exact components operator over a pair set when whole-graph
+    * transitive closure is what's wanted.
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, iters: Int = 3): DataFrame = {
