@@ -1286,6 +1286,16 @@ object Oracles {
          |         row_number() OVER (PARTITION BY comp.label
          |           ORDER BY d.n_chars DESC, comp.node) AS rk
          |  FROM comp JOIN documents d ON comp.node = d.doc_id)
-         |WHERE rk = 1""".stripMargin
+         |WHERE rk = 1""".stripMargin,
+
+    // Mirrors TextOps.normalizeText: DuckDB nfc_normalize +
+    // strip_accents are the twins of the codegen'd
+    // NfcNormalizeExpr/StripAccentsExpr (semantics spec-pinned on
+    // non-ASCII literals; the corpus itself is ASCII).
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       regexp_replace(lower(trim(strip_accents(nfc_normalize(text)))),
+        |                      '\s+', ' ', 'g') AS canon
+        |FROM documents""".stripMargin
   )
 }

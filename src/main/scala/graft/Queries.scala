@@ -966,6 +966,14 @@ object Queries {
       docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
   }
 
+  /** Unicode canonicalization of every document: NFC + accent-strip +
+    * lower/trim/whitespace-collapse — the cross-crawl fingerprint key
+    * (composed vs decomposed crawls of the same page canonicalize
+    * identically). Codegen'd with an ASCII fast path. */
+  val textNormalize: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.normalizeText(col("text")).as("canon"))
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -1063,6 +1071,7 @@ object Queries {
     "scalar_minmax" -> scalarMinmax,
     "quality_funnel" -> qualityFunnel,
     "sample_mixture" -> sampleMixture,
-    "dedup_canonical" -> dedupCanonical
+    "dedup_canonical" -> dedupCanonical,
+    "text_normalize" -> textNormalize
   )
 }

@@ -253,4 +253,17 @@ object TextOps {
       }
     total
   }
+
+  /** Full unicode canonicalization for cross-crawl fingerprinting:
+    * NFC-compose, strip diacritics, lowercase, trim, collapse
+    * whitespace — mirrors DuckDB
+    * `regexp_replace(lower(trim(strip_accents(nfc_normalize(t)))),
+    * '\s+', ' ', 'g')` operation-for-operation. The unicode steps are
+    * the codegen'd [[graft.functions.UnicodeNormalize]] expressions
+    * with an ASCII fast path, so on mostly-ASCII corpora this costs
+    * barely more than the plain ASCII canon. */
+  def normalizeText(text: Column): Column = {
+    import graft.functions.UnicodeNormalize.{nfcNormalize, stripAccents}
+    regexp_replace(lower(trim(stripAccents(nfcNormalize(text)))), "\\s+", " ")
+  }
 }
