@@ -133,6 +133,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("text_normalize runs inside WholeStageCodegen with zero Exchange") {
+    val plan = executed(Queries.all("text_normalize")(spark, sf))
+    assert(!plan.contains("Exchange"), s"normalization must not shuffle:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"unicode-normalize expressions fell out of WholeStageCodegen:\n$plan")
+  }
+
   test("drift_chisq scans the raw data exactly once") {
     // every marginal (per-bucket, per-group, total) must derive from
     // the counts frame, never a second pass over events
