@@ -1296,6 +1296,31 @@ object Oracles {
       """SELECT doc_id,
         |       regexp_replace(lower(trim(strip_accents(nfc_normalize(text)))),
         |                      '\s+', ' ', 'g') AS canon
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Mirrors SeriesOps.sequenceFunnel(view→click→purchase): per step,
+    // first qualifying time per user strictly after the previous
+    // step's. epoch_us(ts) matches the engine's µs truncation of the
+    // nanos parquet timestamps (plain ts would compare at ns).
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS u FROM events),
+        |s1 AS (SELECT user_id, min(u) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(u) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.u > s1.t
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(u) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.u > s2.t
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |f AS (
+        |  SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(step_idx AS INTEGER) AS step_idx, step, n_users,
+        |       CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+        |            THEN round(n_users * 10000.0
+        |                       / lag(n_users) OVER (ORDER BY step_idx)) / 1e4
+        |            END AS conv_pct
+        |FROM f""".stripMargin
   )
 }

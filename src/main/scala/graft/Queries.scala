@@ -974,6 +974,14 @@ object Queries {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextOps.normalizeText(col("text")).as("canon"))
 
+  /** Ordered view→click→purchase funnel over the event stream:
+    * entities must hit each step strictly later than the previous
+    * step's first qualifying time. */
+  val eventsFunnel: Q = (s, dir) =>
+    SeriesOps.sequenceFunnel(
+      Tables.events(s, dir).select("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -1072,6 +1080,7 @@ object Queries {
     "quality_funnel" -> qualityFunnel,
     "sample_mixture" -> sampleMixture,
     "dedup_canonical" -> dedupCanonical,
-    "text_normalize" -> textNormalize
+    "text_normalize" -> textNormalize,
+    "events_funnel" -> eventsFunnel
   )
 }

@@ -151,4 +151,43 @@ object SeriesOps {
     val w = seriesWindow(keys, time)
     df.withColumn(outCol, col(valueCol) - lag(valueCol, 12).over(w))
   }
+
+  /** Ordered sequence funnel: how many entities performed step 1, then
+    * step 2 STRICTLY LATER, then step 3 later still — the product-
+    * analytics funnel ([[transitionCounts]] summarizes adjacent steps;
+    * this demands the full ordered chain, with arbitrary other events
+    * in between). One row per step with the reached-entity count and
+    * the step-over-step conversion rate.
+    *
+    * Per step: one type-filtered pass over `df` (the predicate pushes
+    * to the scan) aggregated to a ≤|entities|-row (entity, first-time)
+    * frame, joined to the previous step's frame — so k funnel steps
+    * cost k pushdown scans and k bounded joins; nothing ever shuffles
+    * the full event stream on anything but the entity key. Earliest-
+    * qualifying timestamps (min) make the funnel greedy-optimal: if
+    * any qualifying chain exists, the greedy earliest chain exists. */
+  def sequenceFunnel(df: DataFrame, entityCol: String, stateCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    var reached = df.filter(col(stateCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("__t"))
+    val counts = Seq.newBuilder[DataFrame]
+    def stepCount(idx: Int, name: String, frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("step_idx"), lit(name).as("step"), col("n_users"))
+    counts += stepCount(1, steps.head, reached)
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      reached = df.filter(col(stateCol) === s)
+        .join(reached, entityCol)
+        .filter(col(tsCol) > col("__t"))
+        .groupBy(col(entityCol)).agg(min(col(tsCol)).as("__t"))
+      counts += stepCount(i + 2, s, reached)
+    }
+    val w = Window.orderBy("step_idx") // k-row frame: window is bounded
+    counts.result().reduce(_.unionByName(_))
+      .withColumn("conv_pct",
+        when(lag("n_users", 1).over(w) > 0,
+          round(col("n_users") * lit(10000.0) / lag("n_users", 1).over(w)) / 1e4))
+  }
 }

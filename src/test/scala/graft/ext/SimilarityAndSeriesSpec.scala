@@ -213,4 +213,30 @@ class SimilarityAndSeriesSpec extends SparkSpec {
     assert(out(("b", "a")) == ((1L, 1.0)))
     assert(!out.contains(("b", null))) // terminal steps excluded
   }
+
+  test("sequenceFunnel: strictly-later ordered chains, step conversion rates") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "buy", 3L),  // full chain
+      (2L, "click", 1L), (2L, "view", 2L),                   // click BEFORE view
+      (3L, "view", 1L), (3L, "buy", 2L),                     // skips click
+      (4L, "view", 1L), (4L, "click", 1L), (4L, "buy", 5L),  // tie: not LATER
+      (5L, "buy", 1L)                                        // never views
+    ).toDF("user_id", "event_type", "ts")
+    val out = SeriesOps.sequenceFunnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"))
+      .select("step_idx", "step", "n_users", "conv_pct")
+      .as[(Int, String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1) == ((1, "view", 4L, None)))          // users 1-4
+    assert(out(2) == ((2, "click", 1L, Some(0.25))))   // only user 1
+    assert(out(3) == ((3, "buy", 1L, Some(1.0))))
+    // a user whose late re-view enables a later click still converts:
+    // greedy earliest first-times are optimal, not order-fragile
+    val ev2 = Seq((7L, "view", 1L), (7L, "click", 5L), (7L, "view", 9L),
+      (7L, "buy", 6L)).toDF("user_id", "event_type", "ts")
+    val n3 = SeriesOps.sequenceFunnel(ev2, "user_id", "event_type", "ts",
+      Seq("view", "click", "buy")).filter(col("step_idx") === 3)
+      .select("n_users").as[Long].head()
+    assert(n3 == 1L) // view@1 < click@5 < buy@6
+  }
 }
