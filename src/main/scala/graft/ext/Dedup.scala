@@ -54,9 +54,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int = 50): DataFrame = {
-    // hashed shingles (codegen'd single pass): a 64-bit hash stands in
-    // for each shingle string — set sizes and intersections, hence
-    // Jaccard, are unchanged (collision p ≈ |sh|²/2^64)
+    // hashed shingles (codegen'd single pass): a 61-bit portable hash
+    // stands in for each shingle string — set sizes and intersections,
+    // hence Jaccard, are unchanged (collision p ≈ |sh|²/2^61)
     val sh = df.select(col(idCol).as("doc"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
@@ -89,14 +89,6 @@ object Dedup {
   }
 
   // -------------------------------------------------------------- MinHash
-
-  /** MinHash signature: k independent hash slots, slot j =
-    * min over shingles of xxhash64(shingle, j). Seeding xxhash64 with
-    * the slot index gives k independent hash families without carrying
-    * coefficient tables. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
 
   /** LSH band keys for a document set: one (doc, band_idx, band_hash)
     * row per band — and NOTHING else. Keeping the banded frame down to
@@ -243,25 +235,6 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of a token array: per-token xxhash64, signed bit
-    * votes, sign → bit. Near-dups have small Hamming distance. */
-  def simhash64(toks: Column): Column = {
-    // bit i of the simhash = 1 iff Σ_tokens sign(bit i of xxhash64(tok)) > 0
-    // shiftright/shiftleft take a literal Int in the Scala DSL, so the
-    // column-valued shift amounts go through call_function.
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(
-        aggregate(toks, lit(0),
-          (acc, t) => acc +
-            when(call_function("shiftright", xxhash64(t), i)
-              .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-          > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)),
-        (b, i) => call_function("shiftleft", b, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
-
   /** SimHash near-dup pairs via combination banding (the Manku/Jain/
     * Sarma web-dedup scheme): split the 64-bit hash into `pieces`
     * roughly-equal bit ranges; a pair at Hamming ≤ h differs in at
@@ -326,7 +299,7 @@ object Dedup {
     *
     * Two knobs keep the join sub-quadratic on real corpora:
     * `k` must exceed the corpus's incidental-phrase length (k=16
-    * byte-grams here; k=8 on a templated corpus put most documents in
+    * char-grams here; k=8 on a templated corpus put most documents in
     * shared buckets and went quadratic — 40 s for 5 000 docs), and
     * `maxDocFreq` drops fingerprints appearing in more documents than
     * that (boilerplate/stop-phrase fingerprints carry no dedup signal

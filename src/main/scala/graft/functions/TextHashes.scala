@@ -1,8 +1,10 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -18,31 +20,122 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression here is one tight O(n) pass per row invoked from within
   * WholeStageCodegen.
   *
-  * Hash family: XXH64 over UTF-8 bytes, seed 42 — identical to Spark's
-  * `xxhash64` — so algebraic twins exist for every expression and the
-  * specs pin equivalence.
+  * Hash family: PORTABLE md5-derived lanes (see [[PortableHash]]) —
+  * every value is reproducible in ANSI-ish SQL via `md5` + 128-bit
+  * integer arithmetic (DuckDB: `md5_number_lower` + HUGEINT), so the
+  * LSH/minhash/simhash operators built on these expressions have
+  * exact external oracles, not just rows-only checks. An earlier
+  * revision seeded lanes from Spark-internal XXH64, which no other
+  * engine can replay; md5 costs ~10× more per hash invocation but the
+  * expressions hash each shingle/token ONCE (lanes are modular
+  * arithmetic on that one digest), so the end-to-end delta is small.
   */
 object TextHashes {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
-  /** Distinct hashed word n-gram shingles (order unspecified). */
+  /** Distinct hashed word n-gram shingles (order unspecified),
+    * values in [0, 2^61-1). */
   def hashedShingles(text: Column, n: Int): Column =
     column(HashedWordShingles(expression(text), n))
 
   /** MinHash signature over a hashed-shingle array: slot j = min over
-    * elements of XXH64(element, seed = j). */
+    * elements of the affine lane hash (a_j·h + b_j) mod 2^61-1. */
   def minhashSig(shingleHashes: Column, k: Int): Column =
     column(MinHashSig(expression(shingleHashes), k))
 
-  /** 64-bit SimHash of the space-tokenized text: per-token xxhash64,
-    * signed bit votes, sign → bit. Bit-identical to the column-algebra
-    * form `aggregate(transform(split(text,' '), xxhash64), votes...)`. */
+  /** 64-bit SimHash of the space-tokenized text: per-token
+    * md5-lower-64 hash, signed bit votes, sign → bit. */
   def simhash(text: Column): Column =
     column(SimHash64(expression(text)))
 }
 
-/** Distinct XXH64 hashes of the word n-gram shingles of a
-  * space-separated text.
+/** The portable hash family shared by shingle/minhash/simhash/winnow
+  * expressions and their external SQL oracles.
+  *
+  * Base hash: `md5Lower64(bytes)` = the little-endian uint64 of md5
+  * digest bytes 8..15 — exactly DuckDB's `md5_number_lower(s)` (and
+  * derivable from the hex digest any engine exposes: the last 16 hex
+  * chars, byte-reversed). Where values must order/min identically
+  * across engines they are reduced mod P = 2^61−1 (Mersenne), so
+  * every reduced value fits a SIGNED 64-bit integer and unsigned-vs-
+  * signed comparison ambiguity disappears.
+  *
+  * MinHash lanes are the classic affine family over the prime field:
+  * lane_j(h) = (a_j·h + b_j) mod P, with coefficients themselves
+  * md5-derived (a_j from "a"+j in [1, P−1], b_j from "b"+j in
+  * [0, P−1]) so an oracle needs no out-of-band constant tables —
+  * `SELECT md5_number_lower('a'||j) % (P−1) + 1` rebuilds them.
+  * The 128-bit product is reduced with 2^64 ≡ 8 (mod P); the oracle
+  * twin does the same arithmetic in HUGEINT/decimal(38,0).
+  */
+object PortableHash {
+
+  /** 2^61 − 1, the Mersenne prime all ordered hash values live under. */
+  val P: Long = (1L << 61) - 1
+
+  /** SQL literal of [[P]] for oracle builders. */
+  val PSql: String = P.toString
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Little-endian uint64 of md5 digest bytes 8..15 — DuckDB
+    * `md5_number_lower`. The full 64-bit pattern (may be "negative"
+    * as a signed long); reduce with [[modP]] before ordering. */
+  def md5Lower64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.update(bytes, off, len)
+    val d = md.digest() // resets the digest
+    (d(8) & 0xffL) |
+      ((d(9) & 0xffL) << 8) |
+      ((d(10) & 0xffL) << 16) |
+      ((d(11) & 0xffL) << 24) |
+      ((d(12) & 0xffL) << 32) |
+      ((d(13) & 0xffL) << 40) |
+      ((d(14) & 0xffL) << 48) |
+      ((d(15) & 0xffL) << 56)
+  }
+
+  def md5Lower64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    md5Lower64(b, 0, b.length)
+  }
+
+  /** x (as uint64) mod P. */
+  def modP(x: Long): Long = java.lang.Long.remainderUnsigned(x, P)
+
+  /** (a·h + b) mod P for a, h, b ∈ [0, P). The 122-bit product is
+    * folded with 2^64 ≡ 8 and 2^61 ≡ 1 (mod P); all intermediates fit
+    * a signed long (≤ ~2^62). Verified exhaustively against BigInt. */
+  def mulAddModP(a: Long, h: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, h) // operands < 2^61 ⇒ signed = unsigned
+    val lo = a * h
+    var r = hi * 8 + (lo >>> 61) + (lo & P)
+    r = (r >>> 61) + (r & P)
+    if (r >= P) r -= P
+    r += b
+    if (r >= P) r -= P
+    r
+  }
+
+  /** Lane multiplier a_j ∈ [1, P−1]: md5Lower64("a"+j) mod (P−1) + 1. */
+  def laneA(j: Int): Long =
+    java.lang.Long.remainderUnsigned(md5Lower64("a" + j), P - 1) + 1
+
+  /** Lane offset b_j ∈ [0, P−1]: md5Lower64("b"+j) mod P. */
+  def laneB(j: Int): Long = modP(md5Lower64("b" + j))
+
+  private val laneCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+
+  /** Cached (a, b) coefficient tables for a k-lane signature. */
+  def lanes(k: Int): (Array[Long], Array[Long]) =
+    laneCache.computeIfAbsent(k, kk =>
+      (Array.tabulate(kk)(laneA), Array.tabulate(kk)(laneB)))
+}
+
+/** Distinct portable hashes of the word n-gram shingles of a
+  * space-separated text, values in [0, 2^61−1).
   *
   * Tokens are the maximal runs between single-space separators —
   * exactly Spark `split(text, " ")` / DuckDB `string_split(text, ' ')`
@@ -50,8 +143,10 @@ object TextHashes {
   * consecutive tokens with a single space therefore reconstructs the
   * original byte span from the first token's start to the last token's
   * end, so each shingle hash is computed over that span with ZERO
-  * string materialization. A 64-bit hash stands in for the shingle
-  * string; collisions (~p² /2^64) are negligible for set-similarity.
+  * string materialization. The hash stands in for the shingle string;
+  * collisions (~p²/2^61) are negligible for set-similarity. Oracle
+  * twin per shingle s: `md5_number_lower(s) % P` — the UTF-8 bytes of
+  * the reconstructed shingle string are exactly the hashed span.
   *
   * Texts with fewer than n tokens yield an empty array (callers filter
   * on size > 0, mirroring the algebraic form).
@@ -81,16 +176,13 @@ case class HashedWordShingles(child: Expression, n: Int)
 
 object HashedWordShingles {
 
-  private val Seed = 42L
-
   def compute(s: UTF8String, n: Int): GenericArrayData = {
-    val base = s.getBaseObject
-    val offset = s.getBaseOffset
-    val len = s.numBytes()
+    val bytes = s.getBytes
+    val len = bytes.length
     // token start offsets: 0 and every byte after a space (0x20)
     var numToks = 1
     var i = 0
-    while (i < len) { if (s.getByte(i) == ' ') numToks += 1; i += 1 }
+    while (i < len) { if (bytes(i) == ' ') numToks += 1; i += 1 }
     if (numToks < n) return new GenericArrayData(Array.emptyLongArray)
     val starts = new Array[Int](numToks)
     val ends = new Array[Int](numToks)
@@ -98,13 +190,13 @@ object HashedWordShingles {
     starts(0) = 0
     i = 0
     while (i < len) {
-      if (s.getByte(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
       i += 1
     }
     ends(t) = len
     val numShingles = numToks - n + 1
     // distinct via a simple open-addressed long set (load ≤ 0.5)
-    var cap = java.lang.Integer.highestOneBit(math.max(numShingles * 2 - 1, 4)) * 2
+    val cap = java.lang.Integer.highestOneBit(math.max(numShingles * 2 - 1, 4)) * 2
     val table = new Array[Long](cap)
     val used = new Array[Boolean](cap)
     val out = new Array[Long](numShingles)
@@ -113,7 +205,7 @@ object HashedWordShingles {
     while (sIdx < numShingles) {
       val from = starts(sIdx)
       val to = ends(sIdx + n - 1)
-      val h = XXH64.hashUnsafeBytes(base, offset + from, to - from, Seed)
+      val h = PortableHash.modP(PortableHash.md5Lower64(bytes, from, to - from))
       // probe
       var slot = (h.toInt & (cap - 1))
       var found = false
@@ -130,11 +222,12 @@ object HashedWordShingles {
   }
 }
 
-/** MinHash signature of a hashed-shingle array: k independent hash
-  * families realized as XXH64(elementHash, seed = slot index); slot j
-  * keeps the minimum. O(|shingles| × k) primitive ops, no allocation
-  * beyond the k-slot output. Null/empty input → array of Long.MaxValue
-  * (callers filter empty shingle sets upstream).
+/** MinHash signature of a hashed-shingle array: k affine lanes over
+  * GF(2^61−1); slot j keeps min over elements of (a_j·e + b_j) mod P
+  * (see [[PortableHash]] — coefficients are md5-derived so oracles
+  * rebuild them in SQL). O(|shingles| × k) primitive ops, no
+  * allocation beyond the k-slot output. Null/empty input → array of
+  * Long.MaxValue (callers filter empty shingle sets upstream).
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression {
@@ -162,6 +255,7 @@ case class MinHashSig(child: Expression, k: Int)
 
 object MinHashSig {
   def compute(arr: ArrayData, k: Int): GenericArrayData = {
+    val (as, bs) = PortableHash.lanes(k)
     val n = arr.numElements()
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -170,7 +264,7 @@ object MinHashSig {
       val e = arr.getLong(i)
       var j = 0
       while (j < k) {
-        val h = XXH64.hashLong(e, j)
+        val h = PortableHash.mulAddModP(as(j), e, bs(j))
         if (h < sig(j)) sig(j) = h
         j += 1
       }
@@ -180,10 +274,12 @@ object MinHashSig {
   }
 }
 
-/** 64-bit SimHash of space-separated text: one XXH64 per token (seed
-  * 42, = Spark `xxhash64`), each of its 64 bits votes ±1, sign of the
-  * vote sum is the output bit. Bit-identical to the algebraic
-  * formulation over `split(text, " ")`, in one pass.
+/** 64-bit SimHash of space-separated text: one md5-lower-64 per token
+  * (= DuckDB `md5_number_lower(tok)` — the FULL 64-bit pattern, not
+  * reduced mod P, because every bit is a vote dimension), each of its
+  * 64 bits votes ±1, sign of the vote sum is the output bit. The long
+  * result carries the same bit pattern as the oracle's uint64, and
+  * consumers compare via XOR popcount (sign-agnostic).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -206,18 +302,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  private val Seed = 42L
-
   def compute(s: UTF8String): Long = {
-    val base = s.getBaseObject
-    val offset = s.getBaseOffset
-    val len = s.numBytes()
+    val bytes = s.getBytes
+    val len = bytes.length
     val votes = new Array[Int](64)
     var start = 0
     var i = 0
     while (i <= len) {
-      if (i == len || s.getByte(i) == ' ') {
-        val h = XXH64.hashUnsafeBytes(base, offset + start, i - start, Seed)
+      if (i == len || bytes(i) == ' ') {
+        val h = PortableHash.md5Lower64(bytes, start, i - start)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -1,28 +1,34 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
-  * SIGMOD'03): xxhash64 every k-byte gram, then keep the minimum of
-  * each sliding window of `w` grams, deduplicated in first-appearance
+  * SIGMOD'03): hash every k-gram, then keep the minimum of each
+  * sliding window of `w` grams, deduplicated in first-appearance
   * order. Near-identical documents share most fingerprints, so the
   * output is joinable for plagiarism-style containment detection.
   *
   * A native expression instead of column algebra because the
-  * `transform(sequence(...), xxhash64(substr(...)))` formulation
+  * `transform(sequence(...), hash(substr(...)))` formulation
   * allocates one array slice per character: ~66 s for 500 docs. This
   * is one O(n) pass per row (monotonic-deque window minimum), invoked
   * from within whole-stage codegen.
   *
-  * Grams are byte-grams of the UTF-8 encoding (identical to char-grams
-  * for ASCII corpora); hash seed matches Spark's `xxhash64` default (42).
+  * Grams are k consecutive CODE POINTS (so `substr(text, i, k)` in
+  * any SQL engine names the same gram), hashed with the portable
+  * md5 family reduced mod 2^61−1 — gram g hashes to
+  * `md5_number_lower(g) % P` in DuckDB terms, over the UTF-8 bytes of
+  * the gram, which are exactly the corresponding byte span of the
+  * document. The distinct fingerprint SET is therefore reproducible
+  * as `list_distinct(window-mins)` in an external oracle; only the
+  * (irrelevant for joins) first-appearance ORDER is engine-specific.
+  * An ASCII fast path skips code-point decoding (byte == char there).
   */
 case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -49,24 +55,41 @@ case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
 
 object WinnowingFingerprint {
 
-  private val Seed = 42L // Spark's xxhash64 default seed
-
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(s: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val base = s.getBaseObject
-    val offset = s.getBaseOffset
-    val n = s.numBytes()
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    // char-start byte offsets; ASCII fast path: numChars == numBytes
+    // means offsets are the identity, skip the decode pass
+    val nChars = s.numChars()
+    var charStart: Array[Int] = null
+    if (nChars != nBytes) {
+      charStart = new Array[Int](nChars + 1)
+      var b = 0
+      var c = 0
+      while (b < nBytes) {
+        charStart(c) = b
+        b += UTF8String.numBytesForFirstByte(bytes(b))
+        c += 1
+      }
+      charStart(nChars) = nBytes
+    }
+    @inline def gramFrom(i: Int): Int = if (charStart == null) i else charStart(i)
+    @inline def gramTo(i: Int): Int = {
+      val e = math.min(i + k, nChars)
+      if (charStart == null) e else charStart(e)
+    }
     // documents shorter than one gram hash as a single short gram,
     // mirroring substr-past-end semantics
-    val numGrams = math.max(n - k + 1, 1)
+    val numGrams = math.max(nChars - k + 1, 1)
     val grams = new Array[Long](numGrams)
     var i = 0
     while (i < numGrams) {
-      val len = math.min(k, n - i)
-      grams(i) = XXH64.hashUnsafeBytes(base, offset + i, len, Seed)
+      val from = gramFrom(i)
+      grams(i) = PortableHash.modP(
+        PortableHash.md5Lower64(bytes, from, gramTo(i) - from))
       i += 1
     }
-    val numWindows = math.max(numGrams - w + 1, 1)
     // monotonic deque of candidate minima (indices, increasing values)
     val deque = new Array[Int](numGrams)
     var head = 0
