@@ -26,9 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * LSH/minhash/simhash operators built on these expressions have
   * exact external oracles, not just rows-only checks. An earlier
   * revision seeded lanes from Spark-internal XXH64, which no other
-  * engine can replay; md5 costs ~10× more per hash invocation but the
-  * expressions hash each shingle/token ONCE (lanes are modular
-  * arithmetic on that one digest), so the end-to-end delta is small.
+  * engine can replay; md5 costs ~10× more per hash invocation but
+  * these expressions hash each shingle/token ONCE (lanes are modular
+  * arithmetic on that one digest), so their end-to-end delta is
+  * small. [[WinnowingFingerprint]] is the exception — one hash per
+  * overlapping k-gram, where per-gram md5 re-reads k code points —
+  * so it uses the O(1)-per-gram rolling polynomial
+  * ([[PortableHash.GramBase]]) instead, equally SQL-portable.
   */
 object TextHashes {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -116,6 +120,30 @@ object PortableHash {
     r += b
     if (r >= P) r -= P
     r
+  }
+
+  /** Base of the Rabin–Karp gram polynomial used by
+    * [[WinnowingFingerprint]]: gram g = code points c_0..c_{m-1} hashes
+    * to Σ c_i·B^{m-1-i} mod P (Horner). A rolling update makes it
+    * O(1) per gram — the property md5-per-gram lacks (md5 re-reads all
+    * k code points per position: measured +64% on the winnowing
+    * bench). Equally portable: DuckDB twin is
+    * `list_reduce([unicode(g[i]) ...], (acc, c) -> (acc*B + c) % P)`
+    * in HUGEINT. Any base in (0x10FFFF, P) works; a well-known prime
+    * keeps the oracle literal obvious. */
+  val GramBase: Long = 1000000007L
+
+  /** b^e mod P (square-and-multiply over [[mulAddModP]]). */
+  def powModP(b: Long, e: Int): Long = {
+    var base = modP(b)
+    var exp = e
+    var acc = 1L
+    while (exp > 0) {
+      if ((exp & 1) == 1) acc = mulAddModP(acc, base, 0L)
+      base = mulAddModP(base, base, 0L)
+      exp >>= 1
+    }
+    acc
   }
 
   /** Lane multiplier a_j ∈ [1, P−1]: md5Lower64("a"+j) mod (P−1) + 1. */

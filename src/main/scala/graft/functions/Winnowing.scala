@@ -22,13 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Grams are k consecutive CODE POINTS (so `substr(text, i, k)` in
   * any SQL engine names the same gram), hashed with the portable
-  * md5 family reduced mod 2^61−1 — gram g hashes to
-  * `md5_number_lower(g) % P` in DuckDB terms, over the UTF-8 bytes of
-  * the gram, which are exactly the corresponding byte span of the
-  * document. The distinct fingerprint SET is therefore reproducible
-  * as `list_distinct(window-mins)` in an external oracle; only the
+  * Rabin–Karp polynomial over the code-point values mod P = 2^61−1
+  * (base [[PortableHash.GramBase]]): h(g) = Σ cp_i·B^{k-1-i} mod P.
+  * Rolling makes it O(1) per gram — one multiply-add per position
+  * instead of re-hashing k code points (the md5-per-gram form it
+  * replaces cost +64% on the winnowing bench) — and the oracle twin
+  * is plain SQL: `list_reduce([unicode(substr(g, i, 1)) ...],
+  * (acc, c) -> (acc*B + c) % P)` in HUGEINT. The distinct
+  * fingerprint SET is therefore reproducible externally; only the
   * (irrelevant for joins) first-appearance ORDER is engine-specific.
-  * An ASCII fast path skips code-point decoding (byte == char there).
+  * An ASCII fast path skips code-point decoding (byte == code point).
   */
 case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -59,37 +62,55 @@ object WinnowingFingerprint {
   def compute(s: UTF8String, k: Int, w: Int): GenericArrayData = {
     val bytes = s.getBytes
     val nBytes = bytes.length
-    // char-start byte offsets; ASCII fast path: numChars == numBytes
-    // means offsets are the identity, skip the decode pass
+    // decode to code points once; ASCII fast path: numChars == numBytes
+    // means every byte IS its code point, skip the decode
     val nChars = s.numChars()
-    var charStart: Array[Int] = null
-    if (nChars != nBytes) {
-      charStart = new Array[Int](nChars + 1)
+    val cps = new Array[Int](nChars)
+    if (nChars == nBytes) {
+      var b = 0
+      while (b < nBytes) { cps(b) = bytes(b) & 0xff; b += 1 }
+    } else {
       var b = 0
       var c = 0
       while (b < nBytes) {
-        charStart(c) = b
-        b += UTF8String.numBytesForFirstByte(bytes(b))
+        val first = bytes(b) & 0xff
+        val nb = UTF8String.numBytesForFirstByte(bytes(b))
+        cps(c) = nb match {
+          case 1 => first
+          case 2 => ((first & 0x1f) << 6) | (bytes(b + 1) & 0x3f)
+          case 3 => ((first & 0x0f) << 12) | ((bytes(b + 1) & 0x3f) << 6) |
+            (bytes(b + 2) & 0x3f)
+          case _ => ((first & 0x07) << 18) | ((bytes(b + 1) & 0x3f) << 12) |
+            ((bytes(b + 2) & 0x3f) << 6) | (bytes(b + 3) & 0x3f)
+        }
+        b += nb
         c += 1
       }
-      charStart(nChars) = nBytes
-    }
-    @inline def gramFrom(i: Int): Int = if (charStart == null) i else charStart(i)
-    @inline def gramTo(i: Int): Int = {
-      val e = math.min(i + k, nChars)
-      if (charStart == null) e else charStart(e)
     }
     // documents shorter than one gram hash as a single short gram,
     // mirroring substr-past-end semantics
+    val B = PortableHash.GramBase
     val numGrams = math.max(nChars - k + 1, 1)
     val grams = new Array[Long](numGrams)
-    var i = 0
-    while (i < numGrams) {
-      val from = gramFrom(i)
-      grams(i) = PortableHash.modP(
-        PortableHash.md5Lower64(bytes, from, gramTo(i) - from))
-      i += 1
+    // Horner for the first gram (shorter than k when nChars < k) ...
+    val gLen = math.min(k, nChars)
+    var h = 0L
+    var g = 0
+    while (g < gLen) { h = PortableHash.mulAddModP(B, h, cps(g)); g += 1 }
+    grams(0) = h
+    if (numGrams > 1) {
+      // ... then roll: drop cp_{i-1}·B^{k-1}, shift by B, add cp_{i+k-1}
+      val bk = PortableHash.powModP(B, k - 1)
+      var i = 1
+      while (i < numGrams) {
+        var t = h - PortableHash.mulAddModP(bk, cps(i - 1), 0L)
+        if (t < 0) t += PortableHash.P
+        h = PortableHash.mulAddModP(B, t, cps(i + k - 1))
+        grams(i) = h
+        i += 1
+      }
     }
+    var i = 0
     // monotonic deque of candidate minima (indices, increasing values)
     val deque = new Array[Int](numGrams)
     var head = 0

@@ -1,11 +1,25 @@
 package graft.functions
 
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.ext.Dedup
 
+/** Equivalence specs for the portable md5 hash family backing the
+  * shingle/minhash/simhash expressions. Every expected value is
+  * derived INDEPENDENTLY of the production code: the base hash via
+  * Spark's own `md5` function plus column algebra re-implementing the
+  * bytes-8..15-little-endian extraction (the `md5_number_lower`
+  * contract), and the lane arithmetic via BigInt (no Mersenne
+  * folding) — so these pin both the cross-engine byte-order contract
+  * and the mod-2^61−1 algebra of [[PortableHash]].
+  */
 class TextHashesSpec extends SparkSpec {
   import spark.implicits._
+
+  private val P = PortableHash.P
 
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
@@ -16,10 +30,29 @@ class TextHashesSpec extends SparkSpec {
     (6L, "the quick brown fox jumps over the lazy dog")
   ).toDF("id", "text")
 
-  test("hashedShingles = xxhash64 of the string shingles (set equality)") {
+  /** md5-lower-64 mod P from Spark's `md5()` hex output: digest bytes
+    * 8..15 read little-endian = the last 16 hex chars taken as 8
+    * byte-pairs in reverse order. Independent of PortableHash at every
+    * step (different md5 impl, different byte extraction, decimal
+    * arithmetic instead of the Mersenne fold). */
+  private def md5L64ModP(c: Column): Column = {
+    val hex = md5(c)
+    val le = concat((15 to 8 by -1).map(i => substring(hex, 2 * i + 1, 2)): _*)
+    (conv(le, 16, 10).cast("decimal(20,0)") % lit(P)).cast("long")
+  }
+
+  /** JVM twin of the oracle arithmetic: unsigned little-endian BigInt
+    * of md5 digest bytes 8..15 (≡ DuckDB `md5_number_lower`). */
+  private def refMd5Lower64(s: String): BigInt = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (0 until 8).map(i => BigInt(d(8 + i) & 0xff) << (8 * i)).sum
+  }
+
+  test("hashedShingles = md5_number_lower(shingle) % P (set equality)") {
     val n = 3
     val viaStrings = docs.select(col("id"),
-      transform(Dedup.shingles(col("text"), n), s => xxhash64(s)).as("h"))
+      transform(Dedup.shingles(col("text"), n), s => md5L64ModP(s)).as("h"))
     val native = docs.select(col("id"),
       TextHashes.hashedShingles(col("text"), n).as("h"))
     val a = viaStrings.as[(Long, Seq[Long])].collect().toMap
@@ -31,24 +64,34 @@ class TextHashesSpec extends SparkSpec {
     // keeps empty tokens, so both sides see the same 7-token stream
   }
 
-  test("native simhash is bit-identical to the column-algebra formulation") {
-    val algebraic = docs.select(col("id"),
-      Dedup.simhash64(split(col("text"), " ")).as("sh"))
-      .as[(Long, Long)].collect().toMap
+  test("native simhash matches an independent per-token md5 vote count") {
+    def refSimhash(text: String): Long = {
+      val votes = new Array[Int](64)
+      text.split(" ", -1).foreach { tok =>
+        val h = refMd5Lower64(tok)
+        (0 until 64).foreach { b =>
+          if (h.testBit(b)) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
     val native = docs.select(col("id"),
       TextHashes.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
-    algebraic.foreach { case (id, sh) =>
-      assert(native(id) == sh, s"doc $id simhash differs")
-    }
+    docs.select(col("id"), col("text")).as[(Long, String)].collect()
+      .foreach { case (id, text) =>
+        assert(native(id) == refSimhash(text), s"doc $id simhash differs")
+      }
   }
 
-  test("minhashSig: per-slot minimum of XXH64(element, slot)") {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    val elems = Seq(42L, -7L, 123456789L)
+  test("minhashSig: per-slot min of (a_j·e + b_j) mod P, BigInt-checked") {
+    val elems = Seq(42L, 7L, 123456789L, P - 1)
     val k = 8
     val expected = (0 until k).map { j =>
-      elems.map(e => XXH64.hashLong(e, j)).min
+      val a = refMd5Lower64("a" + j).mod(BigInt(P) - 1) + 1
+      val b = refMd5Lower64("b" + j).mod(BigInt(P))
+      elems.map(e => (a * e + b).mod(BigInt(P)).toLong).min
     }
     val got = Seq(elems).toDF("s")
       .select(TextHashes.minhashSig(col("s"), k)).as[Seq[Long]].head()

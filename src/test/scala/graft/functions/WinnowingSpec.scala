@@ -4,43 +4,54 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The native [[WinnowingFingerprint]] expression against an
-  * independent column-algebra formulation of the same algorithm
-  * (xxhash64 over substrings + sliding-window array_min), plus the
-  * containment property that makes winnowing useful for near-dup
-  * detection.
+  * independent reference implementation of the same algorithm (BigInt
+  * Horner gram hashes + brute-force window minima — none of the
+  * native path's rolling update, Mersenne folding, or monotonic
+  * deque), plus the containment property that makes winnowing useful
+  * for near-dup detection.
   */
 class WinnowingSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Column-algebra winnowing: k-grams via substr (char-based — equals
-    * byte-based on ASCII), window minima via slice+array_min. The
-    * formulation the native expression replaced; O(n·k·w) and
-    * interpreted, but an independent oracle for its semantics. */
-  private def algebraWinnow(t: org.apache.spark.sql.Column, k: Int, w: Int) = {
-    val grams = transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => xxhash64(t.substr(i, lit(k))))
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      i => array_min(slice(grams, i + 1, lit(w)))))
+  /** Reference winnowing: gram i = code points [i, i+k), hashed with
+    * the documented polynomial Σ cp·B^j mod P computed in BigInt;
+    * window minima by brute-force slice-min; distinct. */
+  private def refWinnow(text: String, k: Int, w: Int): Seq[Long] = {
+    val cps = text.codePoints().toArray
+    val Pb = BigInt(PortableHash.P)
+    val Bb = BigInt(PortableHash.GramBase)
+    val n = cps.length
+    val numGrams = math.max(n - k + 1, 1)
+    val grams = (0 until numGrams).map { i =>
+      cps.slice(i, math.min(i + k, n))
+        .foldLeft(BigInt(0))((acc, cp) => (acc * Bb + cp).mod(Pb)).toLong
+    }
+    (0 until numGrams).collect {
+      case i if i >= w - 1 || i == numGrams - 1 =>
+        grams.slice(math.max(0, i - w + 1), i + 1).min
+    }.distinct
   }
 
-  test("native winnow matches column-algebra oracle on random ASCII docs") {
+  test("native winnow matches the BigInt reference (incl. multi-byte text)") {
     val rnd = new scala.util.Random(42)
     val docs = (1 to 60).map { i =>
       val len = rnd.nextInt(120) // includes len<k and len<k+w edge cases
       (i, rnd.alphanumeric.take(len).mkString.toLowerCase + " the end")
+    } ++ Seq(
+      (101, "héllo wörld with äccénts and ünïcode sprinkled through it"),
+      (102, "混合テキスト with ascii and 日本語 characters interleaved"),
+      (103, ""))
+    val native = docs.toDF("id", "text")
+      .select(col("id"), Winnowing.winnow(col("text"), 8, 4).as("fp"))
+      .as[(Int, Seq[Long])].collect().toMap
+    docs.foreach { case (id, text) =>
+      val expected = refWinnow(text, 8, 4)
+      assert(native(id).sorted == expected.sorted,
+        s"doc $id fingerprints differ from reference")
     }
-    val df = docs.toDF("id", "text")
-    val mismatches = df.select(
-        array_sort(Winnowing.winnow(col("text"), 8, 4)).as("native"),
-        array_sort(algebraWinnow(col("text"), 8, 4)).as("algebra"))
-      .filter(col("native") =!= col("algebra"))
-      .count()
-    assert(mismatches == 0)
   }
 
-  test("short documents (< k bytes) produce exactly one fingerprint") {
+  test("short documents (< k chars) produce exactly one fingerprint") {
     val out = Seq("ab", "", "1234567").toDF("text")
       .select(size(Winnowing.winnow(col("text"), 8, 4))).as[Int].collect()
     assert(out.toSeq == Seq(1, 1, 1))
