@@ -53,6 +53,80 @@ object Oracles {
       |JOIN sz sb ON sb.doc_id = id_b
       |WHERE round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 >= 0.5""".stripMargin
 
+  // 2^61 − 1 — every ordered value of the portable hash family lives
+  // under this Mersenne prime (see functions.PortableHash).
+  private val pSql = graft.functions.PortableHash.PSql
+
+  // DuckDB twin of the PortableHash minhash machinery: 61-bit shingle
+  // hashes (md5_number_lower % P — bit-identical to the JVM
+  // md5Lower64/modP pair), 64 affine lanes with md5-derived
+  // coefficients rebuilt in SQL, and 16 four-lane band keys. Band
+  // equality is keyed on the slice VALUES where Spark buckets on
+  // murmur3(slice) — equal up to 2^-32 hash collisions, which the
+  // exact verify step absorbs. Parameterized by the document source
+  // so curate_corpus_near can run it over its quality-kept subset.
+  private def minhashCtes(source: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([
+       |           (md5_number_lower(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |              % $pSql::UBIGINT)::BIGINT
+       |           for i in generate_series(1, len(toks) - 2)]) AS s
+       |       FROM toks WHERE len(toks) >= 3),
+       |lanes AS (SELECT j,
+       |            (md5_number_lower('a' || j) % ($pSql::UBIGINT - 1) + 1)::HUGEINT AS a,
+       |            (md5_number_lower('b' || j) % $pSql::UBIGINT)::HUGEINT AS b
+       |          FROM generate_series(0, 63) t(j)),
+       |ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+       |sig AS (SELECT doc_id, j, min((a * h + b) % $pSql) AS m
+       |        FROM ex CROSS JOIN lanes GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, j // 4 AS band_idx,
+       |            string_agg(m, ',' ORDER BY j) AS band_key
+       |          FROM sig GROUP BY doc_id, j // 4)""".stripMargin
+
+  // Three rounds of the star-contraction label propagation (the
+  // catalog's iters=3, which small corpora converge inside — the early
+  // fixpoint exit makes extra rounds identity), then singleton docs
+  // (< 3 tokens, no buckets) as their own clusters.
+  private def minhashClusterCtes(keptSource: String): String =
+    s"""l0 AS (SELECT doc_id, doc_id AS lbl FROM sh),
+       |bm1 AS (SELECT band_idx, band_key, min(lbl) AS bmin
+       |        FROM bands JOIN l0 USING (doc_id) GROUP BY 1, 2),
+       |l1 AS (SELECT doc_id, min(bmin) AS lbl
+       |       FROM bands JOIN bm1 USING (band_idx, band_key) GROUP BY doc_id),
+       |bm2 AS (SELECT band_idx, band_key, min(lbl) AS bmin
+       |        FROM bands JOIN l1 USING (doc_id) GROUP BY 1, 2),
+       |l2 AS (SELECT doc_id, min(bmin) AS lbl
+       |       FROM bands JOIN bm2 USING (band_idx, band_key) GROUP BY doc_id),
+       |bm3 AS (SELECT band_idx, band_key, min(lbl) AS bmin
+       |        FROM bands JOIN l2 USING (doc_id) GROUP BY 1, 2),
+       |l3 AS (SELECT doc_id, min(bmin) AS lbl
+       |       FROM bands JOIN bm3 USING (band_idx, band_key) GROUP BY doc_id),
+       |singletons AS (SELECT doc_id FROM $keptSource
+       |               WHERE doc_id NOT IN (SELECT doc_id FROM sh))""".stripMargin
+
+  // DuckDB twin of functions.WinnowingFingerprint: k code-point grams
+  // hashed with the rolling polynomial (Horner via list_reduce — the
+  // first element doubles as the init, ≡ acc=0 Horner), window-of-w
+  // minima, distinct set. Zero-length docs hash as the single empty
+  // gram 0, mirroring the expression's substr-past-end semantics.
+  private def winnowCtes(k: Int, w: Int): String = {
+    val b = graft.functions.PortableHash.GramBase
+    s"""g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN [0::BIGINT]
+       |    ELSE [list_reduce([unicode(substr(text, j, 1))::HUGEINT
+       |            for j in generate_series(i, least(i + ${k - 1}, length(text)))],
+       |           (acc, c) -> (acc * $b + c) % $pSql)::BIGINT
+       |          for i in generate_series(1, greatest(length(text) - ${k - 1}, 1))]
+       |    END AS grams
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |        list_distinct([list_min(grams[i:i+${w - 1}]) for i in
+       |          generate_series(1, greatest(len(grams) - ${w - 1}, 1))]) AS fps
+       |      FROM g)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "fred_monthly_agg" ->
@@ -716,6 +790,85 @@ object Oracles {
         | AND abs(length(a.canon) - length(b.canon)) <= 8
         |WHERE levenshtein(a.canon, b.canon) <= 8""".stripMargin,
 
+    // Mirrors minhashLshPairs end to end: portable minhash bands,
+    // the maxBucket=200 giant-bucket exclusion, candidate pairs on
+    // band equality, exact-Jaccard verify over the hashed shingle sets.
+    "dedup_minhash_lsh" ->
+      s"""WITH ${minhashCtes("documents")},
+         |ok AS (SELECT band_idx, band_key FROM bands
+         |       GROUP BY 1, 2 HAVING count(*) <= 200),
+         |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM b2 a JOIN b2 b
+         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |         round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
+         |               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // Mirrors minhashClusters: same bands, three label-propagation
+    // rounds, singletons as their own clusters.
+    "dedup_minhash_clusters" ->
+      s"""WITH ${minhashCtes("documents")},
+         |${minhashClusterCtes("documents")}
+         |SELECT doc_id AS doc, lbl AS cluster FROM l3
+         |UNION ALL
+         |SELECT doc_id, doc_id FROM singletons""".stripMargin,
+
+    // Mirrors simhashPairs OUTPUT (combination banding has recall
+    // exactly 1.0 by pigeonhole and the exact-Hamming verify removes
+    // false candidates, so the result ≡ the all-pairs filter — which
+    // is what the oracle can afford at verify scale): per-token
+    // md5-lower-64 bit votes, sign bits packed into a signed 64-bit
+    // value, pairs at Hamming ≤ 3.
+    "dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM t),
+        |votes AS (SELECT doc_id, b,
+        |            sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM th CROSS JOIN generate_series(0, 63) g(b)
+        |          GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN
+        |               CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                    ELSE (1::BIGINT << b) END
+        |             ELSE 0 END)::BIGINT AS sh
+        |       FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // Mirrors winnowingContainmentPairs (k=16, w=8): polynomial
+    // fingerprint sets, the maxDocFreq=50 hot-fingerprint cap,
+    // containment over retained counts.
+    "dedup_winnowing" ->
+      s"""WITH ${winnowCtes(16, 8)},
+         |ex_all AS (SELECT doc_id, unnest(fps) AS f FROM m),
+         |hot AS (SELECT f FROM ex_all GROUP BY 1 HAVING count(*) > 50),
+         |ex AS (SELECT * FROM ex_all
+         |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.f = ex_all.f)),
+         |sz AS (SELECT doc_id, count(*) AS n_fp FROM ex GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |       round(CAST(n_shared * 10000 AS DOUBLE) / least(sa.n_fp, sb.n_fp)) / 10000 AS containment
+         |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(CAST(n_shared * 10000 AS DOUBLE) / least(sa.n_fp, sb.n_fp)) / 10000 >= 0.3""".stripMargin,
+
+    // Mirrors textFingerprint: winnow(k=8, w=4) summary stats.
+    "text_fingerprint" ->
+      s"""WITH ${winnowCtes(8, 4)}
+         |SELECT doc_id, len(fps)::INTEGER AS n_fingerprints,
+         |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM m""".stripMargin,
+
     // Mirrors Decontam.overlapStats: distinct 5-gram shingles of each
     // training doc probed against the benchmark's distinct shingle set
     // (benchmark = every 20th doc), counts per contaminated doc.
@@ -1121,6 +1274,55 @@ object Oracles {
         |         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
         |              % 100 AS INTEGER) AS bucket
         |  FROM cleaned)""".stripMargin,
+
+    // Mirrors curateCorpusNear: same four stages as curate_corpus but
+    // the keep-set is the minhash-cluster representatives (doc ==
+    // cluster) over the quality-kept subset — the minhash CTEs run on
+    // `kept`, and singleton docs (no shingles) represent themselves.
+    "curate_corpus_near" ->
+      s"""WITH sig0 AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
+         |         length(text) AS n_chars_raw
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |q AS (
+         |  SELECT doc_id, text,
+         |         CAST((least(300000, greatest(0,
+         |             50 * CAST(round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) AS BIGINT) + 150000
+         |             - 3 * abs(CAST(round(CAST((n_chars_raw - (n_tokens - 1)) * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
+         |           + 15) // 30 AS DOUBLE) / 10000 AS quality_score
+         |  FROM sig0),
+         |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         |${minhashCtes("kept")},
+         |${minhashClusterCtes("kept")},
+         |keep AS (SELECT doc_id FROM l3 WHERE lbl = doc_id
+         |         UNION ALL SELECT doc_id FROM singletons),
+         |deduped AS (
+         |  SELECT k.* FROM kept k
+         |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh5 AS (SELECT doc_id,
+         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
+         |                        for i in generate_series(1, len(toks) - 4)]) AS s
+         |       FROM w WHERE len(toks) >= 5),
+         |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh5 WHERE doc_id % 20 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(s) AS shingle FROM sh5 WHERE doc_id % 20 <> 0) t
+         |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.shingle = t.shingle)),
+         |cleaned AS (
+         |  SELECT * FROM deduped d
+         |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id))
+         |SELECT doc_id, quality_score,
+         |       CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+         |FROM (
+         |  SELECT doc_id, quality_score,
+         |         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+         |              % 100 AS INTEGER) AS bucket
+         |  FROM cleaned)""".stripMargin,
 
     "mm_payload_meta" ->
       """SELECT doc_id,

@@ -480,20 +480,29 @@ object Queries {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       n = 3, threshold = 0.5, maxDocFreq = 50)
 
+  /** MinHash-LSH near-dup pairs. `maxBucket = 200` closes the one
+    * quadratic door the defaults leave open: a band bucket holding
+    * >200 docs is an exact-dup cluster or degenerate boilerplate —
+    * C(bucket, 2) pair enumeration there belongs to the cluster form
+    * ([[dedupMinhashClusters]]), not the pair form. The oracle mirrors
+    * the cap on the band-slice buckets. */
   val dedupMinhashLsh: Q = (s, dir) =>
-    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxBucket = 200)
 
-  /** Linear-output dedup: (doc, cluster-representative) assignments
-    * (rows-only: LSH banding is engine-specific; spec + 100k-doc scale
-    * smoke pin semantics and runtime). */
+  /** Linear-output dedup: (doc, cluster-representative) assignments.
+    * Hash-checked: the portable md5 hash family makes the banding and
+    * label propagation exactly replayable in the DuckDB oracle; the
+    * 100k-doc scale smoke pins runtime. */
   val dedupMinhashClusters: Q = (s, dir) =>
     Dedup.minhashClusters(Tables.documents(s, dir), "doc_id", "text")
 
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
-  /** Winnowing containment dedup (rows-only: engine-specific hash
-    * family; the fingerprint algebra is spec-pinned). */
+  /** Winnowing containment dedup — hash-checked: the rolling
+    * polynomial gram hash is replayed by the oracle in HUGEINT
+    * arithmetic over `unicode(substr(...))`. */
   val dedupWinnowing: Q = (s, dir) =>
     Dedup.winnowingContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
       threshold = 0.3)
@@ -794,8 +803,8 @@ object Queries {
         graft.functions.LangId.langId(col("text")).as("lang_pred"))
 
   /** Winnowing rolling-hash fingerprint via the native
-    * [[graft.functions.WinnowingFingerprint]] expression (rows-only
-    * check: the hash family is engine-specific). */
+    * [[graft.functions.WinnowingFingerprint]] expression —
+    * hash-checked against the oracle's polynomial twin. */
   val textFingerprint: Q = (s, dir) => {
     val winnowed = graft.functions.Winnowing.winnow(col("text"), k = 8, w = 4)
     Tables.documents(s, dir).select(
@@ -892,10 +901,10 @@ object Queries {
     * [[curateCorpus]] but the keep-set comes from MinHash cluster
     * representatives (doc == cluster) instead of exact-hash groups —
     * the form recommended at 100 TB, where duplicate groups are deep
-    * and pair enumeration is quadratic. Rows-only at the gate (LSH
-    * banding is engine-specific); the exact-dedup twin above is the
-    * hash-checked oracle anchor, and near-dedup can only remove MORE
-    * rows than exact (spec-pinned). */
+    * and pair enumeration is quadratic. Hash-checked end to end: the
+    * portable hash family lets the oracle replay the cluster keep-set
+    * exactly, and near-dedup can only remove MORE rows than exact
+    * (spec-pinned). */
   val curateCorpusNear: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val bench = docs.filter(col("doc_id") % 20 === 0)
