@@ -932,6 +932,24 @@ object Oracles {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    // Exhaustive-probe IVF ≡ brute force by construction, so the
+    // oracle IS the similarity_topk query: cosine over all candidate
+    // pairs, top-10 per query with the id tiebreak. k-means centroids
+    // never appear in the result — every cluster is probed.
+    "similarity_ivf_exhaustive" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
+        |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
     // Mirrors VectorQuant bit-for-bit: float→double widening, exact
     // IEEE 127/max|x| scale, explicit floor(x·scale + 0.5) rounding.
     // Scalar rows (vec_id, pos, q_i, scale): unnest + generate_subscripts
@@ -1489,6 +1507,30 @@ object Oracles {
          |           ORDER BY d.n_chars DESC, comp.node) AS rk
          |  FROM comp JOIN documents d ON comp.node = d.doc_id)
          |WHERE rk = 1""".stripMargin,
+
+    // Mirrors dedupCanonicalShared: the same exact closure as
+    // dedup_components, labels joined with the per-cluster canonical
+    // pick (longest member, id tiebreak) — one row per clustered doc.
+    "dedup_canonical_shared" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$dedupNgramSql
+         |),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         |canon AS (
+         |  SELECT cluster, canonical_doc_id FROM (
+         |    SELECT comp.label AS cluster, comp.node AS canonical_doc_id,
+         |           row_number() OVER (PARTITION BY comp.label
+         |             ORDER BY d.n_chars DESC, comp.node) AS rk
+         |    FROM comp JOIN documents d ON comp.node = d.doc_id)
+         |  WHERE rk = 1)
+         |SELECT comp.node AS doc_id, comp.label, canon.canonical_doc_id
+         |FROM comp JOIN canon ON canon.cluster = comp.label""".stripMargin,
 
     // Mirrors TextOps.normalizeText: DuckDB nfc_normalize +
     // strip_accents are the twins of the codegen'd

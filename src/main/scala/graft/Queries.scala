@@ -580,6 +580,19 @@ object Queries {
       k = 5, nprobe = 2)
   }
 
+  /** IVF with exhaustive probing (nprobe = nClusters): every cluster
+    * is searched, so the output ≡ brute-force top-k BY CONSTRUCTION —
+    * which hands the whole IVF machinery (centroid ranking, probe
+    * explode, cluster-equality join, windowed top-k) the exact
+    * similarity_topk oracle. The hash-checked anchor under the
+    * engine-specific lower-nprobe entries above. */
+  val similarityIvfExhaustive: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
+    Ivf.searchTopK(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, nprobe = 8)
+  }
+
   /** Hyperplane-LSH near-neighbor pairs at cosine ≥ 0.4 (rows-only:
     * sign-bit signatures are engine-specific; VectorLshSpec pins
     * determinism, subset-of-brute-force, and the keys-only explode). */
@@ -975,6 +988,29 @@ object Queries {
       docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
   }
 
+  /** The pair graph and its connected components computed ONCE,
+    * serving both consumers: per-doc cluster labels (the
+    * dedup_components shape) AND the per-cluster canonical choice —
+    * one (doc_id, label, canonical_doc_id) row per clustered doc.
+    * [[dedupComponents]] + [[dedupCanonical]] run standalone recompute
+    * the pair join + closure twice; here the label frame is
+    * materialized (`localCheckpoint` — a cluster deployment would
+    * persist to disk) and re-read by the window and the join, so the
+    * expensive Σ bucket² candidate work happens exactly once. */
+  val dedupCanonicalShared: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val labels = graft.operators.ConnectedComponents.run(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 50),
+      "id_a", "id_b").localCheckpoint()
+    val canon = Dedup.canonicalPerCluster(labels,
+      docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
+    labels.withColumnRenamed("node", "doc_id")
+      .join(canon.select("cluster", "canonical_doc_id"),
+        col("label") === col("cluster"))
+      .select("doc_id", "label", "canonical_doc_id")
+  }
+
   /** Unicode canonicalization of every document: NFC + accent-strip +
     * lower/trim/whitespace-collapse — the cross-crawl fingerprint key
     * (composed vs decomposed crawls of the same page canonicalize
@@ -1064,6 +1100,7 @@ object Queries {
     "similarity_topk" -> similarityTopk,
     "similarity_ivf" -> similarityIvf,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
+    "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_lsh" -> similarityLsh,
     "embedding_quantize" -> embeddingQuantize,
     "text_stats" -> textStats,
@@ -1089,6 +1126,7 @@ object Queries {
     "quality_funnel" -> qualityFunnel,
     "sample_mixture" -> sampleMixture,
     "dedup_canonical" -> dedupCanonical,
+    "dedup_canonical_shared" -> dedupCanonicalShared,
     "text_normalize" -> textNormalize,
     "events_funnel" -> eventsFunnel
   )

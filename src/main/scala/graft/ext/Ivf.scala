@@ -30,18 +30,30 @@ object Ivf {
   /** The trained index: per-cluster corpus assignment + centroids. */
   case class Index(assigned: DataFrame, centroids: Array[Array[Float]])
 
-  /** Fit k-means on (a sample of) the corpus and assign every row a
-    * cluster id. `fitSampleFraction < 1` bounds training cost on huge
-    * corpora; assignment always covers the full corpus. */
+  /** Fit k-means on a sample of the corpus and assign every row a
+    * cluster id. Sampled training is the DEFAULT: k-means is
+    * multi-pass (`maxIter` full scans of its train set), so training
+    * on the whole corpus at 100 TB costs `iters × corpus` reads for
+    * centroids a bounded sample estimates just as well (coarse-
+    * quantizer quality saturates at ~10⁴–10⁵ points per centroid).
+    * Assignment always covers the full corpus in ONE pass.
+    *
+    * `minFitRows` floors the sample: when the sampled set is smaller
+    * than the floor (small corpora, tests), training silently falls
+    * back to the full corpus — correct there, and the probe is a
+    * short-circuiting `limit(n).count()`, not a full count. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, seed: Long = 42L,
-      fitSampleFraction: Double = 1.0): Index = {
+      fitSampleFraction: Double = 0.1, minFitRows: Long = 10000L): Index = {
     val featured = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("__fv", array_to_vector(col("cv")))
     val trainSet =
-      if (fitSampleFraction < 1.0) featured.sample(fitSampleFraction, seed)
-      else featured
+      if (fitSampleFraction < 1.0) {
+        val sampled = featured.sample(fitSampleFraction, seed)
+        if (sampled.limit(minFitRows.toInt).count() >= minFitRows) sampled
+        else featured
+      } else featured
     val model = new KMeans()
       .setK(nClusters).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("cluster")
