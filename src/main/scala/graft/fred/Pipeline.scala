@@ -19,27 +19,51 @@ import graft.fred.ops.{Clean, Derive, MonthlyAgg, YearlyGold}
   * deployment runs [[runIndicator]] for all indicators concurrently;
   * within one indicator the layers are sequential by data dependency.
   */
-class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String) {
+class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
+    retries: Int = 1, retryDelayMs: Long = 5 * 60 * 1000L) {
 
   def bronzeRoot: String = s"$lakeRoot/raw_data"
   def silverRoot: String = s"$lakeRoot/processed_data"
   def goldRoot: String = s"$lakeRoot/aggregated_data"
+
+  /** The reference DAG's task-retry posture (`fred_historical_backfill
+    * .py:48-49`: `retries: 1, retry_delay: 5 minutes`) applied per
+    * layer — the layer is the Airflow-task analog. Retrying a layer
+    * wholesale is safe BECAUSE every layer is idempotent (partition
+    * overwrite / keyed upsert): a re-run after a partial failure
+    * converges to the same lake state, never duplicates. Only
+    * non-fatal errors retry; the delay is constructor-injectable so
+    * tests don't sleep five minutes. */
+  private def withRetry[T](body: => T): T = {
+    var left = retries
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(_) if left > 0 =>
+          left -= 1
+          if (retryDelayMs > 0) Thread.sleep(retryDelayMs)
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** Extract one indicator over [start, end]: month-ranged API calls
     * (C8), bronze shaping (B1-B3, C1-C2), partitioned JSON-lines write
     * (H1). One write per month mirrors the reference's per-month
     * S3 object (`extract_fred_data.py:238-290`). */
   def extract(seriesId: String, start: LocalDate, end: LocalDate): Unit =
-    FredSource.monthRanges(start, end).foreach { case (first, last) =>
-      val obs = FredSource.observations(
-        spark, source.fetchMonth(seriesId, first, last))
-      LakeIO.writeBronze(Derive.toBronze(obs, seriesId), bronzeRoot)
+    withRetry {
+      FredSource.monthRanges(start, end).foreach { case (first, last) =>
+        val obs = FredSource.observations(
+          spark, source.fetchMonth(seriesId, first, last))
+        LakeIO.writeBronze(Derive.toBronze(obs, seriesId), bronzeRoot)
+      }
     }
 
   /** Transform bronze months of one indicator to silver monthly grain:
     * read the partitioned root with pruning filters (no path
     * arithmetic), clean (B4-B5, C3), group-agg (A1), write (H2). */
-  def transform(seriesId: String, years: Seq[Int]): Unit = {
+  def transform(seriesId: String, years: Seq[Int]): Unit = withRetry {
     val bronze = LakeIO.readBronze(spark, bronzeRoot)
       .where(col("indicator") === seriesId &&
         col("observation_year").isin(years: _*))
@@ -52,7 +76,7 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String) {
   /** Aggregate silver to gold for given years: the union loop is
     * obviated by one pruned scan (SURVEY §2 E1); round + stamp (C6,
     * B3), write partitioned by (indicator, year). */
-  def aggregate(seriesId: String, years: Seq[Int]): Unit = {
+  def aggregate(seriesId: String, years: Seq[Int]): Unit = withRetry {
     // first-ever run: no silver root yet → empty silver-shaped frame
     // (the reference's missing-file-to-empty-frame behavior)
     val silver = LakeIO.readParquet(spark, silverRoot, Some(Schemas.silver))
@@ -66,9 +90,11 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String) {
     * key (D2/H3) — callers pass a sink function so tests can capture
     * rows while prod wires [[graft.fred.io.UpsertSink.write]]. */
   def load(seriesId: String, years: Seq[Int])(sink: DataFrame => Unit): Unit =
-    sink(LakeIO.readParquet(spark, goldRoot, Some(Schemas.gold))
-      .where(col("indicator") === seriesId &&
-        col("observation_year").isin(years: _*)))
+    withRetry {
+      sink(LakeIO.readParquet(spark, goldRoot, Some(Schemas.gold))
+        .where(col("indicator") === seriesId &&
+          col("observation_year").isin(years: _*)))
+    }
 
   /** The full reference DAG for one indicator over a date window. */
   def runIndicator(seriesId: String, start: LocalDate, end: LocalDate)

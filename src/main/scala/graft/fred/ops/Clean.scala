@@ -35,6 +35,23 @@ object Clean {
   /** C3: lenient string→double cast; unparsable → null. */
   def lenientDouble(c: Column): Column = c.try_cast(DoubleType)
 
+  /** The reference's OTHER lenient-cast flavor, on the serving path
+    * (`load_fred_data_to_google.py:97-98`, pandas
+    * `to_numeric(errors='ignore')`): ALL-OR-NOTHING per column. The
+    * column becomes numeric only when every non-null value parses; a
+    * single bad value keeps the whole column as its original strings
+    * (pandas returns the input unchanged on any error — it never
+    * mixes). Contrast [[lenientDouble]] (`errors='coerce'`), which
+    * nulls just the bad values. Column-level by nature, so it costs
+    * one probe over the data — a short-circuiting any-bad-value scan
+    * (`isEmpty` = limit-1), not a full aggregate. */
+  def lenientKeepString(df: DataFrame, valueCol: String): DataFrame = {
+    val anyBad = !df.filter(col(valueCol).isNotNull &&
+      lenientDouble(col(valueCol)).isNull).isEmpty
+    if (anyBad) df
+    else df.withColumn(valueCol, lenientDouble(col(valueCol)))
+  }
+
   /** C7: sink-key canonicalization — trim + lowercase
     * (`load_fred_data_to_google.py:100-101`). */
   def canonicalKey(c: Column): Column = lower(trim(c))

@@ -199,6 +199,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(roundTrip == direct)
   }
 
+  test("LSH maxBucket guard plans a broadcast anti-join on the band keys") {
+    val plan = executed(Queries.dedupMinhashLsh(spark, sf))
+    // the giant-bucket exclusion must be a BROADCAST anti-join (the
+    // hot list is tiny); a shuffled anti-join would re-shuffle the
+    // bands×-exploded frame
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"giant-bucket guard not a broadcast anti-join:\n$plan")
+  }
+
   test("catalog-wide invariant: no query plans a CartesianProduct") {
     // every membership/candidate step must be an equality/semi/anti
     // join — a cartesian anywhere is the one plan shape that cannot

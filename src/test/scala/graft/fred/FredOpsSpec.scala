@@ -24,6 +24,27 @@ class FredOpsSpec extends SparkSpec {
     assert(out == Map("a" -> 1.5, "e" -> 2.25))
   }
 
+  test("lenientKeepString: all-or-nothing column cast (pandas errors='ignore')") {
+    // every non-null value parses → column becomes double (null passes)
+    val clean = Seq(("a", "1.5"), ("b", null: String), ("c", "2"))
+      .toDF("id", "value")
+    val castDf = Clean.lenientKeepString(clean, "value")
+    assert(castDf.schema("value").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(castDf.select("id", "value").as[(String, Option[Double])]
+      .collect().toMap == Map("a" -> Some(1.5), "b" -> None, "c" -> Some(2.0)))
+    // ONE unparsable value → the whole column keeps its original
+    // strings, parsable values included (pandas returns the input
+    // unchanged on any error; it never mixes types)
+    val dirty = Seq(("a", "1.5"), ("b", "oops"), ("c", "2"))
+      .toDF("id", "value")
+    val keptDf = Clean.lenientKeepString(dirty, "value")
+    assert(keptDf.schema("value").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(keptDf.select("id", "value").as[(String, String)]
+      .collect().toMap == Map("a" -> "1.5", "b" -> "oops", "c" -> "2"))
+  }
+
   test("filterSentinel keeps nulls (pandas != semantics)") {
     val df = Seq(Some("."), None, Some("3")).toDF("value")
     val kept = Clean.filterSentinel(df, "value").collect().map(_.getString(0))

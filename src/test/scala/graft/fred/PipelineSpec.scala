@@ -45,6 +45,41 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/aggregated_data").count() == 2)
   }
 
+  test("layer retry: a transient extract failure heals; exhaustion propagates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retry").toString
+    var calls = 0
+    val flaky = new FredSource {
+      def fetchMonth(seriesId: String, start: LocalDate, end: LocalDate): String = {
+        calls += 1
+        if (calls == 1) throw new RuntimeException("transient 500")
+        """{"observations":[{"date":"2024-01-02","value":"3.95"}]}"""
+      }
+    }
+    // retryDelayMs = 0: the injectable delay exists so this test
+    // doesn't sleep the reference's five minutes
+    val pipe = new Pipeline(spark, flaky, tmp, retries = 1, retryDelayMs = 0L)
+    var served: Array[(String, Int, Int, Double, Long)] = Array.empty
+    pipe.runIndicator("DGS10",
+      LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-31")) { gold =>
+      served = gold
+        .select("indicator", "observation_year", "observation_month", "value", "observation_count")
+        .as[(String, Int, Int, Double, Long)].collect()
+    }
+    assert(calls == 2, "first attempt failed, the one retry must have run")
+    assert(served.toSeq == Seq(("DGS10", 2024, 1, 3.95, 1L)))
+    // a permanently failing source exhausts the single retry and throws
+    val down = new FredSource {
+      def fetchMonth(s: String, a: LocalDate, b: LocalDate): String =
+        throw new RuntimeException("down")
+    }
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-retry2").toString
+    val pipe2 = new Pipeline(spark, down, tmp2, retries = 1, retryDelayMs = 0L)
+    intercept[RuntimeException] {
+      pipe2.extract("DGS10",
+        LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-31"))
+    }
+  }
+
   test("typed silver boundary: Dataset[SilverObservation] round-trips the lake") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-typed").toString
     val silver = Seq(
