@@ -127,6 +127,29 @@ object Oracles {
        |      FROM g)""".stripMargin
   }
 
+  private val decontamOverlapSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
+      |                        for i in generate_series(1, len(toks) - 4)]) AS s
+      |       FROM w WHERE len(toks) >= 5),
+      |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+      |train AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n_sh, unnest(s) AS shingle
+      |          FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT doc_id, n_sh, count(*) AS n_overlap,
+      |       round(CAST(count(*) * 10000 AS DOUBLE) / n_sh) / 10000 AS contamination
+      |FROM train JOIN bench USING (shingle)
+      |GROUP BY doc_id, n_sh""".stripMargin
+
+  // DuckDB twin of operators.ZOrder.interleave: the Morton bit-
+  // interleave as explicit shift/mask/OR arithmetic over the scaled
+  // dimension expressions.
+  private def mortonSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) | (((($y) >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   val all: Map[String, String] = Map(
 
     "fred_monthly_agg" ->
@@ -872,20 +895,13 @@ object Oracles {
     // Mirrors Decontam.overlapStats: distinct 5-gram shingles of each
     // training doc probed against the benchmark's distinct shingle set
     // (benchmark = every 20th doc), counts per contaminated doc.
-    "decontam_overlap" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
-        |                        for i in generate_series(1, len(toks) - 4)]) AS s
-        |       FROM w WHERE len(toks) >= 5),
-        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
-        |train AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n_sh, unnest(s) AS shingle
-        |          FROM sh WHERE doc_id % 20 <> 0)
-        |SELECT doc_id, n_sh, count(*) AS n_overlap,
-        |       round(CAST(count(*) * 10000 AS DOUBLE) / n_sh) / 10000 AS contamination
-        |FROM train JOIN bench USING (shingle)
-        |GROUP BY doc_id, n_sh""".stripMargin,
+    "decontam_overlap" -> decontamOverlapSql,
+
+    // decontam_bloom is the SAME relation through the bloom-prefilter
+    // plan (Decontam.overlapStatsBloom): the bitset admits no false
+    // negatives and the exact-confirm join kills false positives, so
+    // the exact-SQL twin is identical by construction.
+    "decontam_bloom" -> decontamOverlapSql,
 
     // Mirrors Splits.assign bit-for-bit: top 60 bits of
     // md5(doc_id || 'graft') mod 100 → 80/10/10 ranges.
@@ -1565,6 +1581,75 @@ object Oracles {
         |            THEN round(n_users * 10000.0
         |                       / lag(n_users) OVER (ORDER BY step_idx)) / 1e4
         |            END AS conv_pct
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Mirrors TextOps.gopherSignals: the Gopher rule battery with
+    // every gate in exact integer space (no float boundary can flip a
+    // flag between engines) and 4-dp integer-scaled display ratios.
+    "quality_gopher" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |             length(text) AS nc FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(nc - (len(toks) - 1) AS BIGINT) AS sum_chars,
+        |        CAST(len(list_filter(toks,
+        |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |        CAST(len(list_filter(toks, t -> list_contains(
+        |          ['the','be','to','of','and','that','have','with'], t)))
+        |          AS BIGINT) AS n_stop,
+        |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+        |      FROM w)
+        |SELECT doc_id, n_words, n_stop,
+        |       round(CAST(sum_chars * 10000 AS DOUBLE) / n_words) / 10000
+        |         AS mean_word_len,
+        |       round(CAST(n_alpha * 10000 AS DOUBLE) / n_words) / 10000
+        |         AS frac_alpha,
+        |       (n_words >= 50 AND n_words <= 100000) AS keep_words,
+        |       (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words) AS keep_mwl,
+        |       (5 * n_alpha >= 4 * n_words) AS keep_alpha,
+        |       (n_stop >= 2) AS keep_stop,
+        |       (10 * n_sym <= n_words) AS keep_symbol,
+        |       ((n_words >= 50 AND n_words <= 100000)
+        |         AND (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words)
+        |         AND (5 * n_alpha >= 4 * n_words)
+        |         AND (n_stop >= 2)
+        |         AND (10 * n_sym <= n_words)) AS keep
+        |FROM s""".stripMargin,
+
+    // Mirrors TextOps.tokenStats: whitespace vs regex tokenization
+    // with type-token ratio; the regex class is identical RE2/Java
+    // syntax ([^\p{L}\p{N}]+ over lowercased text).
+    "text_tokens_regex" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             list_filter(regexp_split_to_array(lower(text),
+        |               '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS re
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(re) AS BIGINT) AS n_re_tokens,
+        |       CAST(len(list_distinct(re)) AS BIGINT) AS n_types,
+        |       round(CAST(len(list_distinct(re)) * 10000 AS DOUBLE) / len(re))
+        |         / 10000 AS ttr
+        |FROM t WHERE len(re) > 0""".stripMargin,
+
+    // Mirrors operators.ZOrder.rangeStats over events (user_id ×
+    // floor(value)): broadcast min/max bounds, affine grid scaling in
+    // exact integral arithmetic (// ≡ Spark DIV on non-negatives),
+    // Morton interleave (8 bits/dim), top-5-bit z-range buckets.
+    "layout_zorder" ->
+      s"""WITH e AS (SELECT CAST(user_id AS BIGINT) AS x,
+         |             CAST(floor(value) AS BIGINT) AS y FROM events),
+         |b AS (SELECT min(x) AS x_lo, max(x) AS x_hi,
+         |             min(y) AS y_lo, max(y) AS y_hi FROM e),
+         |k AS (SELECT x, y,
+         |        ((x - x_lo) * 256) // (x_hi - x_lo + 1) AS xq,
+         |        ((y - y_lo) * 256) // (y_hi - y_lo + 1) AS yq
+         |      FROM e CROSS JOIN b),
+         |z AS (SELECT x, y, ${mortonSql("xq", "yq", 8)} AS zkey FROM k)
+         |SELECT CAST(zkey >> 11 AS INTEGER) AS bucket, count(*) AS n_rows,
+         |       min(x) AS x_min, max(x) AS x_max,
+         |       min(y) AS y_min, max(y) AS y_max,
+         |       min(zkey) AS z_min, max(zkey) AS z_max
+         |FROM z GROUP BY 1""".stripMargin
   )
 }

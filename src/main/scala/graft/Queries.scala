@@ -533,6 +533,20 @@ object Queries {
       "doc_id", "text", n = 5)
   }
 
+  /** [[decontamOverlap]] through the bloom-prefilter path: the same
+    * benchmark split, but the (doc, shingle) stream is culled by a
+    * 2¹⁶-bit bloom bitset BEFORE the exact-confirm join — the plan for
+    * when the eval-suite shingle set outgrows broadcast. Output ≡
+    * decontam_overlap (bloom admits no false negatives; the exact join
+    * kills false positives), so it shares the exact-SQL oracle. */
+  val decontamBloom: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontam.overlapStatsBloom(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5, mBits = 1 << 16, kProbes = 4)
+  }
+
   /** Deterministic 80/10/10 split keyed on md5(doc_id‖salt) — stable
     * under re-reads/appends, engine-portable (oracle reproduces it). */
   val splitAssign: Q = (s, dir) =>
@@ -809,6 +823,25 @@ object Queries {
     TextOps.qualityScore(TextOps.qualitySignals(Tables.documents(s, dir)))
       .select("doc_id", "n_tokens", "n_stopwords", "stop_ratio", "punct_ratio",
         "mean_token_len", "quality_score")
+
+  /** The published Gopher filter battery as per-doc signals + exact-
+    * integer gates (see [[TextOps.gopherSignals]]). */
+  val qualityGopher: Q = (s, dir) =>
+    TextOps.gopherSignals(Tables.documents(s, dir))
+
+  /** Whitespace vs BPE-ish regex tokenization stats with type-token
+    * ratio — the lexical-diversity triage signal. */
+  val textTokensRegex: Q = (s, dir) =>
+    TextOps.tokenStats(Tables.documents(s, dir))
+
+  /** Z-order layout diagnostics over events (user × quantized value):
+    * 32 fixed-width z-ranges with per-range min/max bounds on both
+    * dimensions — the file-skipping layout measured rather than
+    * asserted (see [[graft.operators.ZOrder]]). */
+  val layoutZorder: Q = (s, dir) =>
+    graft.operators.ZOrder.rangeStats(
+      Tables.events(s, dir).withColumn("value_i", floor(col("value")).cast("long")),
+      "user_id", "value_i", bits = 8, nBuckets = 32)
 
   val textLangid: Q = (s, dir) =>
     Tables.documents(s, dir)
@@ -1094,6 +1127,7 @@ object Queries {
     "dedup_editdist" -> dedupEditdist,
     "dedup_components" -> dedupComponents,
     "decontam_overlap" -> decontamOverlap,
+    "decontam_bloom" -> decontamBloom,
     "split_assign" -> splitAssign,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -1128,6 +1162,9 @@ object Queries {
     "dedup_canonical" -> dedupCanonical,
     "dedup_canonical_shared" -> dedupCanonicalShared,
     "text_normalize" -> textNormalize,
-    "events_funnel" -> eventsFunnel
+    "events_funnel" -> eventsFunnel,
+    "quality_gopher" -> qualityGopher,
+    "text_tokens_regex" -> textTokensRegex,
+    "layout_zorder" -> layoutZorder
   )
 }

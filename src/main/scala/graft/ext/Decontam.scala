@@ -64,6 +64,77 @@ object Decontam {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Compact bloom bitset over the benchmark's distinct shingle
+    * hashes: `kProbes` positions per shingle (xxhash64 seeded by probe
+    * index, mod `mBits`), OR-folded into one 64-bit word per row —
+    * ≤ mBits/64 rows TOTAL regardless of benchmark size. At the
+    * default 2²⁰ bits that is a 128 KiB structure standing in for a
+    * shingle set that may be gigabytes. */
+  def benchBloomBits(bench: DataFrame, textCol: String, n: Int,
+      mBits: Int, kProbes: Int): DataFrame = {
+    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+    bench
+      .select(explode(
+        graft.functions.TextHashes.hashedShingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .select(explode(array((0 until kProbes).map(i =>
+        pmod(xxhash64(col("sh"), lit(i)), lit(mBits.toLong))): _*)).as("pos"))
+      .distinct()
+      .groupBy(shiftright(col("pos"), 6).as("word"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos & 63 AS INT)))").as("bits"))
+  }
+
+  /** [[overlapStats]] for the regime where the benchmark's exact
+    * shingle set is TOO BIG to broadcast (a full eval-suite union at
+    * 100 TB training scale): a bloom bitset built from the benchmark
+    * culls the exploded (doc, shingle) stream BEFORE the exact-confirm
+    * join, so the shuffle that join needs carries only true matches
+    * plus the bloom's false-positive trickle (~0.2% at the defaults)
+    * instead of every shingle in the corpus.
+    *
+    * Plan shape: the bitset probe is `kProbes` BROADCAST hash joins of
+    * a ≤ mBits/64-row frame — map-side, zero corpus shuffle, codegen'd
+    * bit tests — then one shuffle join against the exact set confirms
+    * survivors (no broadcast hint: that side is big by premise, the
+    * planner/AQE decides). Bloom filters admit false positives but
+    * never false negatives, so the output is EXACTLY [[overlapStats]]
+    * — same rows, same counts — which is what lets the driver hash-
+    * check this against the exact-SQL oracle. */
+  def overlapStatsBloom(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+    val bloom = benchBloomBits(bench, textCol, n, mBits, kProbes)
+    val exploded = train
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id"), size(col("s")).as("n_sh"), explode(col("s")).as("sh"))
+    val probed = (0 until kProbes).foldLeft(exploded) { (df, i) =>
+      val pos = pmod(xxhash64(col("sh"), lit(i)), lit(mBits.toLong))
+      df.withColumn(s"__pos$i", pos)
+        .join(broadcast(bloom.select(col("word").as(s"__w$i"),
+          col("bits").as(s"__bits$i"))),
+          shiftright(col(s"__pos$i"), 6) === col(s"__w$i"), "left")
+        .withColumn(s"__hit$i", col(s"__bits$i").isNotNull &&
+          col(s"__bits$i")
+            .bitwiseAND(expr(s"shiftleft(1L, cast(__pos$i & 63 AS INT))")) =!= 0)
+    }
+    val candidates = probed
+      .filter((0 until kProbes).map(i => col(s"__hit$i")).reduce(_ && _))
+      .select("doc_id", "n_sh", "sh")
+    val benchSh = bench
+      .select(explode(
+        graft.functions.TextHashes.hashedShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    candidates
+      .join(benchSh, "sh") // exact confirm: false positives die here
+      .groupBy("doc_id", "n_sh")
+      .agg(count(lit(1)).as("n_overlap"))
+      // integer-scaled rounding — see TextOps.qualitySignals
+      .withColumn("contamination",
+        round(col("n_overlap") * lit(10000.0) / col("n_sh")) / 1e4)
+  }
+
   /** Streaming form of [[clean]] for incremental ingest: each
     * micro-batch is decontaminated with full batch semantics via
     * `foreachBatch`, and `sink` receives the kept rows.

@@ -266,4 +266,74 @@ object TextOps {
     import graft.functions.UnicodeNormalize.{nfcNormalize, stripAccents}
     regexp_replace(lower(trim(stripAccents(nfcNormalize(text)))), "\\s+", " ")
   }
+
+  /** The Gopher rule stopword floor list (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", appendix A1.1 — a published, public filter recipe). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality filter battery: the published web-corpus
+    * document filters as per-doc signals + boolean gates + a combined
+    * `keep`. Rules (thresholds per the paper):
+    *   - word count in [minWords, maxWords] (paper: 50..100 000)
+    *   - mean characters per word in [3, 10]
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - ≥ 2 occurrences of the stopword list
+    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *
+    * Every gate compares in EXACT integer space (5·n_alpha ≥ 4·n_words,
+    * 3·n_words ≤ Σchars ≤ 10·n_words, 10·n_sym ≤ n_words) so no
+    * float-rounding boundary can flip a flag between engines; the 4-dp
+    * display ratios use the integer-scaled rounding from
+    * [[qualitySignals]]. Per-row, codegen'd, zero shuffle — the shape
+    * that filters a 100 TB crawl in one scan. */
+  def gopherSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stops = array(GopherStopwords.map(lit): _*)
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        // total non-space chars: doc length minus the n-1 separators
+        (length(t) - (size(toks) - lit(1))).cast("long").as("sum_chars"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(filter(toks, w => array_contains(stops, w))).cast("long").as("n_stop"),
+        regexp_count(t, lit("#|\\.\\.\\.")).cast("long").as("n_sym"))
+      .select(col(idCol), col("n_words"), col("n_stop"),
+        // integer-scaled rounding — see qualitySignals
+        (round(col("sum_chars") * lit(10000.0) / col("n_words")) / 1e4)
+          .as("mean_word_len"),
+        (round(col("n_alpha") * lit(10000.0) / col("n_words")) / 1e4)
+          .as("frac_alpha"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("keep_words"),
+        (col("sum_chars") >= lit(3L) * col("n_words") &&
+          col("sum_chars") <= lit(10L) * col("n_words")).as("keep_mwl"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("keep_alpha"),
+        (col("n_stop") >= 2).as("keep_stop"),
+        (lit(10L) * col("n_sym") <= col("n_words")).as("keep_symbol"))
+      .withColumn("keep",
+        col("keep_words") && col("keep_mwl") && col("keep_alpha") &&
+          col("keep_stop") && col("keep_symbol"))
+  }
+
+  /** Tokenizer comparison stats: whitespace vs BPE-ish regex token
+    * counts plus type-token ratio (distinct/total regex tokens) — the
+    * cheap lexical-diversity signal used next to [[repetitionSignals]]
+    * when triaging crawl shards. Per-row, no shuffle. */
+  def tokenStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val re = regexTokens(t)
+    df.select(col(idCol),
+        size(tokens(t)).cast("long").as("n_ws_tokens"),
+        size(re).cast("long").as("n_re_tokens"),
+        size(array_distinct(re)).cast("long").as("n_types"))
+      .filter(col("n_re_tokens") > 0)
+      // integer-scaled rounding — see qualitySignals
+      .withColumn("ttr",
+        round(col("n_types") * lit(10000.0) / col("n_re_tokens")) / 1e4)
+  }
 }

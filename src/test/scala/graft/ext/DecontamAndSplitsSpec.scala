@@ -44,6 +44,37 @@ class DecontamAndSplitsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
   }
 
+  // ------------------------------------------------------------ bloom
+
+  test("overlapStatsBloom ≡ overlapStats: the bitset prefilter changes the plan, not the relation") {
+    val exact = Decontam.overlapStats(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bloom = Decontam.overlapStatsBloom(train, bench, "doc_id", "text",
+        n = 5, mBits = 1 << 10, kProbes = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(bloom == exact)
+  }
+
+  test("bloom admits no false negatives: probing the benchmark against itself is full contamination") {
+    val out = Decontam.overlapStatsBloom(bench, bench, "doc_id", "text",
+        n = 5, mBits = 1 << 10, kProbes = 4)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(out == Map(100L -> 1.0))
+  }
+
+  test("benchBloomBits: ≤ mBits/64 words, and the probe path is broadcast joins only") {
+    val bits = Decontam.benchBloomBits(bench, "text", n = 5,
+      mBits = 1 << 10, kProbes = 4)
+    assert(bits.count() <= (1 << 10) / 64)
+    val plan = Decontam.overlapStatsBloom(train, bench, "doc_id", "text",
+        n = 5, mBits = 1 << 10, kProbes = 4)
+      .queryExecution.executedPlan.toString
+    // 4 probe joins against the bitset frame, all broadcast — the
+    // corpus never shuffles for the bloom test
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"bitset probes must be broadcast joins:\n$plan")
+  }
+
   // ----------------------------------------------------------- splits
 
   test("assign: stable buckets, exact CASE ranges, weights enforced") {

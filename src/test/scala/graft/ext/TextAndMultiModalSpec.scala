@@ -133,4 +133,50 @@ class TextAndMultiModalSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("__n_docs"), s"N must be a plan-side aggregate:\n$plan")
   }
+
+  // ------------------------------------------------------ gopher rules
+
+  test("gopherSignals: each rule trips independently on a crafted doc") {
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val good = doc(Seq("the", "and") ++ Seq.fill(58)("word"))
+    val docs = Seq(
+      1L -> good,                                               // all gates pass
+      2L -> doc(Seq("the", "and") ++ Seq.fill(8)("word")),      // too few words
+      3L -> doc(Seq.fill(60)("word")),                          // no stopwords
+      4L -> doc(Seq("the", "and") ++ Seq.fill(58)("abcdefghijkl")), // words too long
+      5L -> doc(Seq("the", "and") ++ Seq.fill(28)("word") ++
+        Seq.fill(30)("123")),                                   // <80% alphabetic
+      6L -> doc(Seq("the", "and") ++ Seq.fill(48)("word") ++
+        Seq.fill(10)("#"))                                      // symbol-heavy
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherSignals(docs)
+      .select("doc_id", "keep_words", "keep_mwl", "keep_alpha", "keep_stop",
+        "keep_symbol", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true, true)))
+    assert(out(2L) == ((2L, false, true, true, true, true, false)))
+    assert(out(3L) == ((3L, true, true, true, false, true, false)))
+    assert(out(4L) == ((4L, true, false, true, true, true, false)))
+    assert(out(5L) == ((5L, true, true, false, true, true, false)))
+    assert(out(6L) == ((6L, true, true, true, true, false, false)))
+  }
+
+  test("gopherSignals: 4-dp integer-scaled display ratios") {
+    val docs = Seq(1L -> (Seq("the", "and") ++ Seq.fill(58)("word")).mkString(" "))
+      .toDF("doc_id", "text")
+    val (mwl, fa) = TextOps.gopherSignals(docs)
+      .select("mean_word_len", "frac_alpha").as[(Double, Double)].head()
+    // Σchars = 3 + 3 + 58·4 = 238 → round(238·10⁴/60)/10⁴ = 3.9667
+    assert(mwl == 3.9667 && fa == 1.0)
+  }
+
+  test("tokenStats: ws vs regex counts and type-token ratio") {
+    val out = TextOps.tokenStats(
+        Seq(1L -> "Hello, hello world! 42").toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    // ws = [Hello, hello world! 42] (4); re = [hello hello world 42]
+    // (4, 3 types) → ttr 0.75
+    assert(out == ((1L, 4L, 4L, 3L, 0.75)))
+  }
 }
