@@ -185,4 +185,35 @@ class ScaleSmokeSpec extends SparkSpec {
     info(s"simhash: $n pairs in ${secs.round} s")
     assert(secs < 300, s"simhash blew up: $secs s")
   }
+
+  smokeTest("bloom decontam probes 100k docs against a bitset in one broadcast pass") {
+    corpusSize
+    val bench = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val flagged = graft.ext.Decontam.overlapStatsBloom(corpus, bench,
+      "doc_id", "text", n = 5, mBits = 1 << 20, kProbes = 4).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"bloom decontam: $flagged flagged docs in ${secs.round} s")
+    // every near-copy of a benchmark base doc shares its 5-grams
+    assert(flagged >= 200L, "benchmark overlaps must surface")
+    assert(secs < 120, s"bloom decontam blew up: $secs s")
+  }
+
+  smokeTest("z-order layout stats scan 10M rows in bounded-output aggregations") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.1")
+      .select("user_id", "value")
+    val big = (0 until 100).map(i => ev.withColumn("value", col("value") + i * 0.01))
+      .reduce(_.unionByName(_)).repartition(16)
+      .withColumn("value_i", floor(col("value")).cast("long")).cache()
+    val total = big.count()
+    val t0 = System.nanoTime()
+    val stats = graft.operators.ZOrder.rangeStats(big, "user_id", "value_i",
+      bits = 8, nBuckets = 32).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"z-order stats over $total rows: ${stats.length} buckets in ${secs.round} s")
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == total)
+    assert(secs < 120, s"z-order stats blew up: $secs s")
+    big.unpersist()
+  }
 }
