@@ -103,7 +103,12 @@ object Decontam {
   def overlapStatsBloom(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+    // Materialize the bitset once: each probe join broadcasts this
+    // frame, and without the checkpoint Spark re-derives the whole
+    // bench scan→distinct→bit_or subtree (2 shuffles) per probe —
+    // kProbes× the build cost for a ≤ mBits/64-row result.
     val bloom = benchBloomBits(bench, textCol, n, mBits, kProbes)
+      .localCheckpoint()
     val exploded = train
       .select(col(idCol).as("doc_id"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
