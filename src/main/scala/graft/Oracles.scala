@@ -1616,6 +1616,59 @@ object Oracles {
         |         AND (10 * n_sym <= n_words)) AS keep
         |FROM s""".stripMargin,
 
+    // Mirrors curateCorpusGopher: Gopher keep-gate (exact integer
+    // comparisons) → exact dedup (min doc_id per canonical-md5 group)
+    // → 5-gram benchmark decontamination → md5-keyed 90/10 split.
+    "curate_corpus_gopher" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |         length(text) AS nc
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |s AS (SELECT doc_id, text,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(nc - (len(toks) - 1) AS BIGINT) AS sum_chars,
+        |        CAST(len(list_filter(toks,
+        |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |        CAST(len(list_filter(toks, t -> list_contains(
+        |          ['the','be','to','of','and','that','have','with'], t)))
+        |          AS BIGINT) AS n_stop,
+        |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+        |      FROM g0),
+        |kept AS (
+        |  SELECT doc_id, text, n_words FROM s
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+        |    AND 5 * n_alpha >= 4 * n_words
+        |    AND n_stop >= 2
+        |    AND 10 * n_sym <= n_words),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |deduped AS (
+        |  SELECT k.* FROM kept k
+        |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |                        for i in generate_series(1, len(toks) - 4)]) AS s
+        |       FROM w WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 20 <> 0) t
+        |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.shingle = t.shingle)),
+        |cleaned AS (
+        |  SELECT * FROM deduped d
+        |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id))
+        |SELECT doc_id, n_words,
+        |       CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+        |FROM (
+        |  SELECT doc_id, n_words,
+        |         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+        |              % 100 AS INTEGER) AS bucket
+        |  FROM cleaned)""".stripMargin,
+
     // Mirrors TextOps.tokenStats: whitespace vs regex tokenization
     // with type-token ratio; the regex class is identical RE2/Java
     // syntax ([^\p{L}\p{N}]+ over lowercased text).

@@ -967,6 +967,27 @@ object Queries {
       .select("doc_id", "quality_score", "split")
   }
 
+  /** The curation composite gated by the published Gopher rule battery
+    * instead of the linear quality score: gopher-keep filter (one
+    * codegen'd scan, exact-integer gates) → exact dedup → benchmark
+    * decontamination → stable split. The filter-first order is the
+    * 100 TB shape: the cheapest gate runs against the raw scan and
+    * every later stage sees only survivors. */
+  val curateCorpusGopher: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val kept = train.filter(TextOps.gopherKeep(col("text")))
+      .withColumn("n_words", size(TextOps.tokens(col("text"))).cast("long"))
+      .select("doc_id", "text", "n_words")
+    val keep = Dedup.exactGroups(kept, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(keep, Seq("doc_id"), "left_semi")
+    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
+    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
+      .select("doc_id", "n_words", "split")
+  }
+
   /** Context-window chunking of documents: 32-token chunks overlapping
     * by 8 — zero-shuffle per-row explode (see [[ext.Chunking]]). */
   val textChunk: Q = (s, dir) =>
@@ -1164,6 +1185,7 @@ object Queries {
     "text_normalize" -> textNormalize,
     "events_funnel" -> eventsFunnel,
     "quality_gopher" -> qualityGopher,
+    "curate_corpus_gopher" -> curateCorpusGopher,
     "text_tokens_regex" -> textTokensRegex,
     "layout_zorder" -> layoutZorder
   )

@@ -288,19 +288,40 @@ object TextOps {
     * display ratios use the integer-scaled rounding from
     * [[qualitySignals]]. Per-row, codegen'd, zero shuffle — the shape
     * that filters a 100 TB crawl in one scan. */
+  /** The five raw Gopher rule counters over a text column. Shared by
+    * [[gopherSignals]] (full per-rule report) and [[gopherKeep]] (one
+    * filter expression for composed pipelines). */
+  private def gopherCounters(t: Column): Seq[(String, Column)] = {
+    val toks = tokens(t)
+    val stops = array(GopherStopwords.map(lit): _*)
+    Seq(
+      "n_words" -> size(toks).cast("long"),
+      // total non-space chars: doc length minus the n-1 separators
+      "sum_chars" -> (length(t) - (size(toks) - lit(1))).cast("long"),
+      "n_alpha" -> size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long"),
+      "n_stop" -> size(filter(toks, w => array_contains(stops, w))).cast("long"),
+      "n_sym" -> regexp_count(t, lit("#|\\.\\.\\.")).cast("long"))
+  }
+
+  /** The conjunction of all Gopher gates as one filter expression —
+    * for pipelines that only need the keep/drop decision (same exact
+    * integer-space comparisons as [[gopherSignals]]). */
+  def gopherKeep(t: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val c = gopherCounters(t).toMap
+    val (nW, sC, nA, nS, nY) =
+      (c("n_words"), c("sum_chars"), c("n_alpha"), c("n_stop"), c("n_sym"))
+    (nW >= minWords && nW <= maxWords) &&
+      (sC >= lit(3L) * nW && sC <= lit(10L) * nW) &&
+      (lit(5L) * nA >= lit(4L) * nW) &&
+      (nS >= 2) &&
+      (lit(10L) * nY <= nW)
+  }
+
   def gopherSignals(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val stops = array(GopherStopwords.map(lit): _*)
-    df.select(col(idCol),
-        size(toks).cast("long").as("n_words"),
-        // total non-space chars: doc length minus the n-1 separators
-        (length(t) - (size(toks) - lit(1))).cast("long").as("sum_chars"),
-        size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
-        size(filter(toks, w => array_contains(stops, w))).cast("long").as("n_stop"),
-        regexp_count(t, lit("#|\\.\\.\\.")).cast("long").as("n_sym"))
+    val counters = gopherCounters(col(textCol))
+    df.select(col(idCol) +: counters.map { case (n, c) => c.as(n) }: _*)
       .select(col(idCol), col("n_words"), col("n_stop"),
         // integer-scaled rounding — see qualitySignals
         (round(col("sum_chars") * lit(10000.0) / col("n_words")) / 1e4)
