@@ -295,6 +295,15 @@ object Oracles {
         |       count(value) AS observation_count
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Mirrors joinSalted: salting is plan-internal, so the twin is the
+    // PLAIN lineitem⋈orders aggregate.
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |         / 100 AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     // Mirrors aggQuantiles: same (n−1)·q linear interpolation over the
     // micro-scaled integers, descaled, one scalar row per quartile
     // (UNION ALL of the three quantile_cont calls ≡ posexplode'd array).
