@@ -805,6 +805,18 @@ object Oracles {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
 
+    // Mirrors similarityLshExhaustive: all vector pairs (no label
+    // blocking — the constant signature puts everything in one
+    // bucket), exact cosine at the similarity_lsh threshold.
+    "similarity_lsh_exhaustive" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_dot_product(a.v, b.v) /
+        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
+
     // Mirrors Dedup.editDistancePairs: canonical text, 16-CHAR prefix
     // block + length band (a Levenshtein lower bound), exact verify.
     // DuckDB length() counts characters like Spark length() — strlen

@@ -633,6 +633,14 @@ object Queries {
     VectorLsh.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = 0.4)
 
+  /** The LSH tail with one constant signature — candidates = all pairs,
+    * output ≡ brute-force cosine pairs: the hash-checked anchor under
+    * the engine-specific `similarity_lsh` entry (see
+    * [[VectorLsh.cosinePairsExhaustive]]). */
+  val similarityLshExhaustive: Q = (s, dir) =>
+    VectorLsh.cosinePairsExhaustive(Tables.embeddings(s, dir), "vec_id",
+      "embedding", threshold = 0.4)
+
   /** Int8 embedding quantization: per-vector scale + quantized bytes —
     * the 4× shuffle/storage cut applied before ANN at scale. The
     * quantized array is posexploded to one (vec_id, pos, q_i) row per
@@ -1177,6 +1185,7 @@ object Queries {
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_lsh" -> similarityLsh,
+    "similarity_lsh_exhaustive" -> similarityLshExhaustive,
     "embedding_quantize" -> embeddingQuantize,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,

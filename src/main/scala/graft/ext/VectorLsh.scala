@@ -72,6 +72,29 @@ object VectorLsh {
     val keys = v.select(col("id"),
       posexplode(graft.functions.VectorLshSigs.signatures(col("v"), nBits, tables))
         .as(Seq("t", "sig")))
+    verifiedPairs(v, keys, threshold)
+  }
+
+  /** Correctness anchor for the LSH machinery: the same candidate →
+    * dedup → exact-cosine-verify tail as [[cosineLshPairs]] with a
+    * single CONSTANT signature — every vector lands in one bucket, so
+    * the candidate set is all pairs and the output ≡ the brute-force
+    * cosine pair set at the threshold. Quadratic BY DESIGN (it exists
+    * to hand the bucket-join/verify plumbing an exact-SQL oracle, the
+    * `similarity_ivf_exhaustive` pattern) — run at verify scale, never
+    * on a corpus. */
+  def cosinePairsExhaustive(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val keys = v.select(col("id"), lit(0).as("t"), lit(0L).as("sig"))
+    verifiedPairs(v, keys, threshold)
+  }
+
+  // The shared tail: equi-join candidates on (t, sig), dedup, join the
+  // vectors back once per side, exact-cosine verify at `threshold`.
+  private def verifiedPairs(v: DataFrame, keys: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorMath.cosineF
     val cand = keys.as("a").join(keys.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
