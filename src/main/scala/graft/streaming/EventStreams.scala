@@ -58,6 +58,31 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join — event attribution: each purchase
+    * joins the views from the same user within the preceding `horizon`.
+    * Watermarks on BOTH inputs plus the time-bound join condition are
+    * what make this runnable on unbounded streams: Spark buffers each
+    * side only until (watermark − horizon) passes an event, so join
+    * state is O(events inside the horizon window), not O(stream).
+    * Works identically on batch frames (watermarks are no-ops there),
+    * which is how the spec pins stream ≡ batch semantics. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", delay)
+    val p = purchases
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    p.join(v, Seq("user_id")).where(
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select("user_id", "purchase_id", "purchase_ts", "view_id",
+        "view_ts", "value")
+  }
+
   /** One observation event for the custom-state operator. */
   case class Obs(indicator: String, year: Int, month: Int, value: Double,
       ts: Timestamp)

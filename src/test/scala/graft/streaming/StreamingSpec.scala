@@ -36,6 +36,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin: stream-stream interval join ≡ batch on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L),
+      (2L, ts("2024-01-01 10:30:00"), 7L),
+      (3L, ts("2024-01-01 08:00:00"), 7L),  // outside the 1h horizon
+      (4L, ts("2024-01-01 10:15:00"), 8L))  // wrong window for user 8
+    val purchRows = Seq(
+      (10L, ts("2024-01-01 10:45:00"), 7L, 5.0),
+      (11L, ts("2024-01-01 11:30:00"), 8L, 2.0))
+
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val pIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = EventStreams.attributionJoin(
+        vIn.toDF().toDF("event_id", "ts", "user_id"),
+        pIn.toDF().toDF("event_id", "ts", "user_id", "value"),
+        horizon = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      vIn.addData(viewRows: _*)
+      pIn.addData(purchRows: _*)
+      q.processAllAvailable()
+      spark.table("attr")
+        .as[(Long, Long, Timestamp, Long, Timestamp, Double)].collect().toSet
+    } finally q.stop()
+
+    val batch = EventStreams.attributionJoin(
+        viewRows.toDF("event_id", "ts", "user_id"),
+        purchRows.toDF("event_id", "ts", "user_id", "value"),
+        horizon = "1 hour", delay = "10 minutes")
+      .as[(Long, Long, Timestamp, Long, Timestamp, Double)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.map(r => (r._2, r._4)) == Set((10L, 1L), (10L, 2L)))
+  }
+
   test("stream-static incremental dedup: new batches anti-join the static reference") {
     implicit val sqlCtx = spark.sqlContext
     val reference = Seq(
