@@ -1708,16 +1708,21 @@ object Oracles {
 
     // Mirrors operators.ZOrder.rangeStats over events (user_id ×
     // floor(value)): broadcast min/max bounds, affine grid scaling in
-    // exact integral arithmetic (// ≡ Spark DIV on non-negatives),
-    // Morton interleave (8 bits/dim), top-5-bit z-range buckets.
+    // exact integral arithmetic (// ≡ Spark DIV on non-negatives) with
+    // the same wide-range overflow branch as ZOrder.withZKey, Morton
+    // interleave (8 bits/dim), top-5-bit z-range buckets.
     "layout_zorder" ->
       s"""WITH e AS (SELECT CAST(user_id AS BIGINT) AS x,
          |             CAST(floor(value) AS BIGINT) AS y FROM events),
          |b AS (SELECT min(x) AS x_lo, max(x) AS x_hi,
          |             min(y) AS y_lo, max(y) AS y_hi FROM e),
          |k AS (SELECT x, y,
-         |        ((x - x_lo) * 256) // (x_hi - x_lo + 1) AS xq,
-         |        ((y - y_lo) * 256) // (y_hi - y_lo + 1) AS yq
+         |        CASE WHEN (x_hi - x_lo) < ${Long.MaxValue >> 8}
+         |          THEN ((x - x_lo) * 256) // ((x_hi - x_lo) + 1)
+         |          ELSE (x - x_lo) // (((x_hi - x_lo) // 256) + 1) END AS xq,
+         |        CASE WHEN (y_hi - y_lo) < ${Long.MaxValue >> 8}
+         |          THEN ((y - y_lo) * 256) // ((y_hi - y_lo) + 1)
+         |          ELSE (y - y_lo) // (((y_hi - y_lo) // 256) + 1) END AS yq
          |      FROM e CROSS JOIN b),
          |z AS (SELECT x, y, ${mortonSql("xq", "yq", 8)} AS zkey FROM k)
          |SELECT CAST(zkey >> 11 AS INTEGER) AS bucket, count(*) AS n_rows,

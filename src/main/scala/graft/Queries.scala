@@ -227,21 +227,22 @@ object Queries {
           .select("user_id").distinct())
   }
 
-  /** Salted two-stage aggregate (hot-key mitigation) — result-identical
-    * to the direct group-by: exact integer partial sums merge to the
-    * same mean regardless of the salt split. */
   /** Salted fact-to-dim join: lineitem joined to orders through
     * [[graft.operators.Skew.saltedJoin]] (8 salts on the order key) —
     * the skew-join form for when a hot key's partition exceeds one
-    * task and the dim side is too big to broadcast. Salting is
-    * plan-internal (left salt + right replicate), so the output ≡ the
-    * plain join — exactly what the oracle checks. */
+    * task and the dim side is too big to broadcast. The spread column
+    * must vary WITHIN a key (here `l_linenumber` — a per-row value),
+    * never the key itself, or every row of a hot key gets the same
+    * salt and nothing spreads. Salting is plan-internal (left salt +
+    * right replicate), so the output ≡ the plain join — exactly what
+    * the oracle checks. */
   val joinSalted: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"),
-        spread = col("l_orderkey"), salts = 8)
+        spread = col("l_linenumber"), salts = 8)
       .groupBy("o_orderpriority")
       // cents-scaled exact sum — see joinStarRevenue
       .agg(count(lit(1)).as("n_items"),
@@ -249,6 +250,9 @@ object Queries {
           .cast("double") / 100).as("total_price"))
   }
 
+  /** Salted two-stage aggregate (hot-key mitigation) — result-identical
+    * to the direct group-by: exact integer partial sums merge to the
+    * same mean regardless of the salt split. */
   val aggSalted: Q = (s, dir) =>
     graft.operators.Skew.saltedAgg(
       Tables.events(s, dir).select("event_type", "event_id", "value"),

@@ -64,19 +64,15 @@ object Decontam {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
-  /** Compact bloom bitset over the benchmark's distinct shingle
-    * hashes: `kProbes` positions per shingle (xxhash64 seeded by probe
+  /** Compact bloom bitset over a distinct-shingle-hash frame (column
+    * `sh`): `kProbes` positions per shingle (xxhash64 seeded by probe
     * index, mod `mBits`), OR-folded into one 64-bit word per row —
     * ≤ mBits/64 rows TOTAL regardless of benchmark size. At the
     * default 2²⁰ bits that is a 128 KiB structure standing in for a
     * shingle set that may be gigabytes. */
-  def benchBloomBits(bench: DataFrame, textCol: String, n: Int,
-      mBits: Int, kProbes: Int): DataFrame = {
+  def benchBloomBits(benchSh: DataFrame, mBits: Int, kProbes: Int): DataFrame = {
     require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
-    bench
-      .select(explode(
-        graft.functions.TextHashes.hashedShingles(col(textCol), n)).as("sh"))
-      .distinct()
+    benchSh
       .select(explode(array((0 until kProbes).map(i =>
         pmod(xxhash64(col("sh"), lit(i)), lit(mBits.toLong))): _*)).as("pos"))
       .distinct()
@@ -103,12 +99,20 @@ object Decontam {
   def overlapStatsBloom(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
-    // Materialize the bitset once: each probe join broadcasts this
-    // frame, and without the checkpoint Spark re-derives the whole
-    // bench scan→distinct→bit_or subtree (2 shuffles) per probe —
-    // kProbes× the build cost for a ≤ mBits/64-row result.
-    val bloom = benchBloomBits(bench, textCol, n, mBits, kProbes)
+    // Materialize the bench's distinct shingle set ONCE: both the
+    // bitset build and the exact-confirm join derive from this frame,
+    // and without the checkpoint Spark re-derives the bench
+    // scan→shingle→distinct subtree per consumer (kProbes broadcasts
+    // + the confirm join = 5 recomputes). localCheckpoint distributes
+    // the materialized set across executor storage — it never has to
+    // fit one machine, unlike a broadcast, which is the regime this
+    // operator exists for.
+    val benchSh = bench
+      .select(explode(
+        graft.functions.TextHashes.hashedShingles(col(textCol), n)).as("sh"))
+      .distinct()
       .localCheckpoint()
+    val bloom = benchBloomBits(benchSh, mBits, kProbes).localCheckpoint()
     val exploded = train
       .select(col(idCol).as("doc_id"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
@@ -127,10 +131,6 @@ object Decontam {
     val candidates = probed
       .filter((0 until kProbes).map(i => col(s"__hit$i")).reduce(_ && _))
       .select("doc_id", "n_sh", "sh")
-    val benchSh = bench
-      .select(explode(
-        graft.functions.TextHashes.hashedShingles(col(textCol), n)).as("sh"))
-      .distinct()
     candidates
       .join(benchSh, "sh") // exact confirm: false positives die here
       .groupBy("doc_id", "n_sh")

@@ -273,21 +273,6 @@ object TextOps {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Gopher-rule quality filter battery: the published web-corpus
-    * document filters as per-doc signals + boolean gates + a combined
-    * `keep`. Rules (thresholds per the paper):
-    *   - word count in [minWords, maxWords] (paper: 50..100 000)
-    *   - mean characters per word in [3, 10]
-    *   - ≥ 80% of words contain at least one alphabetic character
-    *   - ≥ 2 occurrences of the stopword list
-    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1
-    *
-    * Every gate compares in EXACT integer space (5·n_alpha ≥ 4·n_words,
-    * 3·n_words ≤ Σchars ≤ 10·n_words, 10·n_sym ≤ n_words) so no
-    * float-rounding boundary can flip a flag between engines; the 4-dp
-    * display ratios use the integer-scaled rounding from
-    * [[qualitySignals]]. Per-row, codegen'd, zero shuffle — the shape
-    * that filters a 100 TB crawl in one scan. */
   /** The five raw Gopher rule counters over a text column. Shared by
     * [[gopherSignals]] (full per-rule report) and [[gopherKeep]] (one
     * filter expression for composed pipelines). */
@@ -317,6 +302,21 @@ object TextOps {
       (lit(10L) * nY <= nW)
   }
 
+  /** Gopher-rule quality filter battery: the published web-corpus
+    * document filters as per-doc signals + boolean gates + a combined
+    * `keep`. Rules (thresholds per the paper):
+    *   - word count in [minWords, maxWords] (paper: 50..100 000)
+    *   - mean characters per word in [3, 10]
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - ≥ 2 occurrences of the stopword list
+    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *
+    * Every gate compares in EXACT integer space (5·n_alpha ≥ 4·n_words,
+    * 3·n_words ≤ Σchars ≤ 10·n_words, 10·n_sym ≤ n_words) so no
+    * float-rounding boundary can flip a flag between engines; the 4-dp
+    * display ratios use the integer-scaled rounding from
+    * [[qualitySignals]]. Per-row, codegen'd, zero shuffle — the shape
+    * that filters a 100 TB crawl in one scan. */
   def gopherSignals(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {

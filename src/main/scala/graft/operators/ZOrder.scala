@@ -40,11 +40,18 @@ object ZOrder {
   }
 
   /** Attach a range-scaled z-key column: per-dimension min/max from a
-    * broadcast 1-row aggregate, each dimension mapped to its quantile-
-    * free affine grid ((v − min)·2^bits DIV (max − min + 1) — exact
-    * integral arithmetic), then Morton-interleaved into `zkey`.
-    * Two scans of the input (one tiny agg + the keyed pass); at scale
-    * the bounds agg rides existing table statistics instead. */
+    * broadcast 1-row aggregate, each dimension mapped to its affine
+    * grid, then Morton-interleaved into `zkey`. Two scans of the input
+    * (one tiny agg + the keyed pass); at scale the bounds agg rides
+    * existing table statistics instead.
+    *
+    * The grid is exact integral arithmetic with an overflow guard:
+    * narrow ranges use (v − lo)·2^bits DIV span (finest cells — small
+    * domains upscale to fill the bit budget), and ranges wider than
+    * 2^(63−bits) — where that multiply would wrap — switch to
+    * (v − lo) DIV ceil(span/2^bits), which cannot overflow for any
+    * 64-bit range (a microsecond-timestamp dimension works). Both
+    * branches are replayed verbatim in the DuckDB twin. */
   def withZKey(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 8): DataFrame = {
     val bounds = broadcast(df.agg(
@@ -53,13 +60,20 @@ object ZOrder {
       min(col(yCol).cast("long")).as("__y_lo"),
       max(col(yCol).cast("long")).as("__y_hi")))
     val n = 1L << bits
+    // spanM1 = hi − lo (range width − 1, never overflows for ordered
+    // bounds); multiply-first is safe iff spanM1 < 2^63 / 2^bits
+    def grid(v: String, lo: String, hi: String): String =
+      s"""CASE WHEN ($hi - $lo) < ${Long.MaxValue >> bits}
+         | THEN (($v - $lo) * $n) DIV (($hi - $lo) + 1)
+         | ELSE ($v - $lo) DIV ((($hi - $lo) DIV $n) + 1)
+         | END""".stripMargin
     df.join(bounds)
-      .withColumn("__xs", (col(xCol).cast("long") - col("__x_lo")) * n)
-      .withColumn("__ys", (col(yCol).cast("long") - col("__y_lo")) * n)
-      .withColumn("__xq", expr("__xs DIV (__x_hi - __x_lo + 1)"))
-      .withColumn("__yq", expr("__ys DIV (__y_hi - __y_lo + 1)"))
+      .withColumn("__xv", col(xCol).cast("long"))
+      .withColumn("__yv", col(yCol).cast("long"))
+      .withColumn("__xq", expr(grid("__xv", "__x_lo", "__x_hi")))
+      .withColumn("__yq", expr(grid("__yv", "__y_lo", "__y_hi")))
       .withColumn("zkey", interleave(col("__xq"), col("__yq"), bits))
-      .drop("__x_lo", "__x_hi", "__y_lo", "__y_hi", "__xs", "__ys",
+      .drop("__x_lo", "__x_hi", "__y_lo", "__y_hi", "__xv", "__yv",
         "__xq", "__yq")
   }
 

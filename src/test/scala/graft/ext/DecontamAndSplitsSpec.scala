@@ -63,8 +63,10 @@ class DecontamAndSplitsSpec extends SparkSpec {
   }
 
   test("benchBloomBits: ≤ mBits/64 words, and the probe path is broadcast joins only") {
-    val bits = Decontam.benchBloomBits(bench, "text", n = 5,
-      mBits = 1 << 10, kProbes = 4)
+    val benchSh = bench.select(explode(
+        graft.functions.TextHashes.hashedShingles(col("text"), 5)).as("sh"))
+      .distinct()
+    val bits = Decontam.benchBloomBits(benchSh, mBits = 1 << 10, kProbes = 4)
     assert(bits.count() <= (1 << 10) / 64)
     val plan = Decontam.overlapStatsBloom(train, bench, "doc_id", "text",
         n = 5, mBits = 1 << 10, kProbes = 4)

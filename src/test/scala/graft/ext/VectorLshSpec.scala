@@ -41,7 +41,7 @@ class VectorLshSpec extends SparkSpec {
     val exhaustive = VectorLsh.cosinePairsExhaustive(vecs, "vec_id",
         "embedding", threshold = 0.9)
       .as[(Long, Long, Double)].collect().toSet
-    // all 4 pairs at cosine ≥ 0.9: (1,2)=1, (1,3)≈0.995, (2,3)≈0.995
+    // all 3 pairs at cosine ≥ 0.9: (1,2)=1, (1,3)≈0.995, (2,3)≈0.995
     assert(exhaustive.map(r => (r._1, r._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     val lsh = VectorLsh.cosineLshPairs(vecs, "vec_id", "embedding",
         threshold = 0.9)

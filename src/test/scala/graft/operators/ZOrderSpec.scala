@@ -37,6 +37,19 @@ class ZOrderSpec extends SparkSpec {
     assert(zs.forall(z => z >= 0 && z < (1L << 16)))
   }
 
+  test("withZKey: wide-range dimension (> 2^55) takes the overflow-proof branch") {
+    // a multiply-first grid would wrap Long on this range; the cell-
+    // width branch must keep keys valid and monotone in x
+    val wide = Seq(0L, 1L << 40, 1L << 60, Long.MaxValue - 1)
+      .zipWithIndex.map { case (x, i) => (i.toLong, x, 0L) }
+      .toDF("id", "x", "y")
+    val out = ZOrder.withZKey(wide, "x", "y", bits = 8)
+      .orderBy("x").select("zkey").as[Long].collect()
+    assert(out.forall(z => z >= 0 && z < (1L << 16)))
+    assert(out.sameElements(out.sorted), "zkey must be monotone in x (y constant)")
+    assert(out.distinct.length > 1, "extreme x values must land in different cells")
+  }
+
   test("rangeStats: buckets partition the key space with closed per-bucket bounds") {
     val stats = ZOrder.rangeStats(grid, "x", "y", bits = 8, nBuckets = 32)
       .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
