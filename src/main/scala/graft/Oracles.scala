@@ -1388,6 +1388,36 @@ object Oracles {
         |       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
         |FROM documents""".stripMargin,
 
+    // Mirrors MultiModal.resizePlan: stub geometry fit into a 224-box
+    // with the same exact integral arithmetic (// ≡ Spark DIV on
+    // non-negatives), floored at 1.
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |             CAST(strlen(text) % 640 + 1 AS BIGINT) AS w_in,
+        |             CAST(strlen(text) * 7 % 480 + 1 AS BIGINT) AS h_in
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_bytes, w_in, h_in,
+        |        greatest(1, (w_in * 224) // greatest(w_in, h_in)) AS w_out,
+        |        greatest(1, (h_in * 224) // greatest(w_in, h_in)) AS h_out
+        |      FROM m)
+        |SELECT doc_id, n_bytes, w_in, h_in, w_out, h_out,
+        |       greatest(1, (n_bytes * (w_out * h_out)) // (w_in * h_in))
+        |         AS n_bytes_out
+        |FROM r""".stripMargin,
+
+    // Mirrors MultiModal.frameSamplePlan: n_bytes DIV 64 full frames,
+    // every 4th frame's index and byte offset; short payloads yield no
+    // rows.
+    "mm_frame_sample" ->
+      """SELECT doc_id, n_frames, frame_idx,
+        |       frame_idx * 64 AS byte_off
+        |FROM (
+        |  SELECT doc_id, n_frames,
+        |         unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+        |  FROM (SELECT doc_id, CAST(strlen(text) // 64 AS BIGINT) AS n_frames
+        |        FROM documents)
+        |  WHERE n_frames > 0)""".stripMargin,
+
     // Mirrors MultiModal.StubDecoder byte-exactly: the geometry columns
     // are pure functions of payload length, and the rolling checksum
     // (ck = ck*31 + byte, wrapping signed 64-bit) is a HUGEINT

@@ -950,6 +950,18 @@ object Queries {
     MultiModal.decodeFeatures(
       MultiModal.withPayload(Tables.documents(s, dir))).toDF()
 
+  /** Aspect-preserving resize planning into a 224-box (see
+    * [[MultiModal.resizePlan]]) — exact-integer geometry, codegen'd. */
+  val mmResize: Q = (s, dir) =>
+    MultiModal.resizePlan(Tables.documents(s, dir), target = 224)
+
+  /** Every 4th fixed-size frame of a video-shaped payload: index +
+    * byte offset per sampled frame (see
+    * [[MultiModal.frameSamplePlan]]). */
+  val mmFrameSample: Q = (s, dir) =>
+    MultiModal.frameSamplePlan(Tables.documents(s, dir),
+      frameSize = 64, stride = 4)
+
   // ================================================ [EXT] composite
 
   /** The flagship curation composite: the end-to-end corpus-prep job
@@ -1205,6 +1217,8 @@ object Queries {
     "source_overlap" -> sourceOverlap,
     "dedup_incremental" -> dedupIncremental,
     "mm_payload_meta" -> mmPayloadMeta,
+    "mm_resize" -> mmResize,
+    "mm_frame_sample" -> mmFrameSample,
     "mm_decode_features" -> mmDecodeFeatures,
     "curate_corpus" -> curateCorpus,
     "curate_corpus_near" -> curateCorpusNear,

@@ -76,4 +76,50 @@ object MultiModal {
       (octet_length(col(textCol)) * 7 % 480 + 1).as("height"),
       lit(3).as("channels"),
       ascii(substring(col(textCol), 1, 1)).as("first_byte"))
+
+  /** Aspect-preserving resize planning: fit the (stub-decoded) source
+    * geometry into a `target`×`target` box with exact integer
+    * arithmetic — w·target DIV max(w,h), floored at 1 — plus the
+    * proportional output byte count a stride-sampling resizer would
+    * produce. The geometry math is what a real thumbnailing stage
+    * computes per image before invoking the codec; all of it is pure
+    * column algebra (codegen'd, zero shuffle, oracle-replayable). The
+    * pixel transform itself is the stubbed codec stage. */
+  def resizePlan(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", target: Int = 224): DataFrame = {
+    require(target >= 1, s"target must be positive, got $target")
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        (octet_length(col(textCol)) % 640 + 1).cast("long").as("w_in"),
+        (octet_length(col(textCol)) * 7 % 480 + 1).cast("long").as("h_in"))
+      .withColumn("w_out",
+        greatest(lit(1L), expr(s"(w_in * $target) DIV greatest(w_in, h_in)")))
+      .withColumn("h_out",
+        greatest(lit(1L), expr(s"(h_in * $target) DIV greatest(w_in, h_in)")))
+      .withColumn("n_bytes_out",
+        greatest(lit(1L), expr("(n_bytes * (w_out * h_out)) DIV (w_in * h_in)")))
+  }
+
+  /** Frame-sampling plan for video-shaped payloads: treat the payload
+    * as `n_bytes DIV frameSize` fixed-size frames and emit every
+    * `stride`-th frame's index and byte offset — the explode a video
+    * pipeline runs to fan frames out to per-frame decode/inference.
+    * One generated row per SAMPLED frame (payloads too short for one
+    * full frame yield no rows), pure sequence+explode column algebra:
+    * zero shuffle, linear output, oracle-replayable. The byte slice
+    * itself (`substring(payload, byte_off+1, frameSize)`) is the
+    * stubbed codec hand-off. */
+  def frameSamplePlan(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", frameSize: Int = 64,
+      stride: Int = 4): DataFrame = {
+    require(frameSize >= 1 && stride >= 1,
+      s"frameSize/stride must be positive, got $frameSize/$stride")
+    df.select(col(idCol),
+        (octet_length(col(textCol)) / frameSize).cast("long").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col(idCol), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .withColumn("byte_off", col("frame_idx") * frameSize)
+  }
 }

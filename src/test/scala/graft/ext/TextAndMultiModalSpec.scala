@@ -134,6 +134,27 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(plan.contains("__n_docs"), s"N must be a plan-side aggregate:\n$plan")
   }
 
+  test("resizePlan: aspect-preserving integer box fit") {
+    // len 100 → stub geometry w=101, h=221 (landscape in h): fit 224
+    val out = MultiModal.resizePlan(
+        Seq((1L, "x" * 100)).toDF("doc_id", "text"), target = 224)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (_, nb, wIn, hIn, wOut, hOut, nbOut) = out
+    assert((nb, wIn, hIn) == ((100L, 101L, 221L)))
+    assert(wOut == 101L * 224 / 221 && hOut == 224L)
+    assert(nbOut == 100L * (wOut * hOut) / (101L * 221L))
+  }
+
+  test("frameSamplePlan: every stride-th frame with byte offsets; short payloads drop") {
+    val out = MultiModal.frameSamplePlan(
+        Seq((1L, "x" * 640), (2L, "y" * 300), (3L, "z" * 63))
+          .toDF("doc_id", "text"), frameSize = 64, stride = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10L, 0L, 0L), (1L, 10L, 4L, 256L), (1L, 10L, 8L, 512L),
+      (2L, 4L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------ gopher rules
 
   test("gopherSignals: each rule trips independently on a crafted doc") {
