@@ -142,6 +142,22 @@ object Oracles {
       |FROM train JOIN bench USING (shingle)
       |GROUP BY doc_id, n_sh""".stripMargin
 
+  // Brute-force cosine top-10 for the vec_id<5 query set — shared by
+  // similarity_topk and (≡ by construction) similarity_ivf_exhaustive.
+  private val similarityTopkSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.v, c.v) /
+      |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
+      |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, cosine, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10""".stripMargin
+
   // DuckDB twin of operators.ZOrder.interleave: the Morton bit-
   // interleave as explicit shift/mask/OR arithmetic over the scaled
   // dimension expressions.
@@ -941,19 +957,7 @@ object Oracles {
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1""".stripMargin,
 
-    "similarity_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         round(list_dot_product(q.v, c.v) /
-        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
-        |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, cosine, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10""".stripMargin,
+    "similarity_topk" -> similarityTopkSql,
 
     "similarity_ivf" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -973,19 +977,9 @@ object Oracles {
     // oracle IS the similarity_topk query: cosine over all candidate
     // pairs, top-10 per query with the id tiebreak. k-means centroids
     // never appear in the result — every cluster is probed.
-    "similarity_ivf_exhaustive" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         round(list_dot_product(q.v, c.v) /
-        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
-        |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, cosine, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10""".stripMargin,
+    // similarity_ivf_exhaustive probes every cluster, so its relation
+    // IS brute-force top-k — same twin as similarity_topk.
+    "similarity_ivf_exhaustive" -> similarityTopkSql,
 
     // Mirrors VectorQuant bit-for-bit: float→double widening, exact
     // IEEE 127/max|x| scale, explicit floor(x·scale + 0.5) rounding.

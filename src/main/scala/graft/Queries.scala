@@ -626,8 +626,10 @@ object Queries {
   val similarityIvfExhaustive: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
+    // probe however many clusters KMeans actually produced (it may
+    // return < k centers on degenerate data) — exhaustive either way
     Ivf.searchTopK(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 10, nprobe = 8)
+      k = 10, nprobe = index.centroids.length)
   }
 
   /** Hyperplane-LSH near-neighbor pairs at cosine ≥ 0.4 (rows-only:
@@ -1090,16 +1092,17 @@ object Queries {
     * dedup_components shape) AND the per-cluster canonical choice —
     * one (doc_id, label, canonical_doc_id) row per clustered doc.
     * [[dedupComponents]] + [[dedupCanonical]] run standalone recompute
-    * the pair join + closure twice; here the label frame is
-    * materialized (`localCheckpoint` — a cluster deployment would
-    * persist to disk) and re-read by the window and the join, so the
-    * expensive Σ bucket² candidate work happens exactly once. */
+    * the pair join + closure twice; here the label frame — already
+    * materialized by `ConnectedComponents.run`'s per-round
+    * `localCheckpoint` (a cluster deployment would persist to disk) —
+    * is re-read by the window and the join, so the expensive Σ bucket²
+    * candidate work happens exactly once. */
   val dedupCanonicalShared: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val labels = graft.operators.ConnectedComponents.run(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 50),
-      "id_a", "id_b").localCheckpoint()
+      "id_a", "id_b")
     val canon = Dedup.canonicalPerCluster(labels,
       docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
     labels.withColumnRenamed("node", "doc_id")

@@ -50,8 +50,10 @@ object Ivf {
       .withColumn("__fv", array_to_vector(col("cv")))
     val trainSet =
       if (fitSampleFraction < 1.0) {
+        // cap before toInt: a corpus-scale Long floor must not wrap
+        val floor = math.min(minFitRows, Int.MaxValue.toLong).toInt
         val sampled = featured.sample(fitSampleFraction, seed)
-        if (sampled.limit(minFitRows.toInt).count() >= minFitRows) sampled
+        if (sampled.limit(floor).count() >= floor) sampled
         else featured
       } else featured
     val model = new KMeans()

@@ -34,13 +34,20 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
     * converges to the same lake state, never duplicates. Only
     * non-fatal errors retry; the delay is constructor-injectable so
     * tests don't sleep five minutes. */
-  private def withRetry[T](body: => T): T = {
+  private def withRetry[T](layer: String)(body: => T): T = {
     var left = retries
     while (true) {
       try return body
       catch {
-        case scala.util.control.NonFatal(_) if left > 0 =>
+        case scala.util.control.NonFatal(e) if left > 0 =>
           left -= 1
+          // the first attempt's cause must survive somewhere — without
+          // this, a deterministic failure costs the full retry delay
+          // and only the SECOND exception ever reaches the caller
+          System.err.println(
+            s"[pipeline] $layer failed (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}); retrying in ${retryDelayMs} ms, " +
+              s"$left retries left")
           if (retryDelayMs > 0) Thread.sleep(retryDelayMs)
       }
     }
@@ -52,7 +59,7 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
     * (H1). One write per month mirrors the reference's per-month
     * S3 object (`extract_fred_data.py:238-290`). */
   def extract(seriesId: String, start: LocalDate, end: LocalDate): Unit =
-    withRetry {
+    withRetry("extract") {
       FredSource.monthRanges(start, end).foreach { case (first, last) =>
         val obs = FredSource.observations(
           spark, source.fetchMonth(seriesId, first, last))
@@ -63,7 +70,7 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
   /** Transform bronze months of one indicator to silver monthly grain:
     * read the partitioned root with pruning filters (no path
     * arithmetic), clean (B4-B5, C3), group-agg (A1), write (H2). */
-  def transform(seriesId: String, years: Seq[Int]): Unit = withRetry {
+  def transform(seriesId: String, years: Seq[Int]): Unit = withRetry("transform") {
     val bronze = LakeIO.readBronze(spark, bronzeRoot)
       .where(col("indicator") === seriesId &&
         col("observation_year").isin(years: _*))
@@ -76,7 +83,7 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
   /** Aggregate silver to gold for given years: the union loop is
     * obviated by one pruned scan (SURVEY §2 E1); round + stamp (C6,
     * B3), write partitioned by (indicator, year). */
-  def aggregate(seriesId: String, years: Seq[Int]): Unit = withRetry {
+  def aggregate(seriesId: String, years: Seq[Int]): Unit = withRetry("aggregate") {
     // first-ever run: no silver root yet → empty silver-shaped frame
     // (the reference's missing-file-to-empty-frame behavior)
     val silver = LakeIO.readParquet(spark, silverRoot, Some(Schemas.silver))
@@ -90,7 +97,7 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
     * key (D2/H3) — callers pass a sink function so tests can capture
     * rows while prod wires [[graft.fred.io.UpsertSink.write]]. */
   def load(seriesId: String, years: Seq[Int])(sink: DataFrame => Unit): Unit =
-    withRetry {
+    withRetry("load") {
       sink(LakeIO.readParquet(spark, goldRoot, Some(Schemas.gold))
         .where(col("indicator") === seriesId &&
           col("observation_year").isin(years: _*)))

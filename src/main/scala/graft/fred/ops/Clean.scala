@@ -42,14 +42,20 @@ object Clean {
     * single bad value keeps the whole column as its original strings
     * (pandas returns the input unchanged on any error — it never
     * mixes). Contrast [[lenientDouble]] (`errors='coerce'`), which
-    * nulls just the bad values. Column-level by nature, so it costs
-    * one probe over the data — a short-circuiting any-bad-value scan
-    * (`isEmpty` = limit-1), not a full aggregate. */
+    * nulls just the bad values. Column-level by nature, so the frame
+    * is evaluated twice (the any-bad probe — short-circuiting when a
+    * bad value exists, a full scan when the column is clean — then the
+    * returned frame); it is materialized first so a non-deterministic
+    * source cannot change between the two and produce the mixed
+    * null/value column the all-or-nothing contract excludes. The
+    * serving path this twins is bounded by construction (it feeds a
+    * sheet), so the checkpoint is cheap. */
   def lenientKeepString(df: DataFrame, valueCol: String): DataFrame = {
-    val anyBad = !df.filter(col(valueCol).isNotNull &&
+    val snap = df.localCheckpoint()
+    val anyBad = !snap.filter(col(valueCol).isNotNull &&
       lenientDouble(col(valueCol)).isNull).isEmpty
-    if (anyBad) df
-    else df.withColumn(valueCol, lenientDouble(col(valueCol)))
+    if (anyBad) snap
+    else snap.withColumn(valueCol, lenientDouble(col(valueCol)))
   }
 
   /** C7: sink-key canonicalization — trim + lowercase

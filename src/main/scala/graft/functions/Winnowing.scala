@@ -110,13 +110,12 @@ object WinnowingFingerprint {
         i += 1
       }
     }
-    var i = 0
     // monotonic deque of candidate minima (indices, increasing values)
     val deque = new Array[Int](numGrams)
     var head = 0
     var tail = 0 // exclusive
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    i = 0
+    var i = 0
     while (i < numGrams) {
       while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
       deque(tail) = i; tail += 1

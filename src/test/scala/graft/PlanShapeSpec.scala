@@ -203,8 +203,10 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executed(Queries.dedupMinhashLsh(spark, sf))
     // the giant-bucket exclusion must be a BROADCAST anti-join (the
     // hot list is tiny); a shuffled anti-join would re-shuffle the
-    // bands×-exploded frame
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+    // bands×-exploded frame. The ANTI join itself must be broadcast —
+    // the plan contains other BroadcastHashJoins (shingle verify), so
+    // the two substrings must co-occur on one operator line
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
       s"giant-bucket guard not a broadcast anti-join:\n$plan")
   }
 
