@@ -85,4 +85,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(SeriesOps.periodChange(series, Seq("indicator"), Seq("t")).isEmpty)
     assert(SeriesOps.asofJoin(series, series, Seq("indicator"), "t", "value").isEmpty)
   }
+
+  test("round-8 ops on empty inputs") {
+    val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    val someDocs = Seq((1L, "real document text here")).toDF("doc_id", "text")
+    // gopher / token stats: empty, correctly-shaped
+    val gs = graft.ext.TextOps.gopherSignals(docs)
+    assert(gs.isEmpty && gs.columns.contains("keep"))
+    assert(graft.ext.TextOps.tokenStats(docs).isEmpty)
+    // bloom decontam: empty bench flags nothing; empty train flags nothing
+    assert(graft.ext.Decontam.overlapStatsBloom(someDocs, docs,
+      "doc_id", "text", n = 3, mBits = 1 << 10).isEmpty)
+    assert(graft.ext.Decontam.overlapStatsBloom(docs, someDocs,
+      "doc_id", "text", n = 3, mBits = 1 << 10).isEmpty)
+    // multimodal planning: empty in, empty out with the right columns
+    val rp = graft.ext.MultiModal.resizePlan(docs)
+    assert(rp.isEmpty && rp.columns.contains("n_bytes_out"))
+    assert(graft.ext.MultiModal.frameSamplePlan(docs).isEmpty)
+    // z-order stats: empty frame → empty stats (bounds agg yields one
+    // all-null row that must not fabricate a bucket)
+    val zs = graft.operators.ZOrder.rangeStats(
+      emptyDf("x" -> LongType, "y" -> LongType), "x", "y")
+    assert(zs.isEmpty && zs.columns.contains("z_min"))
+    // LSH exhaustive anchor on an empty vector set
+    assert(graft.ext.VectorLsh.cosinePairsExhaustive(
+      emptyDf("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      "vec_id", "embedding", threshold = 0.5).isEmpty)
+  }
 }
