@@ -186,4 +186,73 @@ class PropertiesSpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  // ------------------------------------------------- round-8 operators
+
+  test("Morton interleave is invertible: deinterleave(z) recovers (x, y)") {
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var (x, y, i) = (0L, 0L, 0)
+      while (i < bits) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (x, y)
+    }
+    forAllSamples(Gen.listOfN(64,
+        Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))), 5) { pts =>
+      val rows = pts.toDF("x", "y")
+      val out = rows.select(col("x"), col("y"),
+          graft.operators.ZOrder.interleave(col("x"), col("y"), 16).as("z"))
+        .as[(Long, Long, Long)].collect()
+      out.foreach { case (x, y, z) =>
+        assert(deinterleave(z, 16) == ((x, y)), s"z=$z did not invert")
+      }
+    }
+  }
+
+  test("gopherKeep ≡ gopherSignals.keep on random word-soup docs") {
+    val docGen = Gen.listOfN(30, for {
+      n <- Gen.choose(1, 80)
+      words <- Gen.listOfN(n, Gen.oneOf(
+        "the", "and", "word", "data", "123", "#", "abcdefghijklmn", "x"))
+    } yield words.mkString(" "))
+    forAllSamples(docGen, 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val viaSignals = graft.ext.TextOps.gopherSignals(docs)
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      val viaKeep = docs.select(col("doc_id"),
+          graft.ext.TextOps.gopherKeep(col("text")).as("keep"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(viaSignals == viaKeep)
+    }
+  }
+
+  test("bloom decontamination ≡ exact decontamination on random corpora") {
+    val corpusGen = for {
+      nTrain <- Gen.choose(5, 20)
+      train <- Gen.listOfN(nTrain, Gen.listOfN(8,
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+        .map(_.mkString(" ")))
+      nBench <- Gen.choose(1, 5)
+      bench <- Gen.listOfN(nBench, Gen.listOfN(8,
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+        .map(_.mkString(" ")))
+    } yield (train, bench)
+    forAllSamples(corpusGen, 5) { case (train, bench) =>
+      val trainDf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val benchDf = bench.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val exact = graft.ext.Decontam
+        .overlapStats(trainDf, benchDf, "doc_id", "text", n = 5)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val bloom = graft.ext.Decontam
+        .overlapStatsBloom(trainDf, benchDf, "doc_id", "text", n = 5,
+          mBits = 1 << 10, kProbes = 3)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(bloom == exact, "bloom path diverged from exact relation")
+    }
+  }
 }
