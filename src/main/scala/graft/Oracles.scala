@@ -61,10 +61,13 @@ object Oracles {
   // hashes (md5_number_lower % P — bit-identical to the JVM
   // md5Lower64/modP pair), 64 affine lanes with md5-derived
   // coefficients rebuilt in SQL, and 16 four-lane band keys. Band
-  // equality is keyed on the slice VALUES where Spark buckets on
-  // murmur3(slice) — equal up to 2^-32 hash collisions, which the
-  // exact verify step absorbs. Parameterized by the document source
-  // so curate_corpus_near can run it over its quality-kept subset.
+  // keys are the SAME portable Horner fold as the Spark side
+  // (functions.MinHashBandKeys: acc ← (acc·B + lane) mod P;
+  // list_reduce's first-element init ≡ acc₀ = 0), so both engines
+  // generate IDENTICAL candidate sets by construction — no
+  // engine-specific hash anywhere in the plan. Parameterized by the
+  // document source so curate_corpus_near can run it over its
+  // quality-kept subset.
   private def minhashCtes(source: String): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source),
        |sh AS (SELECT doc_id,
@@ -81,7 +84,9 @@ object Oracles {
        |sig AS (SELECT doc_id, j, min((a * h + b) % $pSql) AS m
        |        FROM ex CROSS JOIN lanes GROUP BY doc_id, j),
        |bands AS (SELECT doc_id, j // 4 AS band_idx,
-       |            string_agg(m, ',' ORDER BY j) AS band_key
+       |            list_reduce(list(m::HUGEINT ORDER BY j),
+       |              (acc, c) -> (acc * ${graft.functions.PortableHash.GramBase} + c)
+       |                          % $pSql)::BIGINT AS band_key
        |          FROM sig GROUP BY doc_id, j // 4)""".stripMargin
 
   // Three rounds of the star-contraction label propagation (the

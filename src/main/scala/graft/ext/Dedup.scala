@@ -100,12 +100,14 @@ object Dedup {
     * Shared by the pair and cluster forms. */
   private[graft] def lshBandKeys(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
+    // band key = the portable Horner fold of the band's lanes (NOT
+    // murmur3 of the slice): Spark and the SQL oracle derive identical
+    // keys by construction, so candidate sets match exactly rather
+    // than w.h.p. — see functions.MinHashBandKeys
     sh.withColumn("sig", graft.functions.TextHashes.minhashSig(col("s"), k))
       .select(col("doc"),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band_idx", "band_hash")))
+        posexplode(graft.functions.TextHashes.minhashBandKeys(col("sig"), bands))
+          .as(Seq("band_idx", "band_hash")))
   }
 
   /** MinHash + LSH banding: signatures of length `k` are cut into

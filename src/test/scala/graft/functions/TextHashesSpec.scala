@@ -130,6 +130,30 @@ class TextHashesSpec extends SparkSpec {
     }.mkString("\"", "", "\"")
   }
 
+  test("minhashBandKeys: per-band Horner fold over GF(P), BigInt-checked") {
+    // 8 lanes, 4 bands of 2 — expected keys via plain BigInt Horner
+    // (no Mersenne folding), independent of PortableHash.mulAddModP
+    val sig = Seq(42L, 7L, P - 1, 0L, 123456789L, 987654321L, 1L, P - 2)
+    val bands = 4
+    val B = BigInt(PortableHash.GramBase)
+    val expected = sig.grouped(sig.length / bands).map(_.foldLeft(BigInt(0))(
+      (acc, m) => (acc * B + m).mod(BigInt(P))).toLong).toSeq
+    val got = Seq(sig).toDF("sig")
+      .select(TextHashes.minhashBandKeys(col("sig"), bands))
+      .as[Seq[Long]].head()
+    assert(got == expected)
+  }
+
+  test("band keys: identical docs share every band; band count = bands") {
+    val keys = docs.filter(length(col("text")) > 20)
+      .select(col("id"), TextHashes.minhashBandKeys(TextHashes.minhashSig(
+        TextHashes.hashedShingles(col("text"), 3), 64), 16).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys(1L).length == 16)
+    assert(keys(1L) == keys(6L))
+    assert(keys(1L) != keys(3L))
+  }
+
   test("empty/short text: no shingles; simhash still defined") {
     val out = docs.filter(col("id") === 2L || col("id") === 5L)
       .select(size(TextHashes.hashedShingles(col("text"), 3))).as[Int].collect()
