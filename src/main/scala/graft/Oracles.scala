@@ -29,10 +29,23 @@ object Oracles {
   private val dailySeriesCte =
     s"SELECT indicator, observation_day, value FROM ($dailySilverCte)"
 
+  // ASCII-whitespace tokenizer — the SQL twin of TextOps.tokens /
+  // HashedWordShingles.tokenSpans: split on runs of [ \t\n\x0B\f\r]
+  // (Java `\s` spelled out — RE2's `\s` omits \x0B), empty tokens
+  // (leading/trailing whitespace) dropped.
+  private def wsToks(c: String): String =
+    s"list_filter(regexp_split_to_array($c, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')"
+
+  // Total characters across tokens — the whitespace-robust twin of
+  // TextOps.tokenCharSum (empty token list sums to 0, like the Spark
+  // aggregate's 0 init).
+  private def tokCharSum(toks: String): String =
+    s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0)"
+
   // The n-gram Jaccard pair query — used standalone (dedup_ngram) and
   // as the edge set of the connected-components oracle.
   private val dedupNgramSql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
       |sh AS (SELECT doc_id,
       |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                        for i in generate_series(1, len(toks) - 2)]) AS s
@@ -69,7 +82,7 @@ object Oracles {
   // document source so curate_corpus_near can run it over its
   // quality-kept subset.
   private def minhashCtes(source: String): String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source),
+    s"""toks AS (SELECT doc_id, ${wsToks("text")} AS toks FROM $source),
        |sh AS (SELECT doc_id,
        |         list_distinct([
        |           (md5_number_lower(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -133,7 +146,7 @@ object Oracles {
   }
 
   private val decontamOverlapSql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
       |sh AS (SELECT doc_id,
       |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
@@ -890,19 +903,23 @@ object Oracles {
     // md5-lower-64 bit votes, sign bits packed into a signed 64-bit
     // value, pairs at Hamming ≤ 3.
     "dedup_simhash" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(${wsToks("text")}) AS tok FROM documents),
         |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM t),
         |votes AS (SELECT doc_id, b,
         |            sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
         |          FROM th CROSS JOIN generate_series(0, 63) g(b)
         |          GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id,
+        |sh0 AS (SELECT doc_id,
         |         sum(CASE WHEN v > 0 THEN
         |               CASE WHEN b = 63 THEN -9223372036854775807 - 1
         |                    ELSE (1::BIGINT << b) END
         |             ELSE 0 END)::BIGINT AS sh
-        |       FROM votes GROUP BY doc_id)
+        |       FROM votes GROUP BY doc_id),
+        |-- token-less docs (empty/whitespace-only text) hash to 0 on the
+        |-- Spark side (no votes, no set bits); keep the relation total
+        |sh AS (SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+        |       FROM documents d LEFT JOIN sh0 s USING (doc_id))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1035,18 +1052,18 @@ object Oracles {
     // text_quality's score chain + lang, binned with ntile (both
     // engines give remainder rows to the first buckets).
     "quality_ntile" ->
-      """WITH sig AS (
+      s"""WITH w AS (SELECT doc_id, lang, ${wsToks("text")} AS toks FROM documents),
+        |sig AS (
         |  SELECT doc_id, lang,
-        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |         CAST(len(list_filter(string_split(text, ' '),
+        |         CAST(len(toks) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_filter(toks,
         |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
-        |         length(text) AS n_chars_raw,
-        |         length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
-        |  FROM documents),
+        |         CAST(${tokCharSum("toks")} AS BIGINT) AS sum_tok_chars
+        |  FROM w),
         |r AS (
         |  SELECT doc_id, lang,
         |         round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) / 10000 AS stop_ratio,
-        |         round(CAST((n_chars_raw - (n_tokens - 1)) * 10000 AS DOUBLE) / n_tokens) / 10000 AS mean_token_len
+        |         round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) / 10000 AS mean_token_len
         |  FROM sig),
         |q AS (
         |  SELECT *, least(300000, greatest(0,
@@ -1062,9 +1079,9 @@ object Oracles {
         |FROM sc""".stripMargin,
 
     "text_stats" ->
-      """SELECT source, count(*) AS n_docs,
-        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |       round(CAST(sum(len(string_split(text, ' '))) * 10000 AS DOUBLE)
+      s"""SELECT source, count(*) AS n_docs,
+        |       CAST(sum(len(${wsToks("text")})) AS BIGINT) AS total_tokens,
+        |       round(CAST(sum(len(${wsToks("text")})) * 10000 AS DOUBLE)
         |             / count(*)) / 10000 AS avg_tokens,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
@@ -1072,19 +1089,21 @@ object Oracles {
     // quality_score mirrors TextOps.qualityScore's integer-exact HALF_UP
     // ((q30+15)//30): engine round(double,4) diverges on .xxxx5 scores.
     "text_quality" ->
-      """WITH sig AS (
+      s"""WITH w AS (SELECT doc_id, text, ${wsToks("text")} AS toks FROM documents),
+        |sig AS (
         |  SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |         CAST(len(list_filter(string_split(text, ' '),
+        |         CAST(len(toks) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_filter(toks,
         |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
+        |         CAST(${tokCharSum("toks")} AS BIGINT) AS sum_tok_chars,
         |         length(text) AS n_chars_raw,
         |         length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
-        |  FROM documents),
+        |  FROM w),
         |r AS (
         |  SELECT doc_id, n_tokens, n_stopwords,
         |         round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) / 10000 AS stop_ratio,
         |         round(CAST((n_chars_raw - n_nopunct) * 10000 AS DOUBLE) / n_chars_raw) / 10000 AS punct_ratio,
-        |         round(CAST((n_chars_raw - (n_tokens - 1)) * 10000 AS DOUBLE) / n_tokens) / 10000 AS mean_token_len
+        |         round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) / 10000 AS mean_token_len
         |  FROM sig),
         |q AS (
         |  SELECT *, least(300000, greatest(0,
@@ -1121,7 +1140,7 @@ object Oracles {
     // Mirrors TextOps.repetitionSignals: total trigram occurrences vs
     // distinct trigrams per doc.
     "text_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
         |d AS (SELECT doc_id,
         |        CAST(len(toks) - 2 AS BIGINT) AS n_ngrams,
         |        CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -1147,7 +1166,7 @@ object Oracles {
     "pack_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT *, sum(n_tokens) OVER (
@@ -1163,7 +1182,7 @@ object Oracles {
     "pack_concat" ->
       """WITH t AS (
         |  SELECT doc_id, source, text,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT *, sum(n_tokens) OVER (
@@ -1183,7 +1202,7 @@ object Oracles {
     "pack_stats" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT *, sum(n_tokens) OVER (
@@ -1288,16 +1307,18 @@ object Oracles {
     "curate_corpus" ->
       """WITH sig AS (
         |  SELECT doc_id, text,
-        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |         CAST(len(list_filter(string_split(text, ' '),
+        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''),
         |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
-        |         length(text) AS n_chars_raw
+        |         CAST(coalesce(list_sum(list_transform(
+        |           list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''),
+        |           t -> length(t))), 0) AS BIGINT) AS sum_tok_chars
         |  FROM documents WHERE doc_id % 20 <> 0),
         |q AS (
         |  SELECT doc_id, text,
         |         CAST((least(300000, greatest(0,
         |             50 * CAST(round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) AS BIGINT) + 150000
-        |             - 3 * abs(CAST(round(CAST((n_chars_raw - (n_tokens - 1)) * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
+        |             - 3 * abs(CAST(round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
         |           + 15) // 30 AS DOUBLE) / 10000 AS quality_score
         |  FROM sig),
         |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
@@ -1307,7 +1328,7 @@ object Oracles {
         |deduped AS (
         |  SELECT k.* FROM kept k
         |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
@@ -1334,18 +1355,20 @@ object Oracles {
     // cluster) over the quality-kept subset — the minhash CTEs run on
     // `kept`, and singleton docs (no shingles) represent themselves.
     "curate_corpus_near" ->
-      s"""WITH sig0 AS (
+      raw"""WITH sig0 AS (
          |  SELECT doc_id, text,
-         |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-         |         CAST(len(list_filter(string_split(text, ' '),
+         |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS INTEGER) AS n_tokens,
+         |         CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''),
          |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
-         |         length(text) AS n_chars_raw
+         |         CAST(coalesce(list_sum(list_transform(
+         |           list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''),
+         |           t -> length(t))), 0) AS BIGINT) AS sum_tok_chars
          |  FROM documents WHERE doc_id % 20 <> 0),
          |q AS (
          |  SELECT doc_id, text,
          |         CAST((least(300000, greatest(0,
          |             50 * CAST(round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) AS BIGINT) + 150000
-         |             - 3 * abs(CAST(round(CAST((n_chars_raw - (n_tokens - 1)) * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
+         |             - 3 * abs(CAST(round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
          |           + 15) // 30 AS DOUBLE) / 10000 AS quality_score
          |  FROM sig0),
          |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
@@ -1356,7 +1379,7 @@ object Oracles {
          |deduped AS (
          |  SELECT k.* FROM kept k
          |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
-         |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks FROM documents),
          |sh5 AS (SELECT doc_id,
          |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
          |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
@@ -1445,7 +1468,7 @@ object Oracles {
     // windows adding no new tokens dropped. chunk_idx = (start−1)/step.
     "text_chunk" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks FROM documents),
         |x AS (
         |  SELECT doc_id, toks, len(toks) AS n,
         |         unnest(generate_series(1, len(toks), 24)) AS st
@@ -1637,11 +1660,12 @@ object Oracles {
     // every gate in exact integer space (no float boundary can flip a
     // flag between engines) and 4-dp integer-scaled display ratios.
     "quality_gopher" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
-        |             length(text) AS nc FROM documents),
+      """WITH w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |           FROM documents),
         |s AS (SELECT doc_id,
         |        CAST(len(toks) AS BIGINT) AS n_words,
-        |        CAST(nc - (len(toks) - 1) AS BIGINT) AS sum_chars,
+        |        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+        |          AS BIGINT) AS sum_chars,
         |        CAST(len(list_filter(toks,
         |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
         |        CAST(len(list_filter(toks, t -> list_contains(
@@ -1671,12 +1695,12 @@ object Oracles {
     // → 5-gram benchmark decontamination → md5-keyed 90/10 split.
     "curate_corpus_gopher" ->
       """WITH g0 AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
-        |         length(text) AS nc
+        |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
         |  FROM documents WHERE doc_id % 20 <> 0),
         |s AS (SELECT doc_id, text,
         |        CAST(len(toks) AS BIGINT) AS n_words,
-        |        CAST(nc - (len(toks) - 1) AS BIGINT) AS sum_chars,
+        |        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+        |          AS BIGINT) AS sum_chars,
         |        CAST(len(list_filter(toks,
         |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
         |        CAST(len(list_filter(toks, t -> list_contains(
@@ -1697,7 +1721,7 @@ object Oracles {
         |deduped AS (
         |  SELECT k.* FROM kept k
         |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
@@ -1723,7 +1747,7 @@ object Oracles {
     // with type-token ratio; the regex class is identical RE2/Java
     // syntax ([^\p{L}\p{N}]+ over lowercased text).
     "text_tokens_regex" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS ws,
         |             list_filter(regexp_split_to_array(lower(text),
         |               '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS re
         |           FROM documents)

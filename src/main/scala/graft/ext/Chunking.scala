@@ -26,9 +26,9 @@ object Chunking {
 
   /** One row per (document, chunk): `chunk_idx` (0-based),
     * `chunk_start` (1-based token offset), `n_chunk_tokens`, and the
-    * reassembled `chunk_text`. Tokens are single-space-delimited words
-    * (the corpus tokenizer of [[TextOps]]); empty documents yield no
-    * chunks. */
+    * reassembled `chunk_text`. Tokens are [[TextOps.tokens]]
+    * (whitespace-robust); `chunk_text` rejoins them single-spaced.
+    * Empty/whitespace-only documents yield no chunks. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
@@ -36,7 +36,7 @@ object Chunking {
       "overlap must be in [0, chunkSize)")
     val step = chunkSize - overlap
     df
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
       .select(col(idCol), col("__toks"), col("__n"),

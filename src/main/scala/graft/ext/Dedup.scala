@@ -24,9 +24,12 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles of `textCol` as an array column.
-    * Documents shorter than `n` words yield an empty array. */
+    * Documents shorter than `n` words yield an empty array. Words are
+    * [[TextOps.tokens]] (whitespace-robust); shingle strings join them
+    * with a single space, so the shingle set is invariant under
+    * whitespace formatting. */
   def shingles(text: Column, n: Int): Column = {
-    val w = split(text, " ")
+    val w = TextOps.tokens(text)
     // sequence(0, x) with x<0 generates a DEscending sequence, so short
     // docs must short-circuit to an empty array instead.
     when(size(w) < n, array().cast("array<string>"))

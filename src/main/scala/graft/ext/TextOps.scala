@@ -11,9 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenizer. For the synthetic corpus (single-space
-    * separated) this equals the BPE-ish regex variant below. */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokenizer: maximal non-whitespace runs — runs of
+    * spaces/tabs/newlines produce NO empty tokens (the r8 fidelity fix:
+    * the old single-space split inflated n_words on real crawl text,
+    * misfiring Gopher gates). Java `\s` is exactly [ \t\n\x0B\f\r];
+    * DuckDB twins spell the class out because RE2's `\s` omits \x0B.
+    * Tokenization is defined over ASCII whitespace only (U+00A0 etc.
+    * are data, not separators) — the same contract as
+    * [[graft.functions.CanonTextExpr]]. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Total characters across tokens — the whitespace-robust form of
+    * the old `length(text) − (n_tokens − 1)` identity (which assumed
+    * exactly one separator between tokens). Empty token list → 0. */
+  def tokenCharSum(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
 
   /** BPE-ish tokenizer: splits on word/number/punctuation boundaries,
     * lowercased — a deterministic approximation of subword pre-
@@ -55,8 +68,7 @@ object TextOps {
           (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))) * lit(10000.0)
             / length(t)) / 1e4)
       .withColumn("mean_token_len",
-        round((length(t) - (col("n_tokens") - lit(1))) * lit(10000.0)
-          / col("n_tokens")) / 1e4)
+        round(tokenCharSum(toks) * lit(10000.0) / col("n_tokens")) / 1e4)
   }
 
   /** Scalar quality score in [0,1]: high when token lengths are
@@ -281,8 +293,8 @@ object TextOps {
     val stops = array(GopherStopwords.map(lit): _*)
     Seq(
       "n_words" -> size(toks).cast("long"),
-      // total non-space chars: doc length minus the n-1 separators
-      "sum_chars" -> (length(t) - (size(toks) - lit(1))).cast("long"),
+      // total in-token chars: sum of token lengths (whitespace-robust)
+      "sum_chars" -> tokenCharSum(toks),
       "n_alpha" -> size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long"),
       "n_stop" -> size(filter(toks, w => array_contains(stops, w))).cast("long"),
       "n_sym" -> regexp_count(t, lit("#|\\.\\.\\.")).cast("long"))

@@ -41,7 +41,11 @@ case class CanonTextExpr(child: Expression) extends UnaryExpression {
 
 object CanonTextExpr {
 
-  @inline private def isWs(b: Byte): Boolean =
+  /** ASCII whitespace (Java regex `\s`): the byte-level tokenization
+    * contract shared with [[HashedWordShingles]]/[[SimHash64]] and the
+    * `TextOps.tokens` column form. Multi-byte UTF-8 units are ≥ 0x80,
+    * so byte-level scanning never splits a code point. */
+  @inline private[functions] def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
   def compute(s: UTF8String): UTF8String = {

@@ -47,7 +47,7 @@ object TextHashes {
   def minhashSig(shingleHashes: Column, k: Int): Column =
     column(MinHashSig(expression(shingleHashes), k))
 
-  /** 64-bit SimHash of the space-tokenized text: per-token
+  /** 64-bit SimHash of the whitespace-tokenized text: per-token
     * md5-lower-64 hash, signed bit votes, sign → bit. */
   def simhash(text: Column): Column =
     column(SimHash64(expression(text)))
@@ -89,13 +89,7 @@ object PortableHash {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** Little-endian uint64 of md5 digest bytes 8..15 — DuckDB
-    * `md5_number_lower`. The full 64-bit pattern (may be "negative"
-    * as a signed long); reduce with [[modP]] before ordering. */
-  def md5Lower64(bytes: Array[Byte], off: Int, len: Int): Long = {
-    val md = digests.get()
-    md.update(bytes, off, len)
-    val d = md.digest() // resets the digest
+  @inline private def lower64(d: Array[Byte]): Long =
     (d(8) & 0xffL) |
       ((d(9) & 0xffL) << 8) |
       ((d(10) & 0xffL) << 16) |
@@ -104,6 +98,31 @@ object PortableHash {
       ((d(13) & 0xffL) << 40) |
       ((d(14) & 0xffL) << 48) |
       ((d(15) & 0xffL) << 56)
+
+  /** Little-endian uint64 of md5 digest bytes 8..15 — DuckDB
+    * `md5_number_lower`. The full 64-bit pattern (may be "negative"
+    * as a signed long); reduce with [[modP]] before ordering. */
+  def md5Lower64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.update(bytes, off, len)
+    lower64(md.digest()) // digest() resets
+  }
+
+  /** md5-lower-64 of tokens `from until from + n` (byte spans
+    * `starts(t) until ends(t)` of `bytes`) joined by single 0x20
+    * bytes — the hash of the single-space-normalized shingle string
+    * WITHOUT materializing it, so shingle hashes are invariant under
+    * the whitespace formatting between the tokens. */
+  def md5Lower64Joined(bytes: Array[Byte], starts: Array[Int],
+      ends: Array[Int], from: Int, n: Int): Long = {
+    val md = digests.get()
+    var t = from
+    while (t < from + n) {
+      if (t > from) md.update(' '.toByte)
+      md.update(bytes, starts(t), ends(t) - starts(t))
+      t += 1
+    }
+    lower64(md.digest())
   }
 
   def md5Lower64(s: String): Long = {
@@ -168,19 +187,20 @@ object PortableHash {
       (Array.tabulate(kk)(laneA), Array.tabulate(kk)(laneB)))
 }
 
-/** Distinct portable hashes of the word n-gram shingles of a
-  * space-separated text, values in [0, 2^61−1).
+/** Distinct portable hashes of the word n-gram shingles of a text,
+  * values in [0, 2^61−1).
   *
-  * Tokens are the maximal runs between single-space separators —
-  * exactly Spark `split(text, " ")` / DuckDB `string_split(text, ' ')`
-  * semantics (consecutive spaces yield empty tokens). Joining n
-  * consecutive tokens with a single space therefore reconstructs the
-  * original byte span from the first token's start to the last token's
-  * end, so each shingle hash is computed over that span with ZERO
-  * string materialization. The hash stands in for the shingle string;
-  * collisions (~p²/2^61) are negligible for set-similarity. Oracle
-  * twin per shingle s: `md5_number_lower(s) % P` — the UTF-8 bytes of
-  * the reconstructed shingle string are exactly the hashed span.
+  * Tokens are maximal runs of non-whitespace bytes ([[CanonTextExpr
+  * .isWs]] — ASCII `\s`; UTF-8 continuation bytes are ≥ 0x80, never
+  * whitespace), exactly `TextOps.tokens` / the DuckDB twins' filtered
+  * `regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')`. Each shingle
+  * hash is md5-lower-64 of the n tokens JOINED BY A SINGLE SPACE
+  * ([[PortableHash.md5Lower64Joined]] — streamed through the digest,
+  * zero string materialization), so the shingle set is invariant under
+  * whitespace formatting between the tokens. The hash stands in for
+  * the normalized shingle string; collisions (~p²/2^61) are negligible
+  * for set-similarity. Oracle twin per shingle s:
+  * `md5_number_lower(array_to_string(toks[i:i+n-1], ' ')) % P`.
   *
   * Texts with fewer than n tokens yield an empty array (callers filter
   * on size > 0, mirroring the algebraic form).
@@ -210,24 +230,32 @@ case class HashedWordShingles(child: Expression, n: Int)
 
 object HashedWordShingles {
 
+  /** (starts, ends, count) of the non-empty whitespace-delimited token
+    * spans of `bytes` — shared by the shingle and simhash scans. The
+    * arrays are sized to a worst-case bound (⌈(len+1)/2⌉ tokens); only
+    * the first `count` entries are meaningful. */
+  private[functions] def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    val len = bytes.length
+    val maxToks = len / 2 + 1
+    val starts = new Array[Int](maxToks)
+    val ends = new Array[Int](maxToks)
+    var t = 0
+    var i = 0
+    while (i < len) {
+      if (!CanonTextExpr.isWs(bytes(i))) {
+        starts(t) = i
+        while (i < len && !CanonTextExpr.isWs(bytes(i))) i += 1
+        ends(t) = i
+        t += 1
+      } else i += 1
+    }
+    (starts, ends, t)
+  }
+
   def compute(s: UTF8String, n: Int): GenericArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    // token start offsets: 0 and every byte after a space (0x20)
-    var numToks = 1
-    var i = 0
-    while (i < len) { if (bytes(i) == ' ') numToks += 1; i += 1 }
+    val (starts, ends, numToks) = tokenSpans(bytes)
     if (numToks < n) return new GenericArrayData(Array.emptyLongArray)
-    val starts = new Array[Int](numToks)
-    val ends = new Array[Int](numToks)
-    var t = 0
-    starts(0) = 0
-    i = 0
-    while (i < len) {
-      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
-      i += 1
-    }
-    ends(t) = len
     val numShingles = numToks - n + 1
     // distinct via a simple open-addressed long set (load ≤ 0.5)
     val cap = java.lang.Integer.highestOneBit(math.max(numShingles * 2 - 1, 4)) * 2
@@ -237,9 +265,8 @@ object HashedWordShingles {
     var outN = 0
     var sIdx = 0
     while (sIdx < numShingles) {
-      val from = starts(sIdx)
-      val to = ends(sIdx + n - 1)
-      val h = PortableHash.modP(PortableHash.md5Lower64(bytes, from, to - from))
+      val h = PortableHash.modP(
+        PortableHash.md5Lower64Joined(bytes, starts, ends, sIdx, n))
       // probe
       var slot = (h.toInt & (cap - 1))
       var found = false
@@ -373,12 +400,14 @@ object MinHashBandKeys {
   }
 }
 
-/** 64-bit SimHash of space-separated text: one md5-lower-64 per token
-  * (= DuckDB `md5_number_lower(tok)` — the FULL 64-bit pattern, not
-  * reduced mod P, because every bit is a vote dimension), each of its
-  * 64 bits votes ±1, sign of the vote sum is the output bit. The long
-  * result carries the same bit pattern as the oracle's uint64, and
-  * consumers compare via XOR popcount (sign-agnostic).
+/** 64-bit SimHash of whitespace-tokenized text: one md5-lower-64 per
+  * non-empty token (= DuckDB `md5_number_lower(tok)` over the filtered
+  * regex split — the FULL 64-bit pattern, not reduced mod P, because
+  * every bit is a vote dimension), each of its 64 bits votes ±1, sign
+  * of the vote sum is the output bit. Token-less text (empty or all
+  * whitespace) hashes to 0 — no votes, no set bits — on both sides.
+  * The long result carries the same bit pattern as the oracle's
+  * uint64, and consumers compare via XOR popcount (sign-agnostic).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -403,21 +432,17 @@ object SimHash64 {
 
   def compute(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val len = bytes.length
+    val (starts, ends, numToks) = HashedWordShingles.tokenSpans(bytes)
     val votes = new Array[Int](64)
-    var start = 0
-    var i = 0
-    while (i <= len) {
-      if (i == len || bytes(i) == ' ') {
-        val h = PortableHash.md5Lower64(bytes, start, i - start)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        start = i + 1
+    var t = 0
+    while (t < numToks) {
+      val h = PortableHash.md5Lower64(bytes, starts(t), ends(t) - starts(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
-      i += 1
+      t += 1
     }
     var out = 0L
     var b = 0

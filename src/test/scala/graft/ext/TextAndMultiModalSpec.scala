@@ -51,6 +51,29 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(score >= 0.0 && score <= 1.0)
   }
 
+  test("tokenization is whitespace-robust across the signal operators") {
+    // tabs / newlines / space runs must count LINGUISTIC words: the
+    // messy and clean forms carry identical token streams
+    val df = Seq(
+      (1L, "the\tcat  sat\non a   mat, quietly."),
+      (2L, "the cat sat on a mat, quietly.")).toDF("doc_id", "text")
+    val q = TextOps.qualitySignals(df)
+      .select("doc_id", "n_tokens", "n_stopwords", "stop_ratio", "mean_token_len")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq("n_tokens", "n_stopwords", "stop_ratio", "mean_token_len").foreach { c =>
+      assert(q(1L).getAs[Any](c) == q(2L).getAs[Any](c), s"$c differs")
+    }
+    assert(q(1L).getAs[Int]("n_tokens") == 7)
+    val g = TextOps.gopherSignals(df, minWords = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(g(1L).getAs[Long]("n_words") == 7)
+    // sum_chars = sum of token lengths (3+4+3+2+1+4+8), not length−(n−1)
+    assert(g(1L).getAs[Double]("mean_word_len") == g(2L).getAs[Double]("mean_word_len"))
+    val ts = TextOps.tokenStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_ws_tokens")).toMap
+    assert(ts(1L) == 7L && ts(2L) == 7L)
+  }
+
   // -------------------------------------------------------- MultiModal
 
   test("decodeFeatures: deterministic stub decode via mapPartitions, typed output") {

@@ -60,14 +60,37 @@ class TextHashesSpec extends SparkSpec {
     a.foreach { case (id, hs) =>
       assert(hs.toSet == b(id).toSet, s"doc $id shingle hash sets differ")
     }
-    // note: Dedup.shingles on "a  double  spaced  text" — Spark split
-    // keeps empty tokens, so both sides see the same 7-token stream
+    // note: "a  double  spaced  text" tokenizes to 4 words on both
+    // sides — whitespace runs yield no empty tokens (r9 contract)
+  }
+
+  test("tokenization is whitespace-robust: tabs/newlines/runs ≡ single spaces") {
+    val pairs = Seq(
+      ("one\ttwo   three\nfour five", "one two three four five"),
+      ("  leading and trailing  \t", "leading and trailing"),
+      ("a\r\nb\fc\u000Bd e", "a b c d e"))
+    val df = pairs.toDF("messy", "clean")
+    val out = df.select(
+        TextHashes.hashedShingles(col("messy"), 3).as("hm"),
+        TextHashes.hashedShingles(col("clean"), 3).as("hc"),
+        TextHashes.simhash(col("messy")).as("sm"),
+        TextHashes.simhash(col("clean")).as("sc"))
+      .as[(Seq[Long], Seq[Long], Long, Long)].collect()
+    out.zip(pairs).foreach { case ((hm, hc, sm, sc), (m, _)) =>
+      assert(hm.toSet == hc.toSet, s"shingles differ on ${m.inspect}")
+      assert(sm == sc, s"simhash differs on ${m.inspect}")
+    }
+    // token-less text: simhash 0, no shingles
+    val z = Seq(("", " \t\n")).toDF("a", "b").select(
+      TextHashes.simhash(col("a")), TextHashes.simhash(col("b")),
+      size(TextHashes.hashedShingles(col("b"), 2))).as[(Long, Long, Int)].head()
+    assert(z == ((0L, 0L, 0)))
   }
 
   test("native simhash matches an independent per-token md5 vote count") {
     def refSimhash(text: String): Long = {
       val votes = new Array[Int](64)
-      text.split(" ", -1).foreach { tok =>
+      text.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty).foreach { tok =>
         val h = refMd5Lower64(tok)
         (0 until 64).foreach { b =>
           if (h.testBit(b)) votes(b) += 1 else votes(b) -= 1
