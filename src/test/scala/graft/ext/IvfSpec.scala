@@ -49,6 +49,20 @@ class IvfSpec extends SparkSpec {
     assert(n < embeddings.count(), "nprobe=2 must not scan the full corpus")
   }
 
+  test("broadcast-frame centroid path ≡ literal path, row for row") {
+    import spark.implicits._
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val index = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
+    def rows(literalMax: Int) =
+      Ivf.searchTopK(index, queries, "vec_id", "embedding",
+          k = 5, nprobe = 2, literalMaxClusters = literalMax)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // literalMaxClusters = 0 forces the broadcast-frame plan; same
+    // cosine expression + same (score, cluster) tiebreak ⇒ identical
+    assert(rows(64) == rows(0))
+  }
+
   test("index assignment covers the corpus exactly once") {
     val index = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
     assert(index.assigned.count() == embeddings.count())
