@@ -176,6 +176,44 @@ object Oracles {
       |  FROM scored)
       |WHERE rank <= 10""".stripMargin
 
+  // Per-column null/distinct profile — the profile_columns twin,
+  // reused (exact columns + TRUE bound flag) by
+  // profile_columns_approx's check form.
+  private val profileColumnsSql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+      |                  event_type, value FROM events),
+      |a AS (
+      |  SELECT count(*) AS n_rows,
+      |         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn0,
+      |         count(DISTINCT event_id) AS nd0,
+      |         CAST(sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+      |         count(DISTINCT ts_us) AS nd1,
+      |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+      |         count(DISTINCT user_id) AS nd2,
+      |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+      |         count(DISTINCT event_type) AS nd3,
+      |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+      |         count(DISTINCT value) AS nd4
+      |  FROM e)
+      |SELECT "column", n_nulls, n_distinct, n_rows FROM (
+      |  SELECT 'event_id' AS "column", nn0 AS n_nulls, nd0 AS n_distinct, n_rows FROM a
+      |  UNION ALL SELECT 'ts_us', nn1, nd1, n_rows FROM a
+      |  UNION ALL SELECT 'user_id', nn2, nd2, n_rows FROM a
+      |  UNION ALL SELECT 'event_type', nn3, nd3, n_rows FROM a
+      |  UNION ALL SELECT 'value', nn4, nd4, n_rows FROM a)""".stripMargin
+
+  // All vector pairs at cosine ≥ 0.4 — the similarity_lsh_exhaustive
+  // twin, reused as the exact denominator of similarity_lsh's
+  // recall check.
+  private val lshExhaustiveSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT id_a, id_b, cosine FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         round(list_dot_product(a.v, b.v) /
+      |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.4""".stripMargin
+
   // DuckDB twin of operators.ZOrder.interleave: the Morton bit-
   // interleave as explicit shift/mask/OR arithmetic over the scaled
   // dimension expressions.
@@ -679,28 +717,13 @@ object Oracles {
 
     // Mirrors Profile.columnProfile: per-column null/distinct counts
     // in one logical pass, ts at microsecond grain like the engine.
-    "profile_columns" ->
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
-        |                  event_type, value FROM events),
-        |a AS (
-        |  SELECT count(*) AS n_rows,
-        |         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn0,
-        |         count(DISTINCT event_id) AS nd0,
-        |         CAST(sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
-        |         count(DISTINCT ts_us) AS nd1,
-        |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
-        |         count(DISTINCT user_id) AS nd2,
-        |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
-        |         count(DISTINCT event_type) AS nd3,
-        |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
-        |         count(DISTINCT value) AS nd4
-        |  FROM e)
-        |SELECT "column", n_nulls, n_distinct, n_rows FROM (
-        |  SELECT 'event_id' AS "column", nn0 AS n_nulls, nd0 AS n_distinct, n_rows FROM a
-        |  UNION ALL SELECT 'ts_us', nn1, nd1, n_rows FROM a
-        |  UNION ALL SELECT 'user_id', nn2, nd2, n_rows FROM a
-        |  UNION ALL SELECT 'event_type', nn3, nd3, n_rows FROM a
-        |  UNION ALL SELECT 'value', nn4, nd4, n_rows FROM a)""".stripMargin,
+    "profile_columns" -> profileColumnsSql,
+
+    // profile_columns_approx carries the exact profile (portable)
+    // plus the Spark-side HLL bound check per column, asserted TRUE.
+    "profile_columns_approx" ->
+      s"""SELECT "column", n_nulls, n_distinct, n_rows, TRUE AS approx_ok
+         |FROM ($profileColumnsSql)""".stripMargin,
 
     // Mirrors windowCume: distinct ORDER BY keys make percent_rank and
     // cume_dist exact rationals — no rounding needed.
@@ -842,14 +865,38 @@ object Oracles {
     // Mirrors similarityLshExhaustive: all vector pairs (no label
     // blocking — the constant signature puts everything in one
     // bucket), exact cosine at the similarity_lsh threshold.
-    "similarity_lsh_exhaustive" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT id_a, id_b, cosine FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         round(list_dot_product(a.v, b.v) /
-        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.4""".stripMargin,
+    "similarity_lsh_exhaustive" -> lshExhaustiveSql,
+
+    // similarity_lsh emits (n_true_pairs, recall_ok): the exhaustive
+    // pair count is exact SQL; the recall floor is checked on the
+    // Spark side (LSH pair count is engine-specific) and asserted
+    // TRUE here — a recall collapse hash-fails the gate.
+    "similarity_lsh" ->
+      s"""SELECT count(*) AS n_true_pairs, TRUE AS recall_ok
+         |FROM ($lshExhaustiveSql)""".stripMargin,
+
+    // similarity_ivf_kmeans emits (n_queries, recall_ok): mean recall
+    // vs brute force checked Spark-side (KMeans assignment is
+    // engine-specific), TRUE asserted here.
+    "similarity_ivf_kmeans" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // agg_approx_distinct emits the EXACT count (portable) plus the
+    // Spark-side HLL bound check |est−exact| ≤ 4·rsd·exact as a
+    // boolean the oracle asserts TRUE.
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // agg_approx_percentile emits per (group, quartile) the exact
+    // group size plus the GK rank-contract check |r − q·n| ≤
+    // n/accuracy + 1, asserted TRUE here.
+    "agg_approx_percentile" ->
+      """SELECT event_type, q_pct, n, TRUE AS rank_ok
+        |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+        |CROSS JOIN (VALUES (25), (50), (75)) q(q_pct)""".stripMargin,
 
     // Mirrors Dedup.editDistancePairs: canonical text, 16-CHAR prefix
     // block + length band (a Levenshtein lower bound), exact verify.
