@@ -1,35 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
-  * prints two JSON lines: {"metric":"plans","plans":{…}} with the plan
-  * fingerprints first, then {"metric":"total",…,"queries":{…}} with
-  * the timings LAST — the driver's capture keeps the TAIL of stdout,
-  * and r4/r5 proved the first line is what truncation eats (both
-  * official records lost their timings). Both lines are also written
-  * to `bench_out.json` in the working directory as a durable copy.
+/** Benchmark main: runs the catalog on SPARK_GRAFT_SF_DIR and prints
+  * three JSON lines — plan fingerprints, per-query spread, then the
+  * timings line LAST (the driver's capture keeps the TAIL of stdout,
+  * and r4/r5 proved truncation eats the first line; the timings line
+  * is the one that must survive). All lines are also written to
+  * `bench_out.json`, and every run appends one row to
+  * `bench_history.jsonl` so rounds compare median-to-median.
+  *
+  * Protocol (r8 VERDICT "What's missing" #1 — single-run numbers made
+  * real regressions indistinguishable from host noise):
+  *   1. one UNMEASURED warm-up pass over the whole set (JVM/codegen
+  *      warmup and page cache aren't billed to any query);
+  *   2. three measured runs per query; the reported number is the
+  *      MEDIAN (this host shows sporadic 4-10× single-run spikes from
+  *      background load — the median measures the plan, not the
+  *      scheduler's bad luck);
+  *   3. per-query max/min spread is reported on its own line and in
+  *      the history file, so a "regression" with spread ≈ its delta
+  *      is diagnosable as noise without re-running.
+  *
+  * Queries in [[SparkEntry.verifyOnly]] (intentionally non-production
+  * anchor plans) are skipped and listed under `excluded` — the bench
+  * total reflects production plans only.
   *
   * Each query is forced end-to-end with a `noop`-format write so the
   * timing covers the full plan (a bare `count()` lets Catalyst prune
-  * projections and would under-time expression-heavy queries). One
-  * warm-up of the flagship query first so JVM/codegen warmup isn't
-  * billed to the first query measured.
-  *
-  * Per query the reported number is the BEST of two back-to-back runs:
-  * this host shows sporadic 5-10× single-query spikes from background
-  * load (a 3.5 s query measured 23.6 s once, identical plan), and
-  * min-of-2 measures the plan rather than the scheduler's bad luck.
+  * projections and would under-time expression-heavy queries).
   *
   * Alongside each timing the output carries a fingerprint of the
   * query's canonicalized optimized plan (`plans` key): when a number
   * moves between rounds, an unchanged hash proves the plan didn't —
-  * the delta is scheduler luck, not a regression (this host has twice
-  * produced phantom regressions that way).
+  * the delta is scheduler luck, not a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -43,16 +52,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def run(name: String): Double = {
-      val a = runOnce(name)
-      if (a < 0) return a
-      val b = runOnce(name)
-      if (b < 0) a else math.min(a, b)
-    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.verifyOnly)
 
-    // JVM + codegen warmup, not billed
+    // JVM + codegen + page-cache warm-up: one pass over the whole set,
+    // not billed (r8's single flagship warm-up left the first minhash
+    // query paying everyone's classloading)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    names.foreach(runOnce)
+
+    // measured: `runs` samples per query → median + max/min spread
+    val samples: Seq[(String, Seq[Double])] =
+      names.map(n => n -> Seq.fill(runs)(runOnce(n)))
+    def median(xs: Seq[Double]): Double =
+      if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(xs.size / 2)
+    def spread(xs: Seq[Double]): Double =
+      if (xs.exists(_ <= 0)) -1.0
+      else math.round(xs.max / xs.min * 100.0) / 100.0
+    val medians = samples.map { case (n, xs) => n -> median(xs) }
+    val spreads = samples.map { case (n, xs) => n -> spread(xs) }
 
     // 48-bit md5 of the canonicalized optimized plan: expression ids
     // are normalized away, so the hash is stable run-to-run and moves
@@ -69,24 +88,44 @@ object Bench {
           .digest(plan.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       } catch { case _: Throwable => "err" }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def numMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = numMap(medians)
+    val sp = numMap(spreads)
+    val ps = names.map(k => "\"" + k + "\":\"" + planHash(k) + "\"")
       .mkString("{", ",", "}")
-    val ps = results.map { case (k, _) => "\"" + k + "\":\"" + planHash(k) + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Two SEPARATE lines, timings LAST: the driver keeps the END of
-    // stdout, and in r4/r5 truncation started mid-way through the
-    // FIRST line — printing timings first lost two rounds of official
-    // timing history. Plans first (sacrificial), timings last.
+    val excluded = SparkEntry.verifyOnly.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val worstSpread = spreads.map(_._2).max
+    // Three SEPARATE lines, timings LAST: the driver keeps the END of
+    // stdout and truncation eats from the front — plans and spread are
+    // sacrificial, the timings line is the record.
     val plansLine = s"""{"metric":"plans","plans":$ps,"sf":"$sfDir"}"""
+    val spreadLine =
+      s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"excluded":$excluded,"sf":"$sfDir"}"""
+    val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (plansLine + "\n" + timingsLine + "\n").getBytes("UTF-8"))
+      out.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // per-run history row (append): medians + min/max per query, so
+    // future rounds diff median-to-median with the noise visible
+    val hist = samples.map { case (n, xs) =>
+      val s = xs.sorted
+      "\"" + n + "\":[" + s.head + "," + median(xs) + "," + s.last + "]"
+    }.mkString("{", ",", "}")
+    val histLine =
+      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"queries":$hist}""" + "\n"
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+      histLine.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     println(plansLine)
+    println(spreadLine)
     println(timingsLine)
     spark.stop()
   }

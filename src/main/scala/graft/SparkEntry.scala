@@ -4,9 +4,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the operator catalog ([[Queries]]); `oracleSql` the
-  * DuckDB twins ([[Oracles]]). Queries with engine-specific hash
-  * families or estimators have no oracle entry and take the driver's
-  * rows-only check (their semantics are locked by ScalaTest specs).
+  * DuckDB twins ([[Oracles]]). As of r9 every catalog query has an
+  * oracle entry — estimator queries emit their exact twin plus a
+  * bound-check boolean the SQL side asserts TRUE.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -19,4 +19,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Oracles.all
+
+  /** Correctness anchors whose PLANS are intentionally non-production
+    * (all-pairs candidate sets / per-run KMeans refits that exist to
+    * hand engine-specific machinery an exact oracle). They run at the
+    * correctness gate at every SF but are EXCLUDED from the bench
+    * total, which should reflect production plans only (r8 VERDICT
+    * "What's wrong" #2). Bench.scala reports them under `excluded`. */
+  val verifyOnly: Set[String] =
+    Set("similarity_lsh_exhaustive", "similarity_ivf_exhaustive")
 }
