@@ -583,16 +583,20 @@ object Queries {
 
   /** [[decontamOverlap]] through the bloom-prefilter path: the same
     * benchmark split, but the (doc, shingle) stream is culled by a
-    * 2¹⁶-bit bloom bitset BEFORE the exact-confirm join — the plan for
-    * when the eval-suite shingle set outgrows broadcast. Output ≡
-    * decontam_overlap (bloom admits no false negatives; the exact join
-    * kills false positives), so it shares the exact-SQL oracle. */
+    * bloom bitset BEFORE the exact-confirm join — the plan for when
+    * the eval-suite shingle set outgrows broadcast. The bitset is
+    * auto-sized from the bench's distinct-shingle count (16 bits per
+    * shingle, FP ≈ 0.2%), so the prefilter keeps its selectivity at
+    * every SF instead of saturating as the bench grows (r8 ADVICE #2).
+    * Output ≡ decontam_overlap (bloom admits no false negatives; the
+    * exact join kills false positives), so it shares the exact-SQL
+    * oracle. */
   val decontamBloom: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     Decontam.overlapStatsBloom(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0),
-      "doc_id", "text", n = 5, mBits = 1 << 16, kProbes = 4)
+      "doc_id", "text", n = 5, kProbes = 4)
   }
 
   /** Deterministic 80/10/10 split keyed on md5(doc_id‖salt) — stable

@@ -85,8 +85,17 @@ object Decontam {
     * 100 TB training scale): a bloom bitset built from the benchmark
     * culls the exploded (doc, shingle) stream BEFORE the exact-confirm
     * join, so the shuffle that join needs carries only true matches
-    * plus the bloom's false-positive trickle (~0.2% at the defaults)
-    * instead of every shingle in the corpus.
+    * plus the bloom's false-positive trickle (~0.2% at 16 bits per
+    * distinct shingle) instead of every shingle in the corpus.
+    *
+    * `mBits = 0` (the default) SIZES THE BITSET FROM THE DATA: one
+    * cheap count of the already-materialized bench shingle frame picks
+    * the next power of two ≥ 16·|shingles|, clamped to [2^16, 2^27]
+    * (≤ 16 MiB broadcast). A fixed mBits saturates as the eval suite
+    * grows — every probe passes and the "prefilter" degenerates into
+    * pure overhead while staying silently correct (r8 ADVICE #2) —
+    * so adaptive is the production default; pass an explicit power of
+    * two to pin the layout instead.
     *
     * Plan shape: the bitset probe is `kProbes` BROADCAST hash joins of
     * a ≤ mBits/64-row frame — map-side, zero corpus shuffle, codegen'd
@@ -98,7 +107,7 @@ object Decontam {
     * check this against the exact-SQL oracle. */
   def overlapStatsBloom(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
-      mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+      mBits: Int = 0, kProbes: Int = 4): DataFrame = {
     // Materialize the bench's distinct shingle set ONCE: both the
     // bitset build and the exact-confirm join derive from this frame,
     // and without the checkpoint Spark re-derives the bench
@@ -112,14 +121,23 @@ object Decontam {
         graft.functions.TextHashes.hashedShingles(col(textCol), n)).as("sh"))
       .distinct()
       .localCheckpoint()
-    val bloom = benchBloomBits(benchSh, mBits, kProbes).localCheckpoint()
+    val m =
+      if (mBits > 0) mBits
+      else {
+        // counting a checkpointed frame is one cheap local job; 16
+        // bits/shingle at kProbes=4 keeps FP ≈ (1−e^−1/4)^4 ≈ 0.24%
+        val nSh = math.max(benchSh.count(), 1L)
+        val want = java.lang.Long.highestOneBit(math.max(16L * nSh - 1, 1L)) << 1
+        math.min(1L << 27, math.max(1L << 16, want)).toInt
+      }
+    val bloom = benchBloomBits(benchSh, m, kProbes).localCheckpoint()
     val exploded = train
       .select(col(idCol).as("doc_id"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
       .select(col("doc_id"), size(col("s")).as("n_sh"), explode(col("s")).as("sh"))
     val probed = (0 until kProbes).foldLeft(exploded) { (df, i) =>
-      val pos = pmod(xxhash64(col("sh"), lit(i)), lit(mBits.toLong))
+      val pos = pmod(xxhash64(col("sh"), lit(i)), lit(m.toLong))
       df.withColumn(s"__pos$i", pos)
         .join(broadcast(bloom.select(col("word").as(s"__w$i"),
           col("bits").as(s"__bits$i"))),

@@ -115,7 +115,11 @@ object MultiModal {
     require(frameSize >= 1 && stride >= 1,
       s"frameSize/stride must be positive, got $frameSize/$stride")
     df.select(col(idCol),
-        (octet_length(col(textCol)) / frameSize).cast("long").as("n_frames"))
+        // integral DIV, not float-divide-then-truncate: exact for any
+        // payload width and the codebase's stated arithmetic convention
+        // (r8 ADVICE #3)
+        expr(s"CAST(octet_length($textCol) AS BIGINT) DIV $frameSize")
+          .as("n_frames"))
       .filter(col("n_frames") > 0)
       .select(col(idCol), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))

@@ -49,9 +49,18 @@ object ZOrder {
     * narrow ranges use (v − lo)·2^bits DIV span (finest cells — small
     * domains upscale to fill the bit budget), and ranges wider than
     * 2^(63−bits) — where that multiply would wrap — switch to
-    * (v − lo) DIV ceil(span/2^bits), which cannot overflow for any
-    * 64-bit range (a microsecond-timestamp dimension works). Both
-    * branches are replayed verbatim in the DuckDB twin. */
+    * (v − lo) DIV ceil(span/2^bits), which handles any range whose
+    * WIDTH fits a signed 64-bit long (a microsecond-timestamp
+    * dimension works). A mixed-sign dimension spanning ≥ 2^63 (values
+    * near both Long.MinValue and Long.MaxValue) has no representable
+    * span and FAILS LOUDLY, never silently producing garbage z-keys:
+    * under ANSI mode (the Spark 4 default, on in this session) the
+    * hi − lo subtraction itself raises ARITHMETIC_OVERFLOW, and under
+    * legacy non-ANSI configs — where the subtraction would wrap
+    * negative — the guard branch raises instead. Either failure
+    * matches the DuckDB twin's checked-subtraction error, so oracle
+    * parity extends to the error case (r8 ADVICE #1). Both value
+    * branches are replayed verbatim in the twin. */
   def withZKey(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 8): DataFrame = {
     val bounds = broadcast(df.agg(
@@ -60,10 +69,14 @@ object ZOrder {
       min(col(yCol).cast("long")).as("__y_lo"),
       max(col(yCol).cast("long")).as("__y_hi")))
     val n = 1L << bits
-    // spanM1 = hi − lo (range width − 1, never overflows for ordered
-    // bounds); multiply-first is safe iff spanM1 < 2^63 / 2^bits
+    // spanM1 = hi − lo (range width − 1); wraps NEGATIVE when the true
+    // span exceeds the signed-long domain → loud error, never garbage.
+    // multiply-first is safe iff 0 ≤ spanM1 < 2^63 / 2^bits
     def grid(v: String, lo: String, hi: String): String =
-      s"""CASE WHEN ($hi - $lo) < ${Long.MaxValue >> bits}
+      s"""CASE WHEN ($hi - $lo) < 0
+         | THEN CAST(raise_error(
+         |   'zorder: dimension span exceeds the signed 64-bit domain') AS BIGINT)
+         | WHEN ($hi - $lo) < ${Long.MaxValue >> bits}
          | THEN (($v - $lo) * $n) DIV (($hi - $lo) + 1)
          | ELSE ($v - $lo) DIV ((($hi - $lo) DIV $n) + 1)
          | END""".stripMargin

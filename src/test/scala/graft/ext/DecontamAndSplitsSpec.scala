@@ -55,6 +55,14 @@ class DecontamAndSplitsSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("auto-sized bitset (mBits = 0 default) ≡ exact, floor 2^16 on tiny benches") {
+    val exact = Decontam.overlapStats(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val auto = Decontam.overlapStatsBloom(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(auto == exact)
+  }
+
   test("bloom admits no false negatives: probing the benchmark against itself is full contamination") {
     val out = Decontam.overlapStatsBloom(bench, bench, "doc_id", "text",
         n = 5, mBits = 1 << 10, kProbes = 4)

@@ -50,6 +50,24 @@ class ZOrderSpec extends SparkSpec {
     assert(out.distinct.length > 1, "extreme x values must land in different cells")
   }
 
+  test("withZKey: mixed-sign span past 2^63 RAISES instead of wrapping to garbage keys") {
+    // hi − lo wraps negative here; the guard must fail loudly (the
+    // DuckDB twin's checked subtraction errors on the same input)
+    val extreme = Seq((1L, Long.MinValue, 0L), (2L, Long.MaxValue, 1L))
+      .toDF("id", "x", "y")
+    // under ANSI mode (Spark 4 default) the subtraction itself raises
+    // ARITHMETIC_OVERFLOW; with ANSI off the guard branch raises the
+    // zorder message — either way the failure is loud, never garbage
+    val e = intercept[Exception] {
+      ZOrder.withZKey(extreme, "x", "y", bits = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("zorder: dimension span exceeds") || m.contains("ARITHMETIC_OVERFLOW")),
+      s"wrong failure: $e")
+  }
+
   test("rangeStats: buckets partition the key space with closed per-bucket bounds") {
     val stats = ZOrder.rangeStats(grid, "x", "y", bits = 8, nBuckets = 32)
       .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
