@@ -216,4 +216,79 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"z-order stats blew up: $secs s")
     big.unpersist()
   }
+
+  smokeTest("salted join on a zipf-hot key: partition balance proven, timing documented") {
+    // zipf-ish fixture the driver data lacks (its keys are uniform):
+    // 2M left rows with 80% on one hot key, a 1001-key right side
+    // forced past the broadcast path — the exact regime saltedJoin
+    // exists for.
+    //
+    // MEASURED CROSSOVER (this host, local[2]): the salted plan's
+    // partition balance is decisively better (max reduce share 0.91 →
+    // 0.52) but wall-clock is ~0.8× plain — at 2 cores the theoretical
+    // balance ceiling (2×) barely exceeds the salting overhead (extra
+    // hash + wider keys + salts× right replication). The win scales
+    // with executor count (1000 executors: hot task 0.91·N vs
+    // balanced N/1000), which is why the BALANCE assertion below is
+    // the contract and the timing is documentation.
+    import spark.implicits._
+    val salts = 32
+    val left = spark.range(2000000L).select(col("id"),
+        when(col("id") % 10 < 8, 0L).otherwise(pmod(col("id"), lit(1000)) + 1)
+          .as("k"),
+        (col("id") % 100).as("v"))
+      .repartition(8).cache()
+    val right = spark.range(0L, 1001L)
+      .select(col("id").as("k"), (col("id") * 7).as("payload")).cache()
+    val total = left.count(); right.count()
+
+    // (a) the MECHANISM, deterministically: share of the biggest
+    // shuffle partition under the plain key vs the salted key. The
+    // hot key pins ≥ its own 30% (plus ~half the rest) to one of the
+    // two test reducers; salting spreads it to ~50/50.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def maxShare(key: org.apache.spark.sql.Column): Double = {
+      val counts = left.groupBy(pmod(hash(key), lit(parts)).as("p"))
+        .count().select("count").as[Long].collect()
+      counts.max.toDouble / total
+    }
+    val plainShare = maxShare(col("k"))
+    val saltedShare = maxShare(struct(col("k"),
+      pmod(hash(col("id")), lit(salts))))
+    info(f"max reduce-partition share: plain $plainShare%.2f, salted $saltedShare%.2f")
+    assert(plainShare >= 0.80, s"fixture lost its skew: $plainShare")
+    assert(saltedShare <= 0.55, s"salting failed to spread the hot key: $saltedShare")
+
+    // (b) the TIMING, documented: at local[2] the theoretical ceiling
+    // is 2× (one of two tasks carries everything), so the production
+    // win — which scales with executor count — can't show as ≥ 2×
+    // here. AQE off for a raw comparison; both joins verified equal.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def time(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        df.count() // warm
+        val t0 = System.nanoTime()
+        val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tPlain, nPlain) = time(left.join(right, Seq("k")))
+      val (tSalted, nSalted) = time(graft.operators.Skew.saltedJoin(
+        left, right, Seq("k"), spread = col("id"), salts = salts))
+      assert(nPlain == nSalted, "salting must not change the relation")
+      info(f"plain $tPlain%.2f s vs salted $tSalted%.2f s " +
+        f"(${tPlain / tSalted}%.2fx at the local[2] 2x ceiling)")
+      // soft guard: salting must not be pathologically slower at the
+      // 2-core ceiling — the win itself is the partition-balance
+      // assertion (a); measured ~0.8× here, see header comment
+      assert(tSalted <= tPlain * 2.0,
+        f"salted join pathologically slow: $tSalted%.2f vs $tPlain%.2f")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+    left.unpersist(); right.unpersist()
+  }
 }
