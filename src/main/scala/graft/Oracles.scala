@@ -1050,6 +1050,51 @@ object Oracles {
     // IS brute-force top-k — same twin as similarity_topk.
     "similarity_ivf_exhaustive" -> similarityTopkSql,
 
+    // Mirrors Similarity.topKQuantizedRerank end to end: the same
+    // floor(x·scale+0.5) quantization as embedding_quantize (kept as
+    // integer-valued DOUBLE lists — exact), candidate score = ratio of
+    // integer dot products (every partial < 2^53 ⇒ exact, order-free),
+    // top-20 candidates then exact-cosine top-5, both rankings with
+    // the neighbor-id tiebreak. Zero-norm vectors take the -2.0
+    // sentinel in both engines.
+    "similarity_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |             ELSE 0.0 END AS sc
+        |      FROM e),
+        |qz AS (SELECT vec_id, v,
+        |         list_transform(v, x -> floor(x * sc + 0.5)) AS qv
+        |       FROM s),
+        |q AS (SELECT vec_id, v, qv FROM qz WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         c.v AS cv, q.v AS qvec,
+        |         CASE WHEN list_dot_product(c.qv, c.qv) > 0
+        |                AND list_dot_product(q.qv, q.qv) > 0
+        |              THEN list_dot_product(c.qv, q.qv) /
+        |                   (sqrt(list_dot_product(c.qv, c.qv)) *
+        |                    sqrt(list_dot_product(q.qv, q.qv)))
+        |              ELSE -2.0 END AS cos_q
+        |  FROM qz c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+        |top AS (
+        |  SELECT query_id, neighbor_id, cv, qvec FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id ASC) AS crk
+        |    FROM cand)
+        |  WHERE crk <= 20),
+        |rescored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_dot_product(qvec, cv) /
+        |               (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cv, cv))) * 10000) / 10000 AS cosine
+        |  FROM top)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM rescored)
+        |WHERE rank <= 5""".stripMargin,
+
     // Mirrors VectorQuant bit-for-bit: float→double widening, exact
     // IEEE 127/max|x| scale, explicit floor(x·scale + 0.5) rounding.
     // Scalar rows (vec_id, pos, q_i, scale): unnest + generate_subscripts

@@ -715,6 +715,19 @@ object Queries {
     VectorLsh.cosinePairsExhaustive(Tables.embeddings(s, dir), "vec_id",
       "embedding", threshold = 0.4)
 
+  /** Quantized-scan ANN: int8 candidate generation (¼ the scan
+    * bandwidth — why a 100 TB vector corpus stores quantized) + exact
+    * float re-rank of the 4k-per-query survivors. Fully hash-checked:
+    * quantization, the integer-exact candidate score, and both
+    * tiebroken rankings replay bit-identically in the DuckDB twin —
+    * the ANN entry that needs no recall floor because its semantics
+    * are deterministic end to end. */
+  val similarityQuantized: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.topKQuantizedRerank(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, candidateFactor = 4)
+  }
+
   /** Int8 embedding quantization: per-vector scale + quantized bytes —
     * the 4× shuffle/storage cut applied before ANN at scale. The
     * quantized array is posexploded to one (vec_id, pos, q_i) row per
@@ -1284,6 +1297,7 @@ object Queries {
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_lsh" -> similarityLsh,
     "similarity_lsh_exhaustive" -> similarityLshExhaustive,
+    "similarity_quantized" -> similarityQuantized,
     "embedding_quantize" -> embeddingQuantize,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,

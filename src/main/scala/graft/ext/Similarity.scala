@@ -46,6 +46,64 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-phase quantized ANN: candidates are scored on int8-QUANTIZED
+    * vectors (¼ the scan/shuffle bandwidth of float32 — the production
+    * reason [[VectorQuant]] exists), then exact float cosine re-ranks
+    * only the `k·candidateFactor` survivors per query. The standard
+    * quantize-then-rerank recipe, and — unlike sketch/cluster ANN —
+    * deterministic AND oracle-replayable end to end: the quantized
+    * bytes are the explicit `floor(x·scale + 0.5)` (bit-identical in
+    * any engine), the candidate score is a ratio of integer dot
+    * products that are exact in doubles (|q| ≤ 127 ⇒ Σ products ≪
+    * 2⁵³, so summation order cannot matter), and both rankings carry
+    * the neighbor-id tiebreak. Zero-norm vectors score a −2.0
+    * sentinel (below any cosine) instead of NaN, keeping ordering
+    * well-defined in every engine.
+    *
+    * Plan shape matches [[topK]]: queries broadcast, corpus scanned
+    * in place, ONE window per phase over |queries|·bounded rows. The
+    * interpreted `aggregate`/`zip_with` int dot is fine at catalog
+    * scale; the 100 TB upgrade is a codegen'd int8 dot expression in
+    * the [[graft.functions.DotProductFloat]] mold. */
+  def topKQuantizedRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidateFactor: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && candidateFactor >= 1, "k and candidateFactor must be ≥ 1")
+    import org.apache.spark.sql.Column
+    // Σ aᵢ·bᵢ over int8 arrays — exact in 64-bit (and in the oracle's
+    // doubles: every partial is an integer ≪ 2^53)
+    def qdot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val c = VectorQuant.withQuantized(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "cv", scaleCol = "__cs", qCol = "cq")
+    val q = VectorQuant.withQuantized(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", scaleCol = "__qs", qCol = "qq")
+    val self = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val cn = qdot(col("cq"), col("cq"))
+    val qn = qdot(col("qq"), col("qq"))
+    val scored = c.join(broadcast(q), self)
+      .withColumn("__cos_q",
+        when(cn > 0 && qn > 0,
+          qdot(col("cq"), col("qq")).cast("double") /
+            (sqrt(cn.cast("double")) * sqrt(qn.cast("double"))))
+          .otherwise(lit(-2.0)))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos_q").desc, col("neighbor_id").asc)
+    val candidates = scored.withColumn("__crk", row_number().over(wq))
+      .filter(col("__crk") <= k * candidateFactor)
+    // exact float re-rank of the bounded candidate set — same rounded
+    // cosine + tiebreak as topK
+    val rescored = candidates.select(col("query_id"), col("neighbor_id"),
+      (round(cosineF(col("qv"), col("cv")) * lit(10000.0)) / 1e4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style blocked top-k: only corpus rows sharing `blockCol` with
     * the query are scored. With B balanced blocks this does |corpus|/B
     * of the brute-force work per query — the standard inverted-file

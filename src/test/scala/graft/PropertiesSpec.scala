@@ -229,6 +229,42 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("whitespace-formatting invariance: messy ≡ clean across the text stack") {
+    // random docs with random whitespace runs between words must give
+    // byte-identical results to their single-spaced twins for every
+    // tokenization-derived operator (the r9 contract: formatting is
+    // noise, words are signal)
+    val wsGen = Gen.oneOf(" ", "  ", "\t", " \t ", "\n", "   ")
+    val docGen = Gen.listOfN(20, for {
+      n <- Gen.choose(3, 30)
+      words <- Gen.listOfN(n, Gen.oneOf(
+        "the", "and", "of", "data", "pipeline", "word", "123", "x"))
+      seps <- Gen.listOfN(n - 1, wsGen)
+      lead <- Gen.oneOf("", " ", "\t")
+      trail <- Gen.oneOf("", " ", "\n")
+    } yield (
+      lead + words.head + seps.zip(words.tail).map { case (s, w) => s + w }.mkString + trail,
+      words.mkString(" ")))
+    forAllSamples(docGen, 3) { docs =>
+      val messy = docs.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val clean = docs.map(_._2).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def gopher(df: org.apache.spark.sql.DataFrame) =
+        graft.ext.TextOps.gopherSignals(df, minWords = 2)
+          .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(gopher(messy) == gopher(clean), "gopher signals diverged")
+      def clusters(df: org.apache.spark.sql.DataFrame) =
+        graft.ext.Dedup.minhashClusters(df, "doc_id", "text")
+          .as[(Long, Long)].collect().toSet
+      assert(clusters(messy) == clusters(clean), "minhash clusters diverged")
+      def rep(df: org.apache.spark.sql.DataFrame) =
+        graft.ext.TextOps.repetitionSignals(df)
+          .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rep(messy) == rep(clean), "repetition signals diverged")
+    }
+  }
+
   test("bloom decontamination ≡ exact decontamination on random corpora") {
     val corpusGen = for {
       nTrain <- Gen.choose(5, 20)

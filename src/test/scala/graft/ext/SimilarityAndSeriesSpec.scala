@@ -84,6 +84,41 @@ class SimilarityAndSeriesSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(2L)) // only block-A rows scored (minus self)
   }
 
+  test("topKQuantizedRerank: full-coverage candidates ≡ exact topK; high recall at factor 4") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // candidateFactor covering the whole corpus ⇒ the rerank sees every
+    // vector ⇒ output ≡ brute force, row for row
+    val full = rows(Similarity.topKQuantizedRerank(e, q, "vec_id", "embedding",
+      k = 5, candidateFactor = 200))
+    val brute = rows(Similarity.topK(e, q, "vec_id", "embedding", k = 5))
+    assert(full == brute)
+    // at the catalog's factor 4, int8 error on dim-8 vectors should
+    // barely perturb candidate ranking: recall ≥ 80%
+    val approx = rows(Similarity.topKQuantizedRerank(e, q, "vec_id", "embedding",
+      k = 5, candidateFactor = 4)).map(r => (r._1, r._2)).toSet
+    val hits = brute.map(r => (r._1, r._2)).count(approx)
+    assert(hits >= (brute.size * 0.8).toInt, s"recall ${hits}/${brute.size}")
+  }
+
+  test("quantized rerank: the sentinel ranks zero-norm vectors out of the candidate set") {
+    // cos_q of a zero-quantized vector is the −2.0 sentinel (not NaN),
+    // so with k·factor = 2 candidates the zero vector never reaches the
+    // exact re-rank — where its cosine WOULD be NaN
+    val z = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.topKQuantizedRerank(z, z.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", k = 2, candidateFactor = 1)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(2L, 4L))
+    assert(!out.values.exists(_.isNaN))
+  }
+
   test("topK plan broadcasts the query side (no corpus shuffle)") {
     val q = corpus.filter(col("vec_id") === 1L)
     val plan = Similarity.topK(corpus, q, "vec_id", "embedding", k = 2)
