@@ -117,8 +117,10 @@ object Bench {
       val s = xs.sorted
       "\"" + n + "\":[" + s.head + "," + median(xs) + "," + s.last + "]"
     }.mkString("{", ",", "}")
+    // plan hashes ride along so a future diff can tell "median moved,
+    // plan unchanged ⇒ host noise" from the history file alone
     val histLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"queries":$hist}""" + "\n"
+      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"queries":$hist,"plans":$ps}""" + "\n"
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
       histLine.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,

@@ -287,17 +287,15 @@ object TextOps {
 
   /** The five raw Gopher rule counters over a text column. Shared by
     * [[gopherSignals]] (full per-rule report) and [[gopherKeep]] (one
-    * filter expression for composed pipelines). */
+    * filter expression for composed pipelines). Computed by the
+    * single-pass codegen'd [[graft.functions.GopherCountersExpr]] —
+    * the algebraic form (rlike per token + regexp_count + three array
+    * traversals) cost ~1.9 s of the sf0.1 bench on quality_gopher
+    * alone; equivalence is property-pinned in TextAndMultiModalSpec. */
   private def gopherCounters(t: Column): Seq[(String, Column)] = {
-    val toks = tokens(t)
-    val stops = array(GopherStopwords.map(lit): _*)
-    Seq(
-      "n_words" -> size(toks).cast("long"),
-      // total in-token chars: sum of token lengths (whitespace-robust)
-      "sum_chars" -> tokenCharSum(toks),
-      "n_alpha" -> size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long"),
-      "n_stop" -> size(filter(toks, w => array_contains(stops, w))).cast("long"),
-      "n_sym" -> regexp_count(t, lit("#|\\.\\.\\.")).cast("long"))
+    val c = graft.functions.GopherText.counters(t, GopherStopwords)
+    Seq("n_words", "sum_chars", "n_alpha", "n_stop", "n_sym")
+      .map(n => n -> c.getField(n))
   }
 
   /** The conjunction of all Gopher gates as one filter expression —

@@ -51,6 +51,38 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(score >= 0.0 && score <= 1.0)
   }
 
+  test("GopherCountersExpr ≡ the algebraic counter forms, byte for byte") {
+    // edge fixtures: whitespace runs, unicode chars (code-point count),
+    // '....' (ONE regex match + leftover dot), '#' runs, stopword
+    // look-alikes ('The' ≠ 'the', 'thee' ≠ 'the')
+    val docs = Seq(
+      "the cat and the dog with a #tag",
+      "café  über\tnaïve the",
+      "dots.... and more......ok #",
+      "The thee the. with of",
+      "", "   \t", "123 456 #.#...",
+      "a...b...c....d").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val t = col("text")
+    val toks = TextOps.tokens(t)
+    val stops = array(TextOps.GopherStopwords.map(lit): _*)
+    val algebraic = docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        TextOps.tokenCharSum(toks).as("sum_chars"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(filter(toks, w => array_contains(stops, w))).cast("long").as("n_stop"),
+        regexp_count(t, lit("#|\\.\\.\\.")).cast("long").as("n_sym"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val c = graft.functions.GopherText.counters(t, TextOps.GopherStopwords)
+    val native = docs.select(col("doc_id"),
+        c.getField("n_words"), c.getField("sum_chars"), c.getField("n_alpha"),
+        c.getField("n_stop"), c.getField("n_sym"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    algebraic.foreach { case (id, exp) =>
+      assert(native(id) == exp, s"doc $id: native ${native(id)} vs algebraic $exp")
+    }
+  }
+
   test("tokenization is whitespace-robust across the signal operators") {
     // tabs / newlines / space runs must count LINGUISTIC words: the
     // messy and clean forms carry identical token streams

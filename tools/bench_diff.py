@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Compare the last two bench_history.jsonl rows median-to-median.
+
+A query is flagged as a REGRESSION only when its median moved by more
+than the noise its own min/max spread explains in BOTH runs — the test
+the r8 board couldn't run (single-run numbers made a 4x host spike and
+a real 2x regression look identical).
+
+Usage: python3 tools/bench_diff.py [history_file] [threshold]
+  threshold: flag medians that moved more than this factor beyond the
+             joint spread (default 1.15)
+"""
+import json, sys
+
+def main(path="bench_history.jsonl", threshold=1.15):
+    rows = [json.loads(l) for l in open(path)]
+    rows = [r for r in rows if r.get("queries")]
+    if len(rows) < 2:
+        print("need at least two bench runs in history"); return 0
+    prev, cur = rows[-2], rows[-1]
+    if prev["sf"] != cur["sf"]:
+        print(f"warning: comparing different SFs ({prev['sf']} vs {cur['sf']})")
+    common = sorted(set(prev["queries"]) & set(cur["queries"]))
+    p_plans, c_plans = prev.get("plans", {}), cur.get("plans", {})
+    flagged, improved = [], []
+    for q in common:
+        p_min, p_med, p_max = prev["queries"][q]
+        c_min, c_med, c_max = cur["queries"][q]
+        if p_med <= 0 or c_med <= 0:
+            continue
+        ratio = c_med / p_med
+        # noise a query can self-explain: the larger of the two runs'
+        # max/min spreads
+        noise = max(p_max / p_min if p_min > 0 else 1.0,
+                    c_max / c_min if c_min > 0 else 1.0)
+        same_plan = (q in p_plans and q in c_plans
+                     and p_plans[q] == c_plans[q])
+        plan = "plan unchanged" if same_plan else (
+            "PLAN CHANGED" if q in p_plans and q in c_plans else "plan n/a")
+        if ratio > noise * threshold:
+            flagged.append((q, p_med, c_med, ratio, noise, plan))
+        elif 1 / ratio > noise * threshold:
+            improved.append((q, p_med, c_med, ratio, noise, plan))
+    print(f"{len(common)} common queries, "
+          f"totals {prev['total']:.1f}s -> {cur['total']:.1f}s")
+    for name, rows_ in (("REGRESSION", flagged), ("improved", improved)):
+        for q, p, c, r, n, plan in sorted(rows_, key=lambda x: -abs(x[3] - 1)):
+            print(f"{name:>10}  {q:32s} {p:6.2f}s -> {c:6.2f}s "
+                  f"({r:.2f}x, noise {n:.2f}x, {plan})")
+    if not flagged and not improved:
+        print("no median moved beyond its own spread - all noise")
+    return 1 if flagged else 0
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    path = args[0] if args else "bench_history.jsonl"
+    thr = float(args[1]) if len(args) > 1 else 1.15
+    sys.exit(main(path, thr))
