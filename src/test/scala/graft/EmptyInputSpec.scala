@@ -112,4 +112,31 @@ class EmptyInputSpec extends SparkSpec {
       emptyDf("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
       "vec_id", "embedding", threshold = 0.5).isEmpty)
   }
+
+  test("round-9 ops on empty inputs") {
+    val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    val vecs = emptyDf("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType))
+    val someVecs = Seq((1L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    // quantized rerank: empty corpus / empty queries → empty, shaped
+    val qr = Similarity.topKQuantizedRerank(vecs, someVecs,
+      "vec_id", "embedding", k = 3)
+    assert(qr.isEmpty && qr.columns.sameElements(
+      Array("query_id", "neighbor_id", "cosine", "rank")))
+    assert(Similarity.topKQuantizedRerank(someVecs, vecs,
+      "vec_id", "embedding", k = 3).isEmpty)
+    // gopher counters expression on empty frame and empty text
+    val gc = graft.functions.GopherText.counters(col("text"),
+      graft.ext.TextOps.GopherStopwords)
+    assert(docs.select(gc).isEmpty)
+    val zero = Seq((1L, "")).toDF("doc_id", "text")
+      .select(gc.getField("n_words"), gc.getField("n_sym"))
+      .as[(Long, Long)].head()
+    assert(zero == ((0L, 0L)))
+    // band keys on an empty-but-typed signature frame
+    assert(docs.select(graft.functions.TextHashes.minhashBandKeys(
+      graft.functions.TextHashes.minhashSig(
+        graft.functions.TextHashes.hashedShingles(col("text"), 3), 16),
+      4)).isEmpty)
+  }
 }
