@@ -59,10 +59,18 @@ object Dedup {
       n: Int, threshold: Double, maxDocFreq: Int = 50): DataFrame = {
     // hashed shingles (codegen'd single pass): a 61-bit portable hash
     // stands in for each shingle string — set sizes and intersections,
-    // hence Jaccard, are unchanged (collision p ≈ |sh|²/2^61)
+    // hence Jaccard, are unchanged (collision p ≈ |sh|²/2^61).
+    // MATERIALIZED (same rationale as minhashClusters' banded frame):
+    // this frame feeds the verify join-back twice and parents the
+    // exploded frame below; without it AQE defeats exchange reuse and
+    // the scan + shingle hashing re-runs per consumer — measured 8
+    // parquet scans of `documents` in one dedup_ngram plan. (A cluster
+    // deployment would persist(DISK_ONLY) instead of the memory-backed
+    // local checkpoint.)
     val sh = df.select(col(idCol).as("doc"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
+      .localCheckpoint()
     // shingles are distinct per doc, so count(*) per shingle = doc freq
     val exAll = sh.select(col("doc"), explode(col("s")).as("sh"))
     // no broadcast() hint on the hot list: ≤ total-occurrences/cap rows,
@@ -71,7 +79,9 @@ object Dedup {
     // same rule as Decontam.clean
     val hot = exAll.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq).select("sh")
-    val ex = exAll.join(hot, Seq("sh"), "left_anti")
+    // the df-capped exploded frame is consumed by the size aggregate
+    // and BOTH self-join sides — materialize once
+    val ex = exAll.join(hot, Seq("sh"), "left_anti").localCheckpoint()
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -324,7 +334,10 @@ object Dedup {
     // decides (same rule as Decontam.clean)
     val hot = exAll.groupBy("f").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq).select("f")
-    val ex = exAll.join(hot, Seq("f"), "left_anti")
+    // materialized: feeds the size aggregate and both self-join sides —
+    // without it the winnow fingerprinting re-runs per consumer (see
+    // ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
+    val ex = exAll.join(hot, Seq("f"), "left_anti").localCheckpoint()
     val sizes = ex.groupBy(col("doc")).agg(count(lit(1)).as("n_fp"))
     ex.as("a").join(ex.as("b"),
         col("a.f") === col("b.f") && col("a.doc") < col("b.doc"))
