@@ -52,8 +52,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // local-iteration subset (comma-separated names): when set, the
+    // run measures only those queries and SKIPS bench_out/history
+    // writes — committed history rows always cover the whole set, so
+    // rounds stay median-to-median comparable
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.verifyOnly)
+      .filter(n => only.forall(_.contains(n)))
 
     // JVM + codegen + page-cache warm-up: one pass over the whole set,
     // not billed (r8's single flagship warm-up left the first minhash
@@ -108,9 +115,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"excluded":$excluded,"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      out.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        out.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     // per-run history row (append): medians + min/max per query, so
     // future rounds diff median-to-median with the noise visible
     val hist = samples.map { case (n, xs) =>
@@ -121,11 +129,12 @@ object Bench {
     // plan unchanged ⇒ host noise" from the history file alone
     val histLine =
       s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"queries":$hist,"plans":$ps}""" + "\n"
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
-      histLine.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+        histLine.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
     println(plansLine)
     println(spreadLine)
     println(timingsLine)

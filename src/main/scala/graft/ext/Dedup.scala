@@ -148,10 +148,17 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       verifyThreshold: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
+    // materialized: the shingle frame feeds the band derivation and
+    // BOTH verify join-backs, and the banded frame feeds the giant-
+    // bucket aggregate plus both self-join sides — without the
+    // checkpoints the scan + shingle hashing + k-slot minhash re-run
+    // per consumer (see ngramJaccardPairs; persist(DISK_ONLY) on a
+    // cluster)
     val sh = df.select(col(idCol).as("doc"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
-    val bandedAll = lshBandKeys(sh, k, bands)
+      .localCheckpoint()
+    val bandedAll = lshBandKeys(sh, k, bands).localCheckpoint()
     val banded =
       if (maxBucket == Int.MaxValue) bandedAll
       else {
@@ -291,8 +298,12 @@ object Dedup {
     }: _*)
     val hashed = df.select(col(idCol).as("doc"),
       graft.functions.TextHashes.simhash(col(textCol)).as("sh"))
+    // materialized: both self-join sides consume the blocked frame —
+    // without it the scan + per-token simhash re-runs per side (see
+    // ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
     val blocked = hashed.select(col("doc"), col("sh"),
       posexplode(keys(col("sh"))).as(Seq("block_idx", "block_val")))
+      .localCheckpoint()
     blocked.as("a").join(blocked.as("b"),
         col("a.block_idx") === col("b.block_idx") &&
           col("a.block_val") === col("b.block_val") &&
@@ -373,10 +384,14 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, prefixLen: Int = 16, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && prefixLen > 0, "need maxDist >= 0, prefixLen > 0")
+    // materialized: both self-join sides (and the giant-prefix
+    // aggregate when maxBucket is set) consume the keyed frame — see
+    // ngramJaccardPairs; persist(DISK_ONLY) on a cluster
     val keyedAll = df.select(col(idCol).as("doc"),
         graft.functions.CanonText.canon(col(textCol)).as("canon"))
       .withColumn("p", substring(col("canon"), 1, prefixLen))
       .withColumn("len", length(col("canon")))
+      .localCheckpoint()
     val keyed =
       if (maxBucket == Int.MaxValue) keyedAll
       else {
