@@ -56,6 +56,17 @@ object VectorLsh {
     })
   }
 
+  /** (id, t, sig) signature keys, one row per (vector, table) — keys
+    * only: the tables×-exploded shuffle must not carry vectors (spec-
+    * pinned on THIS frame's plan, since [[cosineLshPairs]] checkpoints
+    * it and the explode disappears behind the materialization scan).
+    * Signatures come from the single-pass codegen'd expression; the
+    * algebraic twin above is spec-pinned bit-identical. */
+  private[graft] def lshKeys(v: DataFrame, nBits: Int, tables: Int): DataFrame =
+    v.select(col("id"),
+      posexplode(graft.functions.VectorLshSigs.signatures(col("v"), nBits, tables))
+        .as(Seq("t", "sig")))
+
   /** Near-neighbor pairs with exact cosine ≥ `threshold`, candidates
     * from `tables` independent sign-bit signatures. Unlike
     * [[Dedup.embeddingCosinePairs]] this needs no precomputed blocking
@@ -64,15 +75,14 @@ object VectorLsh {
       threshold: Double, nBits: Int = 8, tables: Int = 16): DataFrame = {
     require(nBits >= 1 && nBits <= 63, "nBits must be in [1, 63]")
     require(tables >= 1, "tables must be positive")
-    import graft.functions.VectorMath.cosineF
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // keys only — the tables×-exploded shuffle must not carry vectors.
-    // Signatures come from the single-pass codegen'd expression; the
-    // algebraic twin above is spec-pinned bit-identical.
-    val keys = v.select(col("id"),
-      posexplode(graft.functions.VectorLshSigs.signatures(col("v"), nBits, tables))
-        .as(Seq("t", "sig")))
-    verifiedPairs(v, keys, threshold)
+    // materialized: both candidate self-join sides consume the keys
+    // frame, and the O(tables·nBits·dim) signature hashing re-runs per
+    // side without it (see Dedup.ngramJaccardPairs; persist(DISK_ONLY)
+    // on a cluster). Neutral at catalog dim=8; the win is production
+    // dims. The anchor below keeps its trivial constant keys
+    // un-checkpointed.
+    verifiedPairs(v, lshKeys(v, nBits, tables).localCheckpoint(), threshold)
   }
 
   /** Correctness anchor for the LSH machinery: the same candidate →

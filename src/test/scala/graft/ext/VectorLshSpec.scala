@@ -80,7 +80,11 @@ class VectorLshSpec extends SparkSpec {
   }
 
   test("exploded signature frame carries keys only (no vector column)") {
-    val plan = VectorLsh.cosineLshPairs(vecs, "vec_id", "embedding", 0.5)
+    // asserted on the pre-checkpoint keys frame: cosineLshPairs
+    // materializes it, which hides the Generate node behind the
+    // checkpoint scan in the full query's plan
+    val v = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val plan = VectorLsh.lshKeys(v, 8, 16)
       .queryExecution.optimizedPlan.toString
     // the generate (posexplode) node's output must not include `v`
     val genLine = plan.linesIterator.find(_.contains("Generate posexplode")).get
