@@ -1874,6 +1874,44 @@ object Oracles {
          |       min(x) AS x_min, max(x) AS x_max,
          |       min(y) AS y_min, max(y) AS y_max,
          |       min(zkey) AS z_min, max(zkey) AS z_max
-         |FROM z GROUP BY 1""".stripMargin
+         |FROM z GROUP BY 1""".stripMargin,
+
+    // Mirrors TrainingOrder.withOrder: md5(key ‖ salt ‖ ':' ‖ epoch)
+    // order key, top-60-bit shard bucket (the sample_hash conversion,
+    // proven bit-identical there).
+    "layout_shuffle" ->
+      """SELECT doc_id, source,
+        |       md5(doc_id::VARCHAR || 'graft:1') AS shuffle_key,
+        |       CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft:1'), 1, 15))::BIGINT
+        |            % 8 AS INTEGER) AS shard
+        |FROM documents""".stripMargin,
+
+    // Mirrors Dedup.spanDedupByTokens: non-overlapping 5-token windows
+    // (the text_chunk slice machinery at overlap 0), global
+    // first-occurrence by (doc, pos) — min(struct) ↔ the row_number
+    // window, identical total order — and ORDER BY pos reassembly ↔
+    // the array_sort(collect_list(struct)) join. Span-less docs keep a
+    // (0, 0, '') row via the left joins.
+    "dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+         |x AS (SELECT doc_id, len(toks) AS n, toks,
+         |        unnest(generate_series(1, len(toks), 5)) AS st
+         |      FROM t WHERE len(toks) > 0),
+         |ex AS (SELECT doc_id, (st - 1) // 5 AS pos,
+         |         array_to_string(toks[st : st + 4], ' ') AS span FROM x),
+         |k AS (SELECT doc_id, pos, span,
+         |        row_number() OVER (PARTITION BY span
+         |                           ORDER BY doc_id, pos) AS rn FROM ex),
+         |stats AS (SELECT doc_id, count(*) AS n_spans FROM ex GROUP BY 1),
+         |re AS (SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(span, ' ' ORDER BY pos) AS text_dedup
+         |       FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(n_spans, 0) AS n_spans,
+         |       coalesce(n_kept, 0) AS n_kept,
+         |       coalesce(text_dedup, '') AS text_dedup
+         |FROM documents d
+         |LEFT JOIN stats USING (doc_id)
+         |LEFT JOIN re USING (doc_id)""".stripMargin
   )
 }

@@ -968,6 +968,27 @@ object Queries {
       Tables.events(s, dir).withColumn("value_i", floor(col("value")).cast("long")),
       "user_id", "value_i", bits = 8, nBuckets = 32)
 
+  /** Deterministic training-order shuffle of the corpus (epoch 1,
+    * 8 shards): the md5 permutation key + shard every example gets
+    * before a sharded training write — zero-shuffle per-row compute,
+    * identical on any cluster and in the oracle (see
+    * [[graft.operators.TrainingOrder]]; the range-partitioned write
+    * form is layoutByOrder). */
+  val layoutShuffle: Q = (s, dir) =>
+    graft.operators.TrainingOrder.withOrder(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      keyCol = "doc_id", shards = 8, salt = "graft", epoch = 1)
+
+  /** Cross-document span dedup (C4/RefinedWeb): every repeat of a
+    * 5-token span after its global (doc, pos)-first occurrence is
+    * dropped and documents are reassembled — the hygiene pass that
+    * catches boilerplate whole-doc dedup misses. Fully hash-checked:
+    * span extraction is the proven chunking machinery and the
+    * first-occurrence order replays exactly in SQL. */
+  val dedupSpans: Q = (s, dir) =>
+    Dedup.spanDedupByTokens(Tables.documents(s, dir), "doc_id", "text",
+      spanTokens = 5)
+
   val textLangid: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -1330,6 +1351,8 @@ object Queries {
     "quality_gopher" -> qualityGopher,
     "curate_corpus_gopher" -> curateCorpusGopher,
     "text_tokens_regex" -> textTokensRegex,
-    "layout_zorder" -> layoutZorder
+    "layout_zorder" -> layoutZorder,
+    "layout_shuffle" -> layoutShuffle,
+    "dedup_spans" -> dedupSpans
   )
 }

@@ -363,6 +363,86 @@ object Dedup {
       .select("id_a", "id_b", "n_shared", "containment")
   }
 
+  // ------------------------------------------------- span-level dedup
+
+  /** Cross-document SPAN dedup — the C4/RefinedWeb hygiene step that
+    * whole-document dedup misses: boilerplate lines and repeated
+    * passages occur inside otherwise-distinct documents, so the
+    * DUPLICATED SPAN (not the document) is the unit of removal. Every
+    * occurrence after the global first — ordered by (doc, pos), the
+    * same total order in both engines — is dropped, including repeats
+    * within one document, and surviving spans are reassembled in
+    * original order. C4 removes repeated three-sentence spans;
+    * RefinedWeb removes duplicated lines ([[spanDedupByLines]]).
+    *
+    * This token-window form is the sentence-free analog: spans are the
+    * non-overlapping `spanTokens`-token windows of
+    * [[Chunking.chunkByTokens]] (overlap = 0 — full coverage, no tail
+    * drop at overlap 0), so span extraction is the already-proven
+    * zero-shuffle chunking plan.
+    *
+    * Scale shape: explode is per-row; first-occurrence is ONE
+    * partial-aggregated shuffle on the span (min(struct(doc, pos)) —
+    * map-side combine, so a boilerplate span occurring in millions of
+    * docs never concentrates on one reducer the way a row_number
+    * window would); the keep-join fans out 1:1 (build side is one row
+    * per distinct span); reassembly is one shuffle on the doc id with
+    * dup-bounded groups. Span strings ride the shuffles — at corpus
+    * scale key the agg/join on the 61-bit portable span hash and
+    * rejoin strings only at reassembly (same trade as
+    * [[lshBandKeys]]); the string form keeps the oracle replay
+    * byte-exact. */
+  def spanDedupByTokens(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val ex = Chunking.chunkByTokens(df, idCol, textCol, spanTokens, overlap = 0)
+      .select(col(idCol).as("doc"), col("chunk_idx").as("pos"),
+        col("chunk_text").as("span"))
+    spanDedupCore(df, idCol, ex, sep = " ")
+  }
+
+  /** [[spanDedupByTokens]] at LINE granularity — the RefinedWeb form:
+    * spans are the document's non-empty lines (blank lines are
+    * structure, not content, and are dropped), duplicates keep only
+    * the global (doc, pos)-first occurrence, survivors rejoin with
+    * newlines. */
+  def spanDedupByLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val ex = df.select(col(idCol).as("doc"),
+      posexplode(lines).as(Seq("pos", "span")))
+    spanDedupCore(df, idCol, ex, sep = "\n")
+  }
+
+  // (doc, pos, span) → one row per SOURCE doc: n_spans, n_kept, and
+  // the deduped text. `src` supplies the doc list so span-less
+  // documents keep a (0, 0, "") row.
+  private def spanDedupCore(src: DataFrame, idCol: String,
+      exploded: DataFrame, sep: String): DataFrame = {
+    // materialized: the exploded frame feeds the first-occurrence
+    // aggregate, the keep-join, and the per-doc span count (see
+    // ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
+    val ex = exploded.localCheckpoint()
+    val first = ex.groupBy("span")
+      .agg(min(struct(col("doc"), col("pos"))).as("__first"))
+    val kept = ex.join(first, "span")
+      .filter(col("doc") === col("__first.doc") && col("pos") === col("__first.pos"))
+    val stats = ex.groupBy("doc").agg(count(lit(1)).as("n_spans"))
+    val re = kept.groupBy("doc").agg(
+      count(lit(1)).as("n_kept"),
+      // pos is unique per doc, so the struct sort is a total order on
+      // pos alone — reassembly is deterministic under any partitioning
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span")), sep).as("text_dedup"))
+    src.select(col(idCol))
+      .join(stats.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
+      .join(re.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // ------------------------------------------------- edit distance
 
   /** Edit-distance near-dup pairs over canonical text — the

@@ -138,5 +138,12 @@ class EmptyInputSpec extends SparkSpec {
       graft.functions.TextHashes.minhashSig(
         graft.functions.TextHashes.hashedShingles(col("text"), 3), 16),
       4)).isEmpty)
+    // span dedup: empty frame → empty, shaped; training order: empty ok
+    val sd = graft.ext.Dedup.spanDedupByTokens(docs, "doc_id", "text", 3)
+    assert(sd.isEmpty && sd.columns.sameElements(
+      Array("doc_id", "n_spans", "n_kept", "text_dedup")))
+    assert(graft.ext.Dedup.spanDedupByLines(docs, "doc_id", "text").isEmpty)
+    assert(graft.operators.TrainingOrder.withOrder(docs, "doc_id", 8).isEmpty)
+    assert(graft.operators.TrainingOrder.layoutByOrder(docs, "doc_id", 4).isEmpty)
   }
 }

@@ -239,4 +239,58 @@ class DedupSpec extends SparkSpec {
     val approx = Dedup.approxDistinctPerGroup(ev, "g", "u").as[(String, Long)].collect().toMap
     assert(approx("a") == 2L && approx("b") == 1L) // HLL exact at tiny cardinality
   }
+
+  test("spanDedupByTokens: global (doc, pos)-first occurrence wins, order kept") {
+    val docs = Seq(
+      // doc 1: spans "a b", "c d", "a b" — the within-doc repeat drops
+      (1L, "a b c d a b"),
+      // doc 2 repeats doc 1's first span, then contributes its own
+      (2L, "a b x y"),
+      // doc 3 is entirely doc 2's second span
+      (3L, "x y"),
+      // doc 4: no tokens at all
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupByTokens(docs, "doc_id", "text", spanTokens = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (3L, 2L, "a b c d"))
+    assert(out(2L) == (2L, 1L, "x y"))
+    assert(out(3L) == (1L, 0L, ""))
+    assert(out(4L) == (0L, 0L, ""))
+  }
+
+  test("spanDedupByTokens: short tail span is its own unit") {
+    val docs = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    val out = Dedup.spanDedupByTokens(docs, "doc_id", "text", spanTokens = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1's tail span "c" claims first occurrence; doc 2's sole span dies
+    assert(out(1L) == (2L, 2L, "a b c"))
+    assert(out(2L) == (1L, 0L, ""))
+  }
+
+  test("spanDedupByLines: duplicated + blank lines drop, newlines rejoin") {
+    val docs = Seq(
+      (1L, "menu\n\ncontent one\nmenu"),
+      (2L, "menu\ncontent two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupByLines(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // blank line is dropped at span extraction, not counted in n_spans
+    assert(out(1L) == (3L, 2L, "menu\ncontent one"))
+    assert(out(2L) == (2L, 1L, "content two"))
+  }
+
+  test("spanDedup is deterministic under repartitioning") {
+    val docs = (0L until 60L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5}"))
+      .toDF("doc_id", "text")
+    val a = Dedup.spanDedupByTokens(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val b = Dedup.spanDedupByTokens(docs.repartition(13), "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }
