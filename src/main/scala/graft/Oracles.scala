@@ -1253,6 +1253,31 @@ object Oracles {
         |      AND md5(regexp_replace(lower(trim(r.text)), '\s+', ' ', 'g')) =
         |          md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')))""".stripMargin,
 
+    // Mirrors Dedup.newAgainstReferenceNear over the odd/even split:
+    // the SAME portable band CTEs as dedup_minhash_lsh (bands over all
+    // documents ≡ the union of both sides' band frames, since banding
+    // is per-doc), combined-occupancy maxBucket=200 cap, cross-side
+    // candidates, exact-Jaccard verify, anti-join of verified dups.
+    "dedup_incremental_near" ->
+      s"""WITH ${minhashCtes("documents")},
+         |ok AS (SELECT band_idx, band_key FROM bands
+         |       GROUP BY 1, 2 HAVING count(*) <= 200),
+         |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+         |cand AS (SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS ref_doc
+         |         FROM b2 a JOIN b2 b
+         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |         WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0),
+         |dup AS (SELECT DISTINCT in_doc FROM (
+         |  SELECT in_doc,
+         |         round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
+         |               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = in_doc
+         |            JOIN sh sb ON sb.doc_id = ref_doc)
+         |  WHERE jaccard >= 0.5)
+         |SELECT doc_id, text FROM documents d
+         |WHERE doc_id % 2 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.in_doc = d.doc_id)""".stripMargin,
+
     // Mirrors Packing.packByBudget: per-source running token totals,
     // pack = floor(preceding_total / 512).
     "pack_budget" ->

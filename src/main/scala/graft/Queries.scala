@@ -617,6 +617,19 @@ object Queries {
       "doc_id", "text")
   }
 
+  /** Incremental NEAR-dup screen: the odd-id batch against the even-id
+    * corpus via LSH band collision + exact-Jaccard verify — catches the
+    * re-crawl the exact-fingerprint form misses. Hash-checked end to
+    * end on the portable hash family (maxBucket mirrors
+    * [[dedupMinhashLsh]]). */
+  val dedupIncrementalNear: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.newAgainstReferenceNear(
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      "doc_id", "text", maxBucket = 200)
+  }
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -1333,6 +1346,7 @@ object Queries {
     "text_tfidf" -> textTfidf,
     "source_overlap" -> sourceOverlap,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_near" -> dedupIncrementalNear,
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,

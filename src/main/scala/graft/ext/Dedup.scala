@@ -534,6 +534,68 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** NEAR-dup form of [[newAgainstReference]] — the incremental-crawl
+    * op as production runs it: an exact-fingerprint anti-join misses
+    * the re-crawl with a new timestamp or reflowed whitespace, so new
+    * docs are screened by MinHash LSH band collision against the
+    * ingested corpus and dropped when any colliding reference doc
+    * verifies at exact Jaccard ≥ `verifyThreshold`. Within-batch
+    * near-dups are intentionally NOT collapsed (that is
+    * [[minhashClusters]] over the batch) — this op answers one
+    * question: "is it already in the corpus?".
+    *
+    * Plan shape: both sides band to three fixed-width columns
+    * ([[lshBandKeys]]); candidates come from the band equi-join
+    * (Σ bucket_in·bucket_ref, never |in|·|ref|); shingle sets join
+    * back once per side only for surviving candidates. `maxBucket`
+    * drops band buckets whose COMBINED occupancy (both sides) exceeds
+    * it — degenerate boilerplate buckets, same rule as the pair form.
+    * At corpus scale the reference's shingle/band frames are a
+    * precomputed stored index updated per batch, not recomputed — the
+    * `localCheckpoint`s stand in for reading that index (and the new
+    * batch's bands are appended to it after the screen). */
+  def newAgainstReferenceNear(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, verifyThreshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint() // feeds the band derivation AND the verify join
+    val shIn = shingled(incoming)
+    val shRef = shingled(reference)
+    // checkpointed: consumed by the giant-bucket union AND the
+    // anti-join when capped — the k-slot minhash must not re-run
+    val bIn = lshBandKeys(shIn, k, bands).localCheckpoint()
+    val bRef = lshBandKeys(shRef, k, bands).localCheckpoint()
+    val (bi, br) =
+      if (maxBucket == Int.MaxValue) (bIn, bRef)
+      else {
+        val giant = bIn.unionByName(bRef)
+          .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket).select("band_idx", "band_hash")
+          .localCheckpoint() // consumed by both anti-joins
+        (bIn.join(broadcast(giant), Seq("band_idx", "band_hash"), "left_anti"),
+          bRef.join(broadcast(giant), Seq("band_idx", "band_hash"), "left_anti"))
+      }
+    val cand = bi.as("a").join(br.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc").as("in_doc"), col("b.doc").as("ref_doc"))
+      .dropDuplicates("in_doc", "ref_doc")
+    val dup = cand
+      .join(shIn.select(col("doc").as("in_doc"), col("s").as("s_in")), "in_doc")
+      .join(shRef.select(col("doc").as("ref_doc"), col("s").as("s_ref")), "ref_doc")
+      .withColumn("n_inter", size(array_intersect(col("s_in"), col("s_ref"))))
+      // integer-scaled rounding — see ngramJaccardPairs
+      .filter(round(col("n_inter") * lit(10000.0) /
+        (size(col("s_in")) + size(col("s_ref")) - col("n_inter"))) / 1e4
+        >= verifyThreshold)
+      .select(col("in_doc").as(idCol)).distinct()
+    incoming.join(dup, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------ distinct counts
 
   /** Exact distinct count per group — the correctness baseline. */

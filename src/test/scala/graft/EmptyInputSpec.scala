@@ -145,5 +145,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ext.Dedup.spanDedupByLines(docs, "doc_id", "text").isEmpty)
     assert(graft.operators.TrainingOrder.withOrder(docs, "doc_id", 8).isEmpty)
     assert(graft.operators.TrainingOrder.layoutByOrder(docs, "doc_id", 4).isEmpty)
+    // incremental near screen: empty batch → empty; empty corpus → all kept
+    val batch = Seq((1L, "some words here")).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.newAgainstReferenceNear(docs, batch,
+      "doc_id", "text").isEmpty)
+    assert(graft.ext.Dedup.newAgainstReferenceNear(batch, docs,
+      "doc_id", "text").count() == 1L)
   }
 }

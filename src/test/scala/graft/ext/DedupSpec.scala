@@ -240,6 +240,31 @@ class DedupSpec extends SparkSpec {
     assert(approx("a") == 2L && approx("b") == 1L) // HLL exact at tiny cardinality
   }
 
+  test("newAgainstReferenceNear: re-crawls die, fresh and within-batch kept") {
+    val reference = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      // reflowed whitespace: exact-fingerprint would also catch this
+      (1L, "the  quick brown fox jumps over the lazy  dog today"),
+      // appended word: jaccard 8/9 — the case the exact form misses
+      (3L, "the quick brown fox jumps over the lazy dog today extra"),
+      // genuinely new
+      (5L, "completely different content with no shared trigrams at all"),
+      // within-batch duplicate of 5: NOT collapsed (corpus screen only)
+      (7L, "completely different content with no shared trigrams at all")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.newAgainstReferenceNear(incoming, reference,
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 7L))
+    // the near screen can only drop MORE than the exact screen
+    val keptExact = Dedup.newAgainstReference(incoming, reference,
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(keptExact))
+  }
+
   test("spanDedupByTokens: global (doc, pos)-first occurrence wins, order kept") {
     val docs = Seq(
       // doc 1: spans "a b", "c d", "a b" — the within-doc repeat drops
