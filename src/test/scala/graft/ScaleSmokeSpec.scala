@@ -291,4 +291,49 @@ class ScaleSmokeSpec extends SparkSpec {
     }
     left.unpersist(); right.unpersist()
   }
+
+  smokeTest("span dedup stays linear at 100k docs with 200-deep span repeats") {
+    // every base-doc span recurs in ~200 replicas: the first-occurrence
+    // min(struct) aggregate is map-side combined, so the hot spans must
+    // NOT concentrate (the row_number-window formulation would); the
+    // keep-join fans 1:1 per exploded row.
+    val total = corpusSize
+    val t0 = System.nanoTime()
+    val out = Dedup.spanDedupByTokens(corpus, "doc_id", "text", spanTokens = 5)
+      .cache()
+    val nRows = out.count()
+    val sums = out.agg(sum("n_spans"), sum("n_kept")).head()
+    val (spanSum, keptSum) = (sums.getLong(0), sums.getLong(1))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"span dedup: $nRows rows, kept $keptSum of $spanSum spans " +
+      s"in ${secs.round} s")
+    out.unpersist()
+    assert(nRows == total, "must emit exactly one row per doc")
+    // every base-text span dedups to its first copy; survivors are the
+    // per-replica unique-tail straddle windows (≤ ~2 per doc)
+    assert(keptSum < spanSum / 4,
+      s"200-deep replicas must lose their shared spans: $keptSum/$spanSum")
+    assert(secs < 180, s"span dedup blew up: $secs s")
+  }
+
+  smokeTest("incremental near screen: 500-doc batch vs the 100k corpus") {
+    // batch = the 500 base docs; each near-dups its whole replica
+    // group (jaccard ≈ 0.92), so candidates per batch doc are bounded
+    // by band-bucket occupancy (≤ group size per band), never |corpus|.
+    corpusSize
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val shortDocs = base.filter(
+      size(graft.ext.TextOps.tokens(col("text"))) < 3).count()
+    val t0 = System.nanoTime()
+    val kept = Dedup.newAgainstReferenceNear(base, corpus, "doc_id", "text")
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"incremental near: $kept of 500 kept in ${secs.round} s " +
+      s"($shortDocs too short to shingle)")
+    // every shingle-able batch doc is a near-dup of its replicas; docs
+    // with < 3 tokens have no bands and legitimately survive
+    assert(kept == shortDocs, s"expected only short docs kept, got $kept")
+    assert(secs < 180, s"incremental near screen blew up: $secs s")
+  }
 }
