@@ -80,19 +80,42 @@ object Bench {
     val medians = samples.map { case (n, xs) => n -> median(xs) }
     val spreads = samples.map { case (n, xs) => n -> spread(xs) }
 
-    // 48-bit md5 of the canonicalized optimized plan: expression ids
-    // are normalized away, so the hash is stable run-to-run and moves
-    // only when the query's plan actually changes
+    // 48-bit md5 of the optimized plan's NODE TREE (indent + node kind
+    // per line, full text for leaf relations). Expression bodies are
+    // deliberately excluded: canonicalization normalizes most exprIds,
+    // but RewriteDistinctAggregates assigns its Expand group ids in
+    // JVM-history-dependent order — measured: profile_columns_approx's
+    // full-text hash changed with which queries ran BEFORE it, turning
+    // the noise discriminator into a false-positive source. The tree
+    // still moves on join reorders, added/removed operators, and lost
+    // column pruning (leaf lines keep their schema); it deliberately
+    // does NOT move on expression-level rewrites, which the oracle
+    // gate owns anyway.
     def planHash(name: String): String =
       try {
-        val plan = SparkEntry.queries(name)(spark, sfDir)
+        val canon = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.optimizedPlan.canonicalized.toString
-          // lambda closures (mapPartitions) print a per-JVM identity
-          // (…$$Lambda$123/0x…@hash) — mask it or the hash churns
-          .replaceAll("\\$\\$Lambda[$/][^,\\s)]*", "<lambda>")
-          .replaceAll("@[0-9a-f]{6,}", "@id")
+          .linesIterator.map { line =>
+            val masked = line
+              .replaceAll("\\$\\$Lambda[$/][^,\\s)]*", "<lambda>")
+              .replaceAll("@[0-9a-f]{6,}", "@id")
+              .replaceAll("#\\d+", "#n")
+            val prefixLen = masked.segmentLength(
+              c => c == ' ' || c == ':' || c == '+' || c == '-', 0)
+            val t = masked.substring(prefixLen)
+            if (t.startsWith("Relation") || t.startsWith("LogicalRDD")) masked
+            else {
+              val kind = t.takeWhile(c => c.isLetterOrDigit || c == '!' || c == '*')
+              // join TYPE is structural (Inner vs LeftAnti is a
+              // different plan, not a different expression)
+              val joinType = if (kind.endsWith("Join") && t.contains(" "))
+                " " + t.drop(kind.length + 1).takeWhile(_.isLetterOrDigit)
+              else ""
+              masked.substring(0, prefixLen) + kind + joinType
+            }
+          }.mkString("\n")
         java.security.MessageDigest.getInstance("MD5")
-          .digest(plan.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+          .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       } catch { case _: Throwable => "err" }
 
     def numMap(kvs: Seq[(String, Double)]): String =

@@ -243,6 +243,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("span dedup first-occurrence aggregate is partial+final (skew-safe)") {
+    // the skew claim: a boilerplate span occurring in millions of docs
+    // must combine map-side before the span exchange — a row_number
+    // window formulation would funnel every occurrence through one
+    // task. min(struct(doc, pos)) must therefore plan partial+final
+    // aggregation, not a windowed sort.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val ex = graft.ext.Chunking.chunkByTokens(docs, "doc_id", "text", 5, 0)
+      .select(col("doc_id").as("doc"), col("chunk_idx").as("pos"),
+        col("chunk_text").as("span"))
+    val plan = executed(ex.groupBy("span")
+      .agg(min(struct(col("doc"), col("pos"))).as("__first")))
+    val partials = "partial_min".r.findAllIn(plan).size
+    assert(partials >= 1, s"no map-side partial min:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into first-occurrence:\n$plan")
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)
