@@ -337,7 +337,12 @@ object Dedup {
       maxDocFreq: Int = 50): DataFrame = {
     val fp = df.select(col(idCol).as("doc"),
       graft.functions.Winnowing.winnow(col(textCol), k, w).as("fps"))
+    // materialized: the hot-list aggregate and the anti-join both read
+    // this frame, and each would re-run the winnow fingerprinting from
+    // the scan without it (see ngramJaccardPairs, whose exploded frame
+    // derives from an already-checkpointed shingle frame instead)
     val exAll = fp.select(col("doc"), explode(col("fps")).as("f")).distinct()
+      .localCheckpoint()
     // doc-frequency cap via an anti-join against the hot-fingerprint
     // list: one partial-aggregated shuffle of the fingerprint keys
     // instead of windowing every exploded row. No broadcast() hint —

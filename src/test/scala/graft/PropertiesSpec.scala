@@ -291,4 +291,35 @@ class PropertiesSpec extends SparkSpec {
       assert(bloom == exact, "bloom path diverged from exact relation")
     }
   }
+
+  test("span dedup conserves spans: every distinct span survives exactly once") {
+    // the whole-corpus law: dedup keeps the (doc, pos)-first occurrence
+    // of each distinct span and nothing else, so Σ n_kept ≡ |distinct
+    // spans| and the kept text, re-tokenized, reproduces that set
+    val corpusGen = Gen.listOfN(12, Gen.listOfN(9,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forAllSamples(corpusGen, 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ext.Dedup
+        .spanDedupByTokens(docs, "doc_id", "text", spanTokens = 3)
+      // 9-token docs cut into exactly three 3-token windows (and kept
+      // text re-windows exactly, since every kept span is 3 tokens)
+      val spanSet = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, 7, 3), s -> " +
+            "array_join(slice(split(text, ' '), s, 3), ' '))")).as("span"))
+        .select("span").distinct().count()
+      val keptSum = out.agg(sum("n_kept")).head().getLong(0)
+      assert(keptSum == spanSet,
+        s"kept $keptSum spans, corpus has $spanSet distinct")
+      // and re-tokenizing the kept text yields pairwise-disjoint spans
+      val rekept = out.filter(col("n_kept") > 0)
+        .select(explode(expr(
+          "transform(sequence(1, size(split(text_dedup, ' ')), 3), s -> " +
+            "array_join(slice(split(text_dedup, ' '), s, 3), ' '))")).as("span"))
+      assert(rekept.count() == rekept.distinct().count(),
+        "kept spans must be globally unique")
+    }
+  }
 }
