@@ -61,10 +61,18 @@ object Similarity {
     * well-defined in every engine.
     *
     * Plan shape matches [[topK]]: queries broadcast, corpus scanned
-    * in place, ONE window per phase over |queries|·bounded rows. The
-    * interpreted `aggregate`/`zip_with` int dot is fine at catalog
-    * scale; the 100 TB upgrade is a codegen'd int8 dot expression in
-    * the [[graft.functions.DotProductFloat]] mold. */
+    * in place, ONE window per phase over |queries|·bounded rows — and
+    * the candidate window shuffles ONLY (query_id, neighbor_id,
+    * score): the float vectors are joined back AFTER candidate
+    * selection (queries re-broadcast; the ≤ |queries|·k·factor
+    * candidate frame broadcast against an unshuffled second corpus
+    * scan). Keeping the floats out of the |corpus|×|queries| scored
+    * frame is the point of scanning quantized — carrying them through
+    * the window shuffle (the pre-r9 shape) paid float32 shuffle
+    * bandwidth for every scored pair. The interpreted
+    * `aggregate`/`zip_with` int dot is fine at catalog scale; the
+    * 100 TB upgrade is a codegen'd int8 dot expression in the
+    * [[graft.functions.DotProductFloat]] mold. */
   def topKQuantizedRerank(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, candidateFactor: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
@@ -75,29 +83,41 @@ object Similarity {
     def qdot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
         lit(0L), (acc, x) => acc + x)
+    // int8 + id ONLY — the scan/shuffle frame never carries floats
     val c = VectorQuant.withQuantized(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "cv", scaleCol = "__cs", qCol = "cq")
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "cv", scaleCol = "__cs", qCol = "cq")
+      .select("neighbor_id", "cq")
     val q = VectorQuant.withQuantized(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "qv", scaleCol = "__qs", qCol = "qq")
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "qv", scaleCol = "__qs", qCol = "qq")
+      .select("query_id", "qq")
     val self = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
     val cn = qdot(col("cq"), col("cq"))
     val qn = qdot(col("qq"), col("qq"))
     val scored = c.join(broadcast(q), self)
-      .withColumn("__cos_q",
+      .select(col("query_id"), col("neighbor_id"),
         when(cn > 0 && qn > 0,
           qdot(col("cq"), col("qq")).cast("double") /
             (sqrt(cn.cast("double")) * sqrt(qn.cast("double"))))
-          .otherwise(lit(-2.0)))
+          .otherwise(lit(-2.0)).as("__cos_q"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos_q").desc, col("neighbor_id").asc)
     val candidates = scored.withColumn("__crk", row_number().over(wq))
       .filter(col("__crk") <= k * candidateFactor)
-    // exact float re-rank of the bounded candidate set — same rounded
-    // cosine + tiebreak as topK
-    val rescored = candidates.select(col("query_id"), col("neighbor_id"),
-      (round(cosineF(col("qv"), col("cv")) * lit(10000.0)) / 1e4).as("cosine"))
+      .select("query_id", "neighbor_id")
+    // floats join back for the bounded survivor set only: candidates ≤
+    // |queries|·k·factor by construction (caller-controlled constants),
+    // so the candidate side broadcasts and the corpus is re-scanned —
+    // a scan, not a shuffle — for its vectors
+    val rescored = broadcast(candidates
+        .join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("qv"))), "query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      // exact float re-rank — same rounded cosine + tiebreak as topK
+      .select(col("query_id"), col("neighbor_id"),
+        (round(cosineF(col("qv"), col("cv")) * lit(10000.0)) / 1e4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w))
