@@ -562,27 +562,66 @@ object Dedup {
   def newAgainstReferenceNear(incoming: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 64,
       bands: Int = 16, verifyThreshold: Double = 0.5,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    def shingled(df: DataFrame) = df
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    newAgainstIndex(incoming,
+      nearDupIndex(reference, idCol, textCol, n, k, bands),
+      idCol, textCol, verifyThreshold, maxBucket)
+
+  /** The reference corpus's materialized near-dup structures: distinct
+    * shingle sets, LSH band keys, and per-bucket occupancy counts —
+    * built ONCE and probed by every batch ([[newAgainstIndex]]). This
+    * is the "stored index" production keeps next to the corpus: the
+    * `localCheckpoint`s stand in for reading it from storage, and the
+    * counts let the combined-occupancy `maxBucket` rule evaluate
+    * per batch without ever re-scanning the reference. */
+  final case class NearDupIndex private[graft] (
+      sh: DataFrame, bands: DataFrame, bandCounts: DataFrame,
+      n: Int, k: Int, nBands: Int)
+
+  def nearDupIndex(reference: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16): NearDupIndex = {
+    val shRef = reference
       .select(col(idCol).as("doc"),
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
-      .localCheckpoint() // feeds the band derivation AND the verify join
-    val shIn = shingled(incoming)
-    val shRef = shingled(reference)
-    // checkpointed: consumed by the giant-bucket union AND the
-    // anti-join when capped — the k-slot minhash must not re-run
-    val bIn = lshBandKeys(shIn, k, bands).localCheckpoint()
+      .localCheckpoint()
     val bRef = lshBandKeys(shRef, k, bands).localCheckpoint()
+    val counts = bRef.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__n_ref")).localCheckpoint()
+    NearDupIndex(shRef, bRef, counts, n, k, bands)
+  }
+
+  /** Screen `incoming` against a prebuilt [[NearDupIndex]]: LSH band
+    * collision → exact-Jaccard verify → anti-join of verified dups
+    * (semantics of [[newAgainstReferenceNear]], reference side read
+    * from the index). The giant-bucket rule is the batch form's
+    * combined occupancy, reassembled as batch-side counts + the
+    * index's stored reference counts — no reference re-scan per
+    * batch. */
+  def newAgainstIndex(incoming: DataFrame, index: NearDupIndex,
+      idCol: String, textCol: String, verifyThreshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val shIn = incoming
+      .select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), index.n).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint() // feeds the band derivation AND the verify join
+    // checkpointed: consumed by the giant-bucket counts AND the
+    // anti-join when capped — the k-slot minhash must not re-run
+    val bIn = lshBandKeys(shIn, index.k, index.nBands).localCheckpoint()
     val (bi, br) =
-      if (maxBucket == Int.MaxValue) (bIn, bRef)
+      if (maxBucket == Int.MaxValue) (bIn, index.bands)
       else {
-        val giant = bIn.unionByName(bRef)
-          .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket).select("band_idx", "band_hash")
+        // combined occupancy = batch-side count + stored ref count
+        val giant = bIn.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__n_in"))
+          .join(index.bandCounts, Seq("band_idx", "band_hash"), "full_outer")
+          .filter(coalesce(col("__n_in"), lit(0L)) +
+            coalesce(col("__n_ref"), lit(0L)) > maxBucket)
+          .select("band_idx", "band_hash")
           .localCheckpoint() // consumed by both anti-joins
         (bIn.join(broadcast(giant), Seq("band_idx", "band_hash"), "left_anti"),
-          bRef.join(broadcast(giant), Seq("band_idx", "band_hash"), "left_anti"))
+          index.bands.join(broadcast(giant), Seq("band_idx", "band_hash"), "left_anti"))
       }
     val cand = bi.as("a").join(br.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -591,7 +630,7 @@ object Dedup {
       .dropDuplicates("in_doc", "ref_doc")
     val dup = cand
       .join(shIn.select(col("doc").as("in_doc"), col("s").as("s_in")), "in_doc")
-      .join(shRef.select(col("doc").as("ref_doc"), col("s").as("s_ref")), "ref_doc")
+      .join(index.sh.select(col("doc").as("ref_doc"), col("s").as("s_ref")), "ref_doc")
       .withColumn("n_inter", size(array_intersect(col("s_in"), col("s_ref"))))
       // integer-scaled rounding — see ngramJaccardPairs
       .filter(round(col("n_inter") * lit(10000.0) /
@@ -599,6 +638,29 @@ object Dedup {
         >= verifyThreshold)
       .select(col("in_doc").as(idCol)).distinct()
     incoming.join(dup, Seq(idCol), "left_anti")
+  }
+
+  /** Streaming form of [[newAgainstReferenceNear]] for incremental
+    * ingest: the reference index is built ONCE, outside the stream,
+    * and every micro-batch probes it with full batch semantics via
+    * `foreachBatch` — `sink` receives the genuinely-new rows. The
+    * keep/drop decision is per-document against the STATIC index (no
+    * cross-batch state), so the stream's union of outputs ≡ batch
+    * screen over the union of inputs (StreamingSpec), same argument as
+    * [[Decontam.cleanStream]]. Accepted batches do NOT extend the
+    * index mid-stream — fold them in at the next index rebuild, the
+    * usual daily-compaction cadence. */
+  def newAgainstReferenceNearStream(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, verifyThreshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val index = nearDupIndex(reference, idCol, textCol, n, k, bands)
+    incoming.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(newAgainstIndex(batch.toDF(), index, idCol, textCol,
+          verifyThreshold, maxBucket), batchId)
+    }
   }
 
   // ------------------------------------------------------ distinct counts

@@ -131,6 +131,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set(2L, 3L)) // contaminated 1 and 4 dropped
   }
 
+  test("streaming near-dup screen (prebuilt index) ≡ batch screen across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (1L, "the  quick brown fox jumps over the lazy  dog today"), // reflow → near-dup
+      (2L, "completely different content with no shared trigrams at all"))
+    val batch2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog today extra"), // append → near-dup
+      (4L, "another genuinely novel document about unrelated topics entirely"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.ext.Dedup.newAgainstReferenceNearStream(
+        stream, reference, "doc_id", "text") { (kept, _) =>
+      val rows = kept.select("doc_id").as[Long].collect()
+      out.synchronized { out ++= rows }
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchKept = graft.ext.Dedup.newAgainstReferenceNear(
+        (batch1 ++ batch2).toDF("doc_id", "text"), reference, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.toSet == batchKept)
+    assert(out.toSet == Set(2L, 4L)) // both near-dups of the corpus dropped
+  }
+
   test("split assignment is stateless: identical on a stream in Append mode") {
     implicit val sqlCtx = spark.sqlContext
     val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
