@@ -1126,9 +1126,18 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val bench = docs.filter(col("doc_id") % 20 === 0)
     val train = docs.filter(col("doc_id") % 20 =!= 0)
+    // stage-boundary materialization: the gated+scored corpus feeds
+    // FOUR consumers (cluster keep-set, semi-join, decontam stats,
+    // decontam anti-join) — without it the scan + quality regexes
+    // re-run per consumer. The exact composite (curate_corpus) stays
+    // single-plan to demonstrate end-to-end Catalyst optimization;
+    // this near form is the 100 TB shape, and at 100 TB this is the
+    // persist-once boundary every real pipeline puts after its gate
+    // (persist(DISK_ONLY) on a cluster).
     val scored = TextOps.qualityScore(TextOps.qualitySignals(train))
       .filter(col("quality_score") >= 0.5)
       .select("doc_id", "text", "quality_score")
+      .localCheckpoint()
     val keep = Dedup.minhashClusters(scored, "doc_id", "text")
       .filter(col("doc") === col("cluster"))
       .select(col("doc").as("doc_id"))
