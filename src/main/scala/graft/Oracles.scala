@@ -1876,6 +1876,43 @@ object Oracles {
         |         / 10000 AS ttr
         |FROM t WHERE len(re) > 0""".stripMargin,
 
+    // Mirrors TextOps.lmSurprisal: corpus bigram LM from adjacent
+    // regex-token pairs (list_zip of the token list against its tail),
+    // per-occurrence surprisal as the exact bit position
+    // length(bin(c_prefix // c_bg)) - 1 — integral division preserves
+    // floor(log2(a/b)) for a ≥ b ≥ 1, so no libm log crosses the gate.
+    "quality_lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |           '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_zip(t[:-2], t[2:])) AS z FROM toks)),
+        |lm AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+        |pfx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_prefix
+        |        FROM lm GROUP BY 1),
+        |occ AS (
+        |  SELECT doc_id, length(bin(c_prefix // c_bg)) - 1 AS bits,
+        |         CASE WHEN c_bg <= 2 THEN 1 ELSE 0 END AS rare
+        |  FROM bg JOIN lm USING (w1, w2) JOIN pfx USING (w1)),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |         CAST(sum(rare) AS BIGINT) AS n_rare
+        |  FROM occ GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(sum_bits, 0) AS BIGINT) AS sum_bits,
+        |       CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+        |       CASE WHEN coalesce(n_bigrams, 0) > 0
+        |         THEN round(sum_bits * 10000.0 / n_bigrams) / 10000
+        |       END AS bits_per_bigram,
+        |       CASE WHEN coalesce(n_bigrams, 0) > 0
+        |         THEN round(n_rare * 10000.0 / n_bigrams) / 10000
+        |       END AS rare_ratio
+        |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Mirrors operators.ZOrder.rangeStats over events (user_id ×
     // floor(value)): broadcast min/max bounds, affine grid scaling in
     // exact integral arithmetic (// ≡ Spark DIV on non-negatives) with

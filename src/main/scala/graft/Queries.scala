@@ -972,6 +972,12 @@ object Queries {
   val textTokensRegex: Q = (s, dir) =>
     TextOps.tokenStats(Tables.documents(s, dir))
 
+  /** Corpus-trained bigram LM surprisal per document — the CCNet-style
+    * perplexity-bucket quality filter in exact integer bit space (see
+    * [[TextOps.lmSurprisal]]; no floating log crosses the oracle). */
+  val qualityLmSurprisal: Q = (s, dir) =>
+    TextOps.lmSurprisal(Tables.documents(s, dir))
+
   /** Z-order layout diagnostics over events (user × quantized value):
     * 32 fixed-width z-ranges with per-range min/max bounds on both
     * dimensions — the file-skipping layout measured rather than
@@ -1376,6 +1382,7 @@ object Queries {
     "text_tokens_regex" -> textTokensRegex,
     "layout_zorder" -> layoutZorder,
     "layout_shuffle" -> layoutShuffle,
-    "dedup_spans" -> dedupSpans
+    "dedup_spans" -> dedupSpans,
+    "quality_lm_surprisal" -> qualityLmSurprisal
   )
 }

@@ -367,4 +367,68 @@ object TextOps {
       .withColumn("ttr",
         round(col("n_types") * lit(10000.0) / col("n_re_tokens")) / 1e4)
   }
+
+  /** Corpus-trained bigram LM surprisal — the CCNet-style "how typical
+    * is this document of the training corpus" quality signal (CCNet
+    * buckets crawl text by LM perplexity; here the LM is the corpus's
+    * own bigram counts), in EXACT integer space: per bigram occurrence
+    * the surprisal is `floor(log2(P(w2|w1)^-1)) =
+    * floor(log2(c_prefix / c_bg))`, computed WITHOUT floating log as
+    * `length(bin(c_prefix DIV c_bg)) - 1` — for integers `a ≥ b ≥ 1`,
+    * `2^k ≤ a/b ⟺ 2^k ≤ a DIV b`, so the floor survives integral
+    * division and `bin()` length is an exact bit-position, portable
+    * across engines (no libm `log`, per the [[tfidfTopK]] lesson).
+    *
+    * Scale shape: the bigram explode is linear in corpus tokens (the
+    * shingle-explode shape); the two count aggregations are hash aggs
+    * with map-side partials; the occurrence→count joins are equality
+    * shuffles keyed on tokens whose right side is vocab-bounded — a
+    * real LM table is tiny relative to a 100 TB corpus, so AQE
+    * broadcasts it and the hot stopword-prefix keys never skew a
+    * shuffle; the per-doc re-agg shuffles on the doc key. Nothing is
+    * quadratic. Docs with fewer than two tokens survive with zero
+    * counts via the left join.
+    *
+    * Output per doc: `n_bigrams`, `sum_bits` (total surprisal),
+    * `n_rare` (occurrences of bigrams with corpus count ≤ `rareMax`),
+    * `bits_per_bigram` and `rare_ratio` at 4 dp (integer-scaled
+    * rounding — see [[qualitySignals]]; null when no bigrams). High
+    * `bits_per_bigram` ⇒ atypical text (boilerplate/gibberish tails),
+    * the cut CCNet applies at the perplexity extremes. */
+  def lmSurprisal(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rareMax: Long = 2L): DataFrame = {
+    val toks = regexTokens(col(textCol))
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    // adjacent-pair bigrams: zip the token array against its own tail —
+    // per-row array algebra, stays in codegen until the explode
+    val bigrams = df.select(col(idCol).as("doc"),
+        explode(zip_with(
+          slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    // prefix totals fold the already-aggregated LM, not the raw stream
+    val prefixCounts = bgCounts.groupBy("w1").agg(sum("c_bg").as("c_prefix"))
+    val scored = bigrams
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .withColumn("bits",
+        (length(bin(expr("c_prefix DIV c_bg"))) - 1).cast("long"))
+    val perDoc = scored.groupBy("doc").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum("bits").as("sum_bits"),
+      sum(when(col("c_bg") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("bits_per_bigram",
+        when(col("n_bigrams") > 0,
+          round(col("sum_bits") * lit(10000.0) / col("n_bigrams")) / 1e4))
+      .withColumn("rare_ratio",
+        when(col("n_bigrams") > 0,
+          round(col("n_rare") * lit(10000.0) / col("n_bigrams")) / 1e4))
+  }
 }

@@ -255,4 +255,19 @@ class TextAndMultiModalSpec extends SparkSpec {
     // (4, 3 types) → ttr 0.75
     assert(out == ((1L, 4L, 4L, 3L, 0.75)))
   }
+
+  test("lmSurprisal: exact bit surprisal from corpus bigram counts") {
+    // corpus LM: (a,b)=3, (b,a)=1, (b,c)=1; prefixes a=3, b=2.
+    // bits = floor(log2(c_prefix/c_bg)): (a,b)→0, (b,a)→1, (b,c)→1
+    val out = TextOps.lmSurprisal(Seq(
+        1L -> "a b a b c",  // bigrams (a,b)(b,a)(a,b)(b,c): 4, bits 2, rare 2
+        2L -> "a b",        // (a,b): 1 bigram, 0 bits, not rare (count 3)
+        3L -> "x"           // no bigrams → zeros, null ratios
+      ).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 2L, 2L, Some(0.5), Some(0.5))))
+    assert(out(2L) == ((2L, 1L, 0L, 0L, Some(0.0), Some(0.0))))
+    assert(out(3L) == ((3L, 0L, 0L, 0L, None, None)))
+  }
 }
