@@ -1913,6 +1913,57 @@ object Oracles {
         |       END AS rare_ratio
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors TextOps.dsirWeights (target = lang 'en'): two bigram LMs
+    // trained on the target slice vs the rest, per-occurrence weight =
+    // bits_source − bits_target in exact floor-log2 space, OOV counted
+    // not smoothed. Negative numerators round identically: both
+    // engines' round() is half-away-from-zero.
+    "quality_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |         list_filter(regexp_split_to_array(lower(text),
+        |           '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tgt, z[1] AS w1, z[2] AS w2 FROM (
+        |    SELECT doc_id, tgt, unnest(list_zip(t[:-2], t[2:])) AS z
+        |    FROM toks)),
+        |tc AS (SELECT w1, w2, count(*) AS c_t FROM bg WHERE tgt GROUP BY 1, 2),
+        |tp AS (SELECT w1, CAST(sum(c_t) AS BIGINT) AS p_t FROM tc GROUP BY 1),
+        |sc AS (SELECT w1, w2, count(*) AS c_s FROM bg WHERE NOT tgt
+        |       GROUP BY 1, 2),
+        |sp AS (SELECT w1, CAST(sum(c_s) AS BIGINT) AS p_s FROM sc GROUP BY 1),
+        |occ AS (
+        |  SELECT doc_id,
+        |         c_t IS NOT NULL AND c_s IS NOT NULL AS in_both,
+        |         CASE WHEN c_t IS NOT NULL AND c_s IS NOT NULL
+        |           THEN (length(bin(p_s // c_s)) - 1)
+        |                - (length(bin(p_t // c_t)) - 1)
+        |           ELSE 0 END AS w,
+        |         CASE WHEN c_t IS NULL THEN 1 ELSE 0 END AS oov_t,
+        |         CASE WHEN c_s IS NULL THEN 1 ELSE 0 END AS oov_s
+        |  FROM bg
+        |  LEFT JOIN tc USING (w1, w2) LEFT JOIN tp USING (w1)
+        |  LEFT JOIN sc USING (w1, w2) LEFT JOIN sp USING (w1)),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_scored,
+        |         CAST(sum(oov_t) AS BIGINT) AS n_oov_target,
+        |         CAST(sum(oov_s) AS BIGINT) AS n_oov_source,
+        |         CAST(sum(w) AS BIGINT) AS weight_bits
+        |  FROM occ GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+        |       CAST(coalesce(n_oov_target, 0) AS BIGINT) AS n_oov_target,
+        |       CAST(coalesce(n_oov_source, 0) AS BIGINT) AS n_oov_source,
+        |       CAST(coalesce(weight_bits, 0) AS BIGINT) AS weight_bits,
+        |       CASE WHEN coalesce(n_scored, 0) > 0
+        |         THEN round(weight_bits * 10000.0 / n_scored) / 10000
+        |       END AS mean_weight
+        |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Mirrors operators.ZOrder.rangeStats over events (user_id ×
     // floor(value)): broadcast min/max bounds, affine grid scaling in
     // exact integral arithmetic (// ≡ Spark DIV on non-negatives) with

@@ -978,6 +978,12 @@ object Queries {
   val qualityLmSurprisal: Q = (s, dir) =>
     TextOps.lmSurprisal(Tables.documents(s, dir))
 
+  /** DSIR importance weights with the `en` slice as the target domain —
+    * domain-targeted selection scores for every doc in the pool (see
+    * [[TextOps.dsirWeights]]). */
+  val qualityDsir: Q = (s, dir) =>
+    TextOps.dsirWeights(Tables.documents(s, dir), col("lang") === "en")
+
   /** Z-order layout diagnostics over events (user × quantized value):
     * 32 fixed-width z-ranges with per-range min/max bounds on both
     * dimensions — the file-skipping layout measured rather than
@@ -1383,6 +1389,7 @@ object Queries {
     "layout_zorder" -> layoutZorder,
     "layout_shuffle" -> layoutShuffle,
     "dedup_spans" -> dedupSpans,
-    "quality_lm_surprisal" -> qualityLmSurprisal
+    "quality_lm_surprisal" -> qualityLmSurprisal,
+    "quality_dsir" -> qualityDsir
   )
 }

@@ -395,17 +395,25 @@ object TextOps {
     * rounding — see [[qualitySignals]]; null when no bigrams). High
     * `bits_per_bigram` ⇒ atypical text (boilerplate/gibberish tails),
     * the cut CCNet applies at the perplexity extremes. */
-  def lmSurprisal(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", rareMax: Long = 2L): DataFrame = {
+  /** One row per adjacent regex-token pair: (doc, w1, w2) plus any
+    * carried per-doc columns. Zips the token array against its own
+    * tail — per-row array algebra, stays in codegen until the explode. */
+  private def bigramOccurrences(df: DataFrame, idCol: String,
+      textCol: String, carry: String*): DataFrame = {
     val toks = regexTokens(col(textCol))
     val nPairs = greatest(size(toks) - 1, lit(0))
-    // adjacent-pair bigrams: zip the token array against its own tail —
-    // per-row array algebra, stays in codegen until the explode
-    val bigrams = df.select(col(idCol).as("doc"),
+    df.select(Seq(col(idCol).as("doc"),
         explode(zip_with(
           slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg")) ++
+        carry.map(col): _*)
+      .select(Seq(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2")) ++
+        carry.map(col): _*)
+  }
+
+  def lmSurprisal(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rareMax: Long = 2L): DataFrame = {
+    val bigrams = bigramOccurrences(df, idCol, textCol)
     val bgCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
     // prefix totals fold the already-aggregated LM, not the raw stream
     val prefixCounts = bgCounts.groupBy("w1").agg(sum("c_bg").as("c_prefix"))
@@ -430,5 +438,60 @@ object TextOps {
       .withColumn("rare_ratio",
         when(col("n_bigrams") > 0,
           round(col("n_rare") * lit(10000.0) / col("n_bigrams")) / 1e4))
+  }
+
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): two bigram LMs — one trained on the
+    * TARGET slice (`targetFilter`), one on the rest — and each doc is
+    * weighted by how much cheaper the target LM encodes it,
+    * `Σ (bits_source − bits_target)` over bigram occurrences both LMs
+    * know. Positive ⇒ target-like; resampling keeps the high-weight
+    * tail. Same exact-integer-bit surprisal as [[lmSurprisal]] — the
+    * log-ratio lives in floor-log2 space, so no smoothing constant or
+    * libm log crosses the oracle; bigrams unseen by one LM are
+    * reported as OOV counts instead of being smoothed (the honest
+    * integer-space substitute for DSIR's add-k).
+    *
+    * Scale shape: identical to [[lmSurprisal]] — linear explode, hash
+    * aggs for both LMs, two vocab-bounded equality joins (AQE
+    * broadcasts real-world LM tables), one per-doc re-agg. The target
+    * flag rides the explode so each LM trains in the same single pass. */
+  def dsirWeights(df: DataFrame, targetFilter: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = bigramOccurrences(
+      df.withColumn("__target", targetFilter), idCol, textCol, "__target")
+    def lm(side: DataFrame, c: String, p: String): DataFrame = {
+      val counts = side.groupBy("w1", "w2").agg(count(lit(1)).as(c))
+      counts.join(counts.groupBy("w1").agg(sum(c).as(p)), "w1")
+    }
+    val tLm = lm(bg.filter(col("__target")), "c_t", "p_t")
+    val sLm = lm(bg.filter(!col("__target")), "c_s", "p_s")
+    val bits = (p: String, c: String) =>
+      (length(bin(expr(s"$p DIV $c"))) - 1).cast("long")
+    val scored = bg
+      .join(tLm, Seq("w1", "w2"), "left")
+      .join(sLm, Seq("w1", "w2"), "left")
+      .withColumn("in_both", col("c_t").isNotNull && col("c_s").isNotNull)
+    val perDoc = scored.groupBy("doc").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(when(col("in_both"), 1L).otherwise(0L)).as("n_scored"),
+      sum(when(col("c_t").isNull, 1L).otherwise(0L)).as("n_oov_target"),
+      sum(when(col("c_s").isNull, 1L).otherwise(0L)).as("n_oov_source"),
+      sum(when(col("in_both"),
+        bits("p_s", "c_s") - bits("p_t", "c_t")).otherwise(0L))
+        .as("weight_bits"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_oov_target"), lit(0L)).as("n_oov_target"),
+        coalesce(col("n_oov_source"), lit(0L)).as("n_oov_source"),
+        coalesce(col("weight_bits"), lit(0L)).as("weight_bits"))
+      // integer-scaled rounding — see qualitySignals
+      .withColumn("mean_weight",
+        when(col("n_scored") > 0,
+          round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4))
   }
 }

@@ -270,4 +270,22 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 0L, 0L, Some(0.0), Some(0.0))))
     assert(out(3L) == ((3L, 0L, 0L, 0L, None, None)))
   }
+
+  test("dsirWeights: target-vs-source bit weights, OOV counted not smoothed") {
+    // target LM: (a,b)=3 (b,a)=1 (b,c)=1, prefixes a=3 b=2
+    // source LM: (a,b)=1 (b,c)=1 (c,c)=1 (z,z)=1, all prefixes 1
+    // per-occurrence w = bits_s − bits_t: (a,b)→0−0=0, (b,c)→0−1=−1;
+    // (b,a) OOV-source, (c,c)/(z,z) OOV-target
+    val docs = Seq(
+      (1L, "a b a b", true), (2L, "a b c", true),
+      (3L, "a b c c", false), (4L, "z z", false)
+    ).toDF("doc_id", "text", "is_en")
+    val out = TextOps.dsirWeights(docs, col("is_en"))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, 0L, 1L, 0L, Some(0.0))))
+    assert(out(2L) == ((2L, 2L, 2L, 0L, 0L, -1L, Some(-0.5))))
+    assert(out(3L) == ((3L, 3L, 2L, 1L, 0L, -1L, Some(-0.5))))
+    assert(out(4L) == ((4L, 1L, 0L, 1L, 0L, 0L, None)))
+  }
 }
