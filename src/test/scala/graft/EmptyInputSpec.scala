@@ -113,6 +113,27 @@ class EmptyInputSpec extends SparkSpec {
       "vec_id", "embedding", threshold = 0.5).isEmpty)
   }
 
+  test("bigram LM ops on empty inputs") {
+    val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    val lm = graft.ext.TextOps.lmSurprisal(docs)
+    assert(lm.isEmpty && lm.columns.sameElements(Array("doc_id",
+      "n_bigrams", "sum_bits", "n_rare", "bits_per_bigram", "rare_ratio")))
+    val dw = graft.ext.TextOps.dsirWeights(docs, lit(true))
+    assert(dw.isEmpty && dw.columns.sameElements(Array("doc_id",
+      "n_bigrams", "n_scored", "n_oov_target", "n_oov_source",
+      "weight_bits", "mean_weight")))
+    // an all-empty-text corpus trains an empty LM but keeps every doc
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val lmB = graft.ext.TextOps.lmSurprisal(blank)
+    assert(lmB.count() == 2 &&
+      lmB.filter(col("n_bigrams") === 0).count() == 2)
+    // one-sided DSIR: empty target slice → everything OOV-target or
+    // unscored, nothing throws
+    val dwB = graft.ext.TextOps.dsirWeights(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), lit(false))
+    assert(dwB.filter(col("n_scored") === 0).count() == 1)
+  }
+
   test("round-9 ops on empty inputs") {
     val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
     val vecs = emptyDf("vec_id" -> LongType,
