@@ -22,8 +22,11 @@ import org.apache.spark.sql.SparkSession
   *      is diagnosable as noise without re-running.
   *
   * Queries in [[SparkEntry.verifyOnly]] (intentionally non-production
-  * anchor plans) are skipped and listed under `excluded` — the bench
-  * total reflects production plans only.
+  * anchor plans) are skipped and listed under `excluded`; queries in
+  * [[SparkEntry.benchForm]] (gate composites embedding their own
+  * verification twin) are benched in their production shape and listed
+  * under `bench_forms` — the bench total reflects production plans
+  * only.
   *
   * Each query is forced end-to-end with a `noop`-format write so the
   * timing covers the full plan (a bare `count()` lets Catalyst prune
@@ -42,9 +45,14 @@ object Bench {
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    // gate composites that embed their verification twin are benched in
+    // their production shape (see SparkEntry.benchForm)
+    def planFor(name: String) =
+      SparkEntry.benchForm.getOrElse(name, SparkEntry.queries(name))
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try planFor(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
@@ -93,7 +101,7 @@ object Bench {
     // gate owns anyway.
     def planHash(name: String): String =
       try {
-        val canon = SparkEntry.queries(name)(spark, sfDir)
+        val canon = planFor(name)(spark, sfDir)
           .queryExecution.optimizedPlan.canonicalized.toString
           .linesIterator.map { line =>
             val masked = line
@@ -126,6 +134,8 @@ object Bench {
       .mkString("{", ",", "}")
     val excluded = SparkEntry.verifyOnly.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val benchForms = SparkEntry.benchForm.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).filter(_ >= 0).sum
     val worstSpread = spreads.map(_._2).max
     // Three SEPARATE lines, timings LAST: the driver keeps the END of
@@ -135,7 +145,7 @@ object Bench {
     val spreadLine =
       s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"excluded":$excluded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"excluded":$excluded,"bench_forms":$benchForms,"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
     if (only.isEmpty)

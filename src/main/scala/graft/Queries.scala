@@ -720,6 +720,13 @@ object Queries {
         (col("__n_lsh") * 10000L >= col("n_true_pairs") * 2500L).as("recall_ok"))
   }
 
+  /** [[similarityLsh]] stripped of its gate twin — the ANN plan a user
+    * deploys (banded signature join + exact-cosine verify, no
+    * exhaustive count). Benched via [[SparkEntry.benchForm]]. */
+  val similarityLshBenchForm: Q = (s, dir) =>
+    VectorLsh.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4)
+
   /** The LSH tail with one constant signature — candidates = all pairs,
     * output ≡ brute-force cosine pairs: the hash-checked anchor under
     * the engine-specific `similarity_lsh` entry (see
@@ -816,6 +823,16 @@ object Queries {
       .select(col("column"), col("n_nulls"), col("n_distinct"), col("n_rows"),
         (abs(col("n_distinct_approx") - col("n_distinct")) * 5
           <= col("n_distinct")).as("approx_ok"))
+  }
+
+  /** [[profileColumnsApprox]] stripped of its gate twin — the HLL
+    * profiler alone (no Expand; the stated 100 TB path). Benched via
+    * [[SparkEntry.benchForm]]. */
+  val profileColumnsApproxBenchForm: Q = (s, dir) => {
+    val df = Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    Profile.columnProfileApprox(df,
+      Seq("event_id", "ts_us", "user_id", "event_type", "value"))
   }
 
   /** Equi-depth (quantile-bucket) histogram: ntile(10) buckets per

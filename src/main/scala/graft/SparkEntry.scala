@@ -28,4 +28,18 @@ object SparkEntry {
     * "What's wrong" #2). Bench.scala reports them under `excluded`. */
   val verifyOnly: Set[String] =
     Set("similarity_lsh_exhaustive", "similarity_ivf_exhaustive")
+
+  /** Production-shaped bench plans for gate composites that EMBED their
+    * own verification twin (the r9 tolerance-bound protocol): at the
+    * correctness gate `similarity_lsh` counts the all-pairs exhaustive
+    * set to assert its recall floor, and `profile_columns_approx` joins
+    * the exact Expand-profiler to bound the HLL estimates — both twins
+    * are gate artifacts, not the operator a user deploys. The bench
+    * times THESE estimator-only plans instead (same r8 rationale as
+    * [[verifyOnly]]: the bench total reflects production plans only);
+    * Bench.scala lists the overridden names under `bench_forms`, and
+    * the plan-hash history marks the switch as a plan change once. */
+  val benchForm: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_lsh" -> Queries.similarityLshBenchForm,
+    "profile_columns_approx" -> Queries.profileColumnsApproxBenchForm)
 }
