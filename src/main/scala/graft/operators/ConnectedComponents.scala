@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * converge in O(diameter) rounds (real dup/identity graphs are
   * shallow); each round's labels are `localCheckpoint`ed so plan depth
   * stays constant (a cluster deployment would persist to disk), and
-  * the loop exits early at fixpoint via a limit-1 probe. Output is one
+  * the loop exits early at fixpoint via a changed-flag scan of that
+  * checkpointed frame (the flag is computed inside the round's own
+  * join, so the probe costs no extra shuffle). Output is one
   * (node, label) row per node that appears in any edge; label = the
   * minimum node id reachable from it. Deterministic for a given edge
   * set regardless of partitioning.
@@ -65,13 +67,17 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"))
         .agg(min("label").as("nmin"))
+      // the join that builds `next` already sees (label, nmin), so the
+      // per-node changed flag rides along and the fixpoint probe is a
+      // scan of the checkpointed frame — not a second shuffle join of
+      // next against labels per round
       val next = labels.join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       i += 1
     }
     (labels, converged, i)
