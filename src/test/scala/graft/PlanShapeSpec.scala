@@ -268,4 +268,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"anti join must broadcast existing keys:\n$plan")
   }
+
+  test("bigram LM joins are equality joins with partial aggregation, no cartesian") {
+    // the LM-side frames are vocab-bounded: the occurrence→LM joins
+    // must stay equality hash joins (AQE broadcasts real LM tables) and
+    // both the LM training aggs and the per-doc re-agg must combine
+    // map-side — an occurrence-scale sort or cartesian would be the
+    // 100 TB killer here
+    for (q <- Seq("quality_lm_surprisal", "quality_dsir")) {
+      val plan = executed(Queries.all(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      assert(!plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+        s"$q lost its hash joins:\n$plan")
+      val partials = "partial_count|partial_sum".r.findAllIn(plan).size
+      assert(partials >= 1, s"$q: no map-side partial aggregation:\n$plan")
+    }
+  }
 }
