@@ -336,4 +336,22 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(kept == shortDocs, s"expected only short docs kept, got $kept")
     assert(secs < 180, s"incremental near screen blew up: $secs s")
   }
+
+  smokeTest("bigram LM surprisal is occurrence-linear at 100k docs") {
+    // the LM table is vocab-bounded (200 replicas share their base
+    // vocabulary, so |LM| stays ~500-doc-sized while occurrences grow
+    // 200×): the occurrence→LM joins must broadcast or hash, never
+    // sort occurrence-scale data, and the whole thing is two aggs +
+    // two joins — minutes would mean a quadratic crept in.
+    val total = corpusSize
+    val t0 = System.nanoTime()
+    val out = graft.ext.TextOps.lmSurprisal(corpus).cache()
+    val nRows = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val meanBits = out.agg(avg("bits_per_bigram")).head().getDouble(0)
+    out.unpersist()
+    info(s"lm surprisal: $nRows docs in ${secs.round} s, mean $meanBits bits")
+    assert(nRows == total, "must emit exactly one row per doc")
+    assert(secs < 120, s"LM surprisal blew up: $secs s")
+  }
 }
