@@ -102,6 +102,25 @@ object Oracles {
        |                          % $pSql)::BIGINT AS band_key
        |          FROM sig GROUP BY doc_id, j // 4)""".stripMargin
 
+  // LSH pair screen over the `bands`/`sh` CTEs of [[minhashCtes]]:
+  // maxBucket=200 giant-bucket exclusion, candidates on band equality,
+  // exact-Jaccard verify ≥ 0.5. Final relation `lshp(id_a, id_b,
+  // jaccard)` — shared by dedup_minhash_lsh and split_leakage.
+  private val lshPairCtes: String =
+    """ok AS (SELECT band_idx, band_key FROM bands
+      |       GROUP BY 1, 2 HAVING count(*) <= 200),
+      |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM b2 a JOIN b2 b
+      |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |          AND a.doc_id < b.doc_id),
+      |lshp AS (SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |         round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
+      |               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
+      |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+      |  WHERE jaccard >= 0.5)""".stripMargin
+
   // Three rounds of the star-contraction label propagation (the
   // catalog's iters=3, which small corpora converge inside — the early
   // fixpoint exit makes extra rounds identity), then singleton docs
@@ -920,19 +939,59 @@ object Oracles {
     // band equality, exact-Jaccard verify over the hashed shingle sets.
     "dedup_minhash_lsh" ->
       s"""WITH ${minhashCtes("documents")},
-         |ok AS (SELECT band_idx, band_key FROM bands
-         |       GROUP BY 1, 2 HAVING count(*) <= 200),
-         |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM b2 a JOIN b2 b
-         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |          AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT id_a, id_b,
-         |         round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
-         |               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
-         |WHERE jaccard >= 0.5""".stripMargin,
+         |$lshPairCtes
+         |SELECT id_a, id_b, jaccard FROM lshp""".stripMargin,
+
+    // Mirrors SemDedup.semanticDedup end to end: min-md5 deterministic
+    // centers, argmax-cosine assignment in the rounded 4-dp integer
+    // space (ties to the smallest center id), within-cluster pairs at
+    // cosine ≥ 0.4, exact transitive closure (recursive CTE — the
+    // dedup_components pattern) for the duplicate groups, keep min id.
+    "dedup_semantic" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS center_id, v AS cv FROM e
+        |      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |scored AS (SELECT e.vec_id, e.v, c.center_id,
+        |    round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) * 10000) AS s
+        |  FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, v, center_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, center_id) AS rk
+        |    FROM scored) WHERE rk = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM assign a
+        |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a),
+        |labels AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node)
+        |SELECT a.vec_id, a.cluster,
+        |       coalesce(l.lbl, a.vec_id) AS dup_label,
+        |       coalesce(l.lbl, a.vec_id) = a.vec_id AS is_keep
+        |FROM assign a LEFT JOIN labels l ON l.node = a.vec_id""".stripMargin,
+
+    // Mirrors splitLeakage: the dedup_minhash_lsh pair screen joined
+    // to the split_assign md5 buckets, keeping cross-split pairs.
+    "split_leakage" ->
+      s"""WITH ${minhashCtes("documents")},
+         |$lshPairCtes,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN bucket < 80 THEN 'train'
+         |              WHEN bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (
+         |         SELECT doc_id,
+         |                CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+         |                     % 100 AS INTEGER) AS bucket
+         |         FROM documents))
+         |SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jaccard
+         |FROM lshp JOIN sp sa ON sa.doc_id = id_a
+         |          JOIN sp sb ON sb.doc_id = id_b
+         |WHERE sa.split <> sb.split""".stripMargin,
 
     // Mirrors minhashClusters: same bands, three label-propagation
     // rounds, singletons as their own clusters.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
-import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SeriesOps, Similarity, Splits, TextOps, VectorLsh, VectorQuant, VectorStats}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SemDedup, SeriesOps, Similarity, Splits, TextOps, VectorLsh, VectorQuant, VectorStats}
 
 /** The operator catalog: every SURVEY §2 operator (and the contract's
   * `[EXT]` training-data ops) expressed as a named query over the
@@ -568,6 +568,39 @@ object Queries {
   val dedupEmbedding: Q = (s, dir) =>
     Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       "label", threshold = 0.4)
+
+  /** SemDeDup semantic dedup verdicts over the embedding corpus:
+    * deterministic min-md5 coarse centers (the engine-portable stand-in
+    * for k-means — the whole pipeline hash-checks, where [[Ivf]]'s
+    * k-means carries a recall bound instead), argmax-cosine assignment,
+    * within-cluster cosine pairs, connected-component groups, keep the
+    * min id. 16 centers ≈ 30-row clusters at sf0.01; production scales
+    * k with the corpus (see [[ext.SemDedup]]). */
+  val dedupSemantic: Q = (s, dir) =>
+    SemDedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      nCenters = 16, threshold = 0.4)
+
+  /** Cross-split leakage audit — the decontamination check that runs
+    * AFTER splitting: near-dup pairs (MinHash-LSH, the production
+    * screen) whose members landed in different train/val/test splits.
+    * Any row here is an eval document whose near-copy trains the
+    * model. Same split assignment as [[splitAssign]], same pair screen
+    * as [[dedupMinhashLsh]]; the split column is a per-row hash (no
+    * shuffle), so the audit costs one LSH pair screen plus two
+    * AQE-sized joins of the (tiny) pair set against the doc→split
+    * projection. */
+  val splitLeakage: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
+    val sp = Splits.assign(docs.select("doc_id"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "graft")
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.toDF("id_a", "split_a"), "id_a")
+      .join(sp.toDF("id_b", "split_b"), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+  }
 
   /** Benchmark decontamination: every-20th doc plays the held-out eval
     * set; training docs sharing ≥1 distinct 5-gram with it are flagged
@@ -1356,6 +1389,8 @@ object Queries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
+    "split_leakage" -> splitLeakage,
     "dedup_editdist" -> dedupEditdist,
     "dedup_components" -> dedupComponents,
     "decontam_overlap" -> decontamOverlap,

@@ -172,5 +172,11 @@ class EmptyInputSpec extends SparkSpec {
       "doc_id", "text").isEmpty)
     assert(graft.ext.Dedup.newAgainstReferenceNear(batch, docs,
       "doc_id", "text").count() == 1L)
+    // semantic dedup: empty corpus → empty, shaped (zero centers is
+    // fine — the limit just returns nothing)
+    val sem = graft.ext.SemDedup.semanticDedup(vecs, "vec_id", "embedding",
+      nCenters = 4, threshold = 0.9)
+    assert(sem.isEmpty && sem.columns.sameElements(
+      Array("vec_id", "cluster", "dup_label", "is_keep")))
   }
 }

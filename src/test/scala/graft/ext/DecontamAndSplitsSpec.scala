@@ -146,4 +146,26 @@ class DecontamAndSplitsSpec extends SparkSpec {
     assert(near.nonEmpty && near.subsetOf(exact),
       s"near-dedup must only remove more: |near|=${near.size} |exact|=${exact.size}")
   }
+
+  test("split_leakage = the cross-split subset of the LSH pair screen") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val leaks = graft.Queries.all("split_leakage")(spark, sf)
+      .select($"id_a".as[Long], $"id_b".as[Long],
+        $"split_a".as[String], $"split_b".as[String])
+      .collect().toSeq
+    leaks.foreach { case (a, b, sa, sb) =>
+      assert(sa != sb, s"($a,$b) is not cross-split: $sa/$sb")
+    }
+    // exactly the near-dup pairs whose endpoints drew different splits
+    val split = Splits.assign(docs.select("doc_id"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "graft")
+      .select($"doc_id".as[Long], $"split".as[String]).collect().toMap
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
+      .select($"id_a".as[Long], $"id_b".as[Long]).collect().toSeq
+    val expected = pairs.filter { case (a, b) => split(a) != split(b) }
+      .map { case (a, b) => (a, b, split(a), split(b)) }.sorted
+    assert(leaks.sorted == expected, "leakage audit ≡ pair screen ⋈ splits")
+    assert(pairs.nonEmpty, "fixture sanity: the screen finds near-dups at sf0.001")
+  }
 }
