@@ -42,18 +42,13 @@ import graft.operators.ConnectedComponents
   */
 object SemDedup {
 
-  /** Per-vector semantic-dedup verdict: (id, cluster, dup_label,
-    * is_keep). `cluster` is the assigned coarse center's id,
-    * `dup_label` the connected-component representative among
-    * duplicates (self for singletons), `is_keep` true exactly for the
-    * one kept member of each duplicate group.
-    *
-    * `threshold` is the cosine above which two same-cluster vectors
-    * are duplicates, compared in the 4-dp integer space the whole
-    * vector family rounds to ([[Dedup.embeddingCosinePairs]]).
-    */
-  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      nCenters: Int, threshold: Double): DataFrame = {
+  /** Deterministic coarse-quantizer assignment: every vector labeled
+    * with its argmax-cosine center out of the `nCenters` min-md5(id)
+    * corpus vectors. Returns (id, cluster, v) — the blocking frame
+    * [[semanticDedup]] pairs within, and the grouping frame
+    * cluster-balanced sampling caps over. */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      nCenters: Int): DataFrame = {
     require(nCenters > 0, "nCenters must be positive")
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // deterministic coarse centers: k smallest md5(id); the id
@@ -71,14 +66,28 @@ object SemDedup {
     val scored = v.crossJoin(broadcast(centers))
       .select(col("id"), col("v"), col("center_id"),
         round(cosineF(col("v"), col("cv")) * lit(10000.0)).cast("long").as("s"))
-    // MATERIALIZED: feeds both sides of the pair self-join plus the
-    // final verdict join (see ngramJaccardPairs; a cluster deployment
-    // persists DISK_ONLY instead)
-    val assigned = scored.groupBy("id")
+    scored.groupBy("id")
       .agg(min(struct((-col("s")).as("ns"),
         col("center_id").as("c"), col("v").as("vv"))).as("best"))
       .select(col("id"), col("best.c").as("cluster"), col("best.vv").as("v"))
-      .localCheckpoint()
+  }
+
+  /** Per-vector semantic-dedup verdict: (id, cluster, dup_label,
+    * is_keep). `cluster` is the assigned coarse center's id,
+    * `dup_label` the connected-component representative among
+    * duplicates (self for singletons), `is_keep` true exactly for the
+    * one kept member of each duplicate group.
+    *
+    * `threshold` is the cosine above which two same-cluster vectors
+    * are duplicates, compared in the 4-dp integer space the whole
+    * vector family rounds to ([[Dedup.embeddingCosinePairs]]).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCenters: Int, threshold: Double): DataFrame = {
+    // MATERIALIZED: feeds both sides of the pair self-join plus the
+    // final verdict join (see ngramJaccardPairs; a cluster deployment
+    // persists DISK_ONLY instead)
+    val assigned = assign(df, idCol, vecCol, nCenters).localCheckpoint()
     val pairs = Dedup.embeddingCosinePairs(assigned, "id", "v", "cluster", threshold)
     val labels = ConnectedComponents.run(pairs, "id_a", "id_b")
     assigned
