@@ -942,22 +942,42 @@ object Oracles {
          |$lshPairCtes
          |SELECT id_a, id_b, jaccard FROM lshp""".stripMargin,
 
-    // Mirrors SemDedup.semanticDedup end to end: min-md5 deterministic
-    // centers, argmax-cosine assignment in the rounded 4-dp integer
-    // space (ties to the smallest center id), within-cluster pairs at
-    // cosine ≥ 0.4, exact transitive closure (recursive CTE — the
-    // dedup_components pattern) for the duplicate groups, keep min id.
+    // Mirrors SemDedup.semanticDedup end to end with the TWO-LEVEL
+    // deterministic quantizer: min-md5 centers (16), the ⌈√16⌉ = 4
+    // smallest-md5 of those as super-centers, each center argmax-
+    // assigned to a super (ties prefer itself, then min id), each
+    // vector argmax-assigned to a super then to the best center IN
+    // THAT SUPER'S BUCKET ONLY — all cosines in the rounded 4-dp
+    // integer space. Then within-cluster pairs at cosine ≥ 0.4, exact
+    // transitive closure (recursive CTE — the dedup_components
+    // pattern) for the duplicate groups, keep min id.
     "dedup_semantic" ->
       """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS center_id, v AS cv FROM e
         |      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |scored AS (SELECT e.vec_id, e.v, c.center_id,
-        |    round(list_dot_product(e.v, c.cv) /
-        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) * 10000) AS s
-        |  FROM e CROSS JOIN c),
+        |sup AS (SELECT center_id AS super_id, cv AS sv FROM c
+        |        ORDER BY md5(center_id::VARCHAR), center_id LIMIT 4),
+        |cs AS (SELECT super_id, center_id, cv FROM (
+        |    SELECT c.center_id, c.cv, sup.super_id,
+        |      row_number() OVER (PARTITION BY c.center_id ORDER BY
+        |        round(list_dot_product(c.cv, sup.sv) /
+        |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(sup.sv, sup.sv))) * 10000) DESC,
+        |        (sup.super_id <> c.center_id), sup.super_id) AS rk
+        |    FROM c CROSS JOIN sup) WHERE rk = 1),
+        |vsup AS (SELECT vec_id, v, super_id FROM (
+        |    SELECT e.vec_id, e.v, sup.super_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, sup.sv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sup.sv, sup.sv))) * 10000) DESC,
+        |        sup.super_id) AS rk
+        |    FROM e CROSS JOIN sup) WHERE rk = 1),
         |assign AS (SELECT vec_id, v, center_id AS cluster FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, center_id) AS rk
-        |    FROM scored) WHERE rk = 1),
+        |    SELECT vs.vec_id, vs.v, cs.center_id,
+        |      row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+        |        round(list_dot_product(vs.v, cs.cv) /
+        |          (sqrt(list_dot_product(vs.v, vs.v)) * sqrt(list_dot_product(cs.cv, cs.cv))) * 10000) DESC,
+        |        cs.center_id) AS rk
+        |    FROM vsup vs JOIN cs USING (super_id)) WHERE rk = 1),
         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM assign a
         |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         |  WHERE round(list_dot_product(a.v, b.v) /

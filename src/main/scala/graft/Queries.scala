@@ -572,10 +572,12 @@ object Queries {
   /** SemDeDup semantic dedup verdicts over the embedding corpus:
     * deterministic min-md5 coarse centers (the engine-portable stand-in
     * for k-means — the whole pipeline hash-checks, where [[Ivf]]'s
-    * k-means carries a recall bound instead), argmax-cosine assignment,
+    * k-means carries a recall bound instead), TWO-LEVEL argmax-cosine
+    * assignment (16 centers through 4 super-centers here; O(N·√k·d)
+    * compute with only the √k supers broadcast, since production
+    * scales k with the corpus — see [[ext.SemDedup.assignTwoLevel]]),
     * within-cluster cosine pairs, connected-component groups, keep the
-    * min id. 16 centers ≈ 30-row clusters at sf0.01; production scales
-    * k with the corpus (see [[ext.SemDedup]]). */
+    * min id. */
   val dedupSemantic: Q = (s, dir) =>
     SemDedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
       nCenters = 16, threshold = 0.4)

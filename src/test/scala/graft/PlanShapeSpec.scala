@@ -231,6 +231,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("[[["), s"literal centroid matrix in plan:\n${plan.take(2000)}")
   }
 
+  test("semantic-dedup two-level assignment: only the √k super frame is nested-loop-broadcast") {
+    // r9 VERDICT #1: the flat quantizer cross-joined the corpus with
+    // ALL k centers (one BNLJ whose broadcast grows O(k·d) — ~3 GB at
+    // SemDeDup's mandated k ∝ N). The two-level plan must show exactly
+    // two nested-loop joins, both against the ⌈√k⌉-row super frame,
+    // and move the k-row center frame through a super_id EQUALITY
+    // join that Spark is free to shuffle at production k·d.
+    val df = graft.ext.SemDedup.assignTwoLevel(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", nCenters = 1024)
+    val plan = executed(df)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 2,
+      s"expected exactly the two ×√k-supers nested-loop joins:\n$plan")
+    // both nested-loop broadcasts are bounded by the nSuper = √1024 =
+    // 32-row TakeOrdered prefix, never the k-row center frame
+    assert("TakeOrderedAndProject\\(limit=32[,\\s]".r.findFirstIn(plan).isDefined,
+      s"super frame not bounded at 32 rows:\n$plan")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[super_id".r
+      .findFirstIn(plan).isDefined,
+      s"center bucket walk is not a super_id equality join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("catalog-wide invariant: no query plans a CartesianProduct") {
     // every membership/candidate step must be an equality/semi/anti
     // join — a cartesian anywhere is the one plan shape that cannot

@@ -82,4 +82,36 @@ class SemDedupSpec extends SparkSpec {
     // exact dups (cos = 1.0) still group; everything else is singleton
     assert(out.count(!_._4) == 1, "only the exact dup is dropped")
   }
+
+  test("two-level assignment ≡ flat assignment when every cluster holds a super-center") {
+    // Build the fixture AROUND the md5 draw: rank candidate ids by
+    // md5 exactly as the quantizer does, anchor the 3 smallest (the
+    // supers for nCenters = 9) on orthogonal axes, and spread the rest
+    // round-robin as perturbed cluster members. Every cluster then
+    // contains its own super, so each vector's global argmax center
+    // sits inside its super's bucket and the two plans must agree
+    // id-for-id — the unambiguous-bucket equivalence regime.
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ranked = (1L to 12L).sortBy(id => (md5hex(id.toString), id))
+    val axes = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val rows = ranked.take(3).zipWithIndex.map { case (id, i) => (id, axes(i)) } ++
+      ranked.drop(3).zipWithIndex.map { case (id, j) =>
+        val i = j % 3
+        // distinct deltas keep within-cluster cosines ≥ 0.95 while
+        // cross-cluster stays ≤ 0.3 — argmax is never cross-cluster
+        val v = axes(i).clone(); v((i + 1) % 3) = 0.1f * (j / 3 + 1)
+        (id, v)
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    def assignments(r: org.apache.spark.sql.DataFrame) =
+      r.select($"id".as[Long], $"cluster".as[Long]).collect().sortBy(_._1).toSeq
+    val flat = assignments(SemDedup.assign(df, "vec_id", "embedding", nCenters = 9))
+    val two = assignments(SemDedup.assignTwoLevel(df, "vec_id", "embedding", nCenters = 9))
+    assert(two == flat, "two-level quantizer must reproduce the flat argmax " +
+      "assignment when buckets are unambiguous")
+    assert(flat.map(_._1) == (1L to 12L), "every vector assigned exactly once")
+  }
 }
