@@ -6,28 +6,40 @@ import org.apache.spark.sql.functions._
 /** Connected components over an edge list — the entity-resolution /
   * dedup-grouping primitive (near-dup pairs → duplicate groups, id
   * graphs → canonical entities). Spark has no built-in; this is
-  * min-label propagation (the same star-contraction loop
-  * [[graft.ext.Dedup.minhashClusters]] runs over doc–bucket bipartite
-  * graphs, generalized to an arbitrary edge list).
+  * alternating large-star / small-star contraction (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014), which
+  * converges in O(log n) rounds REGARDLESS OF DIAMETER — the property
+  * plain min-label propagation lacks (O(diameter) rounds, so a
+  * chain-shaped dup cluster at crawl scale would exhaust any fixed
+  * round budget; r9 VERDICT #3).
   *
-  * Per round: every node takes the minimum label among itself and its
-  * neighbors — two hash-key shuffles over |edges| rows. Labels
-  * converge in O(diameter) rounds (real dup/identity graphs are
-  * shallow); each round's labels are `localCheckpoint`ed so plan depth
-  * stays constant (a cluster deployment would persist to disk), and
-  * the loop exits early at fixpoint via a changed-flag scan of that
-  * checkpointed frame (the flag is computed inside the round's own
-  * join, so the probe costs no extra shuffle). Output is one
-  * (node, label) row per node that appears in any edge; label = the
-  * minimum node id reachable from it. Deterministic for a given edge
-  * set regardless of partitioning.
+  * Per round, over the canonical (hi → lo) edge set:
+  *   - large-star: every node u computes m = min({u} ∪ N(u)) and
+  *     rewires each strictly-larger neighbor to m — long tails fold
+  *     onto their local minimum in one hop;
+  *   - small-star: every hi-node rewires its ≤-neighbors (and itself)
+  *     to their minimum — stars flatten onto the component minimum.
+  * Each is one hash-shuffle groupBy + one equality join over |edges|
+  * rows, linear per round; round frames are `localCheckpoint`ed so
+  * plan depth stays constant (a cluster deployment persists to a
+  * checkpoint dir instead). The loop exits when NEITHER operator
+  * changed the edge set — the published termination condition, which
+  * holds exactly when the edges form min-rooted stars.
+  *
+  * Output is one (node, label) row per node that appears in any input
+  * edge (self-loops count as appearances but propagate nothing);
+  * label = the minimum node id reachable from it. Deterministic for a
+  * given edge set regardless of partitioning.
   *
   * If the fixpoint is NOT reached within `maxIters` rounds, [[run]]
   * THROWS (`IllegalStateException`) rather than returning labels that
-  * look valid but merge nothing beyond radius `maxIters` — a silent
-  * wrong answer is the one failure mode a dedup pipeline can't detect
-  * downstream. Callers that want partial labels opt in explicitly via
-  * [[runWithStatus]], which returns the labels plus a `converged` flag.
+  * look valid but are still under-merged — a silent wrong answer is
+  * the one failure mode a dedup pipeline can't detect downstream.
+  * Callers that want partial labels opt in explicitly via
+  * [[runWithStatus]], which returns the labels plus a `converged`
+  * flag. The default budget of 10 contraction rounds covers any
+  * component a real corpus produces (propagation-style rounds needed
+  * would be the diameter; contraction needs ~log₂ of it).
   */
 object ConnectedComponents {
 
@@ -35,10 +47,10 @@ object ConnectedComponents {
       maxIters: Int = 10): DataFrame = {
     val (labels, converged, iters) = runWithStatus(edges, srcCol, dstCol, maxIters)
     if (!converged) throw new IllegalStateException(
-      s"ConnectedComponents did not converge in $iters rounds: a component " +
-        s"with eccentricity > $maxIters from its min-id node exists; raise " +
-        "maxIters (rounds needed = graph diameter) or use runWithStatus to " +
-        "accept partial labels explicitly")
+      s"ConnectedComponents did not converge in $iters contraction rounds; " +
+        "rounds needed grow with log(component size), so this graph is " +
+        "astronomically deep or maxIters was set very low; raise maxIters " +
+        "or use runWithStatus to accept partial labels explicitly")
     labels
   }
 
@@ -47,39 +59,68 @@ object ConnectedComponents {
   def runWithStatus(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 10): (DataFrame, Boolean, Int) = {
     require(maxIters > 0, "maxIters must be positive")
-    // materialize the edge list BEFORE symmetrizing: the union reads it
-    // twice, and `edges` is often an expensive upstream (e.g. the n-gram
-    // pair join) that must not evaluate once per side
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // materialize the raw edge list once: the node inventory and the
+    // canonical set below both read it, and `edges` is often an
+    // expensive upstream (e.g. the n-gram pair join) that must not
+    // evaluate once per consumer
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint()
-    // symmetrize once: propagation below only follows a→b edges
-    val sym = e
-      .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val nodes = raw.select(col("a").as("node"))
+      .unionByName(raw.select(col("b").as("node")))
       .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // canonical undirected form: (h, l) with h > l, self-loops dropped
+    var cur = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("h"),
+        least(col("a"), col("b")).as("l"))
+      .distinct()
       .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min("label").as("nmin"))
-      // the join that builds `next` already sees (label, nmin), so the
-      // per-node changed flag rides along and the fixpoint probe is a
-      // scan of the checkpointed frame — not a second shuffle join of
-      // next against labels per round
-      val next = labels.join(neighborMin, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
+      // large-star over the symmetric view: m(u) = min({u} ∪ N(u)),
+      // emit (v, m(u)) for every neighbor v > u — already canonical
+      // since v > u ≥ m(u)
+      val sym = cur.select(col("h").as("u"), col("l").as("v"))
+        .unionByName(cur.select(col("l").as("u"), col("h").as("v")))
+      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = sym.join(lmin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("h"), col("m").as("l"))
+        .distinct()
         .localCheckpoint()
-      converged = next.filter(col("__changed")).isEmpty
-      labels = next.drop("__changed")
+      // small-star: canonical edges already group a node's ≤-neighbors
+      // under it; rewire them (and the node itself) to their minimum —
+      // (v, m) with v > m after the v ≠ m filter, canonical again
+      val smin = afterLarge.groupBy("h").agg(min("l").as("m"))
+      val afterSmall = afterLarge.join(smin, "h")
+        .filter(col("l") =!= col("m"))
+        .select(col("l").as("h"), col("m").as("l"))
+        .unionByName(smin.select(col("h"), col("m").as("l")))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint ⇔ BOTH operators left the set unchanged (Kiveris et
+      // al.'s termination condition — exactly the min-rooted-star
+      // forests). Count compare first: it short-circuits the except
+      // scans on every non-final round. All frames are distinct sets,
+      // so equal count + empty difference ⇔ set equality.
+      converged = cur.count() == afterLarge.count() &&
+        afterLarge.count() == afterSmall.count() &&
+        afterLarge.except(cur).isEmpty &&
+        afterSmall.except(afterLarge).isEmpty
+      cur = afterSmall
       i += 1
     }
+    // at fixpoint every edge is (non-min node → its component min):
+    // h-nodes read their label off their single partner, l-nodes are
+    // the minima labeling themselves. The same construction yields
+    // best-known partial labels when not converged (min over observed
+    // partners), which is what runWithStatus callers opted into.
+    val starLabels = cur.groupBy(col("h").as("node")).agg(min("l").as("label"))
+      .unionByName(cur.select(col("l").as("node"), col("l").as("label")).distinct())
+      .groupBy("node").agg(min("label").as("label"))
+    val labels = nodes.join(starLabels, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
     (labels, converged, i)
   }
 }

@@ -28,24 +28,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert((1L to 9L).forall(out(_) == 1L))
   }
 
+  test("path with diameter far beyond the round budget converges (r9 VERDICT #3)") {
+    // path 1-2-...-300: min-label PROPAGATION would need 299 rounds —
+    // the chain-shaped crawl cluster that aborted the old O(diameter)
+    // loop at maxIters=10. Star CONTRACTION folds it within the same
+    // default budget (rounds ~ log of component size, not diameter).
+    val out = cc((1L until 300L).map(i => (i, i + 1)))
+    assert(out.size == 300)
+    assert((1L to 300L).forall(out(_) == 1L))
+  }
+
   test("non-convergence THROWS instead of returning partial labels (r4 ADVICE #2)") {
-    // path 1-...-15: min label needs 14 rounds to reach node 15, so
-    // maxIters=3 cannot converge — run() must refuse, not hand back
-    // labels that silently merge nothing beyond radius 3
-    val deep = (1L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    // path 1-...-64: one contraction round cannot reach the fixpoint —
+    // run() must refuse, not hand back labels that are still
+    // under-merged
+    val deep = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.run(deep, "src", "dst", maxIters = 3)
+      ConnectedComponents.run(deep, "src", "dst", maxIters = 1)
     }
     assert(e.getMessage.contains("did not converge"))
     // the explicit opt-in surfaces the same labels plus the flag
     val (labels, converged, iters) =
-      ConnectedComponents.runWithStatus(deep, "src", "dst", maxIters = 3)
-    assert(!converged && iters == 3)
-    assert(labels.count() == 15)
+      ConnectedComponents.runWithStatus(deep, "src", "dst", maxIters = 1)
+    assert(!converged && iters == 1)
+    assert(labels.count() == 64)
     // with enough rounds the same graph converges and run() returns
     val ok = ConnectedComponents.run(deep, "src", "dst", maxIters = 20)
       .as[(Long, Long)].collect().toMap
-    assert((1L to 15L).forall(ok(_) == 1L))
+    assert((1L to 64L).forall(ok(_) == 1L))
+  }
+
+  test("self-loops and duplicate edges are inert; their nodes still appear") {
+    val out = cc(Seq((7L, 7L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(out == Map(7L -> 7L, 1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
   test("deterministic under repartitioning and edge direction") {
