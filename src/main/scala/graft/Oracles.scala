@@ -1659,6 +1659,25 @@ object Oracles {
         |           (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS ck
         |  FROM documents)""".stripMargin,
 
+    // Mirrors MultiModal.imageRoundTrip: the PNG encode chooses every
+    // value as a pure function of doc_id (geometry id%31+2 × id%23+2,
+    // uniform fill (id%256, 3id%256, 7id%256), 3-band RGB), so a
+    // CORRECT javax.imageio decode must hand exactly these back —
+    // the oracle needs no codec, just the arithmetic. PNG is lossless;
+    // any fabricated geometry or pixel drift hash-mismatches.
+    "mm_imageio_decode" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 31 + 2 AS INTEGER) AS width,
+        |       CAST(doc_id % 23 + 2 AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(doc_id % 256 AS INTEGER) AS r_first,
+        |       CAST(doc_id * 3 % 256 AS INTEGER) AS g_first,
+        |       CAST(doc_id * 7 % 256 AS INTEGER) AS b_first,
+        |       CAST(doc_id % 256 AS INTEGER) AS r_last,
+        |       CAST(doc_id * 3 % 256 AS INTEGER) AS g_last,
+        |       CAST(doc_id * 7 % 256 AS INTEGER) AS b_last
+        |FROM documents""".stripMargin,
+
     // Mirrors Chunking.chunkByTokens(32, 8): starts every 24 tokens,
     // 32-token windows (DuckDB list slice is end-INCLUSIVE), tail
     // windows adding no new tokens dropped. chunk_idx = (start−1)/step.

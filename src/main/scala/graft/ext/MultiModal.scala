@@ -5,19 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as
   * opaque `binary` columns plus typed metadata, with decode / feature-
-  * extraction as partition-local batch transforms.
+  * extraction as partition-local batch transforms behind the
+  * [[MediaDecoder]] trait.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): [[StubDecoder.decode]] produces deterministic fake
-  * features from the bytes. Everything around it — schema, encoder,
-  * batch shape, partition-local execution, no shuffle — is the real
-  * Spark plumbing a codec-backed decoder would drop into.
+  * Two decoders ship: [[ImageIODecoder]] does REAL image decode
+  * through the JDK's `javax.imageio` (JPEG/PNG/GIF/BMP — no external
+  * jars), and [[StubDecoder]] is the deterministic fake kept for
+  * text-shaped payloads and as the test seam for modalities whose
+  * codecs aren't in the JDK (audio/video). Everything around the trait
+  * — schema, encoder, batch shape, partition-local execution, no
+  * shuffle — is the same either way.
   */
 object MultiModal {
 
   /** A decoded-media feature row. A real pipeline would carry
     * width/height/channels from the codec and a feature vector from a
-    * model; here they are deterministic functions of the payload. */
+    * model; [[ImageIODecoder]] fills them from the real codec,
+    * [[StubDecoder]] from deterministic functions of the payload. */
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
@@ -26,9 +30,28 @@ object MultiModal {
       channels: Int,
       checksum: Long)
 
-  /** STUB decoder — deterministic fake in place of a codec call.
-    * A real implementation replaces ONLY this object. */
-  object StubDecoder {
+  /** One decoded image per payload: geometry plus the two corner
+    * pixels — everything a deterministic encode chooses, so an exact
+    * oracle can confirm the codec round-trip pixel-for-pixel. */
+  case class DecodedPixels(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      r_first: Int, g_first: Int, b_first: Int,
+      r_last: Int, g_last: Int, b_last: Int)
+
+  /** The partition-local decode seam: one instance is reused for every
+    * row of a partition (where a stateful codec would be initialized
+    * once). Implementations must be driver-serializable. */
+  trait MediaDecoder extends Serializable {
+    def decode(id: Long, payload: Array[Byte]): MediaFeatures
+  }
+
+  /** STUB decoder — deterministic fake in place of a codec call, for
+    * payloads that are not real media (the text-derived corpus) and
+    * for modalities without a JDK codec. */
+  object StubDecoder extends MediaDecoder {
     def decode(id: Long, payload: Array[Byte]): MediaFeatures = {
       var ck = 1125899906842597L // FNV-ish rolling checksum
       var i = 0
@@ -43,6 +66,34 @@ object MultiModal {
     }
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` — width/height
+    * from the decoded frame, channels from the raster band count, and
+    * the checksum folded over every decoded SAMPLE (not the encoded
+    * bytes), so two encodings of the same pixels checksum identically.
+    * Throws on undecodable payloads: silently fabricating geometry for
+    * corrupt media is the failure mode the stub is allowed and a real
+    * pipeline is not. */
+  object ImageIODecoder extends MediaDecoder {
+    def decode(id: Long, payload: Array[Byte]): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"payload of doc $id is not a decodable image")
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var ck = 1125899906842597L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { ck = ck * 31 + raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(id, payload.length.toLong, w, h, bands, ck)
+    }
+  }
+
   /** Attach a binary payload column derived from text (the corpus has
     * no true media; the bytes are real, the modality is simulated). */
   def withPayload(df: DataFrame, textCol: String = "text",
@@ -50,18 +101,71 @@ object MultiModal {
     df.withColumn(outCol, col(textCol).cast("binary"))
 
   /** Partition-local batch decode: mapPartitions over (id, payload),
-    * one decoder instance per partition (where a real codec would be
-    * initialized once), no shuffle, output is a typed Dataset. */
+    * one decoder per partition (a stateful codec initializes once),
+    * no shuffle, output is a typed Dataset. Defaults to the stub for
+    * the text-derived corpus; pass [[ImageIODecoder]] for real media. */
   def decodeFeatures(df: DataFrame, idCol: String = "doc_id",
-      payloadCol: String = "payload"): Dataset[MediaFeatures] = {
+      payloadCol: String = "payload",
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real decoder init would happen here, once per partition
-        rows.map { case (id, payload) => StubDecoder.decode(id, payload) }
+        rows.map { case (id, payload) => decoder.decode(id, payload) }
       }
+  }
+
+  /** Deterministic PNG fixture encoder: a `(id % 31 + 2)` ×
+    * `(id % 23 + 2)` image filled with the uniform color
+    * `(id % 256, 3·id % 256, 7·id % 256)`, PNG-encoded through the
+    * same `javax.imageio` stack the decoder reads with. Every choice
+    * is a pure function of the id, so an exact SQL oracle can predict
+    * what a CORRECT decode must return — the round-trip proof that
+    * [[ImageIODecoder]] really decodes rather than fabricates. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (id % 31).toInt + 2
+    val h = (id % 23).toInt + 2
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id % 256) << 16) | ((id * 3 % 256) << 8) | (id * 7 % 256)).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG encode → binary column → `javax.imageio` decode, end to end:
+    * stage 1 synthesizes a real PNG payload per id ([[syntheticPng]]),
+    * stage 2 decodes it and reads geometry, band count, and the two
+    * corner pixels off the decoded frame. Two partition-local
+    * mapPartitions stages with a binary column between them — the
+    * exact plumbing of a production decode — and zero shuffle. The
+    * emitted values are all pure functions of the id, so the oracle
+    * asserts the codec round-trip exactly (PNG is lossless). */
+  def imageRoundTrip(df: DataFrame,
+      idCol: String = "doc_id"): Dataset[DecodedPixels] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val payloads = df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF(idCol, "payload")
+    payloads.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"round-trip payload of doc $id failed to decode")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val first = img.getRGB(0, 0)
+      val last = img.getRGB(w - 1, h - 1)
+      DecodedPixels(id, w, h, img.getRaster.getNumBands,
+        (first >> 16) & 0xff, (first >> 8) & 0xff, first & 0xff,
+        (last >> 16) & 0xff, (last >> 8) & 0xff, last & 0xff)
+    })
   }
 
   /** Column-only metadata extraction (no decode): payload size and

@@ -136,6 +136,64 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
 
+  test("ImageIODecoder: real PNG decode — geometry, bands, sample checksum") {
+    val id = 42L
+    val png = MultiModal.syntheticPng(id) // 42%31+2=13 × 42%23+2=21, RGB
+    val f = MultiModal.ImageIODecoder.decode(id, png)
+    assert(f.width == 13 && f.height == 21 && f.channels == 3)
+    assert(f.n_bytes == png.length.toLong)
+    // checksum folds DECODED samples, so it is a function of pixels
+    // only: the same image re-encoded as BMP must checksum identically
+    // even though the encoded bytes differ completely
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(!java.util.Arrays.equals(bmp, png))
+    val f2 = MultiModal.ImageIODecoder.decode(id, bmp)
+    assert(f2.width == f.width && f2.height == f.height &&
+      f2.channels == f.channels && f2.checksum == f.checksum,
+      "pixel checksum must be encoding-invariant")
+  }
+
+  test("ImageIODecoder: grayscale PNG reports one band; corrupt payload throws") {
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = MultiModal.ImageIODecoder.decode(9L, bos.toByteArray)
+    assert(f.width == 5 && f.height == 4 && f.channels == 1)
+    intercept[IllegalArgumentException] {
+      MultiModal.ImageIODecoder.decode(10L, "not an image".getBytes)
+    }
+  }
+
+  test("decodeFeatures with ImageIODecoder: real decode through the same plumbing") {
+    val payloads = Seq(3L, 8L).map(id => (id, MultiModal.syntheticPng(id)))
+      .toDF("doc_id", "payload")
+    val out = MultiModal.decodeFeatures(
+        payloads, decoder = MultiModal.ImageIODecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(3L).width == 5 && out(3L).height == 5) // 3%31+2, 3%23+2
+    assert(out(8L).width == 10 && out(8L).height == 10)
+    assert(out.values.forall(_.channels == 3))
+  }
+
+  test("imageRoundTrip: decoded corner pixels match the deterministic fill; no shuffle") {
+    val df = Seq(5L, 260L).toDF("doc_id") // 260 wraps the 256 color space
+    val rt = MultiModal.imageRoundTrip(df)
+    val plan = rt.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"round trip must not shuffle:\n$plan")
+    val out = rt.collect().map(p => p.doc_id -> p).toMap
+    assert(out(5L).width == 7 && out(5L).height == 7 && out(5L).channels == 3)
+    assert(out(5L).r_first == 5 && out(5L).g_first == 15 && out(5L).b_first == 35)
+    assert(out(260L).r_first == 4 && out(260L).g_first == 12 && out(260L).b_first == 28)
+    out.values.foreach { p =>
+      assert((p.r_first, p.g_first, p.b_first) == ((p.r_last, p.g_last, p.b_last)),
+        "uniform fill: both corners decode to the same color")
+    }
+  }
+
   // ------------------------------------------------------------ tf-idf
 
   private val tfidfDocs = Seq(
