@@ -2062,6 +2062,71 @@ object Oracles {
         |       END AS mean_weight
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors TextOps.lmAndDsir: the surprisal + DSIR fusion — one
+    // bigram stream, one LM CTE carrying the total count plus
+    // nullif'd target/source counts (null ⇔ absent from that LM,
+    // matching the standalone operators' failed joins), per-doc stats
+    // of both operators in one aggregate. Values must equal the two
+    // standalone queries column for column.
+    "quality_lm_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |         list_filter(regexp_split_to_array(lower(text),
+        |           '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tgt, z[1] AS w1, z[2] AS w2 FROM (
+        |    SELECT doc_id, tgt, unnest(list_zip(t[:-2], t[2:])) AS z
+        |    FROM toks)),
+        |lm AS (SELECT w1, w2, count(*) AS c_bg,
+        |         nullif(sum(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS c_t,
+        |         nullif(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END), 0) AS c_s
+        |       FROM bg GROUP BY 1, 2),
+        |pfx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_prefix,
+        |               CAST(sum(c_t) AS BIGINT) AS p_t,
+        |               CAST(sum(c_s) AS BIGINT) AS p_s
+        |        FROM lm GROUP BY 1),
+        |occ AS (
+        |  SELECT doc_id,
+        |         length(bin(c_prefix // c_bg)) - 1 AS bits,
+        |         CASE WHEN c_bg <= 2 THEN 1 ELSE 0 END AS rare,
+        |         c_t IS NOT NULL AND c_s IS NOT NULL AS in_both,
+        |         CASE WHEN c_t IS NOT NULL AND c_s IS NOT NULL
+        |           THEN (length(bin(p_s // c_s)) - 1)
+        |                - (length(bin(p_t // c_t)) - 1)
+        |           ELSE 0 END AS w,
+        |         CASE WHEN c_t IS NULL THEN 1 ELSE 0 END AS oov_t,
+        |         CASE WHEN c_s IS NULL THEN 1 ELSE 0 END AS oov_s
+        |  FROM bg LEFT JOIN lm USING (w1, w2) LEFT JOIN pfx USING (w1)),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |         CAST(sum(rare) AS BIGINT) AS n_rare,
+        |         CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_scored,
+        |         CAST(sum(oov_t) AS BIGINT) AS n_oov_target,
+        |         CAST(sum(oov_s) AS BIGINT) AS n_oov_source,
+        |         CAST(sum(w) AS BIGINT) AS weight_bits
+        |  FROM occ GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(sum_bits, 0) AS BIGINT) AS sum_bits,
+        |       CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+        |       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+        |       CAST(coalesce(n_oov_target, 0) AS BIGINT) AS n_oov_target,
+        |       CAST(coalesce(n_oov_source, 0) AS BIGINT) AS n_oov_source,
+        |       CAST(coalesce(weight_bits, 0) AS BIGINT) AS weight_bits,
+        |       CASE WHEN coalesce(n_bigrams, 0) > 0
+        |         THEN round(sum_bits * 10000.0 / n_bigrams) / 10000
+        |       END AS bits_per_bigram,
+        |       CASE WHEN coalesce(n_bigrams, 0) > 0
+        |         THEN round(n_rare * 10000.0 / n_bigrams) / 10000
+        |       END AS rare_ratio,
+        |       CASE WHEN coalesce(n_scored, 0) > 0
+        |         THEN round(weight_bits * 10000.0 / n_scored) / 10000
+        |       END AS mean_weight
+        |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Mirrors operators.ZOrder.rangeStats over events (user_id ×
     // floor(value)): broadcast min/max bounds, affine grid scaling in
     // exact integral arithmetic (// ≡ Spark DIV on non-negatives) with

@@ -21,6 +21,15 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The ONE production split configuration, shared by `split_assign`
+    * and the `split_leakage` audit (r9 ADVICE): if the weights or salt
+    * ever change, both the assignment and the audit move together —
+    * a leakage audit of a different split than production is silently
+    * worthless. The oracle SQL mirrors these literals (bucket < 80 /
+    * < 90, salt 'graft'). */
+  private val SplitWeights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+  private val SplitSalt = "graft"
+
   /** Exact micro-scaled sum: values are ≤2-dp doubles in the testdata,
     * so `round(v*1e6)` is an exact integer and the BIGINT sum is
     * order-independent — the only way a sum of doubles hashes
@@ -595,7 +604,7 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
     val sp = Splits.assign(docs.select("doc_id"), "doc_id",
-        Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "graft")
+        SplitWeights, salt = SplitSalt)
       .select(col("doc_id"), col("split"))
     pairs
       .join(sp.toDF("id_a", "split_a"), "id_a")
@@ -638,7 +647,7 @@ object Queries {
     * under re-reads/appends, engine-portable (oracle reproduces it). */
   val splitAssign: Q = (s, dir) =>
     Splits.assign(Tables.documents(s, dir).select("doc_id"), "doc_id",
-        Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "graft")
+        SplitWeights, salt = SplitSalt)
       .select("doc_id", "bucket", "split")
 
   /** Incremental ingestion dedup: odd-id docs are the "new batch",
@@ -1035,6 +1044,15 @@ object Queries {
     * [[TextOps.dsirWeights]]). */
   val qualityDsir: Q = (s, dir) =>
     TextOps.dsirWeights(Tables.documents(s, dir), col("lang") === "en")
+
+  /** Surprisal + DSIR fused over one corpus pass (r9 VERDICT #6): the
+    * shape that ships when both signals feed the same curation run —
+    * one tokenize/explode, one LM groupBy training all three LMs,
+    * one per-doc aggregate; value-identical columns to running
+    * [[qualityLmSurprisal]] and [[qualityDsir]] separately (see
+    * [[TextOps.lmAndDsir]]). */
+  val qualityLmDsir: Q = (s, dir) =>
+    TextOps.lmAndDsir(Tables.documents(s, dir), col("lang") === "en")
 
   /** Z-order layout diagnostics over events (user × quantized value):
     * 32 fixed-width z-ranges with per-range min/max bounds on both
@@ -1454,6 +1472,7 @@ object Queries {
     "layout_shuffle" -> layoutShuffle,
     "dedup_spans" -> dedupSpans,
     "quality_lm_surprisal" -> qualityLmSurprisal,
-    "quality_dsir" -> qualityDsir
+    "quality_dsir" -> qualityDsir,
+    "quality_lm_dsir" -> qualityLmDsir
   )
 }

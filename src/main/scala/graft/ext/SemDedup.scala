@@ -167,13 +167,39 @@ object SemDedup {
     * `threshold` is the cosine above which two same-cluster vectors
     * are duplicates, compared in the 4-dp integer space the whole
     * vector family rounds to ([[Dedup.embeddingCosinePairs]]).
+    *
+    * `maxCluster` is the hot-cluster guard: the pair search is
+    * Σ|cluster|², so ONE degenerate cluster (an embedding-collapse
+    * artifact, or a quantizer under-provisioned for the corpus — k
+    * must scale ~N/10⁴) turns the whole operator quadratic. When any
+    * cluster exceeds the cap the operator THROWS before the pair join
+    * runs (one map-side-combined size aggregate, linear) rather than
+    * either grinding through the quadratic regime or silently
+    * skipping the dense region — un-deduplicated dense space is
+    * exactly the wrong thing to ship quietly (the
+    * [[graft.operators.ConnectedComponents]] non-convergence
+    * posture). Exact duplicates should be removed by the cheap
+    * fingerprint pass BEFORE semantic dedup; a legitimate dense
+    * region needs a larger `nCenters`.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      nCenters: Int, threshold: Double): DataFrame = {
+      nCenters: Int, threshold: Double,
+      maxCluster: Int = Int.MaxValue): DataFrame = {
     // MATERIALIZED: feeds both sides of the pair self-join plus the
     // final verdict join (see ngramJaccardPairs; a cluster deployment
     // persists DISK_ONLY instead)
     val assigned = assignTwoLevel(df, idCol, vecCol, nCenters).localCheckpoint()
+    if (maxCluster != Int.MaxValue) {
+      val hot = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCluster)
+        .orderBy(col("n").desc).limit(1).collect()
+      if (hot.nonEmpty) throw new IllegalStateException(
+        s"semanticDedup: cluster ${hot.head.get(0)} holds ${hot.head.getLong(1)} " +
+          s"vectors (> maxCluster=$maxCluster); the pair search would be " +
+          "quadratic in that cluster. Run exact/fingerprint dedup first, " +
+          "raise nCenters (k must scale with the corpus, ~N/1e4), or raise " +
+          "maxCluster explicitly")
+    }
     val pairs = Dedup.embeddingCosinePairs(assigned, "id", "v", "cluster", threshold)
     val labels = ConnectedComponents.run(pairs, "id_a", "id_b")
     assigned

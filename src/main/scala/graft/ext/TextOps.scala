@@ -494,4 +494,77 @@ object TextOps {
         when(col("n_scored") > 0,
           round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4))
   }
+
+  /** [[lmSurprisal]] and [[dsirWeights]] fused over ONE corpus pass
+    * (r9 VERDICT #6): wherever both signals ship together, running the
+    * two operators back to back tokenized and exploded the corpus
+    * twice and shuffled the occurrence stream four times. Here the
+    * (doc, w1, w2, target) occurrence stream is materialized once;
+    * ONE vocab groupBy trains all three LMs at once (total count plus
+    * conditional target/source counts, `nullif(…, 0)` restoring the
+    * absent-from-this-LM null the standalone operators express as a
+    * failed join — exact even for rows where `targetFilter` is null,
+    * which train neither side but are still total-LM occurrences),
+    * and every per-doc statistic of both operators comes out of a
+    * single join + groupBy over the stream. Output = the surprisal
+    * columns followed by the DSIR columns, value-identical to the
+    * standalone operators (same exact-integer bit space, same
+    * rounding).
+    *
+    * Scale shape: linear explode (checkpointed once; a cluster
+    * deployment persists DISK_ONLY), two half-corpus hash aggs with
+    * map-side combine, vocab-bounded equality joins (AQE broadcasts
+    * real-world LM tables), one per-doc re-agg. */
+  def lmAndDsir(df: DataFrame, targetFilter: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      rareMax: Long = 2L): DataFrame = {
+    val bg = bigramOccurrences(
+      df.withColumn("__target", targetFilter), idCol, textCol, "__target")
+      .localCheckpoint()
+    val lm = bg.groupBy("w1", "w2").agg(
+      count(lit(1)).as("c_bg"),
+      nullif(sum(when(col("__target") === true, 1L).otherwise(0L)), lit(0L)).as("c_t"),
+      nullif(sum(when(col("__target") === false, 1L).otherwise(0L)), lit(0L)).as("c_s"))
+    // prefix totals fold the already-aggregated vocab frame, never the
+    // raw stream; sum() skips nulls, so p_t/p_s are the per-side
+    // prefix totals, non-null wherever the matching count is non-null
+    val pfx = lm.groupBy("w1").agg(
+      sum("c_bg").as("c_prefix"), sum("c_t").as("p_t"), sum("c_s").as("p_s"))
+    val bits = (p: String, c: String) =>
+      (length(bin(expr(s"$p DIV $c"))) - 1).cast("long")
+    val scored = bg
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(pfx, Seq("w1"), "left")
+      .withColumn("in_both", col("c_t").isNotNull && col("c_s").isNotNull)
+    val perDoc = scored.groupBy("doc").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(bits("c_prefix", "c_bg")).as("sum_bits"),
+      sum(when(col("c_bg") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+      sum(when(col("in_both"), 1L).otherwise(0L)).as("n_scored"),
+      sum(when(col("c_t").isNull, 1L).otherwise(0L)).as("n_oov_target"),
+      sum(when(col("c_s").isNull, 1L).otherwise(0L)).as("n_oov_source"),
+      sum(when(col("in_both"),
+        bits("p_s", "c_s") - bits("p_t", "c_t")).otherwise(0L))
+        .as("weight_bits"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_oov_target"), lit(0L)).as("n_oov_target"),
+        coalesce(col("n_oov_source"), lit(0L)).as("n_oov_source"),
+        coalesce(col("weight_bits"), lit(0L)).as("weight_bits"))
+      // integer-scaled rounding — see qualitySignals
+      .withColumn("bits_per_bigram",
+        when(col("n_bigrams") > 0,
+          round(col("sum_bits") * lit(10000.0) / col("n_bigrams")) / 1e4))
+      .withColumn("rare_ratio",
+        when(col("n_bigrams") > 0,
+          round(col("n_rare") * lit(10000.0) / col("n_bigrams")) / 1e4))
+      .withColumn("mean_weight",
+        when(col("n_scored") > 0,
+          round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4))
+  }
 }

@@ -354,4 +354,85 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(nRows == total, "must emit exactly one row per doc")
     assert(secs < 120, s"LM surprisal blew up: $secs s")
   }
+
+  smokeTest("split-leakage audit survives a 25%-hot duplicate text (LSH maxBucket guard)") {
+    // r9 VERDICT #7: 25% of 100k docs are ONE text — every band of the
+    // hot doc is a 25k-deep bucket, the C(25k,2) ≈ 312M-pair regime
+    // the maxBucket guard must drop BEFORE the candidate join. The
+    // rest are unique docs with 97 shared drifting tails providing a
+    // benign near-dup population. Same shape as the split_leakage
+    // catalog query (assign ∘ lshPairs ∘ cross-filter), skewed input.
+    val docs = spark.range(100000L).select(col("id").as("doc_id"),
+        when(col("id") % 4 === 0,
+          lit("the same hot boilerplate banner text repeated across the " +
+            "whole crawl with no variation at all"))
+          .otherwise(concat(
+            lit("unique document number "), col("id").cast("string"),
+            lit(" carrying its own words plus shared drifting tail "),
+            (col("id") % 97).cast("string"),
+            lit(" and a bit more unique trailing content "),
+            (col("id") % 9973).cast("string")))
+          .as("text"))
+      .repartition(8).cache()
+    val total = docs.count()
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
+    val sp = graft.ext.Splits.assign(docs.select("doc_id"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "graft")
+      .select(col("doc_id"), col("split"))
+    val leaks = pairs
+      .join(sp.toDF("id_a", "split_a"), "id_a")
+      .join(sp.toDF("id_b", "split_b"), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"split leakage over $total docs (25% hot): $leaks cross-split " +
+      s"pairs in ${secs.round} s")
+    docs.unpersist()
+    // the hot doc's bands are dropped (exact dups are the fingerprint
+    // pass's job); time is the contract — an undropped hot bucket is
+    // minutes-vs-seconds
+    assert(secs < 120, s"leakage audit blew up on the hot key: $secs s")
+  }
+
+  smokeTest("semantic dedup at a 25%-hot embedding: assignment linear, guard refuses pair search") {
+    // r9 VERDICT #7: 25% of 100k vectors are one identical embedding —
+    // one coarse cluster holds ≥ 25k members, the Σ|cluster|² regime.
+    // The two-level ASSIGNMENT must stay linear under the hot key
+    // (broadcast supers + equality bucket join + groupBys), and
+    // semanticDedup's maxCluster guard must refuse the pair search
+    // with the remediation message instead of grinding through ~312M
+    // cosine pairs.
+    import spark.implicits._
+    val dim = 16
+    val vecs = spark.range(100000L).as[Long].map { id =>
+      val v = new Array[Float](dim)
+      if (id % 4 == 0L) { v(0) = 1f } // the hot direction
+      else {
+        var i = 0
+        while (i < dim) {
+          v(i) = (((id * dim + i) * 2654435761L % 1000L) / 1000.0f); i += 1
+        }
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding").repartition(8).cache()
+    val total = vecs.count()
+    val t0 = System.nanoTime()
+    val assigned = graft.ext.SemDedup.assignTwoLevel(
+      vecs, "vec_id", "embedding", nCenters = 316)
+    assert(assigned.count() == total, "every vector assigned exactly once")
+    val tAssign = (System.nanoTime() - t0) / 1e9
+    info(s"two-level assignment over $total vectors (25% hot): ${tAssign.round} s")
+    assert(tAssign < 120, s"assignment blew up on the hot key: $tAssign s")
+    val t1 = System.nanoTime()
+    val e = intercept[IllegalStateException] {
+      graft.ext.SemDedup.semanticDedup(vecs, "vec_id", "embedding",
+        nCenters = 316, threshold = 0.9, maxCluster = 2000)
+    }
+    val tGuard = (System.nanoTime() - t1) / 1e9
+    assert(e.getMessage.contains("maxCluster"))
+    info(s"hot-cluster guard fired in ${tGuard.round} s")
+    assert(tGuard < 120, s"guard must fire from a linear aggregate: $tGuard s")
+    vecs.unpersist()
+  }
 }

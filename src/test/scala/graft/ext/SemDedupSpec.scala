@@ -83,6 +83,20 @@ class SemDedupSpec extends SparkSpec {
     assert(out.count(!_._4) == 1, "only the exact dup is dropped")
   }
 
+  test("maxCluster guard refuses a hot cluster instead of the quadratic pair join") {
+    // nCenters=1 puts all 7 vectors in one cluster — over any cap < 7
+    // the operator must throw with the remediation message, and with
+    // the cap raised it must return normally
+    val e = intercept[IllegalStateException] {
+      SemDedup.semanticDedup(fixture, "vec_id", "embedding",
+        nCenters = 1, threshold = 0.9, maxCluster = 3)
+    }
+    assert(e.getMessage.contains("maxCluster") && e.getMessage.contains("nCenters"))
+    val ok = SemDedup.semanticDedup(fixture, "vec_id", "embedding",
+      nCenters = 1, threshold = 0.9, maxCluster = 7)
+    assert(ok.count() == 7)
+  }
+
   test("two-level assignment ≡ flat assignment when every cluster holds a super-center") {
     // Build the fixture AROUND the md5 draw: rank candidate ids by
     // md5 exactly as the quantizer does, anchor the 3 smallest (the

@@ -346,4 +346,36 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3L, 2L, 1L, 0L, -1L, Some(-0.5))))
     assert(out(4L) == ((4L, 1L, 0L, 1L, 0L, 0L, None)))
   }
+
+  test("lmAndDsir ≡ lmSurprisal ⋈ dsirWeights, including a null-target row") {
+    // doc 5's target flag is NULL: it must train neither the target
+    // nor the source LM (standalone dsirWeights semantics) while its
+    // bigrams still count in the total LM (standalone lmSurprisal
+    // semantics) — the exact regime the fused single-pass LM's
+    // nullif'd conditional counts have to reproduce
+    val docs = Seq(
+      (1L, "a b a b", Some(true)), (2L, "a b c", Some(true)),
+      (3L, "a b c c", Some(false)), (4L, "z z", Some(false)),
+      (5L, "a b q", None)
+    ).toDF("doc_id", "text", "is_en")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val surprisal = rows(TextOps.lmSurprisal(docs))
+    val dsir = rows(TextOps.dsirWeights(docs, col("is_en")))
+    val fused = TextOps.lmAndDsir(docs, col("is_en"))
+    assert(fused.columns.toSeq == Seq("doc_id", "n_bigrams", "sum_bits",
+      "n_rare", "n_scored", "n_oov_target", "n_oov_source", "weight_bits",
+      "bits_per_bigram", "rare_ratio", "mean_weight"))
+    val byName = fused.collect().map { r =>
+      r.getLong(0) -> fused.columns.zip(r.toSeq).toMap
+    }.toMap
+    for (id <- 1L to 5L) {
+      val f = byName(id)
+      val s = TextOps.lmSurprisal(docs).columns.drop(1).zip(surprisal(id)).toMap
+      val d = TextOps.dsirWeights(docs, col("is_en")).columns.drop(1).zip(dsir(id)).toMap
+      (s ++ d).foreach { case (c, v) =>
+        assert(f(c) == v, s"doc $id column $c: fused ${f(c)} != standalone $v")
+      }
+    }
+  }
 }
