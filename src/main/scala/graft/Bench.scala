@@ -36,6 +36,17 @@ import org.apache.spark.sql.SparkSession
   * query's canonicalized optimized plan (`plans` key): when a number
   * moves between rounds, an unchanged hash proves the plan didn't —
   * the delta is scheduler luck, not a regression.
+  *
+  * CPU pinning (r9 VERDICT #5): the same code measured at local[4] and
+  * local[32] differs up to 2.7× on tiny windowed frames with
+  * byte-identical plans — pure task-scheduling overhead. Every record
+  * therefore STATES its cpu count (`cpus` in the timings line and in
+  * each history row), and round-over-round comparison is only valid
+  * between same-cpus, same-sf rows — `tools/bench_diff.py` enforces
+  * this by diffing against the latest matching row, not merely the
+  * previous one. The committed record runs at whatever SPARK_GRAFT_CPUS
+  * the driver pins (local[32] since r9); local iteration at other cpu
+  * counts is fine because the history row carries the config.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -145,7 +156,7 @@ object Bench {
     val spreadLine =
       s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"excluded":$excluded,"bench_forms":$benchForms,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
     if (only.isEmpty)

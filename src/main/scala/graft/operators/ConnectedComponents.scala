@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   * Each is one hash-shuffle groupBy + one equality join over |edges|
   * rows, linear per round; round frames are `localCheckpoint`ed so
   * plan depth stays constant (a cluster deployment persists to a
-  * checkpoint dir instead). The loop exits when NEITHER operator
-  * changed the edge set — the published termination condition, which
-  * holds exactly when the edges form min-rooted stars.
+  * checkpoint dir instead). The loop exits the moment a round's output
+  * IS a min-rooted star forest — the exact fixpoint set of both
+  * operators — tested structurally on the (distinct) canonical set:
+  * every h-node occurs in exactly one edge and no h-node is also an
+  * l-node ⇔ disjoint min-centered stars. Both operators preserve
+  * connectivity exactly, so the stars of that state are the original
+  * components. Two cheap scans of the just-materialized frame,
+  * instead of set-equality probes against the previous round (which
+  * also burn one extra full round merely to OBSERVE the fixpoint).
   *
   * Output is one (node, label) row per node that appears in any input
   * edge (self-loops count as appearances but propagate nothing);
@@ -84,11 +90,15 @@ object ConnectedComponents {
         .unionByName(cur.select(col("l").as("u"), col("h").as("v")))
       val lmin = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // NOT checkpointed: both consumers (the min groupBy and the
+      // rewire join) shuffle this subtree identically, so exchange
+      // reuse computes it once inside afterSmall's one materialization
+      // job — a second checkpoint here costs a whole extra job per
+      // round, which is what regressed the r10 bench before this note
       val afterLarge = sym.join(lmin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("h"), col("m").as("l"))
         .distinct()
-        .localCheckpoint()
       // small-star: canonical edges already group a node's ≤-neighbors
       // under it; rewire them (and the node itself) to their minimum —
       // (v, m) with v > m after the v ≠ m filter, canonical again
@@ -99,17 +109,20 @@ object ConnectedComponents {
         .unionByName(smin.select(col("h"), col("m").as("l")))
         .distinct()
         .localCheckpoint()
-      // fixpoint ⇔ BOTH operators left the set unchanged (Kiveris et
-      // al.'s termination condition — exactly the min-rooted-star
-      // forests). Count compare first: it short-circuits the except
-      // scans on every non-final round. All frames are distinct sets,
-      // so equal count + empty difference ⇔ set equality.
-      converged = cur.count() == afterLarge.count() &&
-        afterLarge.count() == afterSmall.count() &&
-        afterLarge.except(cur).isEmpty &&
-        afterSmall.except(afterLarge).isEmpty
       cur = afterSmall
       i += 1
+      // star-forest test on the distinct canonical set, ONE probe job:
+      // a node violates iff it leads >1 edge (rows-per-h IS the
+      // distinct-partner count on a set) or appears on both sides.
+      // No violations ⇒ every node is either a degree-1 leaf (h) or a
+      // center (l), centers below their leaves ⇒ min-rooted stars.
+      converged = cur
+        .select(col("h").as("node"), lit(1L).as("ih"), lit(0L).as("il"))
+        .unionByName(cur
+          .select(col("l").as("node"), lit(0L).as("ih"), lit(1L).as("il")))
+        .groupBy("node").agg(sum("ih").as("nh"), sum("il").as("nl"))
+        .filter(col("nh") > 1 || (col("nh") >= 1 && col("nl") >= 1))
+        .isEmpty
     }
     // at fixpoint every edge is (non-min node → its component min):
     // h-nodes read their label off their single partner, l-nodes are

@@ -1,10 +1,17 @@
 #!/usr/bin/env python3
-"""Compare the last two bench_history.jsonl rows median-to-median.
+"""Compare the latest bench_history.jsonl row against the most recent
+COMPARABLE earlier row (same sf AND same cpus) median-to-median.
 
 A query is flagged as a REGRESSION only when its median moved by more
 than the noise its own min/max spread explains in BOTH runs — the test
 the r8 board couldn't run (single-run numbers made a 4x host spike and
 a real 2x regression look identical).
+
+Same-cpus pairing is mandatory (r9 VERDICT #5): the identical code at
+local[4] vs local[32] differs up to 2.7x on tiny windowed frames with
+byte-identical plans — cross-cpus deltas measure the scheduler, not the
+plan. Rows without a "cpus" field (pre-r9) are treated as cpus=4, which
+is what they ran at.
 
 Usage: python3 tools/bench_diff.py [history_file] [threshold]
   threshold: flag medians that moved more than this factor beyond the
@@ -17,9 +24,19 @@ def main(path="bench_history.jsonl", threshold=1.15):
     rows = [r for r in rows if r.get("queries")]
     if len(rows) < 2:
         print("need at least two bench runs in history"); return 0
-    prev, cur = rows[-2], rows[-1]
-    if prev["sf"] != cur["sf"]:
-        print(f"warning: comparing different SFs ({prev['sf']} vs {cur['sf']})")
+    cur = rows[-1]
+    cfg = lambda r: (r["sf"], r.get("cpus", 4))
+    comparable = [r for r in rows[:-1] if cfg(r) == cfg(cur)]
+    if not comparable:
+        print(f"no earlier row matches sf={cur['sf']} cpus={cur.get('cpus', 4)} "
+              "- nothing comparable to diff against (cross-cpus deltas "
+              "measure the scheduler, not the plan)")
+        return 0
+    prev = comparable[-1]
+    skipped = len(rows) - 1 - rows.index(prev) - 1
+    if skipped:
+        print(f"note: skipped {skipped} non-comparable row(s) to reach the "
+              f"latest sf={cur['sf']} cpus={cur.get('cpus', 4)} match")
     common = sorted(set(prev["queries"]) & set(cur["queries"]))
     p_plans, c_plans = prev.get("plans", {}), cur.get("plans", {})
     flagged, improved = [], []
@@ -41,7 +58,8 @@ def main(path="bench_history.jsonl", threshold=1.15):
             flagged.append((q, p_med, c_med, ratio, noise, plan))
         elif 1 / ratio > noise * threshold:
             improved.append((q, p_med, c_med, ratio, noise, plan))
-    print(f"{len(common)} common queries, "
+    print(f"{len(common)} common queries at sf={cur['sf']} "
+          f"cpus={cur.get('cpus', 4)}, "
           f"totals {prev['total']:.1f}s -> {cur['total']:.1f}s")
     for name, rows_ in (("REGRESSION", flagged), ("improved", improved)):
         for q, p, c, r, n, plan in sorted(rows_, key=lambda x: -abs(x[3] - 1)):
