@@ -322,4 +322,71 @@ class PropertiesSpec extends SparkSpec {
         "kept spans must be globally unique")
     }
   }
+
+  test("star-contraction CC ≡ union-find on random graphs (r10 algorithm swap)") {
+    // the law the O(log n) rewrite must preserve: for ANY edge set,
+    // every node appearing in an edge gets the minimum id reachable
+    // from it — checked against a driver-side union-find on random
+    // multigraphs (duplicate edges, self-loops, both orientations,
+    // disconnected remainders all included by construction)
+    val graphGen = for {
+      nNodes <- Gen.choose(2, 40)
+      nEdges <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nNodes.toLong), Gen.choose(0L, nNodes.toLong)))
+    } yield edges
+    forAllSamples(graphGen, 12) { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = graft.operators.ConnectedComponents
+        .run(edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected,
+        s"CC labels diverge from union-find on edges $edges")
+    }
+  }
+
+  test("two-level quantizer assignment: total, center-valued, dup-co-locating") {
+    // laws that hold for ANY corpus and k (no separation assumptions,
+    // unlike the unambiguous-fixture equivalence spec): every id
+    // assigned exactly once, every cluster label is a center id (one
+    // of the nCenters smallest-md5 ids — recomputed here), and exact
+    // duplicate vectors always land in the same cluster
+    val corpusGen = for {
+      n <- Gen.choose(4, 24)
+      k <- Gen.choose(1, 12)
+      vecs <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(-5, 5)))
+    } yield (k, vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat + 0.5f).toArray)
+    })
+    forAllSamples(corpusGen, 10) { case (k, rows) =>
+      val df = rows.toDF("vec_id", "embedding")
+      val out = graft.ext.SemDedup
+        .assignTwoLevel(df, "vec_id", "embedding", nCenters = k)
+        .select($"id".as[Long], $"cluster".as[Long]).collect()
+      assert(out.map(_._1).sorted.toSeq == rows.map(_._1).sorted,
+        "every vector assigned exactly once")
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val centers = rows.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        .take(k).toSet
+      assert(out.forall(r => centers(r._2)),
+        s"cluster labels must be min-md5 center ids; got ${out.toSeq}")
+      val byVec = rows.groupBy(_._2.toSeq).values.filter(_.size > 1)
+      val cluster = out.toMap
+      byVec.foreach { dups =>
+        assert(dups.map(d => cluster(d._1)).distinct.size == 1,
+          "exact duplicate vectors must co-locate")
+      }
+    }
+  }
 }
