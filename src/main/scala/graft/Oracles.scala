@@ -106,6 +106,41 @@ object Oracles {
   // maxBucket=200 giant-bucket exclusion, candidates on band equality,
   // exact-Jaccard verify ≥ 0.5. Final relation `lshp(id_a, id_b,
   // jaccard)` — shared by dedup_minhash_lsh and split_leakage.
+  /** Unrolled BPE training stages (mirrors ext.Bpe.trainMerges): w0 is
+    * the word-frequency table with '~'-joined character symbols; each
+    * stage counts adjacent symbol pairs frequency-weighted (p_i), takes
+    * the winner under the pinned (count DESC, lhs, rhs) order (b_i),
+    * and applies it as a literal replace (w_i) — guarded so a stage
+    * with no pairs left is a no-op emitting no merge row, exactly the
+    * trainer's early-stop. SQL generated by loop because the stage
+    * count is the model's hyperparameter, not prose. Every stage CTE
+    * is AS MATERIALIZED: DuckDB inlines plain CTEs, and a chain where
+    * each stage reads its predecessor 2-3× expands exponentially
+    * (measured: "too many open files" from hundreds of re-opens of the
+    * corpus scan at depth 8). */
+  private def bpeCtes(n: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, array_to_string(string_split(word, ''), '~') AS symbols,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |          '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word FROM documents)
+        |  GROUP BY 1, 2)""".stripMargin
+    val stages = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT z[1] AS l, z[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_zip(t[:-2], t[2:])) AS z
+         |        FROM (SELECT string_split(symbols, '~') AS t, freq FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word,
+         |    CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN symbols
+         |         ELSE replace(symbols, (SELECT l || '~' || r FROM b$i),
+         |                      (SELECT l || r FROM b$i)) END AS symbols,
+         |    freq FROM w${i - 1})""".stripMargin
+    }
+    (w0 +: stages).mkString(",\n")
+  }
+
   private val lshPairCtes: String =
     """ok AS (SELECT band_idx, band_key FROM bands
       |       GROUP BY 1, 2 HAVING count(*) <= 200),
@@ -2126,6 +2161,24 @@ object Oracles {
         |         THEN round(weight_bits * 10000.0 / n_scored) / 10000
         |       END AS mean_weight
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // Mirrors Bpe.trainMerges(nMerges = 8): each stage's winning pair
+    // becomes one merge row; a pair-exhausted stage emits nothing.
+    "vocab_bpe_merges" ->
+      s"""WITH ${bpeCtes(8)}
+         |${(1 to 8).map(i =>
+              s"SELECT CAST($i AS INTEGER) AS step, l AS lhs, r AS rhs, " +
+              s"l || r AS merged, cnt AS pair_count FROM b$i")
+            .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // Mirrors Bpe.segment with the merges trained on the same corpus:
+    // BPE inference is the training-order replay, so the segmentation
+    // IS the final training stage's word table.
+    "vocab_bpe_segment" ->
+      s"""WITH ${bpeCtes(8)}
+         |SELECT word, freq, symbols AS seg,
+         |       CAST(len(string_split(symbols, '~')) AS INTEGER) AS n_tokens
+         |FROM w8""".stripMargin,
 
     // Mirrors operators.ZOrder.rangeStats over events (user_id ×
     // floor(value)): broadcast min/max bounds, affine grid scaling in

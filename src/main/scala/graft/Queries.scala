@@ -1142,6 +1142,31 @@ object Queries {
   val vocabTopk: Q = (s, dir) =>
     TextOps.vocabTopK(Tables.documents(s, dir), "text", k = 100)
 
+  /** BPE vocabulary training (Sennrich et al. 2016) over the corpus:
+    * the first 8 merges, each the corpus-wide most frequent adjacent
+    * symbol pair (frequency-weighted over the vocab-bounded word
+    * table, lexicographic tie-break) — the trained tokenizer model as
+    * a table, replayed merge-for-merge by the oracle's unrolled
+    * stages. See [[ext.Bpe.trainMerges]]. */
+  val vocabBpeMerges: Q = (s, dir) =>
+    graft.ext.Bpe.trainMerges(Tables.documents(s, dir), "text", nMerges = 8)
+
+  /** The apply side of the trained model: every corpus word segmented
+    * by the 8 trained merges in training order (BPE inference IS the
+    * training-order replay), emitted as the '~'-joined segmentation
+    * plus its token count. Training runs in-query (the model is the
+    * 8-row driver state by definition); the oracle's final stage table
+    * must equal this output word for word. */
+  val vocabBpeSegment: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val trained = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ext.Bpe.segment(docs, "text", trained)
+      .select(col("word"), col("freq"),
+        concat_ws("~", col("tokens")).as("seg"), col("n_tokens"))
+  }
+
   /** PII scrub: replacement count + md5 of the scrubbed text (the
     * md5 lets the oracle verify the full redacted payload without
     * hauling the text through the compare). */
@@ -1473,6 +1498,8 @@ object Queries {
     "dedup_spans" -> dedupSpans,
     "quality_lm_surprisal" -> qualityLmSurprisal,
     "quality_dsir" -> qualityDsir,
-    "quality_lm_dsir" -> qualityLmDsir
+    "quality_lm_dsir" -> qualityLmDsir,
+    "vocab_bpe_merges" -> vocabBpeMerges,
+    "vocab_bpe_segment" -> vocabBpeSegment
   )
 }

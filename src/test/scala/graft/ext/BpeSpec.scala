@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic BPE walkthrough corpus (Sennrich et al. §3.2 shape):
+  // word frequencies low×5, lower×2, newest×6, widest×3
+  private def corpus = Seq(
+    (1L, ("low " * 5) + ("lower " * 2)),
+    (2L, ("newest " * 6) + ("widest " * 3))
+  ).toDF("doc_id", "text")
+
+  test("trainMerges reproduces the hand-computed merge sequence") {
+    val m = Bpe.trainMerges(corpus, "text", nMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toList
+    // pair counts over {low:5, lower:2, newest:6, widest:3}:
+    // (e,s) 9, (s,t) 9, (l,o) 7, (o,w) 7, (w,e) 8(newest 6 + lower 2), …
+    // step 1: count 9 tie between (e,s) and (s,t) → lexicographic (e,s)
+    assert(m.head == ((1, "e", "s", "es", 9L)))
+    // step 2: (es,t) now 9, beats (w,e) 8 → es+t
+    assert(m(1) == ((2, "es", "t", "est", 9L)))
+    // step 3: (w,est) is 9 (newest 6 + widest 3)? no — 'west' only in
+    // newest (6); widest has (d,est) 3; biggest is now (l,o) 7 vs
+    // (o,w) 7 vs (w,est) 6 → lexicographic (l,o)
+    assert(m(2) == ((3, "l", "o", "lo", 7L)))
+    // step 4: (lo,w) 7 wins
+    assert(m(3) == ((4, "lo", "w", "low", 7L)))
+  }
+
+  test("segment replays training exactly: segmentation = final training state") {
+    val trained = Bpe.trainMerges(corpus, "text", nMerges = 4)
+      .orderBy("step").as[(Int, String, String, String, Long)]
+      .collect().map(r => (r._2, r._3)).toSeq
+    val seg = Bpe.segment(corpus, "text", trained)
+      .select($"word".as[String], $"n_tokens".as[Int],
+        concat_ws("~", $"tokens").as[String])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // after merges es, est, lo, low:
+    assert(seg("low") == ((1, "low")))
+    assert(seg("lower") == ((3, "low~e~r")))
+    assert(seg("newest") == ((4, "n~e~w~est")))
+    assert(seg("widest") == ((4, "w~i~d~est")))
+  }
+
+  test("early stop: single-character vocabulary runs out of pairs") {
+    val tiny = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(tiny, "text", nMerges = 5)
+    assert(m.count() == 0, "no adjacent pairs exist in 1-char words")
+  }
+
+  test("determinism: repartitioned input trains the identical merge table") {
+    val a = Bpe.trainMerges(corpus, "text", nMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val b = Bpe.trainMerges(corpus.repartition(7), "text", nMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}
