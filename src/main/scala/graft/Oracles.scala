@@ -2180,6 +2180,25 @@ object Oracles {
          |       CAST(len(string_split(symbols, '~')) AS INTEGER) AS n_tokens
          |FROM w8""".stripMargin,
 
+    // Mirrors textTokensBpe: per-doc occurrence stream joined to the
+    // final training stage's per-word segmentation, token count =
+    // segment length. LEFT JOIN + coalesce covers token-less docs.
+    "text_tokens_bpe" ->
+      s"""WITH ${bpeCtes(8)},
+         |seg AS (SELECT word,
+         |          CAST(len(string_split(symbols, '~')) AS BIGINT) AS n_tok
+         |        FROM w8),
+         |occ AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+         |          lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS word
+         |        FROM documents),
+         |per AS (SELECT doc_id, count(*) AS n_words,
+         |               CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+         |        FROM occ JOIN seg USING (word) GROUP BY 1)
+         |SELECT doc_id,
+         |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Mirrors operators.ZOrder.rangeStats over events (user_id ×
     // floor(value)): broadcast min/max bounds, affine grid scaling in
     // exact integral arithmetic (// ≡ Spark DIV on non-negatives) with

@@ -1167,6 +1167,31 @@ object Queries {
         concat_ws("~", col("tokens")).as("seg"), col("n_tokens"))
   }
 
+  /** Token budgeting with the TRAINED tokenizer: per-doc word and
+    * BPE-token counts under the 8-merge model — the number that
+    * actually prices a document into a training run (whitespace
+    * counts under-charge long words; this replays the model). The
+    * corpus-side work is one explode + one vocab-bounded equality
+    * join (AQE broadcasts real-world segmentations) + one per-doc
+    * agg; training cost is [[vocabBpeMerges]]'s. */
+  val textTokensBpe: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val trained = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wordTok = graft.ext.Bpe.segment(docs, "text", trained)
+      .select("word", "n_tokens")
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextOps.regexTokens(col("text"))).as("word"))
+      .join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tokens").as("n_bpe_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** PII scrub: replacement count + md5 of the scrubbed text (the
     * md5 lets the oracle verify the full redacted payload without
     * hauling the text through the compare). */
@@ -1500,6 +1525,7 @@ object Queries {
     "quality_dsir" -> qualityDsir,
     "quality_lm_dsir" -> qualityLmDsir,
     "vocab_bpe_merges" -> vocabBpeMerges,
-    "vocab_bpe_segment" -> vocabBpeSegment
+    "vocab_bpe_segment" -> vocabBpeSegment,
+    "text_tokens_bpe" -> textTokensBpe
   )
 }
