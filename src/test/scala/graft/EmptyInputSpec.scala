@@ -179,4 +179,33 @@ class EmptyInputSpec extends SparkSpec {
     assert(sem.isEmpty && sem.columns.sameElements(
       Array("vec_id", "cluster", "dup_label", "is_keep")))
   }
+
+  test("round-10 ops on empty inputs") {
+    val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    // BPE training on an empty corpus: no pairs exist, the trainer
+    // stops before its first merge and returns the empty model, shaped
+    val m = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 5)
+    assert(m.isEmpty && m.columns.sameElements(
+      Array("step", "lhs", "rhs", "merged", "pair_count")))
+    // segmentation with an empty model and with an empty corpus
+    val seg = graft.ext.Bpe.segment(docs, "text", Seq.empty)
+    assert(seg.isEmpty && seg.columns.sameElements(
+      Array("word", "freq", "tokens", "n_tokens")))
+    assert(graft.ext.Bpe.segment(
+      Seq((1L, "ab ab")).toDF("doc_id", "text"), "text",
+      Seq(("a", "b"))).count() == 1L)
+    // fused LM+DSIR on an empty corpus: empty, fully shaped
+    val fused = graft.ext.TextOps.lmAndDsir(docs, lit(true))
+    assert(fused.isEmpty && fused.columns.sameElements(Array(
+      "doc_id", "n_bigrams", "sum_bits", "n_rare", "n_scored",
+      "n_oov_target", "n_oov_source", "weight_bits",
+      "bits_per_bigram", "rare_ratio", "mean_weight")))
+    // imageio round trip on an empty id frame: empty, shaped, no codec calls
+    val rt = graft.ext.MultiModal.imageRoundTrip(docs.select("doc_id"))
+    assert(rt.isEmpty)
+    // two-level assignment on an empty corpus (zero centers, zero supers)
+    assert(graft.ext.SemDedup.assignTwoLevel(
+      emptyDf("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      "vec_id", "embedding", nCenters = 8).isEmpty)
+  }
 }

@@ -355,6 +355,21 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"LM surprisal blew up: $secs s")
   }
 
+  smokeTest("BPE training is vocab-bounded: 100k docs cost one scan plus dict-sized iterations") {
+    // the corpus is 200 near-copies of 500 base docs: occurrences grow
+    // 200× but the vocabulary barely moves, so the 8 merge iterations
+    // must run in near-constant time after the single word-frequency
+    // scan — minutes would mean an iteration is re-scanning the corpus
+    val total = corpusSize
+    val t0 = System.nanoTime()
+    val merges = graft.ext.Bpe.trainMerges(corpus, "text", nMerges = 8)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"BPE over $total docs: ${merges.length} merges in ${secs.round} s")
+    assert(merges.length == 8, "rich corpus must sustain 8 merges")
+    assert(secs < 120, s"BPE training blew up: $secs s")
+  }
+
   smokeTest("split-leakage audit survives a 25%-hot duplicate text (LSH maxBucket guard)") {
     // r9 VERDICT #7: 25% of 100k docs are ONE text — every band of the
     // hot doc is a 25k-deep bucket, the C(25k,2) ≈ 312M-pair regime
