@@ -25,17 +25,32 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's
-    * microsecond `TimestampType` cannot represent natively. Read the
-    * raw nanos as a long and convert (truncating) to a timestamp.
-    * Date-part semantics (year/month/day) are unaffected.
+  /** `events.ts` has shipped in two physical forms across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS) — which Spark's
+    * microsecond `TimestampType` cannot hold natively, so it is read
+    * as a raw long (`nanosAsLong`) and truncated to micros — and
+    * plain TIMESTAMP(MICROS) without UTC adjustment, which Spark
+    * reads as `TimestampNTZType`. Both normalize to the SAME
+    * session-zoned `TimestampType` micros here (the session time zone
+    * is pinned UTC in [[GraftSession]], so the NTZ→LTZ cast is an
+    * exact epoch mapping, not a wall-clock shift). Branching on the
+    * scanned schema keeps every consumer — and the DuckDB oracle,
+    * which reads the same file as a naive timestamp — agreeing on the
+    * values regardless of which generation wrote the file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, not `/`: float division of epoch nanos (~1.7e18)
-    // sits beyond double's 2^53 mantissa and corrupts the last
-    // microsecond digit
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral `div`, not `/`: float division of epoch nanos
+        // (~1.7e18) sits beyond double's 2^53 mantissa and corrupts
+        // the last microsecond digit
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already session-zoned TimestampType
+    }
   }
 }
