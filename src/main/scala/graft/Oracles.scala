@@ -1356,6 +1356,32 @@ object Oracles {
         |       round(CAST((n_ngrams - n_distinct) * 10000 AS DOUBLE) / n_ngrams) / 10000 AS repetition
         |FROM d""".stripMargin,
 
+    // Mirrors TextOps.boilerplateSignals: distinct trigrams per doc,
+    // gram document frequency = count(*) over the per-doc-distinct
+    // explode, boilerplate ⟺ df >= 5, keep gate in exact integer
+    // space (100·n_boiler <= 60·n_grams). Spark grams are 61-bit
+    // portable hashes, the oracle's are the strings themselves —
+    // identical df statistics (the dedup_ngram precedent).
+    "text_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in generate_series(1, len(toks) - 2)]) AS s
+        |       FROM w WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |gdf AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+        |per AS (SELECT doc_id, count(*) AS n_grams,
+        |          CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |        FROM ex JOIN gdf USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+        |       CASE WHEN n_grams > 0
+        |         THEN round(CAST(n_boiler * 10000 AS DOUBLE) / n_grams) / 10000
+        |       END AS boiler_ratio,
+        |       coalesce(100 * n_boiler <= 60 * n_grams, TRUE) AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Mirrors Dedup.newAgainstReference over the odd/even batch split:
     // canonical fingerprint anti-join (same canon form as dedup_exact).
     "dedup_incremental" ->

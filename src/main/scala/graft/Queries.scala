@@ -1106,6 +1106,14 @@ object Queries {
   val textRepetition: Q = (s, dir) =>
     TextOps.repetitionSignals(Tables.documents(s, dir))
 
+  /** Corpus-frequency boilerplate-gram signals: the CCNet/RefinedWeb
+    * templated-document heuristic — docs mostly made of grams common
+    * across the corpus are template spam (see
+    * [[TextOps.boilerplateSignals]]; no pair join, pure corpus
+    * statistic). */
+  val textBoilerplate: Q = (s, dir) =>
+    TextOps.boilerplateSignals(Tables.documents(s, dir))
+
   /** Token-budget sequence packing per source: deterministic doc order,
     * window cumsum, new pack at each budget crossing. */
   val packBudget: Q = (s, dir) =>
@@ -1491,6 +1499,7 @@ object Queries {
     "text_fingerprint" -> textFingerprint,
     "text_redact" -> textRedact,
     "text_repetition" -> textRepetition,
+    "text_boilerplate" -> textBoilerplate,
     "pack_budget" -> packBudget,
     "pack_concat" -> packConcat,
     "pack_stats" -> packStats,

@@ -495,6 +495,62 @@ object TextOps {
           round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4))
   }
 
+  /** Templated-document detection via corpus-frequency boilerplate
+    * n-grams — the CCNet/RefinedWeb-family heuristic: a gram occurring
+    * in ≥ `minDocFreq` distinct documents is boilerplate (navigation
+    * chrome, license headers, template text), and a document mostly
+    * MADE of boilerplate grams is template spam regardless of its
+    * per-doc quality signals. Complements [[repetitionSignals]]
+    * (intra-doc repeats) and the pairwise dedup family (this needs no
+    * pair join at all — it is a corpus-statistic filter, not a
+    * similarity search).
+    *
+    * Per doc: `n_grams` (distinct n-grams), `n_boiler` (of them, how
+    * many are corpus-boilerplate), `boiler_ratio` (4 dp, null when no
+    * grams) and `keep` ⟺ 100·n_boiler ≤ maxBoilerPct·n_grams — the
+    * gate compared in exact integer space (see [[qualitySignals]]).
+    * Docs with fewer than `n` tokens have no grams: ratio null,
+    * keep true (no evidence against them).
+    *
+    * Scale shape: one explode of per-doc DISTINCT hashed grams
+    * (distinct-per-doc ⇒ count(*) per gram IS document frequency — no
+    * countDistinct Expand anywhere), one hash agg with map-side
+    * combine for the gram-df table, one equality join back (the df
+    * side is vocab-bounded — ≤ |distinct grams| rows however big the
+    * corpus — so AQE broadcasts it; a hot gram fans out to its df on
+    * the probe side only, never a shuffle hot key), one per-doc
+    * re-agg. Linear end to end; the exploded frame is materialized
+    * once for its two consumers (a cluster deployment persists
+    * DISK_ONLY instead of the memory-backed local checkpoint).
+    * `minDocFreq` is an absolute count (CCNet's form); at corpus
+    * scale the knob moves with corpus size — see README "Deploying
+    * at 100 TB". */
+  def boilerplateSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, minDocFreq: Int = 5,
+      maxBoilerPct: Int = 60): DataFrame = {
+    val ex = df.select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .select(col("doc"), explode(col("s")).as("g"))
+      .localCheckpoint()
+    val gramDf = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(gramDf, Seq("g"))
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDocFreq, 1L).otherwise(0L)).as("n_boiler"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      // integer-scaled rounding — see qualitySignals
+      .withColumn("boiler_ratio",
+        when(col("n_grams") > 0,
+          round(col("n_boiler") * lit(10000.0) / col("n_grams")) / 1e4))
+      .withColumn("keep",
+        lit(100L) * col("n_boiler") <= lit(maxBoilerPct.toLong) * col("n_grams"))
+  }
+
   /** [[lmSurprisal]] and [[dsirWeights]] fused over ONE corpus pass
     * (r9 VERDICT #6): wherever both signals ship together, running the
     * two operators back to back tokenized and exploded the corpus

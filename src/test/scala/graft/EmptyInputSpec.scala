@@ -207,5 +207,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ext.SemDedup.assignTwoLevel(
       emptyDf("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
       "vec_id", "embedding", nCenters = 8).isEmpty)
+    // boilerplate signals on an empty corpus: empty, fully shaped
+    val bp = graft.ext.TextOps.boilerplateSignals(docs)
+    assert(bp.isEmpty && bp.columns.sameElements(
+      Array("doc_id", "n_grams", "n_boiler", "boiler_ratio", "keep")))
+    // ...and on a corpus where no doc reaches n tokens: all rows kept
+    // with zero grams (no evidence is not evidence of boilerplate)
+    val short = graft.ext.TextOps.boilerplateSignals(
+      Seq((1L, "one two"), (2L, "  ")).toDF("doc_id", "text"))
+    assert(short.count() == 2 &&
+      short.filter(col("keep") && col("n_grams") === 0).count() == 2)
   }
 }

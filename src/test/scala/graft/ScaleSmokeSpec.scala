@@ -450,4 +450,36 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(tGuard < 120, s"guard must fire from a linear aggregate: $tGuard s")
     vecs.unpersist()
   }
+
+  smokeTest("boilerplate signals stay linear when one gram covers 25% of docs") {
+    // A gram shared by f docs costs f PROBE rows in the gram-df join —
+    // never f² (there is no self-join anywhere in this operator). With
+    // 25% of 100k docs carrying one hot gram, a pair-join formulation
+    // would be in the 312M-row regime; the corpus-statistic
+    // formulation stays at |distinct grams per doc| rows total.
+    val docs = spark.range(100000L).select(col("id").as("doc_id"),
+        concat(
+          when(col("id") % 4 === 0, lit("hot banner gram here "))
+            .otherwise(lit("")),
+          lit("unique body "), col("id").cast("string"),
+          lit(" more words "), (col("id") % 9973).cast("string"))
+          .as("text"))
+      .repartition(8).cache()
+    val total = docs.count()
+    val t0 = System.nanoTime()
+    val out = graft.ext.TextOps.boilerplateSignals(docs)
+    val dropped = out.filter(!col("keep")).count()
+    val rows = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"boilerplate over $total docs (25% hot gram): $rows rows, " +
+      s"$dropped dropped, in ${secs.round} s")
+    assert(rows == total)
+    // hot docs have 8 distinct trigrams of which 5 are corpus-common
+    // (4 from the banner prefix + the "more words <id%9973>" tail
+    // shared by ~10 docs) → ratio 0.625 > 0.6, dropped; unique docs
+    // sit at 1 of 4 → kept
+    assert(dropped == 25000, s"unexpected drop count $dropped")
+    docs.unpersist()
+    assert(secs < 120, s"boilerplate blew up on the hot gram: $secs s")
+  }
 }

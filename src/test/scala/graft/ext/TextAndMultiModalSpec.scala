@@ -106,6 +106,37 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(ts(1L) == 7L && ts(2L) == 7L)
   }
 
+  test("boilerplateSignals: corpus-df gram gate, ratio, keep threshold") {
+    // bigram df with n=2: "a b" appears in docs 1,2,3,5 (df 4); every
+    // other gram is unique (df 1). minDocFreq=2 ⇒ boiler = {"a b"}.
+    val df = Seq(
+      (1L, "a b x1"),    // grams {a b, b x1}: 1 of 2 boiler
+      (2L, "a b x2"),    // grams {a b, b x2}: 1 of 2
+      (3L, "a b a b"),   // distinct grams {a b, b a}: 1 of 2
+      (4L, "solo"),      // < n tokens: no grams, kept
+      (5L, "a b")        // grams {a b}: 1 of 1 — all boiler, dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.boilerplateSignals(df, n = 2, minDocFreq = 2,
+        maxBoilerPct = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 5)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Long]("n_grams") == 2L)
+      assert(out(id).getAs[Long]("n_boiler") == 1L)
+      assert(out(id).getAs[Double]("boiler_ratio") == 0.5)
+      assert(out(id).getAs[Boolean]("keep"))  // 100·1 ≤ 50·2
+    }
+    assert(out(4L).getAs[Long]("n_grams") == 0L &&
+      out(4L).isNullAt(out(4L).fieldIndex("boiler_ratio")) &&
+      out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Double]("boiler_ratio") == 1.0 &&
+      !out(5L).getAs[Boolean]("keep"))      // 100·1 > 50·1
+    // result is invariant under input partitioning
+    val re = TextOps.boilerplateSignals(df.repartition(7), n = 2,
+      minDocFreq = 2, maxBoilerPct = 50)
+    assert(re.collect().map(_.toSeq).toSet == out.values.map(_.toSeq).toSet)
+  }
+
   // -------------------------------------------------------- MultiModal
 
   test("decodeFeatures: deterministic stub decode via mapPartitions, typed output") {
