@@ -1382,6 +1382,34 @@ object Oracles {
         |       coalesce(100 * n_boiler <= 60 * n_grams, TRUE) AS keep
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors TextOps.topGramShare: bigram occurrence counts per doc,
+    // the top gram by the count-desc/gram-asc tiebreak, occurrence
+    // share at 4 dp, keep gate in exact integer space.
+    "text_topgram" ->
+      s"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+        |ex AS (SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1]
+        |                 for i in generate_series(1, len(toks) - 1)]) AS g
+        |       FROM w WHERE len(toks) >= 2),
+        |counts AS (SELECT doc_id, g, count(*) AS cnt FROM ex GROUP BY 1, 2),
+        |ranked AS (SELECT doc_id, g, cnt,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY cnt DESC, g ASC) AS rn
+        |           FROM counts),
+        |per AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
+        |        FROM counts GROUP BY 1),
+        |top AS (SELECT doc_id, g AS top_gram, cnt AS top_count
+        |        FROM ranked WHERE rn = 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |       top_gram,
+        |       CAST(coalesce(top_count, 0) AS BIGINT) AS top_count,
+        |       CASE WHEN n_grams > 0
+        |         THEN round(CAST(top_count * 10000 AS DOUBLE) / n_grams) / 10000
+        |       END AS top_share,
+        |       coalesce(100 * top_count <= 20 * n_grams, TRUE) AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN top USING (doc_id)""".stripMargin,
+
     // Mirrors Dedup.newAgainstReference over the odd/even batch split:
     // canonical fingerprint anti-join (same canon form as dedup_exact).
     "dedup_incremental" ->

@@ -1114,6 +1114,12 @@ object Queries {
   val textBoilerplate: Q = (s, dir) =>
     TextOps.boilerplateSignals(Tables.documents(s, dir))
 
+  /** Gopher top n-gram occupancy: share of the doc taken by its single
+    * most frequent bigram, with the count-desc/gram-asc deterministic
+    * tiebreak (see [[TextOps.topGramShare]]). */
+  val textTopgram: Q = (s, dir) =>
+    TextOps.topGramShare(Tables.documents(s, dir))
+
   /** Token-budget sequence packing per source: deterministic doc order,
     * window cumsum, new pack at each budget crossing. */
   val packBudget: Q = (s, dir) =>
@@ -1500,6 +1506,7 @@ object Queries {
     "text_redact" -> textRedact,
     "text_repetition" -> textRepetition,
     "text_boilerplate" -> textBoilerplate,
+    "text_topgram" -> textTopgram,
     "pack_budget" -> packBudget,
     "pack_concat" -> packConcat,
     "pack_stats" -> packStats,

@@ -495,6 +495,57 @@ object TextOps {
           round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4))
   }
 
+  /** Top n-gram occupancy — the remaining Gopher repetition rule
+    * (Rae et al. 2021, appendix A1.1: documents where the single most
+    * frequent n-gram accounts for too much of the text are dropped;
+    * the paper measures the character fraction, this measures the
+    * occurrence fraction — same signal, exactly integer-replayable).
+    * Complements [[repetitionSignals]] (distinct-vs-total grams
+    * can't see ONE gram dominating) and [[boilerplateSignals]]
+    * (corpus-wide commonness vs within-doc dominance).
+    *
+    * Per doc: `n_grams` (total occurrences), `top_gram` /
+    * `top_count` (most frequent gram, count-desc then gram-asc
+    * tiebreak — deterministic in both engines), `top_share` (4 dp)
+    * and `keep` ⟺ 100·top_count ≤ maxSharePct·n_grams in exact
+    * integer space. Docs with fewer than `n` tokens: zero grams,
+    * null top, kept.
+    *
+    * Scale shape: one explode (linear in corpus tokens), one
+    * (doc, gram) hash agg with map-side combine, then the per-doc
+    * window and final agg both partition on `doc` — one shuffle,
+    * reused by both operators (no second Exchange). The join back to
+    * the id spine is column-pruned to the id. Nothing quadratic, no
+    * corpus-wide state. */
+  def topGramShare(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2, maxSharePct: Int = 20): DataFrame = {
+    val w = tokens(col(textCol))
+    val grams = when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+    val counts = df.select(col(idCol).as("doc"), explode(grams).as("g"))
+      .groupBy("doc", "g").agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("cnt").desc, col("g").asc)
+    val perDoc = counts.withColumn("rn", row_number().over(win))
+      .groupBy("doc").agg(
+        sum("cnt").as("n_grams"),
+        // exactly one rn=1 row per doc: max() just extracts it
+        max(when(col("rn") === 1, struct(col("g"), col("cnt")))).as("top"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("top.g").as("top_gram"),
+        coalesce(col("top.cnt"), lit(0L)).as("top_count"))
+      // integer-scaled rounding — see qualitySignals
+      .withColumn("top_share",
+        when(col("n_grams") > 0,
+          round(col("top_count") * lit(10000.0) / col("n_grams")) / 1e4))
+      .withColumn("keep",
+        lit(100L) * col("top_count") <= lit(maxSharePct.toLong) * col("n_grams"))
+  }
+
   /** Templated-document detection via corpus-frequency boilerplate
     * n-grams — the CCNet/RefinedWeb-family heuristic: a gram occurring
     * in ≥ `minDocFreq` distinct documents is boilerplate (navigation

@@ -217,5 +217,13 @@ class EmptyInputSpec extends SparkSpec {
       Seq((1L, "one two"), (2L, "  ")).toDF("doc_id", "text"))
     assert(short.count() == 2 &&
       short.filter(col("keep") && col("n_grams") === 0).count() == 2)
+    // top-gram share on empty and all-short corpora: shaped, kept
+    val tg = graft.ext.TextOps.topGramShare(docs)
+    assert(tg.isEmpty && tg.columns.sameElements(
+      Array("doc_id", "n_grams", "top_gram", "top_count", "top_share", "keep")))
+    val tgShort = graft.ext.TextOps.topGramShare(
+      Seq((1L, "one"), (2L, " ")).toDF("doc_id", "text"))
+    assert(tgShort.count() == 2 &&
+      tgShort.filter(col("keep") && col("n_grams") === 0).count() == 2)
   }
 }

@@ -137,6 +137,36 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(re.collect().map(_.toSeq).toSet == out.values.map(_.toSeq).toSet)
   }
 
+  test("topGramShare: dominant bigram, deterministic tiebreak, keep gate") {
+    val df = Seq(
+      (1L, "a b a b a"),    // bigrams: ab,ba,ab,ba — tie at 2, "a b" wins asc
+      (2L, "x y z w"),      // all unique: top_count 1, share 1/3
+      (3L, "go go go go"),  // "go go" ×3 of 3: share 1.0
+      (4L, "solo")          // < 2 tokens: no grams, kept
+    ).toDF("doc_id", "text")
+    val out = TextOps.topGramShare(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("top_gram") == "a b" &&
+      out(1L).getAs[Long]("top_count") == 2L &&
+      out(1L).getAs[Double]("top_share") == 0.5 &&
+      !out(1L).getAs[Boolean]("keep"))       // 100·2 > 20·4
+    assert(out(2L).getAs[Long]("n_grams") == 3L &&
+      out(2L).getAs[Long]("top_count") == 1L &&
+      out(2L).getAs[Double]("top_share") == 0.3333 &&
+      !out(2L).getAs[Boolean]("keep"))       // 100·1 > 20·3 — short docs fail
+    assert(out(3L).getAs[Double]("top_share") == 1.0 &&
+      !out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Long]("n_grams") == 0L &&
+      out(4L).getAs[String]("top_gram") == null &&
+      out(4L).isNullAt(out(4L).fieldIndex("top_share")) &&
+      out(4L).getAs[Boolean]("keep"))
+    // a long clean doc passes: 25 distinct bigrams, top_count 1
+    val clean = (1 to 26).map(i => s"w$i").mkString(" ")
+    val ok = TextOps.topGramShare(Seq((9L, clean)).toDF("doc_id", "text"))
+      .head()
+    assert(ok.getAs[Boolean]("keep") && ok.getAs[Long]("n_grams") == 25L)
+  }
+
   // -------------------------------------------------------- MultiModal
 
   test("decodeFeatures: deterministic stub decode via mapPartitions, typed output") {
