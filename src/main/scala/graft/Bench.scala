@@ -137,6 +137,26 @@ object Bench {
           .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       } catch { case _: Throwable => "err" }
 
+    // Data fingerprint: per-table row counts straight from the parquet
+    // FOOTERS (no scan). The r10 driver regenerated sf0.1 with 10×
+    // documents and 4× embeddings under the SAME path — every
+    // path-keyed round-over-round diff silently compared different
+    // data. Each record now carries what it actually measured, and
+    // tools/bench_diff.py refuses to diff across differing counts.
+    def tableRows(table: String): Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = new org.apache.hadoop.fs.Path(Tables.path(sfDir, table))
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+        finally r.close()
+      } catch { case _: Throwable => -1L }
+    val dataFp = Seq("documents", "embeddings", "events", "lineitem",
+        "orders", "customer", "part", "supplier", "nation", "region")
+      .map(t => "\"" + t + "\":" + tableRows(t)).mkString("{", ",", "}")
+
     def numMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = numMap(medians)
@@ -156,7 +176,7 @@ object Bench {
     val spreadLine =
       s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,"data":$dataFp,"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
     if (only.isEmpty)
@@ -172,7 +192,7 @@ object Bench {
     // plan hashes ride along so a future diff can tell "median moved,
     // plan unchanged ⇒ host noise" from the history file alone
     val histLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"queries":$hist,"plans":$ps}""" + "\n"
+      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"data":$dataFp,"queries":$hist,"plans":$ps}""" + "\n"
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
         histLine.getBytes("UTF-8"),

@@ -389,4 +389,58 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("boilerplate signals ≡ driver-side df recomputation on random corpora") {
+    // independent oracle: recompute distinct trigrams and their corpus
+    // document frequency in plain Scala, then every per-doc signal
+    val corpusGen = Gen.listOfN(25, Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))))
+    forAllSamples(corpusGen, 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val grams = texts.map(t => t.split("\\s+").filter(_.nonEmpty).toSeq)
+        .map(ws => ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+      val df = grams.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val out = graft.ext.TextOps
+        .boilerplateSignals(docs, minDocFreq = 2, maxBoilerPct = 60)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      texts.indices.foreach { i =>
+        val g = grams(i)
+        val boiler = g.count(df(_) >= 2).toLong
+        val r = out(i.toLong)
+        assert(r.getAs[Long]("n_grams") == g.size.toLong, s"doc $i n_grams")
+        assert(r.getAs[Long]("n_boiler") == boiler, s"doc $i n_boiler")
+        assert(r.getAs[Boolean]("keep") == (100L * boiler <= 60L * g.size),
+          s"doc $i keep")
+      }
+    }
+  }
+
+  test("top-gram share ≡ driver-side occurrence count on random corpora") {
+    // independent oracle: count bigram occurrences per doc in plain
+    // Scala; the operator's top pick must match under the count-desc,
+    // gram-asc tiebreak
+    val corpusGen = Gen.listOfN(20, Gen.choose(0, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))
+    forAllSamples(corpusGen, 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ext.TextOps.topGramShare(docs)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      texts.indices.foreach { i =>
+        val ws = texts(i).split("\\s+").filter(_.nonEmpty).toSeq
+        val occ = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val r = out(i.toLong)
+        assert(r.getAs[Long]("n_grams") == occ.size.toLong, s"doc $i n_grams")
+        if (occ.nonEmpty) {
+          val counts = occ.groupBy(identity).view.mapValues(_.size).toMap
+          val (topG, topC) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+          assert(r.getAs[String]("top_gram") == topG, s"doc $i top gram")
+          assert(r.getAs[Long]("top_count") == topC.toLong, s"doc $i count")
+        } else {
+          assert(r.getAs[String]("top_gram") == null && r.getAs[Boolean]("keep"))
+        }
+      }
+    }
+  }
 }

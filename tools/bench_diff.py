@@ -26,11 +26,20 @@ def main(path="bench_history.jsonl", threshold=1.15):
         print("need at least two bench runs in history"); return 0
     cur = rows[-1]
     cfg = lambda r: (r["sf"], r.get("cpus", 4))
-    comparable = [r for r in rows[:-1] if cfg(r) == cfg(cur)]
+    # Data-fingerprint pairing: the r10 driver regenerated sf0.1 with
+    # 10x documents under the SAME path, so path+cpus pairing silently
+    # compared different data. Rows carrying a "data" field (per-table
+    # row counts from the parquet footers) must match it exactly; a
+    # fingerprinted row is never diffed against a pre-fingerprint row.
+    same_data = lambda r: r.get("data") == cur.get("data")
+    comparable = [r for r in rows[:-1] if cfg(r) == cfg(cur) and same_data(r)]
     if not comparable:
+        n_path = sum(1 for r in rows[:-1] if cfg(r) == cfg(cur))
+        why = (f" ({n_path} row(s) match sf+cpus but measured DIFFERENT "
+               "testdata - cross-data deltas measure the generator, not "
+               "the plan)" if n_path else "")
         print(f"no earlier row matches sf={cur['sf']} cpus={cur.get('cpus', 4)} "
-              "- nothing comparable to diff against (cross-cpus deltas "
-              "measure the scheduler, not the plan)")
+              f"with identical table row counts{why}")
         return 0
     prev = comparable[-1]
     skipped = len(rows) - 1 - rows.index(prev) - 1
