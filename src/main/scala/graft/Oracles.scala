@@ -1048,6 +1048,41 @@ object Oracles {
          |          JOIN sp sb ON sb.doc_id = id_b
          |WHERE sa.split <> sb.split""".stripMargin,
 
+    // Mirrors Splits.repairLeakage over the production pair graph:
+    // min-label connected components (the dedup_components recursive
+    // CTE) over the LSH pairs, components spanning >1 split move
+    // whole to train. Shares the minhash/band/split CTEs with
+    // split_leakage.
+    "split_repair" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |$lshPairCtes,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN bucket < 80 THEN 'train'
+         |              WHEN bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (
+         |         SELECT doc_id,
+         |                CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+         |                     % 100 AS INTEGER) AS bucket
+         |         FROM documents)),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM lshp
+         |          UNION SELECT id_b, id_a FROM lshp),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         |span AS (SELECT label FROM comp JOIN sp ON sp.doc_id = comp.node
+         |         GROUP BY label HAVING count(DISTINCT sp.split) > 1)
+         |SELECT d.doc_id, sp.split,
+         |       s.label IS NOT NULL AND sp.split <> 'train' AS moved,
+         |       CASE WHEN s.label IS NOT NULL AND sp.split <> 'train'
+         |            THEN 'train' ELSE sp.split END AS split_repaired
+         |FROM documents d
+         |JOIN sp USING (doc_id)
+         |LEFT JOIN comp c ON c.node = d.doc_id
+         |LEFT JOIN span s ON s.label = c.label""".stripMargin,
+
     // Mirrors minhashClusters: same bands, three label-propagation
     // rounds, singletons as their own clusters.
     "dedup_minhash_clusters" ->

@@ -613,6 +613,20 @@ object Queries {
       .select("id_a", "id_b", "split_a", "split_b", "jaccard")
   }
 
+  /** Split repair: every near-dup component spanning two splits moves
+    * whole to train — the audit's actionable follow-up; zero
+    * cross-split pairs remain afterwards (see
+    * [[graft.ext.Splits.repairLeakage]]). Shares the production
+    * split config and the LSH pair machinery with `split_leakage`. */
+  val splitRepair: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
+    val assigned = Splits.assign(docs.select("doc_id"), "doc_id",
+        SplitWeights, salt = SplitSalt)
+      .select(col("doc_id"), col("split"))
+    Splits.repairLeakage(assigned, pairs)
+  }
+
   /** Benchmark decontamination: every-20th doc plays the held-out eval
     * set; training docs sharing ≥1 distinct 5-gram with it are flagged
     * with overlap counts. Benchmark shingles broadcast; corpus
@@ -1484,6 +1498,7 @@ object Queries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "split_leakage" -> splitLeakage,
+    "split_repair" -> splitRepair,
     "dedup_editdist" -> dedupEditdist,
     "dedup_components" -> dedupComponents,
     "decontam_overlap" -> decontamOverlap,

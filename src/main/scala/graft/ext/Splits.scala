@@ -42,4 +42,47 @@ object Splits {
       }
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
+
+  /** Post-audit split repair: the leakage audit (cross-split near-dup
+    * pairs) finds eval contamination; this moves it out. Every
+    * connected component of the near-dup pair graph whose members
+    * span more than one split is reassigned WHOLE to `sinkSplit` —
+    * the only policy that guarantees zero cross-split near-dup pairs
+    * afterwards (moving individual pair members leaks transitively:
+    * pulling the val member of a train/val pair into train breaks
+    * whatever val/val pair it was also part of). Docs in no pair, and
+    * components already inside one split, keep their assignment —
+    * repair never touches clean docs. Moving TO train (the default
+    * sink) preserves eval purity without deleting tokens; eval sets
+    * shrink by exactly the contaminated docs.
+    *
+    * Output: the assigned frame plus `moved` and `split_repaired`.
+    * Post-condition (spec-pinned): re-running the leakage audit on
+    * `split_repaired` returns zero rows.
+    *
+    * Scale shape: components via the O(log n) star-contraction CC
+    * over the already-bounded pair set; the span check is one
+    * component-keyed aggregate (distinct-split count ≤ |splits|);
+    * one join back per doc. Linear in |pairs| + |docs| — no new pair
+    * generation, no quadratic step. */
+  def repairLeakage(assigned: DataFrame, pairs: DataFrame,
+      keyCol: String = "doc_id", sinkSplit: String = "train"): DataFrame = {
+    val comp = graft.operators.ConnectedComponents
+      .run(pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        "src", "dst")
+      .toDF("__node", "__comp")
+    val withComp = assigned
+      .join(comp, assigned(keyCol) === col("__node"), "left")
+      .drop("__node")
+    val spanning = withComp.filter(col("__comp").isNotNull)
+      .groupBy("__comp").agg(countDistinct(col("split")).as("__ns"))
+      .filter(col("__ns") > 1)
+      .select(col("__comp"), lit(true).as("__move"))
+    withComp.join(spanning, Seq("__comp"), "left")
+      .withColumn("moved",
+        coalesce(col("__move"), lit(false)) && col("split") =!= sinkSplit)
+      .withColumn("split_repaired",
+        when(col("moved"), lit(sinkSplit)).otherwise(col("split")))
+      .drop("__comp", "__move")
+  }
 }

@@ -225,5 +225,16 @@ class EmptyInputSpec extends SparkSpec {
       Seq((1L, "one"), (2L, " ")).toDF("doc_id", "text"))
     assert(tgShort.count() == 2 &&
       tgShort.filter(col("keep") && col("n_grams") === 0).count() == 2)
+    // split repair with no pairs: every assignment untouched; with no
+    // docs: empty, shaped
+    val noPairs = graft.ext.Splits.repairLeakage(
+      Seq(1L -> "train", 2L -> "val").toDF("doc_id", "split"),
+      emptyDf("id_a" -> LongType, "id_b" -> LongType))
+    assert(noPairs.count() == 2 && noPairs.filter(col("moved")).count() == 0)
+    val noDocs = graft.ext.Splits.repairLeakage(
+      emptyDf("doc_id" -> LongType, "split" -> StringType),
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+    assert(noDocs.isEmpty && noDocs.columns.sameElements(
+      Array("doc_id", "split", "moved", "split_repaired")))
   }
 }

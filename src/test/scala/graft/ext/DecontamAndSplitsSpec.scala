@@ -168,4 +168,45 @@ class DecontamAndSplitsSpec extends SparkSpec {
     assert(leaks.sorted == expected, "leakage audit ≡ pair screen ⋈ splits")
     assert(pairs.nonEmpty, "fixture sanity: the screen finds near-dups at sf0.001")
   }
+
+  test("repairLeakage moves spanning components whole; clean docs untouched") {
+    val assigned = Seq(
+      1L -> "train", 2L -> "val", 3L -> "val",   // chain 1-2, 2-3 spans
+      4L -> "test", 7L -> "test",                // component 4-7 within test
+      5L -> "train", 6L -> "val"                 // unpaired
+    ).toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 7L)).toDF("id_a", "id_b")
+    val out = Splits.repairLeakage(assigned, pairs)
+      .select($"doc_id".as[Long], $"split".as[String],
+        $"moved".as[Boolean], $"split_repaired".as[String])
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 7)
+    // the spanning component moves WHOLE: 2 and 3 (val) to train; 1
+    // already there — transitive hygiene: a pairwise move of 2 alone
+    // would have left the (2,3) pair crossing train/val
+    assert(!out(1L)._3 && out(1L)._4 == "train")
+    assert(out(2L)._3 && out(2L)._4 == "train")
+    assert(out(3L)._3 && out(3L)._4 == "train")
+    // single-split component and unpaired docs: untouched
+    Seq(4L -> "test", 7L -> "test", 5L -> "train", 6L -> "val").foreach {
+      case (id, s) => assert(!out(id)._3 && out(id)._4 == s, s"doc $id")
+    }
+  }
+
+  test("repairLeakage post-condition: re-auditing the repaired split finds zero leaks") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val repaired = graft.Queries.all("split_repair")(spark, sf)
+    assert(repaired.count() == docs.count(), "every doc gets a verdict")
+    assert(repaired.filter($"moved").count() > 0,
+      "fixture sanity: sf0.001 has cross-split near-dups to repair")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
+    val sp = repaired.select($"doc_id", $"split_repaired")
+    val residual = pairs
+      .join(sp.toDF("id_a", "split_a"), "id_a")
+      .join(sp.toDF("id_b", "split_b"), "id_b")
+      .filter($"split_a" =!= $"split_b")
+      .count()
+    assert(residual == 0L, s"$residual cross-split pairs survived repair")
+  }
 }
