@@ -1914,6 +1914,26 @@ object Oracles {
         |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
         |           % 10000 AS INTEGER) < keep_bp""".stripMargin,
 
+    // Mirrors Sampling.tokenBudgetSample: md5-ordered per-source
+    // running token total (rows-preceding window), kept iff the
+    // preceding total sits under the source's budget.
+    "sample_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |         CAST(len(${wsToks("text")}) AS BIGINT) AS n_tokens,
+        |         md5(doc_id::VARCHAR || 'graft') AS ord
+        |       FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (
+        |          PARTITION BY source ORDER BY ord, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cum_before
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, cum_before,
+        |       cum_before < CASE source WHEN 'src0' THEN 2000
+        |                                WHEN 'src1' THEN 500
+        |                                ELSE 1000 END AS kept
+        |FROM c""".stripMargin,
+
     // Mirrors Dedup.canonicalPerCluster over the dedup_components
     // closure: same exact recursive-CTE labels, then the longest member
     // per cluster (doc id tiebreak).

@@ -1376,6 +1376,17 @@ object Queries {
       Seq("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1, "src4" -> 1),
       salt = "mix")
 
+  /** Token-budgeted mixture: each source fills its token quota in md5
+    * order — the tokens-not-documents form of mix assembly (see
+    * [[Sampling.tokenBudgetSample]]; full audit report, kept flag per
+    * doc). */
+  val sampleTokenBudget: Q = (s, dir) =>
+    Sampling.tokenBudgetSample(
+      Tables.documents(s, dir).select("doc_id", "source", "text"),
+      "doc_id", "source", TextOps.tokenCount(col("text")),
+      budgets = Seq("src0" -> 2000L, "src1" -> 500L),
+      defaultBudget = 1000L, salt = "graft")
+
   /** Quality-aware canonical selection: for each near-dup cluster from
     * the n-gram pair graph, keep the LONGEST member (doc id tiebreak) —
     * the doc a curation pipeline would actually retain, vs the
@@ -1542,6 +1553,7 @@ object Queries {
     "scalar_minmax" -> scalarMinmax,
     "quality_funnel" -> qualityFunnel,
     "sample_mixture" -> sampleMixture,
+    "sample_token_budget" -> sampleTokenBudget,
     "dedup_canonical" -> dedupCanonical,
     "dedup_canonical_shared" -> dedupCanonicalShared,
     "text_normalize" -> textNormalize,

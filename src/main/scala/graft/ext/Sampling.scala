@@ -109,4 +109,54 @@ object Sampling {
       .filter(bucket < col("__keep_bp"))
       .drop("__keep_bp")
   }
+
+  /** Token-budgeted mixture selection — the mechanical core of
+    * pretraining-mix assembly: each source contributes documents, in a
+    * deterministic md5 order, until its TOKEN budget is filled
+    * ([[mixtureResample]] balances document counts; training mixes are
+    * specified in tokens). A doc is kept iff the tokens BEFORE it in
+    * its source's order sit under the budget, so each source overshoots
+    * by at most one document (the [[Packing]] boundary convention) and
+    * never silently under-fills. Unlisted sources get `defaultBudget`.
+    *
+    * Emits the full per-doc report — `n_tokens`, `cum_before`, `kept`
+    * — rather than just survivors, so mix construction is auditable
+    * (how close each source came to its budget is `max(cum_before +
+    * n_tokens)` over kept rows).
+    *
+    * Determinism/portability: the order key is md5(key‖salt) with a
+    * key tiebreak, the same construction as [[capPerGroup]], so the
+    * selection is append-order-independent, re-roll-free under a salt
+    * change only, and replayed exactly by the SQL oracle. Appending
+    * docs CAN displace later-ordered ones (a budget is a corpus-level
+    * quota, unlike the per-row hash gates above) — by construction,
+    * since the budget stays fixed while candidates grow.
+    *
+    * Scale shape: one window per source partition (the budget is
+    * inherently sequential per source — same discipline as
+    * [[Packing.packByBudget]], whose groupCols carry the sharding);
+    * the budget lookup is a literal CASE chain, no join. One shuffle
+    * on the source key, skew bounded by the largest source's doc
+    * count; at 100 TB shard sources further (e.g. source × md5-prefix
+    * sub-budgets) before this window. */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, groupCol: String,
+      tokens: Column, budgets: Seq[(String, Long)], defaultBudget: Long,
+      salt: String = ""): DataFrame = {
+    require(defaultBudget >= 0 && budgets.forall(_._2 >= 0),
+      "budgets must be non-negative")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      "duplicate group in budgets")
+    val ord = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(ord.asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") < budget)
+      .select(col(keyCol), col(groupCol), col("n_tokens"),
+        col("cum_before"), col("kept"))
+  }
 }

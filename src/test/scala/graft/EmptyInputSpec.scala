@@ -236,5 +236,19 @@ class EmptyInputSpec extends SparkSpec {
       Seq((1L, 2L)).toDF("id_a", "id_b"))
     assert(noDocs.isEmpty && noDocs.columns.sameElements(
       Array("doc_id", "split", "moved", "split_repaired")))
+    // token-budget mixture on an empty corpus: empty, fully shaped;
+    // zero budget keeps nothing but reports everything
+    val tb = graft.ext.Sampling.tokenBudgetSample(
+      emptyDf("doc_id" -> LongType, "source" -> StringType,
+        "text" -> StringType),
+      "doc_id", "source", graft.ext.TextOps.tokenCount(col("text")),
+      budgets = Seq.empty, defaultBudget = 100L)
+    assert(tb.isEmpty && tb.columns.sameElements(
+      Array("doc_id", "source", "n_tokens", "cum_before", "kept")))
+    val tbZero = graft.ext.Sampling.tokenBudgetSample(
+      Seq((1L, "s", "a b c"), (2L, "s", "d e")).toDF("doc_id", "source", "text"),
+      "doc_id", "source", graft.ext.TextOps.tokenCount(col("text")),
+      budgets = Seq.empty, defaultBudget = 0L)
+    assert(tbZero.count() == 2 && tbZero.filter(col("kept")).count() == 0)
   }
 }

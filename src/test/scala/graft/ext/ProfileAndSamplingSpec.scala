@@ -330,4 +330,45 @@ class ProfileAndSamplingSpec extends SparkSpec {
     val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
     assert(Sampling.capPerGroup(tiny, Seq("g"), "id", k = 5).count() == 2)
   }
+
+  test("tokenBudgetSample: budgets filled in md5 order, ≤1 doc overshoot") {
+    val df = (1L to 60L).map(i => (i, "s" + (i % 2), 10L + i % 3))
+      .toDF("doc_id", "src", "n")
+    val out = Sampling.tokenBudgetSample(df, "doc_id", "src", col("n"),
+        budgets = Seq("s0" -> 55L), defaultBudget = 83L, salt = "b")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_before"),
+        r.getAs[Boolean]("kept")))
+    assert(out.length == 60, "full audit report: every doc gets a verdict")
+    // per source: kept ⟺ cum_before < budget, and the kept set fills
+    // the budget with at most one doc of overshoot
+    Seq("s0" -> 55L, "s1" -> 83L).foreach { case (src, b) =>
+      val rows = out.filter(_._2 == src)
+      rows.foreach { case (id, _, _, cum, kept) =>
+        assert(kept == (cum < b), s"doc $id kept flag")
+      }
+      val keptTokens = rows.filter(_._5).map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(keptTokens >= b, s"$src under-filled: $keptTokens < $b")
+      assert(keptTokens < b + maxDoc, s"$src overshot by a full doc+")
+      // cum_before is consistent: per doc, the sum of earlier kept+
+      // dropped... all docs ordered by md5 — recompute independently
+      val md5 = (id: Long) => {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest((id.toString + "b").getBytes("UTF-8"))
+        d.map("%02x".format(_)).mkString
+      }
+      val ordered = rows.sortBy { case (id, _, _, _, _) => (md5(id), id) }
+      var cum = 0L
+      ordered.foreach { case (id, _, n, cb, _) =>
+        assert(cb == cum, s"doc $id cum_before $cb expected $cum")
+        cum += n
+      }
+    }
+    // deterministic under repartition
+    val again = Sampling.tokenBudgetSample(df.repartition(7), "doc_id",
+        "src", col("n"), Seq("s0" -> 55L), 83L, salt = "b")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("kept")))
+    assert(again.toSet == out.map(r => (r._1, r._5)).toSet)
+  }
 }
