@@ -306,4 +306,32 @@ class PlanShapeSpec extends SparkSpec {
       assert(partials >= 1, s"$q: no map-side partial aggregation:\n$plan")
     }
   }
+
+  test("text_topgram: no Window sort anywhere — min-struct aggregate only") {
+    // the 7.3 s → 1.2 s r10 lesson, pinned: the top pick must stay a
+    // hash aggregate (map-side partials collapse each side to one
+    // candidate per doc); a row_number window reintroduces a per-doc
+    // sort the operator exists to avoid
+    val plan = executed(Queries.all("text_topgram")(spark, sf))
+    assert(!plan.contains("Window"), s"topgram regressed to a window:\n$plan")
+    assert("partial_min|partial_sum".r.findAllIn(plan).nonEmpty,
+      s"topgram lost its map-side partials:\n$plan")
+  }
+
+  test("text_boilerplate: gram-df equality join, partial aggregation, no countDistinct Expand") {
+    val plan = executed(Queries.all("text_boilerplate")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // per-doc-distinct explode makes count(*) the document frequency;
+    // an Expand node would mean someone reintroduced countDistinct
+    assert(!plan.contains("Expand"), s"countDistinct Expand crept in:\n$plan")
+    assert("partial_count|partial_sum".r.findAllIn(plan).nonEmpty,
+      s"no map-side partials:\n$plan")
+  }
+
+  test("sample_token_budget: exactly one shuffle (the per-source window), no join") {
+    val plan = executed(Queries.all("sample_token_budget")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"token budget must cost one source-partitioned shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"budget lookup must be a CASE, not a join:\n$plan")
+  }
 }

@@ -482,4 +482,27 @@ class ScaleSmokeSpec extends SparkSpec {
     docs.unpersist()
     assert(secs < 120, s"boilerplate blew up on the hot gram: $secs s")
   }
+
+  smokeTest("token-budget window survives 100k docs in ONE source partition") {
+    // the operator's declared worst case: budgets are sequential per
+    // source, so a single dominant source serializes its whole window
+    // into one partition — the smoke pins that 100k rows of running
+    // sum complete in seconds (the README documents sub-budget
+    // sharding for corpora where one source exceeds executor memory)
+    val docs = spark.range(100000L).select(col("id").as("doc_id"),
+        lit("src_hot").as("source"),
+        (col("id") % 37 + 3).as("n"))
+      .repartition(8).cache()
+    val total = docs.count()
+    val t0 = System.nanoTime()
+    val out = graft.ext.Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      col("n"), budgets = Seq.empty, defaultBudget = 500000L)
+    val kept = out.filter(col("kept")).count()
+    val rows = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"token budget over $total docs, one source: $kept kept in ${secs.round} s")
+    assert(rows == total && kept > 0 && kept < total)
+    docs.unpersist()
+    assert(secs < 120, s"single-source window blew up: $secs s")
+  }
 }
