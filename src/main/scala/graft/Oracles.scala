@@ -1721,6 +1721,65 @@ object Oracles {
          |              % 100 AS INTEGER) AS bucket
          |  FROM cleaned)""".stripMargin,
 
+    // Mirrors curateCorpusMix: boilerplate (df >= 20) ∧ gopher gates on
+    // the raw corpus → minhash canonical keep over the gated subset
+    // (the shared cluster CTEs run on `kept`) → per-source token
+    // budget over the deduped survivors, selected rows only.
+    "curate_corpus_mix" ->
+      raw"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+         |sh3 AS (SELECT doc_id,
+         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                        for i in generate_series(1, len(toks) - 2)]) AS s
+         |       FROM w WHERE len(toks) >= 3),
+         |ex3 AS (SELECT doc_id, unnest(s) AS g3 FROM sh3),
+         |gdf AS (SELECT g3, count(*) AS df FROM ex3 GROUP BY 1),
+         |bper AS (SELECT doc_id, count(*) AS n_grams,
+         |           CAST(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |         FROM ex3 JOIN gdf USING (g3) GROUP BY 1),
+         |bkeep AS (SELECT d.doc_id FROM documents d LEFT JOIN bper USING (doc_id)
+         |          WHERE coalesce(100 * n_boiler <= 60 * n_grams, TRUE)),
+         |gs AS (SELECT d.doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         |           AS BIGINT) AS sum_chars,
+         |         CAST(len(list_filter(toks,
+         |           t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |         CAST(len(list_filter(toks, t -> list_contains(
+         |           ['the','be','to','of','and','that','have','with'], t)))
+         |           AS BIGINT) AS n_stop,
+         |         CAST(len(regexp_extract_all(d.text, '#|\.\.\.')) AS BIGINT) AS n_sym
+         |       FROM documents d JOIN w USING (doc_id)),
+         |gkeep AS (SELECT doc_id FROM gs
+         |          WHERE n_words >= 50 AND n_words <= 100000
+         |            AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+         |            AND 5 * n_alpha >= 4 * n_words
+         |            AND n_stop >= 2
+         |            AND 10 * n_sym <= n_words),
+         |kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |         JOIN bkeep USING (doc_id) JOIN gkeep USING (doc_id)),
+         |${minhashCtes("kept")},
+         |${minhashClusterCtes("kept")},
+         |keep AS (SELECT doc_id FROM l3 WHERE lbl = doc_id
+         |         UNION ALL SELECT doc_id FROM singletons),
+         |deduped AS (
+         |  SELECT k.* FROM kept k
+         |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+         |t AS (SELECT d.doc_id, d.source,
+         |        CAST(len(w.toks) AS BIGINT) AS n_tokens,
+         |        md5(d.doc_id::VARCHAR || 'graft') AS ord
+         |      FROM deduped d JOIN w USING (doc_id)),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (
+         |          PARTITION BY source ORDER BY ord, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cum_before
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens, cum_before
+         |FROM c
+         |WHERE cum_before < CASE source WHEN 'src0' THEN 2000
+         |                               WHEN 'src1' THEN 500
+         |                               ELSE 1000 END""".stripMargin,
+
     "mm_payload_meta" ->
       """SELECT doc_id,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes,

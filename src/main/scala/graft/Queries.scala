@@ -627,6 +627,36 @@ object Queries {
     Splits.repairLeakage(assigned, pairs)
   }
 
+  /** The curation-to-mixture funnel in ONE DAG — the r10 additions
+    * composed end to end: corpus-statistic gates (Gopher battery ∧
+    * boilerplate-gram keep, both trained on the RAW corpus — training
+    * the gram-df on survivors would shift the statistic), minhash
+    * canonical near-dedup over the gated subset, then the per-source
+    * token-budget mixture over the deduped survivors. Output = the
+    * selected mixture (doc, source, tokens, fill position). The gated
+    * corpus is materialized once for the cluster keep-set and the
+    * budget stage (the curate_corpus_near persist-boundary pattern;
+    * DISK_ONLY on a cluster). */
+  val curateCorpusMix: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bp = TextOps.boilerplateSignals(docs, minDocFreq = 20)
+    val gated = docs
+      .join(bp.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(TextOps.gopherKeep(col("text")))
+      .select("doc_id", "source", "text")
+      .localCheckpoint()
+    val keep = Dedup.minhashClusters(gated, "doc_id", "text")
+      .filter(col("doc") === col("cluster"))
+      .select(col("doc").as("doc_id"))
+    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+    Sampling.tokenBudgetSample(deduped, "doc_id", "source",
+        TextOps.tokenCount(col("text")),
+        budgets = Seq("src0" -> 2000L, "src1" -> 500L),
+        defaultBudget = 1000L, salt = "graft")
+      .filter(col("kept"))
+      .select("doc_id", "source", "n_tokens", "cum_before")
+  }
+
   /** Benchmark decontamination: every-20th doc plays the held-out eval
     * set; training docs sharing ≥1 distinct 5-gram with it are flagged
     * with overlap counts. Benchmark shingles broadcast; corpus
@@ -1554,6 +1584,7 @@ object Queries {
     "quality_funnel" -> qualityFunnel,
     "sample_mixture" -> sampleMixture,
     "sample_token_budget" -> sampleTokenBudget,
+    "curate_corpus_mix" -> curateCorpusMix,
     "dedup_canonical" -> dedupCanonical,
     "dedup_canonical_shared" -> dedupCanonicalShared,
     "text_normalize" -> textNormalize,

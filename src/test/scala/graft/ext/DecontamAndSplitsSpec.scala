@@ -193,6 +193,34 @@ class DecontamAndSplitsSpec extends SparkSpec {
     }
   }
 
+  test("curate_corpus_mix composes its stages faithfully at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val out = graft.Queries.all("curate_corpus_mix")(spark, sf)
+      .select($"doc_id".as[Long], $"source".as[String],
+        $"n_tokens".as[Long], $"cum_before".as[Long]).collect()
+    val ids = out.map(_._1).toSet
+    assert(ids.nonEmpty, "fixture sanity: the funnel selects something")
+    // every selected doc passes both corpus-stat gates independently
+    val bpKeep = graft.ext.TextOps.boilerplateSignals(docs, minDocFreq = 20)
+      .filter($"keep").select($"doc_id".as[Long]).collect().toSet
+    val gKeep = docs.filter(graft.ext.TextOps.gopherKeep($"text"))
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(ids.subsetOf(bpKeep intersect gKeep), "a gated doc slipped through")
+    // ...and is its own near-dup cluster representative within the gate
+    val gatedIds = (bpKeep intersect gKeep).toSeq.toDF("doc_id")
+    val gated = docs.join(gatedIds, Seq("doc_id"), "left_semi")
+    val reps = Dedup.minhashClusters(gated, "doc_id", "text")
+      .filter($"doc" === $"cluster").select($"doc".as[Long]).collect().toSet
+    assert(ids.subsetOf(reps), "a non-canonical near-dup was selected")
+    // ...and respects its source's token budget at the fill position
+    val budget = (src: String) =>
+      if (src == "src0") 2000L else if (src == "src1") 500L else 1000L
+    out.foreach { case (id, src, _, cum) =>
+      assert(cum < budget(src), s"doc $id of $src filled past the budget")
+    }
+  }
+
   test("repairLeakage post-condition: re-auditing the repaired split finds zero leaks") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)
