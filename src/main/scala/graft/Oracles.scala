@@ -867,6 +867,22 @@ object Oracles {
          |  FROM u)
          |WHERE side = 1""".stripMargin,
 
+    // Mirrors SeriesOps.cohortRetention: distinct (user, month)
+    // activity, cohort = first active month, cell = distinct actives
+    // per (cohort, month offset), normalized by cohort size.
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             date_trunc('month', ts) AS m FROM events),
+        |c AS (SELECT user_id, min(m) AS cohort FROM a GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort, CAST(datediff('month', cohort, m) AS BIGINT) AS "offset",
+        |         count(DISTINCT user_id) AS n_active
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort, n_active AS size FROM cells WHERE "offset" = 0)
+        |SELECT cohort, "offset", n_active,
+        |       round(CAST(n_active * 10000 AS DOUBLE) / size) / 10000 AS retained_pct
+        |FROM cells JOIN sz USING (cohort)""".stripMargin,
+
     // Mirrors SeriesOps.transitionCounts: lead over (user, time) then
     // count + per-origin share.
     "events_transitions" ->

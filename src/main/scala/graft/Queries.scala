@@ -1472,6 +1472,12 @@ object Queries {
       Tables.events(s, dir).select("user_id", "event_type", "ts"),
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
 
+  /** Monthly cohort retention over the event stream: users cohorted by
+    * first active month, cells count distinct users active at each
+    * month offset (see [[SeriesOps.cohortRetention]]). */
+  val eventsRetention: Q = (s, dir) =>
+    SeriesOps.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -1589,6 +1595,7 @@ object Queries {
     "dedup_canonical_shared" -> dedupCanonicalShared,
     "text_normalize" -> textNormalize,
     "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
     "quality_gopher" -> qualityGopher,
     "curate_corpus_gopher" -> curateCorpusGopher,
     "text_tokens_regex" -> textTokensRegex,

@@ -190,4 +190,44 @@ object SeriesOps {
         when(lag("n_users", 1).over(w) > 0,
           round(col("n_users") * lit(10000.0) / lag("n_users", 1).over(w)) / 1e4))
   }
+
+  /** Cohort retention matrix — the missing member of the events
+    * analytics family next to [[sequenceFunnel]] and transitions:
+    * entities are cohorted by their FIRST active month, and each
+    * (cohort, months-since) cell counts the distinct entities active
+    * again that month. `retained_pct` normalizes each cell by its
+    * cohort's size (offset 0 is the cohort itself, 1.0 by
+    * construction).
+    *
+    * Scale shape: the raw stream collapses immediately to distinct
+    * (entity, month) — one hash agg with map-side combine, ≤
+    * |entities|·|months| rows however long the stream; cohorts are
+    * one more agg over that frame; the join back is entity-keyed
+    * equality (AQE broadcasts the cohort frame when entities are
+    * bounded); the final cell count re-aggregates to |cohorts| ×
+    * |offsets| rows. Month arithmetic on truncated dates is exact
+    * integers in both engines. */
+  def cohortRetention(df: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    // month floors stay TIMESTAMPs: a DATE column round-trips as a
+    // python date on the Spark side but a pandas Timestamp on the
+    // DuckDB side of the gate — same value, different repr, hash miss
+    val activity = df
+      .select(col(entityCol).as("__e"),
+        date_trunc("month", col(tsCol)).as("__m"))
+      .distinct()
+    val cohorts = activity.groupBy("__e").agg(min("__m").as("cohort"))
+    val cells = activity.join(cohorts, Seq("__e"))
+      .withColumn("offset",
+        months_between(col("__m"), col("cohort")).cast("long"))
+      .groupBy("cohort", "offset")
+      .agg(countDistinct(col("__e")).as("n_active"))
+    val sizes = cells.filter(col("offset") === 0)
+      .select(col("cohort"), col("n_active").as("__size"))
+    cells.join(sizes, Seq("cohort"))
+      // integer-scaled rounding — see TextOps.qualitySignals
+      .withColumn("retained_pct",
+        round(col("n_active") * lit(10000.0) / col("__size")) / 1e4)
+      .drop("__size")
+  }
 }

@@ -250,5 +250,10 @@ class EmptyInputSpec extends SparkSpec {
       "doc_id", "source", graft.ext.TextOps.tokenCount(col("text")),
       budgets = Seq.empty, defaultBudget = 0L)
     assert(tbZero.count() == 2 && tbZero.filter(col("kept")).count() == 0)
+    // cohort retention on an empty stream: empty, fully shaped
+    val ret = graft.ext.SeriesOps.cohortRetention(
+      emptyDf("user_id" -> LongType, "ts" -> TimestampType), "user_id", "ts")
+    assert(ret.isEmpty && ret.columns.sameElements(
+      Array("cohort", "offset", "n_active", "retained_pct")))
   }
 }

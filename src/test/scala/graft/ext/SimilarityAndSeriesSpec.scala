@@ -274,4 +274,27 @@ class SimilarityAndSeriesSpec extends SparkSpec {
       .select("n_users").as[Long].head()
     assert(n3 == 1L) // view@1 < click@5 < buy@6
   }
+
+  test("cohortRetention: first-month cohorts, month offsets, cohort-normalized cells") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-05 10:00:00")), (1L, ts("2024-01-20 11:00:00")),
+      (1L, ts("2024-02-02 09:00:00")), (1L, ts("2024-04-15 12:00:00")),
+      (2L, ts("2024-01-31 23:00:00")),
+      (3L, ts("2024-02-10 08:00:00")), (3L, ts("2024-04-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = SeriesOps.cohortRetention(ev, "user_id", "ts")
+      .select(col("cohort").cast("string"), col("offset"),
+        col("n_active"), col("retained_pct"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // Jan cohort {1,2}: offset 0 both, offset 1 only u1, offset 3 only u1
+    assert(out(("2024-01-01 00:00:00", 0L)) == ((2L, 1.0)))
+    assert(out(("2024-01-01 00:00:00", 1L)) == ((1L, 0.5)))
+    assert(out(("2024-01-01 00:00:00", 3L)) == ((1L, 0.5)))
+    // Feb cohort {3}: offsets 0 and 2, fully retained
+    assert(out(("2024-02-01 00:00:00", 0L)) == ((1L, 1.0)))
+    assert(out(("2024-02-01 00:00:00", 2L)) == ((1L, 1.0)))
+    assert(out.size == 5, s"unexpected cells: ${out.keySet}")
+  }
 }
