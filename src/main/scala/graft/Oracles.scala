@@ -993,6 +993,32 @@ object Oracles {
          |$lshPairCtes
          |SELECT id_a, id_b, jaccard FROM lshp""".stripMargin,
 
+    // Mirrors dedupThresholdSweep: the SAME band/candidate CTEs with
+    // verify floor 0, decile-bucketed (integer div), running count at
+    // or above each decile.
+    "dedup_threshold_sweep" ->
+      s"""WITH ${minhashCtes("documents")},
+         |ok AS (SELECT band_idx, band_key FROM bands
+         |       GROUP BY 1, 2 HAVING count(*) <= 200),
+         |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM b2 a JOIN b2 b
+         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |allp AS (SELECT id_a, id_b,
+         |           round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
+         |                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
+         |         FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |                   JOIN sh sb ON sb.doc_id = id_b),
+         |hist AS (SELECT CAST(round(jaccard * 10000) AS BIGINT) // 1000 AS bucket,
+         |                count(*) AS n_pairs
+         |         FROM allp GROUP BY 1)
+         |SELECT bucket, n_pairs,
+         |       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS n_at_or_above
+         |FROM hist""".stripMargin,
+
     // Mirrors SemDedup.semanticDedup end to end with the TWO-LEVEL
     // deterministic quantizer: min-md5 centers (16), the ⌈√16⌉ = 4
     // smallest-md5 of those as super-centers, each center argmax-

@@ -613,6 +613,25 @@ object Queries {
       .select("id_a", "id_b", "split_a", "split_b", "jaccard")
   }
 
+  /** Threshold-tuning observability for the near-dup family: the
+    * similarity distribution of ALL verified LSH candidates (verify
+    * floor 0) as decile buckets, with the running count of pairs at or
+    * above each decile — exactly the curve read before choosing the
+    * production verify threshold the dedup operators hardcode. Bucket
+    * arithmetic is integer (round(j·10⁴) div 1000), no float-boundary
+    * drift; the final window runs over ≤ 11 rows. */
+  val dedupThresholdSweep: Q = (s, dir) => {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
+      "text", verifyThreshold = 0.0, maxBucket = 200)
+    val hist = pairs
+      .withColumn("bucket",
+        expr("CAST(round(jaccard * 10000) AS BIGINT) div 1000"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.withColumn("n_at_or_above", sum("n_pairs").over(w))
+  }
+
   /** Split repair: every near-dup component spanning two splits moves
     * whole to train — the audit's actionable follow-up; zero
     * cross-split pairs remain afterwards (see
@@ -1539,6 +1558,7 @@ object Queries {
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
     "dedup_minhash_clusters" -> dedupMinhashClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_winnowing" -> dedupWinnowing,

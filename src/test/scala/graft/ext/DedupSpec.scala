@@ -318,4 +318,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("threshold sweep: buckets partition the candidates, cumulative ties to the 0.5 screen") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val sweep = graft.Queries.all("dedup_threshold_sweep")(spark, sf)
+      .select($"bucket".as[Long], $"n_pairs".as[Long],
+        $"n_at_or_above".as[Long]).collect().sortBy(-_._1)
+    assert(sweep.nonEmpty)
+    // cumulative = running sum from the top bucket down
+    var cum = 0L
+    sweep.foreach { case (_, n, atOrAbove) =>
+      cum += n
+      assert(atOrAbove == cum, "cumulative count broken")
+    }
+    // pairs at buckets >= 5 ARE the production screen's pairs (its
+    // verify floor is 0.5, and bucket = round(j*1e4) div 1000)
+    val production = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      maxBucket = 200).count()
+    val atHalf = sweep.filter(_._1 >= 5L).map(_._2).sum
+    assert(atHalf == production,
+      s"sweep says $atHalf pairs at >= 0.5, screen finds $production")
+  }
 }
