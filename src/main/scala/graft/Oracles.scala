@@ -1163,6 +1163,50 @@ object Oracles {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
+    // Mirrors dedupImagePhash: the scene fixture's pixels are pure
+    // integer functions of doc_id and PNG is lossless, so a CORRECT
+    // javax.imageio decode + 9x8 dHash must reproduce exactly this
+    // arithmetic; combination banding has recall 1.0 at Hamming <= 3
+    // and the exact verify kills false candidates, so the operator
+    // output == the all-pairs Hamming filter (same argument as
+    // dedup_simhash). Bit 63 wraps to the signed BIGINT min like the
+    // simhash oracle does.
+    "dedup_image_phash" ->
+      """WITH lcg AS (
+        |  SELECT doc_id, x, y,
+        |         (((doc_id // 8) * 72 + y * 9 + x) * 1103515245 + 12345)
+        |           % 2147483648 AS h1
+        |  FROM documents
+        |  CROSS JOIN generate_series(0, 8) gx(x)
+        |  CROSS JOIN generate_series(0, 7) gy(y)),
+        |lcg2 AS (SELECT doc_id, x, y,
+        |           (h1 * 1103515245 + 12345) % 2147483648 AS h2 FROM lcg),
+        |px AS (
+        |  SELECT doc_id, x, y,
+        |         (xor(h2 >> 16,
+        |              ((h2 * 1103515245 + 12345) % 2147483648) >> 8) % 200
+        |          + (doc_id % 8) * 3
+        |          + CASE WHEN doc_id % 5 = 0 AND x = doc_id % 9
+        |                      AND y = (doc_id * 3) % 8
+        |                 THEN 30 ELSE 0 END) AS g
+        |  FROM lcg2),
+        |bits AS (
+        |  SELECT a.doc_id, a.x, a.y,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+        |                     AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |ph AS (SELECT doc_id,
+        |         sum(CASE WHEN bit = 1 THEN
+        |               CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+        |                    ELSE (1::BIGINT << (y * 8 + x)) END
+        |             ELSE 0 END)::BIGINT AS ph
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.ph, b.ph))::INTEGER AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin,
+
     // Mirrors winnowingContainmentPairs (k=16, w=8): polynomial
     // fingerprint sets, the maxDocFreq=50 hot-fingerprint cap,
     // containment over retained counts.

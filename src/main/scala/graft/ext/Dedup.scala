@@ -280,7 +280,31 @@ object Dedup {
     *    rows buys ~2¹⁶× smaller buckets — the right trade at scale.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, pieces: Int = 6): DataFrame = {
+      maxHamming: Int = 3, pieces: Int = 6): DataFrame =
+    hammingPairs(
+      df.select(col(idCol),
+        graft.functions.TextHashes.simhash(col(textCol)).as("__h")),
+      idCol, "__h", maxHamming, pieces)
+
+  /** Generic Hamming-banded pair generation over ANY 64-bit hash
+    * column — the combination-banding engine of [[simhashPairs]],
+    * factored out so other fingerprint modalities (image dHash in
+    * [[MultiModal.imageDHash]], audio fingerprints) reuse the same
+    * Σ bucket² candidate shape instead of an all-pairs join. Returns
+    * (id_a, id_b, hamming) with recall exactly 1.0 for Hamming ≤
+    * maxHamming (pigeonhole over the piece split; see the bucket math
+    * on [[simhashPairs]]). */
+  /** `maxBucket` (default unlimited): drop band buckets holding more
+    * hashes than this BEFORE the candidate join — the LSH giant-bucket
+    * guard for hash-identical hot media (a 25%-hot image puts N/4 docs
+    * in every one of its buckets: C(N/4, 2) candidates). Pairs inside
+    * a dropped bucket are by construction EXACT phash duplicates
+    * (hamming 0 on that band's bits and every other band too, when the
+    * hot mass is one image) — the mass a pipeline removes with the
+    * linear `groupBy(phash)` exact path, not pair enumeration. */
+  def hammingPairs(hashed0: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, pieces: Int = 6,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(pieces > maxHamming, "need more pieces than maxHamming (pigeonhole)")
     require(pieces >= 2 && pieces <= 64, "pieces must be in [2, 64]")
     // piece p covers widths(p) bits starting at offsets(p); widths
@@ -296,15 +320,24 @@ object Dedup {
       combo.foldLeft(lit(0L): Column)((acc, p) =>
         shiftleft(acc, widths(p)).bitwiseOR(piece(sh, p)))
     }: _*)
-    val hashed = df.select(col(idCol).as("doc"),
-      graft.functions.TextHashes.simhash(col(textCol)).as("sh"))
+    val hashed = hashed0.select(col(idCol).as("doc"), col(hashCol).as("sh"))
     // materialized: both self-join sides consume the blocked frame —
     // without it the scan + per-token simhash re-runs per side (see
     // ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
     val blocked = hashed.select(col("doc"), col("sh"),
       posexplode(keys(col("sh"))).as(Seq("block_idx", "block_val")))
       .localCheckpoint()
-    blocked.as("a").join(blocked.as("b"),
+    // guard applied only when bounded, so the unguarded catalog plans
+    // (and their oracles' all-pairs-equivalence argument) are unchanged
+    val joinable =
+      if (maxBucket == Int.MaxValue) blocked
+      else blocked.join(
+        blocked.groupBy("block_idx", "block_val")
+          .agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") <= maxBucket)
+          .select("block_idx", "block_val"),
+        Seq("block_idx", "block_val"))
+    joinable.as("a").join(joinable.as("b"),
         col("a.block_idx") === col("b.block_idx") &&
           col("a.block_val") === col("b.block_val") &&
           col("a.doc") < col("b.doc"))

@@ -168,6 +168,126 @@ object MultiModal {
     })
   }
 
+  /** Grayscale value of the structured scene fixture at (x, y) — every
+    * term a pure integer function of the doc id, so an exact SQL
+    * oracle can predict the dHash of a CORRECT decode. Docs sharing
+    * `id DIV 8` share a base "scene"; `id % 8` adds a constant
+    * brightness shift (which difference-hashing is invariant to — the
+    * property that makes dHash a near-dup key, not an exact one), and
+    * every 5th doc bumps one pixel (≤ 2 flipped bits). Range ≤ 250:
+    * no channel clipping anywhere, so the arithmetic stays exact. */
+  def sceneGray(id: Long, x: Int, y: Int): Int = {
+    val group = id / 8
+    // three LCG rounds in 2^31 space (64-bit-safe products for the SQL
+    // twin), high bits xor'd: a first-draft affine-in-(x,y) pattern
+    // left only ~5 comparison classes — dHash is invariant to the
+    // constant per-group term, so distinct groups collided and the
+    // pair set went quadratic at 100k images
+    val v = group * 72 + y * 9 + x
+    var h = (v * 1103515245L + 12345L) % 2147483648L
+    h = (h * 1103515245L + 12345L) % 2147483648L
+    val h2 = (h * 1103515245L + 12345L) % 2147483648L
+    val base = (((h >> 16) ^ (h2 >> 8)) % 200).toInt
+    val shift = ((id % 8) * 3).toInt
+    val bump =
+      if (id % 5 == 0 && x == (id % 9).toInt && y == ((id * 3) % 8).toInt) 30
+      else 0
+    base + shift + bump
+  }
+
+  /** 9×8 grayscale PNG of the structured scene — exactly the dHash
+    * grid size, so the downsample inside [[imageDHash]] is the
+    * identity and the oracle replays the hash bit-for-bit. */
+  def syntheticScenePng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val g = sceneGray(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach the scene-PNG payload per id: one partition-local encode
+    * pass, zero shuffle — the fixture side of the image-dedup path. */
+  def withScenePayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticScenePng(id))))
+      .toDF(idCol, "payload")
+  }
+
+  /** Perceptual difference-hash (dHash) over REAL `javax.imageio`
+    * decode: luma = band-0 sample (the fixture is gray; real media
+    * would mix bands), block-average downsample to a (gridW+1)×gridH
+    * grid in exact integer arithmetic (sum DIV count — identity when
+    * the image IS the grid size), then bit (x, y) = [cell(x+1, y) >
+    * cell(x, y)] packed into one 64-bit value. Partition-local
+    * mapPartitions, zero shuffle; pair generation belongs to
+    * [[graft.ext.Dedup.hammingPairs]] — the same banded Σ bucket²
+    * shape text SimHash uses, never an all-pairs image join. */
+  def imageDHash(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload",
+      gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW.toLong * gridH <= 64,
+      s"dHash grid must fit 64 bits, got ${gridW}x$gridH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"payload of doc $id is not a decodable image")
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cols = gridW + 1
+          // block-average cell (cx, cy): x ∈ [cx·w/cols, (cx+1)·w/cols)
+          val cell = Array.ofDim[Long](cols, gridH)
+          var cy = 0
+          while (cy < gridH) {
+            val y0 = cy * h / gridH; val y1 = math.max((cy + 1) * h / gridH, y0 + 1)
+            var cx = 0
+            while (cx < cols) {
+              val x0 = cx * w / cols; val x1 = math.max((cx + 1) * w / cols, x0 + 1)
+              var sum = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              cell(cx)(cy) = sum / ((y1 - y0).toLong * (x1 - x0))
+              cx += 1
+            }
+            cy += 1
+          }
+          var hash = 0L
+          cy = 0
+          while (cy < gridH) {
+            var cx = 0
+            while (cx < gridW) {
+              if (cell(cx + 1)(cy) > cell(cx)(cy))
+                hash |= 1L << (cy * gridW + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          (id, hash)
+        }
+      }.toDF(idCol, "phash")
+  }
+
   /** Column-only metadata extraction (no decode): payload size and
     * fake geometry as pure expressions — stays in WholeStageCodegen,
     * used by the oracle-checked query. */

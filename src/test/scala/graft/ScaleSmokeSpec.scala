@@ -400,6 +400,62 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"BPE-256 train+apply blew up: $secs s")
   }
 
+  smokeTest("image phash dedup survives a 25%-hot identical image (bucket guard + exact path)") {
+    // 25% of 100k images are ONE scene: every dHash band of the hot
+    // image is a 25k-deep bucket (C(25k,2) ≈ 312M candidate pairs).
+    // The hot mass is hash-IDENTICAL, so the linear exact path
+    // (groupBy phash) owns it; the banded pair join runs under
+    // maxBucket and only enumerates the benign near-dup tail. Real
+    // decode throughout: 100k PNG encodes + javax.imageio decodes.
+    // high-entropy scenes (the catalog's structured fixture exists for
+    // the arithmetic oracle; its scene space is deliberately small and
+    // would flood a 100k corpus with genuine near-dups): each scene's
+    // pixels are hash noise, so distinct scenes sit ~32 bits apart and
+    // the only near pairs are the planted ones (id%100==2 carries
+    // scene id-1 with one pixel inverted — a <=2-bit dHash flip)
+    import spark.implicits._
+    def noisyPng(scene: Long, bump: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        // splitmix64 finalizer: a weaker mix left only ~2k distinct
+        // hashes across 100k scenes and flooded the pair join
+        var h = scene * 72 + y * 9 + x
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h ^= h >>> 31
+        var g = (h & 0xff).toInt
+        if (bump && x == 3 && y == 3) g = (g + 128) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val payloads = spark.range(100000L).as[Long]
+      .mapPartitions(_.map { id =>
+        val hot = id % 4 == 0
+        val planted = !hot && id % 100 == 2
+        val scene = if (hot) 42L else if (planted) id - 1 else id
+        (id, noisyPng(scene, planted))
+      }).toDF("doc_id", "payload").repartition(8)
+    val t0 = System.nanoTime()
+    val hashed = graft.ext.MultiModal.imageDHash(payloads).localCheckpoint()
+    val total = hashed.count()
+    val hotGroup = hashed.groupBy("phash").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    val nPairs = graft.ext.Dedup.hammingPairs(hashed, "doc_id", "phash",
+      maxHamming = 3, pieces = 6, maxBucket = 500).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"phash over $total images: hot group $hotGroup, " +
+      s"$nPairs guarded near-dup pairs in ${secs.round} s")
+    assert(total == 100000L)
+    assert(hotGroup >= 25000L, "exact path must collapse the hot image")
+    assert(nPairs >= 500, "planted near-dup tail must still pair")
+    assert(nPairs < 100000, "guard must keep the pair set linear-ish")
+    assert(secs < 180, s"phash dedup blew up: $secs s")
+  }
+
   smokeTest("split-leakage audit survives a 25%-hot duplicate text (LSH maxBucket guard)") {
     // r9 VERDICT #7: 25% of 100k docs are ONE text — every band of the
     // hot doc is a 25k-deep bucket, the C(25k,2) ≈ 312M-pair regime

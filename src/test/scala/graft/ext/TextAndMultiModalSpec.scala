@@ -439,4 +439,52 @@ class TextAndMultiModalSpec extends SparkSpec {
       }
     }
   }
+
+  private def dhashOf(df: org.apache.spark.sql.DataFrame) =
+    MultiModal.imageDHash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("imageDHash: brightness shift is invariant, scene change is not") {
+    // ids 16..23 share scene group 2 (DIV 8) and differ only in the
+    // id%8 brightness shift; none of 16..23 is hit by the %5 pixel
+    // bump's same-group collision except 20 (bump moves ≤2 bits)
+    val df = Seq(16L, 17L, 18L, 19L, 21L, 22L, 23L, 80L).toDF("doc_id")
+    val hashes = dhashOf(MultiModal.withScenePayload(df))
+    val group2 = Seq(16L, 17L, 18L, 19L, 21L, 22L, 23L).map(hashes)
+    assert(group2.distinct.size == 1,
+      "constant brightness shift must not change a difference hash")
+    assert(hashes(80L) != group2.head, "different scenes must hash apart")
+    // the bumped doc 20 stays within banding reach of its group
+    val bumped = dhashOf(MultiModal.withScenePayload(Seq(20L).toDF("doc_id")))(20L)
+    assert(java.lang.Long.bitCount(bumped ^ group2.head) <= 2 &&
+      bumped != group2.head, "pixel bump must flip 1-2 bits, not zero, not many")
+  }
+
+  test("imageDHash: block-average downsample makes a 2x upscale hash-identical") {
+    val base = MultiModal.syntheticScenePng(7L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val big = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      big.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val df = Seq((1L, base), (2L, bos.toByteArray)).toDF("doc_id", "payload")
+    val hashes = dhashOf(df)
+    assert(hashes(1L) == hashes(2L),
+      "2x nearest-neighbor upscale block-averages to the same 9x8 grid")
+  }
+
+  test("hammingPairs maxBucket drops the hot bucket, keeps the tail") {
+    // 12 copies of one hash + one near pair (hamming 1)
+    val rows = (1L to 12L).map(id => (id, 0x0f0f0f0fL)) ++
+      Seq((21L, 0x7000L), (22L, 0x7001L))
+    val df = rows.toDF("doc_id", "phash")
+    val unguarded = Dedup.hammingPairs(df, "doc_id", "phash")
+    assert(unguarded.count() == 66 + 1) // C(12,2) hot + 1 tail pair
+    val guarded = Dedup.hammingPairs(df, "doc_id", "phash",
+      maxHamming = 3, pieces = 6, maxBucket = 5)
+    assert(guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((21L, 22L)), "guard must drop exactly the hot bucket's pairs")
+  }
 }
