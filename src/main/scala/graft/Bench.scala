@@ -153,9 +153,18 @@ object Bench {
         try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
         finally r.close()
       } catch { case _: Throwable => -1L }
-    val dataFp = Seq("documents", "embeddings", "events", "lineitem",
+    // A failed footer read must make the fingerprint NON-comparable,
+    // not equal (r10 ADVICE #1: a shared -1 sentinel let two broken
+    // reads fingerprint identically and silently resume cross-data
+    // diffs). Any failure drops the field; bench_diff treats
+    // missing-vs-present as incomparable.
+    val tableCounts = Seq("documents", "embeddings", "events", "lineitem",
         "orders", "customer", "part", "supplier", "nation", "region")
-      .map(t => "\"" + t + "\":" + tableRows(t)).mkString("{", ",", "}")
+      .map(t => t -> tableRows(t))
+    val dataField: String =
+      if (tableCounts.exists(_._2 < 0)) ""
+      else tableCounts.map { case (t, n) => "\"" + t + "\":" + n }
+        .mkString("\"data\":{", ",", "},")
 
     def numMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -176,7 +185,7 @@ object Bench {
     val spreadLine =
       s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,"data":$dataFp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,$dataField"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
     if (only.isEmpty)
@@ -192,7 +201,7 @@ object Bench {
     // plan hashes ride along so a future diff can tell "median moved,
     // plan unchanged ⇒ host noise" from the history file alone
     val histLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"data":$dataFp,"queries":$hist,"plans":$ps}""" + "\n"
+      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,$dataField"queries":$hist,"plans":$ps}""" + "\n"
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
         histLine.getBytes("UTF-8"),

@@ -883,6 +883,22 @@ object Oracles {
         |       round(CAST(n_active * 10000 AS DOUBLE) / size) / 10000 AS retained_pct
         |FROM cells JOIN sz USING (cohort)""".stripMargin,
 
+    // Mirrors SeriesOps.cohortRetentionBy(week): Monday-truncated
+    // weeks in both engines; offsets as exact day differences // 7
+    // (always divisible on week floors).
+    "events_retention_weekly" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             date_trunc('week', ts) AS m FROM events),
+        |c AS (SELECT user_id, min(m) AS cohort FROM a GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort, CAST(datediff('day', cohort, m) // 7 AS BIGINT) AS "offset",
+        |         count(DISTINCT user_id) AS n_active
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort, n_active AS size FROM cells WHERE "offset" = 0)
+        |SELECT cohort, "offset", n_active,
+        |       round(CAST(n_active * 10000 AS DOUBLE) / size) / 10000 AS retained_pct
+        |FROM cells JOIN sz USING (cohort)""".stripMargin,
+
     // Mirrors SeriesOps.transitionCounts: lead over (user, time) then
     // count + per-origin share.
     "events_transitions" ->
@@ -1162,6 +1178,34 @@ object Oracles {
         |       bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // Mirrors MultiModal.audioRoundTrip: the WAV synthesis chooses
+    // rate/frames/samples as pure functions of doc_id and PCM WAV is
+    // lossless, so a CORRECT javax.sound.sampled decode must hand
+    // exactly these back — format fields arithmetically, sample stats
+    // via the sawtooth formula summed over generate_series.
+    "mm_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS rate,
+        |         CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS frames,
+        |         (doc_id % 11) + 3 AS k
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(sum(((i * k) % 2048) - 1024) AS BIGINT) AS sum_samples
+        |      FROM (SELECT doc_id, k,
+        |              unnest(generate_series(0, frames - 1)) AS i FROM p)
+        |      GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |       CAST(rate AS INTEGER) AS sample_rate,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST(16 AS INTEGER) AS bits,
+        |       frames AS n_frames,
+        |       CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+        |       CAST(-1024 AS INTEGER) AS first_sample,
+        |       CAST((((frames - 1) * k) % 2048) - 1024 AS INTEGER) AS last_sample,
+        |       sum_samples
+        |FROM p JOIN s USING (doc_id)""".stripMargin,
 
     // Mirrors dedupImagePhash: the scene fixture's pixels are pure
     // integer functions of doc_id and PNG is lossless, so a CORRECT

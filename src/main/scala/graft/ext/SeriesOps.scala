@@ -208,18 +208,34 @@ object SeriesOps {
     * |offsets| rows. Month arithmetic on truncated dates is exact
     * integers in both engines. */
   def cohortRetention(df: DataFrame, entityCol: String,
-      tsCol: String): DataFrame = {
-    // month floors stay TIMESTAMPs: a DATE column round-trips as a
+      tsCol: String): DataFrame =
+    cohortRetentionBy(df, entityCol, tsCol, "month")
+
+  /** [[cohortRetention]] at a chosen granularity. `week` exists
+    * because a single-month event window (the shape of short crawls
+    * and of this repo's fixtures — r10 ADVICE #2) collapses monthly
+    * retention to one offset-0 cell per cohort, leaving the offset
+    * arithmetic unexercised; weekly cohorts put offsets 1..4 and
+    * sub-1.0 normalization under the cross-engine gate. Week offsets
+    * are exact integer day differences DIV 7 (both engines truncate
+    * weeks to Monday, so the difference is always divisible). */
+  def cohortRetentionBy(df: DataFrame, entityCol: String,
+      tsCol: String, unit: String): DataFrame = {
+    require(unit == "month" || unit == "week",
+      s"unit must be month|week, got $unit")
+    // floors stay TIMESTAMPs: a DATE column round-trips as a
     // python date on the Spark side but a pandas Timestamp on the
     // DuckDB side of the gate — same value, different repr, hash miss
     val activity = df
       .select(col(entityCol).as("__e"),
-        date_trunc("month", col(tsCol)).as("__m"))
+        date_trunc(unit, col(tsCol)).as("__m"))
       .distinct()
     val cohorts = activity.groupBy("__e").agg(min("__m").as("cohort"))
+    val offset =
+      if (unit == "month") months_between(col("__m"), col("cohort")).cast("long")
+      else (datediff(col("__m"), col("cohort")) / 7).cast("long")
     val cells = activity.join(cohorts, Seq("__e"))
-      .withColumn("offset",
-        months_between(col("__m"), col("cohort")).cast("long"))
+      .withColumn("offset", offset)
       .groupBy("cohort", "offset")
       .agg(countDistinct(col("__e")).as("n_active"))
     val sizes = cells.filter(col("offset") === 0)

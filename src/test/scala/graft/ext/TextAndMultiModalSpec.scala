@@ -475,6 +475,29 @@ class TextAndMultiModalSpec extends SparkSpec {
       "2x nearest-neighbor upscale block-averages to the same 9x8 grid")
   }
 
+  test("audioRoundTrip: real WAV decode hands back the synthesis arithmetic") {
+    val df = Seq(0L, 3L, 13L).toDF("doc_id")
+    val out = MultiModal.audioRoundTrip(df).collect()
+      .map(m => m.doc_id -> m).toMap
+    val m13 = out(13L) // rate 8000+3*2000, frames 400+6*100, k 5
+    assert(m13.sample_rate == 14000 && m13.n_frames == 1000 &&
+      m13.channels == 1 && m13.bits == 16)
+    assert(m13.duration_ms == 1000L * 1000 / 14000)
+    assert(m13.first_sample == -1024)
+    assert(m13.last_sample == ((999 * 5) % 2048) - 1024)
+    assert(m13.sum_samples ==
+      (0 until 1000).map(i => ((i * 5) % 2048) - 1024L).sum)
+    // a truncated payload must throw, not fabricate
+    val wav = MultiModal.syntheticWav(3L)
+    intercept[Exception] {
+      Seq((3L, wav.take(20))).toDF("doc_id", "payload")
+        .as[(Long, Array[Byte])]
+      MultiModal.audioRoundTrip(Seq(99L).toDF("doc_id")) // shape check only
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav.take(20)))
+    }
+  }
+
   test("hammingPairs maxBucket drops the hot bucket, keeps the tail") {
     // 12 copies of one hash + one near pair (hamming 1)
     val rows = (1L to 12L).map(id => (id, 0x0f0f0f0fL)) ++

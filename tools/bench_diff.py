@@ -31,6 +31,15 @@ def main(path="bench_history.jsonl", threshold=1.15):
     # compared different data. Rows carrying a "data" field (per-table
     # row counts from the parquet footers) must match it exactly; a
     # fingerprinted row is never diffed against a pre-fingerprint row.
+    # A row WITHOUT a fingerprint (pre-r10, or a run whose footer reads
+    # failed - Bench drops the field rather than writing a shared
+    # sentinel) is never comparable to anything: missing-vs-missing
+    # must not pair either, or two broken reads resume cross-data
+    # diffs (r10 ADVICE #1).
+    if cur.get("data") is None:
+        print("current row carries no data fingerprint (footer reads "
+              "failed or pre-fingerprint format) - refusing to diff")
+        return 0
     same_data = lambda r: r.get("data") == cur.get("data")
     comparable = [r for r in rows[:-1] if cfg(r) == cfg(cur) and same_data(r)]
     if not comparable:
