@@ -88,9 +88,42 @@ object Bench {
     catch { case _: Throwable => () }
     names.foreach(runOnce)
 
+    // Shuffle-bytes observability (r10 VERDICT #8): plan hashes catch
+    // SHAPE changes but not VOLUME changes — "same plan, 10× bytes
+    // moved" was invisible. A listener accumulates stage-level shuffle
+    // read/write bytes; per query the bench snapshots the counters
+    // around its measured runs (listener-bus flushed at both edges so
+    // async delivery can't bill one query's stages to the next) and
+    // records the per-run average — volumes are plan-deterministic, so
+    // the average IS the per-run number.
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def flushListeners(): Unit =
+      try org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
+      catch { case _: Throwable => () }
+
     // measured: `runs` samples per query → median + max/min spread
+    val samplesWithShuffle: Seq[(String, Seq[Double], Long, Long)] =
+      names.map { n =>
+        flushListeners()
+        val (r0, w0) = (shuffleRead.get, shuffleWrite.get)
+        val xs = Seq.fill(runs)(runOnce(n))
+        flushListeners()
+        (n, xs, (shuffleRead.get - r0) / runs, (shuffleWrite.get - w0) / runs)
+      }
     val samples: Seq[(String, Seq[Double])] =
-      names.map(n => n -> Seq.fill(runs)(runOnce(n)))
+      samplesWithShuffle.map { case (n, xs, _, _) => n -> xs }
     def median(xs: Seq[Double]): Double =
       if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(xs.size / 2)
     def spread(xs: Seq[Double]): Double =
@@ -198,10 +231,15 @@ object Bench {
       val s = xs.sorted
       "\"" + n + "\":[" + s.head + "," + median(xs) + "," + s.last + "]"
     }.mkString("{", ",", "}")
+    // per-run shuffle bytes [read, written] per query: the volume
+    // axis plan hashes can't see
+    val shuffleJson = samplesWithShuffle
+      .map { case (n, _, rd, wr) => "\"" + n + "\":[" + rd + "," + wr + "]" }
+      .mkString("{", ",", "}")
     // plan hashes ride along so a future diff can tell "median moved,
     // plan unchanged ⇒ host noise" from the history file alone
     val histLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,$dataField"queries":$hist,"plans":$ps}""" + "\n"
+      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,$dataField"queries":$hist,"shuffle":$shuffleJson,"plans":$ps}""" + "\n"
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
         histLine.getBytes("UTF-8"),

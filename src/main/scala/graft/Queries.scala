@@ -17,1690 +17,24 @@ import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, 
   * hash compare is immune to summation-order float noise; ranks always
   * carry an id tiebreak.
   */
-object Queries {
-
-  type Q = (SparkSession, String) => DataFrame
-
-  /** The ONE production split configuration, shared by `split_assign`
-    * and the `split_leakage` audit (r9 ADVICE): if the weights or salt
-    * ever change, both the assignment and the audit move together —
-    * a leakage audit of a different split than production is silently
-    * worthless. The oracle SQL mirrors these literals (bucket < 80 /
-    * < 90, salt 'graft'). */
-  private val SplitWeights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
-  private val SplitSalt = "graft"
-
-  /** Exact micro-scaled sum: values are ≤2-dp doubles in the testdata,
-    * so `round(v*1e6)` is an exact integer and the BIGINT sum is
-    * order-independent — the only way a sum of doubles hashes
-    * identically between Spark and the DuckDB oracle. */
-  private def sumE6(c: org.apache.spark.sql.Column) =
-    sum(round(c * 1e6).cast("long"))
-
-  /** Exact average as double: integer sum then two IEEE-754 divisions,
-    * each correctly rounded, hence bit-identical across engines (a
-    * plain `round(avg(x), 4)` lands on `.xxxx5` boundaries constantly
-    * with 2-dp inputs and flips the last digit per summation order). */
-  private def exactAvg(c: org.apache.spark.sql.Column) =
-    sumE6(c).cast("double") / count(c) / 1e6
-
-  /** The FRED silver analog at daily grain: events is a daily-ish
-    * observation stream; group to (indicator=event_type, y, m, d). */
-  private def dailySilver(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .select(
-        col("event_type").as("indicator"),
-        year(col("ts")).as("observation_year"),
-        month(col("ts")).as("observation_month"),
-        dayofmonth(col("ts")).as("observation_day"),
-        col("value"))
-      .groupBy("indicator", "observation_year", "observation_month", "observation_day")
-      .agg(exactAvg(col("value")).as("value"),
-        count(col("value")).as("observation_count"))
-
-  /** Same, only the series columns (for window/as-of queries). */
-  private def dailySeries(s: SparkSession, dir: String): DataFrame =
-    dailySilver(s, dir).select("indicator", "observation_day", "value")
-
-  // ======================================================== [REF] core
-
-  /** A1 — the reference's group-agg (daily→monthly grain change). */
-  val fredMonthlyAgg: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .select(
-        col("event_type").as("indicator"),
-        year(col("ts")).as("observation_year"),
-        month(col("ts")).as("observation_month"),
-        col("value"))
-      .groupBy("indicator", "observation_year", "observation_month")
-      .agg(exactAvg(col("value")).as("value"),
-        count(col("value")).as("observation_count"))
-
-  /** A1 at daily grain (the richer silver layer). */
-  val fredDailyAgg: Q = (s, dir) => dailySilver(s, dir)
-
-  /** B4+B5+C3 — sentinel filter, lenient cast, null drop (on a JSON-
-    * extracted string column, also covering the C-ext json path). */
-  val fredCleanCast: Q = (s, dir) => {
-    val withVal = Tables.events(s, dir)
-      .withColumn("value", get_json_object(col("props"), "$.k"))
-    Clean.cleanValues(withVal)
-      .groupBy("event_type")
-      .agg((sumE6(col("value")).cast("double") / 1e6).as("k_sum"),
-        count(col("value")).as("k_count"))
-  }
-
-  /** E1+C6 — union monthly halves, HALF_EVEN round to 2 (gold layer). */
-  val fredYearlyGold: Q = (s, dir) => {
-    val silver = dailySilver(s, dir)
-    val first = silver.filter(col("observation_day") <= 15)
-    val second = silver.filter(col("observation_day") > 15)
-    YearlyGold.unionMonths(Seq(first, second))
-      .withColumn("value", bround(col("value"), 2))
-  }
-
-  /** D1 — dedup-against-sink left anti join. */
-  val fredDedupSync: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-    val incoming = ev.select("user_id", "event_type").distinct()
-    val existing = ev.filter(col("event_id") % 7 === 0)
-    DedupSync.newRows(incoming, existing, Seq("user_id", "event_type"))
-  }
-
-  /** D2 — keyed upsert: late batch (day>20) overrides base on the
-    * natural key; recency = event_id (monotone). */
-  val fredUpsertMerge: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
-        dayofmonth(col("ts")).as("d"))
-    val base = ev.filter(col("d") <= 20).drop("d")
-    val delta = ev.filter(col("d") > 20).drop("d")
-    Merge.upsert(base, delta, Seq("user_id", "event_type"), Seq(col("event_id").desc))
-  }
-
-  /** D2-ext — SCD-type-2 history: every (user, event_type) version
-    * with its validity interval instead of last-write-wins. Times as
-    * epoch micros so the compare is representation-free. */
-  val mergeScd2: Q = (s, dir) =>
-    Merge.scd2History(
-        Tables.events(s, dir)
-          .select(col("user_id"), col("event_type"), col("event_id"),
-            col("value"), unix_micros(col("ts")).as("ts_us")),
-        Seq("user_id", "event_type"), "ts_us",
-        Seq(col("ts_us").asc, col("event_id").asc))
-      .select("user_id", "event_type", "event_id", "value",
-        "valid_from", "valid_to", "version")
-
-  /** C1/C2/C7 — date parsing/parts and string normalization. */
-  val scalarDates: Q = (s, dir) =>
-    Tables.orders(s, dir).select(
-      col("o_orderkey"),
-      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-      year(col("o_orderdate")).as("order_year"),
-      quarter(col("o_orderdate")).as("order_quarter"),
-      month(col("o_orderdate")).as("order_month"),
-      lower(trim(col("o_orderpriority"))).as("priority_key"))
-
-  // ====================================================== [EXT] joins
-
-  /** Star join with broadcast dims + decimal-exact revenue rollup. */
-  val joinStarRevenue: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-    val o = Tables.orders(s, dir)
-    val c = Tables.customer(s, dir)
-    val n = Tables.nation(s, dir)
-    val r = Tables.region(s, dir)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
-        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
-      .groupBy("r_name", "n_name")
-      // prices/discounts are 2-dp doubles: scale to exact BIGINT cents
-      // so the revenue sum is order-independent and oracle-identical
-      .agg(
-        (sum(round(col("l_extendedprice") * 100).cast("long") *
-             (lit(100L) - round(col("l_discount") * 100).cast("long")))
-          .cast("double") / 1e4).as("revenue"),
-        count(lit(1)).as("n_rows"))
-  }
-
-  /** Left semi join — EXISTS. */
-  val joinSemi: Q = (s, dir) => {
-    val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-      .select("c_custkey", "c_name")
-  }
-
-  /** Left outer join — the enrichment-join shape every pipeline uses
-    * when the dim side has gaps: all orders kept, customers outside the
-    * BUILDING segment null-extend. The null-extension semantics are
-    * pinned by counting matched vs unmatched per order status (plus an
-    * exact balance sum over the matched side, where sum skips nulls).
-    * The dim side is a filtered projection of a small table — AQE
-    * broadcasts it; the fact side never shuffles. */
-  val joinLeftOuter: Q = (s, dir) => {
-    val dim = Tables.customer(s, dir)
-      .filter(col("c_mktsegment") === "BUILDING")
-      .select("c_custkey", "c_acctbal")
-    Tables.orders(s, dir)
-      .join(dim, col("o_custkey") === col("c_custkey"), "left_outer")
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_orders"),
-        count(col("c_custkey")).as("n_matched"),
-        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_unmatched"),
-        (sumE6(col("c_acctbal")).cast("double") / 1e6).as("bal_sum"))
-  }
-
-  /** Full outer join of two aggregated activity sides: users who only
-    * click and users who only purchase both survive with nulls on the
-    * absent side; the join key coalesces (USING semantics). Both sides
-    * pre-aggregate before the join, so the shuffle carries one row per
-    * (user, side) — the scale-correct order for outer enrichment. */
-  val joinFullOuter: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
-    clicks.join(purchases, Seq("user_id"), "full_outer")
-  }
-
-  /** Top-k by global order (TakeOrderedAndProject, no full sort). */
-  val topkOrders: Q = (s, dir) =>
-    Tables.orders(s, dir)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .limit(10)
-
-  // ==================================================== [EXT] set ops
-
-  val setExcept: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-    ev.filter(dayofmonth(col("ts")) <= 15).select("user_id").distinct()
-      .except(ev.filter(dayofmonth(col("ts")) > 15).select("user_id").distinct())
-  }
-
-  val setIntersect: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-    // deterministic pick = min(event_type), kept INSIDE the plan as a
-    // broadcast 1-row aggregate (scalar-subquery shape) — no driver
-    // action at plan-build time
-    val minType = broadcast(ev.agg(min("event_type").as("__min_et")))
-    ev.join(minType).filter(col("event_type") === col("__min_et"))
-      .select("user_id").distinct()
-      .intersect(
-        ev.join(minType).filter(col("event_type") =!= col("__min_et"))
-          .select("user_id").distinct())
-  }
-
-  /** Salted fact-to-dim join: lineitem joined to orders through
-    * [[graft.operators.Skew.saltedJoin]] (8 salts on the order key) —
-    * the skew-join form for when a hot key's partition exceeds one
-    * task and the dim side is too big to broadcast. The spread column
-    * must vary WITHIN a key (here `l_linenumber` — a per-row value),
-    * never the key itself, or every row of a hot key gets the same
-    * salt and nothing spreads. Salting is plan-internal (left salt +
-    * right replicate), so the output ≡ the plain join — exactly what
-    * the oracle checks. */
-  val joinSalted: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select("l_orderkey", "l_linenumber", "l_extendedprice")
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"),
-        spread = col("l_linenumber"), salts = 8)
-      .groupBy("o_orderpriority")
-      // cents-scaled exact sum — see joinStarRevenue
-      .agg(count(lit(1)).as("n_items"),
-        (sum(round(col("l_extendedprice") * 100).cast("long"))
-          .cast("double") / 100).as("total_price"))
-  }
-
-  /** Salted two-stage aggregate (hot-key mitigation) — result-identical
-    * to the direct group-by: exact integer partial sums merge to the
-    * same mean regardless of the salt split. */
-  val aggSalted: Q = (s, dir) =>
-    graft.operators.Skew.saltedAgg(
-      Tables.events(s, dir).select("event_type", "event_id", "value"),
-      keys = Seq("event_type"), spread = col("event_id"), salts = 8,
-      partial = Seq(
-        sum(round(col("value") * 1e6).cast("long")).as("__sum"),
-        count(col("value")).as("__cnt")),
-      merge = Seq(
-        (sum("__sum").cast("double") / sum("__cnt") / 1e6).as("value"),
-        sum("__cnt").as("observation_count")))
-
-  /** Exact quartiles per group — the profiling aggregate. Micro-scaled
-    * BIGINT inputs make the (n−1)·q linear interpolation bit-identical
-    * across engines (fractions are .0/.25/.5/.75 — binary-exact).
-    * Output is one SCALAR row per (group, quartile) — no catalog query
-    * may emit an array column (the driver's pandas-based checker can't
-    * sort numpy arrays; SURVEY §5). */
-  val aggQuantiles: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .groupBy("event_type")
-      .agg(percentile(round(col("value") * 1e6).cast("long"),
-        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
-      .select(col("event_type"), posexplode(col("qs")))
-      .select(col("event_type"),
-        ((col("pos") + 1) * 25).as("q_pct"),
-        (col("col") / 1e6).as("value"))
-
-  /** Approximate quartiles per group — the scale form of
-    * [[aggQuantiles]]. `approx_percentile` (Greenwald-Khanna sketch) is
-    * a partial aggregate: each task summarizes its partition into a
-    * bounded sketch and only sketches shuffle, so a 100 TB profiling
-    * pass never sorts the column (`percentile` is holistic — exact but
-    * full-sort).
-    *
-    * The estimate itself is engine-specific, so the gate checks the
-    * sketch's PUBLISHED CONTRACT instead of the value: the returned
-    * element occupies the rank interval [count(v < est)+1,
-    * count(v ≤ est)] (an interval because of TIES — duplicated values
-    * make the naive |count(v≤est) − q·n| check overshoot), and the GK
-    * guarantee is that this interval touches q·n ± n/accuracy (+1 for
-    * the discrete rank step). Both interval ends are computed by
-    * ranking the estimate against the group in the same plan; the
-    * verdict is emitted as `rank_ok` and the oracle asserts TRUE, so a
-    * contract violation hash-fails the gate (r8 "What's missing" #2:
-    * the bound AggSketchSpec pins, replayed at the oracle layer). */
-  val aggApproxPercentile: Q = (s, dir) => {
-    val ev = Tables.events(s, dir).select("event_type", "value")
-    val acc = 10000
-    val est = ev
-      .groupBy("event_type")
-      .agg(approx_percentile(col("value"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(acc)).as("qs"))
-      .select(col("event_type"), posexplode(col("qs")))
-      .select(col("event_type"),
-        ((col("pos") + 1) * 25).as("q_pct"),
-        col("col").as("__est"))
-    // |groups|·3 rows join back to the data (AQE broadcasts); the rank
-    // of each estimate is one map-side-combined aggregation
-    ev.join(est, "event_type")
-      .groupBy("event_type", "q_pct")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("value") < col("__est"), 1L).otherwise(0L)).as("__lo"),
-        sum(when(col("value") <= col("__est"), 1L).otherwise(0L)).as("__hi"))
-      .select(col("event_type"), col("q_pct"), col("n"),
-        (col("__lo") <= col("q_pct") * col("n") / 100
-            + col("n") / lit(acc.toDouble) + 1.0
-          && col("__hi") >= col("q_pct") * col("n") / 100
-            - col("n") / lit(acc.toDouble) - 1.0).as("rank_ok"))
-  }
-
-  /** ROLLUP grouping sets with decimal-exact sums. */
-  val aggRollup: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .rollup(col("event_type"), dayofmonth(col("ts")).as("observation_day"))
-      .agg(count(lit(1)).as("n"),
-        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
-
-  /** CUBE grouping sets — all four (type × day) marginal combinations
-    * in one pass (Spark expands grouping sets in a single shuffle). */
-  val aggCube: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .cube(col("event_type"), dayofmonth(col("ts")).as("observation_day"))
-      .agg(count(lit(1)).as("n"),
-        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
-
-  /** Per-group mode with deterministic tiebreak: the most frequent
-    * user per event type (count desc, id asc). Two map-side-combined
-    * shuffles — never a driver-side value scan. */
-  val aggMode: Q = (s, dir) => {
-    val counts = Tables.events(s, dir)
-      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("n").desc, col("user_id").asc)
-    counts.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select("event_type", "user_id", "n")
-  }
-
-  /** Pivot: one column per event type (explicit value list — no
-    * schema-inference job, plan stable at any scale), decimal-exact
-    * daily sums. */
-  val pivotDaily: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .select(dayofmonth(col("ts")).as("observation_day"),
-        col("event_type"), col("value"))
-      .groupBy("observation_day")
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg((sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
-
-  /** Unpivot (melt): the wide pivot back to long — the reshape pair
-    * proving both directions round-trip. Nulls dropped on both sides
-    * (engines differ on default null retention). */
-  val unpivotDaily: Q = (s, dir) =>
-    pivotDaily(s, dir)
-      .unpivot(Array(col("observation_day")),
-        Array(col("click"), col("error"), col("purchase"),
-          col("signup"), col("view")),
-        "event_type", "value_sum")
-      .filter(col("value_sum").isNotNull)
-
-  /** Edit-distance near-dups over canonical text: 16-byte prefix
-    * blocking + length band, threshold-bounded Levenshtein verify. */
-  val dedupEditdist: Q = (s, dir) =>
-    Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
-      maxDist = 8)
-
-  // ==================================================== [EXT] windows
-
-  /** lag — period-over-period change (FRED MoM analog at day grain).
-    * No rounding: both engines subtract bit-identical doubles. */
-  val windowMom: Q = (s, dir) =>
-    SeriesOps.periodChange(dailySeries(s, dir),
-      Seq("indicator"), Seq("observation_day"))
-
-  /** Trailing 7-observation moving average (integer-scaled rounding —
-    * mean-of-7 rationals hit .xxxx5 boundaries). */
-  val windowMovingAvg: Q = (s, dir) =>
-    SeriesOps.movingAvg(dailySeries(s, dir),
-        Seq("indicator"), Seq("observation_day"), n = 7)
-      .withColumn("moving_avg", round(col("moving_avg") * lit(10000.0)) / 1e4)
-
-  /** rank + partition share. */
-  val windowRankShare: Q = (s, dir) => {
-    val d = dailySeries(s, dir)
-    val byInd = Window.partitionBy("indicator")
-    d.withColumn("day_rank",
-        rank().over(byInd.orderBy(col("value").desc, col("observation_day"))))
-      .withColumn("share",
-        round(col("value") * lit(10000.0) / sum("value").over(byInd)) / 1e4)
-  }
-
-  /** percent_rank + cume_dist per indicator: the full-distribution
-    * placement windows (curriculum position, percentile features).
-    * The day tiebreak makes every ORDER BY key distinct, so both are
-    * exact rationals — (rn−1)/(n−1) and rn/n — bit-identical across
-    * engines with no rounding needed. */
-  val windowCume: Q = (s, dir) => {
-    val w = Window.partitionBy("indicator")
-      .orderBy(col("value").asc, col("observation_day").asc)
-    dailySeries(s, dir)
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
-  }
-
-  /** Year-over-year change: monthly order revenue per status, minus
-    * the value 12 observations earlier in the same series (orders span
-    * 6+ years; exact integer-cent sums, subtraction of bit-identical
-    * doubles needs no rounding — see window_mom). */
-  val windowYoy: Q = (s, dir) => {
-    val monthly = Tables.orders(s, dir)
-      .groupBy(col("o_orderstatus").as("status"),
-        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
-      .agg((sumE6(col("o_totalprice")).cast("double") / 1e6).as("value"))
-    SeriesOps.yoyChange(monthly, Seq("status"), Seq("y", "m"))
-  }
-
-  /** LOCF gap fill: the daily series sparsified to every 3rd day, then
-    * densified by carrying the last observation forward (leading gaps
-    * stay null). */
-  val windowLocf: Q = (s, dir) =>
-    SeriesOps.locfFill(
-      dailySeries(s, dir)
-        .withColumn("v_sparse",
-          when(col("observation_day") % 3 === 0, col("value")))
-        .drop("value"),
-      Seq("indicator"), Seq("observation_day"), "v_sparse")
-
-  /** Row-level sessionization: each event tagged with its 0-based
-    * session ordinal (30-minute gap) — the joinable form of
-    * window_session. */
-  val windowSessionize: Q = (s, dir) =>
-    SeriesOps.sessionize(
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us")),
-      "user_id", "ts_us", Seq("ts_us", "event_id"), gapUs = 30L * 60 * 1000000)
-
-  /** Tumbling event-time windows in batch mode — the same groupBy
-    * shape [[graft.streaming.EventStreams.tumblingAgg]] runs on a
-    * stream (SURVEY §2.J). Window starts emitted as epoch micros so
-    * the oracle compare is timestamp-representation-free. */
-  val windowTumbling: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
-      .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("event_type"), col("n_events"), col("value_sum"))
-
-  /** Sessionization in batch mode: session_window with a 30-minute
-    * gap per user — sessions close when the next event is ≥ gap after
-    * the previous one, the exact islands semantics the SQL oracle
-    * reproduces with lag + cumulative break counts. */
-  val windowSession: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
-      .select(unix_micros(col("session_window.start")).as("session_start_us"),
-        col("user_id"), col("n_events"), col("value_sum"))
-
-  /** Interval join via bucketing: events (point = day-of-month) matched
-    * to per-type promo windows — the scale-safe equi-bucket form of
-    * `t BETWEEN lo AND hi`, never a nested loop. */
-  val joinRange: Q = (s, dir) => {
-    val sess = s
-    import sess.implicits._
-    val points = Tables.events(s, dir)
-      .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("d"),
-        col("value"))
-    val windows = Tables.events(s, dir).select("event_type").distinct()
-      .crossJoin(Seq((2L, 9L), (12L, 19L), (22L, 29L)).toDF("d_lo", "d_hi"))
-    graft.operators.RangeJoin
-      .pointInInterval(points, windows, "d", "d_lo", "d_hi",
-        keys = Seq("event_type"), bucketWidth = 8L)
-      .groupBy("event_type", "d_lo", "d_hi")
-      .agg(count(lit(1)).as("n_events"),
-        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
-  }
-
-  /** As-of join: align each daily point with the most recent sparse
-    * (every-3rd-day) observation at or before it. */
-  val seriesAsof: Q = (s, dir) => {
-    val d = dailySeries(s, dir)
-    val sparse = d.filter(col("observation_day") % 3 === 0)
-    SeriesOps.asofJoin(d, sparse, Seq("indicator"), "observation_day", "value")
-  }
-
-  /** As-of with staleness bound: matches older than 1 day are nulled
-    * (day ≡ 2 mod 3 sits 2 days past its sparse anchor → null). */
-  val seriesAsofTolerance: Q = (s, dir) => {
-    val d = dailySeries(s, dir)
-    val sparse = d.filter(col("observation_day") % 3 === 0)
-    SeriesOps.asofJoinTolerance(d, sparse, Seq("indicator"),
-      "observation_day", "value", tolerance = 1L)
-  }
-
-  /** Markov transition matrix over each user's event sequence: step
-    * counts + per-origin share — the funnel/drop-off summary. */
-  val eventsTransitions: Q = (s, dir) =>
-    SeriesOps.transitionCounts(
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
-      "user_id", "event_type", Seq("ts", "event_id"))
-      .select("event_type", "next_state", "n", "share")
-
-  // ====================================================== [EXT] dedup
-
-  val dedupExact: Q = (s, dir) =>
-    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
-
-  val dedupNgram: Q = (s, dir) =>
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.5, maxDocFreq = 50)
-
-  /** MinHash-LSH near-dup pairs. `maxBucket = 200` closes the one
-    * quadratic door the defaults leave open: a band bucket holding
-    * >200 docs is an exact-dup cluster or degenerate boilerplate —
-    * C(bucket, 2) pair enumeration there belongs to the cluster form
-    * ([[dedupMinhashClusters]]), not the pair form. The oracle mirrors
-    * the cap on the band-slice buckets. */
-  val dedupMinhashLsh: Q = (s, dir) =>
-    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-      maxBucket = 200)
-
-  /** Linear-output dedup: (doc, cluster-representative) assignments.
-    * Hash-checked: the portable md5 hash family makes the banding and
-    * label propagation exactly replayable in the DuckDB oracle; the
-    * 100k-doc scale smoke pins runtime. */
-  val dedupMinhashClusters: Q = (s, dir) =>
-    Dedup.minhashClusters(Tables.documents(s, dir), "doc_id", "text")
-
-  val dedupSimhash: Q = (s, dir) =>
-    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
-
-  /** Winnowing containment dedup — hash-checked: the rolling
-    * polynomial gram hash is replayed by the oracle in HUGEINT
-    * arithmetic over `unicode(substr(...))`. */
-  val dedupWinnowing: Q = (s, dir) =>
-    Dedup.winnowingContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
-      threshold = 0.3)
-
-  /** Near-dup GROUPS from the n-gram pair graph: connected components
-    * collapse transitive duplicate chains (a~b, b~c → one group) —
-    * pairs are the metric, components are what curation acts on.
-    * Exact recursive-SQL oracle over the identical pair set. */
-  val dedupComponents: Q = (s, dir) =>
-    graft.operators.ConnectedComponents.run(
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 50),
-      "id_a", "id_b")
-
-  val dedupEmbedding: Q = (s, dir) =>
-    Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      "label", threshold = 0.4)
-
-  /** SemDeDup semantic dedup verdicts over the embedding corpus:
-    * deterministic min-md5 coarse centers (the engine-portable stand-in
-    * for k-means — the whole pipeline hash-checks, where [[Ivf]]'s
-    * k-means carries a recall bound instead), TWO-LEVEL argmax-cosine
-    * assignment (16 centers through 4 super-centers here; O(N·√k·d)
-    * compute with only the √k supers broadcast, since production
-    * scales k with the corpus — see [[ext.SemDedup.assignTwoLevel]]),
-    * within-cluster cosine pairs, connected-component groups, keep the
-    * min id. */
-  val dedupSemantic: Q = (s, dir) =>
-    SemDedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-      nCenters = 16, threshold = 0.4)
-
-  /** Cross-split leakage audit — the decontamination check that runs
-    * AFTER splitting: near-dup pairs (MinHash-LSH, the production
-    * screen) whose members landed in different train/val/test splits.
-    * Any row here is an eval document whose near-copy trains the
-    * model. Same split assignment as [[splitAssign]], same pair screen
-    * as [[dedupMinhashLsh]]; the split column is a per-row hash (no
-    * shuffle), so the audit costs one LSH pair screen plus two
-    * AQE-sized joins of the (tiny) pair set against the doc→split
-    * projection. */
-  val splitLeakage: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
-    val sp = Splits.assign(docs.select("doc_id"), "doc_id",
-        SplitWeights, salt = SplitSalt)
-      .select(col("doc_id"), col("split"))
-    pairs
-      .join(sp.toDF("id_a", "split_a"), "id_a")
-      .join(sp.toDF("id_b", "split_b"), "id_b")
-      .filter(col("split_a") =!= col("split_b"))
-      .select("id_a", "id_b", "split_a", "split_b", "jaccard")
-  }
-
-  /** Threshold-tuning observability for the near-dup family: the
-    * similarity distribution of ALL verified LSH candidates (verify
-    * floor 0) as decile buckets, with the running count of pairs at or
-    * above each decile — exactly the curve read before choosing the
-    * production verify threshold the dedup operators hardcode. Bucket
-    * arithmetic is integer (round(j·10⁴) div 1000), no float-boundary
-    * drift; the final window runs over ≤ 11 rows. */
-  val dedupThresholdSweep: Q = (s, dir) => {
-    val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
-      "text", verifyThreshold = 0.0, maxBucket = 200)
-    val hist = pairs
-      .withColumn("bucket",
-        expr("CAST(round(jaccard * 10000) AS BIGINT) div 1000"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-    val w = Window.orderBy(col("bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    hist.withColumn("n_at_or_above", sum("n_pairs").over(w))
-  }
-
-  /** Split repair: every near-dup component spanning two splits moves
-    * whole to train — the audit's actionable follow-up; zero
-    * cross-split pairs remain afterwards (see
-    * [[graft.ext.Splits.repairLeakage]]). Shares the production
-    * split config and the LSH pair machinery with `split_leakage`. */
-  val splitRepair: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
-    val assigned = Splits.assign(docs.select("doc_id"), "doc_id",
-        SplitWeights, salt = SplitSalt)
-      .select(col("doc_id"), col("split"))
-    Splits.repairLeakage(assigned, pairs)
-  }
-
-  /** The curation-to-mixture funnel in ONE DAG — the r10 additions
-    * composed end to end: corpus-statistic gates (Gopher battery ∧
-    * boilerplate-gram keep, both trained on the RAW corpus — training
-    * the gram-df on survivors would shift the statistic), minhash
-    * canonical near-dedup over the gated subset, then the per-source
-    * token-budget mixture over the deduped survivors. Output = the
-    * selected mixture (doc, source, tokens, fill position). The gated
-    * corpus is materialized once for the cluster keep-set and the
-    * budget stage (the curate_corpus_near persist-boundary pattern;
-    * DISK_ONLY on a cluster). */
-  val curateCorpusMix: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val bp = TextOps.boilerplateSignals(docs, minDocFreq = 20)
-    val gated = docs
-      .join(bp.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-      .filter(TextOps.gopherKeep(col("text")))
-      .select("doc_id", "source", "text")
-      .localCheckpoint()
-    val keep = Dedup.minhashClusters(gated, "doc_id", "text")
-      .filter(col("doc") === col("cluster"))
-      .select(col("doc").as("doc_id"))
-    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
-    Sampling.tokenBudgetSample(deduped, "doc_id", "source",
-        TextOps.tokenCount(col("text")),
-        budgets = Seq("src0" -> 2000L, "src1" -> 500L),
-        defaultBudget = 1000L, salt = "graft")
-      .filter(col("kept"))
-      .select("doc_id", "source", "n_tokens", "cum_before")
-  }
-
-  /** Benchmark decontamination: every-20th doc plays the held-out eval
-    * set; training docs sharing ≥1 distinct 5-gram with it are flagged
-    * with overlap counts. Benchmark shingles broadcast; corpus
-    * unshuffled. */
-  val decontamOverlap: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    Decontam.overlapStats(
-      docs.filter(col("doc_id") % 20 =!= 0),
-      docs.filter(col("doc_id") % 20 === 0),
-      "doc_id", "text", n = 5)
-  }
-
-  /** [[decontamOverlap]] through the bloom-prefilter path: the same
-    * benchmark split, but the (doc, shingle) stream is culled by a
-    * bloom bitset BEFORE the exact-confirm join — the plan for when
-    * the eval-suite shingle set outgrows broadcast. The bitset is
-    * auto-sized from the bench's distinct-shingle count (16 bits per
-    * shingle, FP ≈ 0.2%), so the prefilter keeps its selectivity at
-    * every SF instead of saturating as the bench grows (r8 ADVICE #2).
-    * Output ≡ decontam_overlap (bloom admits no false negatives; the
-    * exact join kills false positives), so it shares the exact-SQL
-    * oracle. */
-  val decontamBloom: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    Decontam.overlapStatsBloom(
-      docs.filter(col("doc_id") % 20 =!= 0),
-      docs.filter(col("doc_id") % 20 === 0),
-      "doc_id", "text", n = 5, kProbes = 4)
-  }
-
-  /** Deterministic 80/10/10 split keyed on md5(doc_id‖salt) — stable
-    * under re-reads/appends, engine-portable (oracle reproduces it). */
-  val splitAssign: Q = (s, dir) =>
-    Splits.assign(Tables.documents(s, dir).select("doc_id"), "doc_id",
-        SplitWeights, salt = SplitSalt)
-      .select("doc_id", "bucket", "split")
-
-  /** Incremental ingestion dedup: odd-id docs are the "new batch",
-    * even-id docs the already-ingested corpus; keep new docs whose
-    * canonical fingerprint is unseen. */
-  val dedupIncremental: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    Dedup.newAgainstReference(
-      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
-      docs.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text")
-  }
-
-  /** Incremental NEAR-dup screen: the odd-id batch against the even-id
-    * corpus via LSH band collision + exact-Jaccard verify — catches the
-    * re-crawl the exact-fingerprint form misses. Hash-checked end to
-    * end on the portable hash family (maxBucket mirrors
-    * [[dedupMinhashLsh]]). */
-  val dedupIncrementalNear: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    Dedup.newAgainstReferenceNear(
-      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
-      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
-      "doc_id", "text", maxBucket = 200)
-  }
-
-  val aggDistinct: Q = (s, dir) =>
-    Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
-
-  /** HLL++ approx distinct per group, CHECKED against the exact twin
-    * in the same pass: the raw estimate is engine-specific (rows-only
-    * forever), so the gate verifies the estimator's error bound
-    * instead — `approx_ok` = |est − exact| ≤ 4·rsd·exact (rsd = 0.05
-    * ⇒ the exact-integer form ·5). The oracle asserts TRUE; an
-    * out-of-band estimate hash-fails the gate. Raw-estimate form:
-    * [[Dedup.approxDistinctPerGroup]]. */
-  val aggApproxDistinct: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("n_exact"),
-        approx_count_distinct(col("user_id"), 0.05).as("__est"))
-      .select(col("event_type"), col("n_exact"),
-        (abs(col("__est") - col("n_exact")) * 5 <= col("n_exact")).as("approx_ok"))
-
-  // ================================================= [EXT] similarity
-
-  val similarityTopk: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    Similarity.topK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-  }
-
-  val similarityIvf: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    Similarity.topKBlocked(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-      "label", k = 5)
-  }
-
-  /** KMeans-IVF ANN: train coarse centroids, probe the 2 nearest of 8
-    * clusters per query, recall-CHECKED against brute-force top-k in
-    * the same plan: mean recall over the query wave must clear the
-    * 25% floor (measured 36–60% across the three SFs at nprobe=2/8 on
-    * this corpus — IVF has no closed-form recall bound, so the floor
-    * pins "the index is wired correctly", not a guarantee). The oracle
-    * asserts TRUE, so a recall collapse hash-fails the gate. Raw
-    * neighbor lists: [[Ivf.searchTopK]]. */
-  val similarityIvfKmeans: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    val q = e.filter(col("vec_id") < 5)
-    val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
-    val est = Ivf.searchTopK(index, q, "vec_id", "embedding", k = 5, nprobe = 2)
-      .select("query_id", "neighbor_id")
-    val truth = Similarity.topK(e, q, "vec_id", "embedding", k = 5)
-      .select("query_id", "neighbor_id")
-    val hits = est.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-    truth.agg(countDistinct(col("query_id")).as("n_queries"),
-        count(lit(1)).as("__n_truth"))
-      .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
-      .select(col("n_queries"),
-        (col("__n_hit") * 10000L >= col("__n_truth") * 2500L).as("recall_ok"))
-  }
-
-  /** IVF with exhaustive probing (nprobe = nClusters): every cluster
-    * is searched, so the output ≡ brute-force top-k BY CONSTRUCTION —
-    * which hands the whole IVF machinery (centroid ranking, probe
-    * explode, cluster-equality join, windowed top-k) the exact
-    * similarity_topk oracle. The hash-checked anchor under the
-    * engine-specific lower-nprobe entries above. */
-  val similarityIvfExhaustive: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
-    // probe however many clusters KMeans actually produced (it may
-    // return < k centers on degenerate data) — exhaustive either way
-    Ivf.searchTopK(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 10, nprobe = index.centroids.length)
-  }
-
-  /** Hyperplane-LSH near-neighbor pairs at cosine ≥ 0.4, recall-
-    * CHECKED against the exhaustive pair set in the same plan: LSH
-    * output is a SUBSET of brute force by construction (candidates
-    * exact-verified ⇒ precision 1), so the one failure mode is missing
-    * pairs — `recall_ok` asserts pair recall clears the 25% floor
-    * (measured 36–41% across the three SFs with 8-bit × 16-table
-    * signatures). The oracle computes the exhaustive count and asserts
-    * TRUE. VectorLshSpec pins determinism + the subset property; raw
-    * pairs: [[VectorLsh.cosineLshPairs]]. */
-  val similarityLsh: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    val lsh = VectorLsh.cosineLshPairs(e, "vec_id", "embedding", threshold = 0.4)
-    val ex = VectorLsh.cosinePairsExhaustive(e, "vec_id", "embedding",
-      threshold = 0.4)
-    lsh.agg(count(lit(1)).as("__n_lsh"))
-      .crossJoin(ex.agg(count(lit(1)).as("n_true_pairs")))
-      .select(col("n_true_pairs"),
-        (col("__n_lsh") * 10000L >= col("n_true_pairs") * 2500L).as("recall_ok"))
-  }
-
-  /** [[similarityLsh]] stripped of its gate twin — the ANN plan a user
-    * deploys (banded signature join + exact-cosine verify, no
-    * exhaustive count). Benched via [[SparkEntry.benchForm]]. */
-  val similarityLshBenchForm: Q = (s, dir) =>
-    VectorLsh.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.4)
-
-  /** The LSH tail with one constant signature — candidates = all pairs,
-    * output ≡ brute-force cosine pairs: the hash-checked anchor under
-    * the engine-specific `similarity_lsh` entry (see
-    * [[VectorLsh.cosinePairsExhaustive]]). */
-  val similarityLshExhaustive: Q = (s, dir) =>
-    VectorLsh.cosinePairsExhaustive(Tables.embeddings(s, dir), "vec_id",
-      "embedding", threshold = 0.4)
-
-  /** Quantized-scan ANN: int8 candidate generation (¼ the scan
-    * bandwidth — why a 100 TB vector corpus stores quantized) + exact
-    * float re-rank of the 4k-per-query survivors. Fully hash-checked:
-    * quantization, the integer-exact candidate score, and both
-    * tiebroken rankings replay bit-identically in the DuckDB twin —
-    * the ANN entry that needs no recall floor because its semantics
-    * are deterministic end to end. */
-  val similarityQuantized: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    Similarity.topKQuantizedRerank(e, e.filter(col("vec_id") < 5),
-      "vec_id", "embedding", k = 5, candidateFactor = 4)
-  }
-
-  /** Int8 embedding quantization: per-vector scale + quantized bytes —
-    * the 4× shuffle/storage cut applied before ANN at scale. The
-    * quantized array is posexploded to one (vec_id, pos, q_i) row per
-    * component (array outputs break the driver's checker; SURVEY §5) —
-    * library users call VectorQuant.withQuantized for the packed form. */
-  val embeddingQuantize: Q = (s, dir) =>
-    VectorQuant.withQuantized(
-        Tables.embeddings(s, dir).select("vec_id", "embedding"), "embedding")
-      .select(col("vec_id"), col("scale"), posexplode(col("q")))
-      .select(col("vec_id"), col("pos"), col("col").as("q_i"), col("scale"))
-
-  // ============================================ [EXT] profile / sample
-
-  /** Fixed-width value histogram per event type: 50 buckets of width
-    * 10 over [0, 500) plus under/overflow — the profiling pass run
-    * before picking quality thresholds. One map-side-combined shuffle
-    * of ≤ |groups|·52 rows regardless of input size. */
-  val aggHistogram: Q = (s, dir) =>
-    Profile.histogram(Tables.events(s, dir), Seq("event_type"), col("value"),
-      lo = 0.0, hi = 500.0, nBuckets = 50)
-
-  /** Exact second moments per event type: mean / sample variance /
-    * sample stddev from cents-scaled DECIMAL power sums — order-
-    * independent, hence hash-identical in the oracle (naive stddev
-    * is summation-order noise). */
-  val aggStatsMoments: Q = (s, dir) =>
-    Profile.moments(Tables.events(s, dir), Seq("event_type"), col("value"))
-
-  /** Exact Pearson correlation of value vs day-of-month per event
-    * type — the drift probe ("does this metric trend through the
-    * month?"), closed-form over five integer partials. */
-  val aggCorr: Q = (s, dir) =>
-    Profile.pearsonCorr(
-      Tables.events(s, dir)
-        .select(col("event_type"), col("value"),
-          dayofmonth(col("ts")).cast("double").as("d")),
-      Seq("event_type"), col("value"), col("d"))
-
-  /** Data-quality expectations: four declared rules validated in one
-    * scan, one row per rule with violation counts — the pre-ingest
-    * gate every pipeline runs. */
-  val qualityExpectations: Q = (s, dir) =>
-    Profile.expectations(Tables.events(s, dir), Seq(
-      "value_non_negative" -> (col("value") >= 0),
-      "value_below_1000" -> (col("value") < 1000),
-      "user_id_present" -> col("user_id").isNotNull,
-      "known_event_type" -> col("event_type").isin(
-        "click", "error", "purchase", "signup", "view")))
-
-  /** Per-column null/distinct profile of the events table in one
-    * pass — the schema-health summary (ts profiled at its microsecond
-    * grain, mirroring the engine's timestamp resolution). */
-  val profileColumns: Q = (s, dir) =>
-    Profile.columnProfile(
-      Tables.events(s, dir)
-        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts"),
-      Seq("event_id", "ts_us", "user_id", "event_type", "value"))
-
-  /** The sketch form of profile_columns (HLL distincts, no Expand),
-    * CHECKED against the exact profile in the same run: `approx_ok` =
-    * |est − exact| ≤ 4·rsd·exact per column (the agg_approx_distinct
-    * bound), oracle asserts TRUE. The exact twin rides along only for
-    * the check — production use is [[Profile.columnProfileApprox]]
-    * alone, which is the stated 100 TB path. */
-  val profileColumnsApprox: Q = (s, dir) => {
-    val df = Tables.events(s, dir)
-      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
-    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value")
-    val approx = Profile.columnProfileApprox(df, cols)
-      .select(col("column"), col("n_distinct_approx"))
-    Profile.columnProfile(df, cols)
-      .join(approx, "column")
-      .select(col("column"), col("n_nulls"), col("n_distinct"), col("n_rows"),
-        (abs(col("n_distinct_approx") - col("n_distinct")) * 5
-          <= col("n_distinct")).as("approx_ok"))
-  }
-
-  /** [[profileColumnsApprox]] stripped of its gate twin — the HLL
-    * profiler alone (no Expand; the stated 100 TB path). Benched via
-    * [[SparkEntry.benchForm]]. */
-  val profileColumnsApproxBenchForm: Q = (s, dir) => {
-    val df = Tables.events(s, dir)
-      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
-    Profile.columnProfileApprox(df,
-      Seq("event_id", "ts_us", "user_id", "event_type", "value"))
-  }
-
-  /** Equi-depth (quantile-bucket) histogram: ntile(10) buckets per
-    * event type with exact counts and value ranges — the companion of
-    * the fixed-width agg_histogram for skewed columns (every bucket
-    * holds ~n/10 rows; boundaries adapt to the data). Deterministic
-    * via the (value, event_id) total order; one window + one
-    * map-side-combined shuffle. */
-  val aggEquidepth: Q = (s, dir) => {
-    val w = Window.partitionBy("event_type")
-      .orderBy(round(col("value") * 1e6).cast("long").asc, col("event_id").asc)
-    Tables.events(s, dir)
-      .withColumn("bucket", ntile(10).over(w))
-      .groupBy("event_type", "bucket")
-      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
-  }
-
-  /** Packing QA: per-source pack counts and fill efficiency against
-    * the 512-token budget — the "how much padding am I paying for"
-    * check run after pack_budget. */
-  val packStats: Q = (s, dir) => {
-    val packed = Packing.packByBudget(
-      Tables.documents(s, dir).select("doc_id", "source", "text"),
-      groupCols = Seq("source"), orderCols = Seq("doc_id"),
-      tokens = TextOps.tokenCount(col("text")), budget = 512)
-    packed
-      .groupBy("source", "pack_id")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_packs"),
-        sum("pack_tokens").as("total_tokens"),
-        // integer-scaled mean fill vs budget — see qualitySignals
-        (round(sum("pack_tokens") * lit(10000.0) / (count(lit(1)) * 512)) / 1e4)
-          .as("mean_fill"),
-        max("pack_tokens").as("max_pack_tokens"))
-  }
-
-  /** Per-group z-score standardization over the exact power sums —
-    * the feature-normalization per-row companion of agg_stats_moments. */
-  val scalarZscore: Q = (s, dir) =>
-    Profile.zscore(
-      Tables.events(s, dir).select("event_id", "event_type", "value"),
-      Seq("event_type"), "value")
-
-  /** Mean imputation on the JSON-extracted `k` column (the same
-    * sentinel→try_cast chain as fred_clean_cast, but rows with missing
-    * k survive and take their event type's exact mean). */
-  val scalarImpute: Q = (s, dir) => {
-    val withVal = Tables.events(s, dir)
-      .select(col("event_id"), col("event_type"),
-        get_json_object(col("props"), "$.k").as("raw_k"))
-      .withColumn("k",
-        Clean.lenientDouble(
-          when(col("raw_k") === Clean.MissingSentinel, lit(null))
-            .otherwise(col("raw_k"))))
-    Clean.imputeGroupMean(withVal, Seq("event_type"), "k")
-      .select("event_id", "event_type", "k", "k_filled", "was_imputed")
-  }
-
-  /** IQR winsorization: clamp each value to its event type's exact
-    * [p25, p75]. Quartile fractions are binary-exact, so the
-    * interpolation — hence the clamp — is bit-identical in the oracle
-    * (any other p needs approx_percentile + rows-only at scale). */
-  val scalarWinsorize: Q = (s, dir) =>
-    Profile.winsorize(
-      Tables.events(s, dir).select("event_id", "event_type", "value"),
-      Seq("event_type"), "value", pLo = 0.25, pHi = 0.75)
-
-  /** OLS trend per event type: value regressed on day-of-month from
-    * the same exact power sums as agg_corr — drift detection. */
-  val aggLinfit: Q = (s, dir) =>
-    Profile.linearFit(
-      Tables.events(s, dir)
-        .select(col("event_type"), col("value"),
-          dayofmonth(col("ts")).cast("double").as("d")),
-      Seq("event_type"), col("d"), col("value"))
-
-  /** Robust scale profile: exact median + MAD per event type (the
-    * outlier-immune stddev — see Profile.mad's HALF-micro exactness
-    * argument). */
-  val aggMad: Q = (s, dir) =>
-    Profile.mad(Tables.events(s, dir), Seq("event_type"), "value")
-
-  /** Corpus re-balancing: keep 10% of dominant 'en', half of 'es',
-    * everything else — deterministic per-row hash membership, zero
-    * shuffle, and the DuckDB oracle replays the exact sample. */
-  val sampleStratified: Q = (s, dir) =>
-    Sampling.stratified(Tables.documents(s, dir), "doc_id", "lang",
-        rates = Seq("en" -> 10, "es" -> 50), defaultPct = 100, salt = "graft")
-      .select("doc_id", "lang", "source")
-
-  /** Uniform 25% sample by stable hash membership — the simplest
-    * sampling primitive ([[Sampling.hashSample]]): same md5 bucket as
-    * the stratified/split family, zero shuffle, re-read/append stable,
-    * and the oracle replays the exact membership. */
-  val sampleHash: Q = (s, dir) =>
-    Sampling.hashSample(Tables.documents(s, dir), "doc_id", pct = 25,
-        salt = "graft")
-      .select("doc_id", "lang", "source")
-
-  /** Per-source cap: at most 10 docs per source by consistent hash
-    * order — the over-represented-domain cap. */
-  val sampleCapPerGroup: Q = (s, dir) =>
-    Sampling.capPerGroup(Tables.documents(s, dir), Seq("source"), "doc_id",
-        k = 10, salt = "graft")
-      .select("doc_id", "source", "sample_rank")
-
-  /** Per-vector QA scalars (dim, L2 norm, max|c|, exact mean) — the
-    * embedding-batch health check; per-row, no shuffle. */
-  val embeddingStats: Q = (s, dir) =>
-    VectorStats.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding")
-
-  /** Exact per-label component centroids as (label, pos, centroid)
-    * scalar rows — label-drift monitoring / IVF seeding input. */
-  val embeddingCentroids: Q = (s, dir) =>
-    VectorStats.componentCentroids(Tables.embeddings(s, dir), "label", "embedding")
-
-  // ======================================================= [EXT] text
-
-  /** Quality deciles per language: ntile(10) over (score, doc_id) —
-    * the curriculum-binning step (both engines distribute remainder
-    * rows to the first buckets, so decile edges agree exactly). */
-  val qualityNtile: Q = (s, dir) => {
-    val scored = TextOps.qualityScore(TextOps.qualitySignals(Tables.documents(s, dir)))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("quality_score").asc, col("doc_id").asc)
-    scored.withColumn("decile", ntile(10).over(w))
-      .select("doc_id", "lang", "quality_score", "decile")
-  }
-
-  val textStats: Q = (s, dir) => {
-    val d = Tables.documents(s, dir)
-    val toks = TextOps.tokenCount(col("text"))
-    d.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      sum(toks.cast("long")).as("total_tokens"),
-      (round(sum(toks.cast("long")) * lit(10000.0) / count(lit(1))) / 1e4)
-        .as("avg_tokens"),
-      max("n_chars").as("max_chars"))
-  }
-
-  val textQuality: Q = (s, dir) =>
-    TextOps.qualityScore(TextOps.qualitySignals(Tables.documents(s, dir)))
-      .select("doc_id", "n_tokens", "n_stopwords", "stop_ratio", "punct_ratio",
-        "mean_token_len", "quality_score")
-
-  /** The published Gopher filter battery as per-doc signals + exact-
-    * integer gates (see [[TextOps.gopherSignals]]). */
-  val qualityGopher: Q = (s, dir) =>
-    TextOps.gopherSignals(Tables.documents(s, dir))
-
-  /** Whitespace vs BPE-ish regex tokenization stats with type-token
-    * ratio — the lexical-diversity triage signal. */
-  val textTokensRegex: Q = (s, dir) =>
-    TextOps.tokenStats(Tables.documents(s, dir))
-
-  /** Corpus-trained bigram LM surprisal per document — the CCNet-style
-    * perplexity-bucket quality filter in exact integer bit space (see
-    * [[TextOps.lmSurprisal]]; no floating log crosses the oracle). */
-  val qualityLmSurprisal: Q = (s, dir) =>
-    TextOps.lmSurprisal(Tables.documents(s, dir))
-
-  /** DSIR importance weights with the `en` slice as the target domain —
-    * domain-targeted selection scores for every doc in the pool (see
-    * [[TextOps.dsirWeights]]). */
-  val qualityDsir: Q = (s, dir) =>
-    TextOps.dsirWeights(Tables.documents(s, dir), col("lang") === "en")
-
-  /** Surprisal + DSIR fused over one corpus pass (r9 VERDICT #6): the
-    * shape that ships when both signals feed the same curation run —
-    * one tokenize/explode, one LM groupBy training all three LMs,
-    * one per-doc aggregate; value-identical columns to running
-    * [[qualityLmSurprisal]] and [[qualityDsir]] separately (see
-    * [[TextOps.lmAndDsir]]). */
-  val qualityLmDsir: Q = (s, dir) =>
-    TextOps.lmAndDsir(Tables.documents(s, dir), col("lang") === "en")
-
-  /** Z-order layout diagnostics over events (user × quantized value):
-    * 32 fixed-width z-ranges with per-range min/max bounds on both
-    * dimensions — the file-skipping layout measured rather than
-    * asserted (see [[graft.operators.ZOrder]]). */
-  val layoutZorder: Q = (s, dir) =>
-    graft.operators.ZOrder.rangeStats(
-      Tables.events(s, dir).withColumn("value_i", floor(col("value")).cast("long")),
-      "user_id", "value_i", bits = 8, nBuckets = 32)
-
-  /** Deterministic training-order shuffle of the corpus (epoch 1,
-    * 8 shards): the md5 permutation key + shard every example gets
-    * before a sharded training write — zero-shuffle per-row compute,
-    * identical on any cluster and in the oracle (see
-    * [[graft.operators.TrainingOrder]]; the range-partitioned write
-    * form is layoutByOrder). */
-  val layoutShuffle: Q = (s, dir) =>
-    graft.operators.TrainingOrder.withOrder(
-      Tables.documents(s, dir).select("doc_id", "source"),
-      keyCol = "doc_id", shards = 8, salt = "graft", epoch = 1)
-
-  /** Cross-document span dedup (C4/RefinedWeb): every repeat of a
-    * 5-token span after its global (doc, pos)-first occurrence is
-    * dropped and documents are reassembled — the hygiene pass that
-    * catches boilerplate whole-doc dedup misses. Fully hash-checked:
-    * span extraction is the proven chunking machinery and the
-    * first-occurrence order replays exactly in SQL. */
-  val dedupSpans: Q = (s, dir) =>
-    Dedup.spanDedupByTokens(Tables.documents(s, dir), "doc_id", "text",
-      spanTokens = 5)
-
-  val textLangid: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        graft.functions.LangId.langId(col("text")).as("lang_pred"))
-
-  /** Winnowing rolling-hash fingerprint via the native
-    * [[graft.functions.WinnowingFingerprint]] expression —
-    * hash-checked against the oracle's polynomial twin. */
-  val textFingerprint: Q = (s, dir) => {
-    val winnowed = graft.functions.Winnowing.winnow(col("text"), k = 8, w = 4)
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      size(winnowed).as("n_fingerprints"),
-      array_min(winnowed).as("min_fp"),
-      array_max(winnowed).as("max_fp"))
-  }
-
-  /** Gopher-style intra-doc repetition: share of n-gram occurrences
-    * that repeat an earlier n-gram in the same document. */
-  val textRepetition: Q = (s, dir) =>
-    TextOps.repetitionSignals(Tables.documents(s, dir))
-
-  /** Corpus-frequency boilerplate-gram signals: the CCNet/RefinedWeb
-    * templated-document heuristic — docs mostly made of grams common
-    * across the corpus are template spam (see
-    * [[TextOps.boilerplateSignals]]; no pair join, pure corpus
-    * statistic). */
-  val textBoilerplate: Q = (s, dir) =>
-    TextOps.boilerplateSignals(Tables.documents(s, dir))
-
-  /** Gopher top n-gram occupancy: share of the doc taken by its single
-    * most frequent bigram, with the count-desc/gram-asc deterministic
-    * tiebreak (see [[TextOps.topGramShare]]). */
-  val textTopgram: Q = (s, dir) =>
-    TextOps.topGramShare(Tables.documents(s, dir))
-
-  /** Token-budget sequence packing per source: deterministic doc order,
-    * window cumsum, new pack at each budget crossing. */
-  val packBudget: Q = (s, dir) =>
-    Packing.packByBudget(
-        Tables.documents(s, dir).select("doc_id", "source", "text"),
-        groupCols = Seq("source"), orderCols = Seq("doc_id"),
-        tokens = TextOps.tokenCount(col("text")), budget = 512)
-      .select("doc_id", "source", "n_tokens", "pack_id")
-
-  /** Pack assembly: each pack's member docs joined into one training
-    * text (md5 in the output so the full string is hash-verified). */
-  val packConcat: Q = (s, dir) => {
-    val packed = Packing.packByBudget(
-      Tables.documents(s, dir).select("doc_id", "source", "text"),
-      groupCols = Seq("source"), orderCols = Seq("doc_id"),
-      tokens = TextOps.tokenCount(col("text")), budget = 512)
-    Packing.packTexts(packed, Seq("source"), "doc_id", "text")
-      .select(col("source"), col("pack_id"), col("n_docs"),
-        md5(col("pack_text")).as("pack_md5"))
-  }
-
-  /** Pairwise source vocabulary overlap — the corpus-composition
-    * diagnostic before merging crawls. |sources|²/2 output rows. */
-  val sourceOverlap: Q = (s, dir) =>
-    TextOps.vocabOverlap(Tables.documents(s, dir), "source", "text")
-
-  /** TF-IDF top-3 salient terms per document (exact rational idf —
-    * see TextOps.tfidfTopK; the log-idf form is spec-tested). */
-  val textTfidf: Q = (s, dir) =>
-    TextOps.tfidfTopK(Tables.documents(s, dir), "doc_id", "text",
-      k = 3, logIdf = false)
-
-  /** Corpus vocabulary: top-100 tokens by frequency (wordcount). */
-  val vocabTopk: Q = (s, dir) =>
-    TextOps.vocabTopK(Tables.documents(s, dir), "text", k = 100)
-
-  /** BPE vocabulary training (Sennrich et al. 2016) over the corpus:
-    * the first 8 merges, each the corpus-wide most frequent adjacent
-    * symbol pair (frequency-weighted over the vocab-bounded word
-    * table, lexicographic tie-break) — the trained tokenizer model as
-    * a table, replayed merge-for-merge by the oracle's unrolled
-    * stages. See [[ext.Bpe.trainMerges]]. */
-  val vocabBpeMerges: Q = (s, dir) =>
-    graft.ext.Bpe.trainMerges(Tables.documents(s, dir), "text", nMerges = 8)
-
-  /** The apply side of the trained model: every corpus word segmented
-    * by the 8 trained merges in training order (BPE inference IS the
-    * training-order replay), emitted as the '~'-joined segmentation
-    * plus its token count. Training runs in-query (the model is the
-    * 8-row driver state by definition); the oracle's final stage table
-    * must equal this output word for word. */
-  val vocabBpeSegment: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val trained = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    graft.ext.Bpe.segment(docs, "text", trained)
-      .select(col("word"), col("freq"),
-        concat_ws("~", col("tokens")).as("seg"), col("n_tokens"))
-  }
-
-  /** Token budgeting with the TRAINED tokenizer: per-doc word and
-    * BPE-token counts under the 8-merge model — the number that
-    * actually prices a document into a training run (whitespace
-    * counts under-charge long words; this replays the model). The
-    * corpus-side work is one explode + one vocab-bounded equality
-    * join (AQE broadcasts real-world segmentations) + one per-doc
-    * agg; training cost is [[vocabBpeMerges]]'s. */
-  val textTokensBpe: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val trained = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val wordTok = graft.ext.Bpe.segment(docs, "text", trained)
-      .select("word", "n_tokens")
-    val perDoc = docs
-      .select(col("doc_id"), explode(TextOps.regexTokens(col("text"))).as("word"))
-      .join(wordTok, "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_tokens").as("n_bpe_tokens"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
-  }
-
-  /** One BPE training run serving EVERY model consumer (r10 VERDICT
-    * "What's wrong" #2: [[vocabBpeSegment]] and [[textTokensBpe]]
-    * standalone each retrain the same 8-merge model in-query): the
-    * trained model is applied once, the segmented-word frame is
-    * materialized once (`localCheckpoint`; persist(DISK_ONLY) on a
-    * cluster) and read by BOTH consumers — the corpus-level vocabulary
-    * stats (model-side consumer, broadcast back as scalars) and the
-    * per-doc token pricing (the [[textTokensBpe]] join). Output: one
-    * row per doc with its token counts plus the shared corpus scalars
-    * (n_vocab_words, corpus_tokens, n_merges). */
-  val vocabBpeShared: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val model = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val seg = graft.ext.Bpe.segment(docs, "text", model).toDF()
-      .localCheckpoint()
-    val corpusStats = seg.agg(
-      count(lit(1)).as("n_vocab_words"),
-      sum(col("freq") * col("n_tokens")).as("corpus_tokens"))
-      .withColumn("n_merges", lit(model.length))
-    val perDoc = docs
-      .select(col("doc_id"), explode(TextOps.regexTokens(col("text"))).as("word"))
-      .join(seg.select("word", "n_tokens"), "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_tokens").as("n_bpe_tokens"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .crossJoin(broadcast(corpusStats))
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-        col("n_vocab_words"), col("corpus_tokens"), col("n_merges"))
-  }
-
-  /** PII scrub: replacement count + md5 of the scrubbed text (the
-    * md5 lets the oracle verify the full redacted payload without
-    * hauling the text through the compare). */
-  val textRedact: Q = (s, dir) =>
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextOps.piiCount(col("text")).cast("int").as("n_pii"),
-      md5(TextOps.redactPii(col("text"))).as("redacted_md5"))
-
-  // ================================================= [EXT] multimodal
-
-  val mmPayloadMeta: Q = (s, dir) =>
-    MultiModal.payloadMeta(Tables.documents(s, dir))
-
-  val mmDecodeFeatures: Q = (s, dir) =>
-    MultiModal.decodeFeatures(
-      MultiModal.withPayload(Tables.documents(s, dir))).toDF()
-
-  /** REAL codec round trip (r9 VERDICT #2): a deterministic PNG is
-    * encoded per doc, carried through a binary column, and decoded by
-    * `javax.imageio` — geometry, band count, and both corner pixels
-    * read off the DECODED frame. Every emitted value is a pure
-    * function of doc_id, so the oracle asserts pixel-exact decode
-    * (PNG is lossless); see [[MultiModal.imageRoundTrip]]. */
-  val mmImageioDecode: Q = (s, dir) =>
-    MultiModal.imageRoundTrip(Tables.documents(s, dir)).toDF()
-
-  /** REAL audio codec round trip (r10 VERDICT #3): a deterministic
-    * PCM WAV is synthesized per doc, carried through a binary column,
-    * and decoded by `javax.sound.sampled` — format fields and exact
-    * sample statistics read off the DECODED stream. Every value is a
-    * pure function of doc_id (WAV is lossless), so the oracle asserts
-    * the round trip arithmetically; see [[MultiModal.audioRoundTrip]]. */
-  val mmAudioMeta: Q = (s, dir) =>
-    MultiModal.audioRoundTrip(Tables.documents(s, dir)).toDF()
-
-  /** Image near-dup via perceptual hash over REAL decode (r10 VERDICT
-    * #2 — the dedup modality that was still text/embedding-only): a
-    * structured scene PNG per doc (same base scene per 8-doc group,
-    * brightness-shifted per doc, every 5th doc pixel-bumped), decoded
-    * by `javax.imageio`, dHashed on the 9×8 luma grid, and paired by
-    * the SAME combination-banded Hamming join text SimHash uses —
-    * Σ bucket², never all-pairs. Every pixel is a pure integer
-    * function of doc_id and PNG is lossless, so the oracle replays
-    * the dHash arithmetic exactly; banding recall is 1.0 for
-    * Hamming ≤ 3 (pigeonhole), so output ≡ the all-pairs filter the
-    * oracle can afford at verify scale. */
-  val dedupImagePhash: Q = (s, dir) => {
-    val payloads = MultiModal.withScenePayload(
-      Tables.documents(s, dir).select("doc_id"))
-    Dedup.hammingPairs(
-      MultiModal.imageDHash(payloads), "doc_id", "phash",
-      maxHamming = 3, pieces = 6)
-  }
-
-  /** Aspect-preserving resize planning into a 224-box (see
-    * [[MultiModal.resizePlan]]) — exact-integer geometry, codegen'd. */
-  val mmResize: Q = (s, dir) =>
-    MultiModal.resizePlan(Tables.documents(s, dir), target = 224)
-
-  /** Every 4th fixed-size frame of a video-shaped payload: index +
-    * byte offset per sampled frame (see
-    * [[MultiModal.frameSamplePlan]]). */
-  val mmFrameSample: Q = (s, dir) =>
-    MultiModal.frameSamplePlan(Tables.documents(s, dir),
-      frameSize = 64, stride = 4)
-
-  // ================================================ [EXT] composite
-
-  /** The flagship curation composite: the end-to-end corpus-prep job
-    * every piece above exists for — quality gate → exact-dedup keep-set
-    * → benchmark decontamination → stable split assignment — composed
-    * into ONE declarative plan Catalyst optimizes end to end (filter
-    * pushdown through all four stages; both membership checks are
-    * broadcast anti/semi joins; the corpus is scanned, never shuffled
-    * whole). */
-  val curateCorpus: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val bench = docs.filter(col("doc_id") % 20 === 0)
-    val train = docs.filter(col("doc_id") % 20 =!= 0)
-    val scored = TextOps.qualityScore(TextOps.qualitySignals(train))
-      .filter(col("quality_score") >= 0.5)
-      .select("doc_id", "text", "quality_score")
-    val keep = Dedup.exactGroups(scored, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val deduped = scored.join(keep, Seq("doc_id"), "left_semi")
-    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
-    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
-      .select("doc_id", "quality_score", "split")
-  }
-
-  /** The curation composite with NEAR-dup dedup: same four stages as
-    * [[curateCorpus]] but the keep-set comes from MinHash cluster
-    * representatives (doc == cluster) instead of exact-hash groups —
-    * the form recommended at 100 TB, where duplicate groups are deep
-    * and pair enumeration is quadratic. Hash-checked end to end: the
-    * portable hash family lets the oracle replay the cluster keep-set
-    * exactly, and near-dedup can only remove MORE rows than exact
-    * (spec-pinned). */
-  val curateCorpusNear: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val bench = docs.filter(col("doc_id") % 20 === 0)
-    val train = docs.filter(col("doc_id") % 20 =!= 0)
-    // stage-boundary materialization: the gated+scored corpus feeds
-    // FOUR consumers (cluster keep-set, semi-join, decontam stats,
-    // decontam anti-join) — without it the scan + quality regexes
-    // re-run per consumer. The exact composite (curate_corpus) stays
-    // single-plan to demonstrate end-to-end Catalyst optimization;
-    // this near form is the 100 TB shape, and at 100 TB this is the
-    // persist-once boundary every real pipeline puts after its gate
-    // (persist(DISK_ONLY) on a cluster).
-    val scored = TextOps.qualityScore(TextOps.qualitySignals(train))
-      .filter(col("quality_score") >= 0.5)
-      .select("doc_id", "text", "quality_score")
-      .localCheckpoint()
-    val keep = Dedup.minhashClusters(scored, "doc_id", "text")
-      .filter(col("doc") === col("cluster"))
-      .select(col("doc").as("doc_id"))
-    val deduped = scored.join(keep, Seq("doc_id"), "left_semi")
-    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
-    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
-      .select("doc_id", "quality_score", "split")
-  }
-
-  /** The curation composite gated by the published Gopher rule battery
-    * instead of the linear quality score: gopher-keep filter (one
-    * codegen'd scan, exact-integer gates) → exact dedup → benchmark
-    * decontamination → stable split. The filter-first order is the
-    * 100 TB shape: the cheapest gate runs against the raw scan and
-    * every later stage sees only survivors. */
-  val curateCorpusGopher: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val bench = docs.filter(col("doc_id") % 20 === 0)
-    val train = docs.filter(col("doc_id") % 20 =!= 0)
-    val kept = train.filter(TextOps.gopherKeep(col("text")))
-      .withColumn("n_words", size(TextOps.tokens(col("text"))).cast("long"))
-      .select("doc_id", "text", "n_words")
-    val keep = Dedup.exactGroups(kept, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val deduped = kept.join(keep, Seq("doc_id"), "left_semi")
-    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
-    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
-      .select("doc_id", "n_words", "split")
-  }
-
-  /** Context-window chunking of documents: 32-token chunks overlapping
-    * by 8 — zero-shuffle per-row explode (see [[ext.Chunking]]). */
-  val textChunk: Q = (s, dir) =>
-    ext.Chunking.chunkByTokens(Tables.documents(s, dir)
-      .select("doc_id", "text"), "doc_id", "text", chunkSize = 32, overlap = 8)
-
-  /** Per-event-type distribution drift of `value` vs the whole corpus:
-    * exact χ² over the agg_histogram bucket law (coarser buckets so
-    * every type has populated cells). */
-  val driftChisq: Q = (s, dir) =>
-    Profile.driftChiSquare(Tables.events(s, dir), "event_type", col("value"),
-      lo = 0.0, hi = 500.0, nBuckets = 10)
-
-  /** Min–max feature scaling per event type — same shape as
-    * scalar_zscore, range-normalized instead of standardized. */
-  val scalarMinmax: Q = (s, dir) =>
-    Profile.minmaxScale(
-      Tables.events(s, dir).select("event_id", "event_type", "value"),
-      Seq("event_type"), "value")
-
-  /** Curation-funnel report over documents: ordered quality gates,
-    * entry/survivor counts per stage in one scan. */
-  val qualityFunnel: Q = (s, dir) =>
-    Profile.filterFunnel(Tables.documents(s, dir), Seq(
-      "min_chars" -> (col("n_chars") >= 150),
-      "english" -> (col("lang") === "en"),
-      "max_chars" -> (col("n_chars") <= 450),
-      "source_ok" -> (col("source") =!= "src3")))
-
-  /** Corpus re-weighting to a 4:3:2:1:1 source mixture — unlisted
-    * sources drop, the bottleneck source keeps 100%, everything else
-    * down-samples on the stable md5 bucket. */
-  val sampleMixture: Q = (s, dir) =>
-    Sampling.mixtureResample(
-      Tables.documents(s, dir).select("doc_id", "source"),
-      "doc_id", "source",
-      Seq("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1, "src4" -> 1),
-      salt = "mix")
-
-  /** Token-budgeted mixture: each source fills its token quota in md5
-    * order — the tokens-not-documents form of mix assembly (see
-    * [[Sampling.tokenBudgetSample]]; full audit report, kept flag per
-    * doc). */
-  val sampleTokenBudget: Q = (s, dir) =>
-    Sampling.tokenBudgetSample(
-      Tables.documents(s, dir).select("doc_id", "source", "text"),
-      "doc_id", "source", TextOps.tokenCount(col("text")),
-      budgets = Seq("src0" -> 2000L, "src1" -> 500L),
-      defaultBudget = 1000L, salt = "graft")
-
-  /** Quality-aware canonical selection: for each near-dup cluster from
-    * the n-gram pair graph, keep the LONGEST member (doc id tiebreak) —
-    * the doc a curation pipeline would actually retain, vs the
-    * arbitrary min-id label of dedup_components. Exact recursive-CTE
-    * closure + window oracle. */
-  val dedupCanonical: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val labels = graft.operators.ConnectedComponents.run(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 50),
-      "id_a", "id_b")
-    Dedup.canonicalPerCluster(labels,
-      docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
-  }
-
-  /** The pair graph and its connected components computed ONCE,
-    * serving both consumers: per-doc cluster labels (the
-    * dedup_components shape) AND the per-cluster canonical choice —
-    * one (doc_id, label, canonical_doc_id) row per clustered doc.
-    * [[dedupComponents]] + [[dedupCanonical]] run standalone recompute
-    * the pair join + closure twice; here the label frame — already
-    * materialized by `ConnectedComponents.run`'s per-round
-    * `localCheckpoint` (a cluster deployment would persist to disk) —
-    * is re-read by the window and the join, so the expensive Σ bucket²
-    * candidate work happens exactly once. */
-  val dedupCanonicalShared: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val labels = graft.operators.ConnectedComponents.run(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 50),
-      "id_a", "id_b")
-    val canon = Dedup.canonicalPerCluster(labels,
-      docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
-    labels.withColumnRenamed("node", "doc_id")
-      .join(canon.select("cluster", "canonical_doc_id"),
-        col("label") === col("cluster"))
-      .select("doc_id", "label", "canonical_doc_id")
-  }
-
-  /** Unicode canonicalization of every document: NFC + accent-strip +
-    * lower/trim/whitespace-collapse — the cross-crawl fingerprint key
-    * (composed vs decomposed crawls of the same page canonicalize
-    * identically). Codegen'd with an ASCII fast path. */
-  val textNormalize: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextOps.normalizeText(col("text")).as("canon"))
-
-  /** Ordered view→click→purchase funnel over the event stream:
-    * entities must hit each step strictly later than the previous
-    * step's first qualifying time. */
-  val eventsFunnel: Q = (s, dir) =>
-    SeriesOps.sequenceFunnel(
-      Tables.events(s, dir).select("user_id", "event_type", "ts"),
-      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
-
-  /** Monthly cohort retention over the event stream: users cohorted by
-    * first active month, cells count distinct users active at each
-    * month offset (see [[SeriesOps.cohortRetention]]). */
-  val eventsRetention: Q = (s, dir) =>
-    SeriesOps.cohortRetention(Tables.events(s, dir), "user_id", "ts")
-
-  /** Weekly cohort retention (r10 ADVICE #2): the fixtures' events
-    * span one calendar month, so the MONTHLY matrix collapses to
-    * offset-0 cells and the offset arithmetic never meets the oracle;
-    * weekly granularity puts offsets 1..4 and sub-1.0 normalization
-    * under the cross-engine hash gate at every SF. */
-  val eventsRetentionWeekly: Q = (s, dir) =>
-    SeriesOps.cohortRetentionBy(Tables.events(s, dir), "user_id", "ts", "week")
-
-  // =================================================== registry
-
-  val all: Map[String, Q] = Map(
-    "fred_monthly_agg" -> fredMonthlyAgg,
-    "fred_daily_agg" -> fredDailyAgg,
-    "fred_clean_cast" -> fredCleanCast,
-    "fred_yearly_gold" -> fredYearlyGold,
-    "fred_dedup_sync" -> fredDedupSync,
-    "fred_upsert_merge" -> fredUpsertMerge,
-    "merge_scd2" -> mergeScd2,
-    "scalar_dates" -> scalarDates,
-    "join_star_revenue" -> joinStarRevenue,
-    "join_semi" -> joinSemi,
-    "join_left_outer" -> joinLeftOuter,
-    "join_full_outer" -> joinFullOuter,
-    "topk_orders" -> topkOrders,
-    "set_except" -> setExcept,
-    "set_intersect" -> setIntersect,
-    "agg_rollup" -> aggRollup,
-    "agg_salted" -> aggSalted,
-    "join_salted" -> joinSalted,
-    "agg_quantiles" -> aggQuantiles,
-    "agg_approx_percentile" -> aggApproxPercentile,
-    "agg_histogram" -> aggHistogram,
-    "agg_equidepth" -> aggEquidepth,
-    "quality_expectations" -> qualityExpectations,
-    "profile_columns" -> profileColumns,
-    "profile_columns_approx" -> profileColumnsApprox,
-    "agg_stats_moments" -> aggStatsMoments,
-    "agg_corr" -> aggCorr,
-    "agg_mad" -> aggMad,
-    "agg_linfit" -> aggLinfit,
-    "agg_cube" -> aggCube,
-    "agg_mode" -> aggMode,
-    "pivot_daily" -> pivotDaily,
-    "unpivot_daily" -> unpivotDaily,
-    "scalar_winsorize" -> scalarWinsorize,
-    "scalar_zscore" -> scalarZscore,
-    "scalar_impute" -> scalarImpute,
-    "sample_stratified" -> sampleStratified,
-    "sample_hash" -> sampleHash,
-    "sample_cap_per_group" -> sampleCapPerGroup,
-    "embedding_stats" -> embeddingStats,
-    "embedding_centroids" -> embeddingCentroids,
-    "quality_ntile" -> qualityNtile,
-    "window_mom" -> windowMom,
-    "window_yoy" -> windowYoy,
-    "window_moving_avg" -> windowMovingAvg,
-    "window_rank_share" -> windowRankShare,
-    "window_cume" -> windowCume,
-    "window_locf" -> windowLocf,
-    "window_sessionize" -> windowSessionize,
-    "window_tumbling" -> windowTumbling,
-    "window_session" -> windowSession,
-    "series_asof" -> seriesAsof,
-    "series_asof_tolerance" -> seriesAsofTolerance,
-    "events_transitions" -> eventsTransitions,
-    "join_range" -> joinRange,
-    "dedup_exact" -> dedupExact,
-    "dedup_ngram" -> dedupNgram,
-    "dedup_minhash_lsh" -> dedupMinhashLsh,
-    "dedup_threshold_sweep" -> dedupThresholdSweep,
-    "dedup_minhash_clusters" -> dedupMinhashClusters,
-    "dedup_simhash" -> dedupSimhash,
-    "dedup_winnowing" -> dedupWinnowing,
-    "dedup_embedding" -> dedupEmbedding,
-    "dedup_semantic" -> dedupSemantic,
-    "split_leakage" -> splitLeakage,
-    "split_repair" -> splitRepair,
-    "dedup_editdist" -> dedupEditdist,
-    "dedup_components" -> dedupComponents,
-    "decontam_overlap" -> decontamOverlap,
-    "decontam_bloom" -> decontamBloom,
-    "split_assign" -> splitAssign,
-    "agg_distinct" -> aggDistinct,
-    "agg_approx_distinct" -> aggApproxDistinct,
-    "similarity_topk" -> similarityTopk,
-    "similarity_ivf" -> similarityIvf,
-    "similarity_ivf_kmeans" -> similarityIvfKmeans,
-    "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
-    "similarity_lsh" -> similarityLsh,
-    "similarity_lsh_exhaustive" -> similarityLshExhaustive,
-    "similarity_quantized" -> similarityQuantized,
-    "embedding_quantize" -> embeddingQuantize,
-    "text_stats" -> textStats,
-    "text_quality" -> textQuality,
-    "text_langid" -> textLangid,
-    "text_fingerprint" -> textFingerprint,
-    "text_redact" -> textRedact,
-    "text_repetition" -> textRepetition,
-    "text_boilerplate" -> textBoilerplate,
-    "text_topgram" -> textTopgram,
-    "pack_budget" -> packBudget,
-    "pack_concat" -> packConcat,
-    "pack_stats" -> packStats,
-    "vocab_topk" -> vocabTopk,
-    "text_tfidf" -> textTfidf,
-    "source_overlap" -> sourceOverlap,
-    "dedup_incremental" -> dedupIncremental,
-    "dedup_incremental_near" -> dedupIncrementalNear,
-    "mm_payload_meta" -> mmPayloadMeta,
-    "mm_resize" -> mmResize,
-    "mm_frame_sample" -> mmFrameSample,
-    "mm_decode_features" -> mmDecodeFeatures,
-    "mm_imageio_decode" -> mmImageioDecode,
-    "curate_corpus" -> curateCorpus,
-    "curate_corpus_near" -> curateCorpusNear,
-    "text_chunk" -> textChunk,
-    "drift_chisq" -> driftChisq,
-    "scalar_minmax" -> scalarMinmax,
-    "quality_funnel" -> qualityFunnel,
-    "sample_mixture" -> sampleMixture,
-    "sample_token_budget" -> sampleTokenBudget,
-    "curate_corpus_mix" -> curateCorpusMix,
-    "dedup_canonical" -> dedupCanonical,
-    "dedup_canonical_shared" -> dedupCanonicalShared,
-    "text_normalize" -> textNormalize,
-    "events_funnel" -> eventsFunnel,
-    "events_retention" -> eventsRetention,
-    "quality_gopher" -> qualityGopher,
-    "curate_corpus_gopher" -> curateCorpusGopher,
-    "text_tokens_regex" -> textTokensRegex,
-    "layout_zorder" -> layoutZorder,
-    "layout_shuffle" -> layoutShuffle,
-    "dedup_spans" -> dedupSpans,
-    "quality_lm_surprisal" -> qualityLmSurprisal,
-    "quality_dsir" -> qualityDsir,
-    "quality_lm_dsir" -> qualityLmDsir,
-    "vocab_bpe_merges" -> vocabBpeMerges,
-    "vocab_bpe_segment" -> vocabBpeSegment,
-    "text_tokens_bpe" -> textTokensBpe,
-    "vocab_bpe_shared" -> vocabBpeShared,
-    "dedup_image_phash" -> dedupImagePhash,
-    "mm_audio_meta" -> mmAudioMeta,
-    "events_retention_weekly" -> eventsRetentionWeekly
-  )
+object Queries
+    extends QueriesBase
+    with CoreQueries with JoinQueries with AggQueries with WindowQueries
+    with DedupQueries with SimilarityQueries with ProfileQueries
+    with TextQueries with MultiModalQueries with CompositeQueries {
+
+  /** The full catalog, assembled from the per-family registries (r10
+    * VERDICT #7 split the former single-file catalog; each family file
+    * owns its queries AND its registry slice, so adding an operator
+    * touches one file). */
+  val all: Map[String, Q] = coreRegistry ++
+    joinRegistry ++
+    aggRegistry ++
+    windowRegistry ++
+    dedupRegistry ++
+    similarityRegistry ++
+    profileRegistry ++
+    textRegistry ++
+    multiModalRegistry ++
+    compositeRegistry
 }

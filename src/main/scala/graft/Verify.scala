@@ -14,6 +14,16 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus, appName = "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
+    dump(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump body, callable with a caller-owned session (the
+    * differential fuzz spec runs it against generated corpora without
+    * surrendering the shared test session to the `spark.stop()` the
+    * driver entry point performs). */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
@@ -42,6 +52,5 @@ object Verify {
       .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -609,6 +609,79 @@ object TextOps {
         lit(100L) * col("n_boiler") <= lit(maxBoilerPct.toLong) * col("n_grams"))
   }
 
+  /** A pre-trained boilerplate screen — the corpus-STATISTIC half of
+    * [[boilerplateSignals]] decoupled from the screening pass (r10
+    * VERDICT #5): a crawl pipeline trains the gram-document-frequency
+    * table once on a reference corpus and screens every incoming
+    * batch against it, instead of re-training on each batch (whose
+    * within-batch df is both wrong and batch-size-dependent).
+    * `boilerGrams` holds only the grams AT OR ABOVE the df floor —
+    * the screen never needs the long tail, so the shipped index is
+    * the (small) boilerplate vocabulary, not the corpus vocabulary. */
+  case class BoilerplateIndex(boilerGrams: DataFrame, n: Int,
+      maxBoilerPct: Int)
+
+  /** Train the boilerplate gram index on a reference corpus: one
+    * explode of per-doc distinct hashed grams, one hash agg, filtered
+    * to df ≥ `minDocFreq`. */
+  def boilerplateIndex(reference: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, minDocFreq: Int = 5,
+      maxBoilerPct: Int = 60): BoilerplateIndex = {
+    val ex = reference.select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .select(explode(col("s")).as("g"))
+    BoilerplateIndex(
+      ex.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDocFreq).select("g"),
+      n, maxBoilerPct)
+  }
+
+  /** Screen a corpus (or one micro-batch of a stream) against a
+    * pre-trained [[BoilerplateIndex]]: same output schema and gate as
+    * [[boilerplateSignals]], and IDENTICAL output when the index was
+    * trained on the same corpus with the same floor — the batch ≡
+    * stream equivalence is structural (per-doc statistics never cross
+    * documents; the only cross-doc state is the index, which is
+    * static), proven by the spec. The index side is broadcast: the
+    * incoming corpus is never shuffled for membership. */
+  def screenBoilerplate(incoming: DataFrame, index: BoilerplateIndex,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ex = incoming.select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), index.n).as("s"))
+      .filter(size(col("s")) > 0)
+      .select(col("doc"), explode(col("s")).as("g"))
+    val perDoc = ex
+      .join(broadcast(index.boilerGrams.withColumn("__boiler", lit(1L))),
+        Seq("g"), "left")
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__boiler"), lit(0L))).as("n_boiler"))
+    incoming.select(col(idCol))
+      .join(perDoc.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      // integer-scaled rounding — see qualitySignals
+      .withColumn("boiler_ratio",
+        when(col("n_grams") > 0,
+          round(col("n_boiler") * lit(10000.0) / col("n_grams")) / 1e4))
+      .withColumn("keep",
+        lit(100L) * col("n_boiler") <=
+          lit(index.maxBoilerPct.toLong) * col("n_grams"))
+  }
+
+  /** Streaming form: screen each micro-batch against the static index
+    * via `foreachBatch` — the [[Decontam.cleanStream]] pattern. */
+  def screenBoilerplateStream(incoming: DataFrame, index: BoilerplateIndex,
+      idCol: String = "doc_id", textCol: String = "text")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(screenBoilerplate(batch.toDF(), index, idCol, textCol), batchId)
+    }
+
   /** [[lmSurprisal]] and [[dsirWeights]] fused over ONE corpus pass
     * (r9 VERDICT #6): wherever both signals ship together, running the
     * two operators back to back tokenized and exploded the corpus

@@ -1,0 +1,132 @@
+package graft
+
+import graft.OracleCtes._
+
+/** DuckDB twins for the [[AggQueries]] family — see the [[Oracles]]
+  * scaladoc for the cross-engine determinism rules every entry obeys.
+  */
+private[graft] object AggOracles {
+  val map: Map[String, String] = Map(
+    "set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE day(ts) <= 15
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE day(ts) > 15""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT DISTINCT user_id FROM events
+        | WHERE event_type = (SELECT min(event_type) FROM events)
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events
+        | WHERE event_type <> (SELECT min(event_type) FROM events)""".stripMargin,
+
+    "agg_salted" ->
+      s"""SELECT event_type,
+        |       $exactAvgSql AS value,
+        |       count(value) AS observation_count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Mirrors joinSalted: salting is plan-internal, so the twin is the
+    // PLAIN lineitem⋈orders aggregate.
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |         / 100 AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // Mirrors aggQuantiles: same (n−1)·q linear interpolation over the
+    // micro-scaled integers, descaled, one scalar row per quartile
+    // (UNION ALL of the three quantile_cont calls ≡ posexplode'd array).
+    "agg_quantiles" ->
+      """WITH s AS (SELECT event_type,
+        |                  CAST(round(value * 1000000) AS BIGINT) AS v
+        |           FROM events)
+        |SELECT event_type, 25 AS q_pct, quantile_cont(v, 0.25) / 1000000 AS value
+        |FROM s GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 50 AS q_pct, quantile_cont(v, 0.5) / 1000000 AS value
+        |FROM s GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 75 AS q_pct, quantile_cont(v, 0.75) / 1000000 AS value
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT event_type, CAST(day(ts) AS INTEGER) AS observation_day,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(day(ts) AS INTEGER))""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT event_type, CAST(day(ts) AS INTEGER) AS observation_day,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(day(ts) AS INTEGER))""".stripMargin,
+
+    // Mirrors aggMode: count-desc/id-asc tiebreak makes the mode unique.
+    "agg_mode" ->
+      """SELECT event_type, user_id, n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY count(*) DESC, user_id ASC) AS rk
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rk = 1""".stripMargin,
+
+    // Mirrors pivotDaily's explicit value list, one CASE sum per type.
+    "pivot_daily" ->
+      """SELECT CAST(day(ts) AS INTEGER) AS observation_day,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Mirrors unpivotDaily: explicit UNION ALL melt of the pivot
+    // (engine UNPIVOT null defaults differ; nulls dropped both sides).
+    "unpivot_daily" ->
+      """WITH p AS (
+        |  SELECT CAST(day(ts) AS INTEGER) AS observation_day,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000 AS "view"
+        |  FROM events GROUP BY 1)
+        |SELECT observation_day, 'click' AS event_type, click AS value_sum FROM p WHERE click IS NOT NULL
+        |UNION ALL
+        |SELECT observation_day, 'error', error FROM p WHERE error IS NOT NULL
+        |UNION ALL
+        |SELECT observation_day, 'purchase', purchase FROM p WHERE purchase IS NOT NULL
+        |UNION ALL
+        |SELECT observation_day, 'signup', signup FROM p WHERE signup IS NOT NULL
+        |UNION ALL
+        |SELECT observation_day, 'view', "view" FROM p WHERE "view" IS NOT NULL""".stripMargin,
+
+    // agg_approx_percentile emits per (group, quartile) the exact
+    // group size plus the GK rank-contract check |r − q·n| ≤
+    // n/accuracy + 1, asserted TRUE here.
+    "agg_approx_percentile" ->
+      """SELECT event_type, q_pct, n, TRUE AS rank_ok
+        |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+        |CROSS JOIN (VALUES (25), (50), (75)) q(q_pct)""".stripMargin,
+
+    // Mirrors Dedup.editDistancePairs: canonical text, 16-CHAR prefix
+    // block + length band (a Levenshtein lower bound), exact verify.
+    // DuckDB length() counts characters like Spark length() — strlen
+    // counts BYTES and diverges on multi-byte text (r4 ADVICE #3).
+    "dedup_editdist" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS canon
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.canon, b.canon) AS INTEGER) AS dist
+        |FROM c a JOIN c b
+        |  ON substr(a.canon, 1, 16) = substr(b.canon, 1, 16)
+        | AND a.doc_id < b.doc_id
+        | AND abs(length(a.canon) - length(b.canon)) <= 8
+        |WHERE levenshtein(a.canon, b.canon) <= 8""".stripMargin
+  )
+}

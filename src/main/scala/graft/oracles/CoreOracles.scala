@@ -1,0 +1,86 @@
+package graft
+
+import graft.OracleCtes._
+
+/** DuckDB twins for the [[CoreQueries]] family — see the [[Oracles]]
+  * scaladoc for the cross-engine determinism rules every entry obeys.
+  */
+private[graft] object CoreOracles {
+  val map: Map[String, String] = Map(
+    "fred_monthly_agg" ->
+      s"""SELECT event_type AS indicator,
+        |       CAST(year(ts) AS INTEGER) AS observation_year,
+        |       CAST(month(ts) AS INTEGER) AS observation_month,
+        |       $exactAvgSql AS value,
+        |       count(value) AS observation_count
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "fred_daily_agg" -> dailySilverCte,
+
+    "fred_clean_cast" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS k_sum,
+        |       count(v) AS k_count
+        |FROM (
+        |  SELECT event_type,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NULL
+        |     OR json_extract_string(props, '$.k') <> '.'
+        |)
+        |WHERE v IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "fred_yearly_gold" ->
+      s"""WITH silver AS ($dailySilverCte)
+         |SELECT indicator, observation_year, observation_month, observation_day,
+         |       round_even(value, 2) AS value, observation_count
+         |FROM (
+         |  SELECT * FROM silver WHERE observation_day <= 15
+         |  UNION ALL
+         |  SELECT * FROM silver WHERE observation_day > 15
+         |)""".stripMargin,
+
+    "fred_dedup_sync" ->
+      """SELECT user_id, event_type
+        |FROM (SELECT DISTINCT user_id, event_type FROM events) i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.event_id % 7 = 0
+        |    AND e.user_id = i.user_id AND e.event_type = i.event_type)""".stripMargin,
+
+    "fred_upsert_merge" ->
+      """SELECT user_id, event_type, event_id, value
+        |FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY CASE WHEN day(ts) > 20 THEN 1 ELSE 0 END DESC,
+        |                    event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    // Mirrors Merge.scd2History: lead + row_number over one window,
+    // epoch_us ordering (matches Spark's microsecond truncation).
+    "merge_scd2" ->
+      """SELECT user_id, event_type, event_id, value,
+        |       valid_from, valid_to, version
+        |FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         epoch_us(ts) AS valid_from,
+        |         lead(epoch_us(ts)) OVER w AS valid_to,
+        |         CAST(row_number() OVER w AS INTEGER) AS version
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |               ORDER BY epoch_us(ts), event_id))""".stripMargin,
+
+    "scalar_dates" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+        |       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |       lower(trim(o_orderpriority)) AS priority_key
+        |FROM orders""".stripMargin
+  )
+}

@@ -1,0 +1,372 @@
+package graft
+
+import graft.OracleCtes._
+
+/** DuckDB twins for the [[DedupQueries]] family — see the [[Oracles]]
+  * scaladoc for the cross-engine determinism rules every entry obeys.
+  */
+private[graft] object DedupOracles {
+  val map: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        |       min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // Mirrors ngramJaccardPairs including the maxDocFreq=50 hot-shingle
+    // cap: shingles in >50 docs are dropped BEFORE the self-join, and
+    // Jaccard uses the retained set sizes.
+    "dedup_ngram" -> dedupNgramSql,
+
+    // Mirrors ConnectedComponents.run over the SAME pair set: exact
+    // transitive closure (recursive CTE) then min reachable id —
+    // label propagation's fixpoint, computed exactly.
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$dedupNgramSql
+         |),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         |SELECT node, min(r) AS label FROM reach GROUP BY node""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_dot_product(a.v, b.v) /
+        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
+
+    // agg_approx_distinct emits the EXACT count (portable) plus the
+    // Spark-side HLL bound check |est−exact| ≤ 4·rsd·exact as a
+    // boolean the oracle asserts TRUE.
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Mirrors minhashLshPairs end to end: portable minhash bands,
+    // the maxBucket=200 giant-bucket exclusion, candidate pairs on
+    // band equality, exact-Jaccard verify over the hashed shingle sets.
+    "dedup_minhash_lsh" ->
+      s"""WITH ${minhashCtes("documents")},
+         |$lshPairCtes
+         |SELECT id_a, id_b, jaccard FROM lshp""".stripMargin,
+
+    // Mirrors dedupThresholdSweep: the SAME band/candidate CTEs with
+    // verify floor 0, decile-bucketed (integer div), running count at
+    // or above each decile.
+    "dedup_threshold_sweep" ->
+      s"""WITH ${minhashCtes("documents")},
+         |ok AS (SELECT band_idx, band_key FROM bands
+         |       GROUP BY 1, 2 HAVING count(*) <= 200),
+         |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM b2 a JOIN b2 b
+         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |allp AS (SELECT id_a, id_b,
+         |           round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
+         |                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
+         |         FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |                   JOIN sh sb ON sb.doc_id = id_b),
+         |hist AS (SELECT CAST(round(jaccard * 10000) AS BIGINT) // 1000 AS bucket,
+         |                count(*) AS n_pairs
+         |         FROM allp GROUP BY 1)
+         |SELECT bucket, n_pairs,
+         |       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS n_at_or_above
+         |FROM hist""".stripMargin,
+
+    // Mirrors SemDedup.semanticDedup end to end with the TWO-LEVEL
+    // deterministic quantizer: min-md5 centers (16), the ⌈√16⌉ = 4
+    // smallest-md5 of those as super-centers, each center argmax-
+    // assigned to a super (ties prefer itself, then min id), each
+    // vector argmax-assigned to a super then to the best center IN
+    // THAT SUPER'S BUCKET ONLY — all cosines in the rounded 4-dp
+    // integer space. Then within-cluster pairs at cosine ≥ 0.4, exact
+    // transitive closure (recursive CTE — the dedup_components
+    // pattern) for the duplicate groups, keep min id.
+    "dedup_semantic" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS center_id, v AS cv FROM e
+        |      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |sup AS (SELECT center_id AS super_id, cv AS sv FROM c
+        |        ORDER BY md5(center_id::VARCHAR), center_id LIMIT 4),
+        |cs AS (SELECT super_id, center_id, cv FROM (
+        |    SELECT c.center_id, c.cv, sup.super_id,
+        |      row_number() OVER (PARTITION BY c.center_id ORDER BY
+        |        round(list_dot_product(c.cv, sup.sv) /
+        |          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(sup.sv, sup.sv))) * 10000) DESC,
+        |        (sup.super_id <> c.center_id), sup.super_id) AS rk
+        |    FROM c CROSS JOIN sup) WHERE rk = 1),
+        |vsup AS (SELECT vec_id, v, super_id FROM (
+        |    SELECT e.vec_id, e.v, sup.super_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, sup.sv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sup.sv, sup.sv))) * 10000) DESC,
+        |        sup.super_id) AS rk
+        |    FROM e CROSS JOIN sup) WHERE rk = 1),
+        |assign AS (SELECT vec_id, v, center_id AS cluster FROM (
+        |    SELECT vs.vec_id, vs.v, cs.center_id,
+        |      row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+        |        round(list_dot_product(vs.v, cs.cv) /
+        |          (sqrt(list_dot_product(vs.v, vs.v)) * sqrt(list_dot_product(cs.cv, cs.cv))) * 10000) DESC,
+        |        cs.center_id) AS rk
+        |    FROM vsup vs JOIN cs USING (super_id)) WHERE rk = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM assign a
+        |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a),
+        |labels AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node)
+        |SELECT a.vec_id, a.cluster,
+        |       coalesce(l.lbl, a.vec_id) AS dup_label,
+        |       coalesce(l.lbl, a.vec_id) = a.vec_id AS is_keep
+        |FROM assign a LEFT JOIN labels l ON l.node = a.vec_id""".stripMargin,
+
+    // Mirrors splitLeakage: the dedup_minhash_lsh pair screen joined
+    // to the split_assign md5 buckets, keeping cross-split pairs.
+    "split_leakage" ->
+      s"""WITH ${minhashCtes("documents")},
+         |$lshPairCtes,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN bucket < 80 THEN 'train'
+         |              WHEN bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (
+         |         SELECT doc_id,
+         |                CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+         |                     % 100 AS INTEGER) AS bucket
+         |         FROM documents))
+         |SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jaccard
+         |FROM lshp JOIN sp sa ON sa.doc_id = id_a
+         |          JOIN sp sb ON sb.doc_id = id_b
+         |WHERE sa.split <> sb.split""".stripMargin,
+
+    // Mirrors Splits.repairLeakage over the production pair graph:
+    // min-label connected components (the dedup_components recursive
+    // CTE) over the LSH pairs, components spanning >1 split move
+    // whole to train. Shares the minhash/band/split CTEs with
+    // split_leakage.
+    "split_repair" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |$lshPairCtes,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN bucket < 80 THEN 'train'
+         |              WHEN bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (
+         |         SELECT doc_id,
+         |                CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+         |                     % 100 AS INTEGER) AS bucket
+         |         FROM documents)),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM lshp
+         |          UNION SELECT id_b, id_a FROM lshp),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         |span AS (SELECT label FROM comp JOIN sp ON sp.doc_id = comp.node
+         |         GROUP BY label HAVING count(DISTINCT sp.split) > 1)
+         |SELECT d.doc_id, sp.split,
+         |       s.label IS NOT NULL AND sp.split <> 'train' AS moved,
+         |       CASE WHEN s.label IS NOT NULL AND sp.split <> 'train'
+         |            THEN 'train' ELSE sp.split END AS split_repaired
+         |FROM documents d
+         |JOIN sp USING (doc_id)
+         |LEFT JOIN comp c ON c.node = d.doc_id
+         |LEFT JOIN span s ON s.label = c.label""".stripMargin,
+
+    // Mirrors minhashClusters: same bands, three label-propagation
+    // rounds, singletons as their own clusters.
+    "dedup_minhash_clusters" ->
+      s"""WITH ${minhashCtes("documents")},
+         |${minhashClusterCtes("documents")}
+         |SELECT doc_id AS doc, lbl AS cluster FROM l3
+         |UNION ALL
+         |SELECT doc_id, doc_id FROM singletons""".stripMargin,
+
+    // Mirrors simhashPairs OUTPUT (combination banding has recall
+    // exactly 1.0 by pigeonhole and the exact-Hamming verify removes
+    // false candidates, so the result ≡ the all-pairs filter — which
+    // is what the oracle can afford at verify scale): per-token
+    // md5-lower-64 bit votes, sign bits packed into a signed 64-bit
+    // value, pairs at Hamming ≤ 3.
+    "dedup_simhash" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(${wsToks("text")}) AS tok FROM documents),
+        |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM t),
+        |votes AS (SELECT doc_id, b,
+        |            sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM th CROSS JOIN generate_series(0, 63) g(b)
+        |          GROUP BY doc_id, b),
+        |sh0 AS (SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN
+        |               CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                    ELSE (1::BIGINT << b) END
+        |             ELSE 0 END)::BIGINT AS sh
+        |       FROM votes GROUP BY doc_id),
+        |-- token-less docs (empty/whitespace-only text) hash to 0 on the
+        |-- Spark side (no votes, no set bits); keep the relation total
+        |sh AS (SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+        |       FROM documents d LEFT JOIN sh0 s USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // Mirrors winnowingContainmentPairs (k=16, w=8): polynomial
+    // fingerprint sets, the maxDocFreq=50 hot-fingerprint cap,
+    // containment over retained counts.
+    "dedup_winnowing" ->
+      s"""WITH ${winnowCtes(16, 8)},
+         |ex_all AS (SELECT doc_id, unnest(fps) AS f FROM m),
+         |hot AS (SELECT f FROM ex_all GROUP BY 1 HAVING count(*) > 50),
+         |ex AS (SELECT * FROM ex_all
+         |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.f = ex_all.f)),
+         |sz AS (SELECT doc_id, count(*) AS n_fp FROM ex GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |       round(CAST(n_shared * 10000 AS DOUBLE) / least(sa.n_fp, sb.n_fp)) / 10000 AS containment
+         |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(CAST(n_shared * 10000 AS DOUBLE) / least(sa.n_fp, sb.n_fp)) / 10000 >= 0.3""".stripMargin,
+
+    // Mirrors Decontam.overlapStats: distinct 5-gram shingles of each
+    // training doc probed against the benchmark's distinct shingle set
+    // (benchmark = every 20th doc), counts per contaminated doc.
+    "decontam_overlap" -> decontamOverlapSql,
+
+    // decontam_bloom is the SAME relation through the bloom-prefilter
+    // plan (Decontam.overlapStatsBloom): the bitset admits no false
+    // negatives and the exact-confirm join kills false positives, so
+    // the exact-SQL twin is identical by construction.
+    "decontam_bloom" -> decontamOverlapSql,
+
+    // Mirrors Splits.assign bit-for-bit: top 60 bits of
+    // md5(doc_id || 'graft') mod 100 → 80/10/10 ranges.
+    "split_assign" ->
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+        |              % 100 AS INTEGER) AS bucket
+        |  FROM documents)""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Mirrors Dedup.newAgainstReference over the odd/even batch split:
+    // canonical fingerprint anti-join (same canon form as dedup_exact).
+    "dedup_incremental" ->
+      """SELECT doc_id, text FROM documents d
+        |WHERE doc_id % 2 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents r
+        |    WHERE r.doc_id % 2 = 0
+        |      AND md5(regexp_replace(lower(trim(r.text)), '\s+', ' ', 'g')) =
+        |          md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')))""".stripMargin,
+
+    // Mirrors Dedup.newAgainstReferenceNear over the odd/even split:
+    // the SAME portable band CTEs as dedup_minhash_lsh (bands over all
+    // documents ≡ the union of both sides' band frames, since banding
+    // is per-doc), combined-occupancy maxBucket=200 cap, cross-side
+    // candidates, exact-Jaccard verify, anti-join of verified dups.
+    "dedup_incremental_near" ->
+      s"""WITH ${minhashCtes("documents")},
+         |ok AS (SELECT band_idx, band_key FROM bands
+         |       GROUP BY 1, 2 HAVING count(*) <= 200),
+         |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+         |cand AS (SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS ref_doc
+         |         FROM b2 a JOIN b2 b
+         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |         WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0),
+         |dup AS (SELECT DISTINCT in_doc FROM (
+         |  SELECT in_doc,
+         |         round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
+         |               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = in_doc
+         |            JOIN sh sb ON sb.doc_id = ref_doc)
+         |  WHERE jaccard >= 0.5)
+         |SELECT doc_id, text FROM documents d
+         |WHERE doc_id % 2 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.in_doc = d.doc_id)""".stripMargin,
+
+    // Mirrors curateCorpusMix: boilerplate (df >= 20) ∧ gopher gates on
+    // the raw corpus → minhash canonical keep over the gated subset
+    // (the shared cluster CTEs run on `kept`) → per-source token
+    // budget over the deduped survivors, selected rows only.
+    "curate_corpus_mix" ->
+      raw"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+         |sh3 AS (SELECT doc_id,
+         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                        for i in generate_series(1, len(toks) - 2)]) AS s
+         |       FROM w WHERE len(toks) >= 3),
+         |ex3 AS (SELECT doc_id, unnest(s) AS g3 FROM sh3),
+         |gdf AS (SELECT g3, count(*) AS df FROM ex3 GROUP BY 1),
+         |bper AS (SELECT doc_id, count(*) AS n_grams,
+         |           CAST(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |         FROM ex3 JOIN gdf USING (g3) GROUP BY 1),
+         |bkeep AS (SELECT d.doc_id FROM documents d LEFT JOIN bper USING (doc_id)
+         |          WHERE coalesce(100 * n_boiler <= 60 * n_grams, TRUE)),
+         |gs AS (SELECT d.doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         |           AS BIGINT) AS sum_chars,
+         |         CAST(len(list_filter(toks,
+         |           t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |         CAST(len(list_filter(toks, t -> list_contains(
+         |           ['the','be','to','of','and','that','have','with'], t)))
+         |           AS BIGINT) AS n_stop,
+         |         CAST(len(regexp_extract_all(d.text, '#|\.\.\.')) AS BIGINT) AS n_sym
+         |       FROM documents d JOIN w USING (doc_id)),
+         |gkeep AS (SELECT doc_id FROM gs
+         |          WHERE n_words >= 50 AND n_words <= 100000
+         |            AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+         |            AND 5 * n_alpha >= 4 * n_words
+         |            AND n_stop >= 2
+         |            AND 10 * n_sym <= n_words),
+         |kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |         JOIN bkeep USING (doc_id) JOIN gkeep USING (doc_id)),
+         |${minhashCtes("kept")},
+         |${minhashClusterCtes("kept")},
+         |keep AS (SELECT doc_id FROM l3 WHERE lbl = doc_id
+         |         UNION ALL SELECT doc_id FROM singletons),
+         |deduped AS (
+         |  SELECT k.* FROM kept k
+         |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+         |t AS (SELECT d.doc_id, d.source,
+         |        CAST(len(w.toks) AS BIGINT) AS n_tokens,
+         |        md5(d.doc_id::VARCHAR || 'graft') AS ord
+         |      FROM deduped d JOIN w USING (doc_id)),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (
+         |          PARTITION BY source ORDER BY ord, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cum_before
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens, cum_before
+         |FROM c
+         |WHERE cum_before < CASE source WHEN 'src0' THEN 2000
+         |                               WHEN 'src1' THEN 500
+         |                               ELSE 1000 END""".stripMargin
+  )
+}

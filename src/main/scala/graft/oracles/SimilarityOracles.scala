@@ -1,0 +1,119 @@
+package graft
+
+import graft.OracleCtes._
+
+/** DuckDB twins for the [[SimilarityQueries]] family — see the [[Oracles]]
+  * scaladoc for the cross-engine determinism rules every entry obeys.
+  */
+private[graft] object SimilarityOracles {
+  val map: Map[String, String] = Map(
+    // Mirrors similarityLshExhaustive: all vector pairs (no label
+    // blocking — the constant signature puts everything in one
+    // bucket), exact cosine at the similarity_lsh threshold.
+    "similarity_lsh_exhaustive" -> lshExhaustiveSql,
+
+    // similarity_lsh emits (n_true_pairs, recall_ok): the exhaustive
+    // pair count is exact SQL; the recall floor is checked on the
+    // Spark side (LSH pair count is engine-specific) and asserted
+    // TRUE here — a recall collapse hash-fails the gate.
+    "similarity_lsh" ->
+      s"""SELECT count(*) AS n_true_pairs, TRUE AS recall_ok
+         |FROM ($lshExhaustiveSql)""".stripMargin,
+
+    // similarity_ivf_kmeans emits (n_queries, recall_ok): mean recall
+    // vs brute force checked Spark-side (KMeans assignment is
+    // engine-specific), TRUE asserted here.
+    "similarity_ivf_kmeans" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    "similarity_topk" -> similarityTopkSql,
+
+    "similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
+        |  FROM e c JOIN q ON c.label = q.label WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // Exhaustive-probe IVF ≡ brute force by construction, so the
+    // oracle IS the similarity_topk query: cosine over all candidate
+    // pairs, top-10 per query with the id tiebreak. k-means centroids
+    // never appear in the result — every cluster is probed.
+    // similarity_ivf_exhaustive probes every cluster, so its relation
+    // IS brute-force top-k — same twin as similarity_topk.
+    "similarity_ivf_exhaustive" -> similarityTopkSql,
+
+    // Mirrors Similarity.topKQuantizedRerank end to end: the same
+    // floor(x·scale+0.5) quantization as embedding_quantize (kept as
+    // integer-valued DOUBLE lists — exact), candidate score = ratio of
+    // integer dot products (every partial < 2^53 ⇒ exact, order-free),
+    // top-20 candidates then exact-cosine top-5, both rankings with
+    // the neighbor-id tiebreak. Zero-norm vectors take the -2.0
+    // sentinel in both engines.
+    "similarity_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |             ELSE 0.0 END AS sc
+        |      FROM e),
+        |qz AS (SELECT vec_id, v,
+        |         list_transform(v, x -> floor(x * sc + 0.5)) AS qv
+        |       FROM s),
+        |q AS (SELECT vec_id, v, qv FROM qz WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         c.v AS cv, q.v AS qvec,
+        |         CASE WHEN list_dot_product(c.qv, c.qv) > 0
+        |                AND list_dot_product(q.qv, q.qv) > 0
+        |              THEN list_dot_product(c.qv, q.qv) /
+        |                   (sqrt(list_dot_product(c.qv, c.qv)) *
+        |                    sqrt(list_dot_product(q.qv, q.qv)))
+        |              ELSE -2.0 END AS cos_q
+        |  FROM qz c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+        |top AS (
+        |  SELECT query_id, neighbor_id, cv, qvec FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id ASC) AS crk
+        |    FROM cand)
+        |  WHERE crk <= 20),
+        |rescored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_dot_product(qvec, cv) /
+        |               (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cv, cv))) * 10000) / 10000 AS cosine
+        |  FROM top)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM rescored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // Mirrors VectorQuant bit-for-bit: float→double widening, exact
+    // IEEE 127/max|x| scale, explicit floor(x·scale + 0.5) rounding.
+    // Scalar rows (vec_id, pos, q_i, scale): unnest + generate_subscripts
+    // zip row-wise, matching the Spark side's posexplode.
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |             ELSE 0.0 END AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS TINYINT)) AS qv
+        |      FROM s)
+        |SELECT vec_id,
+        |       CAST(generate_subscripts(qv, 1) - 1 AS INTEGER) AS pos,
+        |       unnest(qv) AS q_i,
+        |       scale
+        |FROM q""".stripMargin
+  )
+}

@@ -1,0 +1,177 @@
+package graft
+
+import graft.OracleCtes._
+
+/** DuckDB twins for the [[WindowQueries]] family — see the [[Oracles]]
+  * scaladoc for the cross-engine determinism rules every entry obeys.
+  */
+private[graft] object WindowOracles {
+  val map: Map[String, String] = Map(
+    "window_mom" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       value - lag(value) OVER (
+         |         PARTITION BY indicator ORDER BY observation_day) AS change
+         |FROM d""".stripMargin,
+
+    // Mirrors windowYoy: lag-12 observations within each status series.
+    "window_yoy" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(year(o_orderdate) AS INTEGER) AS y,
+        |         CAST(month(o_orderdate) AS INTEGER) AS m,
+        |         CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+        |           / 1000000 AS value
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT status, y, m, value,
+        |       value - lag(value, 12) OVER (
+        |         PARTITION BY status ORDER BY y, m) AS yoy_change
+        |FROM m""".stripMargin,
+
+    "window_moving_avg" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       round(avg(value) OVER (
+         |         PARTITION BY indicator ORDER BY observation_day
+         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000) / 10000 AS moving_avg
+         |FROM d""".stripMargin,
+
+    "window_rank_share" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       CAST(rank() OVER (
+         |         PARTITION BY indicator
+         |         ORDER BY value DESC, observation_day) AS INTEGER) AS day_rank,
+         |       round(value * 10000 / sum(value) OVER (PARTITION BY indicator)) / 10000 AS share
+         |FROM d""".stripMargin,
+
+    // Mirrors windowLocf: sparse series densified with
+    // last_value IGNORE NULLS over the same frame.
+    "window_locf" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, v_sparse,
+         |       last_value(v_sparse IGNORE NULLS) OVER (
+         |         PARTITION BY indicator ORDER BY observation_day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM (SELECT indicator, observation_day,
+         |             CASE WHEN observation_day % 3 = 0 THEN value END AS v_sparse
+         |      FROM d)""".stripMargin,
+
+    // Mirrors SeriesOps.sessionize: lag-gap break flags, running sum
+    // (epoch_us ordering matches Spark's µs truncation).
+    "window_sessionize" ->
+      """SELECT user_id, event_id, ts_us,
+        |       CAST(sum(brk) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |                PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |              >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events)""".stripMargin,
+
+    // Mirrors windowCume: distinct ORDER BY keys make percent_rank and
+    // cume_dist exact rationals — no rounding needed.
+    "window_cume" ->
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       percent_rank() OVER (PARTITION BY indicator
+         |         ORDER BY value, observation_day) AS pct_rank,
+         |       cume_dist() OVER (PARTITION BY indicator
+         |         ORDER BY value, observation_day) AS cume
+         |FROM d""".stripMargin,
+
+    "window_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM o)
+        |SELECT epoch_us(min(ts)) AS session_start_us, user_id,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    // Mirrors the bucketed interval join (plain BETWEEN in SQL —
+    // bucketing is a physical strategy, not a semantic one).
+    "join_range" ->
+      """WITH windows AS (
+        |  SELECT event_type, d_lo, d_hi
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |  CROSS JOIN (VALUES (2, 9), (12, 19), (22, 29)) w(d_lo, d_hi)),
+        |p AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS d, value FROM events)
+        |SELECT p.event_type, CAST(d_lo AS BIGINT) AS d_lo, CAST(d_hi AS BIGINT) AS d_hi,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM p JOIN windows
+        |  ON p.event_type = windows.event_type AND p.d BETWEEN d_lo AND d_hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "series_asof" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),
+         |u AS (
+         |  SELECT indicator, observation_day, value, 1 AS side, CAST(NULL AS DOUBLE) AS rv FROM d
+         |  UNION ALL
+         |  SELECT indicator, observation_day, NULL, 0, value FROM sparse)
+         |SELECT indicator, observation_day, value, asof_value FROM (
+         |  SELECT indicator, observation_day, value, side,
+         |         last_value(rv IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+         |  FROM u)
+         |WHERE side = 1""".stripMargin,
+
+    // Mirrors SeriesOps.asofJoinTolerance: same union-window carry as
+    // series_asof plus the right time, staleness > 1 day → null. rv/rt
+    // are null together, so separate IGNORE NULLS carries stay paired.
+    "series_asof_tolerance" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),
+         |u AS (
+         |  SELECT indicator, observation_day, value, 1 AS side,
+         |         CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rt FROM d
+         |  UNION ALL
+         |  SELECT indicator, observation_day, NULL, 0, value,
+         |         CAST(observation_day AS BIGINT) FROM sparse)
+         |SELECT indicator, observation_day, value,
+         |       CASE WHEN observation_day - crt <= 1 THEN crv END AS asof_value
+         |FROM (
+         |  SELECT indicator, observation_day, value, side,
+         |         last_value(rv IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crv,
+         |         last_value(rt IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crt
+         |  FROM u)
+         |WHERE side = 1""".stripMargin,
+
+    // Mirrors SeriesOps.transitionCounts: lead over (user, time) then
+    // count + per-origin share.
+    "events_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS next_state
+        |  FROM events),
+        |c AS (SELECT event_type, next_state, count(*) AS n
+        |      FROM t WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_state, n,
+        |       round(n * 10000.0 / sum(n) OVER (PARTITION BY event_type)) / 10000
+        |         AS share
+        |FROM c""".stripMargin
+  )
+}

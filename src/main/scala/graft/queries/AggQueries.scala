@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SemDedup, SeriesOps, Similarity, Splits, TextOps, VectorLsh, VectorQuant, VectorStats}
+
+/** Set operations, skew-salted joins/aggs, statistical aggregates, pivot. */
+trait AggQueries extends QueriesBase {
+
+  // ==================================================== [EXT] set ops
+
+  val setExcept: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    ev.filter(dayofmonth(col("ts")) <= 15).select("user_id").distinct()
+      .except(ev.filter(dayofmonth(col("ts")) > 15).select("user_id").distinct())
+  }
+
+  val setIntersect: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    // deterministic pick = min(event_type), kept INSIDE the plan as a
+    // broadcast 1-row aggregate (scalar-subquery shape) — no driver
+    // action at plan-build time
+    val minType = broadcast(ev.agg(min("event_type").as("__min_et")))
+    ev.join(minType).filter(col("event_type") === col("__min_et"))
+      .select("user_id").distinct()
+      .intersect(
+        ev.join(minType).filter(col("event_type") =!= col("__min_et"))
+          .select("user_id").distinct())
+  }
+
+  /** Salted fact-to-dim join: lineitem joined to orders through
+    * [[graft.operators.Skew.saltedJoin]] (8 salts on the order key) —
+    * the skew-join form for when a hot key's partition exceeds one
+    * task and the dim side is too big to broadcast. The spread column
+    * must vary WITHIN a key (here `l_linenumber` — a per-row value),
+    * never the key itself, or every row of a hot key gets the same
+    * salt and nothing spreads. Salting is plan-internal (left salt +
+    * right replicate), so the output ≡ the plain join — exactly what
+    * the oracle checks. */
+  val joinSalted: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"),
+        spread = col("l_linenumber"), salts = 8)
+      .groupBy("o_orderpriority")
+      // cents-scaled exact sum — see joinStarRevenue
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("double") / 100).as("total_price"))
+  }
+
+  /** Salted two-stage aggregate (hot-key mitigation) — result-identical
+    * to the direct group-by: exact integer partial sums merge to the
+    * same mean regardless of the salt split. */
+  val aggSalted: Q = (s, dir) =>
+    graft.operators.Skew.saltedAgg(
+      Tables.events(s, dir).select("event_type", "event_id", "value"),
+      keys = Seq("event_type"), spread = col("event_id"), salts = 8,
+      partial = Seq(
+        sum(round(col("value") * 1e6).cast("long")).as("__sum"),
+        count(col("value")).as("__cnt")),
+      merge = Seq(
+        (sum("__sum").cast("double") / sum("__cnt") / 1e6).as("value"),
+        sum("__cnt").as("observation_count")))
+
+  /** Exact quartiles per group — the profiling aggregate. Micro-scaled
+    * BIGINT inputs make the (n−1)·q linear interpolation bit-identical
+    * across engines (fractions are .0/.25/.5/.75 — binary-exact).
+    * Output is one SCALAR row per (group, quartile) — no catalog query
+    * may emit an array column (the driver's pandas-based checker can't
+    * sort numpy arrays; SURVEY §5). */
+  val aggQuantiles: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(percentile(round(col("value") * 1e6).cast("long"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")))
+      .select(col("event_type"),
+        ((col("pos") + 1) * 25).as("q_pct"),
+        (col("col") / 1e6).as("value"))
+
+  /** Approximate quartiles per group — the scale form of
+    * [[aggQuantiles]]. `approx_percentile` (Greenwald-Khanna sketch) is
+    * a partial aggregate: each task summarizes its partition into a
+    * bounded sketch and only sketches shuffle, so a 100 TB profiling
+    * pass never sorts the column (`percentile` is holistic — exact but
+    * full-sort).
+    *
+    * The estimate itself is engine-specific, so the gate checks the
+    * sketch's PUBLISHED CONTRACT instead of the value: the returned
+    * element occupies the rank interval [count(v < est)+1,
+    * count(v ≤ est)] (an interval because of TIES — duplicated values
+    * make the naive |count(v≤est) − q·n| check overshoot), and the GK
+    * guarantee is that this interval touches q·n ± n/accuracy (+1 for
+    * the discrete rank step). Both interval ends are computed by
+    * ranking the estimate against the group in the same plan; the
+    * verdict is emitted as `rank_ok` and the oracle asserts TRUE, so a
+    * contract violation hash-fails the gate (r8 "What's missing" #2:
+    * the bound AggSketchSpec pins, replayed at the oracle layer). */
+  val aggApproxPercentile: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select("event_type", "value")
+    val acc = 10000
+    val est = ev
+      .groupBy("event_type")
+      .agg(approx_percentile(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(acc)).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")))
+      .select(col("event_type"),
+        ((col("pos") + 1) * 25).as("q_pct"),
+        col("col").as("__est"))
+    // |groups|·3 rows join back to the data (AQE broadcasts); the rank
+    // of each estimate is one map-side-combined aggregation
+    ev.join(est, "event_type")
+      .groupBy("event_type", "q_pct")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("__est"), 1L).otherwise(0L)).as("__lo"),
+        sum(when(col("value") <= col("__est"), 1L).otherwise(0L)).as("__hi"))
+      .select(col("event_type"), col("q_pct"), col("n"),
+        (col("__lo") <= col("q_pct") * col("n") / 100
+            + col("n") / lit(acc.toDouble) + 1.0
+          && col("__hi") >= col("q_pct") * col("n") / 100
+            - col("n") / lit(acc.toDouble) - 1.0).as("rank_ok"))
+  }
+
+  /** ROLLUP grouping sets with decimal-exact sums. */
+  val aggRollup: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .rollup(col("event_type"), dayofmonth(col("ts")).as("observation_day"))
+      .agg(count(lit(1)).as("n"),
+        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+
+  /** CUBE grouping sets — all four (type × day) marginal combinations
+    * in one pass (Spark expands grouping sets in a single shuffle). */
+  val aggCube: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .cube(col("event_type"), dayofmonth(col("ts")).as("observation_day"))
+      .agg(count(lit(1)).as("n"),
+        (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+
+  /** Per-group mode with deterministic tiebreak: the most frequent
+    * user per event type (count desc, id asc). Two map-side-combined
+    * shuffles — never a driver-side value scan. */
+  val aggMode: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("user_id").asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select("event_type", "user_id", "n")
+  }
+
+  /** Pivot: one column per event type (explicit value list — no
+    * schema-inference job, plan stable at any scale), decimal-exact
+    * daily sums. */
+  val pivotDaily: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(dayofmonth(col("ts")).as("observation_day"),
+        col("event_type"), col("value"))
+      .groupBy("observation_day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg((sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
+
+  /** Unpivot (melt): the wide pivot back to long — the reshape pair
+    * proving both directions round-trip. Nulls dropped on both sides
+    * (engines differ on default null retention). */
+  val unpivotDaily: Q = (s, dir) =>
+    pivotDaily(s, dir)
+      .unpivot(Array(col("observation_day")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "value_sum")
+      .filter(col("value_sum").isNotNull)
+
+  /** Edit-distance near-dups over canonical text: 16-byte prefix
+    * blocking + length band, threshold-bounded Levenshtein verify. */
+  val dedupEditdist: Q = (s, dir) =>
+    Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+      maxDist = 8)
+
+
+  /** This family's slice of [[Queries.all]]. */
+  protected def aggRegistry: Map[String, Q] = Map(
+    "set_except" -> setExcept,
+    "set_intersect" -> setIntersect,
+    "agg_rollup" -> aggRollup,
+    "agg_salted" -> aggSalted,
+    "join_salted" -> joinSalted,
+    "agg_quantiles" -> aggQuantiles,
+    "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_cube" -> aggCube,
+    "agg_mode" -> aggMode,
+    "pivot_daily" -> pivotDaily,
+    "unpivot_daily" -> unpivotDaily,
+    "dedup_editdist" -> dedupEditdist)
+}

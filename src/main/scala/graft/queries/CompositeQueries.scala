@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SemDedup, SeriesOps, Similarity, Splits, TextOps, VectorLsh, VectorQuant, VectorStats}
+
+/** End-to-end curation funnels and shared-stage composites. */
+trait CompositeQueries extends QueriesBase {
+
+  // ================================================ [EXT] composite
+
+  /** The flagship curation composite: the end-to-end corpus-prep job
+    * every piece above exists for — quality gate → exact-dedup keep-set
+    * → benchmark decontamination → stable split assignment — composed
+    * into ONE declarative plan Catalyst optimizes end to end (filter
+    * pushdown through all four stages; both membership checks are
+    * broadcast anti/semi joins; the corpus is scanned, never shuffled
+    * whole). */
+  val curateCorpus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val scored = TextOps.qualityScore(TextOps.qualitySignals(train))
+      .filter(col("quality_score") >= 0.5)
+      .select("doc_id", "text", "quality_score")
+    val keep = Dedup.exactGroups(scored, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = scored.join(keep, Seq("doc_id"), "left_semi")
+    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
+    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
+      .select("doc_id", "quality_score", "split")
+  }
+
+  /** The curation composite with NEAR-dup dedup: same four stages as
+    * [[curateCorpus]] but the keep-set comes from MinHash cluster
+    * representatives (doc == cluster) instead of exact-hash groups —
+    * the form recommended at 100 TB, where duplicate groups are deep
+    * and pair enumeration is quadratic. Hash-checked end to end: the
+    * portable hash family lets the oracle replay the cluster keep-set
+    * exactly, and near-dedup can only remove MORE rows than exact
+    * (spec-pinned). */
+  val curateCorpusNear: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    // stage-boundary materialization: the gated+scored corpus feeds
+    // FOUR consumers (cluster keep-set, semi-join, decontam stats,
+    // decontam anti-join) — without it the scan + quality regexes
+    // re-run per consumer. The exact composite (curate_corpus) stays
+    // single-plan to demonstrate end-to-end Catalyst optimization;
+    // this near form is the 100 TB shape, and at 100 TB this is the
+    // persist-once boundary every real pipeline puts after its gate
+    // (persist(DISK_ONLY) on a cluster).
+    val scored = TextOps.qualityScore(TextOps.qualitySignals(train))
+      .filter(col("quality_score") >= 0.5)
+      .select("doc_id", "text", "quality_score")
+      .localCheckpoint()
+    val keep = Dedup.minhashClusters(scored, "doc_id", "text")
+      .filter(col("doc") === col("cluster"))
+      .select(col("doc").as("doc_id"))
+    val deduped = scored.join(keep, Seq("doc_id"), "left_semi")
+    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
+    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
+      .select("doc_id", "quality_score", "split")
+  }
+
+  /** The curation composite gated by the published Gopher rule battery
+    * instead of the linear quality score: gopher-keep filter (one
+    * codegen'd scan, exact-integer gates) → exact dedup → benchmark
+    * decontamination → stable split. The filter-first order is the
+    * 100 TB shape: the cheapest gate runs against the raw scan and
+    * every later stage sees only survivors. */
+  val curateCorpusGopher: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val kept = train.filter(TextOps.gopherKeep(col("text")))
+      .withColumn("n_words", size(TextOps.tokens(col("text"))).cast("long"))
+      .select("doc_id", "text", "n_words")
+    val keep = Dedup.exactGroups(kept, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(keep, Seq("doc_id"), "left_semi")
+    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
+    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10), salt = "graft")
+      .select("doc_id", "n_words", "split")
+  }
+
+  /** Context-window chunking of documents: 32-token chunks overlapping
+    * by 8 — zero-shuffle per-row explode (see [[ext.Chunking]]). */
+  val textChunk: Q = (s, dir) =>
+    ext.Chunking.chunkByTokens(Tables.documents(s, dir)
+      .select("doc_id", "text"), "doc_id", "text", chunkSize = 32, overlap = 8)
+
+  /** Per-event-type distribution drift of `value` vs the whole corpus:
+    * exact χ² over the agg_histogram bucket law (coarser buckets so
+    * every type has populated cells). */
+  val driftChisq: Q = (s, dir) =>
+    Profile.driftChiSquare(Tables.events(s, dir), "event_type", col("value"),
+      lo = 0.0, hi = 500.0, nBuckets = 10)
+
+  /** Min–max feature scaling per event type — same shape as
+    * scalar_zscore, range-normalized instead of standardized. */
+  val scalarMinmax: Q = (s, dir) =>
+    Profile.minmaxScale(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      Seq("event_type"), "value")
+
+  /** Curation-funnel report over documents: ordered quality gates,
+    * entry/survivor counts per stage in one scan. */
+  val qualityFunnel: Q = (s, dir) =>
+    Profile.filterFunnel(Tables.documents(s, dir), Seq(
+      "min_chars" -> (col("n_chars") >= 150),
+      "english" -> (col("lang") === "en"),
+      "max_chars" -> (col("n_chars") <= 450),
+      "source_ok" -> (col("source") =!= "src3")))
+
+  /** Corpus re-weighting to a 4:3:2:1:1 source mixture — unlisted
+    * sources drop, the bottleneck source keeps 100%, everything else
+    * down-samples on the stable md5 bucket. */
+  val sampleMixture: Q = (s, dir) =>
+    Sampling.mixtureResample(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      "doc_id", "source",
+      Seq("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1, "src4" -> 1),
+      salt = "mix")
+
+  /** Token-budgeted mixture: each source fills its token quota in md5
+    * order — the tokens-not-documents form of mix assembly (see
+    * [[Sampling.tokenBudgetSample]]; full audit report, kept flag per
+    * doc). */
+  val sampleTokenBudget: Q = (s, dir) =>
+    Sampling.tokenBudgetSample(
+      Tables.documents(s, dir).select("doc_id", "source", "text"),
+      "doc_id", "source", TextOps.tokenCount(col("text")),
+      budgets = Seq("src0" -> 2000L, "src1" -> 500L),
+      defaultBudget = 1000L, salt = "graft")
+
+  /** Quality-aware canonical selection: for each near-dup cluster from
+    * the n-gram pair graph, keep the LONGEST member (doc id tiebreak) —
+    * the doc a curation pipeline would actually retain, vs the
+    * arbitrary min-id label of dedup_components. Exact recursive-CTE
+    * closure + window oracle. */
+  val dedupCanonical: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val labels = graft.operators.ConnectedComponents.run(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 50),
+      "id_a", "id_b")
+    Dedup.canonicalPerCluster(labels,
+      docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
+  }
+
+  /** The pair graph and its connected components computed ONCE,
+    * serving both consumers: per-doc cluster labels (the
+    * dedup_components shape) AND the per-cluster canonical choice —
+    * one (doc_id, label, canonical_doc_id) row per clustered doc.
+    * [[dedupComponents]] + [[dedupCanonical]] run standalone recompute
+    * the pair join + closure twice; here the label frame — already
+    * materialized by `ConnectedComponents.run`'s per-round
+    * `localCheckpoint` (a cluster deployment would persist to disk) —
+    * is re-read by the window and the join, so the expensive Σ bucket²
+    * candidate work happens exactly once. */
+  val dedupCanonicalShared: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val labels = graft.operators.ConnectedComponents.run(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 50),
+      "id_a", "id_b")
+    val canon = Dedup.canonicalPerCluster(labels,
+      docs.select("doc_id", "n_chars"), "doc_id", prefer = Seq("n_chars"))
+    labels.withColumnRenamed("node", "doc_id")
+      .join(canon.select("cluster", "canonical_doc_id"),
+        col("label") === col("cluster"))
+      .select("doc_id", "label", "canonical_doc_id")
+  }
+
+  /** Unicode canonicalization of every document: NFC + accent-strip +
+    * lower/trim/whitespace-collapse — the cross-crawl fingerprint key
+    * (composed vs decomposed crawls of the same page canonicalize
+    * identically). Codegen'd with an ASCII fast path. */
+  val textNormalize: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.normalizeText(col("text")).as("canon"))
+
+  /** Ordered view→click→purchase funnel over the event stream:
+    * entities must hit each step strictly later than the previous
+    * step's first qualifying time. */
+  val eventsFunnel: Q = (s, dir) =>
+    SeriesOps.sequenceFunnel(
+      Tables.events(s, dir).select("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  /** Monthly cohort retention over the event stream: users cohorted by
+    * first active month, cells count distinct users active at each
+    * month offset (see [[SeriesOps.cohortRetention]]). */
+  val eventsRetention: Q = (s, dir) =>
+    SeriesOps.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+
+  /** Weekly cohort retention (r10 ADVICE #2): the fixtures' events
+    * span one calendar month, so the MONTHLY matrix collapses to
+    * offset-0 cells and the offset arithmetic never meets the oracle;
+    * weekly granularity puts offsets 1..4 and sub-1.0 normalization
+    * under the cross-engine hash gate at every SF. */
+  val eventsRetentionWeekly: Q = (s, dir) =>
+    SeriesOps.cohortRetentionBy(Tables.events(s, dir), "user_id", "ts", "week")
+
+
+  /** This family's slice of [[Queries.all]]. */
+  protected def compositeRegistry: Map[String, Q] = Map(
+    "curate_corpus" -> curateCorpus,
+    "curate_corpus_near" -> curateCorpusNear,
+    "text_chunk" -> textChunk,
+    "drift_chisq" -> driftChisq,
+    "scalar_minmax" -> scalarMinmax,
+    "quality_funnel" -> qualityFunnel,
+    "sample_mixture" -> sampleMixture,
+    "sample_token_budget" -> sampleTokenBudget,
+    "dedup_canonical" -> dedupCanonical,
+    "dedup_canonical_shared" -> dedupCanonicalShared,
+    "text_normalize" -> textNormalize,
+    "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
+    "curate_corpus_gopher" -> curateCorpusGopher,
+    "events_retention_weekly" -> eventsRetentionWeekly)
+}

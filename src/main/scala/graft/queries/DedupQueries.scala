@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SemDedup, SeriesOps, Similarity, Splits, TextOps, VectorLsh, VectorQuant, VectorStats}
+
+/** Text/embedding dedup families and split assignment/leakage/repair. */
+trait DedupQueries extends QueriesBase {
+
+  // ====================================================== [EXT] dedup
+
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+
+  val dedupNgram: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 50)
+
+  /** MinHash-LSH near-dup pairs. `maxBucket = 200` closes the one
+    * quadratic door the defaults leave open: a band bucket holding
+    * >200 docs is an exact-dup cluster or degenerate boilerplate —
+    * C(bucket, 2) pair enumeration there belongs to the cluster form
+    * ([[dedupMinhashClusters]]), not the pair form. The oracle mirrors
+    * the cap on the band-slice buckets. */
+  val dedupMinhashLsh: Q = (s, dir) =>
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxBucket = 200)
+
+  /** Linear-output dedup: (doc, cluster-representative) assignments.
+    * Hash-checked: the portable md5 hash family makes the banding and
+    * label propagation exactly replayable in the DuckDB oracle; the
+    * 100k-doc scale smoke pins runtime. */
+  val dedupMinhashClusters: Q = (s, dir) =>
+    Dedup.minhashClusters(Tables.documents(s, dir), "doc_id", "text")
+
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+
+  /** Winnowing containment dedup — hash-checked: the rolling
+    * polynomial gram hash is replayed by the oracle in HUGEINT
+    * arithmetic over `unicode(substr(...))`. */
+  val dedupWinnowing: Q = (s, dir) =>
+    Dedup.winnowingContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.3)
+
+  /** Near-dup GROUPS from the n-gram pair graph: connected components
+    * collapse transitive duplicate chains (a~b, b~c → one group) —
+    * pairs are the metric, components are what curation acts on.
+    * Exact recursive-SQL oracle over the identical pair set. */
+  val dedupComponents: Q = (s, dir) =>
+    graft.operators.ConnectedComponents.run(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 50),
+      "id_a", "id_b")
+
+  val dedupEmbedding: Q = (s, dir) =>
+    Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", threshold = 0.4)
+
+  /** SemDeDup semantic dedup verdicts over the embedding corpus:
+    * deterministic min-md5 coarse centers (the engine-portable stand-in
+    * for k-means — the whole pipeline hash-checks, where [[Ivf]]'s
+    * k-means carries a recall bound instead), TWO-LEVEL argmax-cosine
+    * assignment (16 centers through 4 super-centers here; O(N·√k·d)
+    * compute with only the √k supers broadcast, since production
+    * scales k with the corpus — see [[ext.SemDedup.assignTwoLevel]]),
+    * within-cluster cosine pairs, connected-component groups, keep the
+    * min id. */
+  val dedupSemantic: Q = (s, dir) =>
+    SemDedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      nCenters = 16, threshold = 0.4)
+
+  /** Cross-split leakage audit — the decontamination check that runs
+    * AFTER splitting: near-dup pairs (MinHash-LSH, the production
+    * screen) whose members landed in different train/val/test splits.
+    * Any row here is an eval document whose near-copy trains the
+    * model. Same split assignment as [[splitAssign]], same pair screen
+    * as [[dedupMinhashLsh]]; the split column is a per-row hash (no
+    * shuffle), so the audit costs one LSH pair screen plus two
+    * AQE-sized joins of the (tiny) pair set against the doc→split
+    * projection. */
+  val splitLeakage: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
+    val sp = Splits.assign(docs.select("doc_id"), "doc_id",
+        SplitWeights, salt = SplitSalt)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.toDF("id_a", "split_a"), "id_a")
+      .join(sp.toDF("id_b", "split_b"), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+  }
+
+  /** Threshold-tuning observability for the near-dup family: the
+    * similarity distribution of ALL verified LSH candidates (verify
+    * floor 0) as decile buckets, with the running count of pairs at or
+    * above each decile — exactly the curve read before choosing the
+    * production verify threshold the dedup operators hardcode. Bucket
+    * arithmetic is integer (round(j·10⁴) div 1000), no float-boundary
+    * drift; the final window runs over ≤ 11 rows. */
+  val dedupThresholdSweep: Q = (s, dir) => {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
+      "text", verifyThreshold = 0.0, maxBucket = 200)
+    val hist = pairs
+      .withColumn("bucket",
+        expr("CAST(round(jaccard * 10000) AS BIGINT) div 1000"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.withColumn("n_at_or_above", sum("n_pairs").over(w))
+  }
+
+  /** Split repair: every near-dup component spanning two splits moves
+    * whole to train — the audit's actionable follow-up; zero
+    * cross-split pairs remain afterwards (see
+    * [[graft.ext.Splits.repairLeakage]]). Shares the production
+    * split config and the LSH pair machinery with `split_leakage`. */
+  val splitRepair: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
+    val assigned = Splits.assign(docs.select("doc_id"), "doc_id",
+        SplitWeights, salt = SplitSalt)
+      .select(col("doc_id"), col("split"))
+    Splits.repairLeakage(assigned, pairs)
+  }
+
+  /** The curation-to-mixture funnel in ONE DAG — the r10 additions
+    * composed end to end: corpus-statistic gates (Gopher battery ∧
+    * boilerplate-gram keep, both trained on the RAW corpus — training
+    * the gram-df on survivors would shift the statistic), minhash
+    * canonical near-dedup over the gated subset, then the per-source
+    * token-budget mixture over the deduped survivors. Output = the
+    * selected mixture (doc, source, tokens, fill position). The gated
+    * corpus is materialized once for the cluster keep-set and the
+    * budget stage (the curate_corpus_near persist-boundary pattern;
+    * DISK_ONLY on a cluster). */
+  val curateCorpusMix: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bp = TextOps.boilerplateSignals(docs, minDocFreq = 20)
+    val gated = docs
+      .join(bp.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(TextOps.gopherKeep(col("text")))
+      .select("doc_id", "source", "text")
+      .localCheckpoint()
+    val keep = Dedup.minhashClusters(gated, "doc_id", "text")
+      .filter(col("doc") === col("cluster"))
+      .select(col("doc").as("doc_id"))
+    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+    Sampling.tokenBudgetSample(deduped, "doc_id", "source",
+        TextOps.tokenCount(col("text")),
+        budgets = Seq("src0" -> 2000L, "src1" -> 500L),
+        defaultBudget = 1000L, salt = "graft")
+      .filter(col("kept"))
+      .select("doc_id", "source", "n_tokens", "cum_before")
+  }
+
+  /** Benchmark decontamination: every-20th doc plays the held-out eval
+    * set; training docs sharing ≥1 distinct 5-gram with it are flagged
+    * with overlap counts. Benchmark shingles broadcast; corpus
+    * unshuffled. */
+  val decontamOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontam.overlapStats(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  /** [[decontamOverlap]] through the bloom-prefilter path: the same
+    * benchmark split, but the (doc, shingle) stream is culled by a
+    * bloom bitset BEFORE the exact-confirm join — the plan for when
+    * the eval-suite shingle set outgrows broadcast. The bitset is
+    * auto-sized from the bench's distinct-shingle count (16 bits per
+    * shingle, FP ≈ 0.2%), so the prefilter keeps its selectivity at
+    * every SF instead of saturating as the bench grows (r8 ADVICE #2).
+    * Output ≡ decontam_overlap (bloom admits no false negatives; the
+    * exact join kills false positives), so it shares the exact-SQL
+    * oracle. */
+  val decontamBloom: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontam.overlapStatsBloom(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5, kProbes = 4)
+  }
+
+  /** Deterministic 80/10/10 split keyed on md5(doc_id‖salt) — stable
+    * under re-reads/appends, engine-portable (oracle reproduces it). */
+  val splitAssign: Q = (s, dir) =>
+    Splits.assign(Tables.documents(s, dir).select("doc_id"), "doc_id",
+        SplitWeights, salt = SplitSalt)
+      .select("doc_id", "bucket", "split")
+
+  /** Incremental ingestion dedup: odd-id docs are the "new batch",
+    * even-id docs the already-ingested corpus; keep new docs whose
+    * canonical fingerprint is unseen. */
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.newAgainstReference(
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+  }
+
+  /** Incremental NEAR-dup screen: the odd-id batch against the even-id
+    * corpus via LSH band collision + exact-Jaccard verify — catches the
+    * re-crawl the exact-fingerprint form misses. Hash-checked end to
+    * end on the portable hash family (maxBucket mirrors
+    * [[dedupMinhashLsh]]). */
+  val dedupIncrementalNear: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.newAgainstReferenceNear(
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      "doc_id", "text", maxBucket = 200)
+  }
+
+  val aggDistinct: Q = (s, dir) =>
+    Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
+
+  /** HLL++ approx distinct per group, CHECKED against the exact twin
+    * in the same pass: the raw estimate is engine-specific (rows-only
+    * forever), so the gate verifies the estimator's error bound
+    * instead — `approx_ok` = |est − exact| ≤ 4·rsd·exact (rsd = 0.05
+    * ⇒ the exact-integer form ·5). The oracle asserts TRUE; an
+    * out-of-band estimate hash-fails the gate. Raw-estimate form:
+    * [[Dedup.approxDistinctPerGroup]]. */
+  val aggApproxDistinct: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("__est"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__est") - col("n_exact")) * 5 <= col("n_exact")).as("approx_ok"))
+
+
+  /** This family's slice of [[Queries.all]]. */
+  protected def dedupRegistry: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
+    "dedup_minhash_clusters" -> dedupMinhashClusters,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_winnowing" -> dedupWinnowing,
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
+    "split_leakage" -> splitLeakage,
+    "split_repair" -> splitRepair,
+    "dedup_components" -> dedupComponents,
+    "decontam_overlap" -> decontamOverlap,
+    "decontam_bloom" -> decontamBloom,
+    "split_assign" -> splitAssign,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_near" -> dedupIncrementalNear,
+    "curate_corpus_mix" -> curateCorpusMix)
+}

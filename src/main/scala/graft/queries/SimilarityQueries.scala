@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fred.ops.{Clean, DedupSync, Merge, MonthlyAgg, YearlyGold}
+import graft.ext.{Decontam, Dedup, Ivf, MultiModal, Packing, Profile, Sampling, SemDedup, SeriesOps, Similarity, Splits, TextOps, VectorLsh, VectorQuant, VectorStats}
+
+/** ANN/top-k similarity over the embeddings table. */
+trait SimilarityQueries extends QueriesBase {
+
+  // ================================================= [EXT] similarity
+
+  val similarityTopk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.topK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+  }
+
+  val similarityIvf: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.topKBlocked(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      "label", k = 5)
+  }
+
+  /** KMeans-IVF ANN: train coarse centroids, probe the 2 nearest of 8
+    * clusters per query, recall-CHECKED against brute-force top-k in
+    * the same plan: mean recall over the query wave must clear the
+    * 25% floor (measured 36–60% across the three SFs at nprobe=2/8 on
+    * this corpus — IVF has no closed-form recall bound, so the floor
+    * pins "the index is wired correctly", not a guarantee). The oracle
+    * asserts TRUE, so a recall collapse hash-fails the gate. Raw
+    * neighbor lists: [[Ivf.searchTopK]]. */
+  val similarityIvfKmeans: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
+    val est = Ivf.searchTopK(index, q, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id")
+    val truth = Similarity.topK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = est.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("__n_truth"))
+      .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_queries"),
+        (col("__n_hit") * 10000L >= col("__n_truth") * 2500L).as("recall_ok"))
+  }
+
+  /** IVF with exhaustive probing (nprobe = nClusters): every cluster
+    * is searched, so the output ≡ brute-force top-k BY CONSTRUCTION —
+    * which hands the whole IVF machinery (centroid ranking, probe
+    * explode, cluster-equality join, windowed top-k) the exact
+    * similarity_topk oracle. The hash-checked anchor under the
+    * engine-specific lower-nprobe entries above. */
+  val similarityIvfExhaustive: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
+    // probe however many clusters KMeans actually produced (it may
+    // return < k centers on degenerate data) — exhaustive either way
+    Ivf.searchTopK(index, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, nprobe = index.centroids.length)
+  }
+
+  /** Hyperplane-LSH near-neighbor pairs at cosine ≥ 0.4, recall-
+    * CHECKED against the exhaustive pair set in the same plan: LSH
+    * output is a SUBSET of brute force by construction (candidates
+    * exact-verified ⇒ precision 1), so the one failure mode is missing
+    * pairs — `recall_ok` asserts pair recall clears the 25% floor
+    * (measured 36–41% across the three SFs with 8-bit × 16-table
+    * signatures). The oracle computes the exhaustive count and asserts
+    * TRUE. VectorLshSpec pins determinism + the subset property; raw
+    * pairs: [[VectorLsh.cosineLshPairs]]. */
+  val similarityLsh: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val lsh = VectorLsh.cosineLshPairs(e, "vec_id", "embedding", threshold = 0.4)
+    val ex = VectorLsh.cosinePairsExhaustive(e, "vec_id", "embedding",
+      threshold = 0.4)
+    lsh.agg(count(lit(1)).as("__n_lsh"))
+      .crossJoin(ex.agg(count(lit(1)).as("n_true_pairs")))
+      .select(col("n_true_pairs"),
+        (col("__n_lsh") * 10000L >= col("n_true_pairs") * 2500L).as("recall_ok"))
+  }
+
+  /** [[similarityLsh]] stripped of its gate twin — the ANN plan a user
+    * deploys (banded signature join + exact-cosine verify, no
+    * exhaustive count). Benched via [[SparkEntry.benchForm]]. */
+  val similarityLshBenchForm: Q = (s, dir) =>
+    VectorLsh.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4)
+
+  /** The LSH tail with one constant signature — candidates = all pairs,
+    * output ≡ brute-force cosine pairs: the hash-checked anchor under
+    * the engine-specific `similarity_lsh` entry (see
+    * [[VectorLsh.cosinePairsExhaustive]]). */
+  val similarityLshExhaustive: Q = (s, dir) =>
+    VectorLsh.cosinePairsExhaustive(Tables.embeddings(s, dir), "vec_id",
+      "embedding", threshold = 0.4)
+
+  /** Quantized-scan ANN: int8 candidate generation (¼ the scan
+    * bandwidth — why a 100 TB vector corpus stores quantized) + exact
+    * float re-rank of the 4k-per-query survivors. Fully hash-checked:
+    * quantization, the integer-exact candidate score, and both
+    * tiebroken rankings replay bit-identically in the DuckDB twin —
+    * the ANN entry that needs no recall floor because its semantics
+    * are deterministic end to end. */
+  val similarityQuantized: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.topKQuantizedRerank(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, candidateFactor = 4)
+  }
+
+  /** Int8 embedding quantization: per-vector scale + quantized bytes —
+    * the 4× shuffle/storage cut applied before ANN at scale. The
+    * quantized array is posexploded to one (vec_id, pos, q_i) row per
+    * component (array outputs break the driver's checker; SURVEY §5) —
+    * library users call VectorQuant.withQuantized for the packed form. */
+  val embeddingQuantize: Q = (s, dir) =>
+    VectorQuant.withQuantized(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"), col("scale"), posexplode(col("q")))
+      .select(col("vec_id"), col("pos"), col("col").as("q_i"), col("scale"))
+
+
+  /** This family's slice of [[Queries.all]]. */
+  protected def similarityRegistry: Map[String, Q] = Map(
+    "similarity_topk" -> similarityTopk,
+    "similarity_ivf" -> similarityIvf,
+    "similarity_ivf_kmeans" -> similarityIvfKmeans,
+    "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
+    "similarity_lsh" -> similarityLsh,
+    "similarity_lsh_exhaustive" -> similarityLshExhaustive,
+    "similarity_quantized" -> similarityQuantized,
+    "embedding_quantize" -> embeddingQuantize)
+}

@@ -475,6 +475,19 @@ class TextAndMultiModalSpec extends SparkSpec {
       "2x nearest-neighbor upscale block-averages to the same 9x8 grid")
   }
 
+  test("screenBoilerplate with self-trained index ≡ boilerplateSignals") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val index = TextOps.boilerplateIndex(docs, n = 3, minDocFreq = 5,
+      maxBoilerPct = 60)
+    val screened = TextOps.screenBoilerplate(docs, index)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = TextOps.boilerplateSignals(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(screened == batch,
+      "decoupled train+screen must reproduce the fused corpus statistic")
+  }
+
   test("audioRoundTrip: real WAV decode hands back the synthesis arithmetic") {
     val df = Seq(0L, 3L, 13L).toDF("doc_id")
     val out = MultiModal.audioRoundTrip(df).collect()

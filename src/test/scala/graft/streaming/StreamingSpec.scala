@@ -163,6 +163,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet == Set(2L, 4L)) // both near-dups of the corpus dropped
   }
 
+  test("streaming boilerplate screen (pretrained gram-df index) ≡ batch screen") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference crawl: 3 docs sharing one templated trigram run, so the
+    // trigrams of the template reach df >= 3 and become the index
+    val template = "all rights reserved contact us about privacy policy"
+    val reference = (101L to 103L)
+      .map(i => (i, s"$template page body variant number $i"))
+      .toDF("doc_id", "text")
+    val index = graft.ext.TextOps.boilerplateIndex(
+      reference, minDocFreq = 3, maxBoilerPct = 60)
+    val batch1 = Seq(
+      (1L, template),                                             // pure template → dropped
+      (2L, "a genuinely novel essay with original phrasing throughout its body"))
+    val batch2 = Seq(
+      (3L, s"$template with a short original tail"),              // mostly template
+      (4L, "another unique document with its own words and nothing shared"))
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val q = graft.ext.TextOps.screenBoilerplateStream(
+        input.toDF().toDF("doc_id", "text"), index) { (screened, _) =>
+      val rows = screened.select("doc_id", "n_grams", "n_boiler", "keep")
+        .as[(Long, Long, Long, Boolean)].collect()
+      out.synchronized { out ++= rows }
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchScreen = graft.ext.TextOps.screenBoilerplate(
+        (batch1 ++ batch2).toDF("doc_id", "text"), index)
+      .select("doc_id", "n_grams", "n_boiler", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out.toSet == batchScreen, "micro-batched screen must equal batch")
+    val keep = out.map(r => r._1 -> r._4).toMap
+    assert(!keep(1L) && keep(2L) && keep(4L), s"template gate wrong: $keep")
+  }
+
   test("split assignment is stateless: identical on a stream in Append mode") {
     implicit val sqlCtx = spark.sqlContext
     val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)

@@ -85,6 +85,26 @@ def main(path="bench_history.jsonl", threshold=1.15):
                   f"({r:.2f}x, noise {n:.2f}x, {plan})")
     if not flagged and not improved:
         print("no median moved beyond its own spread - all noise")
+    # Shuffle VOLUME deltas (bytes are plan-deterministic - no noise
+    # band needed, any real move is a real move): flag queries whose
+    # per-run shuffle read+write bytes moved more than the time
+    # threshold AND by at least 1 MiB, the "same plan, 10x data moved"
+    # regression plan hashes cannot see.
+    p_sh, c_sh = prev.get("shuffle", {}), cur.get("shuffle", {})
+    vol = []
+    for q in common:
+        if q not in p_sh or q not in c_sh:
+            continue
+        p_tot = sum(p_sh[q]); c_tot = sum(c_sh[q])
+        if abs(c_tot - p_tot) < (1 << 20):
+            continue
+        r = c_tot / p_tot if p_tot > 0 else float("inf")
+        if r > threshold or (r < 1 / threshold and p_tot > 0):
+            vol.append((q, p_tot, c_tot, r))
+    for q, p_tot, c_tot, r in sorted(vol, key=lambda x: -abs(x[3] - 1)):
+        tag = "VOLUME UP" if c_tot > p_tot else "volume down"
+        print(f"{tag:>11}  {q:32s} {p_tot/2**20:8.1f}MiB -> "
+              f"{c_tot/2**20:8.1f}MiB ({r:.2f}x shuffle)")
     return 1 if flagged else 0
 
 if __name__ == "__main__":
