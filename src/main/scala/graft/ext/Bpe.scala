@@ -54,20 +54,44 @@ object Bpe {
   final case class SegmentedWord(
       word: String, freq: Long, tokens: Seq[String], n_tokens: Int)
 
-  /** UTF-8 byte order — Spark `UTF8String` / DuckDB collation order,
-    * NOT Java's UTF-16 `compareTo` (they differ above the BMP). */
-  private def utf8Lt(a: String, b: String): Boolean =
-    java.util.Arrays.compareUnsigned(
-      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+  /** Char pair around one '~' boundary, packed for hashing. A word can
+    * contain the pattern `l~r` ONLY at a boundary whose left symbol
+    * ends with l's last char and whose right symbol starts with r's
+    * first char — so indexing words by their boundary char-pairs gives
+    * a small candidate superset per merge without any substring scan. */
+  @inline private def boundaryKey(left: Char, right: Char): Int =
+    (left << 16) | right
+
+  private def boundaryKeys(joined: String): Array[Int] = {
+    val out = new Array[Int](
+      { var n = 0; var j = 0
+        while (j < joined.length) { if (joined.charAt(j) == '~') n += 1; j += 1 }
+        n })
+    var j = 0; var k = 0
+    while (j < joined.length) {
+      if (joined.charAt(j) == '~') {
+        out(k) = boundaryKey(joined.charAt(j - 1), joined.charAt(j + 1))
+        k += 1
+      }
+      j += 1
+    }
+    out
+  }
 
   /** The in-memory merge trainer over a (word, freq) vocabulary — the
-    * standard Sennrich loop. Incremental: pair counts are maintained
-    * as a delta per rewritten word, so step cost is
-    * O(|words containing the winning pair|), not O(vocab); the argmax
-    * is a scan of the pair dict (tens of thousands of keys in
-    * practice). Returns (step, lhs, rhs, merged, pair_count) rows in
-    * training order; stops early when no adjacent pairs remain.
+    * standard Sennrich loop. Incremental twice over: pair counts are
+    * maintained as a delta per rewritten word, and words are indexed
+    * by their boundary char-pairs, so one merge step touches only the
+    * candidate words of its (l.last, r.head) bucket — never the whole
+    * vocabulary. Step cost is therefore O(|words containing the
+    * winning pair| · |word|): on the adversarial 256-merge smoke (a
+    * 100k-word vocabulary of md5 hex strings, where EVERY merge's
+    * bucket holds ~12k words) that is ~44 s total — the rewrite
+    * volume itself, not scan waste; a delta-only pair update (±5 pairs
+    * per occurrence instead of the whole-word recount) is the
+    * remaining ~6× if a real corpus ever needs it. Returns
+    * (step, lhs, rhs, merged, pair_count) rows in training order;
+    * stops early when no adjacent pairs remain.
     *
     * Exposed for reuse/testing; [[trainMerges]] is the cluster entry
     * point that feeds this from the one-scan word table. */
@@ -82,6 +106,14 @@ object Bpe {
     vocab.foreach { case (w, f) =>
       syms(i) = w.toCharArray.mkString("~"); freqs(i) = f; i += 1
     }
+    // Pair counts as a flat dict, argmax as a full scan per step: the
+    // dict holds only the LIVE pair vocabulary (thousands of keys even
+    // on a 100k-word corpus — symbols grow, pair variety doesn't), so
+    // the scan is microseconds. A TreeSet keyed on the argmax order
+    // was measured 4x SLOWER end to end: every one of the ~190M
+    // per-rewrite count updates paid two O(log n) tree operations with
+    // byte-allocating comparisons, to speed up an argmax that was
+    // never the bottleneck.
     val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
     def addCounts(joined: String, f: Long): Unit = {
       val parts = joined.split('~')
@@ -93,14 +125,43 @@ object Bpe {
         j += 1
       }
     }
+    val byBoundary =
+      new scala.collection.mutable.HashMap[Int, scala.collection.mutable.HashSet[Int]]()
+    def index(w: Int, joined: String): Unit = {
+      val ks = boundaryKeys(joined)
+      var j = 0
+      while (j < ks.length) {
+        byBoundary.getOrElseUpdate(ks(j),
+          new scala.collection.mutable.HashSet[Int]()).add(w)
+        j += 1
+      }
+    }
+    def unindex(w: Int, joined: String): Unit = {
+      val ks = boundaryKeys(joined)
+      var j = 0
+      while (j < ks.length) {
+        byBoundary.get(ks(j)).foreach { s =>
+          s.remove(w); if (s.isEmpty) byBoundary.remove(ks(j))
+        }
+        j += 1
+      }
+    }
     i = 0
-    while (i < syms.length) { addCounts(syms(i), freqs(i)); i += 1 }
+    while (i < syms.length) {
+      addCounts(syms(i), freqs(i)); index(i, syms(i)); i += 1
+    }
 
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var step = 1
     while (step <= nMerges && counts.nonEmpty) {
-      // argmax under the pinned total order: count DESC, l ASC, r ASC
+      // argmax under the pinned total order: count DESC, l ASC (UTF-8
+      // byte order — Spark UTF8String / DuckDB collation, NOT Java's
+      // UTF-16 compareTo, which diverges above the BMP), r ASC
+      def utf8Lt(a: String, b: String): Boolean =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
       var bl: String = null; var br: String = null; var bc = Long.MinValue
       counts.foreach { case ((l, r), c) =>
         if (c > bc || (c == bc &&
@@ -111,21 +172,24 @@ object Bpe {
       out += ((step, bl, br, bl + br, bc))
       val pattern = bl + "~" + br
       val merged = bl + br
-      i = 0
-      while (i < syms.length) {
+      val bucket = byBoundary.get(boundaryKey(bl.last, br.head))
+        .map(_.toArray).getOrElse(Array.emptyIntArray)
+      var b = 0
+      while (b < bucket.length) {
+        val w = bucket(b)
         // String.contains is the same left-to-right scan replace does;
-        // words without the pattern cost one indexOf and no rewrite.
+        // candidates without the full pattern cost one indexOf.
         // NOTE the substring match is deliberate: training counted
         // pairs by split-adjacency but APPLIES by string replace
         // (as Spark/DuckDB replace do), so a pattern spanning a
         // symbol boundary rewrites too — the oracle replays exactly
         // this, so the trainer must own it.
-        if (syms(i).contains(pattern)) {
-          addCounts(syms(i), -freqs(i))
-          syms(i) = syms(i).replace(pattern, merged)
-          addCounts(syms(i), freqs(i))
+        if (syms(w).contains(pattern)) {
+          addCounts(syms(w), -freqs(w)); unindex(w, syms(w))
+          syms(w) = syms(w).replace(pattern, merged)
+          addCounts(syms(w), freqs(w)); index(w, syms(w))
         }
-        i += 1
+        b += 1
       }
       step += 1
     }
@@ -162,12 +226,22 @@ object Bpe {
     * word — bounded by the vocabulary, not the corpus; absent
     * patterns cost one indexOf scan each. */
   private def replayMerges(joined: String,
-      patterns: Array[(String, String)]): String = {
+      patterns: Array[(String, String, Int)]): String = {
     var s = joined
+    // live boundary char-pair set: a pattern can only match when its
+    // (l.last, ~, r.head) boundary exists, so absent merges cost one
+    // hash probe instead of an O(|word|) substring scan — the knob
+    // that keeps 30k-merge inference linear-ish per word
+    val boundaries = new scala.collection.mutable.HashSet[Int]()
+    boundaryKeys(s).foreach(boundaries.add)
     var i = 0
     while (i < patterns.length) {
       val p = patterns(i)
-      if (s.contains(p._1)) s = s.replace(p._1, p._2)
+      if (boundaries.contains(p._3) && s.contains(p._1)) {
+        s = s.replace(p._1, p._2)
+        boundaries.clear()
+        boundaryKeys(s).foreach(boundaries.add)
+      }
       i += 1
     }
     s
@@ -186,7 +260,8 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val patterns = mergeList
-      .map { case (l, r) => (l + "~" + r, l + r) }.toArray
+      .map { case (l, r) =>
+        (l + "~" + r, l + r, boundaryKey(l.last, r.head)) }.toArray
     wordFreq(df, textCol).as[(String, Long)].mapPartitions { rows =>
       rows.map { case (word, freq) =>
         val toks = replayMerges(word.toCharArray.mkString("~"), patterns)
