@@ -255,6 +255,48 @@ object MultiModal {
     })
   }
 
+  /** Audio fingerprint over REAL decode — the audio member of the
+    * dedup family (image: [[imageDHash]]): the decoded PCM stream is
+    * split into 65 equal-occupancy frames (`frame(i) = i·65 DIV n` —
+    * exact integer assignment an oracle replays), per-frame energy is
+    * the exact integer Σ sample², and bit f of the 64-bit fingerprint
+    * is [energy(f+1) > energy(f)] — an energy-contour difference hash,
+    * invariant to uniform gain the way dHash is invariant to
+    * brightness. Exact-duplicate audio collapses with the linear
+    * `groupBy(afp)` path; near-dup banding is
+    * [[graft.ext.Dedup.hammingPairs]], same as every 64-bit modality.
+    * Zero shuffle in the hash stage (two partition-local
+    * mapPartitions: synthesize, decode+hash). */
+  def audioFingerprint(df: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val payloads = df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticWav(id))))
+      .toDF(idCol, "payload")
+    payloads.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = ais.getFrameLength
+      val pcm = ais.readAllBytes()
+      require(pcm.length == 2 * n, s"doc $id: short PCM read")
+      val energy = new Array[Long](65)
+      var i = 0L
+      while (i < n) {
+        val s = (pcm(2 * i.toInt) & 0xff) | (pcm(2 * i.toInt + 1) << 8)
+        energy(((i * 65) / n).toInt) += s.toLong * s
+        i += 1
+      }
+      var afp = 0L
+      var f = 0
+      while (f < 64) {
+        if (energy(f + 1) > energy(f)) afp |= 1L << f
+        f += 1
+      }
+      (id, afp)
+    }).toDF(idCol, "afp")
+  }
+
   /** Grayscale value of the structured scene fixture at (x, y) — every
     * term a pure integer function of the doc id, so an exact SQL
     * oracle can predict the dHash of a CORRECT decode. Docs sharing

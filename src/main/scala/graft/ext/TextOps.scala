@@ -609,6 +609,62 @@ object TextOps {
         lit(100L) * col("n_boiler") <= lit(maxBoilerPct.toLong) * col("n_grams"))
   }
 
+  /** BM25 document ranking (Robertson & Zaragoza 2009, "The
+    * Probabilistic Relevance Framework: BM25 and Beyond") for a fixed
+    * term set — the retrieval scorer a curation pipeline runs to pull
+    * topic-relevant documents (and the ranking sibling of
+    * [[tfidfTopK]]). Okapi parameters k1=6/5, b=3/4 kept as exact
+    * rationals and multiplied through, so each factor is ONE
+    * correctly-rounded IEEE division of exact integers:
+    * `idf = (2N − 2df + 1)/(2df + 1)` (the standard idf ratio without
+    * the log — the [[tfidfTopK]] `logIdf=false` precedent: no libm
+    * call crosses the oracle) and
+    * `tfpart = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)` where L = corpus
+    * token count. Per-term scores are integer-scaled (4 dp) BEFORE the
+    * per-doc sum, so the sum is order-independent — the only way a
+    * float sum hashes identically across engines.
+    *
+    * Scale shape: one tokenize+explode filtered to the query terms
+    * (the filter prunes the explode output immediately), term df and
+    * the corpus totals are tiny broadcast frames, per-doc agg is one
+    * hash agg, and the top-k is a TakeOrdered — no global sort, no
+    * window. The integer numerators hold to ~10^14 corpus tokens ×
+    * tf≤10^3 before long overflow; past that, scale the rationals
+    * down before this operator (noted in README). */
+  def bm25TopK(df: DataFrame, query: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 50): DataFrame = {
+    require(query.nonEmpty, "query terms must be non-empty")
+    val terms = query.distinct
+    val docs = df.select(col(idCol).as("doc"),
+      size(regexTokens(col(textCol))).as("dl"),
+      regexTokens(col(textCol)).as("__toks"))
+    val toks = docs.select(col("doc"), col("dl"), explode(col("__toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = toks.groupBy("doc", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(sum(col("dl")).as("total_len"),
+      count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)).cast("double") /
+          (lit(2) * col("df") + lit(1)).cast("double"))
+      .withColumn("tfpart",
+        (lit(44L) * col("tf") * col("total_len")).cast("double") /
+          (lit(20L) * col("tf") * col("total_len") + lit(6L) * col("total_len") +
+            lit(18L) * col("dl") * col("n_docs")).cast("double"))
+      .withColumn("scaled",
+        round(col("idf") * col("tfpart") * lit(10000.0)).cast("long"))
+    scored.groupBy("doc").agg(
+        count(lit(1)).as("n_terms"),
+        sum("scaled").as("__s"))
+      .orderBy(col("__s").desc, col("doc").asc)
+      .limit(k)
+      .select(col("doc").as(idCol), col("n_terms"),
+        (col("__s").cast("double") / 1e4).as("score"))
+  }
+
   /** A pre-trained boilerplate screen — the corpus-STATISTIC half of
     * [[boilerplateSignals]] decoupled from the screening pass (r10
     * VERDICT #5): a crawl pipeline trains the gram-document-frequency

@@ -35,6 +35,35 @@ private[graft] object MultiModalOracles {
         |       sum_samples
         |FROM p JOIN s USING (doc_id)""".stripMargin,
 
+    // Mirrors dedupAudioFp: the WAV synthesis chooses every sample as
+    // a pure function of doc_id and PCM WAV is lossless, so a CORRECT
+    // decode + 65-frame energy-contour hash must reproduce exactly
+    // this arithmetic; the exact-dup groups follow by grouping the
+    // fingerprints. Bit 63 wraps to signed BIGINT min as usual.
+    "dedup_audio_fp" ->
+      """WITH p AS (SELECT doc_id,
+        |        CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS frames,
+        |        (doc_id % 11) + 3 AS k FROM documents),
+        |s AS (SELECT doc_id, k, frames,
+        |        unnest(generate_series(0, frames - 1)) AS i FROM p),
+        |e AS (SELECT doc_id, (i * 65) // frames AS f,
+        |        CAST(sum((((i * k) % 2048) - 1024)
+        |                 * (((i * k) % 2048) - 1024)) AS BIGINT) AS en
+        |      FROM s GROUP BY 1, 2),
+        |b AS (SELECT a.doc_id, a.f,
+        |        CASE WHEN nb.en > a.en THEN 1 ELSE 0 END AS bit
+        |      FROM e a JOIN e nb ON nb.doc_id = a.doc_id AND nb.f = a.f + 1
+        |      WHERE a.f < 64),
+        |h AS (SELECT doc_id,
+        |        sum(CASE WHEN bit = 1 THEN
+        |              CASE WHEN f = 63 THEN -9223372036854775807 - 1
+        |                   ELSE (1::BIGINT << f) END
+        |            ELSE 0 END)::BIGINT AS afp
+        |      FROM b GROUP BY 1),
+        |g AS (SELECT afp, min(doc_id) AS keep_id,
+        |             CAST(count(*) AS BIGINT) AS n_dups FROM h GROUP BY 1)
+        |SELECT doc_id, afp, keep_id, n_dups FROM h JOIN g USING (afp)""".stripMargin,
+
     // Mirrors dedupImagePhash: the scene fixture's pixels are pure
     // integer functions of doc_id and PNG is lossless, so a CORRECT
     // javax.imageio decode + 9x8 dHash must reproduce exactly this

@@ -141,6 +141,36 @@ private[graft] object TextOracles {
         |       coalesce(100 * n_boiler <= 60 * n_grams, TRUE) AS keep
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors TextOps.bm25TopK('data','vector','merge', k=50): the
+    // Okapi rationals multiplied through so idf and tfpart are each
+    // ONE IEEE division of exact integers, per-term scores scaled to
+    // 4-dp integers BEFORE the per-doc sum (order-independent), the
+    // top-50 cut on the exact integer sum with the doc-id tiebreak.
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |         lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS toks
+        |       FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_len,
+        |               CAST(count(*) AS BIGINT) AS n_docs FROM d),
+        |occ AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM occ
+        |       WHERE w IN ('data', 'vector', 'merge') GROUP BY 1, 2),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ((2 * n_docs - 2 * df + 1)::DOUBLE / (2 * df + 1)::DOUBLE)
+        |           * ((44 * tf * total_len)::DOUBLE /
+        |              (20 * tf * total_len + 6 * total_len
+        |               + 18 * dl * n_docs)::DOUBLE)
+        |           * 10000) AS BIGINT) AS scaled
+        |       FROM tf JOIN dfq USING (w) JOIN d USING (doc_id) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |               CAST(sum(scaled) AS BIGINT) AS s
+        |        FROM sc GROUP BY 1)
+        |SELECT doc_id, n_terms, s::DOUBLE / 10000 AS score
+        |FROM agg ORDER BY s DESC, doc_id ASC LIMIT 50""".stripMargin,
+
     // Mirrors textBoilerplateIndexed: the gram-df table trained on
     // the doc_id%3=0 reference slice at floor 3, every doc screened
     // against that static boilerplate set (LEFT JOIN + null = novel).

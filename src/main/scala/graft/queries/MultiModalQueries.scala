@@ -37,6 +37,23 @@ trait MultiModalQueries extends QueriesBase {
   val mmAudioMeta: Q = (s, dir) =>
     MultiModal.audioRoundTrip(Tables.documents(s, dir)).toDF()
 
+  /** Audio exact-dup collapse via energy-contour fingerprint over REAL
+    * `javax.sound.sampled` decode: per-doc 64-bit fingerprint plus its
+    * exact-dup group (keep_id = min doc of the fingerprint class,
+    * n_dups = class size) — the linear groupBy path that owns
+    * hash-identical media mass (the banding path for near-dups is
+    * [[dedupImagePhash]]'s, shared via
+    * `Dedup.hammingPairs`). Every sample is a pure function of doc_id
+    * and PCM WAV is lossless, so the oracle replays the energy
+    * arithmetic exactly; see [[MultiModal.audioFingerprint]]. */
+  val dedupAudioFp: Q = (s, dir) => {
+    val fp = MultiModal.audioFingerprint(Tables.documents(s, dir))
+    val groups = fp.groupBy("afp").agg(
+      min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    fp.join(groups, "afp")
+      .select("doc_id", "afp", "keep_id", "n_dups")
+  }
+
   /** Image near-dup via perceptual hash over REAL decode (r10 VERDICT
     * #2 — the dedup modality that was still text/embedding-only): a
     * structured scene PNG per doc (same base scene per 8-doc group,
@@ -77,5 +94,6 @@ trait MultiModalQueries extends QueriesBase {
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_imageio_decode" -> mmImageioDecode,
     "dedup_image_phash" -> dedupImagePhash,
+    "dedup_audio_fp" -> dedupAudioFp,
     "mm_audio_meta" -> mmAudioMeta)
 }

@@ -130,6 +130,16 @@ trait TextQueries extends QueriesBase {
   val textBoilerplate: Q = (s, dir) =>
     TextOps.boilerplateSignals(Tables.documents(s, dir))
 
+  /** BM25 retrieval ranking for a fixed query-term set over the
+    * corpus: top-50 docs by the exact-rational Okapi scorer (k1=6/5,
+    * b=3/4 multiplied through; per-term scores integer-scaled before
+    * the per-doc sum so the float sum is order-independent; the
+    * ordering key is the exact integer sum with the doc-id tiebreak).
+    * See [[TextOps.bm25TopK]]. */
+  val textBm25: Q = (s, dir) =>
+    TextOps.bm25TopK(Tables.documents(s, dir),
+      Seq("data", "vector", "merge"), k = 50)
+
   /** The incremental form of [[textBoilerplate]] (r10 VERDICT #5):
     * gram-df index TRAINED on a reference slice (every 3rd doc — the
     * prior crawl), the whole corpus SCREENED against it — the
@@ -291,6 +301,7 @@ trait TextQueries extends QueriesBase {
     "text_repetition" -> textRepetition,
     "text_boilerplate" -> textBoilerplate,
     "text_boilerplate_indexed" -> textBoilerplateIndexed,
+    "text_bm25" -> textBm25,
     "text_topgram" -> textTopgram,
     "pack_budget" -> packBudget,
     "pack_concat" -> packConcat,

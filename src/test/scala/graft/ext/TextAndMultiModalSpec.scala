@@ -475,6 +475,38 @@ class TextAndMultiModalSpec extends SparkSpec {
       "2x nearest-neighbor upscale block-averages to the same 9x8 grid")
   }
 
+  test("bm25TopK: rarity and length normalization rank as Okapi says") {
+    val docs = Seq(
+      (1L, "data data data data"),            // high tf, short
+      (2L, "data " + ("filler " * 40)),       // tf 1, long → length-penalized
+      (3L, "vector data"),                    // rare term + common term
+      (4L, "filler filler filler"),           // no query terms
+      (5L, "data")                            // tf 1, shortest
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("data", "vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(!byDoc.contains(4L), "docs with no query terms must not rank")
+    assert(byDoc(3L)._2 == 2L && out.forall(_._2 >= 1L))
+    // doc 3 holds the rarest term (vector: df=1) plus data → top score
+    assert(out.head._1 == 3L, s"rarest-term doc must lead: ${out.toSeq}")
+    // same tf=1 of the same term: the 40-filler doc scores below the
+    // 1-token doc (Okapi length normalization)
+    assert(byDoc(2L)._3 < byDoc(5L)._3)
+    // scores descend (doc-id tiebreak ascends)
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) })
+  }
+
+  test("audioFingerprint: same (frames, k) class ⇒ same hash, else apart") {
+    // ids 2 and 79: 2%7=2,2%11=2; 79%7=2,79%11=2 → identical synthesis
+    // → identical fingerprint; id 3 differs in both → different
+    val fp = MultiModal.audioFingerprint(Seq(2L, 79L, 3L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(2L) == fp(79L), "identical synthesis params must collide")
+    assert(fp(2L) != fp(3L), "different sawtooth must hash apart")
+  }
+
   test("screenBoilerplate with self-trained index ≡ boilerplateSignals") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
