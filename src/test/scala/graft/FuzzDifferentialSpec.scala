@@ -33,7 +33,15 @@ class FuzzDifferentialSpec extends SparkSpec {
     "text_boilerplate", "text_boilerplate_indexed", "text_topgram",
     "text_chunk", "quality_lm_surprisal", "vocab_bpe_merges",
     "vocab_bpe_segment", "text_tokens_bpe")
-  // window_yoy reads orders, not events → out of the generated scope;
+  // TPC-H-shaped subset: generated with consistent foreign keys, a
+  // hot customer (30% of orders) and a hot order (20% of lineitem) so
+  // the salted operators meet real skew, and two years of dates so
+  // YoY windows have a prior year to lag into
+  private val tpchQueries = Seq(
+    "join_star_revenue", "join_semi", "join_left_outer", "join_full_outer",
+    "topk_orders", "set_except", "set_intersect", "agg_rollup", "agg_cube",
+    "agg_mode", "agg_quantiles", "agg_salted", "join_salted", "window_yoy")
+
   // the daily-series windows key on observation_day (the reference's
   // FRED within-one-month series shape), so the fuzz time axis stays
   // inside one calendar month — still 5 weekly cohort offsets
@@ -102,6 +110,49 @@ class FuzzDifferentialSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  private def d2(rnd: scala.util.Random, lo: Int, hi: Int): Double =
+    (lo * 100 + rnd.nextInt((hi - lo) * 100)) / 100.0
+
+  private def writeTpch(seed: Int, dir: String): Unit = {
+    val rnd = new scala.util.Random(seed * 104729 + 31)
+    val day0 = LocalDateTime.of(2023, 1, 1, 0, 0, 0)
+    def ts(): LocalDateTime = day0.plusSeconds(rnd.nextLong(728L * 24 * 3600))
+    writeTable((0 until 3).map(k => (k, s"R$k")).toDF("r_regionkey", "r_name"),
+      dir, "region")
+    writeTable((0 until 6).map(k => (k, s"N$k", k % 3))
+      .toDF("n_nationkey", "n_name", "n_regionkey"), dir, "nation")
+    writeTable((0 until 20).map(k =>
+        (k.toLong, s"Customer#$k", k % 6, d2(rnd, -10, 100),
+          Seq("AUTOMOBILE", "BUILDING", "MACHINERY")(rnd.nextInt(3))))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      dir, "customer")
+    writeTable((0 until 5).map(k =>
+        (k.toLong, s"Supplier#$k", k % 6, d2(rnd, -10, 100)))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), dir, "supplier")
+    writeTable((0 until 15).map(k =>
+        (k.toLong, s"Part#$k", s"Brand#${k % 3}", s"TYPE ${k % 4}",
+          1 + rnd.nextInt(50), d2(rnd, 1, 2000)))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"), dir, "part")
+    writeTable((0 until 60).map { k =>
+        // hot customer 0: the skew the salted join exists for
+        val cust = if (rnd.nextInt(10) < 3) 0L else rnd.nextInt(20).toLong
+        (k.toLong, cust, Seq("F", "O", "P")(rnd.nextInt(3)),
+          d2(rnd, 1, 5000), ts(), s"${1 + rnd.nextInt(5)}-PRIORITY")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"), dir, "orders")
+    writeTable((0 until 200).map { k =>
+        val ord = if (rnd.nextInt(10) < 2) 0L else rnd.nextInt(60).toLong
+        (ord, rnd.nextInt(15).toLong, rnd.nextInt(5).toLong,
+          1 + rnd.nextInt(7), (1 + rnd.nextInt(50)).toDouble,
+          d2(rnd, 1, 10000), rnd.nextInt(11) / 100.0, rnd.nextInt(9) / 100.0,
+          Seq("A", "N", "R")(rnd.nextInt(3)), Seq("O", "F")(rnd.nextInt(2)),
+          ts())
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"), dir, "lineitem")
+  }
+
   /** Single-FILE parquet at `$dir/$name.parquet` — the layout both
     * `Tables.path` and the gate's `read_parquet` expect. */
   private def writeTable(df: DataFrame, dir: String, name: String): Unit = {
@@ -120,8 +171,10 @@ class FuzzDifferentialSpec extends SparkSpec {
       .createTempDirectory(s"graft_fuzz_$seed").toString
     writeTable(randDocs(seed, 40 + seed % 5 * 10), dir, "documents")
     writeTable(randEvents(seed, 300), dir, "events")
+    writeTpch(seed, dir)
     val outDir = s"$dir/out"
-    Verify.dump(spark, dir, outDir, Some((docQueries ++ eventQueries).toSet))
+    Verify.dump(spark, dir, outDir,
+      Some((docQueries ++ eventQueries ++ tpchQueries).toSet))
     val log = new StringBuilder
     val code = scala.sys.process.Process(
       Seq("python3", "tools/check_oracle.py", dir, outDir),
@@ -132,9 +185,10 @@ class FuzzDifferentialSpec extends SparkSpec {
     assert(code == 0 && !report.contains("FAIL"),
       s"seed $seed diverged from DuckDB:\n$report")
     val passes = report.linesIterator.count(_.startsWith("PASS"))
-    assert(passes == docQueries.size + eventQueries.size,
-      s"seed $seed: expected ${docQueries.size + eventQueries.size} " +
-        s"hash-checked queries, saw $passes:\n$report")
+    val expected = docQueries.size + eventQueries.size + tpchQueries.size
+    assert(passes == expected,
+      s"seed $seed: expected $expected hash-checked queries, " +
+        s"saw $passes:\n$report")
   }
 
   for (seed <- 1 to 10)

@@ -334,4 +334,42 @@ class PlanShapeSpec extends SparkSpec {
       s"token budget must cost one source-partitioned shuffle:\n$plan")
     assert(!plan.contains("Join"), s"budget lookup must be a CASE, not a join:\n$plan")
   }
+
+  test("text_bm25: broadcast df/totals, top-k short-circuit, no window") {
+    val plan = executed(Queries.all("text_bm25")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must short-circuit, not globally sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort crept into bm25:\n$plan")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+      s"term-df and corpus totals must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"bm25 must not rank via a window:\n$plan")
+  }
+
+  test("text_boilerplate_indexed: the index side broadcasts; the corpus is never shuffled for membership") {
+    val plan = executed(Queries.all("text_boilerplate_indexed")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate index must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled against the index:\n$plan")
+  }
+
+  test("dedup_image_phash / dedup_audio_fp: banded equality join resp. single-agg group, no cartesian") {
+    val phash = executed(Queries.all("dedup_image_phash")(spark, sf))
+    assert(!phash.contains("CartesianProduct") &&
+      !phash.contains("BroadcastNestedLoopJoin"),
+      s"phash pairs must come from the banded equality join:\n$phash")
+    val afp = executed(Queries.all("dedup_audio_fp")(spark, sf))
+    assert(!afp.contains("CartesianProduct"), s"cartesian:\n$afp")
+    assert("partial_min|partial_count".r.findAllIn(afp).nonEmpty,
+      s"exact-dup groups lost map-side partials:\n$afp")
+  }
+
+  test("vocab_bpe_shared: the segment frame is reused, not recomputed per consumer") {
+    // the materialize-once boundary shows up as a scan of an existing
+    // RDD (the localCheckpoint) rather than two full word-table plans
+    val plan = executed(Queries.all("vocab_bpe_shared")(spark, sf))
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"shared segment frame must be materialized once:\n$plan")
+  }
 }

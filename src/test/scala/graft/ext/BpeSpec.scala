@@ -51,6 +51,51 @@ class BpeSpec extends SparkSpec {
     assert(m.count() == 0, "no adjacent pairs exist in 1-char words")
   }
 
+  test("incremental trainer ≡ naive full-recount reference on 40 random vocabularies") {
+    // the shipped trainer maintains pair counts as per-rewrite deltas
+    // and finds candidates through the boundary char-pair index; this
+    // reference recomputes EVERYTHING from scratch each step (argmax
+    // over a full recount, rewrite by scanning all words) — any index
+    // staleness or delta drift diverges the merge sequence
+    def naive(vocab: Seq[(String, Long)], nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+      var words = vocab.map { case (w, f) => (w.toCharArray.mkString("~"), f) }
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      var step = 1
+      var done = false
+      while (step <= nMerges && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((s, f) <- words) {
+          val p = s.split('~')
+          for (j <- 0 until p.length - 1)
+            counts((p(j), p(j + 1))) = counts.getOrElse((p(j), p(j + 1)), 0L) + f
+        }
+        if (counts.isEmpty) done = true
+        else {
+          def u8(x: String) = x.getBytes("UTF-8").map(b => (b & 0xff).toChar).mkString
+          val ((l, r), c) = counts.toSeq
+            .minBy { case ((l, r), c) => (-c, u8(l), u8(r)) }(
+              Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String))
+          out += ((step, l, r, l + r, c))
+          words = words.map { case (s, f) => (s.replace(l + "~" + r, l + r), f) }
+          step += 1
+        }
+      }
+      out.result()
+    }
+    val pool = Vector("a", "b", "c", "ab", "abc", "x", "yz", "1", "22")
+    for (seed <- 1 to 40) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 5 + rnd.nextInt(25)).map { _ =>
+        val w = (0 until 1 + rnd.nextInt(8))
+          .map(_ => pool(rnd.nextInt(pool.size))).mkString
+        (w, 1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val n = 1 + rnd.nextInt(12)
+      assert(Bpe.trainMergesLocal(vocab, n) == naive(vocab, n),
+        s"seed $seed diverged (vocab=$vocab, nMerges=$n)")
+    }
+  }
+
   test("determinism: repartitioned input trains the identical merge table") {
     val a = Bpe.trainMerges(corpus, "text", nMerges = 4)
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
