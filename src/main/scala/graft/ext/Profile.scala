@@ -110,8 +110,9 @@ object Profile {
     agged
       .withColumn("corr",
         when(vx > 0 && vy > 0,
+          // + 0.0 drops IEEE negative zero (engine round() sign differs)
           round(cov.cast("double") /
-            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))) * lit(10000.0)) / 1e4))
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))) * lit(10000.0)) / 1e4 + lit(0.0)))
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 
@@ -261,9 +262,10 @@ object Profile {
         col("n") / 1e2
     agged
       .withColumn("slope",
-        when(vx > 0, round(slope * lit(10000.0)) / 1e4))
+        // + 0.0 drops IEEE negative zero (engine round() sign differs)
+        when(vx > 0, round(slope * lit(10000.0)) / 1e4 + lit(0.0)))
       .withColumn("intercept",
-        when(vx > 0, round(intercept * lit(10000.0)) / 1e4))
+        when(vx > 0, round(intercept * lit(10000.0)) / 1e4 + lit(0.0)))
       .drop("__sx", "__sy", "__sxx", "__sxy")
   }
 

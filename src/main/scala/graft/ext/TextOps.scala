@@ -492,7 +492,10 @@ object TextOps {
       // integer-scaled rounding — see qualitySignals
       .withColumn("mean_weight",
         when(col("n_scored") > 0,
-          round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4))
+          // + 0.0 drops IEEE negative zero (weight_bits can be negative;
+          // engine round() sign differs — see the differential fuzz)
+          round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4
+            + lit(0.0)))
   }
 
   /** Top n-gram occupancy — the remaining Gopher repetition rule
@@ -607,6 +610,46 @@ object TextOps {
           round(col("n_boiler") * lit(10000.0) / col("n_grams")) / 1e4))
       .withColumn("keep",
         lit(100L) * col("n_boiler") <= lit(maxBoilerPct.toLong) * col("n_grams"))
+  }
+
+  /** Cross-source n-gram overlap matrix — inter-source duplication is
+    * what a mixture designer needs BEFORE weighting sources (two
+    * crawls of the same sites contribute one source's worth of novel
+    * text however the quotas are set): distinct n-gram sets per
+    * source, pairwise shared-gram counts and Jaccard. Complements the
+    * doc-level dedup family (this is the SOURCE-level report) and
+    * [[Decontam]] (that is corpus-vs-benchmark; this is
+    * corpus-vs-itself across the source key).
+    *
+    * Scale shape: distinct (source, gram) in one hash agg (the frame
+    * is ≤ |sources|·|gram vocabulary| however big the corpus), then a
+    * gram-keyed self-join whose per-gram candidate work is (#sources
+    * containing the gram)² ≤ S² — with S in the dozens/hundreds this
+    * is linear in the gram vocabulary, and the output is ≤ C(S,2)
+    * rows. The exploded distinct frame is materialized once for its
+    * two consumers (persist DISK_ONLY on a cluster). */
+  def sourceOverlap(df: DataFrame, groupCol: String = "source",
+      textCol: String = "text", n: Int = 5): DataFrame = {
+    val ex = df.select(col(groupCol).as("g"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .select(col("g"), explode(col("s")).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = ex.groupBy("g").agg(count(lit(1)).as("n_grams"))
+    ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("g").as("src_a"),
+        col("n_grams").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("g").as("src_b"),
+        col("n_grams").as("n_b"))), "src_b")
+      // integer-scaled rounding — see qualitySignals
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (round(col("n_shared") * lit(10000.0) /
+          (col("n_a") + col("n_b") - col("n_shared"))) / 1e4).as("jaccard"))
   }
 
   /** BM25 document ranking (Robertson & Zaragoza 2009, "The
@@ -808,6 +851,9 @@ object TextOps {
           round(col("n_rare") * lit(10000.0) / col("n_bigrams")) / 1e4))
       .withColumn("mean_weight",
         when(col("n_scored") > 0,
-          round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4))
+          // + 0.0 drops IEEE negative zero (weight_bits can be negative;
+          // engine round() sign differs — see the differential fuzz)
+          round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4
+            + lit(0.0)))
   }
 }

@@ -7,6 +7,30 @@ import graft.OracleCtes._
   */
 private[graft] object ProfileOracles {
   val map: Map[String, String] = Map(
+    // Mirrors TextOps.sourceOverlap (n=5): distinct (source, 5-gram)
+    // sets, pairwise shared counts over the gram-keyed self-join,
+    // Jaccard at 4 dp — string grams stand in for the hashed ones
+    // (hash-injective on the corpus, the text_boilerplate precedent).
+    "profile_source_overlap" ->
+      s"""WITH w AS (SELECT source, ${wsToks("text")} AS toks FROM documents),
+        |sh AS (SELECT source,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |                        for i in generate_series(1, len(toks) - 4)]) AS s
+        |       FROM w WHERE len(toks) >= 5),
+        |ex AS (SELECT DISTINCT source AS g, unnest(s) AS sh FROM sh),
+        |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n_grams FROM ex GROUP BY 1),
+        |shared AS (
+        |  SELECT a.g AS src_a, b.g AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |       sa.n_grams AS n_a, sb.n_grams AS n_b,
+        |       round(CAST(n_shared * 10000 AS DOUBLE)
+        |             / (sa.n_grams + sb.n_grams - n_shared)) / 10000 AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.g = src_a
+        |JOIN sizes sb ON sb.g = src_b""".stripMargin,
     // Mirrors Profile.histogram: identical IEEE bucket arithmetic, so
     // edge-landing values bucket identically.
     "agg_histogram" ->
@@ -73,6 +97,7 @@ private[graft] object ProfileOracles {
         |         round(CAST(n * sxy - sx * sy AS DOUBLE)
         |               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000) / 10000
+        |           + 0.0
         |         END AS corr
         |FROM m""".stripMargin,
 
@@ -93,12 +118,14 @@ private[graft] object ProfileOracles {
         |       CASE WHEN n * sxx - sx * sx > 0 THEN
         |         round(CAST(n * sxy - sx * sy AS DOUBLE)
         |               / CAST(n * sxx - sx * sx AS DOUBLE) * 10000) / 10000
+        |           + 0.0
         |         END AS slope,
         |       CASE WHEN n * sxx - sx * sx > 0 THEN
         |         round((CAST(sy AS DOUBLE)
         |                - CAST(n * sxy - sx * sy AS DOUBLE)
         |                  / CAST(n * sxx - sx * sx AS DOUBLE)
         |                  * CAST(sx AS DOUBLE)) / n / 100 * 10000) / 10000
+        |           + 0.0
         |         END AS intercept
         |FROM m""".stripMargin,
 

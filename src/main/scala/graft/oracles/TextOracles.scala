@@ -470,7 +470,7 @@ private[graft] object TextOracles {
         |       CAST(coalesce(n_oov_source, 0) AS BIGINT) AS n_oov_source,
         |       CAST(coalesce(weight_bits, 0) AS BIGINT) AS weight_bits,
         |       CASE WHEN coalesce(n_scored, 0) > 0
-        |         THEN round(weight_bits * 10000.0 / n_scored) / 10000
+        |         THEN round(weight_bits * 10000.0 / n_scored) / 10000 + 0.0
         |       END AS mean_weight
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 
@@ -535,7 +535,7 @@ private[graft] object TextOracles {
         |         THEN round(n_rare * 10000.0 / n_bigrams) / 10000
         |       END AS rare_ratio,
         |       CASE WHEN coalesce(n_scored, 0) > 0
-        |         THEN round(weight_bits * 10000.0 / n_scored) / 10000
+        |         THEN round(weight_bits * 10000.0 / n_scored) / 10000 + 0.0
         |       END AS mean_weight
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 

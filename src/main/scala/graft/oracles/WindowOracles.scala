@@ -42,7 +42,8 @@ private[graft] object WindowOracles {
          |       CAST(rank() OVER (
          |         PARTITION BY indicator
          |         ORDER BY value DESC, observation_day) AS INTEGER) AS day_rank,
-         |       round(value * 10000 / sum(value) OVER (PARTITION BY indicator)) / 10000 AS share
+         |       round(value * 10000 / sum(value) OVER (PARTITION BY indicator)) / 10000
+         |         + 0.0 AS share
          |FROM d""".stripMargin,
 
     // Mirrors windowLocf: sparse series densified with

@@ -12,6 +12,14 @@ trait ProfileQueries extends QueriesBase {
 
   // ============================================ [EXT] profile / sample
 
+  /** Cross-source n-gram overlap matrix: pairwise shared distinct
+    * 5-grams and Jaccard between every source pair — the inter-source
+    * duplication report a mixture designer reads before setting
+    * source quotas (see [[TextOps.sourceOverlap]]; per-gram candidate
+    * work bounded by sources², output ≤ C(S,2) rows). */
+  val profileSourceOverlap: Q = (s, dir) =>
+    TextOps.sourceOverlap(Tables.documents(s, dir))
+
   /** Fixed-width value histogram per event type: 50 buckets of width
     * 10 over [0, 500) plus under/overflow — the profiling pass run
     * before picking quality thresholds. One map-side-combined shuffle
@@ -204,6 +212,7 @@ trait ProfileQueries extends QueriesBase {
 
   /** This family's slice of [[Queries.all]]. */
   protected def profileRegistry: Map[String, Q] = Map(
+    "profile_source_overlap" -> profileSourceOverlap,
     "agg_histogram" -> aggHistogram,
     "agg_equidepth" -> aggEquidepth,
     "quality_expectations" -> qualityExpectations,

@@ -32,7 +32,10 @@ trait WindowQueries extends QueriesBase {
     d.withColumn("day_rank",
         rank().over(byInd.orderBy(col("value").desc, col("observation_day"))))
       .withColumn("share",
-        round(col("value") * lit(10000.0) / sum("value").over(byInd)) / 1e4)
+        // + 0.0 drops IEEE negative zero: round(-0.4) is +0 in Spark
+        // (BigDecimal) but -0.0 in DuckDB; a tiny negative share would
+        // otherwise hash-differ (caught by the differential fuzz)
+        round(col("value") * lit(10000.0) / sum("value").over(byInd)) / 1e4 + lit(0.0))
   }
 
   /** percent_rank + cume_dist per indicator: the full-distribution

@@ -48,8 +48,10 @@ class FuzzDifferentialSpec extends SparkSpec {
   private val eventQueries = Seq(
     "fred_monthly_agg", "fred_daily_agg", "window_mom",
     "window_locf", "window_sessionize", "window_tumbling",
+    "window_moving_avg", "window_rank_share", "window_cume",
+    "window_session", "series_asof", "series_asof_tolerance",
     "events_transitions", "events_retention", "events_retention_weekly",
-    "events_funnel")
+    "events_funnel", "pivot_daily", "unpivot_daily", "agg_histogram")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

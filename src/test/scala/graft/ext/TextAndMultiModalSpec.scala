@@ -475,6 +475,23 @@ class TextAndMultiModalSpec extends SparkSpec {
       "2x nearest-neighbor upscale block-averages to the same 9x8 grid")
   }
 
+  test("sourceOverlap: hand-computed shared-gram counts and Jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta" // grams: 2 distinct 5-grams
+    val docs = Seq(
+      (1L, "web", base),                       // web grams = 2
+      (2L, "web", base),                       // duplicate adds nothing (distinct)
+      (3L, "books", base + " eta"),            // books ⊇ web's 2 grams + 1 more
+      (4L, "wiki", "one two three four"),      // too short: no grams
+      (5L, "news", "totally different words here now ok")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only (books, web) share: 2 shared, sizes 3 and 2 → J = 2/3
+    assert(out.keySet == Set(("books", "web")))
+    assert(out(("books", "web")) == ((2L, 3L, 2L, 0.6667)))
+  }
+
   test("bm25TopK: rarity and length normalization rank as Okapi says") {
     val docs = Seq(
       (1L, "data data data data"),            // high tf, short
