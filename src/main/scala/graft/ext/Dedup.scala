@@ -481,6 +481,125 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Alignment-free duplicated-SUBSTRING detection — the ExactSubstr
+    * pass of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499), re-expressed for
+    * Spark: a token span of ≥ `minTokens` tokens that occurs more than
+    * once in the corpus (at ANY offset, across or within documents) is
+    * duplicated text, and every occurrence after the global
+    * (doc, pos)-first is reported as a removal span. This is what the
+    * chunk-aligned [[spanDedupByTokens]] structurally misses: a copied
+    * passage starting at token 0 in one document and token 3 in
+    * another never shares a window under fixed non-overlapping
+    * chunking, but every one of its sliding `minTokens`-grams collides.
+    *
+    * The suffix-array machinery of the paper doesn't distribute; the
+    * standard scalable equivalent (used here) is exact on the same
+    * criterion: a duplicated span of length ≥ L contains only
+    * duplicated L-grams, and conversely every duplicated L-gram IS a
+    * duplicated span of length exactly L — so "tokens covered by at
+    * least one non-first duplicated L-gram window" reconstructs the
+    * maximal duplicated regions. Output is one row per doc per MERGED
+    * region (interval union of the marked windows): (doc_id,
+    * span_start, span_end, span_tokens), token indices 0-based,
+    * end-exclusive. Greedy keep-first caveat, stated: inside the
+    * first-occurrence document itself, a window is kept only at its
+    * own gram's first position — a periodic run ("a a a a") keeps the
+    * first window and marks the rest, which is the deterministic
+    * all-but-first policy of the paper's released implementation.
+    *
+    * Scale shape: gram construction is the zipped-slice form (constant
+    * token-array evaluations per row — see the topGramShare lesson);
+    * the exploded (doc, pos, gram) frame is linear in corpus tokens
+    * and materialized once for its two consumers; first-occurrence +
+    * duplicate gate is ONE map-side-combined aggregate (min(struct) ‖
+    * count — a boilerplate gram occurring millions of times collapses
+    * on the map side, never concentrating a reducer); the mark join
+    * fans out 1:1 against the duplicated-gram table (vocab-bounded,
+    * AQE-sized; a hot gram skews only its probe-side rows, the
+    * AQE-skew-join class); interval union is one per-doc window sort
+    * bounded by the doc's own marked-window count. Linear end to end —
+    * no pair join anywhere, which is exactly why ExactSubstr scales
+    * where pairwise similarity needs LSH. Gram strings ride the
+    * shuffle to keep the oracle replay byte-exact; at corpus scale key
+    * on the 61-bit portable gram hash instead (the [[lshBandKeys]]
+    * trade). */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val L = minTokens
+    val w = TextOps.tokens(col(textCol))
+    // sliding L-grams via L zipped slices — NOT transform(sequence(...))
+    // (projection collapse re-tokenizes per element; see topGramShare)
+    val nG = greatest(size(w) - lit(L - 1), lit(0))
+    val grams = (0 until L).map(k => slice(w, lit(k + 1), nG))
+      .reduceLeft((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    // materialized: feeds the first-occurrence aggregate and the mark
+    // join (see ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
+    val occ = df.select(col(idCol).as("doc"),
+        posexplode(grams).as(Seq("pos", "g")))
+      .localCheckpoint()
+    val dupFirsts = occ.groupBy("g")
+      .agg(min(struct(col("doc"), col("pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("g"), col("__first"))
+    val marked = occ.join(dupFirsts, Seq("g"))
+      .filter(!(col("doc") === col("__first.doc") &&
+        col("pos") === col("__first.pos")))
+      .select(col("doc"), col("pos").as("s"), (col("pos") + lit(L)).as("e"))
+    // interval union per doc (gaps-and-islands): a window starts a new
+    // region iff it begins past the running max end of all earlier
+    // windows. `s` is unique per doc (one gram per position), so the
+    // ORDER BY is a total order and the islands are deterministic
+    // under any partitioning.
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc").orderBy("s")
+    val reach = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new", when(reach.isNull || col("s") > reach, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc"), col("__island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** The APPLY step of [[exactSubstrSpans]] — the actionable follow-up
+    * (the `repairLeakage` pattern): tokens covered by a removal span
+    * are dropped and each document is reassembled in original token
+    * order. One row per input doc: (id, n_tokens, n_removed,
+    * text_dedup) — span-free docs pass through with n_removed = 0.
+    *
+    * Scale shape: the span list collapses per doc in one
+    * map-side-combined collect_list (bounded: merged regions are
+    * disjoint, so a doc holds ≤ n_tokens/minTokens of them), joins
+    * back to the doc spine 1:1, and the positional filter is one
+    * per-row nested-lambda pass — O(tokens · regions) per row, no
+    * further shuffle. */
+  def exactSubstrApply(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    val spans = exactSubstrSpans(df, idCol, textCol, minTokens)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val emptySpans = array().cast("array<struct<span_start:int,span_end:int>>")
+    val toksCol = TextOps.tokens(col(textCol))
+    df.select(col(idCol), col(textCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("__toks", toksCol)
+      .withColumn("__sp", coalesce(col("__spans"), emptySpans))
+      // keep token i unless some span covers it (positions 0-based,
+      // spans end-exclusive; Spark's filter index is 0-based)
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__sp"), sp =>
+          sp.getField("span_start") <= i && i < sp.getField("span_end"))))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).as("n_removed"),
+        array_join(col("__kept"), " ").as("text_dedup"))
+  }
+
   // ------------------------------------------------- edit distance
 
   /** Edit-distance near-dup pairs over canonical text — the

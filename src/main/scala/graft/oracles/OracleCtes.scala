@@ -194,6 +194,36 @@ private[graft] object OracleCtes {
        |      FROM g)""".stripMargin
   }
 
+  // ExactSubstr span detection (mirrors Dedup.exactSubstrSpans):
+  // sliding 5-gram occurrences with 0-based positions, duplicated
+  // grams gated on the window count, non-first occurrences by the
+  // (doc, pos) total order — row_number ↔ min(struct), identical
+  // order — then the gaps-and-islands interval union replayed with
+  // the same running-max-end window. Final relation g2(doc_id, s, e,
+  // island); merged spans = GROUP BY doc_id, island. Shared by
+  // dedup_substring and dedup_substring_apply.
+  private[graft] val exactSubstrCtes: String =
+    s"""t AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+       |x AS (SELECT doc_id, toks,
+       |        unnest(generate_series(1, len(toks) - 4)) AS i FROM t),
+       |occ AS (SELECT doc_id, i - 1 AS pos,
+       |          array_to_string(toks[i : i + 4], ' ') AS g FROM x),
+       |k AS (SELECT doc_id, pos,
+       |        row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+       |        count(*) OVER (PARTITION BY g) AS cnt
+       |      FROM occ),
+       |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
+       |      WHERE cnt > 1 AND rn > 1),
+       |isl AS (SELECT doc_id, s, e,
+       |          CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+       |                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+       |                 AND 1 PRECEDING), -1)
+       |               THEN 1 ELSE 0 END AS nw
+       |        FROM m),
+       |g2 AS (SELECT doc_id, s, e,
+       |         sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS island
+       |       FROM isl)""".stripMargin
+
   private[graft] val decontamOverlapSql =
     s"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
       |sh AS (SELECT doc_id,

@@ -423,6 +423,51 @@ private[graft] object TextOracles {
         |       END AS rare_ratio
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors TextOps.screenSurprisal over TextOps.lmIndex trained on
+    // the doc_id%3 slice: the LM (c_bg ‖ c_prefix, pre-joined like the
+    // index frame) LEFT-joins the occurrence stream, unknown bigrams
+    // count as n_oov, and the ratios divide by the SCORED count.
+    "quality_lm_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |           '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_zip(t[:-2], t[2:])) AS z FROM toks)),
+        |lm AS (SELECT w1, w2, count(*) AS c_bg FROM bg
+        |       WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+        |lmx AS (SELECT w1, w2, c_bg, c_prefix FROM lm JOIN
+        |          (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_prefix
+        |           FROM lm GROUP BY 1) USING (w1)),
+        |occ AS (
+        |  SELECT doc_id, c_bg,
+        |         CASE WHEN c_bg IS NOT NULL
+        |              THEN length(bin(c_prefix // c_bg)) - 1 ELSE 0 END AS bits,
+        |         CASE WHEN c_bg IS NOT NULL AND c_bg <= 2
+        |              THEN 1 ELSE 0 END AS rare
+        |  FROM bg LEFT JOIN lmx USING (w1, w2)),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(CASE WHEN c_bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |         CAST(sum(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |         CAST(sum(rare) AS BIGINT) AS n_rare
+        |  FROM occ GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+        |       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        |       CAST(coalesce(sum_bits, 0) AS BIGINT) AS sum_bits,
+        |       CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+        |       CASE WHEN coalesce(n_scored, 0) > 0
+        |         THEN round(sum_bits * 10000.0 / n_scored) / 10000
+        |       END AS bits_per_bigram,
+        |       CASE WHEN coalesce(n_scored, 0) > 0
+        |         THEN round(n_rare * 10000.0 / n_scored) / 10000
+        |       END AS rare_ratio
+        |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Mirrors TextOps.dsirWeights (target = lang 'en'): two bigram LMs
     // trained on the target slice vs the rest, per-occurrence weight =
     // bits_source − bits_target in exact floor-log2 space, OOV counted

@@ -219,6 +219,22 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", maxBucket = 200)
   }
 
+  /** ExactSubstr duplicated-substring removal spans (Lee et al. 2022):
+    * merged token regions covered by a non-first duplicated 5-gram —
+    * the alignment-free pass that catches a copied passage at
+    * DIFFERENT offsets, which the chunk-aligned [[dedupSpans]] windows
+    * structurally miss. Hash-checked: first-occurrence order and the
+    * interval union replay exactly in SQL. */
+  val dedupSubstring: Q = (s, dir) =>
+    Dedup.exactSubstrSpans(Tables.documents(s, dir), "doc_id", "text",
+      minTokens = 5)
+
+  /** [[dedupSubstring]]'s apply step: covered tokens drop, documents
+    * reassemble — span-free docs pass through untouched. */
+  val dedupSubstringApply: Q = (s, dir) =>
+    Dedup.exactSubstrApply(Tables.documents(s, dir), "doc_id", "text",
+      minTokens = 5)
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -247,6 +263,8 @@ trait DedupQueries extends QueriesBase {
     "dedup_minhash_clusters" -> dedupMinhashClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_winnowing" -> dedupWinnowing,
+    "dedup_substring" -> dedupSubstring,
+    "dedup_substring_apply" -> dedupSubstringApply,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "split_leakage" -> splitLeakage,

@@ -154,6 +154,17 @@ trait TextQueries extends QueriesBase {
     TextOps.screenBoilerplate(docs, index)
   }
 
+  /** Perplexity gate with a FROZEN LM — the crawl-pipeline form of
+    * [[qualityLmSurprisal]]: the bigram LM trains once on the
+    * doc_id%3 reference slice, the whole corpus screens against it;
+    * new-text bigrams the LM doesn't know surface as honest `n_oov`
+    * counts (see [[TextOps.screenSurprisal]]). */
+  val qualityLmIndexed: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val index = TextOps.lmIndex(docs.filter(col("doc_id") % 3 === 0))
+    TextOps.screenSurprisal(docs, index)
+  }
+
   /** Gopher top n-gram occupancy: share of the doc taken by its single
     * most frequent bigram, with the count-desc/gram-asc deterministic
     * tiebreak (see [[TextOps.topGramShare]]). */
@@ -314,6 +325,7 @@ trait TextQueries extends QueriesBase {
     "layout_shuffle" -> layoutShuffle,
     "dedup_spans" -> dedupSpans,
     "quality_lm_surprisal" -> qualityLmSurprisal,
+    "quality_lm_indexed" -> qualityLmIndexed,
     "quality_dsir" -> qualityDsir,
     "quality_lm_dsir" -> qualityLmDsir,
     "vocab_bpe_merges" -> vocabBpeMerges,

@@ -50,6 +50,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(docs, "doc_id", "text").isEmpty)
     assert(Dedup.simhashPairs(docs, "doc_id", "text").isEmpty)
     assert(Dedup.winnowingContainmentPairs(docs, "doc_id", "text").isEmpty)
+    assert(Dedup.exactSubstrSpans(docs, "doc_id", "text", 5).isEmpty)
+    assert(Dedup.exactSubstrApply(docs, "doc_id", "text", 5).isEmpty)
   }
 
   test("curation/packing/range ops on empty inputs") {

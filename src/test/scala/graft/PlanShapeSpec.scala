@@ -282,6 +282,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window crept into first-occurrence:\n$plan")
   }
 
+  test("dedup_substring: map-side first-occurrence, equality mark join, per-doc windows only") {
+    // ExactSubstr's scale contract: the duplicated-gram gate is ONE
+    // partial+final aggregate (a boilerplate gram occurring millions of
+    // times collapses map-side), the mark join is an equality hash join
+    // against the vocab-bounded dup-gram table, and the only Window
+    // nodes are the per-doc interval union (running max-end + island
+    // sum — two chained nodes over one doc-keyed sort, each bounded by
+    // a doc's own marked-window count). No Expand, no corpus-wide sort.
+    val plan = executed(Queries.all("dedup_substring")(spark, sf))
+    assert("partial_min".r.findAllIn(plan).size >= 1,
+      s"first-occurrence must combine map-side:\n$plan")
+    assert(!plan.contains("Expand"), s"Expand crept in:\n$plan")
+    assert("(?m)^[^\\n]*Window".r.findAllIn(plan).size <= 2,
+      s"more Window nodes than the island merge needs:\n$plan")
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)

@@ -316,6 +316,31 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 180, s"span dedup blew up: $secs s")
   }
 
+  smokeTest("exact-substring dedup stays occurrence-linear at 100k docs with 200-deep repeats") {
+    // every base-text 5-gram recurs in ~200 replicas (and the shared
+    // tails recur across the 500 docs of a rep): the duplicated-gram
+    // gate must collapse map-side (min(struct) ‖ count partials — a
+    // row_number window would funnel each hot gram through one task),
+    // the mark join fans 1:1 per occurrence, and the island window
+    // sorts only each doc's own marked windows. Nothing quadratic.
+    val total = corpusSize
+    val t0 = System.nanoTime()
+    val out = Dedup.exactSubstrSpans(corpus, "doc_id", "text", minTokens = 5)
+      .cache()
+    val nRows = out.count()
+    val docsWithSpans = out.select("doc_id").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"exact-substring: $nRows merged spans over $docsWithSpans docs " +
+      s"in ${secs.round} s")
+    out.unpersist()
+    // all but the gram-first copies are near-fully covered → one-ish
+    // merged region per doc, and output stays O(docs), not O(grams)
+    assert(docsWithSpans > total * 9 / 10,
+      s"replicas must be marked: $docsWithSpans/$total")
+    assert(nRows < total * 4, s"merged-span output must stay O(docs): $nRows")
+    assert(secs < 180, s"exact-substring dedup blew up: $secs s")
+  }
+
   smokeTest("incremental near screen: 500-doc batch vs the 100k corpus") {
     // batch = the 500 base docs; each near-dups its whole replica
     // group (jaccard ≈ 0.92), so candidates per batch doc are bounded

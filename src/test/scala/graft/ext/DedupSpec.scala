@@ -319,6 +319,72 @@ class DedupSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("exactSubstrSpans: copied passage at DIFFERENT offsets is caught and merged") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "intro words here alpha beta gamma delta epsilon zeta closing")
+    ).toDF("doc_id", "text")
+    // 6-token passage sits at offset 0 in doc 1 and offset 3 in doc 2:
+    // its two sliding 5-grams are first in doc 1, so doc 2 gets the
+    // marked windows [3,8) ∪ [4,9) merged to one region [3,9)
+    val out = Dedup.exactSubstrSpans(corpus, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(out.toSet == Set((2L, 3, 9, 6)))
+    // ...which the chunk-ALIGNED span dedup structurally misses: no
+    // fixed non-overlapping 5-token window is shared at these offsets
+    val aligned = Dedup.spanDedupByTokens(corpus, "doc_id", "text", 5)
+      .as[(Long, Long, Long, String)].collect()
+    assert(aligned.forall(r => r._2 == r._3), "chunked windows all kept")
+  }
+
+  test("exactSubstrSpans: intra-doc repeat marks the second occurrence only") {
+    val corpus = Seq(
+      (3L, "x y z w v junk1 junk2 x y z w v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(corpus, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(out.toSet == Set((3L, 7, 12, 5)))
+  }
+
+  test("exactSubstrSpans: separated duplicated regions stay separate rows") {
+    val corpus = Seq(
+      (4L, "one two three four five filler6 filler7 filler8 six seven eight nine ten"),
+      (5L, "one two three four five other stuff entirely six seven eight nine ten"),
+      (6L, "short doc here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(corpus, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int, Int)].collect()
+    // doc 4 is the (doc, pos)-first for both shared 5-grams; doc 5's
+    // two marked windows have an unmarked gap [5,8) between them, and
+    // the <5-token doc 6 has no grams at all
+    assert(out.toSet == Set((5L, 0, 5, 5), (5L, 8, 13, 5)))
+  }
+
+  test("exactSubstrApply: covered tokens drop, span-free docs pass through") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "intro words here alpha beta gamma delta epsilon zeta closing"),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrApply(corpus, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    // doc 1 is the first occurrence — untouched; doc 2 loses [3,9)
+    assert(out(0) == ((1L, 8, 0, "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(1) == ((2L, 10, 6, "intro words here closing")))
+    assert(out(2) == ((3L, 2, 0, "tiny doc")))
+  }
+
+  test("exactSubstrSpans is deterministic under repartitioning") {
+    val corpus = (0L until 60L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 11} t$i"))
+      .toDF("doc_id", "text")
+    val a = Dedup.exactSubstrSpans(corpus, "doc_id", "text", 3)
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    val b = Dedup.exactSubstrSpans(corpus.repartition(13), "doc_id", "text", 3)
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(a.sameElements(b))
+  }
+
   test("threshold sweep: buckets partition the candidates, cumulative ties to the 0.5 screen") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)

@@ -537,6 +537,42 @@ class TextAndMultiModalSpec extends SparkSpec {
       "decoupled train+screen must reproduce the fused corpus statistic")
   }
 
+  test("screenSurprisal with self-trained index ≡ lmSurprisal, zero OOV") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val index = TextOps.lmIndex(docs)
+    val screened = TextOps.screenSurprisal(docs, index).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val batch = TextOps.lmSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(screened.keySet == batch.keySet)
+    for ((id, s) <- screened) {
+      val b = batch(id)
+      // self-trained: every bigram is in the LM by construction
+      assert(s.getAs[Long]("n_oov") == 0L, s"doc $id has OOV")
+      assert(s.getAs[Long]("n_scored") == s.getAs[Long]("n_bigrams"))
+      for (c <- Seq("n_bigrams", "sum_bits", "n_rare"))
+        assert(s.getAs[Long](c) == b.getAs[Long](c), s"doc $id col $c")
+      for (c <- Seq("bits_per_bigram", "rare_ratio"))
+        assert(s.getAs[Any](c) == b.getAs[Any](c), s"doc $id col $c")
+    }
+  }
+
+  test("screenSurprisal: unknown bigrams count as OOV, ratios over scored only") {
+    val reference = Seq((1L, "alpha beta alpha beta alpha gamma")).toDF("doc_id", "text")
+    val index = TextOps.lmIndex(reference)
+    // "alpha beta" known (c_bg=2), "zzz yyy" / "beta zzz" / "yyy alpha" unknown
+    val out = TextOps.screenSurprisal(
+        Seq((9L, "alpha beta zzz yyy alpha")).toDF("doc_id", "text"), index)
+      .collect().head
+    assert(out.getAs[Long]("n_bigrams") == 4L)
+    assert(out.getAs[Long]("n_scored") == 1L)
+    assert(out.getAs[Long]("n_oov") == 3L)
+    // c_prefix(alpha)=3, c_bg(alpha beta)=2 → bits = floor(log2(3/2)) = 0
+    assert(out.getAs[Long]("sum_bits") == 0L)
+    assert(out.getAs[Double]("bits_per_bigram") == 0.0)
+  }
+
   test("audioRoundTrip: real WAV decode hands back the synthesis arithmetic") {
     val df = Seq(0L, 3L, 13L).toDF("doc_id")
     val out = MultiModal.audioRoundTrip(df).collect()

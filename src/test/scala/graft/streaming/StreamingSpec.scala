@@ -202,6 +202,41 @@ class StreamingSpec extends SparkSpec {
     assert(!keep(1L) && keep(2L) && keep(4L), s"template gate wrong: $keep")
   }
 
+  test("streaming perplexity screen (pretrained bigram LM) ≡ batch screen") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference crawl trains the LM; later batches carry novel bigrams
+    val reference = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "the quick brown fox sleeps under the old tree"),
+      (103L, "a quick brown dog jumps over the fence")
+    ).toDF("doc_id", "text")
+    val index = graft.ext.TextOps.lmIndex(reference)
+    val batch1 = Seq((1L, "the quick brown fox"), (2L, "entirely novel phrasing"))
+    val batch2 = Seq((3L, "the quick brown dog jumps"))
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.ext.TextOps.screenSurprisalStream(
+        input.toDF().toDF("doc_id", "text"), index) { (screened, _) =>
+      val rows = screened.select("doc_id", "n_scored", "n_oov", "sum_bits")
+        .as[(Long, Long, Long, Long)].collect()
+      out.synchronized { out ++= rows }
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchScreen = graft.ext.TextOps.screenSurprisal(
+        (batch1 ++ batch2).toDF("doc_id", "text"), index)
+      .select("doc_id", "n_scored", "n_oov", "sum_bits")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out.toSet == batchScreen, "micro-batched screen must equal batch")
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._2 == 3L && byDoc(1L)._3 == 0L, "known text fully scored")
+    assert(byDoc(2L)._2 == 0L && byDoc(2L)._3 == 2L, "novel text is all OOV")
+  }
+
   test("split assignment is stateless: identical on a stream in Append mode") {
     implicit val sqlCtx = spark.sqlContext
     val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
