@@ -437,4 +437,56 @@ object Profile {
           round(col("x.n_pass") * lit(10000.0) / col("x.n_in")) / 1e4)
           .as("pass_pct"))
   }
+
+  /** Per-source corpus datacard — the one-page report a mixture
+    * designer reads BEFORE weighting sources (the "data card" of
+    * Gebru et al.'s datasheets, reduced to the measurable): doc and
+    * token volume, language spread, exact-duplicate mass, and the
+    * Gopher keep rate, one row per source. Token counts and the
+    * quality gate come from the SAME single-pass
+    * [[TextOps.gopherSignals]] battery the curation funnel applies —
+    * the card and the funnel can't disagree. Ratios are 4 dp
+    * integer-scaled (see [[TextOps.qualitySignals]]).
+    *
+    * Scale shape: ONE corpus scan (source/lang/fingerprint ride the
+    * gopher pass packed in the id struct), then three map-side-
+    * combined aggregates — doc-level sums, a (source, fingerprint)
+    * distinct-reduction for dup mass, a (source, lang) distinct-
+    * reduction for language spread (pre-agg to distinct pairs, so no
+    * countDistinct Expand anywhere) — joined on the |sources|-row key.
+    * Output is ≤ |sources| rows however big the corpus. */
+  def corpusReport(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    // pack the carried keys into the id struct: gopherSignals is a
+    // one-pass per-row battery keyed by an opaque id column
+    val packed = df.select(
+      struct(col(idCol), col(srcCol).as("src"), col(langCol).as("lng"),
+        TextOps.fingerprint(col(textCol)).as("fp")).as("__k"),
+      col(textCol))
+    val perDoc = TextOps.gopherSignals(packed, "__k", textCol)
+      .select(col("__k.src").as("source"), col("__k.lng").as("lang"),
+        col("__k.fp").as("fp"), col("n_words"), col("keep"))
+      .localCheckpoint() // three aggregate consumers of one scan
+    val base = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_words").as("n_tokens"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val uniq = perDoc.groupBy("source", "fp").agg(count(lit(1)).as("__c"))
+      .groupBy("source").agg(count(lit(1)).as("__n_uniq"))
+    val langs = perDoc.select("source", "lang").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_langs"))
+    base.join(uniq, "source").join(langs, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        // integer-scaled rounding — see TextOps.qualitySignals
+        (round(col("n_tokens") * lit(10000.0) / col("n_docs")) / 1e4)
+          .as("mean_doc_tokens"),
+        col("n_langs"),
+        (col("n_docs") - col("__n_uniq")).as("n_exact_dup"),
+        (round((col("n_docs") - col("__n_uniq")) * lit(10000.0)
+          / col("n_docs")) / 1e4).as("dup_ratio"),
+        col("n_keep"),
+        (round(col("n_keep") * lit(10000.0) / col("n_docs")) / 1e4)
+          .as("keep_ratio"))
+  }
 }

@@ -300,6 +300,50 @@ private[graft] object ProfileOracles {
         |       round(sum(pack_tokens) * 10000.0 / (count(*) * 512)) / 10000
         |         AS mean_fill,
         |       max(pack_tokens) AS max_pack_tokens
-        |FROM packs GROUP BY 1""".stripMargin
+        |FROM packs GROUP BY 1""".stripMargin,
+
+    // Mirrors Profile.corpusReport: the quality_gopher counter battery
+    // and keep gate, the dedup_exact canonical fingerprint, then three
+    // per-source aggregates (doc sums, distinct-fingerprint reduction,
+    // distinct-lang reduction) joined on source.
+    "report_corpus" ->
+      """WITH w AS (SELECT doc_id, source, lang, text,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |           FROM documents),
+        |s AS (SELECT source, lang, fp,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+        |          AS BIGINT) AS sum_chars,
+        |        CAST(len(list_filter(toks,
+        |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |        CAST(len(list_filter(toks, t -> list_contains(
+        |          ['the','be','to','of','and','that','have','with'], t)))
+        |          AS BIGINT) AS n_stop,
+        |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+        |      FROM w),
+        |k AS (SELECT source, lang, fp, n_words,
+        |        ((n_words >= 50 AND n_words <= 100000)
+        |          AND (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words)
+        |          AND (5 * n_alpha >= 4 * n_words)
+        |          AND (n_stop >= 2)
+        |          AND (10 * n_sym <= n_words)) AS keep
+        |      FROM s),
+        |base AS (SELECT source, count(*) AS n_docs,
+        |           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |         FROM k GROUP BY 1),
+        |uniq AS (SELECT source, count(*) AS n_uniq
+        |         FROM (SELECT source, fp FROM k GROUP BY 1, 2) GROUP BY 1),
+        |langs AS (SELECT source, count(*) AS n_langs
+        |          FROM (SELECT DISTINCT source, lang FROM k) GROUP BY 1)
+        |SELECT source, n_docs, n_tokens,
+        |       round(n_tokens * 10000.0 / n_docs) / 10000 AS mean_doc_tokens,
+        |       n_langs,
+        |       n_docs - n_uniq AS n_exact_dup,
+        |       round((n_docs - n_uniq) * 10000.0 / n_docs) / 10000 AS dup_ratio,
+        |       n_keep,
+        |       round(n_keep * 10000.0 / n_docs) / 10000 AS keep_ratio
+        |FROM base JOIN uniq USING (source) JOIN langs USING (source)""".stripMargin
   )
 }

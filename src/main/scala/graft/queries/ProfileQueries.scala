@@ -210,8 +210,15 @@ trait ProfileQueries extends QueriesBase {
     VectorStats.componentCentroids(Tables.embeddings(s, dir), "label", "embedding")
 
 
+  /** Per-source corpus datacard: volume, language spread, exact-dup
+    * mass, Gopher keep rate — one row per source, one corpus scan
+    * (see [[Profile.corpusReport]]). */
+  val reportCorpus: Q = (s, dir) =>
+    Profile.corpusReport(Tables.documents(s, dir))
+
   /** This family's slice of [[Queries.all]]. */
   protected def profileRegistry: Map[String, Q] = Map(
+    "report_corpus" -> reportCorpus,
     "profile_source_overlap" -> profileSourceOverlap,
     "agg_histogram" -> aggHistogram,
     "agg_equidepth" -> aggEquidepth,

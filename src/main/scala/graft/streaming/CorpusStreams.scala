@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming corpus hygiene — the crawl-frontier side of the batch
+  * dedup family ([[graft.ext.Dedup]]). The foreachBatch screens
+  * (`newAgainstReferenceNearStream`, `screenBoilerplateStream`,
+  * `screenSurprisalStream`) check batches against a FROZEN reference;
+  * this operator dedups the stream against ITSELF: state carries
+  * every fingerprint the stream has kept so far, so a page
+  * re-crawled in a later micro-batch is dropped without any batch
+  * reference corpus existing at all.
+  */
+object CorpusStreams {
+
+  /** One kept document per canonical fingerprint: the winner's id and
+    * the fingerprint it now owns. */
+  case class KeptDoc(doc_id: Long, text_hash: String)
+
+  /** Streaming exact dedup with explicit per-fingerprint state: the
+    * FIRST batch containing a canonical fingerprint
+    * ([[graft.ext.TextOps.fingerprint]] — whitespace/case-normalized
+    * md5) emits that batch's min-id holder; every later occurrence, in
+    * the same batch or any later one, is silently dropped. Built-in
+    * `dropDuplicates` can't express this contract: its within-batch
+    * winner is arbitrary (first row encountered), while curation needs
+    * the deterministic min-id keep the batch [[graft.ext.Dedup.exactGroups]]
+    * produces — so a replay of the stream re-keeps the same documents.
+    *
+    * Scale shape: state is one long per distinct fingerprint, hash-
+    * partitioned by fingerprint across executors (the shuffle is the
+    * same one the batch group-by pays); a production crawl bounds it
+    * with the RocksDB state store and an idle timeout ([[graft.streaming.EventStreams.runningMonthlyMean]]'s
+    * eviction pattern) once the re-crawl horizon is known —
+    * `NoTimeout` here keeps the operator exact, which is what the
+    * batch≡stream spec pins. First-ARRIVAL-wins is the streaming-
+    * correct answer: it equals the batch min-id keep whenever
+    * originals reach the frontier before their copies (re-crawls), and
+    * the spec pins both that equality and the within-batch min-id
+    * determinism. */
+  def dedupExactStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.ext.TextOps.fingerprint(col(textCol)).as("text_hash"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, KeptDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hash, rows, state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty // fingerprint already owned
+          else {
+            val keep = rows.map(_._1).min // deterministic batch winner
+            state.update(keep)
+            Iterator.single(KeptDoc(keep, hash))
+          }
+      }
+  }
+}

@@ -371,4 +371,28 @@ class ProfileAndSamplingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("kept")))
     assert(again.toSet == out.map(r => (r._1, r._5)).toSet)
   }
+
+  test("corpusReport: per-source volume, lang spread, dup mass, keep rate") {
+    // 60 stopwords → passes every Gopher gate (mwl 3.6, all alpha)
+    val keeper = Seq.fill(12)("the and that have with").mkString(" ")
+    val docs = Seq(
+      (1L, "w1 w2 w3", "en", "a"),
+      (2L, "w1 w2 w3", "es", "a"), // exact dup of 1, different lang
+      (3L, "w4 w5 w6", "en", "a"),
+      (4L, keeper, "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Profile.corpusReport(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_tokens") == 9L)
+    assert(a.getAs[Double]("mean_doc_tokens") == 3.0)
+    assert(a.getAs[Long]("n_langs") == 2L)
+    assert(a.getAs[Long]("n_exact_dup") == 1L)
+    assert(a.getAs[Double]("dup_ratio") == 0.3333)
+    assert(a.getAs[Long]("n_keep") == 0L && a.getAs[Double]("keep_ratio") == 0.0)
+    val b = out("b")
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Long]("n_tokens") == 60L)
+    assert(b.getAs[Long]("n_exact_dup") == 0L)
+    assert(b.getAs[Long]("n_keep") == 1L && b.getAs[Double]("keep_ratio") == 1.0)
+  }
 }

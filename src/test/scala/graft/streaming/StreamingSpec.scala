@@ -306,6 +306,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupExactStream: stateful fingerprint dedup across batches, min-id batch winner") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams.dedupExactStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // within-batch dup (9 vs 1 — same text, case/space variant) must
+      // resolve to the MIN id, not arrival order
+      input.addData((9L, "THE CAT  SAT"), (1L, "the cat sat"), (2L, "dog text"))
+      q.processAllAvailable()
+      // cross-batch replays of both fingerprints drop; one new doc keeps
+      input.addData((4L, "the cat sat"), (5L, "dog text"), (6L, "novel essay"))
+      q.processAllAvailable()
+      val out = spark.table("corpus_dedup")
+        .as[graft.streaming.CorpusStreams.KeptDoc].collect()
+      assert(out.map(_.doc_id).sorted.toSeq == Seq(1L, 2L, 6L))
+      // originals arrived before their copies, so the streaming keep set
+      // equals the batch exactGroups keep set over the full input
+      val batchKeep = graft.ext.Dedup.exactGroups(
+          Seq((9L, "THE CAT  SAT"), (1L, "the cat sat"), (2L, "dog text"),
+            (4L, "the cat sat"), (5L, "dog text"), (6L, "novel essay"))
+            .toDF("doc_id", "text"), "doc_id", "text")
+        .select("keep_id").as[Long].collect().sorted.toSeq
+      assert(out.map(_.doc_id).sorted.toSeq == batchKeep)
+    } finally q.stop()
+  }
+
   test("runningMonthlyMean: flatMapGroupsWithState accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Obs]
