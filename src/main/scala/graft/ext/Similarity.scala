@@ -46,6 +46,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** k-NN GRAPH construction — every vector's k nearest within its
+    * coarse block (cluster id / label / quantizer cell): the self-join
+    * primitive behind SemDeDup-style semantic dedup, kNN-LM retrieval
+    * sets and dataset-cartography neighborhoods. Where [[topK]] serves
+    * a bounded query set against the corpus, this builds the
+    * all-vectors graph — so candidates MUST come from a block-equality
+    * join (per-block work Σ block², never N² — the
+    * [[Dedup.embeddingCosinePairs]] trade, and at production scale the
+    * block key is an IVF/quantizer assignment sized to keep blocks
+    * bounded). Output (vec_id, neighbor_id, cosine, rank ≤ k), both
+    * directions — kNN is asymmetric, so the graph is directed.
+    * Ranking uses the rounded score (4 dp) with the neighbor-id
+    * tiebreak, deterministic under IEEE noise.
+    *
+    * Scale shape: the keyed frame is materialized once and self-joins
+    * on the block key; the per-vector window shuffles only
+    * (vec_id, neighbor_id, cosine) — vectors never ride the ranking
+    * shuffle. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // materialized: both self-join sides read it (see
+    // Dedup.ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
+    val keyed = df.select(col(blockCol).as("b"), col(idCol).as("id"),
+      col(vecCol).as("v")).localCheckpoint()
+    val scored = keyed.as("a").join(keyed.as("c"),
+        col("a.b") === col("c.b") && col("a.id") =!= col("c.id"))
+      .select(col("a.id").as("vec_id"), col("c.id").as("neighbor_id"),
+        // integer-scaled rounding — see Dedup.ngramJaccardPairs
+        (round(cosineF(col("a.v"), col("c.v")) * lit(10000.0)) / 1e4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Two-phase quantized ANN: candidates are scored on int8-QUANTIZED
     * vectors (¼ the scan/shuffle bandwidth of float32 — the production
     * reason [[VectorQuant]] exists), then exact float cosine re-ranks

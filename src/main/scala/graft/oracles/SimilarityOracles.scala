@@ -43,6 +43,21 @@ private[graft] object SimilarityOracles {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    // Mirrors Similarity.knnGraph: within-label self-join, rounded
+    // cosine, per-vector row_number with the neighbor-id tiebreak.
+    "similarity_knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |         round(list_dot_product(a.v, b.v) /
+        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
+
     // Exhaustive-probe IVF ≡ brute force by construction, so the
     // oracle IS the similarity_topk query: cosine over all candidate
     // pairs, top-10 per query with the id tiebreak. k-means centroids

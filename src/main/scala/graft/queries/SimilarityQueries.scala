@@ -23,6 +23,13 @@ trait SimilarityQueries extends QueriesBase {
       "label", k = 5)
   }
 
+  /** Directed k-NN graph over ALL vectors (k = 3 within label blocks)
+    * — the self-join primitive behind semantic-dedup variants and
+    * dataset cartography; see [[Similarity.knnGraph]]. */
+  val similarityKnnGraph: Q = (s, dir) =>
+    Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", k = 3)
+
   /** KMeans-IVF ANN: train coarse centroids, probe the 2 nearest of 8
     * clusters per query, recall-CHECKED against brute-force top-k in
     * the same plan: mean recall over the query wave must clear the
@@ -126,6 +133,7 @@ trait SimilarityQueries extends QueriesBase {
   protected def similarityRegistry: Map[String, Q] = Map(
     "similarity_topk" -> similarityTopk,
     "similarity_ivf" -> similarityIvf,
+    "similarity_knn_graph" -> similarityKnnGraph,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_lsh" -> similarityLsh,

@@ -84,6 +84,23 @@ class SimilarityAndSeriesSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(2L)) // only block-A rows scored (minus self)
   }
 
+  test("knnGraph: directed per-vector top-k within blocks, singleton blocks emit nothing") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "X"),
+      (2L, Array(0.9f, 0.1f), "X"),
+      (3L, Array(0.0f, 1.0f), "X"),
+      (4L, Array(1.0f, 1.0f), "Y") // alone in its block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnGraph(vecs, "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    // cos(1,2)=0.9/√0.82→0.9939, cos(1,3)=0, cos(2,3)=0.1/√0.82→0.1104
+    assert(out((1L, 1)) == ((2L, 0.9939)) && out((1L, 2)) == ((3L, 0.0)))
+    assert(out((2L, 1)) == ((1L, 0.9939)) && out((2L, 2)) == ((3L, 0.1104)))
+    assert(out((3L, 1)) == ((2L, 0.1104)) && out((3L, 2)) == ((1L, 0.0)))
+    assert(!out.keySet.exists(_._1 == 4L), "singleton block has no neighbors")
+  }
+
   test("topKQuantizedRerank: full-coverage candidates ≡ exact topK; high recall at factor 4") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 3)
