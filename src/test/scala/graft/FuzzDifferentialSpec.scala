@@ -32,7 +32,12 @@ class FuzzDifferentialSpec extends SparkSpec {
     "dedup_exact", "dedup_ngram", "dedup_spans", "split_assign",
     "text_boilerplate", "text_boilerplate_indexed", "text_topgram",
     "text_chunk", "quality_lm_surprisal", "vocab_bpe_merges",
-    "vocab_bpe_segment", "text_tokens_bpe")
+    "vocab_bpe_segment", "text_tokens_bpe",
+    // r11 round additions: substring dedup's interval SQL, the frozen
+    // LM's OOV path and the datacard's ratio arithmetic all meet
+    // dup-heavy unicode corpora the fixtures never saw
+    "dedup_substring", "dedup_substring_apply", "quality_lm_indexed",
+    "report_corpus")
   // TPC-H-shaped subset: generated with consistent foreign keys, a
   // hot customer (30% of orders) and a hot order (20% of lineitem) so
   // the salted operators meet real skew, and two years of dates so

@@ -298,6 +298,33 @@ class PlanShapeSpec extends SparkSpec {
       s"more Window nodes than the island merge needs:\n$plan")
   }
 
+  test("quality_lm_indexed: LM side broadcast, corpus never shuffled for membership") {
+    val plan = executed(Queries.all("quality_lm_indexed")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frozen-LM membership must broadcast the LM side:\n$plan")
+    assert("partial_count|partial_sum".r.findAllIn(plan).nonEmpty,
+      s"per-doc re-agg must combine map-side:\n$plan")
+  }
+
+  test("report_corpus: distinct-reduction pre-aggs, no countDistinct Expand") {
+    val plan = executed(Queries.all("report_corpus")(spark, sf))
+    assert(!plan.contains("Expand"),
+      s"datacard must pre-aggregate distincts, not Expand:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
+
+  test("similarity_knn_graph: block-equality candidates; ranking window carries no vectors") {
+    val plan = executed(Queries.all("similarity_knn_graph")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn graph must join on the block key:\n$plan")
+    // the Exchange feeding the rank window must not carry the vector
+    // columns — only (vec_id, neighbor_id, cosine) ride the shuffle
+    val winExchange = "(?s)Exchange hashpartitioning\\(vec_id[^\\n]*".r
+      .findFirstIn(plan)
+    assert(winExchange.isDefined, s"no per-vector ranking exchange:\n$plan")
+  }
+
   test("dedup-sync anti join broadcasts the sink side") {
     val incoming = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     val existing = Tables.events(spark, sf).select("user_id", "event_type").limit(10)
