@@ -158,6 +158,47 @@ object Decontam {
         round(col("n_overlap") * lit(10000.0) / col("n_sh")) / 1e4)
   }
 
+  /** SPAN-level decontamination — the surgical form of the GPT-3
+    * appendix-C recipe: instead of dropping a whole training document
+    * for one colliding n-gram ([[clean]]), remove ONLY the
+    * contaminated window. Every position whose `minTokens`-gram
+    * appears anywhere in the benchmark is marked (ALL occurrences —
+    * unlike [[Dedup.exactSubstrSpans]] there is no first-occurrence
+    * keep, because benchmark text must not survive at all), and
+    * overlapping marked windows merge to maximal removal regions via
+    * the shared interval union. Returns (idCol, span_start, span_end,
+    * span_tokens), token indices 0-based end-exclusive, train docs
+    * only.
+    *
+    * Scale shape: the benchmark gram set is tiny by premise and
+    * BROADCAST (the [[overlapStats]] posture) — the train corpus is
+    * never shuffled for membership; marked windows then pay one
+    * doc-keyed window sort bounded per doc. Gram strings keep the
+    * oracle byte-exact; at production scale key the probe on the
+    * 61-bit portable gram hash (the [[Dedup.lshBandKeys]] trade). */
+  def contaminatedSpans(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, minTokens: Int = 5): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val L = minTokens
+    val benchGrams = bench
+      .select(explode(Dedup.slidingGrams(col(textCol), L)).as("g"))
+      .distinct()
+    val occ = train.select(col(idCol).as("doc"),
+      posexplode(Dedup.slidingGrams(col(textCol), L)).as(Seq("pos", "g")))
+    val marked = occ.join(broadcast(benchGrams), Seq("g"))
+      .select(col("doc"), col("pos").as("s"), (col("pos") + lit(L)).as("e"))
+    Dedup.mergeTokenSpans(marked)
+      .withColumnRenamed("doc", idCol)
+  }
+
+  /** Apply form of [[contaminatedSpans]]: contaminated tokens drop,
+    * train documents reassemble — (idCol, n_tokens, n_removed,
+    * text_clean), contamination-free docs pass through. */
+  def cleanSpans(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, minTokens: Int = 5): DataFrame =
+    Dedup.applySpanRemoval(train, idCol, textCol,
+      contaminatedSpans(train, bench, idCol, textCol, minTokens), "text_clean")
+
   /** Streaming form of [[clean]] for incremental ingest: each
     * micro-batch is decontaminated with full batch semantics via
     * `foreachBatch`, and `sink` receives the kept rows.

@@ -528,16 +528,10 @@ object Dedup {
       minTokens: Int): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
     val L = minTokens
-    val w = TextOps.tokens(col(textCol))
-    // sliding L-grams via L zipped slices — NOT transform(sequence(...))
-    // (projection collapse re-tokenizes per element; see topGramShare)
-    val nG = greatest(size(w) - lit(L - 1), lit(0))
-    val grams = (0 until L).map(k => slice(w, lit(k + 1), nG))
-      .reduceLeft((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
     // materialized: feeds the first-occurrence aggregate and the mark
     // join (see ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
     val occ = df.select(col(idCol).as("doc"),
-        posexplode(grams).as(Seq("pos", "g")))
+        posexplode(slidingGrams(col(textCol), L)).as(Seq("pos", "g")))
       .localCheckpoint()
     val dupFirsts = occ.groupBy("g")
       .agg(min(struct(col("doc"), col("pos"))).as("__first"),
@@ -548,11 +542,29 @@ object Dedup {
       .filter(!(col("doc") === col("__first.doc") &&
         col("pos") === col("__first.pos")))
       .select(col("doc"), col("pos").as("s"), (col("pos") + lit(L)).as("e"))
-    // interval union per doc (gaps-and-islands): a window starts a new
-    // region iff it begins past the running max end of all earlier
-    // windows. `s` is unique per doc (one gram per position), so the
-    // ORDER BY is a total order and the islands are deterministic
-    // under any partitioning.
+    mergeTokenSpans(marked)
+      .withColumnRenamed("doc", idCol)
+  }
+
+  /** Sliding L-token gram array (windows at every offset, space-joined)
+    * — via L zipped slices, NOT transform(sequence(...)) (projection
+    * collapse re-tokenizes per element; see TextOps.topGramShare).
+    * Shared by [[exactSubstrSpans]] and [[Decontam.contaminatedSpans]]. */
+  private[ext] def slidingGrams(textCol: Column, L: Int): Column = {
+    val w = TextOps.tokens(textCol)
+    val nG = greatest(size(w) - lit(L - 1), lit(0))
+    (0 until L).map(k => slice(w, lit(k + 1), nG))
+      .reduceLeft((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+  }
+
+  /** Interval union per doc over marked windows (doc, s, e) —
+    * gaps-and-islands: a window starts a new region iff it begins past
+    * the running max end of all earlier windows. `s` is unique per doc
+    * (one gram per position), so the ORDER BY is a total order and the
+    * islands are deterministic under any partitioning; the window sort
+    * is bounded by each doc's own marked-window count. Returns
+    * (doc, span_start, span_end, span_tokens). */
+  private[ext] def mergeTokenSpans(marked: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc").orderBy("s")
     val reach = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -562,8 +574,34 @@ object Dedup {
         byPos.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc"), col("__island"))
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
-      .select(col("doc").as(idCol), col("span_start"), col("span_end"),
+      .select(col("doc"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Drop the tokens covered by `spans` (idCol ‖ span_start ‖
+    * span_end, 0-based end-exclusive) and reassemble each document:
+    * (id, n_tokens, n_removed, text out-col). Span-free docs pass
+    * through. One bounded per-doc collect_list + 1:1 spine join +
+    * per-row positional filter — no further shuffle. Shared by
+    * [[exactSubstrApply]] and [[Decontam.cleanSpans]]. */
+  private[ext] def applySpanRemoval(df: DataFrame, idCol: String,
+      textCol: String, spans: DataFrame, outCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val emptySpans = array().cast("array<struct<span_start:int,span_end:int>>")
+    df.select(col(idCol), col(textCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__sp", coalesce(col("__spans"), emptySpans))
+      // keep token i unless some span covers it (positions 0-based,
+      // spans end-exclusive; Spark's filter index is 0-based)
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__sp"), sp =>
+          sp.getField("span_start") <= i && i < sp.getField("span_end"))))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).as("n_removed"),
+        array_join(col("__kept"), " ").as(outCol))
   }
 
   /** The APPLY step of [[exactSubstrSpans]] — the actionable follow-up
@@ -579,26 +617,9 @@ object Dedup {
     * per-row nested-lambda pass — O(tokens · regions) per row, no
     * further shuffle. */
   def exactSubstrApply(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int): DataFrame = {
-    val spans = exactSubstrSpans(df, idCol, textCol, minTokens)
-    val perDoc = spans.groupBy(col(idCol))
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    val emptySpans = array().cast("array<struct<span_start:int,span_end:int>>")
-    val toksCol = TextOps.tokens(col(textCol))
-    df.select(col(idCol), col(textCol))
-      .join(perDoc, Seq(idCol), "left")
-      .withColumn("__toks", toksCol)
-      .withColumn("__sp", coalesce(col("__spans"), emptySpans))
-      // keep token i unless some span covers it (positions 0-based,
-      // spans end-exclusive; Spark's filter index is 0-based)
-      .withColumn("__kept", filter(col("__toks"), (t, i) =>
-        !exists(col("__sp"), sp =>
-          sp.getField("span_start") <= i && i < sp.getField("span_end"))))
-      .select(col(idCol),
-        size(col("__toks")).as("n_tokens"),
-        (size(col("__toks")) - size(col("__kept"))).as("n_removed"),
-        array_join(col("__kept"), " ").as("text_dedup"))
-  }
+      minTokens: Int): DataFrame =
+    applySpanRemoval(df, idCol, textCol,
+      exactSubstrSpans(df, idCol, textCol, minTokens), "text_dedup")
 
   // ------------------------------------------------- edit distance
 

@@ -33,42 +33,29 @@ private[graft] object DedupOracles {
          |SELECT node, min(r) AS label FROM reach GROUP BY node""".stripMargin,
 
     // Mirrors Dedup.exactSubstrSpans (ExactSubstr, Lee et al. 2022) —
-    // see OracleCtes.exactSubstrCtes for the replay notes.
+    // see OracleCtes.exactSubstrCtes/spanIslandCtes for replay notes.
     "dedup_substring" ->
       s"""WITH $exactSubstrCtes
-         |SELECT doc_id,
-         |       CAST(min(s) AS INTEGER) AS span_start,
-         |       CAST(max(e) AS INTEGER) AS span_end,
-         |       CAST(max(e) - min(s) AS INTEGER) AS span_tokens
-         |FROM g2 GROUP BY doc_id, island""".stripMargin,
+         |$spanSelectSql""".stripMargin,
 
-    // Mirrors Dedup.exactSubstrApply over the SAME span CTEs: covered
-    // tokens (0-based position inside any merged [ss, se) region) drop
-    // via NOT EXISTS, survivors reassemble ORDER BY position, and the
-    // doc spine's left joins give span-free and token-free docs their
-    // pass-through row.
+    // Mirrors Dedup.exactSubstrApply over the SAME span CTEs — see
+    // OracleCtes.spanApplySql.
     "dedup_substring_apply" ->
       s"""WITH $exactSubstrCtes,
-         |sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se
-         |       FROM g2 GROUP BY doc_id, island),
-         |tk AS (SELECT doc_id, i, toks[i] AS tok
-         |       FROM (SELECT doc_id, toks,
-         |               unnest(generate_series(1, len(toks))) AS i FROM t)),
-         |kept AS (SELECT doc_id, i, tok FROM tk
-         |         WHERE NOT EXISTS (SELECT 1 FROM sp
-         |           WHERE sp.doc_id = tk.doc_id
-         |             AND sp.ss <= tk.i - 1 AND tk.i - 1 < sp.se)),
-         |cnt AS (SELECT doc_id, len(toks) AS n FROM t),
-         |re AS (SELECT doc_id, count(*) AS n_kept,
-         |         string_agg(tok, ' ' ORDER BY i) AS text_dedup
-         |       FROM kept GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(n, 0) AS INTEGER) AS n_tokens,
-         |       CAST(coalesce(n, 0) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
-         |       coalesce(text_dedup, '') AS text_dedup
-         |FROM documents d
-         |LEFT JOIN cnt USING (doc_id)
-         |LEFT JOIN re USING (doc_id)""".stripMargin,
+         |${spanApplySql("", "text_dedup")}""".stripMargin,
+
+    // Mirrors Decontam.contaminatedSpans (GPT-3 appendix-C span
+    // removal) over the decontam_overlap bench/train split — see
+    // OracleCtes.decontamSpanCtes.
+    "decontam_spans" ->
+      s"""WITH $decontamSpanCtes
+         |$spanSelectSql""".stripMargin,
+
+    // Mirrors Decontam.cleanSpans: the span-removal apply restricted
+    // to the train slice of the spine.
+    "decontam_spans_clean" ->
+      s"""WITH $decontamSpanCtes,
+         |${spanApplySql("WHERE doc_id % 20 <> 0", "text_clean")}""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

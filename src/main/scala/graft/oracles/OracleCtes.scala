@@ -194,35 +194,95 @@ private[graft] object OracleCtes {
        |      FROM g)""".stripMargin
   }
 
-  // ExactSubstr span detection (mirrors Dedup.exactSubstrSpans):
-  // sliding 5-gram occurrences with 0-based positions, duplicated
-  // grams gated on the window count, non-first occurrences by the
-  // (doc, pos) total order — row_number ↔ min(struct), identical
-  // order — then the gaps-and-islands interval union replayed with
-  // the same running-max-end window. Final relation g2(doc_id, s, e,
-  // island); merged spans = GROUP BY doc_id, island. Shared by
-  // dedup_substring and dedup_substring_apply.
-  private[graft] val exactSubstrCtes: String =
+  // Sliding 5-gram occurrences with 0-based positions over all
+  // documents — relation occ(doc_id, pos, g). Base of every
+  // token-span oracle (substring dedup + span decontam).
+  private[graft] val substrOccCtes: String =
     s"""t AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
        |x AS (SELECT doc_id, toks,
        |        unnest(generate_series(1, len(toks) - 4)) AS i FROM t),
        |occ AS (SELECT doc_id, i - 1 AS pos,
-       |          array_to_string(toks[i : i + 4], ' ') AS g FROM x),
+       |          array_to_string(toks[i : i + 4], ' ') AS g FROM x)""".stripMargin
+
+  // Gaps-and-islands interval union over marked windows m(doc_id, s, e)
+  // — the running-max-end window of Dedup.mergeTokenSpans. Final
+  // relation g2(doc_id, s, e, island); merged spans = GROUP BY
+  // doc_id, island.
+  private[graft] val spanIslandCtes: String =
+    """isl AS (SELECT doc_id, s, e,
+      |          CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+      |                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+      |                 AND 1 PRECEDING), -1)
+      |               THEN 1 ELSE 0 END AS nw
+      |        FROM m),
+      |g2 AS (SELECT doc_id, s, e,
+      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS island
+      |       FROM isl)""".stripMargin
+
+  // Merged spans → final span rows (the dedup_substring /
+  // decontam_spans SELECT).
+  private[graft] val spanSelectSql: String =
+    """SELECT doc_id,
+      |       CAST(min(s) AS INTEGER) AS span_start,
+      |       CAST(max(e) AS INTEGER) AS span_end,
+      |       CAST(max(e) - min(s) AS INTEGER) AS span_tokens
+      |FROM g2 GROUP BY doc_id, island""".stripMargin
+
+  // ExactSubstr span detection (mirrors Dedup.exactSubstrSpans):
+  // duplicated grams gated on the window count, non-first occurrences
+  // by the (doc, pos) total order — row_number ↔ min(struct),
+  // identical order — then the shared interval union.
+  private[graft] val exactSubstrCtes: String =
+    s"""$substrOccCtes,
        |k AS (SELECT doc_id, pos,
        |        row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
        |        count(*) OVER (PARTITION BY g) AS cnt
        |      FROM occ),
        |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
        |      WHERE cnt > 1 AND rn > 1),
-       |isl AS (SELECT doc_id, s, e,
-       |          CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
-       |                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
-       |                 AND 1 PRECEDING), -1)
-       |               THEN 1 ELSE 0 END AS nw
-       |        FROM m),
-       |g2 AS (SELECT doc_id, s, e,
-       |         sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS island
-       |       FROM isl)""".stripMargin
+       |$spanIslandCtes""".stripMargin
+
+  // Span decontamination (mirrors Decontam.contaminatedSpans over the
+  // decontam_overlap bench/train split): EVERY train window whose gram
+  // sits in the bench slice's gram set is marked — no first-occurrence
+  // keep — then the shared interval union.
+  private[graft] val decontamSpanCtes: String =
+    s"""$substrOccCtes,
+       |bench AS (SELECT DISTINCT g FROM occ WHERE doc_id % 20 = 0),
+       |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM occ
+       |      WHERE doc_id % 20 <> 0
+       |        AND g IN (SELECT g FROM bench)),
+       |$spanIslandCtes""".stripMargin
+
+  // Span-removal apply over g2 (mirrors Dedup.applySpanRemoval):
+  // covered tokens (0-based position inside any merged [ss, se)
+  // region) drop via NOT EXISTS, survivors reassemble ORDER BY
+  // position, and the doc spine's left joins give span-free and
+  // token-free docs their pass-through row. `spineWhere` restricts the
+  // spine (and token stream) when the operator runs on a slice.
+  private[graft] def spanApplySql(spineWhere: String, outCol: String): String =
+    s"""sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+       |       FROM g2 GROUP BY doc_id, island),
+       |tk AS (SELECT doc_id, i, toks[i] AS tok
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks))) AS i FROM t
+       |             $spineWhere)),
+       |kept AS (SELECT doc_id, i, tok FROM tk
+       |         WHERE NOT EXISTS (SELECT 1 FROM sp
+       |           WHERE sp.doc_id = tk.doc_id
+       |             AND sp.ss <= tk.i - 1 AND tk.i - 1 < sp.se)),
+       |cnt AS (SELECT doc_id, len(toks) AS n FROM t $spineWhere),
+       |re AS (SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY i) AS $outCol
+       |       FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(n, 0) AS INTEGER) AS n_tokens,
+       |       CAST(coalesce(n, 0) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
+       |       coalesce($outCol, '') AS $outCol
+       |FROM documents d
+       |LEFT JOIN cnt USING (doc_id)
+       |LEFT JOIN re USING (doc_id)
+       |$spineWhere""".stripMargin
 
   private[graft] val decontamOverlapSql =
     s"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),

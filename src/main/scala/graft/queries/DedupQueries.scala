@@ -162,6 +162,28 @@ trait DedupQueries extends QueriesBase {
     * set; training docs sharing ≥1 distinct 5-gram with it are flagged
     * with overlap counts. Benchmark shingles broadcast; corpus
     * unshuffled. */
+  /** Span-level decontamination (the GPT-3 appendix-C surgical form):
+    * merged train-doc regions whose 5-grams appear anywhere in the
+    * benchmark slice — remove the window, keep the document. Same
+    * bench/train split as [[decontamOverlap]]. */
+  val decontamSpans: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontam.contaminatedSpans(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", minTokens = 5)
+  }
+
+  /** [[decontamSpans]]'s apply step: contaminated tokens drop, train
+    * docs reassemble, clean docs pass through. */
+  val decontamSpansClean: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontam.cleanSpans(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", minTokens = 5)
+  }
+
   val decontamOverlap: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     Decontam.overlapStats(
@@ -271,6 +293,8 @@ trait DedupQueries extends QueriesBase {
     "split_repair" -> splitRepair,
     "dedup_components" -> dedupComponents,
     "decontam_overlap" -> decontamOverlap,
+    "decontam_spans" -> decontamSpans,
+    "decontam_spans_clean" -> decontamSpansClean,
     "decontam_bloom" -> decontamBloom,
     "split_assign" -> splitAssign,
     "agg_distinct" -> aggDistinct,

@@ -38,6 +38,32 @@ class DecontamAndSplitsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("contaminatedSpans: only the colliding window is marked, all occurrences, merged") {
+    val b = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val t = Seq(
+      (1L, "intro words here alpha beta gamma delta epsilon zeta closing"),
+      (2L, "clean document with entirely original phrasing and words"),
+      // the SAME bench passage twice — both occurrences must mark
+      // (no first-occurrence keep here, unlike exactSubstrSpans)
+      (3L, "alpha beta gamma delta epsilon pad1 pad2 alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val out = Decontam.contaminatedSpans(t, b, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(out.toSet == Set((1L, 3, 9, 6), (3L, 0, 5, 5), (3L, 7, 12, 5)))
+  }
+
+  test("cleanSpans: contaminated tokens drop, clean train docs pass through") {
+    val b = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val t = Seq(
+      (1L, "intro words here alpha beta gamma delta epsilon zeta closing"),
+      (2L, "clean document with entirely original phrasing and words")
+    ).toDF("doc_id", "text")
+    val out = Decontam.cleanSpans(t, b, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 10, 6, "intro words here closing")))
+    assert(out(1) == ((2L, 8, 0, "clean document with entirely original phrasing and words")))
+  }
+
   test("decontamination plan broadcasts the benchmark, never shuffles the corpus scan") {
     val plan = Decontam.overlapStats(train, bench, "doc_id", "text", n = 5)
       .queryExecution.executedPlan.toString
