@@ -355,6 +355,56 @@ object MultiModal {
       .toDF(idCol, "payload")
   }
 
+  /** One really-resized image: geometry, the four corner samples of
+    * the output grid, and the exact sum over every output sample —
+    * all predictable arithmetically for the scene fixture, so the
+    * oracle confirms decode + resample pixel-for-pixel. */
+  case class ResizedImage(doc_id: Long, w_in: Int, h_in: Int,
+      w_out: Int, h_out: Int, tl: Int, tr: Int, bl: Int, br: Int,
+      sum_samples: Long)
+
+  /** REAL image resize — the codec-backed sibling of the geometry-only
+    * [[resizePlan]] (which plans output sizes without touching
+    * pixels): decode via `javax.imageio`, nearest-neighbor resample on
+    * the raster in exact integer arithmetic (source index
+    * `xo·w_in DIV w_out` — floor mapping, the standard NN kernel,
+    * bit-identical in any engine), emit geometry + corner samples +
+    * the exact output-sample sum. Partition-local mapPartitions, zero
+    * shuffle — the decode→transform→emit plumbing of a production
+    * image pipeline with the transform real. (Bilinear/Lanczos swap
+    * into the same slot; NN is the kernel whose output is exactly
+    * integer-replayable by the SQL oracle.) */
+  def imageResizeReal(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload",
+      targetW: Int = 4, targetH: Int = 4): Dataset[ResizedImage] = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"payload of doc $id is not a decodable image")
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          def at(xo: Int, yo: Int): Int =
+            raster.getSample(xo * w / targetW, yo * h / targetH, 0)
+          var sum = 0L
+          var yo = 0
+          while (yo < targetH) {
+            var xo = 0
+            while (xo < targetW) { sum += at(xo, yo); xo += 1 }
+            yo += 1
+          }
+          ResizedImage(id, w, h, targetW, targetH,
+            at(0, 0), at(targetW - 1, 0), at(0, targetH - 1),
+            at(targetW - 1, targetH - 1), sum)
+        }
+      }
+  }
+
   /** Perceptual difference-hash (dHash) over REAL `javax.imageio`
     * decode: luma = band-0 sample (the fixture is gray; real media
     * would mix bands), block-average downsample to a (gridW+1)×gridH

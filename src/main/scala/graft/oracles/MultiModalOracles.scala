@@ -6,7 +6,56 @@ import graft.OracleCtes._
   * scaladoc for the cross-engine determinism rules every entry obeys.
   */
 private[graft] object MultiModalOracles {
+
+  // The scene fixture's pixel grid replayed in SQL (mirrors
+  // MultiModal.sceneGray): three LCG rounds in 2^31 space, high bits
+  // xor'd, per-doc brightness shift, every-5th-doc pixel bump. Final
+  // relation px(doc_id, x, y, g) over the 9×8 grid — shared by
+  // dedup_image_phash and mm_resize_real.
+  private val scenePxCtes: String =
+    """lcg AS (
+      |  SELECT doc_id, x, y,
+      |         (((doc_id // 8) * 72 + y * 9 + x) * 1103515245 + 12345)
+      |           % 2147483648 AS h1
+      |  FROM documents
+      |  CROSS JOIN generate_series(0, 8) gx(x)
+      |  CROSS JOIN generate_series(0, 7) gy(y)),
+      |lcg2 AS (SELECT doc_id, x, y,
+      |           (h1 * 1103515245 + 12345) % 2147483648 AS h2 FROM lcg),
+      |px AS (
+      |  SELECT doc_id, x, y,
+      |         (xor(h2 >> 16,
+      |              ((h2 * 1103515245 + 12345) % 2147483648) >> 8) % 200
+      |          + (doc_id % 8) * 3
+      |          + CASE WHEN doc_id % 5 = 0 AND x = doc_id % 9
+      |                      AND y = (doc_id * 3) % 8
+      |                 THEN 30 ELSE 0 END) AS g
+      |  FROM lcg2)""".stripMargin
+
   val map: Map[String, String] = Map(
+    // Mirrors MultiModal.imageResizeReal over the scene fixture: the
+    // nearest-neighbor source index is the same floor mapping
+    // (xo·w_in DIV w_out), so a CORRECT decode+resample must hand back
+    // exactly the scene arithmetic at the mapped coordinates.
+    "mm_resize_real" ->
+      s"""WITH $scenePxCtes,
+         |o AS (SELECT doc_id, xo, yo,
+         |        (xo * 9) // 4 AS sx, (yo * 8) // 4 AS sy
+         |      FROM documents
+         |      CROSS JOIN generate_series(0, 3) go(xo)
+         |      CROSS JOIN generate_series(0, 3) gp(yo)),
+         |r AS (SELECT o.doc_id, o.xo, o.yo, px.g
+         |      FROM o JOIN px ON px.doc_id = o.doc_id
+         |                    AND px.x = o.sx AND px.y = o.sy)
+         |SELECT doc_id,
+         |       CAST(9 AS INTEGER) AS w_in, CAST(8 AS INTEGER) AS h_in,
+         |       CAST(4 AS INTEGER) AS w_out, CAST(4 AS INTEGER) AS h_out,
+         |       CAST(max(CASE WHEN xo = 0 AND yo = 0 THEN g END) AS INTEGER) AS tl,
+         |       CAST(max(CASE WHEN xo = 3 AND yo = 0 THEN g END) AS INTEGER) AS tr,
+         |       CAST(max(CASE WHEN xo = 0 AND yo = 3 THEN g END) AS INTEGER) AS bl,
+         |       CAST(max(CASE WHEN xo = 3 AND yo = 3 THEN g END) AS INTEGER) AS br,
+         |       CAST(sum(g) AS BIGINT) AS sum_samples
+         |FROM r GROUP BY doc_id""".stripMargin,
     // Mirrors MultiModal.audioRoundTrip: the WAV synthesis chooses
     // rate/frames/samples as pure functions of doc_id and PCM WAV is
     // lossless, so a CORRECT javax.sound.sampled decode must hand
@@ -73,24 +122,7 @@ private[graft] object MultiModalOracles {
     // dedup_simhash). Bit 63 wraps to the signed BIGINT min like the
     // simhash oracle does.
     "dedup_image_phash" ->
-      """WITH lcg AS (
-        |  SELECT doc_id, x, y,
-        |         (((doc_id // 8) * 72 + y * 9 + x) * 1103515245 + 12345)
-        |           % 2147483648 AS h1
-        |  FROM documents
-        |  CROSS JOIN generate_series(0, 8) gx(x)
-        |  CROSS JOIN generate_series(0, 7) gy(y)),
-        |lcg2 AS (SELECT doc_id, x, y,
-        |           (h1 * 1103515245 + 12345) % 2147483648 AS h2 FROM lcg),
-        |px AS (
-        |  SELECT doc_id, x, y,
-        |         (xor(h2 >> 16,
-        |              ((h2 * 1103515245 + 12345) % 2147483648) >> 8) % 200
-        |          + (doc_id % 8) * 3
-        |          + CASE WHEN doc_id % 5 = 0 AND x = doc_id % 9
-        |                      AND y = (doc_id * 3) % 8
-        |                 THEN 30 ELSE 0 END) AS g
-        |  FROM lcg2),
+      s"""WITH $scenePxCtes,
         |bits AS (
         |  SELECT a.doc_id, a.x, a.y,
         |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit

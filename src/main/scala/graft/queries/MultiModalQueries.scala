@@ -28,6 +28,14 @@ trait MultiModalQueries extends QueriesBase {
   val mmImageioDecode: Q = (s, dir) =>
     MultiModal.imageRoundTrip(Tables.documents(s, dir)).toDF()
 
+  /** REAL image resize — decode the scene PNG, nearest-neighbor
+    * resample 9×8 → 4×4 on the raster, emit geometry + corner samples
+    * + the exact output sum; the codec-backed sibling of the
+    * geometry-only [[mmResize]] (see [[MultiModal.imageResizeReal]]). */
+  val mmResizeReal: Q = (s, dir) =>
+    MultiModal.imageResizeReal(
+      MultiModal.withScenePayload(Tables.documents(s, dir))).toDF()
+
   /** REAL audio codec round trip (r10 VERDICT #3): a deterministic
     * PCM WAV is synthesized per doc, carried through a binary column,
     * and decoded by `javax.sound.sampled` — format fields and exact
@@ -90,6 +98,7 @@ trait MultiModalQueries extends QueriesBase {
   protected def multiModalRegistry: Map[String, Q] = Map(
     "mm_payload_meta" -> mmPayloadMeta,
     "mm_resize" -> mmResize,
+    "mm_resize_real" -> mmResizeReal,
     "mm_frame_sample" -> mmFrameSample,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_imageio_decode" -> mmImageioDecode,

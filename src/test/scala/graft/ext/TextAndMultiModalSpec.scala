@@ -573,6 +573,25 @@ class TextAndMultiModalSpec extends SparkSpec {
     assert(out.getAs[Double]("bits_per_bigram") == 0.0)
   }
 
+  test("imageResizeReal: NN resample hands back the scene arithmetic at mapped coords") {
+    val df = Seq(0L, 7L, 23L).toDF("doc_id")
+    val out = MultiModal.imageResizeReal(
+        MultiModal.withScenePayload(df)).collect()
+      .map(r => r.doc_id -> r).toMap
+    for (id <- Seq(0L, 7L, 23L)) {
+      val r = out(id)
+      assert(r.w_in == 9 && r.h_in == 8 && r.w_out == 4 && r.h_out == 4)
+      // source index xo*9/4, yo*8/4 → corners at (0,0),(6,0),(0,6),(6,6)
+      assert(r.tl == MultiModal.sceneGray(id, 0, 0))
+      assert(r.tr == MultiModal.sceneGray(id, 6, 0))
+      assert(r.bl == MultiModal.sceneGray(id, 0, 6))
+      assert(r.br == MultiModal.sceneGray(id, 6, 6))
+      val expectSum = (for (yo <- 0 until 4; xo <- 0 until 4)
+        yield MultiModal.sceneGray(id, xo * 9 / 4, yo * 8 / 4).toLong).sum
+      assert(r.sum_samples == expectSum)
+    }
+  }
+
   test("audioRoundTrip: real WAV decode hands back the synthesis arithmetic") {
     val df = Seq(0L, 3L, 13L).toDF("doc_id")
     val out = MultiModal.audioRoundTrip(df).collect()
