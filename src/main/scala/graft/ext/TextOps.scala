@@ -781,6 +781,49 @@ object TextOps {
         sink(screenBoilerplate(batch.toDF(), index, idCol, textCol), batchId)
     }
 
+  /** Rare-token scrub — the memorization-mitigation pass next to the
+    * pattern-based [[redactPii]]: a token occurring fewer than
+    * `minCount` times in the WHOLE corpus is a memorization/PII vector
+    * (unique ids, addresses, serial numbers — the strings a model
+    * memorizes verbatim) and is masked to `<unk>`. Per doc:
+    * (id, n_tokens, n_scrubbed, text_scrubbed), token-free docs pass
+    * through. The complement of [[boilerplateSignals]]' df floor: that
+    * gates on too-COMMON grams, this masks too-RARE tokens.
+    *
+    * Scale shape: one posexplode (linear in corpus tokens), one
+    * map-side-combined vocab agg, one vocab-bounded equality join back
+    * (neither vocab side broadcasts by hint — the rare-type table is
+    * big by Zipf, AQE decides), one doc-keyed reassembly whose
+    * collect_list is bounded by the doc's own length. No pair join,
+    * no corpus-wide sort. */
+  def scrubRareTokens(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Long = 3L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    // materialized: feeds the vocab agg and the mask join (see
+    // Dedup.ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
+    val ex = df.select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    val vocab = ex.groupBy("tok").agg(count(lit(1)).as("__c"))
+    val masked = ex.join(vocab, Seq("tok"))
+      .select(col("doc"), col("pos"),
+        (col("__c") < minCount).as("__rare"),
+        when(col("__c") < minCount, lit("<unk>")).otherwise(col("tok")).as("tok2"))
+    val re = masked.groupBy("doc").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("__rare"), 1L).otherwise(0L)).as("n_scrubbed"),
+      // pos is unique per doc → the struct sort is a total order
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok2")))),
+          x => x.getField("tok2")), " ").as("text_scrubbed"))
+    df.select(col(idCol))
+      .join(re.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_scrubbed"), lit(0L)).as("n_scrubbed"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   /** A pre-trained bigram LM for incremental/streaming perplexity
     * screening: the vocab-bounded (w1, w2, c_bg, c_prefix) table plus
     * the rare floor. */

@@ -423,6 +423,30 @@ private[graft] object TextOracles {
         |       END AS rare_ratio
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors TextOps.scrubRareTokens: whole-corpus token counts,
+    // tokens under the floor mask to <unk>, reassembly ORDER BY
+    // position ↔ the array_sort(collect_list(struct)) join; the doc
+    // spine's left join gives token-free docs their (0, 0, '') row.
+    "text_scrub_rare" ->
+      s"""WITH t AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, i, toks[i] AS tok
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks))) AS i FROM t)),
+         |v AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+         |m AS (SELECT doc_id, i,
+         |        CASE WHEN c < 3 THEN 1 ELSE 0 END AS rare,
+         |        CASE WHEN c < 3 THEN '<unk>' ELSE tok END AS tok2
+         |      FROM ex JOIN v USING (tok)),
+         |re AS (SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(rare) AS BIGINT) AS n_scrubbed,
+         |         string_agg(tok2, ' ' ORDER BY i) AS text_scrubbed
+         |       FROM m GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
+         |       coalesce(text_scrubbed, '') AS text_scrubbed
+         |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,
+
     // Mirrors TextOps.screenSurprisal over TextOps.lmIndex trained on
     // the doc_id%3 slice: the LM (c_bg ‖ c_prefix, pre-joined like the
     // index frame) LEFT-joins the occurrence stream, unknown bigrams

@@ -165,6 +165,12 @@ trait TextQueries extends QueriesBase {
     TextOps.screenSurprisal(docs, index)
   }
 
+  /** Rare-token scrub: tokens below the corpus-frequency floor (< 3
+    * occurrences) mask to `<unk>` — the memorization-mitigation pass
+    * (see [[TextOps.scrubRareTokens]]). */
+  val textScrubRare: Q = (s, dir) =>
+    TextOps.scrubRareTokens(Tables.documents(s, dir))
+
   /** Gopher top n-gram occupancy: share of the doc taken by its single
     * most frequent bigram, with the count-desc/gram-asc deterministic
     * tiebreak (see [[TextOps.topGramShare]]). */
@@ -309,6 +315,7 @@ trait TextQueries extends QueriesBase {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_redact" -> textRedact,
+    "text_scrub_rare" -> textScrubRare,
     "text_repetition" -> textRepetition,
     "text_boilerplate" -> textBoilerplate,
     "text_boilerplate_indexed" -> textBoilerplateIndexed,

@@ -537,6 +537,20 @@ class TextAndMultiModalSpec extends SparkSpec {
       "decoupled train+screen must reproduce the fused corpus statistic")
   }
 
+  test("scrubRareTokens: under-floor tokens mask to <unk>, order preserved") {
+    val docs = Seq(
+      (1L, "the serial XK42-99 of the device"),
+      (2L, "the device works and the device helps"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    // counts: the=4, device=3, serial/XK42-99/of=1, works/and/helps=1
+    val out = TextOps.scrubRareTokens(docs, minCount = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 3L, "the <unk> <unk> <unk> the device")))
+    assert(out(1) == ((2L, 7L, 3L, "the device <unk> <unk> the device <unk>")))
+    assert(out(2) == ((3L, 0L, 0L, "")))
+  }
+
   test("screenSurprisal with self-trained index ≡ lmSurprisal, zero OOV") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
