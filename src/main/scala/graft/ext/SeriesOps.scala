@@ -152,6 +152,32 @@ object SeriesOps {
     df.withColumn(outCol, col(valueCol) - lag(valueCol, 12).over(w))
   }
 
+  /** Seasonal climatology + anomaly — the classic economic-series
+    * decomposition over a monthly aggregate: per (key, season) the
+    * cross-year mean ("what does a January normally look like"), per
+    * observation the deviation from it. Deterministic across engines
+    * because the arithmetic never leaves exact integers until ONE
+    * division: the input is the micro-scaled BIGINT monthly sum
+    * (`microCol`, the sumE6 convention), the climatology is
+    * Σmicro / (n·10⁶) — exact integer numerator, one IEEE division —
+    * and value/anomaly derive from those two deterministic doubles.
+    *
+    * Scale shape: one map-side-combined (key, season) agg over the
+    * already-monthly frame (≤ |keys|·12 rows), joined back 1:1 —
+    * AQE broadcasts the climatology side. */
+  def seasonalAnomaly(df: DataFrame, keys: Seq[String], seasonCol: String,
+      microCol: String): DataFrame = {
+    val clim = df.groupBy((keys :+ seasonCol).map(col): _*)
+      .agg(sum(microCol).as("__cmicro"), count(lit(1)).as("n_years"))
+      .withColumn("climatology",
+        col("__cmicro").cast("double") / (col("n_years") * lit(1e6)))
+      .drop("__cmicro")
+    df.join(clim, keys :+ seasonCol)
+      .withColumn("value", col(microCol).cast("double") / 1e6)
+      .withColumn("anomaly", col("value") - col("climatology"))
+      .drop(microCol)
+  }
+
   /** Ordered sequence funnel: how many entities performed step 1, then
     * step 2 STRICTLY LATER, then step 3 later still — the product-
     * analytics funnel ([[transitionCounts]] summarizes adjacent steps;

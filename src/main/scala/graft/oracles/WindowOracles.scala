@@ -7,6 +7,25 @@ import graft.OracleCtes._
   */
 private[graft] object WindowOracles {
   val map: Map[String, String] = Map(
+    // Mirrors SeriesOps.seasonalAnomaly over monthly order revenue:
+    // micro-integer monthly sums, climatology = Σmicro/(n·10⁶) — exact
+    // numerator, ONE IEEE division — and value/anomaly derived from
+    // the same two deterministic doubles in the same order.
+    "window_seasonal" ->
+      """WITH mi AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(year(o_orderdate) AS INTEGER) AS y,
+        |         CAST(month(o_orderdate) AS INTEGER) AS m,
+        |         sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS micro
+        |  FROM orders GROUP BY 1, 2, 3),
+        |c AS (SELECT status, m, CAST(count(*) AS BIGINT) AS n_years,
+        |        CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0) AS climatology
+        |      FROM mi GROUP BY 1, 2)
+        |SELECT status, y, m, n_years, climatology,
+        |       CAST(micro AS DOUBLE) / 1000000 AS value,
+        |       CAST(micro AS DOUBLE) / 1000000 - climatology AS anomaly
+        |FROM mi JOIN c USING (status, m)""".stripMargin,
+
     "window_mom" ->
       s"""WITH d AS ($dailySeriesCte)
          |SELECT indicator, observation_day, value,

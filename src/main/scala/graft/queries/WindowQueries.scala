@@ -63,6 +63,22 @@ trait WindowQueries extends QueriesBase {
     SeriesOps.yoyChange(monthly, Seq("status"), Seq("y", "m"))
   }
 
+  /** Seasonal climatology + anomaly over monthly order revenue: per
+    * (status, month-of-year) the cross-year mean in exact micro-integer
+    * space, per (status, y, m) the deviation — the economic-series
+    * decomposition the YoY lag only approximates (see
+    * [[SeriesOps.seasonalAnomaly]]). Orders spans multiple years, so
+    * every climatology cell averages real cross-year mass (events
+    * spans one month — the degenerate-fixture trap the r10 advice
+    * flagged for retention). */
+  val windowSeasonal: Q = (s, dir) => {
+    val micro = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(sumE6(col("o_totalprice")).as("__micro"))
+    SeriesOps.seasonalAnomaly(micro, Seq("status"), "m", "__micro")
+  }
+
   /** LOCF gap fill: the daily series sparsified to every 3rd day, then
     * densified by carrying the last observation forward (leading gaps
     * stay null). */
@@ -158,6 +174,7 @@ trait WindowQueries extends QueriesBase {
   protected def windowRegistry: Map[String, Q] = Map(
     "window_mom" -> windowMom,
     "window_yoy" -> windowYoy,
+    "window_seasonal" -> windowSeasonal,
     "window_moving_avg" -> windowMovingAvg,
     "window_rank_share" -> windowRankShare,
     "window_cume" -> windowCume,

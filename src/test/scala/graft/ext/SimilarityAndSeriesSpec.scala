@@ -84,6 +84,22 @@ class SimilarityAndSeriesSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(2L)) // only block-A rows scored (minus self)
   }
 
+  test("seasonalAnomaly: cross-year climatology in micro space, exact anomalies") {
+    val monthly = Seq(
+      ("A", 2020, 1, 1000000L), ("A", 2021, 1, 3000000L), // Jan mean 2.0
+      ("A", 2020, 2, 5000000L),                           // lone Feb
+      ("B", 2020, 1, 4000000L)
+    ).toDF("status", "y", "m", "__micro")
+    val out = SeriesOps.seasonalAnomaly(monthly, Seq("status"), "m", "__micro")
+      .select("status", "y", "m", "n_years", "climatology", "value", "anomaly")
+      .as[(String, Int, Int, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> r).toMap
+    assert(out(("A", 2020, 1)) == (("A", 2020, 1, 2L, 2.0, 1.0, -1.0)))
+    assert(out(("A", 2021, 1)) == (("A", 2021, 1, 2L, 2.0, 3.0, 1.0)))
+    assert(out(("A", 2020, 2)) == (("A", 2020, 2, 1L, 5.0, 5.0, 0.0)))
+    assert(out(("B", 2020, 1)) == (("B", 2020, 1, 1L, 4.0, 4.0, 0.0)))
+  }
+
   test("knnGraph: directed per-vector top-k within blocks, singleton blocks emit nothing") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), "X"),
