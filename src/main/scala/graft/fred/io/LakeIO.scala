@@ -130,4 +130,55 @@ object LakeIO {
       w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.format("parquet").saveAsTable(table)
   }
+
+  /** Parquet file census under a root: (n_data_files, total_bytes).
+    * Metadata/_SUCCESS files don't count. */
+  def parquetCensus(spark: SparkSession, root: String): (Long, Long) = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(path, true)
+    var n = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+    }
+    (n, bytes)
+  }
+
+  /** Small-files compaction — the lake-maintenance op every
+    * incremental pipeline eventually needs: per-partition appends
+    * accumulate files far below the efficient scan size (a month of
+    * hourly loads = hundreds of KB-scale files per partition, and at
+    * 100 TB the NameNode/listing cost plus per-file open overhead
+    * dominates the scan). Reads `inRoot`, rewrites to `outRoot` with
+    * ONE shuffle on the partition columns (each partition's rows land
+    * together) and `maxRecordsPerFile` sized so output files
+    * approximate `targetBytes` (estimated from the input's
+    * bytes-per-row — parquet-encoded, so the estimate inherits the
+    * input's compression ratio). Returns (files_before, files_after).
+    *
+    * Honest caveats, stated: output goes to a NEW root — Spark cannot
+    * overwrite a path it is reading, so the caller swaps roots (or
+    * runs the table-format commit protocol that owns atomic swap —
+    * Iceberg/Delta `rewrite_data_files` is this op with a catalog
+    * transaction around it). A heavily skewed partition compacts
+    * through one task — salt the repartition
+    * (`repartition(cols :+ salt)`) when one partition outweighs an
+    * executor; file SPLITTING via maxRecordsPerFile is unaffected. */
+  def compactParquet(spark: SparkSession, inRoot: String, outRoot: String,
+      targetBytes: Long,
+      partitionCols: Seq[String] = PartitionCols): (Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val (filesBefore, bytes) = parquetCensus(spark, inRoot)
+    val df = spark.read.parquet(inRoot)
+    val rows = df.count()
+    val avgRow = math.max(1L, bytes / math.max(rows, 1L))
+    val maxRecords = math.max(1L, targetBytes / avgRow)
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecords)
+      .partitionBy(partitionCols: _*)
+      .parquet(outRoot)
+    (filesBefore, parquetCensus(spark, outRoot)._1)
+  }
 }

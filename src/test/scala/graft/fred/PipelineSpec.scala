@@ -92,6 +92,37 @@ class PipelineSpec extends SparkSpec {
       "DGS10", Some(2024), Some(1), Some(4.0), Some(2L), Some("t1"), Some("p1"))))
   }
 
+  test("compactParquet: fragmented partitions collapse toward targetBytes files, data identical") {
+    import org.apache.spark.sql.functions.col
+    val in = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val rows = (0 until 2000)
+      .map(i => (s"IND${i % 2}", 2024, 1 + i % 3, i.toLong, s"v$i"))
+      .toDF("indicator", "observation_year", "observation_month", "seq", "payload")
+    // simulate incremental appends: 25 writer tasks per partition
+    rows.repartition(25).write.mode("overwrite")
+      .partitionBy("indicator", "observation_year", "observation_month")
+      .parquet(in)
+    val (before, _) = graft.fred.io.LakeIO.parquetCensus(spark, in)
+    assert(before > 100, s"fixture should be fragmented, got $before files")
+    // generous target: every partition should collapse to ONE file
+    val (b2, after) = graft.fred.io.LakeIO.compactParquet(
+      spark, in, out, targetBytes = 64L * 1024 * 1024)
+    assert(b2 == before && after == 6L,
+      s"6 partitions → 6 files expected, got $after")
+    // data survives byte-for-byte (partition cols re-read as strings/ints)
+    val a = spark.read.parquet(in).select("seq", "payload")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(out).select("seq", "payload")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "compaction must not change the data")
+    // a tiny target splits files instead of merging to one
+    val out2 = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val (_, split) = graft.fred.io.LakeIO.compactParquet(
+      spark, in, out2, targetBytes = 2048)
+    assert(split > 6L, s"tiny target must split: $split files")
+  }
+
   test("first-ever aggregate run: missing silver root yields empty gold, no throw") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-firstrun").toString
     val pipe = new Pipeline(spark, new FredSource.Fixture(Map.empty), tmp)
