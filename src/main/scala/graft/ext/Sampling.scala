@@ -110,6 +110,91 @@ object Sampling {
       .drop("__keep_bp")
   }
 
+  /** Temperature-resampled source mixture — the multilingual-corpus
+    * balancing step (mC4 / XLM-R: sample stratum s with probability
+    * ∝ n_s^α, α < 1 flattening the head so low-resource strata are
+    * seen more often, REPEATING them when their quota exceeds their
+    * size). Emits the full per-doc report: `n_copies` = how many
+    * epochs of this document the mix contains (0 = dropped), with
+    * Σ n_copies = `totalOut` EXACTLY — apportionment is
+    * largest-remainder over exact integers, not expected-value hash
+    * gating, because a training mix is a budget, not a rate.
+    *
+    * Exactness/portability: n_s^α is computed as a chain of IEEE-754
+    * `sqrt` and one multiply (α ∈ {¼, ½, ¾} = `alphaQuarters`/4) —
+    * sqrt and multiply are correctly-rounded ops, so Java and the
+    * DuckDB oracle produce bit-identical doubles (ANY other pow is
+    * libm territory and diverges in the last ulp). The weight is then
+    * floored into integer space (×2²⁰) and everything downstream is
+    * exact integer arithmetic: driver-side BigInt (overflow-free);
+    * the SQL replay's BIGINT is safe while totalOut·Σw < 2⁶³.
+    *
+    * Scale shape: ONE column-pruned scan aggregates per-stratum
+    * counts; that frame is bounded by the stratum vocabulary
+    * (languages/sources — `maxStrata` guards the assumption and
+    * THROWS rather than collect an unbounded frame), so the
+    * largest-remainder walk happens driver-side on ≤`maxStrata` rows
+    * — the [[Bpe]] bounded-model-collect pattern. Quotas broadcast
+    * back as a literal frame; the only data-sized cost is one
+    * row_number window per stratum for the fractional quota (an
+    * exact per-stratum k-smallest-by-md5 selection is inherently a
+    * per-stratum sort — same discipline and same skew caveat as
+    * [[tokenBudgetSample]]'s per-source window; at 100 TB shard the
+    * hot stratum by md5-prefix sub-quotas before this window). */
+  def temperatureResample(df: DataFrame, keyCol: String, strataCol: String,
+      totalOut: Long, alphaQuarters: Int = 2, salt: String = "",
+      maxStrata: Int = 100000): DataFrame = {
+    require(totalOut > 0, "totalOut must be positive")
+    require(alphaQuarters >= 1 && alphaQuarters <= 3,
+      s"alphaQuarters must be 1, 2 or 3 (alpha = quarters/4), got $alphaQuarters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null strata could never join back anyway (null ≠ null): drop them
+    // here so the driver-side walk never sees a null key
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .limit(maxStrata + 1)
+      .as[(String, Long)].collect()
+    require(counts.length <= maxStrata,
+      s"more than $maxStrata strata — this operator collects the stratum " +
+        "table to the driver; raise maxStrata only if that is still bounded")
+    require(counts.nonEmpty, "empty input")
+    // n^alpha via correctly-rounded ops only (mirrored by the oracle)
+    def pow(n: Long): Double = {
+      val d = n.toDouble
+      alphaQuarters match {
+        case 1 => math.sqrt(math.sqrt(d))
+        case 2 => math.sqrt(d)
+        case 3 => math.sqrt(d) * math.sqrt(math.sqrt(d))
+      }
+    }
+    val w = counts.map { case (s, n) => (s, n, math.floor(pow(n) * 1048576.0).toLong) }
+    val bigW = w.map(x => BigInt(x._3)).sum
+    require(bigW > 0, "all strata weights floored to zero")
+    val withBase = w.map { case (s, n, wt) =>
+      val prod = BigInt(totalOut) * wt
+      (s, n, (prod / bigW).toLong, prod % bigW)
+    }
+    val leftover = totalOut - withBase.map(_._3).sum
+    // largest remainder, stratum-name tiebreak (row_number semantics)
+    val bumped = withBase.sortBy { case (s, _, _, rem) => (-rem, s) }(
+      Ordering.Tuple2(Ordering[BigInt], Ordering[String]))
+      .zipWithIndex
+      .map { case ((s, n, base, _), i) =>
+        (s, n, base + (if (i < leftover) 1L else 0L)) }
+    val quotas = bumped.toSeq.map { case (s, n, q) =>
+      (s, q / n, q % n) }.toDF(strataCol, "__base", "__extra")
+    val rn = row_number().over(Window.partitionBy(col(strataCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))).asc,
+        col(keyCol).asc))
+    df.join(broadcast(quotas), strataCol)
+      .withColumn("__rn", rn)
+      .select(col(keyCol), col(strataCol),
+        (col("__base") + when(col("__rn") <= col("__extra"), 1L)
+          .otherwise(0L)).as("n_copies"))
+  }
+
   /** Token-budgeted mixture selection — the mechanical core of
     * pretraining-mix assembly: each source contributes documents, in a
     * deterministic md5 order, until its TOKEN budget is filled

@@ -252,6 +252,36 @@ private[graft] object CompositeOracles {
         |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
         |           % 10000 AS INTEGER) < keep_bp""".stripMargin,
 
+    // Mirrors Sampling.temperatureResample(α=½, totalOut=1000, salt
+    // "temp"): per-lang weight = floor(sqrt(n)·2²⁰) (sqrt and × are
+    // correctly-rounded IEEE ops, bit-identical to the driver-side
+    // Java walk), largest-remainder quota apportionment in exact
+    // BIGINT, per-doc copies = quota // n + 1 for the quota % n docs
+    // smallest by md5(doc_id‖salt).
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wt
+        |      FROM c),
+        |t AS (SELECT sum(wt) AS tw FROM w),
+        |b AS (SELECT lang, n, (1000 * wt) // tw AS base, (1000 * wt) % tw AS rem
+        |      FROM w, t),
+        |l AS (SELECT 1000 - sum(base) AS leftover FROM b),
+        |q AS (SELECT lang, n,
+        |        base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+        |                      <= leftover THEN 1 ELSE 0 END AS quota
+        |      FROM b, l),
+        |r AS (SELECT d.doc_id, d.lang, q.quota // q.n AS cbase,
+        |        q.quota % q.n AS extra,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY md5(d.doc_id::VARCHAR || 'temp'), d.doc_id) AS rn
+        |      FROM documents d JOIN q USING (lang))
+        |SELECT doc_id, lang,
+        |       CAST(cbase + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT)
+        |         AS n_copies
+        |FROM r""".stripMargin,
+
     // Mirrors Sampling.tokenBudgetSample: md5-ordered per-source
     // running token total (rows-preceding window), kept iff the
     // preceding total sits under the source's budget.

@@ -127,6 +127,17 @@ trait CompositeQueries extends QueriesBase {
       Seq("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1, "src4" -> 1),
       salt = "mix")
 
+  /** Temperature-resampled language mixture (mC4/XLM-R, α = ½): 1000
+    * output epochs apportioned ∝ √n_lang by exact largest remainder —
+    * at the 500-doc SFs rare languages repeat (n_copies ≥ 2, the
+    * upsampling regime); at sf0.1's 5000 docs every quota sits under
+    * its stratum (the downsampling regime), so the gate exercises
+    * both. Σ n_copies = 1000 exactly at every SF. */
+  val sampleTemperature: Q = (s, dir) =>
+    Sampling.temperatureResample(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      "doc_id", "lang", totalOut = 1000L, alphaQuarters = 2, salt = "temp")
+
   /** Token-budgeted mixture: each source fills its token quota in md5
     * order — the tokens-not-documents form of mix assembly (see
     * [[Sampling.tokenBudgetSample]]; full audit report, kept flag per
@@ -217,6 +228,7 @@ trait CompositeQueries extends QueriesBase {
     "scalar_minmax" -> scalarMinmax,
     "quality_funnel" -> qualityFunnel,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
     "sample_token_budget" -> sampleTokenBudget,
     "dedup_canonical" -> dedupCanonical,
     "dedup_canonical_shared" -> dedupCanonicalShared,

@@ -318,6 +318,54 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(again == out.select("id").as[String].collect().toSet)
   }
 
+  test("temperatureResample: exact sqrt apportionment, repeats, flattening") {
+    // sizes 4 and 9 have integer sqrts → w = 2·2²⁰ and 3·2²⁰, so the
+    // whole apportionment is hand-computable with zero float edges:
+    // totalOut=10 → quota_a = 4 (1 copy each), quota_b = 6 (six docs
+    // 1 copy, three docs 0)
+    val df = ((1 to 4).map(i => (i.toLong, "a")) ++
+      (11 to 19).map(i => (i.toLong, "b"))).toDF("id", "g")
+    val out = Sampling.temperatureResample(df, "id", "g", totalOut = 10L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("g"),
+        r.getAs[Long]("n_copies")))
+    assert(out.length == 13, "full report: every doc gets a copy count")
+    assert(out.map(_._3).sum == 10L, "sum of copies IS the budget")
+    assert(out.filter(_._2 == "a").forall(_._3 == 1L))
+    assert(out.filter(_._2 == "b").map(_._3).sorted.toSeq ==
+      Seq(0L, 0L, 0L, 1L, 1L, 1L, 1L, 1L, 1L))
+    // upsampling regime: totalOut=100 → a: 10 copies each; b: quota 60
+    // over 9 docs = base 6, six docs bumped to 7
+    val up = Sampling.temperatureResample(df, "id", "g", totalOut = 100L)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("n_copies")))
+    assert(up.map(_._2).sum == 100L)
+    assert(up.filter(_._1 == "a").forall(_._2 == 10L))
+    assert(up.filter(_._1 == "b").map(_._2).sorted.toSeq ==
+      Seq(6L, 6L, 6L, 7L, 7L, 7L, 7L, 7L, 7L))
+    // α-flattening: 100-vs-1 docs at α=½ → weights 10:1, so with
+    // totalOut=110 the rare doc trains 10 epochs (natural share would
+    // give it ~1) while each head doc trains once
+    val skew = ((1 to 100).map(i => (i.toLong, "big")) :+ (999L, "rare"))
+      .toDF("id", "g")
+    val flat = Sampling.temperatureResample(skew, "id", "g", totalOut = 110L)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("n_copies")))
+    assert(flat.filter(_._1 == "rare").map(_._2).toSeq == Seq(10L))
+    assert(flat.filter(_._1 == "big").forall(_._2 == 1L))
+    // deterministic under repartition; Σ invariant at α=¼ and ¾ too
+    val again = Sampling.temperatureResample(df.repartition(7), "id", "g",
+      totalOut = 10L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_copies"))).toSet
+    assert(again == out.map(t => (t._1, t._3)).toSet)
+    Seq(1, 3).foreach { aq =>
+      val o = Sampling.temperatureResample(df, "id", "g", totalOut = 37L,
+        alphaQuarters = aq)
+      assert(o.agg(sum("n_copies")).head.getLong(0) == 37L, s"alpha=$aq/4")
+    }
+    // null strata drop from the report; their docs get no copies
+    val withNull = df.union(Seq((99L, null.asInstanceOf[String])).toDF("id", "g"))
+    val n = Sampling.temperatureResample(withNull, "id", "g", totalOut = 10L)
+    assert(n.count() == 13 && n.agg(sum("n_copies")).head.getLong(0) == 10L)
+  }
+
   test("capPerGroup: at most k per group, stable under repartition") {
     val df = (1L to 200L).map(i => (i, "g" + (i % 3))).toDF("id", "g")
     val out = Sampling.capPerGroup(df, Seq("g"), "id", k = 5, salt = "s")
