@@ -83,6 +83,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Contrastive TRIPLET mining over the [[knnGraph]] — the
+    * training-set construction step for embedding/reranker models
+    * (SimCSE/E5-style mined pairs): per anchor, positive = its
+    * nearest in-block neighbor, hard negative = the first neighbor at
+    * `rank ≥ negFromRank` whose cosine sits at least `margin` BELOW
+    * the positive's (similar enough to be informative, provably not
+    * the duplicate band — the rank offset plus score margin is the
+    * standard guard against false negatives). Anchors with no
+    * qualifying negative drop: a triplet set with weak negatives
+    * poisons the loss, so under-emitting is the correct failure mode.
+    *
+    * Determinism: cosines are 4-dp-rounded with the id tiebreak (the
+    * [[knnGraph]] contract), and the margin test runs in that rounded
+    * space, so the mined set is bit-stable across engines and layouts.
+    *
+    * Scale shape: ONE knn pass, materialized once (two consumers);
+    * `pos` is a filter of the same vec_id-partitioned frame, so the
+    * join back adds no exchange, and the negative pick is a min-struct
+    * agg on the ≤k-row-per-anchor frame — nothing data-sized moves
+    * beyond the knn self-join itself (whose block-equality Σ block²
+    * bound is the [[knnGraph]] contract). */
+  def mineTriplets(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int = 5, negFromRank: Int = 3,
+      margin: Double = 0.05): DataFrame = {
+    require(negFromRank >= 2 && negFromRank <= k,
+      s"negFromRank must be in [2, k=$k], got $negFromRank")
+    require(margin >= 0.0, "margin must be non-negative")
+    val g = knnGraph(df, idCol, vecCol, blockCol, k).localCheckpoint()
+    val pos = g.filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("positive_id"),
+        col("cosine").as("pos_cosine"))
+    g.join(pos, "vec_id")
+      .filter(col("rank") >= negFromRank &&
+        col("cosine") <= col("pos_cosine") - margin)
+      .groupBy(col("vec_id"), col("positive_id"), col("pos_cosine"))
+      .agg(min(struct(col("rank"), col("neighbor_id"), col("cosine"))).as("n"))
+      .select(col("vec_id").as("anchor_id"), col("positive_id"),
+        col("pos_cosine"), col("n.neighbor_id").as("negative_id"),
+        col("n.cosine").as("neg_cosine"))
+  }
+
   /** Two-phase quantized ANN: candidates are scored on int8-QUANTIZED
     * vectors (¼ the scan/shuffle bandwidth of float32 — the production
     * reason [[VectorQuant]] exists), then exact float cosine re-ranks

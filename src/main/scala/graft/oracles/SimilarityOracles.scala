@@ -58,6 +58,35 @@ private[graft] object SimilarityOracles {
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
 
+    // Mirrors Similarity.mineTriplets over the k=5 knn graph:
+    // positive = rank 1, negative = lowest-rank neighbor at rank ≥ 3
+    // with cosine ≤ pos_cosine − 0.05 (margin applied in the shared
+    // 4-dp-rounded space, so the subtraction is bit-identical).
+    "mine_triplets" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |         round(list_dot_product(a.v, b.v) /
+        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |g AS (SELECT * FROM (
+        |  SELECT vec_id, neighbor_id, cosine, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5),
+        |pos AS (SELECT vec_id, neighbor_id AS positive_id,
+        |               cosine AS pos_cosine FROM g WHERE rank = 1),
+        |neg AS (SELECT * FROM (
+        |  SELECT g.vec_id, g.neighbor_id AS negative_id,
+        |         g.cosine AS neg_cosine,
+        |         row_number() OVER (PARTITION BY g.vec_id
+        |                            ORDER BY g.rank) AS rn
+        |  FROM g JOIN pos USING (vec_id)
+        |  WHERE g.rank >= 3 AND g.cosine <= pos_cosine - 0.05)
+        |  WHERE rn = 1)
+        |SELECT p.vec_id AS anchor_id, p.positive_id, p.pos_cosine,
+        |       n.negative_id, n.neg_cosine
+        |FROM pos p JOIN neg n USING (vec_id)""".stripMargin,
+
     // Exhaustive-probe IVF ≡ brute force by construction, so the
     // oracle IS the similarity_topk query: cosine over all candidate
     // pairs, top-10 per query with the id tiebreak. k-means centroids

@@ -30,6 +30,17 @@ trait SimilarityQueries extends QueriesBase {
     Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
       "label", k = 3)
 
+  /** Contrastive triplet mining (anchor, positive, hard negative)
+    * from the k=5 in-block knn graph: positive = rank-1 neighbor,
+    * negative = first rank ≥ 3 neighbor at least 0.05 cosine below
+    * the positive — the embedding-model training-set constructor;
+    * see [[Similarity.mineTriplets]]. Anchors with no qualifying
+    * negative drop (434/500 and 1602/2000 survive at the two corpus
+    * shapes — the margin is genuinely exercised). */
+  val mineTriplets: Q = (s, dir) =>
+    Similarity.mineTriplets(Tables.embeddings(s, dir), "vec_id",
+      "embedding", "label", k = 5, negFromRank = 3, margin = 0.05)
+
   /** KMeans-IVF ANN: train coarse centroids, probe the 2 nearest of 8
     * clusters per query, recall-CHECKED against brute-force top-k in
     * the same plan: mean recall over the query wave must clear the
@@ -134,6 +145,7 @@ trait SimilarityQueries extends QueriesBase {
     "similarity_topk" -> similarityTopk,
     "similarity_ivf" -> similarityIvf,
     "similarity_knn_graph" -> similarityKnnGraph,
+    "mine_triplets" -> mineTriplets,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_lsh" -> similarityLsh,

@@ -117,6 +117,38 @@ class SimilarityAndSeriesSpec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == 4L), "singleton block has no neighbors")
   }
 
+  test("mineTriplets: positive = rank 1, negative = first margined rank ≥ negFromRank") {
+    // block Y: five spread 2-D vectors, so every anchor has ranked
+    // neighbors with distinct cosines; block X: FOUR near-identical
+    // vectors — rank 3 exists but every candidate negative sits inside
+    // the margin, so X anchors must DROP (no false negatives in the
+    // triplet set)
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = (Seq(1L -> 0.0, 2L -> 10.0, 3L -> 45.0, 4L -> 90.0, 5L -> 170.0)
+      .map { case (id, d) => (id, at(d), "Y") } ++
+      Seq(11L -> 0.0, 12L -> 0.5, 13L -> 1.0, 14L -> 1.5)
+        .map { case (id, d) => (id, at(d), "X") }).toDF("vec_id", "embedding", "label")
+    val out = Similarity.mineTriplets(vecs, "vec_id", "embedding", "label",
+        k = 4, negFromRank = 3, margin = 0.05)
+      .collect().map(r => r.getAs[Long]("anchor_id") ->
+        (r.getAs[Long]("positive_id"), r.getAs[Double]("pos_cosine"),
+         r.getAs[Long]("negative_id"), r.getAs[Double]("neg_cosine"))).toMap
+    assert(!out.keySet.exists(_ > 10L), "within-margin block yields no triplets")
+    // recompute the expectation from the knn graph itself
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", "label", k = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    val expected = g.groupBy(_._1).flatMap { case (a, rows) =>
+      val pos = rows.find(_._4 == 1).get
+      rows.filter(r => r._4 >= 3 && r._3 <= pos._3 - 0.05)
+        .sortBy(_._4).headOption
+        .map(n => a -> (pos._2, pos._3, n._2, n._3))
+    }.toMap
+    assert(out == expected.filter(_._1 <= 10L) && out.nonEmpty)
+    // every emitted negative honors rank offset AND margin
+    out.foreach { case (_, (_, pc, _, nc)) => assert(nc <= pc - 0.05) }
+  }
+
   test("topKQuantizedRerank: full-coverage candidates ≡ exact topK; high recall at factor 4") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 3)
