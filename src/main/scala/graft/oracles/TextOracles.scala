@@ -672,6 +672,27 @@ private[graft] object TextOracles {
          |FROM documents LEFT JOIN per USING (doc_id)
          |CROSS JOIN stats CROSS JOIN nm""".stripMargin,
 
+    // Mirrors reportBpeFertility: same 8-stage BPE replay as
+    // vocab_bpe_shared, words joined to their token price, rolled up
+    // per lang; each ratio is one mirrored IEEE division over exact
+    // integer sums.
+    "report_bpe_fertility" ->
+      s"""WITH ${bpeCtes(8)},
+         |seg AS (SELECT word,
+         |          CAST(len(string_split(symbols, '~')) AS BIGINT) AS n_tok
+         |        FROM w8),
+         |occ AS (SELECT lang, unnest(list_filter(regexp_split_to_array(
+         |          lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS word
+         |        FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(sum(n_tok) * 10000 AS DOUBLE) / count(*)) / 10000
+         |         AS fertility,
+         |       round(CAST(sum(len(word)) * 10000 AS DOUBLE) / sum(n_tok)) / 10000
+         |         AS chars_per_token
+         |FROM occ JOIN seg USING (word) GROUP BY 1""".stripMargin,
+
     // Mirrors operators.ZOrder.rangeStats over events (user_id ×
     // floor(value)): broadcast min/max bounds, affine grid scaling in
     // exact integral arithmetic (// ≡ Spark DIV on non-negatives) with

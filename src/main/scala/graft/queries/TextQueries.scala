@@ -297,6 +297,34 @@ trait TextQueries extends QueriesBase {
         col("n_vocab_words"), col("corpus_tokens"), col("n_merges"))
   }
 
+  /** Tokenizer FERTILITY report — the per-language tokenizer-quality
+    * audit (tokens/word and chars/token by language): a tokenizer
+    * trained on an en-heavy mix systematically over-segments
+    * low-resource languages, inflating their effective sequence
+    * length and training cost; this is the report that catches it.
+    * Same trained model + segment frame as [[vocabBpeShared]]; the
+    * per-language roll-up joins words to their token price and
+    * aggregates — both ratios are ONE mirrored IEEE division over
+    * exact integer sums. */
+  val reportBpeFertility: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = graft.ext.Bpe.segment(docs, "text", model).toDF()
+    docs.select(col("lang"), explode(TextOps.regexTokens(col("text"))).as("word"))
+      .join(seg.select("word", "n_tokens"), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum("n_tokens").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        (round(col("n_bpe_tokens") * 10000.0 / col("n_words")) / 1e4)
+          .as("fertility"),
+        (round(col("n_chars") * 10000.0 / col("n_bpe_tokens")) / 1e4)
+          .as("chars_per_token"))
+  }
+
   /** PII scrub: replacement count + md5 of the scrubbed text (the
     * md5 lets the oracle verify the full redacted payload without
     * hauling the text through the compare). */
@@ -338,5 +366,6 @@ trait TextQueries extends QueriesBase {
     "vocab_bpe_merges" -> vocabBpeMerges,
     "vocab_bpe_segment" -> vocabBpeSegment,
     "text_tokens_bpe" -> textTokensBpe,
-    "vocab_bpe_shared" -> vocabBpeShared)
+    "vocab_bpe_shared" -> vocabBpeShared,
+    "report_bpe_fertility" -> reportBpeFertility)
 }

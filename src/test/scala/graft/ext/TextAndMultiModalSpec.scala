@@ -537,6 +537,32 @@ class TextAndMultiModalSpec extends SparkSpec {
       "decoupled train+screen must reproduce the fused corpus statistic")
   }
 
+  test("fertility roll-up: per-lang tokens/word under a hand-trained BPE model") {
+    import org.apache.spark.sql.functions.{col, explode, length, round, sum, count, lit}
+    // vocab: "aa"×2 (lang a), "ab"×1 (lang b); one merge fuses (a,a),
+    // so "aa" prices at 1 token and "ab" stays at 2
+    val docs = Seq((1L, "aa aa", "a"), (2L, "ab", "b")).toDF("doc_id", "text", "lang")
+    val model = Bpe.trainMerges(docs, "text", nMerges = 1)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(model == Seq(("a", "a")))
+    val seg = Bpe.segment(docs, "text", model).toDF()
+    val out = docs
+      .select(col("lang"), explode(TextOps.regexTokens(col("text"))).as("word"))
+      .join(seg.select("word", "n_tokens"), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum("n_tokens").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        (round(col("n_bpe_tokens") * 10000.0 / col("n_words")) / 1e4).as("f"),
+        (round(col("n_chars") * 10000.0 / col("n_bpe_tokens")) / 1e4).as("cpt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out("a") == ((2L, 4L, 2L, 1.0, 2.0)), s"lang a: ${out("a")}")
+    assert(out("b") == ((1L, 2L, 2L, 2.0, 1.0)), s"lang b: ${out("b")}")
+  }
+
   test("scrubRareTokens: under-floor tokens mask to <unk>, order preserved") {
     val docs = Seq(
       (1L, "the serial XK42-99 of the device"),
