@@ -65,12 +65,26 @@ object Similarity {
     * (vec_id, neighbor_id, cosine) — vectors never ride the ranking
     * shuffle. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, k: Int): DataFrame = {
+      blockCol: String, k: Int, maxBlock: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, "k must be >= 1")
     // materialized: both self-join sides read it (see
     // Dedup.ngramJaccardPairs; persist(DISK_ONLY) on a cluster)
     val keyed = df.select(col(blockCol).as("b"), col(idCol).as("id"),
       col(vecCol).as("v")).localCheckpoint()
+    if (maxBlock != Int.MaxValue) {
+      // bounded 1-row probe of the just-materialized frame (the
+      // SemDedup.maxCluster posture): a hot block makes the self-join
+      // quadratic IN THAT BLOCK — fail loudly before the join runs
+      val hot = keyed.groupBy("b").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBlock)
+        .orderBy(col("__n").desc).limit(1).collect()
+      if (hot.nonEmpty) throw new IllegalStateException(
+        s"knnGraph: block ${hot.head.get(0)} holds ${hot.head.getLong(1)} " +
+          s"vectors (> maxBlock=$maxBlock); the candidate self-join would " +
+          "be quadratic in that block. Use a finer block key (an " +
+          "IVF/quantizer assignment sized to the corpus) or raise " +
+          "maxBlock explicitly")
+    }
     val scored = keyed.as("a").join(keyed.as("c"),
         col("a.b") === col("c.b") && col("a.id") =!= col("c.id"))
       .select(col("a.id").as("vec_id"), col("c.id").as("neighbor_id"),
@@ -106,11 +120,11 @@ object Similarity {
     * bound is the [[knnGraph]] contract). */
   def mineTriplets(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, k: Int = 5, negFromRank: Int = 3,
-      margin: Double = 0.05): DataFrame = {
+      margin: Double = 0.05, maxBlock: Int = Int.MaxValue): DataFrame = {
     require(negFromRank >= 2 && negFromRank <= k,
       s"negFromRank must be in [2, k=$k], got $negFromRank")
     require(margin >= 0.0, "margin must be non-negative")
-    val g = knnGraph(df, idCol, vecCol, blockCol, k).localCheckpoint()
+    val g = knnGraph(df, idCol, vecCol, blockCol, k, maxBlock).localCheckpoint()
     val pos = g.filter(col("rank") === 1)
       .select(col("vec_id"), col("neighbor_id").as("positive_id"),
         col("cosine").as("pos_cosine"))

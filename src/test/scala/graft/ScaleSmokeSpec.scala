@@ -594,6 +594,64 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"boilerplate blew up on the hot gram: $secs s")
   }
 
+  smokeTest("temperature mixture at 100k docs with a 90%-hot stratum") {
+    // the declared worst case: the fractional-quota pick is one rank
+    // window per stratum, so a dominant stratum serializes its rank;
+    // the smoke pins that 90k rows of per-stratum row_number complete
+    // in seconds and the Σ n_copies budget invariant holds exactly
+    val docs = spark.range(100000L).select(col("id").as("doc_id"),
+        when(col("id") % 10 < 9, "hot").otherwise(concat(lit("s"), col("id") % 7))
+          .as("lang"))
+      .repartition(8).cache()
+    docs.count()
+    val t0 = System.nanoTime()
+    val out = graft.ext.Sampling.temperatureResample(
+      docs, "doc_id", "lang", totalOut = 250000L)
+    val sum = out.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"temperature mixture over 100k docs, hot stratum: ${secs.round} s")
+    assert(sum == 250000L, s"budget invariant broke: $sum")
+    // α=½ flattening: the 90% stratum must hold well under 90% of the
+    // output mass (√-scaled share ≈ 53% against seven √-equal tails)
+    val hot = out.filter(col("lang") === "hot")
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)
+    assert(hot < 150000L, s"no flattening: hot stratum got $hot of 250000")
+    docs.unpersist()
+    assert(secs < 120, s"hot-stratum rank window blew up: $secs s")
+  }
+
+  smokeTest("knn graph at 100k vectors: bounded blocks linear, hot block refused") {
+    // block-equality candidates are Σ block²: 1000 blocks of ~100
+    // vectors = ~10M scored pairs (linear-ish, seconds); one 25%-hot
+    // block would be 625M pairs on its own — the guard must refuse
+    // BEFORE the join
+    val dim = 8
+    val vecs = spark.range(100000L).select(col("id").as("vec_id"),
+        array((0 until dim).map(i =>
+          pmod(col("id") * (i * 2 + 3) + i, lit(97)).cast("float") - 48.0f): _*)
+          .as("embedding"),
+        (col("id") % 1000).cast("string").as("label"))
+      .repartition(8).cache()
+    vecs.count()
+    val t0 = System.nanoTime()
+    val g = graft.ext.Similarity.mineTriplets(vecs, "vec_id", "embedding",
+      "label", k = 5, negFromRank = 3, margin = 0.05, maxBlock = 500)
+    val n = g.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"triplets over 100k vectors / 1000 blocks: $n rows in ${secs.round} s")
+    assert(n > 0)
+    assert(secs < 180, s"blocked knn blew up: $secs s")
+    // 25%-hot block: guard refuses before the quadratic join
+    val hot = vecs.withColumn("label",
+      when(col("vec_id") % 4 === 0, "HOT").otherwise(col("label")))
+    val e = intercept[IllegalStateException] {
+      graft.ext.Similarity.knnGraph(hot, "vec_id", "embedding", "label",
+        k = 5, maxBlock = 500).count()
+    }
+    assert(e.getMessage.contains("HOT"))
+    vecs.unpersist()
+  }
+
   smokeTest("token-budget window survives 100k docs in ONE source partition") {
     // the operator's declared worst case: budgets are sequential per
     // source, so a single dominant source serializes its whole window

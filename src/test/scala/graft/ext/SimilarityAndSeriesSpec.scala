@@ -115,6 +115,15 @@ class SimilarityAndSeriesSpec extends SparkSpec {
     assert(out((2L, 1)) == ((1L, 0.9939)) && out((2L, 2)) == ((3L, 0.1104)))
     assert(out((3L, 1)) == ((2L, 0.1104)) && out((3L, 2)) == ((1L, 0.0)))
     assert(!out.keySet.exists(_._1 == 4L), "singleton block has no neighbors")
+    // hot-block guard: THROWS before the quadratic self-join
+    val e = intercept[IllegalStateException] {
+      Similarity.knnGraph(vecs, "vec_id", "embedding", "label", k = 2,
+        maxBlock = 2).collect()
+    }
+    assert(e.getMessage.contains("maxBlock"))
+    // at the bound it still runs (X holds exactly 3)
+    assert(Similarity.knnGraph(vecs, "vec_id", "embedding", "label", k = 2,
+      maxBlock = 3).count() == 6L)
   }
 
   test("mineTriplets: positive = rank 1, negative = first margined rank ≥ negFromRank") {
