@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the link-centrality
+  * primitive a crawl/curation pipeline runs to weight domains and
+  * documents (Common-Crawl-style domain ranking for crawl
+  * prioritization; dataset-cartography centrality over a knn graph).
+  * Spark has no DataFrame-native implementation; this is the standard
+  * power iteration (Page et al. 1999, damping 0.85) in the canonical
+  * distributed shape: per iteration, contributions = one equality
+  * join of ranks onto the out-edge list + one hash-shuffle sum by
+  * destination — the Pregel/GraphX pattern, linear in |edges| per
+  * round with a FIXED round count (unlike BPE's data-dependent merge
+  * loop, power iteration is genuinely iterative and ~10 rounds is the
+  * published operating point).
+  *
+  * EXACT INTEGER ARITHMETIC throughout, so the result is bit-stable
+  * across engines, partitionings and summation orders: ranks live in
+  * integer micro-units of `scale` (default 10¹²), each node's
+  * per-edge contribution is `rank div out_degree` (floor), and the
+  * damped update is `(15·(scale div n)) div 100 + (85·Σcontrib) div
+  * 100` — floor divisions both engines define identically on
+  * non-negatives. A float implementation would diverge in the last
+  * ulp per summation order and could never hash-match an oracle.
+  * Floor truncation leaks ≤1 unit per division, so total mass drifts
+  * a few parts in 10⁹ below `scale` per iteration — determinism, not
+  * conservation, is the contract (rank ORDER is what consumers use).
+  * Dangling nodes (no out-edges) keep their teleport share and
+  * redistribute nothing — the standard simplification; add a sink
+  * node upstream if dangling mass matters.
+  *
+  * Scale shape: the adjacency (src, dst, out_degree) is materialized
+  * ONCE and re-read every iteration; each iteration is one join +
+  * one groupBy-sum over |edges|, with `localCheckpoint` truncating
+  * lineage (a cluster deployment checkpoints to reliable storage
+  * every few iterations instead). `n` is one bounded count — the
+  * teleport term needs the node total. 85·rank ≤ 85·scale stays well
+  * under 2⁶³; the SQL replay's BIGINT bound is the same.
+  */
+object PageRank {
+
+  /** @param edges directed edge list; duplicate (src, dst) rows count
+    *              as parallel edges (each carries a contribution)
+    * @return one row per node appearing as src or dst:
+    *         (node, rank) with rank in micro-units of `scale` */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale >= 1000000L, "scale too small for meaningful floors")
+    val src = edges.select(col(srcCol).cast("long").as("node"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = src.select(col("node"))
+      .union(src.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val deg = src.groupBy("node").agg(count(lit(1)).as("deg"))
+    // materialized once; every iteration joins against it
+    val adj = src.join(deg, "node").localCheckpoint()
+    val teleport = (15L * (scale / n)) / 100L
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      // `div`, not `/`: integral division on longs — a double quotient
+      // cast back can cross an integer boundary after IEEE rounding
+      val contribs = adj.join(ranks, "node")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("__in"))
+      ranks = nodes.join(contribs, Seq("node"), "left_outer")
+        .withColumn("__in", coalesce(col("__in"), lit(0L)))
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * __in) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

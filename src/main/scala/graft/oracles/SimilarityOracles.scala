@@ -58,6 +58,42 @@ private[graft] object SimilarityOracles {
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
 
+    // Mirrors operators.PageRank over the k=3 knn graph: 10 unrolled
+    // power-iteration stages in exact integer micro-units (rank //
+    // deg contributions, (15·(scale//n))//100 teleport,
+    // (85·Σ)//100 damping — floor divisions both engines define
+    // identically on non-negatives).
+    "graph_pagerank" -> {
+      val knn =
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |scored AS (
+          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+          |         round(list_dot_product(a.v, b.v) /
+          |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+          |g AS (SELECT vec_id, neighbor_id FROM (
+          |  SELECT vec_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 3),
+          |nodes AS (SELECT vec_id AS node FROM g UNION SELECT neighbor_id FROM g),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |deg AS (SELECT vec_id AS node, count(*) AS deg FROM g GROUP BY 1),
+          |adj AS (SELECT d.node, g.neighbor_id AS dst, d.deg
+          |        FROM g JOIN deg d ON g.vec_id = d.node),
+          |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes)""".stripMargin
+      val stages = (1 to 10).map { i =>
+        s"""c$i AS (SELECT a.dst AS node, sum(r.rank // a.deg) AS i
+           |  FROM adj a JOIN r${i - 1} r ON a.node = r.node GROUP BY 1),
+           |r$i AS (SELECT nd.node,
+           |    (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+           |      + (85 * coalesce(c.i, 0)) // 100 AS rank
+           |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""$knn,
+         |$stages
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r10""".stripMargin
+    },
+
     // Mirrors Similarity.mineTriplets over the k=5 knn graph:
     // positive = rank 1, negative = lowest-rank neighbor at rank ≥ 3
     // with cosine ≤ pos_cosine − 0.05 (margin applied in the shared

@@ -41,6 +41,17 @@ trait SimilarityQueries extends QueriesBase {
     Similarity.mineTriplets(Tables.embeddings(s, dir), "vec_id",
       "embedding", "label", k = 5, negFromRank = 3, margin = 0.05)
 
+  /** Integer PageRank (10 power iterations, damping 0.85) over the
+    * directed k=3 knn graph — dataset-cartography centrality / the
+    * crawl-pipeline domain-weighting primitive; exact micro-unit
+    * arithmetic so every engine agrees bit-for-bit
+    * ([[graft.operators.PageRank]]). */
+  val graphPagerank: Q = (s, dir) =>
+    graft.operators.PageRank.run(
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", k = 3).select("vec_id", "neighbor_id"),
+      "vec_id", "neighbor_id", iterations = 10)
+
   /** KMeans-IVF ANN: train coarse centroids, probe the 2 nearest of 8
     * clusters per query, recall-CHECKED against brute-force top-k in
     * the same plan: mean recall over the query wave must clear the
@@ -146,6 +157,7 @@ trait SimilarityQueries extends QueriesBase {
     "similarity_ivf" -> similarityIvf,
     "similarity_knn_graph" -> similarityKnnGraph,
     "mine_triplets" -> mineTriplets,
+    "graph_pagerank" -> graphPagerank,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_lsh" -> similarityLsh,
