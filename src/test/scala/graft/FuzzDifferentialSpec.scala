@@ -37,7 +37,11 @@ class FuzzDifferentialSpec extends SparkSpec {
     // LM's OOV path and the datacard's ratio arithmetic all meet
     // dup-heavy unicode corpora the fixtures never saw
     "dedup_substring", "dedup_substring_apply", "quality_lm_indexed",
-    "report_corpus", "decontam_spans", "decontam_spans_clean")
+    "report_corpus", "decontam_spans", "decontam_spans_clean",
+    // closing-stretch additions: the temperature mixture's sqrt/
+    // largest-remainder walk on skewed 2-3-lang corpora, and the
+    // fertility roll-up's unicode words through the BPE replay
+    "sample_temperature", "report_bpe_fertility")
   // TPC-H-shaped subset: generated with consistent foreign keys, a
   // hot customer (30% of orders) and a hot order (20% of lineitem) so
   // the salted operators meet real skew, and two years of dates so
