@@ -181,4 +181,86 @@ object LakeIO {
       .parquet(outRoot)
     (filesBefore, parquetCensus(spark, outRoot)._1)
   }
+
+  /** Leaf partition directories under `root` (dirs directly holding
+    * ≥1 data file), with their data-file counts. */
+  def partitionCensus(spark: SparkSession,
+      root: String): Seq[(String, Long)] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(dir)
+      val n = entries.count(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet"))
+      if (n > 0) out += ((dir.toString, n.toLong))
+      entries.filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("."))
+        .foreach(e => walk(e.getPath))
+    }
+    walk(rootPath)
+    out.toSeq
+  }
+
+  /** SELECTIVE in-place compaction: rewrite ONLY partitions holding
+    * more than `minFiles` data files — the incremental form of
+    * [[compactParquet]] a large lake actually schedules (rewriting
+    * 100 TB to fix last week's fragmented partitions is absurd; the
+    * maintenance job touches the hot tail only). Fragmented leaves
+    * are read with `basePath` (partition columns preserved), written
+    * compacted to a dot-prefixed temp dir under `root` (invisible to
+    * readers — Spark skips dot-dirs), then SWAPPED in via one
+    * FS rename per partition (atomic per partition on HDFS/POSIX;
+    * the old leaf is renamed aside first and deleted after, so a
+    * crash mid-swap strands at most a `.compact_old` leaf to sweep,
+    * never a half-written visible partition). Untouched partitions
+    * keep their exact files. Global atomicity across partitions is a
+    * table format's job (Iceberg/Delta `rewrite_data_files` = this +
+    * a catalog transaction) — caveat stated, like [[compactParquet]].
+    *
+    * Returns (partitions_compacted, files_before, files_after) over
+    * the whole root. */
+  def compactFragmented(spark: SparkSession, root: String,
+      targetBytes: Long, minFiles: Int,
+      partitionCols: Seq[String] = PartitionCols): (Long, Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(minFiles >= 1, "minFiles must be >= 1")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaves = partitionCensus(spark, root)
+    val filesBefore = leaves.map(_._2).sum
+    val frag = leaves.filter(_._2 > minFiles)
+    if (frag.isEmpty) return (0L, filesBefore, filesBefore)
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, ".compact_tmp")
+    fs.delete(tmp, true)
+    val df = spark.read.option("basePath", root)
+      .parquet(frag.map(_._1): _*)
+    val rows = df.count()
+    val fragBytes = frag.map { case (dir, _) =>
+      parquetCensus(spark, dir)._2 }.sum
+    val avgRow = math.max(1L, fragBytes / math.max(rows, 1L))
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", math.max(1L, targetBytes / avgRow))
+      .partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    val qRoot = fs.makeQualified(rootPath).toString
+    frag.foreach { case (dir, _) =>
+      val leaf = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      val rel = leaf.toString.stripPrefix(qRoot).stripPrefix("/")
+      require(rel.nonEmpty && rel != leaf.toString,
+        s"partition $leaf is not under $qRoot")
+      val tmpLeaf = new org.apache.hadoop.fs.Path(tmp, rel)
+      require(fs.exists(tmpLeaf),
+        s"compacted output missing for partition $rel — aborting swap")
+      val aside = new org.apache.hadoop.fs.Path(
+        leaf.getParent, s".compact_old_${leaf.getName}")
+      fs.delete(aside, true)
+      require(fs.rename(leaf, aside), s"could not move aside $leaf")
+      require(fs.rename(tmpLeaf, leaf), s"could not swap in $tmpLeaf")
+      fs.delete(aside, true)
+    }
+    fs.delete(tmp, true)
+    (frag.size.toLong, filesBefore, partitionCensus(spark, root).map(_._2).sum)
+  }
 }

@@ -123,6 +123,48 @@ class PipelineSpec extends SparkSpec {
     assert(split > 6L, s"tiny target must split: $split files")
   }
 
+  test("compactFragmented: only fragmented partitions rewrite, in place, data identical") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-selcompact").toString
+    // two fragmented partitions (25 writers) + one already-compact
+    val frag = (0 until 2000)
+      .map(i => (s"IND${i % 2}", 2024, 1, i.toLong, s"v$i"))
+      .toDF("indicator", "observation_year", "observation_month", "seq", "payload")
+    frag.repartition(25).write.mode("append")
+      .partitionBy("indicator", "observation_year", "observation_month")
+      .parquet(root)
+    val tidy = (10000 until 10100)
+      .map(i => ("IND9", 2024, 1, i.toLong, s"v$i"))
+      .toDF("indicator", "observation_year", "observation_month", "seq", "payload")
+    tidy.coalesce(1).write.mode("append")
+      .partitionBy("indicator", "observation_year", "observation_month")
+      .parquet(root)
+    val before = spark.read.parquet(root).select("seq", "payload")
+      .collect().map(_.toSeq).toSet
+    val tidyDir = graft.fred.io.LakeIO.partitionCensus(spark, root)
+      .find(_._1.contains("IND9")).get
+    assert(tidyDir._2 == 1L, "tidy partition starts at one file")
+    val tidyFiles = new java.io.File(new java.net.URI(tidyDir._1).getPath)
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val (nPart, b, a) = graft.fred.io.LakeIO.compactFragmented(
+      spark, root, targetBytes = 64L * 1024 * 1024, minFiles = 5)
+    assert(nPart == 2L, s"exactly the two fragmented partitions: $nPart")
+    assert(b > 50L && a == 3L, s"50+ files must collapse to 3, got $b -> $a")
+    // the tidy partition kept its EXACT file (proves it was never touched)
+    val tidyAfter = new java.io.File(new java.net.URI(tidyDir._1).getPath)
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(tidyAfter == tidyFiles, "untouched partition must keep its files")
+    val after = spark.read.parquet(root).select("seq", "payload")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "in-place compaction must not change the data")
+    // no temp/aside residue; idempotent second run is a no-op
+    assert(graft.fred.io.LakeIO.partitionCensus(spark, root).forall(
+      p => !p._1.contains(".compact")))
+    val (n2, b2, a2) = graft.fred.io.LakeIO.compactFragmented(
+      spark, root, targetBytes = 64L * 1024 * 1024, minFiles = 5)
+    assert(n2 == 0L && b2 == 3L && a2 == 3L, s"second run no-op: $n2 $b2 $a2")
+  }
+
   test("first-ever aggregate run: missing silver root yields empty gold, no throw") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-firstrun").toString
     val pipe = new Pipeline(spark, new FredSource.Fixture(Map.empty), tmp)
