@@ -1,0 +1,160 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorMath.{cosineF, dotF}
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the ANN tier the 100 TB
+  * memory budget actually forces: the vector column is split into `m`
+  * subvectors, each quantized against its own `k`-codeword codebook,
+  * so a float32 vector compresses to `m` small codes (m=4, k=16 ⇒
+  * 64 dims × 4 B → 4 codes: 64× smaller, and the scan/shuffle frame
+  * carries CODES, never floats). Search is asymmetric distance
+  * computation (ADC): per query, ONE m×k table of subspace dot
+  * products against the codebooks; each corpus row then costs m table
+  * lookups + adds instead of a d-dim dot product.
+  *
+  * Cosine via normalization: codebooks train on UNIT vectors and
+  * queries normalize before the table build, so the summed subspace
+  * dots approximate the full cosine (PQ-IP on normalized vectors —
+  * the standard MIPS-to-cosine reduction). Zero-norm vectors are
+  * dropped at [[train]]/[[encode]] (they have no direction to search).
+  *
+  * Approximation posture mirrors [[Ivf]]: ADC ranks CANDIDATES
+  * (k·`candidateFactor` per query), exact float cosine re-ranks the
+  * survivors — the [[Similarity.topKQuantizedRerank]] two-phase — and
+  * the catalog query asserts a recall floor vs brute force in the
+  * same plan rather than pretending quantized rank is exact. KMeans
+  * codebooks are engine-specific (seeded, like [[Ivf.build]]), so the
+  * oracle checks the recall contract, not the code values.
+  *
+  * Scale shape: training fits m seeded KMeans models on a bounded
+  * sample ([[Ivf.build]]'s discipline); encode is ONE codegen'd
+  * per-row pass (literal codebooks — m·k·(d/m) = m·k subvector
+  * literals, a CODEBOOK not a corpus, bounded like Ivf's
+  * `literalMaxClusters` with the same broadcast-frame fallback at
+  * production k); the ADC join broadcasts the (bounded) query wave
+  * with precomputed tables against the codes-only corpus frame — the
+  * corpus never shuffles, and the only float vectors in flight are
+  * the ≤ queries·k·factor rerank candidates. */
+object Pq {
+
+  /** codebooks(s)(j) = codeword j of subspace s (length d/m each). */
+  case class Model(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+  }
+
+  private def normalized(vecCol: Column): Column = {
+    val n = sqrt(aggregate(vecCol, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(vecCol, x => (x.cast("double") / n).cast("float"))
+  }
+
+  /** Fit m per-subspace codebooks on a (sampled) unit-normalized
+    * corpus slice. `dim` must divide evenly into `m` subspaces. */
+  def train(corpus: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
+      seed: Long = 42L, fitSampleFraction: Double = 0.1,
+      minFitRows: Long = 10000L): Model = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(k >= 2, "k must be >= 2")
+    val subDim = dim / m
+    val unit = corpus
+      .filter(aggregate(col(vecCol), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0.0)
+      .select(normalized(col(vecCol)).as("__v"))
+    val trainSet = {
+      if (fitSampleFraction < 1.0) {
+        val floor = math.min(minFitRows, Int.MaxValue.toLong).toInt
+        val sampled = unit.sample(fitSampleFraction, seed)
+        if (sampled.limit(floor).count() >= floor) sampled else unit
+      } else unit
+    }.localCheckpoint() // m fits read it; never recompute per subspace
+    val books = (0 until m).map { s =>
+      val sub = trainSet.select(array_to_vector(
+        slice(col("__v"), s * subDim + 1, subDim)).as("__fv"))
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+        .setFeaturesCol("__fv").setPredictionCol("__c")
+        .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+    Model(books.toArray)
+  }
+
+  /** Code assignment as ONE codegen'd per-row pass: per subspace,
+    * argmin L2 to the literal codebook with the (dist asc, code asc)
+    * tiebreak — self-consistent with [[searchTopK]]'s tables, no ml
+    * transform chain. Output: (idCol, codes array<int> length m). */
+  def encode(model: Model, df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val subDim = model.subDim
+    val unit = normalized(col(vecCol))
+    val codes = (0 until model.m).map { s =>
+      val subv = slice(unit, s * subDim + 1, subDim)
+      // scores(j) = ||sub - c_j||² expanded: monotone in -2·dot + ||c||²
+      // (||sub||² is constant per row); argmin via array_position on
+      // the lexicographic min of (score, index)
+      val scored = (0 until model.k).map { j =>
+        val c = model.codebooks(s)(j)
+        val dot = dotF(subv, typedLit(c.toSeq))
+        val norm2 = c.map(x => x.toDouble * x.toDouble).sum
+        struct((lit(norm2) - lit(2.0d) * dot).as("d"), lit(j).as("j"))
+      }
+      array_min(array(scored: _*)).getField("j")
+    }
+    df.filter(aggregate(col(vecCol), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0.0)
+      .select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** ADC top-k with exact rerank: queries build their m×k dot tables
+    * ONCE (per-query columns over the literal codebooks), the
+    * codes-only corpus is scored by m lookups per pair, the top
+    * k·candidateFactor per query re-rank under exact float cosine
+    * (4-dp rounded, id tiebreak — the [[Similarity.topK]] contract). */
+  def searchTopK(model: Model, encoded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      candidateFactor: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && candidateFactor >= 1, "k and candidateFactor must be ≥ 1")
+    val subDim = model.subDim
+    val qUnit = normalized(col(vecCol))
+    val tables = (0 until model.m).map { s =>
+      val subq = slice(qUnit, s * subDim + 1, subDim)
+      array((0 until model.k).map(j =>
+        dotF(subq, typedLit(model.codebooks(s)(j).toSeq))): _*)
+        .as(s"__t$s")
+    }
+    val q = queries.select(
+      (col(idCol).as("query_id") +: tables): _*)
+    val adc = (0 until model.m)
+      .map(s => element_at(col(s"__t$s"),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val joinCond =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val cand = encoded.withColumnRenamed(idCol, "neighbor_id")
+      .join(broadcast(q), joinCond)
+      .select(col("query_id"), col("neighbor_id"), adc.as("__adc"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id").asc)
+    val survivors = cand.withColumn("__r", row_number().over(wCand))
+      .filter(col("__r") <= k * candidateFactor)
+      .select("query_id", "neighbor_id")
+    // exact rerank: floats join in AFTER candidate selection only
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val exact = survivors.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (round(cosineF(col("__qv"), col("__cv")) * lit(10000.0)) / 1e4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -23,6 +23,13 @@ private[graft] object SimilarityOracles {
     // similarity_ivf_kmeans emits (n_queries, recall_ok): mean recall
     // vs brute force checked Spark-side (KMeans assignment is
     // engine-specific), TRUE asserted here.
+    // similarity_pq emits the same contract shape as ivf_kmeans:
+    // recall vs brute force is checked Spark-side (KMeans codebooks
+    // are engine-specific), TRUE asserted here.
+    "similarity_pq" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
     "similarity_ivf_kmeans" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,

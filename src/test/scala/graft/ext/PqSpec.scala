@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("encode: m codes per vector, every code inside its codebook") {
+    val model = Pq.train(e, "embedding", dim = 64, m = 4, k = 8)
+    assert(model.m == 4 && model.k == 8 && model.subDim == 16)
+    val enc = Pq.encode(model, e, "vec_id", "embedding")
+      .select("codes").as[Seq[Int]].collect()
+    assert(enc.nonEmpty)
+    assert(enc.forall(c => c.length == 4 && c.forall(j => j >= 0 && j < 8)))
+  }
+
+  test("full-coverage candidates ≡ exact brute-force topK") {
+    // candidateFactor covering the corpus ⇒ the exact rerank sees
+    // every vector ⇒ output must equal Similarity.topK row for row
+    // (the topKQuantizedRerank identity argument)
+    val model = Pq.train(e, "embedding", dim = 64, m = 4, k = 8)
+    val enc = Pq.encode(model, e, "vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val full = rows(Pq.searchTopK(model, enc, e, q, "vec_id", "embedding",
+      k = 5, candidateFactor = 200))
+    val brute = rows(Similarity.topK(e, q, "vec_id", "embedding", k = 5))
+    assert(full == brute)
+  }
+
+  test("zero-norm vectors drop from encode; dim must split into m") {
+    val mixed = ((1L, Array.fill(8)(1.0f)) +: (2L, Array.fill(8)(0.0f)) +:
+      (3L to 12L).map(i => (i, Array.tabulate(8)(d =>
+        math.sin(i * 2.7 + d).toFloat)))).toDF("vec_id", "embedding")
+    val model = Pq.train(mixed, "embedding", dim = 8, m = 2, k = 2,
+      fitSampleFraction = 1.0)
+    val enc = Pq.encode(model, mixed, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(enc == ((1L to 12L).toSet - 2L),
+      "the zero vector has no direction to code")
+    intercept[IllegalArgumentException] {
+      Pq.train(mixed, "embedding", dim = 8, m = 3, k = 2)
+    }
+  }
+
+  test("unit normalization makes scale-invariant codes") {
+    // v and 10·v point the same way ⇒ identical codes
+    val pair = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(10.0f, 20.0f, 30.0f, 40.0f)),
+      (3L, Array(-4.0f, 3.0f, -2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val model = Pq.train(pair, "embedding", dim = 4, m = 2, k = 2,
+      fitSampleFraction = 1.0)
+    val codes = Pq.encode(model, pair, "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(1L) == codes(2L), s"scale must not change codes: $codes")
+  }
+}
