@@ -401,6 +401,59 @@ object Dedup {
       .select("id_a", "id_b", "n_shared", "containment")
   }
 
+  // ------------------------------------- content-defined chunking (CDC)
+
+  /** CDC chunk-dedup report — the rsync/LBFS dedup modality: chunk
+    * boundaries come from a ROLLING-HASH rule over local content
+    * ([[graft.functions.CdcChunkStarts]]), so identical passages
+    * re-align to identical chunks no matter how far an edit shifted
+    * them — a prefix insertion moves every fixed-offset window but
+    * not one CDC boundary after the edit point. Complements the
+    * 5-gram span pass ([[markDuplicateSpans]]): spans need exact
+    * token windows, CDC needs only local hash agreement, and its
+    * chunk-hash table IS the storage-dedup manifest (what a lake
+    * stores once per distinct chunk).
+    *
+    * Per doc: total chunks, chunks whose hash occurs in >1 document,
+    * and the character mass those shared chunks cover — the audit
+    * report form ([[Sampling.tokenBudgetSample]]'s convention).
+    *
+    * Scale shape: boundary detection is one codegen'd O(n) pass per
+    * row; the occurrence frame (one row per chunk) is materialized
+    * ONCE for its two consumers; chunk-hash counting is a map-side-
+    * combined agg; the join back is hash-equality over the bounded
+    * per-hash frame. Everything is occurrence-linear — no pair
+    * enumeration anywhere (a 200-deep duplicate group costs 200
+    * chunk rows, not C(200,2) pairs). */
+  def cdcChunkReport(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64): DataFrame = {
+    val occ = df
+      .select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__starts",
+        graft.functions.CdcChunking.cdcChunkStarts(col("__t"), k, divisor))
+      .withColumn("__bounds",
+        concat(col("__starts"), array(length(col("__t")))))
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(__starts)), j -> struct(
+          |  j - 1 AS chunk_idx,
+          |  md5(substring(__t, element_at(__starts, j) + 1,
+          |      element_at(__bounds, j + 1) - element_at(__starts, j)))
+          |    AS chunk_hash,
+          |  element_at(__bounds, j + 1) - element_at(__starts, j)
+          |    AS chunk_len))""".stripMargin)).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_hash"),
+        col("__c.chunk_len"))
+      .localCheckpoint() // two consumers: the hash census + the join back
+    val hashDocs = occ.groupBy("chunk_hash")
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+    occ.join(hashDocs, "chunk_hash")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(when(col("__ndocs") > 1, col("chunk_len")).otherwise(0L))
+          .as("shared_chars"))
+  }
+
   // ------------------------------------------------- span-level dedup
 
   /** Cross-document SPAN dedup — the C4/RefinedWeb hygiene step that

@@ -252,6 +252,43 @@ private[graft] object DedupOracles {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
+    // Mirrors Dedup.cdcChunkReport (k=8, divisor=64): the winnowing
+    // polynomial gram hash in HUGEINT, boundary at char i+7 (0-based)
+    // when gram i's hash ≡ 0 mod 64, chunk-md5 census per doc.
+    "dedup_cdc" -> {
+      val base = graft.functions.PortableHash.GramBase
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(text) = 0 THEN [0::BIGINT]
+         |    ELSE [list_reduce([unicode(substr(text, j, 1))::HUGEINT
+         |            for j in generate_series(i, least(i + 7, length(text)))],
+         |           (acc, c) -> (acc * $base + c) % $pSql)::BIGINT
+         |          for i in generate_series(1, greatest(length(text) - 7, 1))]
+         |    END AS grams
+         |  FROM documents),
+         |s AS (SELECT doc_id, text,
+         |        [0] || [i + 7 for i in generate_series(1, len(grams))
+         |                if grams[i] % 64 = 0 and i + 7 < length(text)] AS starts
+         |      FROM g),
+         |bnd AS (SELECT doc_id, text, starts,
+         |          starts || [length(text)] AS bounds FROM s),
+         |x AS (SELECT doc_id, text, starts, bounds,
+         |        unnest(generate_series(1, len(starts))) AS j FROM bnd),
+         |occ AS (SELECT doc_id,
+         |          md5(substr(text, starts[j] + 1, bounds[j + 1] - starts[j]))
+         |            AS chunk_hash,
+         |          CAST(bounds[j + 1] - starts[j] AS BIGINT) AS chunk_len
+         |        FROM x),
+         |hd AS (SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+         |       FROM occ GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_shared_chunks,
+         |       CAST(sum(CASE WHEN nd > 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+         |         AS shared_chars
+         |FROM occ JOIN hd USING (chunk_hash) GROUP BY 1""".stripMargin
+    },
+
     // Mirrors winnowingContainmentPairs (k=16, w=8): polynomial
     // fingerprint sets, the maxDocFreq=50 hot-fingerprint cap,
     // containment over retained counts.

@@ -39,6 +39,14 @@ trait DedupQueries extends QueriesBase {
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
+  /** Content-defined-chunking dedup report (rsync/LBFS boundaries):
+    * rolling-hash chunk starts, per-doc shared-chunk census — the
+    * shift-robust chunk modality; hash-checked (the boundary rule is
+    * the winnowing polynomial replayed in HUGEINT). */
+  val dedupCdc: Q = (s, dir) =>
+    Dedup.cdcChunkReport(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, divisor = 64)
+
   /** Winnowing containment dedup — hash-checked: the rolling
     * polynomial gram hash is replayed by the oracle in HUGEINT
     * arithmetic over `unicode(substr(...))`. */
@@ -285,6 +293,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_minhash_clusters" -> dedupMinhashClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_winnowing" -> dedupWinnowing,
+    "dedup_cdc" -> dedupCdc,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_apply" -> dedupSubstringApply,
     "dedup_embedding" -> dedupEmbedding,

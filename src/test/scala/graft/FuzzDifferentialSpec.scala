@@ -41,7 +41,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     // closing-stretch additions: the temperature mixture's sqrt/
     // largest-remainder walk on skewed 2-3-lang corpora, and the
     // fertility roll-up's unicode words through the BPE replay
-    "sample_temperature", "report_bpe_fertility")
+    "sample_temperature", "report_bpe_fertility", "dedup_cdc")
   // TPC-H-shaped subset: generated with consistent foreign keys, a
   // hot customer (30% of orders) and a hot order (20% of lineitem) so
   // the salted operators meet real skew, and two years of dates so
