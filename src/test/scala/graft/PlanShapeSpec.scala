@@ -415,4 +415,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
       s"shared segment frame must be materialized once:\n$plan")
   }
+
+  test("sample_temperature: quotas broadcast back, no cartesian, one rank window") {
+    val plan = executed(Queries.all("sample_temperature")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the driver-computed quota frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"exactly one per-stratum rank window:\n$plan")
+  }
+
+  test("mine_triplets: knn frame materialized once; pair work stays equality-joined") {
+    val plan = executed(Queries.all("mine_triplets")(spark, sf))
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the knn graph must be materialized once for both consumers:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the block-equality join:\n$plan")
+  }
+
+  test("dedup_cdc: occurrence-linear — no pair join, map-side partial census") {
+    val plan = executed(Queries.all("dedup_cdc")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"the distinct-doc census must not Expand:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the chunk occurrence frame must be materialized once:\n$plan")
+  }
+
+  test("graph_pagerank: every iteration joins on equality, never nested-loop") {
+    val plan = executed(Queries.all("graph_pagerank")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian:\n$plan")
+  }
 }

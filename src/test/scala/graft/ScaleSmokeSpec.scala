@@ -594,6 +594,21 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"boilerplate blew up on the hot gram: $secs s")
   }
 
+  smokeTest("CDC chunk dedup is occurrence-linear at 100k docs with 200-deep repeats") {
+    // 200 near-copies share most CDC chunks: the census counts
+    // occurrences (200 rows per shared chunk), never pairs (C(200,2))
+    val t0 = System.nanoTime()
+    val out = Dedup.cdcChunkReport(corpus, "doc_id", "text")
+    val n = out.count()
+    val shared = out.filter(col("n_shared_chunks") > 0).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"CDC census over $corpusSize docs: $shared/$n docs share chunks in ${secs.round} s")
+    assert(n == corpusSize)
+    assert(shared > corpusSize / 2,
+      "the 200-copy groups must show shared chunk mass")
+    assert(secs < 120, s"CDC census blew up: $secs s")
+  }
+
   smokeTest("temperature mixture at 100k docs with a 90%-hot stratum") {
     // the declared worst case: the fractional-quota pick is one rank
     // window per stratum, so a dominant stratum serializes its rank;
