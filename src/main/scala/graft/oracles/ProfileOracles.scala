@@ -161,6 +161,22 @@ private[graft] object ProfileOracles {
 
     // Mirrors Profile.zscore: same power sums as agg_stats_moments,
     // every IEEE step from integer sums to z mirrored in order.
+    "scalar_robust_z" ->
+      """WITH m AS (SELECT event_id, event_type, value,
+        |             CAST(round(value * 1e6) AS BIGINT) AS micro FROM events),
+        |med AS (SELECT event_type, quantile_cont(micro, 0.5) AS med
+        |        FROM m GROUP BY 1),
+        |d AS (SELECT event_id, event_type, value,
+        |        abs(2 * micro - 2 * med) AS dev2
+        |      FROM m JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+        |        FROM d GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       dev2 / 2 / 1e6 AS deviation,
+        |       mad2 / 2 / 1e6 AS mad,
+        |       dev2 > 3 * mad2 AS is_outlier
+        |FROM d JOIN mad USING (event_type)""".stripMargin,
+
     "scalar_zscore" ->
       """WITH st AS (
         |  SELECT event_type, count(*) AS n,

@@ -129,6 +129,35 @@ trait ProfileQueries extends QueriesBase {
         max("pack_tokens").as("max_pack_tokens"))
   }
 
+  /** MAD-based robust outlier flags per series — the data-quality
+    * screen a mean/σ z-score cannot be (one fat-finger spike inflates
+    * σ enough to hide itself; the median/MAD pair has a 50% breakdown
+    * point — Hampel's rule). Everything stays EXACT: values micro-
+    * scale to BIGINT, both medians are exact interpolated percentiles
+    * whose interpolation fractions are dyadic (.0/.5 → binary-exact
+    * doubles), deviations are carried DOUBLED so the half-grain stays
+    * integral, and the 3·MAD comparison happens on those exact
+    * dyadics — bit-identical in the oracle. MAD = 0 (a constant-
+    * majority series) flags every nonzero deviation, the standard
+    * degenerate-MAD posture. Two exact-percentile aggs + two
+    * broadcast-sized joins back; at 100 TB swap `percentile` for
+    * `approx_percentile` per the [[aggQuantilesApprox]] trade. */
+  val scalarRobustZ: Q = (s, dir) => {
+    val df = Tables.events(s, dir).select("event_id", "event_type", "value")
+      .withColumn("__micro", round(col("value") * 1e6).cast("long"))
+    val med = df.groupBy("event_type")
+      .agg(percentile(col("__micro"), lit(0.5)).as("__med"))
+    val dev = df.join(broadcast(med), "event_type")
+      .withColumn("__dev2", abs(lit(2) * col("__micro") - lit(2) * col("__med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("__dev2"), lit(0.5)).as("__mad2"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("__dev2") / 2 / 1e6).as("deviation"),
+        (col("__mad2") / 2 / 1e6).as("mad"),
+        (col("__dev2") > lit(3) * col("__mad2")).as("is_outlier"))
+  }
+
   /** Per-group z-score standardization over the exact power sums —
     * the feature-normalization per-row companion of agg_stats_moments. */
   val scalarZscore: Q = (s, dir) =>
@@ -231,6 +260,7 @@ trait ProfileQueries extends QueriesBase {
     "agg_linfit" -> aggLinfit,
     "scalar_winsorize" -> scalarWinsorize,
     "scalar_zscore" -> scalarZscore,
+    "scalar_robust_z" -> scalarRobustZ,
     "scalar_impute" -> scalarImpute,
     "sample_stratified" -> sampleStratified,
     "sample_hash" -> sampleHash,

@@ -49,7 +49,8 @@ class FuzzDifferentialSpec extends SparkSpec {
   private val tpchQueries = Seq(
     "join_star_revenue", "join_semi", "join_left_outer", "join_full_outer",
     "topk_orders", "set_except", "set_intersect", "agg_rollup", "agg_cube",
-    "agg_mode", "agg_quantiles", "agg_salted", "join_salted", "window_yoy")
+    "agg_mode", "agg_quantiles", "agg_salted", "join_salted", "window_yoy",
+    "window_seasonal")
 
   // the daily-series windows key on observation_day (the reference's
   // FRED within-one-month series shape), so the fuzz time axis stays
@@ -60,7 +61,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     "window_moving_avg", "window_rank_share", "window_cume",
     "window_session", "series_asof", "series_asof_tolerance",
     "events_transitions", "events_retention", "events_retention_weekly",
-    "events_funnel", "pivot_daily", "unpivot_daily", "agg_histogram")
+    "events_funnel", "pivot_daily", "unpivot_daily", "agg_histogram",
+    "scalar_robust_z")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

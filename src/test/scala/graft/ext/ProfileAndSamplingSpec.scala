@@ -170,6 +170,35 @@ class ProfileAndSamplingSpec extends SparkSpec {
     }
   }
 
+  test("robust-z flags: MAD catches the spike a z-score would dilute") {
+    // values 1..4 + a 100 spike: median 3, |dev| = [2,1,0,1,97],
+    // MAD = 1 → only the spike exceeds 3·MAD; a constant group's
+    // MAD = 0 flags any nonzero deviation (degenerate posture)
+    val ev = (Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "a", 100.0)) ++
+      Seq((6L, "c", 5.0), (7L, "c", 5.0), (8L, "c", 5.0), (9L, "c", 7.0)))
+      .toDF("event_id", "event_type", "value")
+    import org.apache.spark.sql.functions._
+    val df = ev.withColumn("__micro", round(col("value") * 1e6).cast("long"))
+    val med = df.groupBy("event_type")
+      .agg(percentile(col("__micro"), lit(0.5)).as("__med"))
+    val dev = df.join(med, "event_type")
+      .withColumn("__dev2", abs(lit(2) * col("__micro") - lit(2) * col("__med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("__dev2"), lit(0.5)).as("__mad2"))
+    val r = dev.join(mad, "event_type")
+      .select(col("event_id"), (col("__dev2") / 2 / 1e6).as("deviation"),
+        (col("__mad2") / 2 / 1e6).as("mad"),
+        (col("__dev2") > lit(3) * col("__mad2")).as("o"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getBoolean(3))).toMap
+    assert(r(5L) == ((97.0, 1.0, true)), s"spike: ${r(5L)}")
+    (1L to 4L).foreach(i => assert(!r(i)._3, s"inlier $i flagged: ${r(i)}"))
+    // constant-majority group: MAD 0, the 7.0 deviates → flagged
+    assert(r(9L)._2 == 0.0 && r(9L)._3, s"degenerate MAD: ${r(9L)}")
+    assert(!r(6L)._3 && !r(7L)._3 && !r(8L)._3)
+  }
+
   test("zscore: standardized values, null for constant/single-row groups") {
     val df = Seq(("g", 1L, 2.0), ("g", 2L, 4.0), ("g", 3L, 6.0),
       ("c", 4L, 5.0), ("c", 5L, 5.0), ("one", 6L, 9.0))
