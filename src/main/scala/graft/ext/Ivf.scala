@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,34 @@ object Ivf {
     val assigned = model.transform(featured).drop("__fv")
     val centroids = model.clusterCenters
       .map(_.toArray.map(_.toFloat))
+    Index(assigned, centroids)
+  }
+
+  /** Persist a trained index to a lake root: the assignment frame
+    * (cluster is a partition key — the searchable layout) and the
+    * centroid table. The production lifecycle is train-once /
+    * search-many: a 100 TB index is NOT retrained per query wave, it
+    * is written once and every search session [[load]]s it. */
+  def save(index: Index, root: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$root/assigned")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+  }
+
+  /** Load a [[save]]d index. Centroids come back in cluster order;
+    * the assignment frame reads lazily (cluster-partition-pruned at
+    * search time — the point of the partitioned layout). */
+  def load(spark: SparkSession, root: String): Index = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$root/centroids")
+      .select("cluster", "centroid").as[(Int, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val assigned = spark.read.parquet(s"$root/assigned")
+      .select(col("neighbor_id"), col("cv"), col("cluster").cast("int"))
     Index(assigned, centroids)
   }
 

@@ -98,6 +98,29 @@ object Pq {
     Model(books.toArray)
   }
 
+  /** Persist the codebooks (the train-once / search-many lifecycle —
+    * see [[Ivf.save]]); one row per (subspace, code) codeword. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    (for (s <- 0 until model.m; j <- 0 until model.k)
+      yield (s, j, model.codebooks(s)(j).toSeq))
+      .toDF("subspace", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d model; codewords return in (subspace, code)
+    * order, so the rebuilt model encodes and searches identically. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("subspace", "code", "codeword").as[(Int, Int, Seq[Float])]
+      .collect().sortBy(r => (r._1, r._2))
+    val m = rows.map(_._1).max + 1
+    Model((0 until m).map(s =>
+      rows.filter(_._1 == s).map(_._3.toArray)).toArray)
+  }
+
   /** Code assignment as ONE codegen'd per-row pass: per subspace,
     * argmin L2 to the literal codebook with the (dist asc, code asc)
     * tiebreak — self-consistent with [[searchTopK]]'s tables, no ml

@@ -48,6 +48,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("save/load: a reloaded model codes and searches identically") {
+    val model = Pq.train(e, "embedding", dim = 64, m = 4, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/model"
+    Pq.save(spark, model, path)
+    val back = Pq.load(spark, path)
+    assert(back.m == model.m && back.k == model.k)
+    assert(back.codebooks.flatten.map(_.toSeq).toSeq ==
+      model.codebooks.flatten.map(_.toSeq).toSeq)
+    val a = Pq.encode(model, e, "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toSet
+    val b = Pq.encode(back, e, "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(a == b, "reloaded codebooks must encode identically")
+  }
+
+  test("ivf save/load: reloaded index searches identically") {
+    val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ivf.save(index, root)
+    val back = Ivf.load(spark, root)
+    assert(back.centroids.map(_.toSeq).toSeq ==
+      index.centroids.map(_.toSeq).toSeq)
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    def rows(i: Ivf.Index) =
+      Ivf.searchTopK(i, q, "vec_id", "embedding", k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows(back) == rows(index), "reloaded index must search identically")
+  }
+
   test("unit normalization makes scale-invariant codes") {
     // v and 10·v point the same way ⇒ identical codes
     val pair = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
