@@ -386,6 +386,62 @@ private[graft] object CompositeOracles {
     // Mirrors curateCorpusGopher: Gopher keep-gate (exact integer
     // comparisons) → exact dedup (min doc_id per canonical-md5 group)
     // → 5-gram benchmark decontamination → md5-keyed 90/10 split.
+    // Mirrors curateCorpusTemperature: the Gopher battery (the
+    // curate_corpus_gopher CTEs, whole corpus), exact first-occurrence
+    // keep on the whitespace-normalized md5, then the
+    // sample_temperature apportionment over the CURATED per-lang
+    // counts (totalOut=500, salt 'curate').
+    "curate_corpus_temperature" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, lang, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, text,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+        |          AS BIGINT) AS sum_chars,
+        |        CAST(len(list_filter(toks,
+        |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |        CAST(len(list_filter(toks, t -> list_contains(
+        |          ['the','be','to','of','and','that','have','with'], t)))
+        |          AS BIGINT) AS n_stop,
+        |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+        |      FROM g0),
+        |kept AS (
+        |  SELECT doc_id, lang, text FROM s
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+        |    AND 5 * n_alpha >= 4 * n_words
+        |    AND n_stop >= 2
+        |    AND 10 * n_sym <= n_words),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |ded AS (
+        |  SELECT k.doc_id, k.lang FROM kept k
+        |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+        |c AS (SELECT lang, count(*) AS n FROM ded
+        |      WHERE lang IS NOT NULL GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wt
+        |      FROM c),
+        |t AS (SELECT sum(wt) AS tw FROM w),
+        |b AS (SELECT lang, n, (500 * wt) // tw AS base, (500 * wt) % tw AS rem
+        |      FROM w, t),
+        |l AS (SELECT 500 - sum(base) AS leftover FROM b),
+        |q AS (SELECT lang, n,
+        |        base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+        |                      <= leftover THEN 1 ELSE 0 END AS quota
+        |      FROM b, l),
+        |r AS (SELECT d.doc_id, d.lang, q.quota // q.n AS cbase,
+        |        q.quota % q.n AS extra,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY md5(d.doc_id::VARCHAR || 'curate'), d.doc_id) AS rn
+        |      FROM ded d JOIN q USING (lang))
+        |SELECT doc_id, lang,
+        |       CAST(cbase + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT)
+        |         AS n_copies
+        |FROM r""".stripMargin,
+
     "curate_corpus_gopher" ->
       """WITH g0 AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks

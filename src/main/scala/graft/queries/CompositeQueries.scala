@@ -88,6 +88,23 @@ trait CompositeQueries extends QueriesBase {
       .select("doc_id", "n_words", "split")
   }
 
+  /** The multilingual-mix funnel: Gopher quality gate → exact
+    * first-occurrence dedup → TEMPERATURE mixture over the survivors
+    * (α=½ by lang, Σ n_copies = 500 exactly) — the mC4/XLM-R assembly
+    * DAG, with the mixture computed over the CURATED counts (running
+    * it on the raw corpus would weight languages by their spam). */
+  val curateCorpusTemperature: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val kept = docs.filter(TextOps.gopherKeep(col("text")))
+      .select("doc_id", "lang", "text")
+    val keep = Dedup.exactGroups(kept, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(keep, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang")
+    Sampling.temperatureResample(deduped, "doc_id", "lang",
+      totalOut = 500L, salt = "curate")
+  }
+
   /** Context-window chunking of documents: 32-token chunks overlapping
     * by 8 — zero-shuffle per-row explode (see [[ext.Chunking]]). */
   val textChunk: Q = (s, dir) =>
@@ -236,5 +253,6 @@ trait CompositeQueries extends QueriesBase {
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "curate_corpus_gopher" -> curateCorpusGopher,
+    "curate_corpus_temperature" -> curateCorpusTemperature,
     "events_retention_weekly" -> eventsRetentionWeekly)
 }
