@@ -95,6 +95,14 @@ object Pq {
           .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
       }
     }), Duration.Inf)
+    // KMeans may return < k centers on degenerate/low-cardinality
+    // subspaces; downstream indexes 0 until k per subspace, so a
+    // ragged codebook would AIOOBE deep in encode — fail loudly here
+    books.zipWithIndex.foreach { case (b, s) =>
+      require(b.length == k,
+        s"PQ subspace $s trained ${b.length} != k=$k codewords — " +
+        "subspace has too few distinct values; lower k or raise the fit sample")
+    }
     Model(books.toArray)
   }
 
@@ -164,8 +172,13 @@ object Pq {
         dotF(subq, typedLit(model.codebooks(s)(j).toSeq))): _*)
         .as(s"__t$s")
     }
-    val q = queries.select(
-      (col(idCol).as("query_id") +: tables): _*)
+    // zero-norm queries have no direction to search (their normalized
+    // form is NaN → NaN ADC tables + NaN exact cosines) — drop them,
+    // the same contract train/encode apply to the corpus side
+    val q = queries
+      .filter(aggregate(col(vecCol), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0.0)
+      .select((col(idCol).as("query_id") +: tables): _*)
     val adc = (0 until model.m)
       .map(s => element_at(col(s"__t$s"),
         element_at(col("codes"), s + 1) + 1))

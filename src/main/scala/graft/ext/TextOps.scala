@@ -730,9 +730,14 @@ object TextOps {
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
       .select(explode(col("s")).as("g"))
+    // materialized: "train once" must mean computed once — a lazy
+    // frame would re-run the reference-corpus aggregation on every
+    // micro-batch the screen joins it into (persist(DISK_ONLY) on a
+    // cluster if the boiler vocabulary outgrows local disk)
     BoilerplateIndex(
       ex.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= minDocFreq).select("g"),
+        .filter(col("df") >= minDocFreq).select("g")
+        .localCheckpoint(),
       n, maxBoilerPct)
   }
 
@@ -840,9 +845,13 @@ object TextOps {
       textCol: String = "text", rareMax: Long = 2L): LmIndex = {
     val bgCounts = bigramOccurrences(reference, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    // materialized: a lazy LM frame would recompute the full
+    // reference-corpus bigram aggregation inside every micro-batch's
+    // broadcast — "frozen LM" must be frozen in cost, not just value
     LmIndex(
       bgCounts.join(
-        bgCounts.groupBy("w1").agg(sum("c_bg").as("c_prefix")), "w1"),
+        bgCounts.groupBy("w1").agg(sum("c_bg").as("c_prefix")), "w1")
+        .localCheckpoint(),
       rareMax)
   }
 

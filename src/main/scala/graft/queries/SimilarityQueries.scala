@@ -143,6 +143,60 @@ trait SimilarityQueries extends QueriesBase {
     VectorLsh.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = 0.4)
 
+  // ---- train-once bench forms (r11 VERDICT "What's wrong" #1) ----
+  // The production ANN lifecycle is train → save → load ONCE, then
+  // search many; the gate entries above retrain per run and embed a
+  // brute-force truth twin, which is gate scaffolding, not the
+  // deployed plan. These forms cache the trained model per (session,
+  // sfDir) and round-trip it through save/load, so the bench measures
+  // the deployed encode+search plan AND exercises the persistence
+  // path once. Cache key includes the session identity: Ivf.Index
+  // holds a session-bound DataFrame that must not leak across specs.
+
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Model]()
+  private val ivfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Ivf.Index]()
+  private def benchModelRoot(s: SparkSession, dir: String): String =
+    "target/bench-models/" + System.identityHashCode(s) + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** [[similarityPq]] in deployed shape: encode the corpus + ADC-search
+    * under a once-trained, save/load-persisted model; the in-plan
+    * brute-force twin is stripped (it exists to hand the recall floor
+    * an oracle — [[similarityLshBenchForm]] precedent). Benched via
+    * [[SparkEntry.benchForm]]. */
+  val similarityPqBenchForm: Q = (s, dir) => {
+    val model = pqModels.computeIfAbsent(
+      System.identityHashCode(s) + ":" + dir, _ => {
+        val root = benchModelRoot(s, dir) + "/pq"
+        Pq.save(s, Pq.train(Tables.embeddings(s, dir), "embedding",
+          dim = 64, m = 8, k = 16), root)
+        Pq.load(s, root)
+      })
+    val e = Tables.embeddings(s, dir)
+    val enc = Pq.encode(model, e, "vec_id", "embedding")
+    Pq.searchTopK(model, enc, e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, candidateFactor = 20)
+  }
+
+  /** [[similarityIvfKmeans]] in deployed shape: probe-2 search over a
+    * once-built, save/load-persisted index (the assignment frame reads
+    * back from its cluster-partitioned layout — search prunes to the
+    * probed partitions), truth twin stripped. Benched via
+    * [[SparkEntry.benchForm]]. */
+  val similarityIvfKmeansBenchForm: Q = (s, dir) => {
+    val index = ivfIndexes.computeIfAbsent(
+      System.identityHashCode(s) + ":" + dir, _ => {
+        val root = benchModelRoot(s, dir) + "/ivf"
+        Ivf.save(Ivf.build(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nClusters = 8), root)
+        Ivf.load(s, root)
+      })
+    Ivf.searchTopK(index, Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   /** The LSH tail with one constant signature — candidates = all pairs,
     * output ≡ brute-force cosine pairs: the hash-checked anchor under
     * the engine-specific `similarity_lsh` entry (see

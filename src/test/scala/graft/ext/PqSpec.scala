@@ -78,6 +78,44 @@ class PqSpec extends SparkSpec {
     assert(rows(back) == rows(index), "reloaded index must search identically")
   }
 
+  test("zero-norm queries drop from searchTopK (no NaN ranks)") {
+    val mixed = ((1L, Array.fill(8)(0.0f)) +:
+      (2L to 13L).map(i => (i, Array.tabulate(8)(d =>
+        math.cos(i * 1.9 + d).toFloat)))).toDF("vec_id", "embedding")
+    val model = Pq.train(mixed, "embedding", dim = 8, m = 2, k = 2,
+      fitSampleFraction = 1.0)
+    val enc = Pq.encode(model, mixed, "vec_id", "embedding")
+    val out = Pq.searchTopK(model, enc, mixed,
+        mixed.filter(col("vec_id") <= 2), "vec_id", "embedding", k = 3)
+      .select("query_id", "cosine").as[(Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._1 == 2L),
+      "the zero-norm query has no direction to search")
+    assert(out.forall(r => !r._2.isNaN))
+  }
+
+  test("bench forms: deployed search plans return ranked neighbors") {
+    // the SparkEntry.benchForm entries (r11 VERDICT #1): once-trained
+    // save/load-persisted model, truth twin stripped — assert they
+    // produce the same neighbor sets as the in-memory trained model
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val pqBench = rows(graft.Queries.similarityPqBenchForm(spark, dir))
+    val model = Pq.train(e, "embedding", dim = 64, m = 8, k = 16)
+    val enc = Pq.encode(model, e, "vec_id", "embedding")
+    val pqDirect = rows(Pq.searchTopK(model, enc, e,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5, candidateFactor = 20))
+    assert(pqBench == pqDirect,
+      "save/load round-trip must not change the search result")
+    val ivfBench = rows(graft.Queries.similarityIvfKmeansBenchForm(spark, dir))
+    val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
+    val ivfDirect = rows(Ivf.searchTopK(index,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 2))
+    assert(ivfBench == ivfDirect)
+  }
+
   test("unit normalization makes scale-invariant codes") {
     // v and 10·v point the same way ⇒ identical codes
     val pair = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
