@@ -985,4 +985,106 @@ object TextOps {
           round(col("weight_bits") * lit(10000.0) / col("n_scored")) / 1e4
             + lit(0.0)))
   }
+
+  // ------------------- hashed-ngram quality classifier (r11 VERDICT #2)
+
+  /** A trained hashed-ngram linear quality classifier — the
+    * MODEL-based gate modern curation stacks run after the heuristic
+    * battery (the fastText-architecture tier: Joulin et al. 2016
+    * "Bag of Tricks for Efficient Text Classification"; the
+    * FineWeb-Edu classifier plays this role). `weights` maps a hashed
+    * feature bucket to its integer weight; table size is bounded by
+    * `buckets` BY CONSTRUCTION (the hashing trick — the reason a
+    * 100 TB-corpus model still broadcasts). */
+  case class QualityClsIndex(weights: DataFrame, buckets: Int)
+
+  /** Distinct hashed {1,2}-gram feature buckets of a document:
+    * portable md5 gram hashes ([[graft.functions.TextHashes]])
+    * folded into `buckets` slots. Presence features (distinct), the
+    * Bernoulli form — what the one-pass NB weights below expect. */
+  private def hashedFeatures(text: Column, buckets: Int): Column =
+    array_distinct(transform(
+      concat(graft.functions.TextHashes.hashedShingles(text, 1),
+        graft.functions.TextHashes.hashedShingles(text, 2)),
+      h => pmod(h, lit(buckets.toLong))))
+
+  private def bitsOf(x: Column): Column = (length(bin(x)) - 1).cast("long")
+
+  /** Train the classifier in ONE distributed pass over a labeled
+    * slice: per-feature weights are Naive-Bayes log-count-ratios
+    * (Wang & Manning, ACL 2012 — the one-pass-trainable linear
+    * baseline under the fastText architecture),
+    *
+    *   w(g) = [bits(df⁺(g)+1) − bits(N⁺+1)] − [bits(df⁻(g)+1) − bits(N⁻+1)]
+    *
+    * in exact integer bit-space (floor-log2 = length(bin(x))−1, the
+    * [[lmSurprisal]] idiom) so an external engine replays training
+    * bit-for-bit. df is DOCUMENT frequency (presence features).
+    * The weight table is materialized ([[lmIndex]] posture: train
+    * once must mean computed once) and ≤ `buckets` rows. */
+  def qualityClassifierIndex(labeled: DataFrame, labelCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 1 << 18): QualityClsIndex = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val pos = col(labelCol).cast("boolean")
+    val feats = labeled.select(pos.as("__pos"),
+        explode(hashedFeatures(col(textCol), buckets)).as("g"))
+    val dfc = feats.groupBy("g").agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("df_pos"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("df_neg"))
+    val totals = labeled.agg(
+      sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!pos, 1L).otherwise(0L)).as("n_neg"))
+    QualityClsIndex(
+      dfc.crossJoin(broadcast(totals))
+        .select(col("g"),
+          ((bitsOf(col("df_pos") + 1) - bitsOf(col("n_pos") + 1)) -
+            (bitsOf(col("df_neg") + 1) - bitsOf(col("n_neg") + 1))).as("w"))
+        .localCheckpoint(),
+      buckets)
+  }
+
+  /** Score a corpus (or one micro-batch) against a trained
+    * [[QualityClsIndex]]: per doc, score = Σ weights of its distinct
+    * present features; `keep` = score ≥ 0 (log-odds ≥ even).
+    * Never-seen buckets surface as honest `n_oov` and score 0 (the
+    * [[screenSurprisal]] accounting). Featureless docs score 0 and
+    * pass — gate degenerate docs with [[gopherSignals]] upstream.
+    * The weight table is broadcast (≤ `buckets` rows by
+    * construction); the corpus is never shuffled for membership.
+    * Batch ≡ stream is structural: per-doc statistics never cross
+    * documents and the only cross-doc state is the frozen index. */
+  def screenQualityClassifier(incoming: DataFrame, index: QualityClsIndex,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ex = incoming.select(col(idCol).as("doc"),
+        hashedFeatures(col(textCol), index.buckets).as("fs"))
+      .filter(size(col("fs")) > 0)
+      .select(col("doc"), explode(col("fs")).as("g"))
+    val perDoc = ex.join(broadcast(index.weights), Seq("g"), "left")
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_feats"),
+        sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("w").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("w"), lit(0L))).as("score"))
+    incoming.select(col(idCol))
+      .join(perDoc.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("keep", col("score") >= 0L)
+  }
+
+  /** Streaming form: score each micro-batch against the frozen
+    * classifier via `foreachBatch` — the [[screenBoilerplateStream]]
+    * pattern. */
+  def screenQualityClassifierStream(incoming: DataFrame,
+      index: QualityClsIndex, idCol: String = "doc_id",
+      textCol: String = "text")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(screenQualityClassifier(batch.toDF(), index, idCol, textCol), batchId)
+    }
 }

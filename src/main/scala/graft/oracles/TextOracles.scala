@@ -492,6 +492,53 @@ private[graft] object TextOracles {
         |       END AS rare_ratio
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors TextOps.qualityClassifierIndex + screenQualityClassifier
+    // (train slice doc_id%3, label lang='en', buckets 2^18): distinct
+    // hashed {1,2}-gram presence features (md5 % P % B — bit-identical
+    // to the JVM HashedWordShingles/pmod pair), NB log-count-ratio
+    // weights in floor-log2 bit-space, per-doc score = Σ weights of
+    // present features, OOV buckets honest and zero-weighted.
+    "quality_classifier" -> {
+      val b = 1 << 18
+      s"""WITH w AS (SELECT doc_id, lang, ${wsToks("text")} AS toks
+        |           FROM documents),
+        |feats AS (SELECT doc_id, lang, list_distinct(
+        |    [ (md5_number_lower(toks[i])
+        |         % $pSql::UBIGINT)::BIGINT % $b
+        |      for i in generate_series(1, len(toks)) ]
+        |    || [ (md5_number_lower(toks[i] || ' ' || toks[i+1])
+        |            % $pSql::UBIGINT)::BIGINT % $b
+        |         for i in generate_series(1, len(toks) - 1) ]) AS fs
+        |  FROM w),
+        |tr AS (SELECT doc_id, lang = 'en' AS pos, fs FROM feats
+        |       WHERE doc_id % 3 = 0),
+        |trex AS (SELECT pos, unnest(fs) AS g FROM tr),
+        |dfc AS (SELECT g,
+        |          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+        |          CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS df_neg
+        |        FROM trex GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |               CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |        FROM tr),
+        |wts AS (SELECT g,
+        |          ((length(bin(df_pos + 1)) - 1) - (length(bin(n_pos + 1)) - 1))
+        |          - ((length(bin(df_neg + 1)) - 1) - (length(bin(n_neg + 1)) - 1)) AS w
+        |        FROM dfc CROSS JOIN tot),
+        |ex AS (SELECT doc_id, unnest(fs) AS g FROM feats WHERE len(fs) > 0),
+        |per AS (SELECT doc_id, count(*) AS n_feats,
+        |          CAST(sum(CASE WHEN w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |          CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |          CAST(sum(coalesce(w, 0)) AS BIGINT) AS score
+        |        FROM ex LEFT JOIN wts USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+        |       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+        |       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        |       CAST(coalesce(score, 0) AS BIGINT) AS score,
+        |       coalesce(score, 0) >= 0 AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+    },
+
     // Mirrors TextOps.dsirWeights (target = lang 'en'): two bigram LMs
     // trained on the target slice vs the rest, per-occurrence weight =
     // bits_source − bits_target in exact floor-log2 space, OOV counted

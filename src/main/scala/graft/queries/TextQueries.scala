@@ -165,6 +165,24 @@ trait TextQueries extends QueriesBase {
     TextOps.screenSurprisal(docs, index)
   }
 
+  /** Model-based quality gate (r11 VERDICT #2): a hashed-ngram linear
+    * classifier (fastText architecture; NB log-count-ratio weights,
+    * Wang & Manning 2012) TRAINED in one pass on the doc_id%3 labeled
+    * slice (label = `lang == 'en'`), then scoring the WHOLE corpus —
+    * the trained tier real curation stacks run after the heuristic
+    * battery. Weights live in exact integer bit-space, so training
+    * and scoring both replay in the oracle; unseen feature buckets
+    * surface as honest `n_oov` (see
+    * [[TextOps.qualityClassifierIndex]]/[[TextOps.screenQualityClassifier]]). */
+  val qualityClassifier: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val index = TextOps.qualityClassifierIndex(
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("__label", col("lang") === "en"),
+      "__label")
+    TextOps.screenQualityClassifier(docs, index)
+  }
+
   /** Rare-token scrub: tokens below the corpus-frequency floor (< 3
     * occurrences) mask to `<unk>` — the memorization-mitigation pass
     * (see [[TextOps.scrubRareTokens]]). */
@@ -361,6 +379,7 @@ trait TextQueries extends QueriesBase {
     "dedup_spans" -> dedupSpans,
     "quality_lm_surprisal" -> qualityLmSurprisal,
     "quality_lm_indexed" -> qualityLmIndexed,
+    "quality_classifier" -> qualityClassifier,
     "quality_dsir" -> qualityDsir,
     "quality_lm_dsir" -> qualityLmDsir,
     "vocab_bpe_merges" -> vocabBpeMerges,

@@ -237,6 +237,49 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(2L)._2 == 0L && byDoc(2L)._3 == 2L, "novel text is all OOV")
   }
 
+  test("streaming quality-classifier screen (frozen NB weights) ≡ batch screen") {
+    implicit val sqlCtx = spark.sqlContext
+    // labeled slice: positives share a clean-prose vocabulary,
+    // negatives a spammy one — the classifier must recover the split
+    val labeled = Seq(
+      (101L, "a thoughtful essay on careful research methods", true),
+      (102L, "another thoughtful essay with careful prose", true),
+      (103L, "careful research and thoughtful methods explained", true),
+      (104L, "click here buy now free offer", false),
+      (105L, "free offer click now buy here", false),
+      (106L, "buy free now offer click here today", false)
+    ).toDF("doc_id", "text", "label")
+    val index = graft.ext.TextOps.qualityClassifierIndex(labeled, "label",
+      buckets = 1 << 16)
+    val batch1 = Seq((1L, "a thoughtful essay on research"),
+      (2L, "click here free offer now"))
+    val batch2 = Seq((3L, "completely unseen vocabulary entirely"))
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Boolean)]
+    val q = graft.ext.TextOps.screenQualityClassifierStream(
+        input.toDF().toDF("doc_id", "text"), index) { (screened, _) =>
+      val rows = screened.select("doc_id", "n_feats", "n_oov", "score", "keep")
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      out.synchronized { out ++= rows }
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchScreen = graft.ext.TextOps.screenQualityClassifier(
+        (batch1 ++ batch2).toDF("doc_id", "text"), index)
+      .select("doc_id", "n_feats", "n_oov", "score", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(out.toSet == batchScreen, "micro-batched screen must equal batch")
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._5, "clean-vocabulary doc must pass the gate")
+    assert(!byDoc(2L)._5, s"spam-vocabulary doc must fail: ${byDoc(2L)}")
+    assert(byDoc(1L)._4 > byDoc(2L)._4, "positives must outscore negatives")
+    assert(byDoc(3L)._3 == byDoc(3L)._2, "unseen vocabulary is all OOV")
+  }
+
   test("split assignment is stateless: identical on a stream in Append mode") {
     implicit val sqlCtx = spark.sqlContext
     val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
