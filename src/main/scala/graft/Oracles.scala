@@ -16,7 +16,7 @@ object Oracles {
     * #7; the sum-of-sizes require makes a key collision between
     * families a construction-time failure, not a silent override). */
   val all: Map[String, String] = {
-    val parts = Seq(CoreOracles.map, JoinOracles.map, AggOracles.map, WindowOracles.map, DedupOracles.map, SimilarityOracles.map, ProfileOracles.map, TextOracles.map, MultiModalOracles.map, CompositeOracles.map)
+    val parts = Seq(CoreOracles.map, JoinOracles.map, AggOracles.map, WindowOracles.map, DedupOracles.map, SimilarityOracles.map, ProfileOracles.map, TextOracles.map, MultiModalOracles.map, CompositeOracles.map, CrawlOracles.map)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across family objects")

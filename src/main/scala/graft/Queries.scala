@@ -21,7 +21,8 @@ object Queries
     extends QueriesBase
     with CoreQueries with JoinQueries with AggQueries with WindowQueries
     with DedupQueries with SimilarityQueries with ProfileQueries
-    with TextQueries with MultiModalQueries with CompositeQueries {
+    with TextQueries with MultiModalQueries with CompositeQueries
+    with CrawlQueries {
 
   /** The full catalog, assembled from the per-family registries (r10
     * VERDICT #7 split the former single-file catalog; each family file
@@ -36,5 +37,6 @@ object Queries
     profileRegistry ++
     textRegistry ++
     multiModalRegistry ++
-    compositeRegistry
+    compositeRegistry ++
+    crawlRegistry
 }

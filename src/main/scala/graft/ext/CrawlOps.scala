@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain operators for crawl-scale pipelines — the layer between
+  * the frontier dedup stream ([[graft.streaming.CorpusStreams]]) and
+  * the per-source balancing caps ([[Sampling.capPerGroup]]): URL
+  * canonicalization (the RFC 3986 §6 normalizations every crawl
+  * dedup applies before hashing a URL), host/registered-domain
+  * extraction, per-domain document caps, and link-graph domain
+  * ranking (the Common-Crawl-style domain weighting that prioritizes
+  * the frontier).
+  *
+  * Everything is EXACT string algebra — lower/regexp_extract/
+  * regexp_replace/split with character-class patterns both Spark
+  * (Java regex) and the SQL oracle (RE2) interpret identically — so
+  * canonicalization replays bit-for-bit in an external engine; no
+  * UDF, all codegen'd, per-row only (zero shuffle until grouping).
+  *
+  * Scale shape: canonicalization is a projection (linear, no
+  * shuffle); domain caps shuffle once on the domain key
+  * ([[Sampling.capPerGroup]]'s consistent-hash window — salt hot
+  * domains upstream if one domain dominates a partition);
+  * [[domainPageRank]] is [[graft.operators.PageRank.runTyped]] over
+  * the distinct-domain edge list — linear in |edges| per fixed
+  * iteration, no dense-id remap (string node keys join directly).
+  */
+object CrawlOps {
+
+  private val SchemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)"
+  private val PortPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+)"
+  private val PathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val QueryPat = "\\?([^#]*)"
+
+  /** Lowercased host with any trailing root-dot stripped (the
+    * absolute-FQDN form `example.com.` ≡ `example.com`). */
+  def hostOf(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, HostPat, 1)), "\\.$", "")
+
+  /** The grouping domain: [[hostOf]] minus a leading `www.` — the
+    * per-domain cap and the link graph treat `www.x.com` and `x.com`
+    * as one publisher (crawl-pipeline convention, not RFC identity;
+    * the canonical URL itself keeps `www.`). */
+  def domainOf(url: Column): Column =
+    regexp_replace(hostOf(url), "^www\\.", "")
+
+  /** RFC 3986 §6 canonical form plus the crawl-standard extras:
+    * scheme and host lowercased, trailing host dot stripped, default
+    * ports dropped (http:80 / https:443 — others kept), empty path
+    * normalized to `/`, fragment dropped, and `utm_*` tracking
+    * params scrubbed from the query (empty query drops its `?`). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemePat, 1))
+    val host = hostOf(url)
+    val port = regexp_extract(url, PortPat, 1)
+    val path0 = regexp_extract(url, PathPat, 1)
+    val query0 = regexp_extract(url, QueryPat, 1)
+    val q = array_join(filter(split(query0, "&"),
+      p => p =!= "" && !p.rlike("^utm_")), "&")
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    concat(scheme, lit("://"), host,
+      when(port === "" || defaultPort, lit(""))
+        .otherwise(concat(lit(":"), port)),
+      when(path0 === "", lit("/")).otherwise(path0),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Adds `host`, `domain`, `canon_url` next to `urlCol` — the
+    * projection a crawl pipeline runs before URL-keyed dedup. */
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("host", hostOf(col(urlCol)))
+      .withColumn("domain", domainOf(col(urlCol)))
+      .withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+
+  /** Cap each registered domain at `k` documents by consistent hash
+    * order ([[Sampling.capPerGroup]] over [[domainOf]]) — the
+    * over-represented-publisher balance pass of corpus assembly. */
+  def capPerDomain(df: DataFrame, urlCol: String, keyCol: String,
+      k: Int, salt: String = ""): DataFrame =
+    Sampling.capPerGroup(
+      df.withColumn("domain", domainOf(col(urlCol))),
+      Seq("domain"), keyCol, k, salt)
+
+  /** Integer-exact PageRank over a (src_domain, dst_domain) link
+    * list — crawl-frontier domain weighting. Duplicate rows are
+    * parallel edges (a domain linking another N times contributes N
+    * shares); output (domain, rank) in micro-units of `scale`
+    * (see [[graft.operators.PageRank]]). */
+  def domainPageRank(links: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, scale: Long = 1000000000000L): DataFrame =
+    graft.operators.PageRank.runTyped(
+        links.select(col(srcCol).cast("string").as("__src"),
+          col(dstCol).cast("string").as("__dst")),
+        "__src", "__dst", iterations, scale)
+      .select(col("node").as("domain"), col("rank"))
+}

@@ -46,11 +46,22 @@ object PageRank {
     * @return one row per node appearing as src or dst:
     *         (node, rank) with rank in micro-units of `scale` */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, scale: Long = 1000000000000L): DataFrame =
+    runTyped(edges.select(col(srcCol).cast("long").as(srcCol),
+      col(dstCol).cast("long").as(dstCol)), srcCol, dstCol, iterations, scale)
+
+  /** [[run]] without the long-id cast: nodes may be ANY equality-
+    * comparable type (domain strings for the crawl-pipeline domain
+    * rank — no global sort or hash mapping to dense ids needed; the
+    * iteration only ever equality-joins and groups on the node key).
+    * String keys cost more shuffle bytes than longs — dictionary-
+    * encode upstream if the key set is huge and iterations many. */
+  def runTyped(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 1000000L, "scale too small for meaningful floors")
-    val src = edges.select(col(srcCol).cast("long").as("node"),
-      col(dstCol).cast("long").as("dst"))
+    val src = edges.select(col(srcCol).as("node"),
+      col(dstCol).as("dst"))
     val nodes = src.select(col("node"))
       .union(src.select(col("dst").as("node")))
       .distinct().localCheckpoint()

@@ -1,0 +1,95 @@
+package graft
+
+/** DuckDB twins for the [[CrawlQueries]] family. The synthetic messy
+  * URL and the canonicalization are exact string algebra (concat /
+  * lower / regexp with character-class patterns), so every query is
+  * fully hash-checked; the domain PageRank reuses the unrolled
+  * integer power-iteration stages of `graph_pagerank`, with domain
+  * STRINGS as node keys (the stages only equality-join and group).
+  */
+private[graft] object CrawlOracles {
+
+  /** The messy-URL + canonical-parts CTE chain shared by all three
+    * queries; final relation `c(doc_id, url, host, domain,
+    * canon_url)`. */
+  // NOTE: embedded into outer stripMargin'd interpolations — no line
+  // here may BEGIN with '|' (a leading '||' would lose its first char
+  // to the second stripMargin pass), so concatenation '||'s sit at
+  // line ends.
+  private val urlCtes: String =
+    """u AS (SELECT doc_id,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'HtTp' END) ||
+      |    '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    source || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '.' ELSE '' END) ||
+      |    (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+      |          WHEN 2 THEN ':8080' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/Page/' || doc_id::VARCHAR END) ||
+      |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&ref=' || (doc_id % 10)::VARCHAR
+      |          WHEN 1 THEN '?ref=' || (doc_id % 10)::VARCHAR ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |p AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)), '\.$', '') AS host,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1) AS port,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query0
+      |  FROM u),
+      |q AS (SELECT *, coalesce(array_to_string(list_filter(str_split(query0, '&'),
+      |    x -> x <> '' AND NOT regexp_matches(x, '^utm_')), '&'), '') AS qs FROM p),
+      |c AS (SELECT doc_id, url, host,
+      |    regexp_replace(host, '^www\.', '') AS domain,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |           OR (scheme = 'https' AND port = '443')
+      |     THEN '' ELSE ':' || port END) ||
+      |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
+      |  FROM q)""".stripMargin
+
+  val map: Map[String, String] = Map(
+    // Mirrors CrawlOps.withUrlParts over the synthetic mess matrix.
+    "crawl_canonicalize" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, url, host, domain, canon_url FROM c""".stripMargin,
+
+    // Mirrors CrawlOps.capPerDomain (k=10, salt 'graft'): k smallest
+    // md5(doc_id‖salt) per registered domain, id tiebreak — the
+    // sample_cap_per_group construction over URL space.
+    "crawl_domain_cap" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, domain, sample_rank FROM (
+         |  SELECT doc_id, domain,
+         |         CAST(row_number() OVER (PARTITION BY domain
+         |           ORDER BY md5(doc_id::VARCHAR || 'graft'), doc_id) AS INTEGER)
+         |           AS sample_rank
+         |  FROM c)
+         |WHERE sample_rank <= 10""".stripMargin,
+
+    // Mirrors CrawlOps.domainPageRank over the deterministic
+    // doc→peer link list: 10 unrolled integer power-iteration stages
+    // (the graph_pagerank stage algebra) on domain-string nodes.
+    "crawl_domain_pagerank" -> {
+      val stages = (1 to 10).map { i =>
+        s"""c$i AS (SELECT a.dst AS node, sum(r.rank // a.deg) AS i
+           |  FROM adj a JOIN r${i - 1} r ON a.node = r.node GROUP BY 1),
+           |r$i AS (SELECT nd.node,
+           |    (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+           |      + (85 * coalesce(c.i, 0)) // 100 AS rank
+           |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $urlCtes,
+         |g AS (SELECT domain AS src,
+         |        'src' || ((7 * doc_id + 3) % 20)::VARCHAR || '.example.com' AS dst
+         |      FROM c),
+         |nodes AS (SELECT src AS node FROM g UNION SELECT dst FROM g),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM g GROUP BY 1),
+         |adj AS (SELECT d.node, g.dst, d.deg FROM g JOIN deg d ON g.src = d.node),
+         |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes),
+         |$stages
+         |SELECT node AS domain, CAST(rank AS BIGINT) AS rank FROM r10""".stripMargin
+    })
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.CrawlOps
+
+/** URL/domain crawl-layer queries ([[graft.ext.CrawlOps]]). The
+  * testdata ships no URL column, so each query synthesizes a messy
+  * URL as a PURE FUNCTION of (doc_id, source) — the
+  * [[MultiModalQueries]] posture (syntheticPng): the fixture is
+  * in-plan, built from exact string ops both engines share, and the
+  * operator under test (canonicalize / cap / rank) never sees
+  * anything it could fabricate. The mess matrix covers every
+  * canonicalization rule: mixed-case schemes and hosts, optional
+  * `WWW.`, trailing root dot, default and non-default ports, empty
+  * paths, `utm_*` tracking params, fragments.
+  */
+trait CrawlQueries extends QueriesBase {
+
+  /** The messy synthetic URL of a document row. */
+  private def messyUrl: Column = {
+    val id = col("doc_id")
+    val scheme = when(pmod(id, lit(3)) === 0, lit("http"))
+      .when(pmod(id, lit(3)) === 1, lit("HTTPS"))
+      .otherwise(lit("HtTp"))
+    val www = when(pmod(id, lit(2)) === 0, lit("WWW.")).otherwise(lit(""))
+    val host = concat(www, col("source"), lit(".Example.COM"),
+      when(pmod(id, lit(7)) === 0, lit(".")).otherwise(lit("")))
+    val port = when(pmod(id, lit(5)) === 0, lit(":80"))
+      .when(pmod(id, lit(5)) === 1, lit(":443"))
+      .when(pmod(id, lit(5)) === 2, lit(":8080"))
+      .otherwise(lit(""))
+    val path = when(pmod(id, lit(11)) === 0, lit(""))
+      .otherwise(concat(lit("/Page/"), id.cast("string")))
+    val query = when(pmod(id, lit(4)) === 0,
+        concat(lit("?utm_source=feed&ref="), pmod(id, lit(10)).cast("string")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(lit("?ref="), pmod(id, lit(10)).cast("string")))
+      .otherwise(lit(""))
+    val frag = when(pmod(id, lit(6)) === 0, lit("#Section-2"))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  private def urlDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), messyUrl.as("url"))
+
+  /** URL canonicalization over the full mess matrix — every rule
+    * hash-checked: case, trailing dot, default-port drop, empty-path
+    * `/`, `utm_*` scrub, fragment drop (see
+    * [[CrawlOps.canonicalizeUrl]]). */
+  val crawlCanonicalize: Q = (s, dir) =>
+    CrawlOps.withUrlParts(urlDocs(s, dir), "url")
+
+  /** Per-domain document cap (k=10, consistent hash order) over the
+    * extracted registered domain — [[Sampling.capPerGroup]] pointed
+    * at URL space (see [[CrawlOps.capPerDomain]]). */
+  val crawlDomainCap: Q = (s, dir) =>
+    CrawlOps.capPerDomain(urlDocs(s, dir), "url", "doc_id",
+        k = 10, salt = "graft")
+      .select("doc_id", "domain", "sample_rank")
+
+  /** Domain-graph PageRank: each doc links its domain to a
+    * deterministically chosen peer domain (`src((7·id+3) mod 20)`),
+    * ranks in exact integer micro-units over the ~20-node publisher
+    * graph — the crawl-prioritization weighting
+    * (see [[CrawlOps.domainPageRank]]). */
+  val crawlDomainPagerank: Q = (s, dir) => {
+    val links = urlDocs(s, dir)
+      .select(graft.ext.CrawlOps.domainOf(col("url")).as("src_domain"),
+        concat(lit("src"),
+          pmod(col("doc_id") * 7 + 3, lit(20)).cast("string"),
+          lit(".example.com")).as("dst_domain"))
+    CrawlOps.domainPageRank(links, "src_domain", "dst_domain",
+      iterations = 10)
+  }
+
+  /** This family's slice of [[Queries.all]]. */
+  protected def crawlRegistry: Map[String, Q] = Map(
+    "crawl_canonicalize" -> crawlCanonicalize,
+    "crawl_domain_cap" -> crawlDomainCap,
+    "crawl_domain_pagerank" -> crawlDomainPagerank)
+}
