@@ -79,17 +79,20 @@ object Bpe {
   }
 
   /** The in-memory merge trainer over a (word, freq) vocabulary — the
-    * standard Sennrich loop. Incremental twice over: pair counts are
-    * maintained as a delta per rewritten word, and words are indexed
-    * by their boundary char-pairs, so one merge step touches only the
-    * candidate words of its (l.last, r.head) bucket — never the whole
-    * vocabulary. Step cost is therefore O(|words containing the
-    * winning pair| · |word|): on the adversarial 256-merge smoke (a
-    * 100k-word vocabulary of md5 hex strings, where EVERY merge's
-    * bucket holds ~12k words) that is ~44 s total — the rewrite
-    * volume itself, not scan waste; a delta-only pair update (±5 pairs
-    * per occurrence instead of the whole-word recount) is the
-    * remaining ~6× if a real corpus ever needs it. Returns
+    * standard Sennrich loop. Incremental THREE times over: words are
+    * indexed by their boundary char-pairs so one merge step touches
+    * only the candidate words of its (l.last, r.head) bucket; pair
+    * counts update DELTA-ONLY per rewritten word (±1 hash op per
+    * boundary a replacement actually touches, not a whole-word
+    * recount — the r11-documented ~6× on adversarial vocabularies);
+    * and the boundary index itself shrinks by exact per-key
+    * refcounts. The delta algebra leans on a structural fact of the
+    * replace semantics: replacing `l~r` with `lr` only DELETES '~'
+    * characters — it never creates one and never changes any other
+    * char — so surviving boundaries keep their (left.last, right.head)
+    * keys verbatim and only the deleted boundaries leave the index.
+    * Step cost is O(|bucket|) indexOf probes + O(|word|) char work +
+    * O(occurrences) hash updates per rewritten word. Returns
     * (step, lhs, rhs, merged, pair_count) rows in training order;
     * stops early when no adjacent pairs remain.
     *
@@ -110,45 +113,125 @@ object Bpe {
     // dict holds only the LIVE pair vocabulary (thousands of keys even
     // on a 100k-word corpus — symbols grow, pair variety doesn't), so
     // the scan is microseconds. A TreeSet keyed on the argmax order
-    // was measured 4x SLOWER end to end: every one of the ~190M
-    // per-rewrite count updates paid two O(log n) tree operations with
-    // byte-allocating comparisons, to speed up an argmax that was
-    // never the bottleneck.
+    // was measured 4x SLOWER end to end back when rewrites recounted
+    // whole words; with delta-only updates the argmax scan is an even
+    // smaller share.
     val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    def bump(l: String, r: String, f: Long): Unit = {
+      val k = (l, r)
+      val nv = counts.getOrElse(k, 0L) + f
+      if (nv == 0L) counts.remove(k) else counts.update(k, nv)
+    }
     def addCounts(joined: String, f: Long): Unit = {
       val parts = joined.split('~')
       var j = 0
-      while (j < parts.length - 1) {
-        val k = (parts(j), parts(j + 1))
-        val nv = counts.getOrElse(k, 0L) + f
-        if (nv == 0L) counts.remove(k) else counts.update(k, nv)
-        j += 1
-      }
+      while (j < parts.length - 1) { bump(parts(j), parts(j + 1), f); j += 1 }
     }
     val byBoundary =
       new scala.collection.mutable.HashMap[Int, scala.collection.mutable.HashSet[Int]]()
+    // per-word boundary-key refcounts: a word leaves a bucket exactly
+    // when its LAST boundary with that key is deleted
+    val keyCounts =
+      new Array[scala.collection.mutable.HashMap[Int, Int]](syms.length)
     def index(w: Int, joined: String): Unit = {
       val ks = boundaryKeys(joined)
+      val kc = new scala.collection.mutable.HashMap[Int, Int]()
       var j = 0
       while (j < ks.length) {
         byBoundary.getOrElseUpdate(ks(j),
           new scala.collection.mutable.HashSet[Int]()).add(w)
+        kc.update(ks(j), kc.getOrElse(ks(j), 0) + 1)
         j += 1
       }
+      keyCounts(w) = kc
     }
-    def unindex(w: Int, joined: String): Unit = {
-      val ks = boundaryKeys(joined)
-      var j = 0
-      while (j < ks.length) {
-        byBoundary.get(ks(j)).foreach { s =>
-          s.remove(w); if (s.isEmpty) byBoundary.remove(ks(j))
+    def dropBoundaryKey(w: Int, k: Int): Unit = {
+      val kc = keyCounts(w)
+      val nv = kc(k) - 1
+      if (nv == 0) {
+        kc.remove(k)
+        byBoundary.get(k).foreach { s =>
+          s.remove(w); if (s.isEmpty) byBoundary.remove(k)
         }
-        j += 1
-      }
+      } else kc.update(k, nv)
     }
     i = 0
     while (i < syms.length) {
       addCounts(syms(i), freqs(i)); index(i, syms(i)); i += 1
+    }
+
+    // Delta-only rewrite of one word: find the non-overlapping
+    // occurrences (the String.replace scan), mark their deleted
+    // boundaries, then walk the symbol array ONCE grouping symbols
+    // joined by deleted boundaries. Count algebra per boundary:
+    //   deleted boundary        → (S_i, S_i+1) −f, nothing added
+    //   surviving boundary with → (S_i, S_i+1) −f,
+    //     a merged group on       (repL, repR) +f   (rep = the group's
+    //     either side              concatenated new symbol)
+    //   surviving boundary between two singleton groups → untouched.
+    // The index update is the deleted boundaries' keys only (see the
+    // scaladoc invariant: surviving keys are verbatim-stable).
+    def rewriteDelta(w: Int, pattern: String, lhsLen: Int): Unit = {
+      val old = syms(w)
+      val f = freqs(w)
+      // deleted '~' positions, in replace's left-to-right scan order
+      var del = new Array[Int](4); var nDel = 0
+      var at = old.indexOf(pattern)
+      if (at < 0) return
+      while (at >= 0) {
+        if (nDel == del.length) del = java.util.Arrays.copyOf(del, nDel * 2)
+        del(nDel) = at + lhsLen; nDel += 1
+        at = old.indexOf(pattern, at + pattern.length)
+      }
+      val parts = old.split('~')
+      // boundary b sits after parts(b) at char position tPos(b)
+      val tPos = new Array[Int](parts.length - 1)
+      var p = 0; var cpos = 0
+      while (p < parts.length - 1) {
+        cpos += parts(p).length; tPos(p) = cpos; cpos += 1; p += 1
+      }
+      val deleted = new Array[Boolean](parts.length - 1)
+      var d = 0; var b = 0
+      while (d < nDel) {
+        while (tPos(b) != del(d)) b += 1 // del ⊆ tPos, both ascending
+        deleted(b) = true
+        dropBoundaryKey(w,
+          boundaryKey(old.charAt(del(d) - 1), old.charAt(del(d) + 1)))
+        d += 1
+      }
+      // group walk: [gs, ge] = the symbol range of the current group
+      val sb = new java.lang.StringBuilder(old.length)
+      var gs = 0
+      var prevRep: String = null   // new symbol of the previous group
+      var prevOld: String = null   // old right-edge symbol before this boundary
+      var prevMerged = false       // was the previous group a real merge
+      while (gs < parts.length) {
+        var ge = gs
+        while (ge < parts.length - 1 && deleted(ge)) {
+          bump(parts(ge), parts(ge + 1), -f)
+          ge += 1
+        }
+        val rep =
+          if (ge == gs) parts(gs)
+          else {
+            val m = new java.lang.StringBuilder()
+            var t = gs
+            while (t <= ge) { m.append(parts(t)); t += 1 }
+            m.toString
+          }
+        if (prevRep != null) {
+          // the surviving boundary between the previous group and this
+          if (prevMerged || ge > gs) {
+            bump(prevOld, parts(gs), -f)
+            bump(prevRep, rep, f)
+          }
+          sb.append('~')
+        }
+        sb.append(rep)
+        prevRep = rep; prevOld = parts(ge); prevMerged = ge > gs
+        gs = ge + 1
+      }
+      syms(w) = sb.toString
     }
 
     val out = scala.collection.mutable.ArrayBuffer
@@ -171,24 +254,16 @@ object Bpe {
       }
       out += ((step, bl, br, bl + br, bc))
       val pattern = bl + "~" + br
-      val merged = bl + br
       val bucket = byBoundary.get(boundaryKey(bl.last, br.head))
         .map(_.toArray).getOrElse(Array.emptyIntArray)
       var b = 0
       while (b < bucket.length) {
-        val w = bucket(b)
-        // String.contains is the same left-to-right scan replace does;
-        // candidates without the full pattern cost one indexOf.
-        // NOTE the substring match is deliberate: training counted
-        // pairs by split-adjacency but APPLIES by string replace
-        // (as Spark/DuckDB replace do), so a pattern spanning a
-        // symbol boundary rewrites too — the oracle replays exactly
-        // this, so the trainer must own it.
-        if (syms(w).contains(pattern)) {
-          addCounts(syms(w), -freqs(w)); unindex(w, syms(w))
-          syms(w) = syms(w).replace(pattern, merged)
-          addCounts(syms(w), freqs(w)); index(w, syms(w))
-        }
+        // NOTE the substring match inside rewriteDelta is deliberate:
+        // training counted pairs by split-adjacency but APPLIES by
+        // string replace (as Spark/DuckDB replace do), so a pattern
+        // spanning a symbol boundary rewrites too — the oracle replays
+        // exactly this, so the trainer must own it.
+        rewriteDelta(bucket(b), pattern, bl.length)
         b += 1
       }
       step += 1
