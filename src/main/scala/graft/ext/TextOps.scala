@@ -58,17 +58,19 @@ object TextOps {
     // scaled form (round(10⁴k/d) at 0 dp, then descale): engine
     // round(double, 4) diverges one ULP on non-representable .xxxx5
     // boundaries, which k/d hits whenever d has a factor of 3 or 7
+    // token-free / empty docs (real in any crawl corpus — fuzz-caught
+    // under ANSI division) take NULL ratios, not a throw
     df.withColumn("n_chars_calc", length(t).cast("long"))
       .withColumn("n_tokens", size(toks))
       .withColumn("n_stopwords", stopwordCount(toks))
-      .withColumn("stop_ratio",
-        round(col("n_stopwords") * lit(10000.0) / col("n_tokens")) / 1e4)
-      .withColumn("punct_ratio",
+      .withColumn("stop_ratio", when(col("n_tokens") > 0,
+        round(col("n_stopwords") * lit(10000.0) / col("n_tokens")) / 1e4))
+      .withColumn("punct_ratio", when(length(t) > 0,
         round(
           (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))) * lit(10000.0)
-            / length(t)) / 1e4)
-      .withColumn("mean_token_len",
-        round(tokenCharSum(toks) * lit(10000.0) / col("n_tokens")) / 1e4)
+            / length(t)) / 1e4))
+      .withColumn("mean_token_len", when(col("n_tokens") > 0,
+        round(tokenCharSum(toks) * lit(10000.0) / col("n_tokens")) / 1e4))
   }
 
   /** Scalar quality score in [0,1]: high when token lengths are
@@ -88,8 +90,13 @@ object TextOps {
     val mtl4 = round(col("mean_token_len") * 1e4).cast("long")
     val q30 = least(lit(300000L), greatest(lit(0L),
       lit(50L) * sr4 + lit(150000L) - lit(3L) * abs(mtl4 - lit(50000L))))
+    // token-free docs score 0.0 (worst) — keeps the score total and
+    // the ntile/gate orderings engine-portable (NULL sort order is
+    // where engines disagree by design)
     df.withColumn("quality_score",
-      (floor((q30 + lit(15L)) / lit(30L)).cast("double") / 1e4))
+      when(col("n_tokens") > 0,
+        floor((q30 + lit(15L)) / lit(30L)).cast("double") / 1e4)
+        .otherwise(lit(0.0)))
   }
 
   /** Marker-word profiles for cheap n-gram/keyword language ID. Public
@@ -333,10 +340,14 @@ object TextOps {
     val counters = gopherCounters(col(textCol))
     df.select(col(idCol) +: counters.map { case (n, c) => c.as(n) }: _*)
       .select(col(idCol), col("n_words"), col("n_stop"),
-        // integer-scaled rounding — see qualitySignals
-        (round(col("sum_chars") * lit(10000.0) / col("n_words")) / 1e4)
+        // integer-scaled rounding — see qualitySignals; word-free docs
+        // take NULL ratios (their keep gate is already false via
+        // keep_words, no division needed to reject them)
+        when(col("n_words") > 0,
+          round(col("sum_chars") * lit(10000.0) / col("n_words")) / 1e4)
           .as("mean_word_len"),
-        (round(col("n_alpha") * lit(10000.0) / col("n_words")) / 1e4)
+        when(col("n_words") > 0,
+          round(col("n_alpha") * lit(10000.0) / col("n_words")) / 1e4)
           .as("frac_alpha"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
           .as("keep_words"),

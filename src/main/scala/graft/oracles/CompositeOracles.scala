@@ -55,9 +55,10 @@ private[graft] object CompositeOracles {
         |  FROM documents WHERE doc_id % 20 <> 0),
         |q AS (
         |  SELECT doc_id, text,
-        |         CAST((least(300000, greatest(0,
+        |         CAST(((CASE WHEN n_tokens > 0 THEN least(300000, greatest(0,
         |             50 * CAST(round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) AS BIGINT) + 150000
         |             - 3 * abs(CAST(round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
+        |           ELSE 0 END)
         |           + 15) // 30 AS DOUBLE) / 10000 AS quality_score
         |  FROM sig),
         |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
@@ -105,9 +106,10 @@ private[graft] object CompositeOracles {
          |  FROM documents WHERE doc_id % 20 <> 0),
          |q AS (
          |  SELECT doc_id, text,
-         |         CAST((least(300000, greatest(0,
+         |         CAST(((CASE WHEN n_tokens > 0 THEN least(300000, greatest(0,
          |             50 * CAST(round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) AS BIGINT) + 150000
          |             - 3 * abs(CAST(round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
+         |           ELSE 0 END)
          |           + 15) // 30 AS DOUBLE) / 10000 AS quality_score
          |  FROM sig0),
          |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),

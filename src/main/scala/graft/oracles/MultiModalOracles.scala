@@ -196,9 +196,13 @@ private[graft] object MultiModalOracles {
         |                 THEN ck - 18446744073709551616::HUGEINT
         |                 ELSE ck END AS BIGINT) AS checksum
         |FROM (
+        |  -- fold UTF-8 BYTES (via the blob hex dump), not codepoints:
+        |  -- the engine checksums payload bytes, and ord(char) only
+        |  -- coincides with the byte on ASCII (fuzz-caught divergence)
         |  SELECT doc_id, text, list_reduce(
         |           list_prepend(1125899906842597::HUGEINT,
-        |             [ord(c)::HUGEINT for c in split(text, '') if c <> '']),
+        |             [ ('0x' || substr(hex(encode(text)), 2*i - 1, 2))::BIGINT::HUGEINT
+        |               for i in generate_series(1, strlen(text)) ]),
         |           (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS ck
         |  FROM documents)""".stripMargin,
 

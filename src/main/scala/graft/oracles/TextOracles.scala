@@ -26,14 +26,15 @@ private[graft] object TextOracles {
         |         CAST(${tokCharSum("toks")} AS BIGINT) AS sum_tok_chars
         |  FROM w),
         |r AS (
-        |  SELECT doc_id, lang,
-        |         round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) / 10000 AS stop_ratio,
-        |         round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) / 10000 AS mean_token_len
+        |  SELECT doc_id, lang, n_tokens,
+        |         CASE WHEN n_tokens > 0 THEN round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) / 10000 END AS stop_ratio,
+        |         CASE WHEN n_tokens > 0 THEN round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) / 10000 END AS mean_token_len
         |  FROM sig),
         |q AS (
-        |  SELECT *, least(300000, greatest(0,
+        |  SELECT *, CASE WHEN n_tokens > 0 THEN least(300000, greatest(0,
         |           50 * CAST(round(stop_ratio * 10000) AS BIGINT) + 150000
-        |           - 3 * abs(CAST(round(mean_token_len * 10000) AS BIGINT) - 50000))) AS q30
+        |           - 3 * abs(CAST(round(mean_token_len * 10000) AS BIGINT) - 50000)))
+        |           ELSE 0 END AS q30
         |  FROM r),
         |sc AS (
         |  SELECT doc_id, lang, CAST((q30 + 15) // 30 AS DOUBLE) / 10000 AS quality_score
@@ -66,14 +67,15 @@ private[graft] object TextOracles {
         |  FROM w),
         |r AS (
         |  SELECT doc_id, n_tokens, n_stopwords,
-        |         round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) / 10000 AS stop_ratio,
-        |         round(CAST((n_chars_raw - n_nopunct) * 10000 AS DOUBLE) / n_chars_raw) / 10000 AS punct_ratio,
-        |         round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) / 10000 AS mean_token_len
+        |         CASE WHEN n_tokens > 0 THEN round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) / 10000 END AS stop_ratio,
+        |         CASE WHEN n_chars_raw > 0 THEN round(CAST((n_chars_raw - n_nopunct) * 10000 AS DOUBLE) / n_chars_raw) / 10000 END AS punct_ratio,
+        |         CASE WHEN n_tokens > 0 THEN round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) / 10000 END AS mean_token_len
         |  FROM sig),
         |q AS (
-        |  SELECT *, least(300000, greatest(0,
+        |  SELECT *, CASE WHEN n_tokens > 0 THEN least(300000, greatest(0,
         |           50 * CAST(round(stop_ratio * 10000) AS BIGINT) + 150000
-        |           - 3 * abs(CAST(round(mean_token_len * 10000) AS BIGINT) - 50000))) AS q30
+        |           - 3 * abs(CAST(round(mean_token_len * 10000) AS BIGINT) - 50000)))
+        |           ELSE 0 END AS q30
         |  FROM r)
         |SELECT doc_id, n_tokens, n_stopwords, stop_ratio, punct_ratio, mean_token_len,
         |       CAST((q30 + 15) // 30 AS DOUBLE) / 10000 AS quality_score
@@ -82,7 +84,7 @@ private[graft] object TextOracles {
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |                     x -> len(x) > 0) AS toks
         |  FROM documents),
         |s AS (
@@ -266,7 +268,7 @@ private[graft] object TextOracles {
       """SELECT token, count(*) AS n
         |FROM (
         |  SELECT unnest(list_filter(
-        |           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |           regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |           x -> len(x) > 0)) AS token
         |  FROM documents)
         |GROUP BY 1
@@ -280,7 +282,7 @@ private[graft] object TextOracles {
         |  SELECT DISTINCT source AS g, token FROM (
         |    SELECT source,
         |           unnest(list_filter(
-        |             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |             regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |             x -> len(x) > 0)) AS token
         |    FROM documents)),
         |sz AS (SELECT g, count(*) AS n_vocab FROM gt GROUP BY 1),
@@ -303,7 +305,7 @@ private[graft] object TextOracles {
         |  SELECT doc, token, count(*) AS tf FROM (
         |    SELECT doc_id AS doc,
         |           unnest(list_filter(
-        |             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |             regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |             x -> len(x) > 0)) AS token
         |    FROM documents)
         |  GROUP BY 1, 2),
@@ -354,9 +356,9 @@ private[graft] object TextOracles {
         |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
         |      FROM w)
         |SELECT doc_id, n_words, n_stop,
-        |       round(CAST(sum_chars * 10000 AS DOUBLE) / n_words) / 10000
+        |       CASE WHEN n_words > 0 THEN round(CAST(sum_chars * 10000 AS DOUBLE) / n_words) / 10000 END
         |         AS mean_word_len,
-        |       round(CAST(n_alpha * 10000 AS DOUBLE) / n_words) / 10000
+        |       CASE WHEN n_words > 0 THEN round(CAST(n_alpha * 10000 AS DOUBLE) / n_words) / 10000 END
         |         AS frac_alpha,
         |       (n_words >= 50 AND n_words <= 100000) AS keep_words,
         |       (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words) AS keep_mwl,

@@ -41,7 +41,50 @@ class FuzzDifferentialSpec extends SparkSpec {
     // closing-stretch additions: the temperature mixture's sqrt/
     // largest-remainder walk on skewed 2-3-lang corpora, and the
     // fertility roll-up's unicode words through the BPE replay
-    "sample_temperature", "report_bpe_fertility", "dedup_cdc")
+    "sample_temperature", "report_bpe_fertility", "dedup_cdc",
+    // r12 widening (r11 VERDICT #4): every documents-based family —
+    // the full dedup battery (portable-hash LSH bands, CC canonical,
+    // winnowing, edit-distance, incremental), the text battery
+    // (gopher/ntile/dsir/classifier/tfidf/bm25/redact/scrub/
+    // normalize), decontam, splits repair, sampling, packing, the
+    // curation composites, the crawl layer, and the multimodal
+    // family (payloads are pure functions of text/doc_id, so their
+    // pixel/sample-exact oracles replay on fuzz corpora too)
+    "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_clusters",
+    "dedup_components", "dedup_canonical", "dedup_canonical_shared",
+    "dedup_winnowing", "dedup_editdist", "dedup_threshold_sweep",
+    "dedup_incremental", "dedup_incremental_near",
+    "decontam_overlap", "decontam_bloom",
+    "text_stats", "text_quality", "text_langid", "text_redact",
+    "text_scrub_rare", "text_repetition", "text_bm25", "text_tfidf",
+    "text_fingerprint", "text_normalize", "text_tokens_regex",
+    "vocab_topk", "vocab_bpe_shared",
+    "quality_gopher", "quality_ntile", "quality_dsir", "quality_lm_dsir",
+    "quality_classifier",
+    "source_overlap", "profile_source_overlap",
+    "pack_budget", "pack_concat", "pack_stats",
+    "sample_hash", "sample_cap_per_group", "sample_stratified",
+    "sample_mixture", "sample_token_budget",
+    "split_leakage", "split_repair",
+    "curate_corpus", "curate_corpus_gopher", "curate_corpus_near",
+    "curate_corpus_mix",
+    "crawl_canonicalize", "crawl_domain_cap", "crawl_domain_pagerank",
+    "mm_payload_meta", "mm_imageio_decode", "mm_resize", "mm_resize_real",
+    "mm_decode_features", "mm_frame_sample", "mm_audio_meta",
+    "dedup_image_phash", "dedup_audio_fp",
+    "layout_zorder", "layout_shuffle")
+
+  // embeddings-based subset (fuzz vectors: random nonzero 64-dim
+  // floats, ~15% exact duplicates, a hot label). The recall-floor
+  // entries (similarity_pq / _ivf_kmeans / _lsh) stay out BY DESIGN:
+  // their floors are measured properties of the REAL corpus geometry,
+  // not invariants — adversarial vectors can legitimately sink them.
+  private val embQueries = Seq(
+    "similarity_topk", "similarity_ivf", "similarity_knn_graph",
+    "mine_triplets", "graph_pagerank", "similarity_quantized",
+    "embedding_quantize", "embedding_stats", "embedding_centroids",
+    "dedup_embedding", "dedup_semantic",
+    "similarity_lsh_exhaustive", "similarity_ivf_exhaustive")
   // TPC-H-shaped subset: generated with consistent foreign keys, a
   // hot customer (30% of orders) and a hot order (20% of lineitem) so
   // the salted operators meet real skew, and two years of dates so
@@ -62,7 +105,16 @@ class FuzzDifferentialSpec extends SparkSpec {
     "window_session", "series_asof", "series_asof_tolerance",
     "events_transitions", "events_retention", "events_retention_weekly",
     "events_funnel", "pivot_daily", "unpivot_daily", "agg_histogram",
-    "scalar_robust_z")
+    "scalar_robust_z",
+    // r12 widening: the scalar/profile/agg batteries over the fuzz
+    // event stream — zero/negative/huge 2-dp values are exactly the
+    // space their exact-integer arithmetic claims
+    "scalar_dates", "scalar_impute", "scalar_minmax", "scalar_zscore",
+    "scalar_winsorize", "drift_chisq", "agg_linfit", "agg_mad",
+    "agg_stats_moments", "agg_corr", "agg_equidepth",
+    "quality_expectations", "profile_columns", "quality_funnel",
+    "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
+    "fred_yearly_gold")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",
@@ -118,9 +170,35 @@ class FuzzDifferentialSpec extends SparkSpec {
         case 2 => rnd.nextInt(100000000) / 100.0
         case _ => rnd.nextInt(10000) / 100.0
       }
-      (i.toLong, ts, user, etype, value, s"p${rnd.nextInt(5)}")
+      // props is JSON in the driver testdata; the clean-cast/impute
+      // queries parse it, so the fuzz stream must stay in-format
+      (i.toLong, ts, user, etype, value, s"""{"k": ${rnd.nextInt(99)}}""")
     }
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  private def randEmbeddings(seed: Int, n: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed * 6007 + 101)
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val rows = (0 until n).map { i =>
+      val v =
+        if (vecs.nonEmpty && rnd.nextInt(7) == 0) vecs(rnd.nextInt(vecs.size))
+        else {
+          // nonzero by construction (slot i%64 forced); mixed signs,
+          // magnitudes spanning 1e-2..1e3
+          val scale = Seq(0.01f, 1.0f, 1000.0f)(rnd.nextInt(3))
+          val a = Array.tabulate(64)(_ =>
+            (rnd.nextInt(2001) - 1000) / 1000.0f * scale)
+          a(i % 64) = ((rnd.nextInt(999) + 1) / 1000.0f) * scale
+          vecs += a; a
+        }
+      val label = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(3)
+      (i.toLong, v.toSeq, label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label").cast("int").as("label"))
   }
 
   private def d2(rnd: scala.util.Random, lo: Int, hi: Int): Double =
@@ -184,10 +262,11 @@ class FuzzDifferentialSpec extends SparkSpec {
       .createTempDirectory(s"graft_fuzz_$seed").toString
     writeTable(randDocs(seed, 40 + seed % 5 * 10), dir, "documents")
     writeTable(randEvents(seed, 300), dir, "events")
+    writeTable(randEmbeddings(seed, 60), dir, "embeddings")
     writeTpch(seed, dir)
     val outDir = s"$dir/out"
     Verify.dump(spark, dir, outDir,
-      Some((docQueries ++ eventQueries ++ tpchQueries).toSet))
+      Some((docQueries ++ eventQueries ++ tpchQueries ++ embQueries).toSet))
     val log = new StringBuilder
     val code = scala.sys.process.Process(
       Seq("python3", "tools/check_oracle.py", dir, outDir),
@@ -198,7 +277,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     assert(code == 0 && !report.contains("FAIL"),
       s"seed $seed diverged from DuckDB:\n$report")
     val passes = report.linesIterator.count(_.startsWith("PASS"))
-    val expected = docQueries.size + eventQueries.size + tpchQueries.size
+    val expected = docQueries.size + eventQueries.size +
+      tpchQueries.size + embQueries.size
     assert(passes == expected,
       s"seed $seed: expected $expected hash-checked queries, " +
         s"saw $passes:\n$report")
