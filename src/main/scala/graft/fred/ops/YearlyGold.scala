@@ -14,7 +14,17 @@ import graft.fred.Schemas
   * C6 is pandas/numpy `round`, i.e. HALF_EVEN (banker's) — Spark
   * `bround`, NOT `round` (HALF_UP). Oracle-visible difference
   * (SURVEY §7.4.1).
-  */
+  *
+  * Tie caveat (fuzz-caught): every engine resolves a double that
+  * PRINTS as "…5" differently — Spark `bround` rounds the shortest
+  * DECIMAL repr (66195.225 → .22), numpy/DuckDB round by the BINARY
+  * value's true side of the half-way point (66195.225 binary is just
+  * above → .23), and neither is replayable in the other. [[toGold]]
+  * keeps `bround` for reference-API parity (ties are measure-zero
+  * noise either way); the hash-gated catalog query instead applies
+  * HALF_EVEN to the exact RATIONAL mean (micro-sum / count) in pure
+  * integer arithmetic — deterministic and engine-portable at every
+  * value including exact ties (see `CoreQueries.fredYearlyGold`). */
 object YearlyGold {
 
   /** E1: union monthly frames by name. In the lake-backed pipeline this

@@ -31,15 +31,34 @@ private[graft] object CoreOracles {
         |WHERE v IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
+    // Exact-integer HALF_EVEN of the rational mean (see the
+    // fredYearlyGold scaladoc: engine double-rounding resolves printed
+    // ties by engine-specific rules, so the gate rounds the exact
+    // integers — micro-sum carried straight from the silver agg here).
     "fred_yearly_gold" ->
-      s"""WITH silver AS ($dailySilverCte)
-         |SELECT indicator, observation_year, observation_month, observation_day,
-         |       round_even(value, 2) AS value, observation_count
-         |FROM (
-         |  SELECT * FROM silver WHERE observation_day <= 15
-         |  UNION ALL
-         |  SELECT * FROM silver WHERE observation_day > 15
-         |)""".stripMargin,
+      """WITH silver AS (
+        |  SELECT event_type AS indicator,
+        |         CAST(year(ts) AS INTEGER) AS observation_year,
+        |         CAST(month(ts) AS INTEGER) AS observation_month,
+        |         CAST(day(ts) AS INTEGER) AS observation_day,
+        |         sum(CAST(round(value * 1000000) AS BIGINT)) AS ms,
+        |         count(value) AS observation_count
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |u AS (
+        |  SELECT * FROM silver WHERE observation_day <= 15
+        |  UNION ALL
+        |  SELECT * FROM silver WHERE observation_day > 15),
+        |x AS (SELECT *, observation_count * 10000 AS d,
+        |        ((ms % (observation_count * 10000)) + observation_count * 10000)
+        |          % (observation_count * 10000) AS r
+        |      FROM u),
+        |y AS (SELECT *, (ms - r) // d AS q FROM x)
+        |SELECT indicator, observation_year, observation_month, observation_day,
+        |       CAST(q + CASE WHEN r * 2 > d THEN 1
+        |                     WHEN r * 2 < d THEN 0
+        |                     ELSE ((q % 2) + 2) % 2 END AS DOUBLE) / 100 AS value,
+        |       observation_count
+        |FROM y""".stripMargin,
 
     "fred_dedup_sync" ->
       """SELECT user_id, event_type

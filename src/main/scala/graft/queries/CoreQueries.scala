@@ -38,13 +38,32 @@ trait CoreQueries extends QueriesBase {
         count(col("value")).as("k_count"))
   }
 
-  /** E1+C6 — union monthly halves, HALF_EVEN round to 2 (gold layer). */
+  /** E1+C6 — union monthly halves, HALF_EVEN round to 2 (gold layer).
+    *
+    * The rounding is EXACT-integer HALF_EVEN of the rational mean
+    * S/(c·10⁶), not engine `bround`/`round_even` of the double:
+    * engines resolve printed "…5" ties by different rules (Spark by
+    * shortest decimal repr, numpy/DuckDB by the binary value's true
+    * side — fuzz-caught at 66195.225 and 40.825), so the only
+    * portable definition is the tie logic on the exact integers. The
+    * micro-sum S reconstructs exactly: |S| < 2⁵³ and exactAvg's two
+    * divisions are correctly rounded, so round(value·c·10⁶) = S. */
   val fredYearlyGold: Q = (s, dir) => {
     val silver = dailySilver(s, dir)
     val first = silver.filter(col("observation_day") <= 15)
     val second = silver.filter(col("observation_day") > 15)
     YearlyGold.unionMonths(Seq(first, second))
-      .withColumn("value", bround(col("value"), 2))
+      .withColumn("__S",
+        round(col("value") * col("observation_count") * 1e6).cast("long"))
+      .withColumn("__D", col("observation_count").cast("long") * lit(10000L))
+      .withColumn("__r", pmod(col("__S"), col("__D")))
+      .withColumn("__q",
+        ((col("__S") - col("__r")) / col("__D")).cast("long"))
+      .withColumn("value",
+        (col("__q") + when(col("__r") * 2 > col("__D"), 1L)
+          .when(col("__r") * 2 < col("__D"), 0L)
+          .otherwise(pmod(col("__q"), lit(2L)))).cast("double") / 100)
+      .drop("__S", "__D", "__r", "__q")
   }
 
   /** D1 — dedup-against-sink left anti join. */
