@@ -667,6 +667,63 @@ class ScaleSmokeSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  smokeTest("PQ encode + ADC search at 100k vectors stays broadcast-shaped") {
+    // the deployed train-once/search-many plan (the r12 bench form):
+    // codebooks from a bounded sample, ONE codegen'd encode pass over
+    // 100k vectors, then a 50-query ADC wave = 5M table lookups via a
+    // broadcast join — the corpus must never shuffle and the whole
+    // search must be seconds, not minutes
+    val dim = 64
+    val vecs = spark.range(100000L).select(col("id").as("vec_id"),
+        array((0 until dim).map(i =>
+          pmod(col("id") * (i * 2 + 3) + i * 7, lit(101)).cast("float") - 50.0f): _*)
+          .as("embedding"))
+      .repartition(8).cache()
+    vecs.count()
+    val t0 = System.nanoTime()
+    val model = graft.ext.Pq.train(vecs, "embedding", dim = dim, m = 8, k = 16)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val enc = graft.ext.Pq.encode(model, vecs, "vec_id", "embedding").cache()
+    val nCodes = enc.count()
+    val queries = vecs.filter(col("vec_id") % 2000 === 0) // 50 queries
+    val hits = graft.ext.Pq.searchTopK(model, enc, vecs, queries,
+      "vec_id", "embedding", k = 5, candidateFactor = 20)
+    val n = hits.count()
+    val secs = (System.nanoTime() - t1) / 1e9
+    info(s"PQ over $nCodes vectors: train ${tTrain.round} s, " +
+      s"encode+search 50 queries → $n rows in ${secs.round} s")
+    assert(nCodes == 100000L && n == 50L * 5)
+    enc.unpersist(); vecs.unpersist()
+    assert(secs < 120, s"PQ encode+search blew up: $secs s")
+  }
+
+  smokeTest("integer PageRank over 1M edges: 10 iterations, linear per round") {
+    // 200k nodes x 5 out-edges = 1M edges; each iteration is one
+    // equality join + one shuffle-sum over |edges| — 10 rounds must
+    // finish in minutes-not-hours territory on local[*], and the
+    // rank mass must stay within teleport-floor bounds
+    val edges = spark.range(1000000L).select(
+        (col("id") % 200000L).as("src"),
+        pmod(col("id") % 200000L * 31 + (col("id") / 200000L) * 1009 + 17,
+          lit(200000L)).as("dst"))
+      .repartition(8).cache()
+    val nEdges = edges.count()
+    val t0 = System.nanoTime()
+    val ranks = graft.operators.PageRank.run(edges, "src", "dst",
+      iterations = 10).cache()
+    val nNodes = ranks.count()
+    val mass = ranks.agg(sum("rank")).head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"PageRank over $nEdges edges / $nNodes nodes: " +
+      s"mass $mass in ${secs.round} s")
+    assert(nNodes == 200000L)
+    // floor truncation leaks mass downward but never creates it
+    assert(mass <= 1000000000000L && mass > 900000000000L)
+    ranks.unpersist(); edges.unpersist()
+    assert(secs < 240, s"PageRank blew up: $secs s")
+  }
+
   smokeTest("token-budget window survives 100k docs in ONE source partition") {
     // the operator's declared worst case: budgets are sequential per
     // source, so a single dominant source serializes its whole window
