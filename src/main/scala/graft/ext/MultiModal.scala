@@ -231,28 +231,36 @@ object MultiModal {
       .mapPartitions(_.map(id => (id, syntheticWav(id))))
       .toDF(idCol, "payload")
     payloads.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val fmt = ais.getFormat
-      require(fmt.getEncoding ==
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        s"payload of doc $id is not PCM audio")
-      val frames = ais.getFrameLength
-      val pcm = ais.readAllBytes()
-      require(pcm.length == frames * fmt.getFrameSize,
-        s"doc $id: short read ${pcm.length} of ${frames * fmt.getFrameSize}")
-      def sampleAt(i: Long): Int =
-        ((pcm(2 * i.toInt) & 0xff) | (pcm(2 * i.toInt + 1) << 8))
-      var sum = 0L
-      var i = 0
-      while (i < frames) { sum += sampleAt(i); i += 1 }
-      val rate = fmt.getSampleRate.toInt
-      AudioMeta(id, rate, fmt.getChannels, fmt.getSampleSizeInBits,
-        frames, frames * 1000L / rate,
-        if (frames > 0) sampleAt(0) else 0,
-        if (frames > 0) sampleAt(frames - 1) else 0,
-        sum)
+      decodeWavMeta(id, bytes)
     })
+  }
+
+  /** The real `javax.sound.sampled` WAV decode: header fields off the
+    * codec, every PCM frame read back, exact sample statistics.
+    * Factored out of [[audioRoundTrip]] so externally-encoded payloads
+    * (bytes the JVM never synthesized) run the identical path. */
+  def decodeWavMeta(id: Long, bytes: Array[Byte]): AudioMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"payload of doc $id is not PCM audio")
+    val frames = ais.getFrameLength
+    val pcm = ais.readAllBytes()
+    require(pcm.length == frames * fmt.getFrameSize,
+      s"doc $id: short read ${pcm.length} of ${frames * fmt.getFrameSize}")
+    def sampleAt(i: Long): Int =
+      ((pcm(2 * i.toInt) & 0xff) | (pcm(2 * i.toInt + 1) << 8))
+    var sum = 0L
+    var i = 0
+    while (i < frames) { sum += sampleAt(i); i += 1 }
+    val rate = fmt.getSampleRate.toInt
+    AudioMeta(id, rate, fmt.getChannels, fmt.getSampleSizeInBits,
+      frames, frames * 1000L / rate,
+      if (frames > 0) sampleAt(0) else 0,
+      if (frames > 0) sampleAt(frames - 1) else 0,
+      sum)
   }
 
   /** Audio fingerprint over REAL decode — the audio member of the
