@@ -393,8 +393,14 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executed(Queries.all("text_boilerplate_indexed")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
       s"boilerplate index must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"corpus shuffled against the index:\n$plan")
+    // the MEMBERSHIP join (gram key) must never sort-merge; the final
+    // per-doc stats join is doc-keyed corpus-to-corpus and may
+    // legitimately shuffle (the r12 index localCheckpoint erases the
+    // tiny-size estimate that used to broadcast it at spec SF)
+    val smjKeys = "SortMergeJoin \\[(\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(smjKeys.forall(_.startsWith("doc")),
+      s"corpus shuffled against the index on a gram key ($smjKeys):\n$plan")
   }
 
   test("dedup_image_phash / dedup_audio_fp: banded equality join resp. single-agg group, no cartesian") {
