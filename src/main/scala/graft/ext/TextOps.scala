@@ -1087,6 +1087,83 @@ object TextOps {
       .withColumn("keep", col("score") >= 0L)
   }
 
+  // --------------------------- line-grain dedup (C4 / RefinedWeb)
+
+  /** Intra-document line dedup — C4's "discard duplicate lines within
+    * a page" step (Raffel et al. 2020 §2.2): within each doc, every
+    * line keeps only its FIRST occurrence, order otherwise preserved.
+    * Output: (id, n_lines, n_kept, text_deduped). Per-doc only — one
+    * posexplode, one (doc, line) min-pos agg, one doc reassembly
+    * whose collect_list is bounded by the doc's own length; no
+    * cross-doc state, no corpus-wide join. The cross-doc siblings are
+    * [[graft.ext.Dedup.spanDedup]] (window grain) and
+    * [[stripFrequentLines]] (global line df). */
+  def dedupLines(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val ex = df.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val per = ex.groupBy("doc", "line").agg(min("pos").as("pos"))
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_kept"),
+        // pos is unique per doc → total order (scrubRareTokens idiom)
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), sep).as("text_deduped"))
+    val totals = ex.groupBy("doc").agg(count(lit(1)).as("n_lines"))
+    df.select(col(idCol))
+      .join(totals.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .join(per.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
+  /** Global frequent-line removal — the RefinedWeb/CCNet line-level
+    * boilerplate pass (nav bars, cookie banners, footers repeat
+    * VERBATIM across pages): a line present in ≥ `minDocFreq`
+    * DISTINCT docs is boilerplate and is struck from every doc.
+    * Output: (id, n_lines, n_stripped, text_clean). The line-grain
+    * complement of [[boilerplateSignals]] (which gates whole docs on
+    * hashed-gram df) and [[graft.ext.Dedup.spanDedup]] (which keeps
+    * one occurrence — boilerplate wants ZERO).
+    *
+    * Scale shape: one posexplode (materialized once — it feeds the df
+    * agg and the strike join; persist(DISK_ONLY) on a cluster), one
+    * distinct-per-doc line-df hash agg, one line-keyed equality join
+    * back (the boilerplate-line table is small but unbounded — no
+    * broadcast hint, AQE decides, the [[scrubRareTokens]] posture),
+    * one per-doc reassembly. Linear end to end. */
+  def stripFrequentLines(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDocFreq: Int = 5,
+      sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be >= 2")
+    val ex = df.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .localCheckpoint()
+    val ldf = ex.select("doc", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("line"), lit(1L).as("__boiler"))
+    val marked = ex.join(ldf, Seq("line"), "left")
+    val per = marked.groupBy("doc").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_stripped"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), sep).as("text_clean"))
+    df.select(col(idCol))
+      .join(per.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_stripped"), lit(0L)).as("n_stripped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Streaming form: score each micro-batch against the frozen
     * classifier via `foreachBatch` — the [[screenBoilerplateStream]]
     * pattern. */

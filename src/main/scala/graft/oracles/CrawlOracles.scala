@@ -68,6 +68,40 @@ private[graft] object CrawlOracles {
          |  FROM c)
          |WHERE sample_rank <= 10""".stripMargin,
 
+    // Mirrors crawlDomainReputation: per registered domain, the Gopher
+    // keep-rate of its docs (the quality_gopher keep expression) and
+    // the >= 50% reputation gate in exact integer space.
+    "crawl_domain_reputation" ->
+      s"""WITH $urlCtes,
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text,
+         |           '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS tk,
+         |           text FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(len(tk) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+         |          AS BIGINT) AS sum_chars,
+         |        CAST(len(list_filter(tk,
+         |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(tk, t -> list_contains(
+         |          ['the','be','to','of','and','that','have','with'], t)))
+         |          AS BIGINT) AS n_stop,
+         |        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym
+         |      FROM toks),
+         |k AS (SELECT doc_id,
+         |        ((n_words >= 50 AND n_words <= 100000)
+         |          AND (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words)
+         |          AND (5 * n_alpha >= 4 * n_words)
+         |          AND (n_stop >= 2)
+         |          AND (10 * n_sym <= n_words)) AS keep
+         |      FROM s),
+         |g AS (SELECT domain, count(*) AS n_docs,
+         |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |      FROM c JOIN k USING (doc_id) GROUP BY 1)
+         |SELECT domain, n_docs, n_keep,
+         |       round(n_keep * 10000.0 / n_docs) / 10000 AS keep_ratio,
+         |       100 * n_keep >= 50 * n_docs AS reputable
+         |FROM g""".stripMargin,
+
     // Mirrors CrawlOps.domainPageRank over the deterministic
     // doc→peer link list: 10 unrolled integer power-iteration stages
     // (the graph_pagerank stage algebra) on domain-string nodes.

@@ -449,6 +449,57 @@ private[graft] object TextOracles {
          |       coalesce(text_scrubbed, '') AS text_scrubbed
          |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,
 
+    // Mirrors textDedupLines over the shared multi-line fixture
+    // ([text, first-40, text, footer] joined by \n): per doc, each
+    // line keeps its first occurrence, order preserved.
+    "text_dedup_lines" ->
+      """WITH w AS (SELECT doc_id,
+        |    text || chr(10) || substr(text, 1, 40) || chr(10) || text
+        |         || chr(10) || 'all rights reserved footer' AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, str_split(t, chr(10)) AS l FROM w),
+        |ex AS (SELECT doc_id, i - 1 AS pos, l[i] AS line
+        |       FROM (SELECT doc_id, l,
+        |               unnest(generate_series(1, len(l))) AS i FROM b)),
+        |fo AS (SELECT doc_id, line, min(pos) AS pos FROM ex GROUP BY 1, 2),
+        |per AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+        |        FROM fo GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM ex GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(text_deduped, '') AS text_deduped
+        |FROM documents d LEFT JOIN tot USING (doc_id)
+        |LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // Mirrors textStripLines: global line document-frequency (distinct
+    // per doc) >= 5 strikes the line from every doc.
+    "text_strip_lines" ->
+      """WITH w AS (SELECT doc_id,
+        |    text || chr(10) || substr(text, 1, 40) || chr(10) || text
+        |         || chr(10) || 'all rights reserved footer' AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, str_split(t, chr(10)) AS l FROM w),
+        |ex AS (SELECT doc_id, i - 1 AS pos, l[i] AS line
+        |       FROM (SELECT doc_id, l,
+        |               unnest(generate_series(1, len(l))) AS i FROM b)),
+        |ldf AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex)
+        |        GROUP BY line HAVING count(*) >= 5),
+        |m AS (SELECT e.doc_id, e.pos, e.line,
+        |        CASE WHEN ldf.line IS NOT NULL THEN 1 ELSE 0 END AS boiler
+        |      FROM ex e LEFT JOIN ldf ON e.line = ldf.line),
+        |per AS (SELECT doc_id, count(*) AS n_lines,
+        |          CAST(sum(boiler) AS BIGINT) AS n_stripped,
+        |          coalesce(string_agg(CASE WHEN boiler = 0 THEN line END,
+        |            chr(10) ORDER BY pos), '') AS text_clean
+        |        FROM m GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(n_stripped, 0) AS BIGINT) AS n_stripped,
+        |       coalesce(text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Mirrors TextOps.screenSurprisal over TextOps.lmIndex trained on
     // the doc_id%3 slice: the LM (c_bg ‖ c_prefix, pre-joined like the
     // index frame) LEFT-joins the occurrence stream, unknown bigrams

@@ -76,9 +76,32 @@ trait CrawlQueries extends QueriesBase {
       iterations = 10)
   }
 
+  /** Domain reputation — the domain PRIOR crawl pipelines gate on
+    * (CCNet/RefinedWeb keep per-domain quality statistics so a new
+    * page inherits its publisher's track record): per registered
+    * domain, the Gopher keep-rate of its documents and a ≥50%
+    * reputation gate. One linear gopher pass + one hash agg on the
+    * domain key; `n_docs ≥ 1` by construction so the ratio is safe. */
+  val crawlDomainReputation: Q = (s, dir) => {
+    val keep = graft.ext.TextOps.gopherSignals(Tables.documents(s, dir))
+      .select(col("doc_id"), col("keep"))
+    urlDocs(s, dir)
+      .select(col("doc_id"), graft.ext.CrawlOps.domainOf(col("url")).as("domain"))
+      .join(keep, "doc_id")
+      .groupBy("domain").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      // integer-scaled rounding — see TextOps.qualitySignals
+      .withColumn("keep_ratio",
+        round(col("n_keep") * lit(10000.0) / col("n_docs")) / 1e4)
+      .withColumn("reputable",
+        lit(100L) * col("n_keep") >= lit(50L) * col("n_docs"))
+  }
+
   /** This family's slice of [[Queries.all]]. */
   protected def crawlRegistry: Map[String, Q] = Map(
     "crawl_canonicalize" -> crawlCanonicalize,
     "crawl_domain_cap" -> crawlDomainCap,
-    "crawl_domain_pagerank" -> crawlDomainPagerank)
+    "crawl_domain_pagerank" -> crawlDomainPagerank,
+    "crawl_domain_reputation" -> crawlDomainReputation)
 }

@@ -183,6 +183,27 @@ trait TextQueries extends QueriesBase {
     TextOps.screenQualityClassifier(docs, index)
   }
 
+  /** In-plan multi-line fixture: the corpus is single-line word salad,
+    * so the line-grain operators synthesize lines as a pure function
+    * of the text (the messyUrl posture) — [full text, its first 40
+    * chars, the full text AGAIN, one footer shared by every doc]: a
+    * verbatim intra-doc duplicate plus a global boilerplate line. */
+  private def multiLineDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat_ws("\n", col("text"), substring(col("text"), 1, 40),
+        col("text"), lit("all rights reserved footer")).as("text"))
+
+  /** C4 intra-doc line dedup: duplicate lines within a page keep only
+    * their first occurrence (see [[TextOps.dedupLines]]). */
+  val textDedupLines: Q = (s, dir) => TextOps.dedupLines(multiLineDocs(s, dir))
+
+  /** RefinedWeb/CCNet global frequent-line removal: a line appearing
+    * in ≥ 5 distinct docs (here: the shared footer, plus any text
+    * duplicated across docs) is struck from every doc (see
+    * [[TextOps.stripFrequentLines]]). */
+  val textStripLines: Q = (s, dir) =>
+    TextOps.stripFrequentLines(multiLineDocs(s, dir), minDocFreq = 5)
+
   /** Rare-token scrub: tokens below the corpus-frequency floor (< 3
     * occurrences) mask to `<unk>` — the memorization-mitigation pass
     * (see [[TextOps.scrubRareTokens]]). */
@@ -380,6 +401,8 @@ trait TextQueries extends QueriesBase {
     "quality_lm_surprisal" -> qualityLmSurprisal,
     "quality_lm_indexed" -> qualityLmIndexed,
     "quality_classifier" -> qualityClassifier,
+    "text_dedup_lines" -> textDedupLines,
+    "text_strip_lines" -> textStripLines,
     "quality_dsir" -> qualityDsir,
     "quality_lm_dsir" -> qualityLmDsir,
     "vocab_bpe_merges" -> vocabBpeMerges,
