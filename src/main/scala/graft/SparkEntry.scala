@@ -27,7 +27,10 @@ object SparkEntry {
     * total, which should reflect production plans only (r8 VERDICT
     * "What's wrong" #2). Bench.scala reports them under `excluded`. */
   val verifyOnly: Set[String] =
-    Set("similarity_lsh_exhaustive", "similarity_ivf_exhaustive")
+    Set("similarity_lsh_exhaustive", "similarity_ivf_exhaustive",
+      // exhaustive-probe append anchor: the probe covers every
+      // cluster so the EXACT oracle reaches the append machinery
+      "similarity_ivf_append")
 
   /** Production-shaped bench plans for gate composites that EMBED their
     * own verification twin (the r9 tolerance-bound protocol): at the

@@ -94,6 +94,37 @@ object Ivf {
     Index(assigned, centroids)
   }
 
+  /** Assign a NEW batch of vectors to an existing index's clusters —
+    * the incremental-ingest path of the train-once lifecycle: a crawl
+    * pipeline appends each day's embeddings to the coarse quantizer
+    * WITHOUT retraining (centroids drift slowly; the published
+    * practice is periodic re-train, per-batch assign). Assignment is
+    * one codegen'd per-row argmin over the literal centroid matrix
+    * (the [[Pq.encode]] shape, with the same (distance asc, cluster
+    * asc) tiebreak KMeans' transform resolves to on distinct
+    * distances — spec-pinned equal); the batch never shuffles and the
+    * existing assignment frame is untouched. Returns the index with
+    * the batch unioned in — at production scale, write the new rows
+    * into the cluster-partitioned layout instead ([[save]]'s layout,
+    * one appended partition file per touched cluster). */
+  def assignNew(index: Index, batch: DataFrame, idCol: String,
+      vecCol: String): Index = {
+    import graft.functions.VectorMath.dotF
+    val scored = (0 until index.centroids.length).map { j =>
+      val c = index.centroids(j)
+      // argmin ||v − c||² ≡ argmin (||c||² − 2·v·c): ||v||² is
+      // constant per row
+      val norm2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct(
+        (lit(norm2) - lit(2.0d) * dotF(col(vecCol), typedLit(c.toSeq))).as("d"),
+        lit(j).as("j"))
+    }
+    val assigned = batch.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_min(array(scored: _*)).getField("j").as("cluster"))
+    Index(index.assigned.unionByName(assigned), index.centroids)
+  }
+
   /** Top-k search probing each query's `nprobe` nearest clusters.
     *
     * Centroid ranking has two plan shapes, switched on

@@ -62,4 +62,46 @@ object TrainingOrder {
     withOrder(df, keyCol, shards = numPartitions, salt = salt, epoch = epoch)
       .repartitionByRange(numPartitions, col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
+
+  /** Deterministic round-robin SOURCE interleave — the batch-diversity
+    * layout: a hash shuffle randomizes example order but can still
+    * hand SGD long same-source runs when one source dominates;
+    * interleaving strides sources so consecutive positions cycle
+    * through them (the data-mixing layout multi-corpus training
+    * recipes prescribe: every mini-batch sees every source in
+    * proportion). Position arithmetic, not a global sort:
+    *
+    *   interleave_pos = src_rank · S + source_idx
+    *
+    * where `src_rank` is the row's stable md5 rank WITHIN its source
+    * (one window shuffle on the source key) and `source_idx` the
+    * source's alphabetical index in the (bounded, ≤ `maxSources` —
+    * THROWS above it) source vocabulary. Positions are strictly
+    * increasing per source and collide never; reading in pos order
+    * visits sources round-robin until a source exhausts (shorter
+    * sources leave gaps — gaps order-preserve, so a sequential
+    * trainer just streams). Per-row compute + one bounded broadcast:
+    * no global window anywhere. */
+  def interleaveBySource(df: DataFrame, keyCol: String, sourceCol: String,
+      salt: String = "", maxSources: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val srcs = df.select(col(sourceCol).cast("string").as("__src")).distinct()
+    val n = srcs.count()
+    require(n > 0, "empty input")
+    require(n <= maxSources,
+      s"$n distinct sources exceeds maxSources=$maxSources — the source " +
+      "vocabulary must be bounded (it is the interleave stride)")
+    // tiny frame: the single-partition window is over ≤ maxSources rows
+    val idx = srcs.withColumn("__sidx",
+      row_number().over(Window.orderBy(col("__src"))).cast("long") - 1)
+    val rw = Window.partitionBy(col(sourceCol))
+      .orderBy(orderKey(col(keyCol), salt, 0).asc, col(keyCol).asc)
+    df.withColumn("src_rank", row_number().over(rw).cast("long") - 1)
+      .join(broadcast(idx), col(sourceCol).cast("string") === col("__src"))
+      .withColumn("source_idx", col("__sidx").cast("int"))
+      .withColumn("interleave_pos",
+        col("src_rank") * lit(n) + col("__sidx"))
+      .drop("__src", "__sidx")
+  }
 }

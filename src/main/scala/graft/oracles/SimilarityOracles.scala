@@ -138,6 +138,12 @@ private[graft] object SimilarityOracles {
     // IS brute-force top-k — same twin as similarity_topk.
     "similarity_ivf_exhaustive" -> similarityTopkSql,
 
+    // Incremental append + exhaustive probe ≡ brute force over the
+    // full corpus by construction (the ivf_exhaustive argument — the
+    // 80/20 build/append split must be invisible in the result), so
+    // the append machinery gets the exact similarity_topk oracle.
+    "similarity_ivf_append" -> similarityTopkSql,
+
     // Mirrors Similarity.topKQuantizedRerank end to end: the same
     // floor(x·scale+0.5) quantization as embedding_quantize (kept as
     // integer-valued DOUBLE lists — exact), candidate score = ratio of

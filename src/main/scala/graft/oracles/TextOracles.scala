@@ -828,6 +828,25 @@ private[graft] object TextOracles {
         |            % 8 AS INTEGER) AS shard
         |FROM documents""".stripMargin,
 
+    // Mirrors TrainingOrder.interleaveBySource (salt 'graft', epoch 0):
+    // md5 rank within each source, alphabetical source index, position
+    // = rank·S + idx.
+    "layout_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(doc_id::VARCHAR || 'graft:0'), doc_id)
+        |           AS BIGINT) - 1 AS src_rank
+        |  FROM documents),
+        |s AS (SELECT source,
+        |        CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS sidx,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM (SELECT DISTINCT source FROM documents))
+        |SELECT doc_id, r.source, src_rank,
+        |       CAST(sidx AS INTEGER) AS source_idx,
+        |       src_rank * n + sidx AS interleave_pos
+        |FROM r JOIN s ON r.source = s.source""".stripMargin,
+
     // Mirrors Dedup.spanDedupByTokens: non-overlapping 5-token windows
     // (the text_chunk slice machinery at overlap 0), global
     // first-occurrence by (doc, pos) — min(struct) ↔ the row_number

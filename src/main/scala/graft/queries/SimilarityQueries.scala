@@ -116,6 +116,25 @@ trait SimilarityQueries extends QueriesBase {
       k = 10, nprobe = index.centroids.length)
   }
 
+  /** Incremental IVF ingest: the index builds on 80% of the corpus,
+    * the held-out 20% arrives as a NEW batch assigned WITHOUT retrain
+    * ([[Ivf.assignNew]] — the daily-append path of the train-once
+    * lifecycle), then an exhaustive-probe search over the appended
+    * index. With every cluster probed the output ≡ brute-force top-k
+    * over the FULL corpus BY CONSTRUCTION — which hands the whole
+    * append machinery (codegen'd centroid argmin, union, cluster join)
+    * the exact similarity_topk oracle: a mis-assigned or dropped batch
+    * row hash-fails. */
+  val similarityIvfAppend: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val index = Ivf.build(e.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", nClusters = 8)
+    val appended = Ivf.assignNew(index, e.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding")
+    Ivf.searchTopK(appended, e.filter(col("vec_id") < 5), "vec_id",
+      "embedding", k = 10, nprobe = appended.centroids.length)
+  }
+
   /** Hyperplane-LSH near-neighbor pairs at cosine ≥ 0.4, recall-
     * CHECKED against the exhaustive pair set in the same plan: LSH
     * output is a SUBSET of brute force by construction (candidates
@@ -240,6 +259,7 @@ trait SimilarityQueries extends QueriesBase {
     "graph_pagerank" -> graphPagerank,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
+    "similarity_ivf_append" -> similarityIvfAppend,
     "similarity_lsh" -> similarityLsh,
     "similarity_lsh_exhaustive" -> similarityLshExhaustive,
     "similarity_quantized" -> similarityQuantized,

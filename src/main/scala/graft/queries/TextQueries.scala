@@ -90,6 +90,16 @@ trait TextQueries extends QueriesBase {
       Tables.documents(s, dir).select("doc_id", "source"),
       keyCol = "doc_id", shards = 8, salt = "graft", epoch = 1)
 
+  /** Round-robin source interleave (batch-diversity layout): reading
+    * in `interleave_pos` order cycles through the sources, so no
+    * mini-batch is a same-source run (see
+    * [[graft.operators.TrainingOrder.interleaveBySource]]). */
+  val layoutInterleave: Q = (s, dir) =>
+    graft.operators.TrainingOrder.interleaveBySource(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        keyCol = "doc_id", sourceCol = "source", salt = "graft")
+      .select("doc_id", "source", "src_rank", "source_idx", "interleave_pos")
+
   /** Cross-document span dedup (C4/RefinedWeb): every repeat of a
     * 5-token span after its global (doc, pos)-first occurrence is
     * dropped and documents are reassembled — the hygiene pass that
@@ -397,6 +407,7 @@ trait TextQueries extends QueriesBase {
     "text_tokens_regex" -> textTokensRegex,
     "layout_zorder" -> layoutZorder,
     "layout_shuffle" -> layoutShuffle,
+    "layout_interleave" -> layoutInterleave,
     "dedup_spans" -> dedupSpans,
     "quality_lm_surprisal" -> qualityLmSurprisal,
     "quality_lm_indexed" -> qualityLmIndexed,

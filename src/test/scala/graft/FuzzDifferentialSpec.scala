@@ -69,6 +69,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     "curate_corpus", "curate_corpus_gopher", "curate_corpus_near",
     "curate_corpus_mix",
     "crawl_canonicalize", "crawl_domain_cap", "crawl_domain_pagerank",
+    "crawl_domain_reputation", "text_dedup_lines", "text_strip_lines",
+    "layout_interleave",
     "mm_payload_meta", "mm_imageio_decode", "mm_resize", "mm_resize_real",
     "mm_decode_features", "mm_frame_sample", "mm_audio_meta",
     "dedup_image_phash", "dedup_audio_fp",
@@ -84,7 +86,10 @@ class FuzzDifferentialSpec extends SparkSpec {
     "mine_triplets", "graph_pagerank", "similarity_quantized",
     "embedding_quantize", "embedding_stats", "embedding_centroids",
     "dedup_embedding", "dedup_semantic",
-    "similarity_lsh_exhaustive", "similarity_ivf_exhaustive")
+    "similarity_lsh_exhaustive", "similarity_ivf_exhaustive",
+    // exhaustive-probe append ≡ brute force by construction, so the
+    // engine-specific centroids are invisible — fuzz-safe
+    "similarity_ivf_append")
   // TPC-H-shaped subset: generated with consistent foreign keys, a
   // hot customer (30% of orders) and a hot order (20% of lineitem) so
   // the salted operators meet real skew, and two years of dates so

@@ -69,4 +69,42 @@ class IvfSpec extends SparkSpec {
     assert(index.centroids.length == 8)
     assert(index.assigned.select("cluster").distinct().count() <= 8)
   }
+
+  test("assignNew reproduces KMeans' own assignment for the same vectors") {
+    import spark.implicits._
+    // the codegen'd argmin must agree with ml's transform cluster for
+    // every vector (distances are distinct in this corpus, so the
+    // tiebreak never fires and equality is exact)
+    val index = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
+    val fromKmeans = index.assigned
+      .select(col("neighbor_id"), col("cluster").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val empty = Ivf.Index(
+      index.assigned.filter(lit(false)), index.centroids)
+    val reassigned = Ivf.assignNew(empty, embeddings, "vec_id", "embedding")
+      .assigned.select(col("neighbor_id"), col("cluster").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(reassigned == fromKmeans,
+      "argmin over literal centroids must equal ml transform")
+  }
+
+  test("assignNew search over an 80/20 split equals the all-at-once index") {
+    import spark.implicits._
+    val base = embeddings.filter(col("vec_id") % 5 =!= 0)
+    val batch = embeddings.filter(col("vec_id") % 5 === 0)
+    val appended = Ivf.assignNew(
+      Ivf.build(base, "vec_id", "embedding", nClusters = 8),
+      batch, "vec_id", "embedding")
+    assert(appended.assigned.count() == embeddings.count())
+    val queries = embeddings.filter(col("vec_id") < 3)
+    def rows(i: Ivf.Index) =
+      Ivf.searchTopK(i, queries, "vec_id", "embedding", k = 5,
+          nprobe = i.centroids.length)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // exhaustive probe ≡ brute force on both, so append must be
+    // invisible in the result
+    val direct = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
+    assert(rows(appended) == rows(direct))
+  }
 }

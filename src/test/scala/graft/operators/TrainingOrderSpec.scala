@@ -48,6 +48,34 @@ class TrainingOrderSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("interleaveBySource: pos order cycles sources round-robin") {
+    import spark.implicits._
+    val rows = ((1L to 30L).map(i => (i, "web")) ++
+      (31L to 50L).map(i => (i, "books")) ++
+      (51L to 60L).map(i => (i, "code"))).toDF("id", "source")
+    val out = TrainingOrder.interleaveBySource(rows, "id", "source")
+      .select("id", "source", "src_rank", "source_idx", "interleave_pos")
+      .as[(Long, String, Long, Int, Long)].collect().sortBy(_._5)
+    assert(out.length == 60)
+    assert(out.map(_._5).distinct.length == 60, "positions never collide")
+    // pos ≡ source_idx (mod S) by construction ⇒ while every source
+    // still has rows, consecutive positions cycle through all three
+    assert(out.forall(r => r._5 % 3 == r._4))
+    val firstNine = out.take(9).map(_._2)
+    assert(firstNine.grouped(3).forall(_.toSet ==
+      Set("web", "books", "code")), firstNine.mkString(","))
+    // deterministic: a repartitioned rerun emits the identical layout
+    val again = TrainingOrder.interleaveBySource(
+        rows.repartition(7), "id", "source")
+      .select("id", "interleave_pos").as[(Long, Long)].collect().toSet
+    assert(again == out.map(r => (r._1, r._5)).toSet)
+    // the bounded-vocabulary guard throws rather than strides huge
+    val e = intercept[IllegalArgumentException] {
+      TrainingOrder.interleaveBySource(rows, "id", "source", maxSources = 2)
+    }
+    assert(e.getMessage.contains("maxSources"))
+  }
+
   test("layoutByOrder: files are contiguous key ranges in key order") {
     val parts = TrainingOrder.layoutByOrder(docs, "id", numPartitions = 4)
       .select("shuffle_key")
