@@ -1007,7 +1007,8 @@ object TextOps {
     * feature bucket to its integer weight; table size is bounded by
     * `buckets` BY CONSTRUCTION (the hashing trick — the reason a
     * 100 TB-corpus model still broadcasts). */
-  case class QualityClsIndex(weights: DataFrame, buckets: Int)
+  case class QualityClsIndex(weights: DataFrame, buckets: Int,
+      threshold: Double)
 
   /** Distinct hashed {1,2}-gram feature buckets of a document:
     * portable md5 gram hashes ([[graft.functions.TextHashes]])
@@ -1032,7 +1033,26 @@ object TextOps {
     * [[lmSurprisal]] idiom) so an external engine replays training
     * bit-for-bit. df is DOCUMENT frequency (presence features).
     * The weight table is materialized ([[lmIndex]] posture: train
-    * once must mean computed once) and ≤ `buckets` rows. */
+    * once must mean computed once) and ≤ `buckets` rows.
+    *
+    * The keep gate is CALIBRATED and LENGTH-NORMALIZED, not absolute:
+    * floor-log2 weights carry a systematic negative bias (each floor
+    * loses up to one bit, and shared-vocabulary grams land at −1 more
+    * often than +1), so `score ≥ 0` would reject essentially
+    * everything — measured on the driver corpus: every doc scored in
+    * [−76, 0], with English docs RANKING a clean ~10 bits above the
+    * rest — and a raw-sum cut would penalize SHORT docs (fewer
+    * features, smaller |sum|). The production practice (CCNet's
+    * per-token perplexity cut, FineWeb-Edu's score cut) is a
+    * per-unit operating point: the gate therefore compares the
+    * PER-FEATURE milli-score, `floor(1000·score / n_feats)` (floor
+    * division via pmod so negatives floor identically in every
+    * engine), against `threshold` = the exact interpolated P10 of
+    * the POSITIVE training docs' own per-feature scores — keep
+    * anything scoring at least as densely as 90% of known-good text.
+    * Exact and portable: integer scores, dyadic percentile fractions
+    * (the [[lmSurprisal]]-family rule: no engine-specific estimator
+    * crosses the gate). */
   def qualityClassifierIndex(labeled: DataFrame, labelCol: String,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 1 << 18): QualityClsIndex = {
@@ -1046,21 +1066,44 @@ object TextOps {
     val totals = labeled.agg(
       sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
       sum(when(!pos, 1L).otherwise(0L)).as("n_neg"))
-    QualityClsIndex(
-      dfc.crossJoin(broadcast(totals))
-        .select(col("g"),
-          ((bitsOf(col("df_pos") + 1) - bitsOf(col("n_pos") + 1)) -
-            (bitsOf(col("df_neg") + 1) - bitsOf(col("n_neg") + 1))).as("w"))
-        .localCheckpoint(),
-      buckets)
+    val weights = dfc.crossJoin(broadcast(totals))
+      .select(col("g"),
+        ((bitsOf(col("df_pos") + 1) - bitsOf(col("n_pos") + 1)) -
+          (bitsOf(col("df_neg") + 1) - bitsOf(col("n_neg") + 1))).as("w"))
+      .localCheckpoint()
+    // calibrate the operating point on the labeled positives (their
+    // features are all in-vocabulary by construction; featureless
+    // positives carry no signal and are excluded)
+    val posScores = labeled.filter(pos)
+      .select(col(idCol).as("doc"),
+        explode(hashedFeatures(col(textCol), buckets)).as("g"))
+      .join(weights, Seq("g"), "left")
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w"), lit(0L))).as("score"))
+      .withColumn("norm", normScore(col("score"), col("n_feats")))
+    val thr = posScores.agg(
+      expr("percentile(norm, 0.1)").as("t")).head().getAs[Any]("t")
+    require(thr != null,
+      "the labeled slice has no positive docs with features — nothing to calibrate on")
+    QualityClsIndex(weights, buckets, thr.asInstanceOf[Double])
+  }
+
+  /** Per-feature milli-score: floor(1000·score / nFeats) with FLOOR
+    * division (pmod form — truncating `DIV` rounds negatives toward
+    * zero and diverges from SQL `//`; the PageRank discipline). */
+  private def normScore(score: Column, nFeats: Column): Column = {
+    val a = score * 1000L
+    ((a - pmod(a, nFeats)) / nFeats).cast("long")
   }
 
   /** Score a corpus (or one micro-batch) against a trained
     * [[QualityClsIndex]]: per doc, score = Σ weights of its distinct
-    * present features; `keep` = score ≥ 0 (log-odds ≥ even).
+    * present features; `keep` = score ≥ the index's calibrated
+    * threshold (see [[qualityClassifierIndex]]).
     * Never-seen buckets surface as honest `n_oov` and score 0 (the
-    * [[screenSurprisal]] accounting). Featureless docs score 0 and
-    * pass — gate degenerate docs with [[gopherSignals]] upstream.
+    * [[screenSurprisal]] accounting). Featureless docs carry no
+    * evidence and take keep = false (and a NULL `norm_score`).
     * The weight table is broadcast (≤ `buckets` rows by
     * construction); the corpus is never shuffled for membership.
     * Batch ≡ stream is structural: per-doc statistics never cross
@@ -1084,7 +1127,11 @@ object TextOps {
         coalesce(col("n_scored"), lit(0L)).as("n_scored"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("score"), lit(0L)).as("score"))
-      .withColumn("keep", col("score") >= 0L)
+      .withColumn("norm_score",
+        when(col("n_feats") > 0, normScore(col("score"), col("n_feats"))))
+      .withColumn("keep",
+        coalesce(col("norm_score").cast("double") >= lit(index.threshold),
+          lit(false)))
   }
 
   // --------------------------- line-grain dedup (C4 / RefinedWeb)

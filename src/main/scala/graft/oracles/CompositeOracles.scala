@@ -90,6 +90,85 @@ private[graft] object CompositeOracles {
         |              % 100 AS INTEGER) AS bucket
         |  FROM cleaned)""".stripMargin,
 
+    // Mirrors curateCorpusClassified: the trained NB-log-odds gate
+    // (the quality_classifier CTE chain, model trained on the FULL
+    // corpus's doc_id%3 slice) over the doc_id%20<>0 candidates, then
+    // exact dedup → 5-gram decontam → split — the curate_corpus tail.
+    "curate_corpus_classified" -> {
+      val b = 1 << 18
+      raw"""WITH wt AS (SELECT doc_id, lang, text,
+        |    list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |      t -> t <> '') AS toks FROM documents),
+        |feats AS (SELECT doc_id, lang, text, list_distinct(
+        |    [ (md5_number_lower(toks[i])
+        |         % ${graft.functions.PortableHash.PSql}::UBIGINT)::BIGINT % $b
+        |      for i in generate_series(1, len(toks)) ]
+        |    || [ (md5_number_lower(toks[i] || ' ' || toks[i+1])
+        |            % ${graft.functions.PortableHash.PSql}::UBIGINT)::BIGINT % $b
+        |         for i in generate_series(1, len(toks) - 1) ]) AS fs
+        |  FROM wt),
+        |trn AS (SELECT doc_id, lang = 'en' AS pos, fs FROM feats
+        |        WHERE doc_id % 3 = 0),
+        |trex AS (SELECT pos, unnest(fs) AS g FROM trn),
+        |dfc AS (SELECT g,
+        |          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+        |          CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS df_neg
+        |        FROM trex GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |               CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |        FROM trn),
+        |wts AS (SELECT g,
+        |          ((length(bin(df_pos + 1)) - 1) - (length(bin(n_pos + 1)) - 1))
+        |          - ((length(bin(df_neg + 1)) - 1) - (length(bin(n_neg + 1)) - 1)) AS w
+        |        FROM dfc CROSS JOIN tot),
+        |fex AS (SELECT doc_id, unnest(fs) AS g FROM feats WHERE len(fs) > 0),
+        |per AS (SELECT doc_id, count(*) AS n_feats,
+        |          CAST(sum(coalesce(w, 0)) AS BIGINT) AS score
+        |        FROM fex LEFT JOIN wts USING (g) GROUP BY 1),
+        |posex AS (SELECT doc_id, unnest(fs) AS g FROM trn
+        |          WHERE pos AND len(fs) > 0),
+        |posper AS (SELECT doc_id, count(*) AS n_feats,
+        |             CAST(sum(coalesce(w, 0)) AS BIGINT) AS score
+        |           FROM posex LEFT JOIN wts USING (g) GROUP BY 1),
+        |posn AS (SELECT (score * 1000
+        |                 - ((score * 1000 % n_feats) + n_feats) % n_feats)
+        |                // n_feats AS norm FROM posper),
+        |thr AS (SELECT quantile_cont(norm, 0.1) AS t FROM posn),
+        |kept AS (SELECT d.doc_id, d.text,
+        |           CAST(coalesce(score, 0) AS BIGINT) AS score
+        |         FROM documents d LEFT JOIN per USING (doc_id)
+        |         WHERE d.doc_id % 20 <> 0 AND coalesce(n_feats, 0) > 0
+        |           AND (score * 1000
+        |                - ((score * 1000 % n_feats) + n_feats) % n_feats)
+        |               // n_feats >= (SELECT t FROM thr)),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |deduped AS (
+        |  SELECT k.* FROM kept k
+        |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |                        for i in generate_series(1, len(toks) - 4)]) AS s
+        |       FROM wt WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 20 <> 0) t
+        |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.shingle = t.shingle)),
+        |cleaned AS (
+        |  SELECT * FROM deduped d
+        |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id))
+        |SELECT doc_id, score,
+        |       CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+        |FROM (
+        |  SELECT doc_id, score,
+        |         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+        |              % 100 AS INTEGER) AS bucket
+        |  FROM cleaned)""".stripMargin
+    },
+
     // Mirrors curateCorpusNear: same four stages as curate_corpus but
     // the keep-set is the minhash-cluster representatives (doc ==
     // cluster) over the quality-kept subset — the minhash CTEs run on

@@ -242,6 +242,37 @@ private[graft] object TextOracles {
         |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
 
+    // Mirrors packUtilization: the same corpus packed in arrival vs
+    // tokens-desc (NFD) order, rolled into per-source utilization.
+    "pack_utilization" -> {
+      def form(orderSql: String, label: String) =
+        s"""SELECT source, count(*) AS n_packs,
+           |       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+           |       CAST(sum(CASE WHEN pack_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+           |       CAST(min(pack_tokens) AS BIGINT) AS min_fill,
+           |       CAST(max(pack_tokens) AS BIGINT) AS max_fill,
+           |       count(*) * 512 AS capacity,
+           |       round(sum(pack_tokens) * 10000.0 / (count(*) * 512)) / 10000 AS util_ratio,
+           |       '$label' AS order_form
+           |FROM (
+           |  SELECT source, pack_id, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |  FROM (
+           |    SELECT source, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+           |           n_tokens
+           |    FROM (SELECT *, sum(n_tokens) OVER (
+           |            PARTITION BY source ORDER BY $orderSql
+           |            ROWS UNBOUNDED PRECEDING) AS cum FROM t))
+           |  GROUP BY 1, 2)
+           |GROUP BY source""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |${form("doc_id", "arrival")}
+         |UNION ALL
+         |${form("n_tokens DESC, doc_id", "nfd")}""".stripMargin
+    },
+
     // Mirrors Packing.packTexts over packByBudget: per-pack ordered
     // concatenation, verified through md5 of the assembled text.
     "pack_concat" ->
@@ -582,13 +613,27 @@ private[graft] object TextOracles {
         |          CAST(sum(CASE WHEN w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
         |          CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |          CAST(sum(coalesce(w, 0)) AS BIGINT) AS score
-        |        FROM ex LEFT JOIN wts USING (g) GROUP BY 1)
+        |        FROM ex LEFT JOIN wts USING (g) GROUP BY 1),
+        |posex AS (SELECT doc_id, unnest(fs) AS g FROM tr
+        |          WHERE pos AND len(fs) > 0),
+        |posper AS (SELECT doc_id, count(*) AS n_feats,
+        |             CAST(sum(coalesce(w, 0)) AS BIGINT) AS score
+        |           FROM posex LEFT JOIN wts USING (g) GROUP BY 1),
+        |posn AS (SELECT (score * 1000
+        |                 - ((score * 1000 % n_feats) + n_feats) % n_feats)
+        |                // n_feats AS norm FROM posper),
+        |thr AS (SELECT quantile_cont(norm, 0.1) AS t FROM posn)
         |SELECT d.doc_id,
         |       CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
         |       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
         |       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
         |       CAST(coalesce(score, 0) AS BIGINT) AS score,
-        |       coalesce(score, 0) >= 0 AS keep
+        |       CAST(CASE WHEN n_feats > 0 THEN
+        |         (score * 1000 - ((score * 1000 % n_feats) + n_feats) % n_feats)
+        |           // n_feats END AS BIGINT) AS norm_score,
+        |       coalesce(CASE WHEN n_feats > 0 THEN
+        |         (score * 1000 - ((score * 1000 % n_feats) + n_feats) % n_feats)
+        |           // n_feats END >= (SELECT t FROM thr), false) AS keep
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
     },
 

@@ -34,6 +34,37 @@ trait CompositeQueries extends QueriesBase {
       .select("doc_id", "quality_score", "split")
   }
 
+  /** The curation funnel with the TRAINED gate (r12): the
+    * model-based classifier tier real stacks run after heuristics —
+    * classifier trained once on the raw corpus's doc_id%3 labeled
+    * slice ([[TextQueries.qualityClassifier]]'s model), candidate
+    * docs gated on its NB log-odds keep, then the standard tail:
+    * exact first-occurrence dedup → 5-gram decontamination against
+    * the bench slice → stable split assignment. The gated+scored
+    * frame feeds three consumers, so it takes the one persist
+    * boundary ([[curateCorpusNear]]'s pattern). */
+  val curateCorpusClassified: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val index = TextOps.qualityClassifierIndex(
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("__label", col("lang") === "en"),
+      "__label")
+    val gated = TextOps.screenQualityClassifier(train, index)
+      .filter(col("keep"))
+      .join(train.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("score"))
+      .localCheckpoint()
+    val keep = Dedup.exactGroups(gated, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+    val cleaned = Decontam.clean(deduped, bench, "doc_id", "text", n = 5)
+    Splits.assign(cleaned, "doc_id", Seq("train" -> 90, "val" -> 10),
+        salt = "graft")
+      .select("doc_id", "score", "split")
+  }
+
   /** The curation composite with NEAR-dup dedup: same four stages as
     * [[curateCorpus]] but the keep-set comes from MinHash cluster
     * representatives (doc == cluster) instead of exact-hash groups —
@@ -240,6 +271,7 @@ trait CompositeQueries extends QueriesBase {
   protected def compositeRegistry: Map[String, Q] = Map(
     "curate_corpus" -> curateCorpus,
     "curate_corpus_near" -> curateCorpusNear,
+    "curate_corpus_classified" -> curateCorpusClassified,
     "text_chunk" -> textChunk,
     "drift_chisq" -> driftChisq,
     "scalar_minmax" -> scalarMinmax,

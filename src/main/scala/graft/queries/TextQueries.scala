@@ -235,6 +235,26 @@ trait TextQueries extends QueriesBase {
         tokens = TextOps.tokenCount(col("text")), budget = 512)
       .select("doc_id", "source", "n_tokens", "pack_id")
 
+  /** Packing-utilization A/B: the SAME corpus packed in arrival
+    * (doc_id) order vs tokens-desc (NFD) order, per source — the
+    * measurement that decides ordering policy (NFD is NOT
+    * automatically tighter under next-fit semantics; see
+    * [[graft.ext.Packing.utilizationReport]]). `order_form` labels
+    * the two variants in one output. */
+  val packUtilization: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      .withColumn("__tok", TextOps.tokenCount(col("text")).cast("long"))
+    def util(ordered: Seq[String], label: String) =
+      Packing.utilizationReport(
+          Packing.packByBudget(docs.withColumn("__negtok", -col("__tok")),
+            groupCols = Seq("source"), orderCols = ordered,
+            tokens = col("__tok"), budget = 512),
+          Seq("source"), budget = 512)
+        .withColumn("order_form", lit(label))
+    util(Seq("doc_id"), "arrival")
+      .unionByName(util(Seq("__negtok", "doc_id"), "nfd"))
+  }
+
   /** Pack assembly: each pack's member docs joined into one training
     * text (md5 in the output so the full string is hash-verified). */
   val packConcat: Q = (s, dir) => {
@@ -399,6 +419,7 @@ trait TextQueries extends QueriesBase {
     "text_bm25" -> textBm25,
     "text_topgram" -> textTopgram,
     "pack_budget" -> packBudget,
+    "pack_utilization" -> packUtilization,
     "pack_concat" -> packConcat,
     "vocab_topk" -> vocabTopk,
     "text_tfidf" -> textTfidf,

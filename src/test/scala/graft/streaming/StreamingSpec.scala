@@ -240,18 +240,22 @@ class StreamingSpec extends SparkSpec {
   test("streaming quality-classifier screen (frozen NB weights) ≡ batch screen") {
     implicit val sqlCtx = spark.sqlContext
     // labeled slice: positives share a clean-prose vocabulary,
-    // negatives a spammy one — the classifier must recover the split
+    // negatives a spammy one — the classifier must recover the split.
+    // Positives are texually IDENTICAL so the calibrated P10 threshold
+    // equals their common per-feature norm exactly — a doc with that
+    // text MUST pass, with no percentile-interpolation luck.
+    val cleanText = "a thoughtful essay on careful research methods"
     val labeled = Seq(
-      (101L, "a thoughtful essay on careful research methods", true),
-      (102L, "another thoughtful essay with careful prose", true),
-      (103L, "careful research and thoughtful methods explained", true),
+      (101L, cleanText, true),
+      (102L, cleanText, true),
+      (103L, cleanText, true),
       (104L, "click here buy now free offer", false),
       (105L, "free offer click now buy here", false),
       (106L, "buy free now offer click here today", false)
     ).toDF("doc_id", "text", "label")
     val index = graft.ext.TextOps.qualityClassifierIndex(labeled, "label",
       buckets = 1 << 16)
-    val batch1 = Seq((1L, "a thoughtful essay on research"),
+    val batch1 = Seq((1L, cleanText),
       (2L, "click here free offer now"))
     val batch2 = Seq((3L, "completely unseen vocabulary entirely"))
     val input = MemoryStream[(Long, String)]
