@@ -57,8 +57,14 @@ object CrawlOps {
     val port = regexp_extract(url, PortPat, 1)
     val path0 = regexp_extract(url, PathPat, 1)
     val query0 = regexp_extract(url, QueryPat, 1)
-    val q = array_join(filter(split(query0, "&"),
-      p => p =!= "" && !p.rlike("^utm_")), "&")
+    // utm scrub as a pure regex chain, NOT a filter() lambda:
+    // higher-order functions evaluate interpreted outside whole-stage
+    // codegen (the TextHashes lesson) — three regexp_replace passes
+    // keep the whole projection codegen'd. Strip anchored utm params,
+    // then collapse '&' runs and trim edge '&'s.
+    val q = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(query0, "(^|&)utm_[^&]*", "$1"),
+      "&&+", "&"), "^&", ""), "&$", "")
     val defaultPort = (scheme === "http" && port === "80") ||
       (scheme === "https" && port === "443")
     concat(scheme, lit("://"), host,

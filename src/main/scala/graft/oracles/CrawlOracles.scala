@@ -37,8 +37,9 @@ private[graft] object CrawlOracles {
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
       |    regexp_extract(url, '\?([^#]*)', 1) AS query0
       |  FROM u),
-      |q AS (SELECT *, coalesce(array_to_string(list_filter(str_split(query0, '&'),
-      |    x -> x <> '' AND NOT regexp_matches(x, '^utm_')), '&'), '') AS qs FROM p),
+      |q AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(query0, '(^|&)utm_[^&]*', '\1', 'g'),
+      |    '&&+', '&', 'g'), '^&', ''), '&$', '') AS qs FROM p),
       |c AS (SELECT doc_id, url, host,
       |    regexp_replace(host, '^www\.', '') AS domain,
       |    scheme || '://' || host ||
@@ -48,6 +49,53 @@ private[graft] object CrawlOracles {
       |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
       |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
       |  FROM q)""".stripMargin
+
+  /** Gopher keep flag per doc (the quality_gopher battery), relation
+    * `k(doc_id, keep)` — shared by reputation and priority. */
+  private val gopherKeepCtes: String =
+    """toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text,
+      |           '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk,
+      |           text FROM documents),
+      |s AS (SELECT doc_id,
+      |        CAST(len(tk) AS BIGINT) AS n_words,
+      |        CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+      |          AS BIGINT) AS sum_chars,
+      |        CAST(len(list_filter(tk,
+      |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |        CAST(len(list_filter(tk, t -> list_contains(
+      |          ['the','be','to','of','and','that','have','with'], t)))
+      |          AS BIGINT) AS n_stop,
+      |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+      |      FROM toks),
+      |k AS (SELECT doc_id,
+      |        ((n_words >= 50 AND n_words <= 100000)
+      |          AND (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words)
+      |          AND (5 * n_alpha >= 4 * n_words)
+      |          AND (n_stop >= 2)
+      |          AND (10 * n_sym <= n_words)) AS keep
+      |      FROM s)""".stripMargin
+
+  /** The domain-PageRank CTE chain (link list → 10 unrolled integer
+    * stages); final relation `r10(node, rank)`. */
+  private val pagerankCtes: String = {
+    val stages = (1 to 10).map { i =>
+      s"""c$i AS (SELECT a.dst AS node, sum(r.rank // a.deg) AS i
+         |  FROM adj a JOIN r${i - 1} r ON a.node = r.node GROUP BY 1),
+         |r$i AS (SELECT nd.node,
+         |    (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+         |      + (85 * coalesce(c.i, 0)) // 100 AS rank
+         |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""g AS (SELECT domain AS src,
+       |        'src' || ((7 * doc_id + 3) % 20)::VARCHAR || '.example.com' AS dst
+       |      FROM c),
+       |nodes AS (SELECT src AS node FROM g UNION SELECT dst FROM g),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM g GROUP BY 1),
+       |adj AS (SELECT d.node, g.dst, d.deg FROM g JOIN deg d ON g.src = d.node),
+       |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes),
+       |$stages""".stripMargin
+  }
 
   val map: Map[String, String] = Map(
     // Mirrors CrawlOps.withUrlParts over the synthetic mess matrix.
@@ -73,27 +121,7 @@ private[graft] object CrawlOracles {
     // the >= 50% reputation gate in exact integer space.
     "crawl_domain_reputation" ->
       s"""WITH $urlCtes,
-         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text,
-         |           '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS tk,
-         |           text FROM documents),
-         |s AS (SELECT doc_id,
-         |        CAST(len(tk) AS BIGINT) AS n_words,
-         |        CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
-         |          AS BIGINT) AS sum_chars,
-         |        CAST(len(list_filter(tk,
-         |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-         |        CAST(len(list_filter(tk, t -> list_contains(
-         |          ['the','be','to','of','and','that','have','with'], t)))
-         |          AS BIGINT) AS n_stop,
-         |        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym
-         |      FROM toks),
-         |k AS (SELECT doc_id,
-         |        ((n_words >= 50 AND n_words <= 100000)
-         |          AND (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words)
-         |          AND (5 * n_alpha >= 4 * n_words)
-         |          AND (n_stop >= 2)
-         |          AND (10 * n_sym <= n_words)) AS keep
-         |      FROM s),
+         |$gopherKeepCtes,
          |g AS (SELECT domain, count(*) AS n_docs,
          |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
          |      FROM c JOIN k USING (doc_id) GROUP BY 1)
@@ -102,28 +130,29 @@ private[graft] object CrawlOracles {
          |       100 * n_keep >= 50 * n_docs AS reputable
          |FROM g""".stripMargin,
 
+    // Mirrors crawlPriority: rank × keep-rate in exact integer space —
+    // priority = (rank · n_keep) // n_docs; docless (dst-only) domains
+    // take priority 0. The crawl scheduler's ordering score.
+    "crawl_priority" ->
+      s"""WITH $urlCtes,
+         |$gopherKeepCtes,
+         |$pagerankCtes,
+         |rep AS (SELECT domain, count(*) AS n_docs,
+         |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |        FROM c JOIN k USING (doc_id) GROUP BY 1)
+         |SELECT r.node AS domain, CAST(r.rank AS BIGINT) AS rank,
+         |       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+         |       CAST(coalesce(n_keep, 0) AS BIGINT) AS n_keep,
+         |       CAST(CASE WHEN coalesce(n_docs, 0) > 0
+         |            THEN (CAST(r.rank AS BIGINT) * n_keep) // n_docs
+         |            ELSE 0 END AS BIGINT) AS priority
+         |FROM r10 r LEFT JOIN rep ON r.node = rep.domain""".stripMargin,
+
     // Mirrors CrawlOps.domainPageRank over the deterministic
     // doc→peer link list: 10 unrolled integer power-iteration stages
     // (the graph_pagerank stage algebra) on domain-string nodes.
-    "crawl_domain_pagerank" -> {
-      val stages = (1 to 10).map { i =>
-        s"""c$i AS (SELECT a.dst AS node, sum(r.rank // a.deg) AS i
-           |  FROM adj a JOIN r${i - 1} r ON a.node = r.node GROUP BY 1),
-           |r$i AS (SELECT nd.node,
-           |    (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
-           |      + (85 * coalesce(c.i, 0)) // 100 AS rank
-           |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin
-      }.mkString(",\n")
+    "crawl_domain_pagerank" ->
       s"""WITH $urlCtes,
-         |g AS (SELECT domain AS src,
-         |        'src' || ((7 * doc_id + 3) % 20)::VARCHAR || '.example.com' AS dst
-         |      FROM c),
-         |nodes AS (SELECT src AS node FROM g UNION SELECT dst FROM g),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |deg AS (SELECT src AS node, count(*) AS deg FROM g GROUP BY 1),
-         |adj AS (SELECT d.node, g.dst, d.deg FROM g JOIN deg d ON g.src = d.node),
-         |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes),
-         |$stages
-         |SELECT node AS domain, CAST(rank AS BIGINT) AS rank FROM r10""".stripMargin
-    })
+         |$pagerankCtes
+         |SELECT node AS domain, CAST(rank AS BIGINT) AS rank FROM r10""".stripMargin)
 }

@@ -98,10 +98,31 @@ trait CrawlQueries extends QueriesBase {
         lit(100L) * col("n_keep") >= lit(50L) * col("n_docs"))
   }
 
+  /** Crawl scheduling priority — link authority damped by the
+    * publisher's observed quality: per domain, the integer PageRank
+    * micro-rank scaled by the Gopher keep-rate, priority =
+    * (rank · n_keep) div n_docs in exact integer space (rank ≤ 10¹²,
+    * n_keep ≤ n_docs ⇒ the product stays far under 2⁶³). Domains
+    * that appear only as link TARGETS (no crawled docs yet) take
+    * priority 0 — no quality evidence, crawl on authority alone is
+    * the caller's policy decision. One join of the two bounded
+    * domain-grain frames. */
+  val crawlPriority: Q = (s, dir) =>
+    crawlDomainPagerank(s, dir)
+      .join(crawlDomainReputation(s, dir)
+        .select("domain", "n_docs", "n_keep"), Seq("domain"), "left")
+      .select(col("domain"), col("rank"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_keep"), lit(0L)).as("n_keep"))
+      .withColumn("priority",
+        when(col("n_docs") > 0,
+          expr("(rank * n_keep) DIV n_docs")).otherwise(0L))
+
   /** This family's slice of [[Queries.all]]. */
   protected def crawlRegistry: Map[String, Q] = Map(
     "crawl_canonicalize" -> crawlCanonicalize,
     "crawl_domain_cap" -> crawlDomainCap,
     "crawl_domain_pagerank" -> crawlDomainPagerank,
-    "crawl_domain_reputation" -> crawlDomainReputation)
+    "crawl_domain_reputation" -> crawlDomainReputation,
+    "crawl_priority" -> crawlPriority)
 }

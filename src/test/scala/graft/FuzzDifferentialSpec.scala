@@ -70,7 +70,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     "curate_corpus_mix",
     "crawl_canonicalize", "crawl_domain_cap", "crawl_domain_pagerank",
     "crawl_domain_reputation", "text_dedup_lines", "text_strip_lines",
-    "layout_interleave",
+    "layout_interleave", "crawl_priority", "pack_utilization",
+    "curate_corpus_classified",
     "mm_payload_meta", "mm_imageio_decode", "mm_resize", "mm_resize_real",
     "mm_decode_features", "mm_frame_sample", "mm_audio_meta",
     "dedup_image_phash", "dedup_audio_fp",

@@ -403,6 +403,46 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus shuffled against the index on a gram key ($smjKeys):\n$plan")
   }
 
+  test("quality_classifier: weight table broadcasts; membership join never sort-merges") {
+    val plan = executed(Queries.all("quality_classifier")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"classifier weights must broadcast:\n$plan")
+    // the r12 boilerplate-index rule: doc-keyed stats joins may
+    // shuffle, the feature-bucket membership join must not
+    val smjKeys = "SortMergeJoin \\[(\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(smjKeys.forall(_.startsWith("doc")),
+      s"corpus shuffled against the weights on a bucket key ($smjKeys):\n$plan")
+  }
+
+  test("crawl_canonicalize is a pure projection: zero exchanges") {
+    val plan = executed(Queries.all("crawl_canonicalize")(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"canonicalization must be per-row string algebra:\n$plan")
+    // '*' prefixes mark whole-stage-codegen'd nodes in the executed
+    // plan string — the TOP projection (the canonicalization itself)
+    // must carry one (the r12 regex-chain rewrite: a filter() lambda
+    // here evaluated interpreted and unstarred)
+    assert(plan.trim.startsWith("*("),
+      s"canonicalization fell out of codegen:\n$plan")
+  }
+
+  test("crawl_domain_cap: one hash shuffle on the domain key, no join") {
+    val plan = executed(Queries.all("crawl_domain_cap")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly the window shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"cap must not join:\n$plan")
+  }
+
+  test("text_strip_lines: line-df side is AQE-decided, reassembly partial-aggs") {
+    val plan = executed(Queries.all("text_strip_lines")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"line strike must be an equality join:\n$plan")
+    assert("partial_count|partial_sum".r.findAllIn(plan).nonEmpty,
+      s"line df lost map-side partials:\n$plan")
+  }
+
   test("dedup_image_phash / dedup_audio_fp: banded equality join resp. single-agg group, no cartesian") {
     val phash = executed(Queries.all("dedup_image_phash")(spark, sf))
     assert(!phash.contains("CartesianProduct") &&
