@@ -30,6 +30,41 @@ object SeriesOps {
     df.withColumn(outCol, avg(valueCol).over(w))
   }
 
+  /** Exponentially weighted moving average at α = ½ — the smoothing
+    * most monitoring/trend pipelines run, in EXACT integer space: the
+    * recursive EWMA y_t = α·x_t + (1−α)·y_{t−1} expands to weights
+    * (1−α)^k, and at α = ½ those are DYADIC (2^−k) — so the truncated
+    * form over the last `depth`+1 observations is a pure integer dot
+    * product. Per row with m = min(rows_before, depth):
+    *
+    *   num = Σ_{k=0..m} 2^(depth−k) · round(10⁶·x_{t−k})     (BIGINT)
+    *   den = 2^(depth+1) − 2^(depth−m)                        (BIGINT)
+    *   ewma = round4(num / (den·100))                 (one mirrored
+    *                                                   IEEE division)
+    *
+    * den is the exact Σ of the PRESENT weights, so the head of each
+    * series is the correctly-normalized partial EWMA (pandas
+    * `ewm(adjust=True)` semantics), not a zero-padded bias. The
+    * truncation is principled: lag depth 16 keeps 1−2^−17 ≈ 99.999%
+    * of the mass. `depth` lag() calls in ONE window pass — no
+    * recursion, no UDAF; the plan is the movingAvg shape. */
+  def ewma(df: DataFrame, keys: Seq[String], time: Seq[String],
+      valueCol: String = "value", depth: Int = 16,
+      outCol: String = "ewma"): DataFrame = {
+    require(depth >= 1 && depth <= 32, "depth must be in [1, 32]")
+    val w = seriesWindow(keys, time)
+    val v6 = round(col(valueCol) * 1e6).cast("long")
+    val num = (0 to depth).map(k =>
+        coalesce(lag(v6, k).over(w) * lit(1L << (depth - k)), lit(0L)))
+      .reduce(_ + _)
+    df.withColumn("__m", least(row_number().over(w) - 1, lit(depth)))
+      .withColumn(outCol,
+        round(num / ((lit(1L << (depth + 1)) -
+          expr(s"shiftleft(1L, cast($depth - __m as int))")).cast("double")
+          * 100.0)) / 1e4)
+      .drop("__m")
+  }
+
   /** As-of join: for each left row, the most recent right value at or
     * before the left row's time, per series key.
     *

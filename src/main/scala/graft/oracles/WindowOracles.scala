@@ -55,6 +55,23 @@ private[graft] object WindowOracles {
          |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000) / 10000 AS moving_avg
          |FROM d""".stripMargin,
 
+    // Mirrors SeriesOps.ewma (α=½, depth 16): dyadic weights 2^(16−k)
+    // over micro-integer values, present-weight denominator
+    // 2^17 − 2^(16−m), one mirrored IEEE division.
+    "window_ewma" -> {
+      val num = (0 to 16).map(k =>
+        s"coalesce(lag(CAST(round(value * 1000000) AS BIGINT), $k) OVER win" +
+        s" * ${1L << (16 - k)}, 0)").mkString("\n         + ")
+      s"""WITH d AS ($dailySeriesCte)
+         |SELECT indicator, observation_day, value,
+         |       round(($num)
+         |         / ((131072 - (1 << CAST(16 - least(
+         |              CAST(row_number() OVER win AS BIGINT) - 1, 16) AS INTEGER)))
+         |            * 100.0)) / 10000 AS ewma
+         |FROM d
+         |WINDOW win AS (PARTITION BY indicator ORDER BY observation_day)""".stripMargin
+    },
+
     "window_rank_share" ->
       s"""WITH d AS ($dailySeriesCte)
          |SELECT indicator, observation_day, value,

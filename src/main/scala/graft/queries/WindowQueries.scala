@@ -25,6 +25,12 @@ trait WindowQueries extends QueriesBase {
         Seq("indicator"), Seq("observation_day"), n = 7)
       .withColumn("moving_avg", round(col("moving_avg") * lit(10000.0)) / 1e4)
 
+  /** Exact dyadic EWMA (α = ½, depth 16) per indicator — the trend
+    * smoother in pure integer weight space (see [[SeriesOps.ewma]]). */
+  val windowEwma: Q = (s, dir) =>
+    SeriesOps.ewma(dailySeries(s, dir),
+      Seq("indicator"), Seq("observation_day"))
+
   /** rank + partition share. */
   val windowRankShare: Q = (s, dir) => {
     val d = dailySeries(s, dir)
@@ -176,6 +182,7 @@ trait WindowQueries extends QueriesBase {
     "window_yoy" -> windowYoy,
     "window_seasonal" -> windowSeasonal,
     "window_moving_avg" -> windowMovingAvg,
+    "window_ewma" -> windowEwma,
     "window_rank_share" -> windowRankShare,
     "window_cume" -> windowCume,
     "window_locf" -> windowLocf,

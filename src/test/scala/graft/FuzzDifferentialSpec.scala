@@ -120,7 +120,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "agg_stats_moments", "agg_corr", "agg_equidepth",
     "quality_expectations", "profile_columns", "quality_funnel",
     "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
-    "fred_yearly_gold")
+    "fred_yearly_gold", "window_ewma")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

@@ -216,6 +216,22 @@ class SimilarityAndSeriesSpec extends SparkSpec {
       ("Y", 1, None), ("Y", 2, Some(0.0))))
   }
 
+  test("ewma: α=½ dyadic weights, head-normalized (hand-computed)") {
+    import spark.implicits._
+    val d = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 4.0),
+      ("b", 1, 10.0)).toDF("indicator", "t", "value")
+    val out = SeriesOps.ewma(d, Seq("indicator"), Seq("t"))
+      .select("indicator", "t", "ewma")
+      .as[(String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // adjust=True partial normalization: y1=1, y2=(2+.5)/1.5,
+    // y3=(4+1+.25)/1.75 — exact dyadic checkpoints
+    assert(out(("a", 1)) == 1.0)
+    assert(out(("a", 2)) == 1.6667)
+    assert(out(("a", 3)) == 3.0)
+    assert(out(("b", 1)) == 10.0, "each series normalizes independently")
+  }
+
   test("movingAvg: trailing window clipped at series start") {
     val out = SeriesOps.movingAvg(series, Seq("indicator"), Seq("t"), n = 2)
       .filter(col("indicator") === "X").orderBy("t")
