@@ -108,10 +108,18 @@ object Ivf {
     * into the cluster-partitioned layout instead ([[save]]'s layout,
     * one appended partition file per touched cluster). */
   def assignNew(index: Index, batch: DataFrame, idCol: String,
-      vecCol: String): Index = {
+      vecCol: String): Index =
+    Index(index.assigned.unionByName(
+      assignBatch(index.centroids, batch, idCol, vecCol)), index.centroids)
+
+  /** The assignment pass itself: one codegen'd per-row argmin over the
+    * literal centroid matrix. Shared by [[assignNew]] (in-memory
+    * union) and [[appendToSaved]] (lake append). */
+  private def assignBatch(centroids: Array[Array[Float]], batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorMath.dotF
-    val scored = (0 until index.centroids.length).map { j =>
-      val c = index.centroids(j)
+    val scored = centroids.indices.map { j =>
+      val c = centroids(j)
       // argmin ||v − c||² ≡ argmin (||c||² − 2·v·c): ||v||² is
       // constant per row
       val norm2 = c.map(x => x.toDouble * x.toDouble).sum
@@ -119,11 +127,26 @@ object Ivf {
         (lit(norm2) - lit(2.0d) * dotF(col(vecCol), typedLit(c.toSeq))).as("d"),
         lit(j).as("j"))
     }
-    val assigned = batch.select(
+    batch.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       array_min(array(scored: _*)).getField("j").as("cluster"))
-    Index(index.assigned.unionByName(assigned), index.centroids)
   }
+
+  /** Append a new batch into a SAVED index's lake layout — the
+    * streaming-ingest form of [[assignNew]] (each micro-batch of a
+    * `foreachBatch` embedding stream lands here): centroids come off
+    * the saved root (bounded collect), the batch assigns in one
+    * codegen'd pass, and the rows APPEND into the cluster-partitioned
+    * `assigned/` layout — one file per touched cluster partition per
+    * batch, so search keeps pruning to probed partitions and the
+    * small-file accumulation is exactly what
+    * `LakeIO.compactFragmented` exists to mop up periodically. The
+    * reader contract is unchanged: [[load]] returns the appended
+    * index. */
+  def appendToSaved(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit =
+    assignBatch(load(spark, root).centroids, batch, idCol, vecCol)
+      .write.mode("append").partitionBy("cluster").parquet(s"$root/assigned")
 
   /** Top-k search probing each query's `nprobe` nearest clusters.
     *

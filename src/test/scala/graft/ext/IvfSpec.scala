@@ -88,6 +88,44 @@ class IvfSpec extends SparkSpec {
       "argmin over literal centroids must equal ml transform")
   }
 
+  test("streamed appendToSaved ingest: lake layout equals the all-at-once index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = embeddings.filter(col("vec_id") % 5 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Ivf.save(Ivf.build(base, "vec_id", "embedding", nClusters = 8), root)
+    // the held-out 20% arrives as TWO micro-batches of an embedding
+    // stream; each lands via the foreachBatch → appendToSaved path
+    val held = embeddings.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect()
+    val (b1, b2) = held.splitAt(held.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Ivf.appendToSaved(spark, root,
+            batch.toDF().select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding")),
+            "vec_id", "embedding")
+      }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val appended = Ivf.load(spark, root)
+    assert(appended.assigned.count() == embeddings.count())
+    val queries = embeddings.filter(col("vec_id") < 3)
+    def rows(i: Ivf.Index) =
+      Ivf.searchTopK(i, queries, "vec_id", "embedding", k = 5,
+          nprobe = i.centroids.length)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val direct = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
+    assert(rows(appended) == rows(direct),
+      "exhaustive search over the streamed-in lake index must equal brute force")
+  }
+
   test("assignNew search over an 80/20 split equals the all-at-once index") {
     import spark.implicits._
     val base = embeddings.filter(col("vec_id") % 5 =!= 0)
