@@ -997,6 +997,48 @@ object TextOps {
             + lit(0.0)))
   }
 
+  /** Collocation / phrase mining — the word2vec phrase-merge score
+    * (Mikolov et al. 2013, "Distributed Representations of Words and
+    * Phrases", §4): candidate bigrams rank by
+    *
+    *   score = (c_xy − δ) · N / (c_x · c_y)
+    *
+    * (δ discounts rare accidents; a high score means the pair
+    * co-occurs far above chance — the same quantity PMI exponentiates,
+    * so the LINEAR ratio ranks identically without a libm log). Exact
+    * and portable: all counts are integers, both products sit far
+    * below 2⁵³ at any realistic vocabulary (c ≤ N ≤ 10⁷ here; at a
+    * 100 TB corpus pre-scale the counts by their common factor), the
+    * one division is a mirrored IEEE op rounded 4-dp with the
+    * (w1, w2) tiebreak. `minCount` floors c_xy (the published
+    * practice — δ alone leaves 1-in-a-corpus pairs at the top).
+    *
+    * Scale shape: one linear bigram explode + two vocab-bounded hash
+    * aggs; the unigram side joins on single-token keys (vocab-sized,
+    * AQE decides); top-k is TakeOrdered, never a global sort. */
+  def topCollocations(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 50, minCount: Long = 5L,
+      discount: Long = 5L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val uni = df.select(explode(regexTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n_tokens"))
+    val bg = bigramOccurrences(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(n))
+      // integer-scaled rounding — see qualitySignals; products are
+      // exact doubles (< 2^53), the division correctly rounded
+      .withColumn("score",
+        round((col("c_xy") - lit(discount)).cast("double") *
+          col("n_tokens") / (col("c_x") * col("c_y")) * 1e4) / 1e4)
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "score")
+  }
+
   // ------------------- hashed-ngram quality classifier (r11 VERDICT #2)
 
   /** A trained hashed-ngram linear quality classifier — the

@@ -306,6 +306,27 @@ private[graft] object TextOracles {
         |ORDER BY n DESC, token ASC
         |LIMIT 100""".stripMargin,
 
+    // Mirrors TextOps.topCollocations: the word2vec phrase score
+    // (c_xy−5)·N/(c_x·c_y) over the regex-token bigrams, c_xy ≥ 5,
+    // one mirrored IEEE division, (score desc, w1, w2) total order.
+    "vocab_collocations" ->
+      raw"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+        |bg AS (SELECT z[1] AS w1, z[2] AS w2,
+        |         CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM (SELECT unnest(list_zip(tk[:-2], tk[2:])) AS z FROM t)
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, c_xy, cx.c AS c_x, cy.c AS c_y,
+        |       round(CAST(c_xy - 5 AS DOUBLE) * n_tokens
+        |             / (cx.c * cy.c) * 10000) / 10000 AS score
+        |FROM bg JOIN uni cx ON bg.w1 = cx.w
+        |JOIN uni cy ON bg.w2 = cy.w CROSS JOIN n
+        |ORDER BY score DESC, w1, w2 LIMIT 50""".stripMargin,
+
     // Mirrors TextOps.vocabOverlap: distinct (source, token), token-
     // keyed self-join, Jaccard with integer-scaled rounding.
     "source_overlap" ->

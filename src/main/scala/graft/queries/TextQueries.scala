@@ -278,6 +278,13 @@ trait TextQueries extends QueriesBase {
     TextOps.tfidfTopK(Tables.documents(s, dir), "doc_id", "text",
       k = 3, logIdf = false)
 
+  /** Top-50 collocations by the word2vec phrase-merge score
+    * ((c_xy−5)·N/(c_x·c_y), c_xy ≥ 5) — the phrase-discovery pass a
+    * tokenizer pipeline runs before merging multiword units (see
+    * [[TextOps.topCollocations]]). */
+  val vocabCollocations: Q = (s, dir) =>
+    TextOps.topCollocations(Tables.documents(s, dir))
+
   /** Corpus vocabulary: top-100 tokens by frequency (wordcount). */
   val vocabTopk: Q = (s, dir) =>
     TextOps.vocabTopK(Tables.documents(s, dir), "text", k = 100)
@@ -422,6 +429,7 @@ trait TextQueries extends QueriesBase {
     "pack_utilization" -> packUtilization,
     "pack_concat" -> packConcat,
     "vocab_topk" -> vocabTopk,
+    "vocab_collocations" -> vocabCollocations,
     "text_tfidf" -> textTfidf,
     "source_overlap" -> sourceOverlap,
     "quality_gopher" -> qualityGopher,

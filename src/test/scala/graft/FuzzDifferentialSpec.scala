@@ -58,7 +58,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "text_stats", "text_quality", "text_langid", "text_redact",
     "text_scrub_rare", "text_repetition", "text_bm25", "text_tfidf",
     "text_fingerprint", "text_normalize", "text_tokens_regex",
-    "vocab_topk", "vocab_bpe_shared",
+    "vocab_topk", "vocab_bpe_shared", "vocab_collocations",
     "quality_gopher", "quality_ntile", "quality_dsir", "quality_lm_dsir",
     "quality_classifier",
     "source_overlap", "profile_source_overlap",
