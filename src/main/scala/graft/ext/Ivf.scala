@@ -142,11 +142,25 @@ object Ivf {
     * small-file accumulation is exactly what
     * `LakeIO.compactFragmented` exists to mop up periodically. The
     * reader contract is unchanged: [[load]] returns the appended
-    * index. */
+    * index.
+    *
+    * The batch's id/vector columns are CAST to the saved layout's
+    * types before the append (r12 ADVICE #3): a batch arriving as
+    * `array<double>` against a float32 layout (or a string id against
+    * a bigint one) would otherwise write parquet files whose physical
+    * types differ from the existing partition files, and the next
+    * [[load]] either fails schema merge or silently widens — the
+    * appended index would no longer equal the build-time one. */
   def appendToSaved(spark: SparkSession, root: String, batch: DataFrame,
-      idCol: String, vecCol: String): Unit =
+      idCol: String, vecCol: String): Unit = {
+    val saved = spark.read.parquet(s"$root/assigned").schema
     assignBatch(load(spark, root).centroids, batch, idCol, vecCol)
+      .select(
+        col("neighbor_id").cast(saved("neighbor_id").dataType),
+        col("cv").cast(saved("cv").dataType),
+        col("cluster").cast("int"))
       .write.mode("append").partitionBy("cluster").parquet(s"$root/assigned")
+  }
 
   /** Top-k search probing each query's `nprobe` nearest clusters.
     *

@@ -47,7 +47,16 @@ object SeriesOps {
     * `ewm(adjust=True)` semantics), not a zero-padded bias. The
     * truncation is principled: lag depth 16 keeps 1−2^−17 ≈ 99.999%
     * of the mass. `depth` lag() calls in ONE window pass — no
-    * recursion, no UDAF; the plan is the movingAvg shape. */
+    * recursion, no UDAF; the plan is the movingAvg shape.
+    *
+    * PRECONDITION: `valueCol` must be non-null. A NULL observation
+    * zeroes its numerator term (the coalesce) but still advances
+    * row_number, so the present-weight denominator would count the
+    * missing observation and bias the head-normalized EWMA low —
+    * pandas `ewm(adjust=True)` SKIPS NaNs instead. Filter or impute
+    * NULLs upstream (the catalog's dailySeries aggregates them away);
+    * a skip-NaN variant needs a present-only weight sum, which stops
+    * being the closed-form dyadic denominator. */
   def ewma(df: DataFrame, keys: Seq[String], time: Seq[String],
       valueCol: String = "value", depth: Int = 16,
       outCol: String = "ewma"): DataFrame = {

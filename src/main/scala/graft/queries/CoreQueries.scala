@@ -46,8 +46,14 @@ trait CoreQueries extends QueriesBase {
     * shortest decimal repr, numpy/DuckDB by the binary value's true
     * side — fuzz-caught at 66195.225 and 40.825), so the only
     * portable definition is the tie logic on the exact integers. The
-    * micro-sum S reconstructs exactly: |S| < 2⁵³ and exactAvg's two
-    * divisions are correctly rounded, so round(value·c·10⁶) = S. */
+    * micro-sum S reconstructs exactly for |S| ≲ 2⁵⁰: the round trip
+    * S → S/(c·10⁶) → ·c·10⁶ → round passes through THREE correctly-
+    * rounded double operations, each contributing ≤ ½ ulp, so
+    * reconstruction is only guaranteed while 3 half-ulps stay below
+    * ½ absolute — about three bits short of the 2⁵³ mantissa
+    * (testdata magnitudes sit near 2⁴⁹). Beyond that, carry the
+    * BIGINT micro-sum out of the silver aggregate instead of
+    * reconstructing it from the double mean. */
   val fredYearlyGold: Q = (s, dir) => {
     val silver = dailySilver(s, dir)
     val first = silver.filter(col("observation_day") <= 15)

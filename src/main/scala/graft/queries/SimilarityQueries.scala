@@ -172,10 +172,25 @@ trait SimilarityQueries extends QueriesBase {
   // path once. Cache key includes the session identity: Ivf.Index
   // holds a session-bound DataFrame that must not leak across specs.
 
-  private val pqModels =
-    new java.util.concurrent.ConcurrentHashMap[String, Pq.Model]()
-  private val ivfIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, Ivf.Index]()
+  // Keyed on the SparkSession OBJECT via WeakHashMap (r12 ADVICE #2:
+  // identityHashCode keys can collide across sessions and never evict,
+  // so a stopped session's Ivf.Index — whose assigned DataFrame is
+  // session-bound — could leak into a later session). Entries die with
+  // the session; the inner per-dir map is a plain ConcurrentHashMap.
+  private val pqModels = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Pq.Model]]()
+  private val ivfIndexes = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Ivf.Index]]()
+  private def perSession[V](m: java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, V]], s: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, V] = m.synchronized {
+    var inner = m.get(s)
+    if (inner == null) {
+      inner = new java.util.concurrent.ConcurrentHashMap[String, V]()
+      m.put(s, inner)
+    }
+    inner
+  }
   private def benchModelRoot(s: SparkSession, dir: String): String =
     "target/bench-models/" + System.identityHashCode(s) + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -186,8 +201,7 @@ trait SimilarityQueries extends QueriesBase {
     * an oracle — [[similarityLshBenchForm]] precedent). Benched via
     * [[SparkEntry.benchForm]]. */
   val similarityPqBenchForm: Q = (s, dir) => {
-    val model = pqModels.computeIfAbsent(
-      System.identityHashCode(s) + ":" + dir, _ => {
+    val model = perSession(pqModels, s).computeIfAbsent(dir, _ => {
         val root = benchModelRoot(s, dir) + "/pq"
         Pq.save(s, Pq.train(Tables.embeddings(s, dir), "embedding",
           dim = 64, m = 8, k = 16), root)
@@ -205,8 +219,7 @@ trait SimilarityQueries extends QueriesBase {
     * probed partitions), truth twin stripped. Benched via
     * [[SparkEntry.benchForm]]. */
   val similarityIvfKmeansBenchForm: Q = (s, dir) => {
-    val index = ivfIndexes.computeIfAbsent(
-      System.identityHashCode(s) + ":" + dir, _ => {
+    val index = perSession(ivfIndexes, s).computeIfAbsent(dir, _ => {
         val root = benchModelRoot(s, dir) + "/ivf"
         Ivf.save(Ivf.build(Tables.embeddings(s, dir), "vec_id", "embedding",
           nClusters = 8), root)
