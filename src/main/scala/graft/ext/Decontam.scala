@@ -199,6 +199,59 @@ object Decontam {
     Dedup.applySpanRemoval(train, idCol, textCol,
       contaminatedSpans(train, bench, idCol, textCol, minTokens), "text_clean")
 
+  /** SEMANTIC (embedding-space) decontamination — the second decontam
+    * pass the n-gram/bloom/span family structurally misses (r12
+    * VERDICT gap #1): a PARAPHRASED or translated benchmark item
+    * shares no 8-gram with its source, but its embedding still sits
+    * next to the benchmark's. Per training doc, count the benchmark
+    * items whose cosine clears `floor` and carry the max — the
+    * [[overlapStats]] posture in embedding space, and the published
+    * second stage of benchmark-leakage screens (the Llama/GPT-4
+    * eval-hygiene reports both pair n-gram overlap with an
+    * embedding-similarity sweep).
+    *
+    * Determinism: the 4-dp-rounded cosine (the `dedup_embedding`
+    * oracle posture) is what the floor compares against and what
+    * `max_cosine` aggregates, so an external engine replays the
+    * flagged set bit-for-bit — no ANN estimator crosses the gate.
+    *
+    * Scale shape: the benchmark side is tiny by premise (thousands of
+    * eval items vs billions of docs) and BROADCAST; the corpus is
+    * scanned once, never shuffled — each partition scores locally and
+    * only (doc_id, cosine) survivors reach the per-doc agg (map-side
+    * partials; the vectors never ride the shuffle). Work is
+    * |corpus|·|bench| dot products, the same per-row cost class as
+    * the n-gram probe; if the eval suite outgrows one broadcast wave,
+    * chunk it (waves are independent — union the stats), or pre-cull
+    * candidates with [[Ivf]]/[[VectorLsh]] buckets and exact-confirm,
+    * the [[overlapStatsBloom]] trade. */
+  def semanticOverlap(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, floor: Double = 0.4): DataFrame = {
+    import graft.functions.VectorMath.cosineF
+    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__cv"))
+    val b = bench.select(col(vecCol).as("__bv"))
+    c.crossJoin(broadcast(b))
+      // integer-scaled rounding — see Dedup.ngramJaccardPairs
+      .select(col("doc_id"),
+        (round(cosineF(col("__cv"), col("__bv")) * lit(10000.0)) / 1e4)
+          .as("__cos"))
+      .filter(col("__cos") >= floor)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench"), max(col("__cos")).as("max_cosine"))
+  }
+
+  /** Apply form of [[semanticOverlap]]: training rows whose embedding
+    * sits within `floor` of NO benchmark item — the semantically
+    * decontaminated corpus. Same no-hint anti-join rationale as
+    * [[clean]]: the flagged side is bounded only by the contamination
+    * rate, so the planner/AQE picks the join strategy. */
+  def semanticClean(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, floor: Double = 0.4): DataFrame =
+    corpus.join(
+      semanticOverlap(corpus, bench, idCol, vecCol, floor)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Streaming form of [[clean]] for incremental ingest: each
     * micro-batch is decontaminated with full batch semantics via
     * `foreachBatch`, and `sink` receives the kept rows.

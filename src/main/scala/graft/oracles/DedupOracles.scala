@@ -319,6 +319,21 @@ private[graft] object DedupOracles {
     // the exact-SQL twin is identical by construction.
     "decontam_bloom" -> decontamOverlapSql,
 
+    // Mirrors Decontam.semanticOverlap: every corpus vector against
+    // every benchmark vector (vec_id % 20), 4-dp-rounded cosine (the
+    // dedup_embedding posture), flagged at floor 0.4 with hit count
+    // and max cosine per doc.
+    "decontam_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT v FROM e WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+        |p AS (SELECT c.vec_id AS doc_id,
+        |             round(list_dot_product(c.v, b.v) /
+        |                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cos
+        |      FROM c, b)
+        |SELECT doc_id, count(*) AS n_bench, max(cos) AS max_cosine
+        |FROM p WHERE cos >= 0.4 GROUP BY 1""".stripMargin,
+
     // Mirrors Splits.assign bit-for-bit: top 60 bits of
     // md5(doc_id || 'graft') mod 100 → 80/10/10 ranges.
     "split_assign" ->

@@ -218,6 +218,22 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", n = 5, kProbes = 4)
   }
 
+  /** SEMANTIC decontamination over the embedding corpus: every-20th
+    * vector plays the held-out benchmark ([[decontamOverlap]]'s split
+    * convention); corpus vectors whose 4-dp cosine to ANY bench item
+    * clears 0.4 are flagged with hit counts and the max cosine — the
+    * paraphrase-leakage pass the n-gram/bloom/span family
+    * structurally misses (a translated benchmark item shares no
+    * 8-gram with its source). Bench broadcast, corpus unshuffled;
+    * see [[Decontam.semanticOverlap]]. */
+  val decontamSemantic: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Decontam.semanticOverlap(
+      e.filter(col("vec_id") % 20 =!= 0),
+      e.filter(col("vec_id") % 20 === 0),
+      "vec_id", "embedding", floor = 0.4)
+  }
+
   /** Deterministic 80/10/10 split keyed on md5(doc_id‖salt) — stable
     * under re-reads/appends, engine-portable (oracle reproduces it). */
   val splitAssign: Q = (s, dir) =>
@@ -305,6 +321,7 @@ trait DedupQueries extends QueriesBase {
     "decontam_spans" -> decontamSpans,
     "decontam_spans_clean" -> decontamSpansClean,
     "decontam_bloom" -> decontamBloom,
+    "decontam_semantic" -> decontamSemantic,
     "split_assign" -> splitAssign,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,

@@ -113,6 +113,60 @@ class DecontamAndSplitsSpec extends SparkSpec {
 
   // ----------------------------------------------------------- splits
 
+  // ------------------------------------------------ semantic decontam
+
+  // Planted-paraphrase fixture: each doc carries (text, embedding).
+  // The exact copy shares both 5-grams AND the embedding with the
+  // bench item; the PARAPHRASE shares no 5-gram but sits at cosine
+  // ≈ 0.995; the unrelated doc is orthogonal.
+  private val semBenchDocs = Seq(
+    (100L, "what is the capital of france paris obviously",
+      Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+  private val semTrainDocs = Seq(
+    (1L, "leaked what is the capital of france paris obviously end",
+      Seq(1.0f, 0.0f, 0.0f, 0.0f)), // exact copy: n-gram AND semantic hit
+    (2L, "which city serves as the french capital why paris of course",
+      Seq(0.995f, 0.1f, 0.0f, 0.0f)), // paraphrase: SEMANTIC hit only
+    (3L, "entirely unrelated training document about spark executors",
+      Seq(0.0f, 0.0f, 1.0f, 0.0f))) // neither
+
+  test("semanticOverlap flags ⊇ n-gram flags on planted paraphrases (identical-embedding premise)") {
+    val bench = semBenchDocs.toDF("doc_id", "text", "embedding")
+    val train = semTrainDocs.toDF("doc_id", "text", "embedding")
+    val ngramFlagged = Decontam.overlapStats(train, bench, "doc_id", "text",
+      n = 5).select("doc_id").as[Long].collect().toSet
+    val semFlagged = Decontam.semanticOverlap(train, bench, "doc_id",
+      "embedding", floor = 0.9).select("doc_id").as[Long].collect().toSet
+    // exact text copies carry (at least) the bench embedding itself →
+    // cosine 1 ≥ any floor: everything the n-gram pass catches, the
+    // semantic pass catches too
+    assert(ngramFlagged.subsetOf(semFlagged),
+      s"ngram-only flags: ${ngramFlagged -- semFlagged}")
+    // and the paraphrase is the strict extra the n-gram pass misses
+    assert(!ngramFlagged.contains(2L) && semFlagged.contains(2L),
+      s"paraphrase must be semantic-only: ngram=$ngramFlagged sem=$semFlagged")
+    assert(!semFlagged.contains(3L), "orthogonal doc must not flag")
+    // per-doc stats: exact copy maxes at cosine 1.0 against 1 bench item
+    val stats = Decontam.semanticOverlap(train, bench, "doc_id",
+        "embedding", floor = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats(1L) == (1L, 1.0))
+    assert(stats(2L)._2 > 0.99 && stats(2L)._2 < 1.0)
+  }
+
+  test("semanticClean keeps exactly the unflagged docs; plan broadcasts the bench side") {
+    val bench = semBenchDocs.toDF("doc_id", "text", "embedding")
+    val train = semTrainDocs.toDF("doc_id", "text", "embedding")
+    val kept = Decontam.semanticClean(train, bench, "doc_id", "embedding",
+      floor = 0.9).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    val plan = Decontam.semanticOverlap(train, bench, "doc_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n$plan")
+  }
+
   test("assign: stable buckets, exact CASE ranges, weights enforced") {
     val docs = (1L to 1000L).toDF("doc_id")
     val out = Splits.assign(docs, "doc_id",
