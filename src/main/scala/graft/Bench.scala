@@ -19,7 +19,13 @@ import org.apache.spark.sql.SparkSession
   *      scheduler's bad luck);
   *   3. per-query max/min spread is reported on its own line and in
   *      the history file, so a "regression" with spread ≈ its delta
-  *      is diagnosable as noise without re-running.
+  *      is diagnosable as noise without re-running;
+  *   4. any query whose spread exceeds SPARK_GRAFT_BENCH_RERUN_SPREAD
+  *      (default 1.5×) is automatically re-measured for one extra
+  *      round and its median recomputed over all samples, so a host-
+  *      noise window that ate two of three runs cannot contaminate
+  *      the committed record (r12 VERDICT #3); re-measured names are
+  *      listed under `reran` on the spread line.
   *
   * Queries in [[SparkEntry.verifyOnly]] (intentionally non-production
   * anchor plans) are skipped and listed under `excluded`; queries in
@@ -113,14 +119,32 @@ object Bench {
       try org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
       catch { case _: Throwable => () }
 
-    // measured: `runs` samples per query → median + max/min spread
+    // measured: `runs` samples per query → median + max/min spread.
+    // AUTO-RERUN (r12 VERDICT "What's wrong" #3): median-of-3 defends
+    // against ONE outlier, but a host-noise window long enough to eat
+    // two of three runs contaminates the committed median with the
+    // plan and shuffle bytes unchanged (~10 s of the r12 record). Any
+    // query whose max/min spread exceeds the threshold gets ONE extra
+    // round of `runs` samples and its median recomputes over ALL
+    // samples — a noise window must now outlast 2×runs measured runs
+    // to survive into the record. Bounded: one rerun per query, and
+    // queries with stable spreads pay nothing.
+    val rerunSpread =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SPREAD", "1.5").toDouble
+    val reran = scala.collection.mutable.ArrayBuffer.empty[String]
     val samplesWithShuffle: Seq[(String, Seq[Double], Long, Long)] =
       names.map { n =>
         flushListeners()
         val (r0, w0) = (shuffleRead.get, shuffleWrite.get)
-        val xs = Seq.fill(runs)(runOnce(n))
+        val first = Seq.fill(runs)(runOnce(n))
+        val xs =
+          if (first.forall(_ > 0) && first.max / first.min > rerunSpread) {
+            reran += n
+            first ++ Seq.fill(runs)(runOnce(n))
+          } else first
         flushListeners()
-        (n, xs, (shuffleRead.get - r0) / runs, (shuffleWrite.get - w0) / runs)
+        (n, xs, (shuffleRead.get - r0) / xs.size,
+          (shuffleWrite.get - w0) / xs.size)
       }
     val samples: Seq[(String, Seq[Double])] =
       samplesWithShuffle.map { case (n, xs, _, _) => n -> xs }
@@ -215,8 +239,9 @@ object Bench {
     // stdout and truncation eats from the front — plans and spread are
     // sacrificial, the timings line is the record.
     val plansLine = s"""{"metric":"plans","plans":$ps,"sf":"$sfDir"}"""
+    val reranJson = reran.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spreadLine =
-      s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"spread":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"reran":$reranJson,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,$dataField"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
