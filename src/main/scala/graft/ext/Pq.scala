@@ -129,6 +129,48 @@ object Pq {
       rows.filter(_._1 == s).map(_._3.toArray)).toArray)
   }
 
+  /** Persist the full searchable layout under one lake root — the
+    * [[Ivf.save]] analog for PQ: the codebooks ([[save]]'s frame)
+    * under `root/codebooks`, the encoded corpus codes under
+    * `root/codes`. The codes frame is the scan side of
+    * [[searchTopK]] — m small ints per vector, the 100 TB reason PQ
+    * exists — so persisting IT (not the floats) is the production
+    * layout; exact rerank joins the float vectors back from the
+    * source-of-truth corpus table for the bounded survivor set only. */
+  def saveEncoded(spark: org.apache.spark.sql.SparkSession, model: Model,
+      corpus: DataFrame, idCol: String, vecCol: String, root: String): Unit = {
+    save(spark, model, s"$root/codebooks")
+    encode(model, corpus, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$root/codes")
+  }
+
+  /** Load a [[saveEncoded]] layout: the model plus the lazily-read
+    * codes frame (feed it to [[searchTopK]] as `encoded`). */
+  def loadEncoded(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Model, DataFrame) =
+    (load(spark, s"$root/codebooks"), spark.read.parquet(s"$root/codes"))
+
+  /** Append a new batch into a [[saveEncoded]] lake layout — the
+    * streaming-ingest form ([[Ivf.appendToSaved]]'s PQ sibling, r12
+    * VERDICT gap #4): each micro-batch encodes against the SAVED
+    * codebooks (no retrain — codebooks drift slowly, the published
+    * practice is periodic retrain / per-batch encode) and its codes
+    * rows append to `root/codes`. The batch's id column is renamed
+    * and CAST to the saved layout's id field (the [[Ivf.appendToSaved]]
+    * schema-normalization contract), so mixed-generation batches can't
+    * fork the layout's physical types. Per-batch small files are the
+    * documented `LakeIO.compactFragmented` case. */
+  def appendToSaved(spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val model = load(spark, s"$root/codebooks")
+    val saved = spark.read.parquet(s"$root/codes").schema
+    val savedId = saved.fieldNames.filter(_ != "codes").head
+    encode(model, batch, idCol, vecCol)
+      .select(col(idCol).cast(saved(savedId).dataType).as(savedId),
+        col("codes").cast(saved("codes").dataType))
+      .write.mode("append").parquet(s"$root/codes")
+  }
+
   /** Code assignment as ONE codegen'd per-row pass: per subspace,
     * argmin L2 to the literal codebook with the (dist asc, code asc)
     * tiebreak — self-consistent with [[searchTopK]]'s tables, no ml

@@ -63,6 +63,54 @@ class PqSpec extends SparkSpec {
     assert(a == b, "reloaded codebooks must encode identically")
   }
 
+  test("streamed appendToSaved ingest: codes layout equals all-at-once encode") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = Pq.train(e, "embedding", dim = 64, m = 4, k = 8)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    Pq.saveEncoded(spark, model, base, "vec_id", "embedding", root)
+    // the held-out 20% arrives as TWO micro-batches of an embedding
+    // stream; each encodes against the SAVED codebooks and appends
+    // (the Ivf.appendToSaved pattern) — one batch deliberately arrives
+    // as array<double> to exercise the schema normalization
+    val held = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect()
+    val (b1, b2) = held.splitAt(held.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          Pq.appendToSaved(spark, root,
+            batch.toDF().select(col("vec_id"),
+              col("embedding").cast(
+                if (id % 2 == 0) "array<float>" else "array<double>")
+                .as("embedding")),
+            "vec_id", "embedding")
+      }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val (backModel, codes) = Pq.loadEncoded(spark, root)
+    assert(backModel.codebooks.flatten.map(_.toSeq).toSeq ==
+      model.codebooks.flatten.map(_.toSeq).toSeq)
+    val appended = codes.as[(Long, Seq[Int])].collect().toSet
+    val direct = Pq.encode(model, e, "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(appended == direct,
+      "streamed-in codes layout must equal the all-at-once encode")
+    // and the searchable contract holds: search over the appended
+    // layout ≡ search over a fresh full encode
+    val queries = e.filter(col("vec_id") < 3)
+    def rows(enc: org.apache.spark.sql.DataFrame) =
+      Pq.searchTopK(model, enc, e, queries, "vec_id", "embedding",
+          k = 5, candidateFactor = 200)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows(codes) == rows(Pq.encode(model, e, "vec_id", "embedding")))
+  }
+
   test("ivf save/load: reloaded index searches identically") {
     val index = Ivf.build(e, "vec_id", "embedding", nClusters = 8)
     val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
