@@ -46,11 +46,41 @@ object CrawlOps {
   def domainOf(url: Column): Column =
     regexp_replace(hostOf(url), "^www\\.", "")
 
+  /** RFC 3986 §6.2.2.2 case normalization of percent-encodings:
+    * `%3a` → `%3A` — the hex digits of every percent-triplet
+    * uppercase (real crawl URLs mix producer casings constantly, and
+    * without this `%2fa` and `%2Fa` dedup as different URLs).
+    * Implemented as 12 chained `regexp_replace` passes — six per hex
+    * position, each uppercasing one lowercase hex letter in context —
+    * because a regex engine cannot case-shift a captured group: pass
+    * one handles the FIRST hex digit (`%a(hex)` → `%A$1`, the
+    * trailing hex-digit guard keeps a bare `%a` in path text
+    * untouched), pass two the second (`%(HEX)a` → `%$1A`, first digit
+    * already normalized). Pure codegen'd string algebra, replayed
+    * verbatim by the RE2 oracle with `\1` backreferences. */
+  def normalizePercentEncodings(c: Column): Column = {
+    val firstUpper = "abcdef".foldLeft(c)((acc, d) =>
+      regexp_replace(acc, s"%$d([0-9a-fA-F])", s"%${d.toUpper}$$1"))
+    "abcdef".foldLeft(firstUpper)((acc, d) =>
+      regexp_replace(acc, s"%([0-9A-F])$d", s"%$$1${d.toUpper}"))
+  }
+
   /** RFC 3986 §6 canonical form plus the crawl-standard extras:
     * scheme and host lowercased, trailing host dot stripped, default
     * ports dropped (http:80 / https:443 — others kept), empty path
-    * normalized to `/`, fragment dropped, and `utm_*` tracking
-    * params scrubbed from the query (empty query drops its `?`). */
+    * normalized to `/`, fragment dropped, `utm_*` tracking params
+    * scrubbed from the query (empty query drops its `?`), and
+    * percent-encoding hex case normalized
+    * ([[normalizePercentEncodings]] — applied to the assembled URL,
+    * which also restores the RFC's uppercase-hex form in host
+    * triplets the host lowercasing just folded).
+    *
+    * INTERNATIONALIZED HOSTS: already-punycoded labels (`xn--…`)
+    * canonicalize correctly (lowercasing is exactly their RFC 5890
+    * normalization); raw-Unicode hosts must be IDNA-encoded UPSTREAM
+    * at the ingest edge — see [[withAsciiHost]], which is JVM-side
+    * (`java.net.IDN`) and deliberately NOT part of this oracle-
+    * replayable string algebra. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, SchemePat, 1))
     val host = hostOf(url)
@@ -67,11 +97,42 @@ object CrawlOps {
       "&&+", "&"), "^&", ""), "&$", "")
     val defaultPort = (scheme === "http" && port === "80") ||
       (scheme === "https" && port === "443")
-    concat(scheme, lit("://"), host,
-      when(port === "" || defaultPort, lit(""))
-        .otherwise(concat(lit(":"), port)),
-      when(path0 === "", lit("/")).otherwise(path0),
-      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+    normalizePercentEncodings(
+      concat(scheme, lit("://"), host,
+        when(port === "" || defaultPort, lit(""))
+          .otherwise(concat(lit(":"), port)),
+        when(path0 === "", lit("/")).otherwise(path0),
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** IDNA-encode the host of each URL (ü → punycode `xn--…`) — the
+    * ingest-edge pre-pass for raw-Unicode hosts, AFTER which
+    * [[canonicalizeUrl]]'s pure string algebra applies. JVM-side
+    * (`java.net.IDN`, RFC 3490) wrapped in a UDF: IDNA's Nameprep
+    * tables are not expressible as portable regex algebra, so this
+    * deliberately sits OUTSIDE the oracle-gated canonical chain —
+    * run it once where URLs enter the system, not per query. A host
+    * IDNA rejects (or a URL with no host) passes through unchanged:
+    * dropping at the edge is the caller's policy, not the encoder's. */
+  def withAsciiHost(df: DataFrame, urlCol: String,
+      outCol: String = "url_ascii"): DataFrame = {
+    val pat = java.util.regex.Pattern
+      .compile("^([A-Za-z][A-Za-z0-9+.-]*://)([^/:?#]*)(.*)$",
+        java.util.regex.Pattern.DOTALL)
+    val toAscii = udf { (url: String) =>
+      if (url == null) null
+      else {
+        val m = pat.matcher(url)
+        if (!m.matches()) url
+        else {
+          val ascii =
+            try java.net.IDN.toASCII(m.group(2))
+            catch { case _: IllegalArgumentException => m.group(2) }
+          m.group(1) + ascii + m.group(3)
+        }
+      }
+    }
+    df.withColumn(outCol, toAscii(col(urlCol)))
   }
 
   /** Adds `host`, `domain`, `canon_url` next to `urlCol` — the

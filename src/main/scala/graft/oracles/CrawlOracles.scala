@@ -16,15 +16,30 @@ private[graft] object CrawlOracles {
   // here may BEGIN with '|' (a leading '||' would lose its first char
   // to the second stripMargin pass), so concatenation '||'s sit at
   // line ends.
+
+  /** RFC 3986 §6.2.2.2 percent-encoding case normalization as the
+    * same 12 regexp_replace passes the engine chains
+    * (CrawlOps.normalizePercentEncodings), RE2 `\1` backreferences in
+    * place of Java's `$1`; generated so the two chains cannot drift. */
+  private def pctNormSql(inner: String): String = {
+    val p1 = "abcdef".foldLeft(inner)((acc, d) =>
+      s"regexp_replace($acc, '%$d([0-9a-fA-F])', '%${d.toUpper}\\1', 'g')")
+    "abcdef".foldLeft(p1)((acc, d) =>
+      s"regexp_replace($acc, '%([0-9A-F])$d', '%\\1${d.toUpper}', 'g')")
+  }
+
   private val urlCtes: String =
     """u AS (SELECT doc_id,
       |    (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'HtTp' END) ||
       |    '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN 'XN--BCHER-KVA.' ELSE '' END) ||
       |    source || '.Example.COM' ||
       |    (CASE WHEN doc_id % 7 = 0 THEN '.' ELSE '' END) ||
       |    (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
       |          WHEN 2 THEN ':8080' ELSE '' END) ||
-      |    (CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/Page/' || doc_id::VARCHAR END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/Page/' || doc_id::VARCHAR ||
+      |          (CASE doc_id % 8 WHEN 0 THEN '%2fitem%3a7' WHEN 1 THEN '%2Fitem%3A7'
+      |                WHEN 2 THEN '%c3%a9dition' ELSE '' END) END) ||
       |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&ref=' || (doc_id % 10)::VARCHAR
       |          WHEN 1 THEN '?ref=' || (doc_id % 10)::VARCHAR ELSE '' END) ||
       |    (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
@@ -40,15 +55,18 @@ private[graft] object CrawlOracles {
       |q AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
       |    regexp_replace(query0, '(^|&)utm_[^&]*', '\1', 'g'),
       |    '&&+', '&', 'g'), '^&', ''), '&$', '') AS qs FROM p),
-      |c AS (SELECT doc_id, url, host,
+      |c0 AS (SELECT doc_id, url, host,
       |    regexp_replace(host, '^www\.', '') AS domain,
       |    scheme || '://' || host ||
       |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
       |           OR (scheme = 'https' AND port = '443')
       |     THEN '' ELSE ':' || port END) ||
       |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
-      |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
-      |  FROM q)""".stripMargin
+      |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon0
+      |  FROM q),
+      |c AS (SELECT doc_id, url, host, domain,
+      |    """.stripMargin +
+      pctNormSql("canon0") + " AS canon_url FROM c0)"
 
   /** Gopher keep flag per doc (the quality_gopher battery), relation
     * `k(doc_id, keep)` — shared by reputation and priority. */

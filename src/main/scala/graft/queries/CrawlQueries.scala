@@ -13,8 +13,10 @@ import graft.ext.CrawlOps
   * operator under test (canonicalize / cap / rank) never sees
   * anything it could fabricate. The mess matrix covers every
   * canonicalization rule: mixed-case schemes and hosts, optional
-  * `WWW.`, trailing root dot, default and non-default ports, empty
-  * paths, `utm_*` tracking params, fragments.
+  * `WWW.`, mixed-case punycode labels, trailing root dot, default
+  * and non-default ports, empty paths, percent-encodings in every
+  * hex casing (incl. a multibyte UTF-8 pair), `utm_*` tracking
+  * params, fragments.
   */
 trait CrawlQueries extends QueriesBase {
 
@@ -25,14 +27,26 @@ trait CrawlQueries extends QueriesBase {
       .when(pmod(id, lit(3)) === 1, lit("HTTPS"))
       .otherwise(lit("HtTp"))
     val www = when(pmod(id, lit(2)) === 0, lit("WWW.")).otherwise(lit(""))
-    val host = concat(www, col("source"), lit(".Example.COM"),
+    // a mixed-case ALREADY-PUNYCODED label: canonicalization must
+    // only lowercase it (RFC 5890 — raw-Unicode hosts IDNA-encode
+    // upstream via CrawlOps.withAsciiHost)
+    val puny = when(pmod(id, lit(9)) === 0, lit("XN--BCHER-KVA."))
+      .otherwise(lit(""))
+    val host = concat(www, puny, col("source"), lit(".Example.COM"),
       when(pmod(id, lit(7)) === 0, lit(".")).otherwise(lit("")))
     val port = when(pmod(id, lit(5)) === 0, lit(":80"))
       .when(pmod(id, lit(5)) === 1, lit(":443"))
       .when(pmod(id, lit(5)) === 2, lit(":8080"))
       .otherwise(lit(""))
+    // percent-encodings in every hex casing — lowercase, canonical
+    // uppercase, and a lowercase multibyte UTF-8 pair (é) — so the
+    // §6.2.2.2 case normalization is exercised per position
+    val enc = when(pmod(id, lit(8)) === 0, lit("%2fitem%3a7"))
+      .when(pmod(id, lit(8)) === 1, lit("%2Fitem%3A7"))
+      .when(pmod(id, lit(8)) === 2, lit("%c3%a9dition"))
+      .otherwise(lit(""))
     val path = when(pmod(id, lit(11)) === 0, lit(""))
-      .otherwise(concat(lit("/Page/"), id.cast("string")))
+      .otherwise(concat(lit("/Page/"), id.cast("string"), enc))
     val query = when(pmod(id, lit(4)) === 0,
         concat(lit("?utm_source=feed&ref="), pmod(id, lit(10)).cast("string")))
       .when(pmod(id, lit(4)) === 1,

@@ -42,6 +42,51 @@ class CrawlOpsSpec extends SparkSpec {
     }
   }
 
+  test("percent-encoding case normalization (RFC 3986 §6.2.2.2)") {
+    val cases = Seq(
+      // each hex position independently, and both together
+      "http://a.com/x%3a" -> "http://a.com/x%3A",
+      "http://a.com/x%a3" -> "http://a.com/x%A3",
+      "http://a.com/x%af" -> "http://a.com/x%AF",
+      "http://a.com/x%AF" -> "http://a.com/x%AF",
+      // multibyte UTF-8 pair (é), both triplets normalize
+      "http://a.com/caf%c3%a9" -> "http://a.com/caf%C3%A9",
+      // triplet followed by more hex-looking text: only the pair shifts
+      "http://a.com/%2fabc" -> "http://a.com/%2Fabc",
+      // query-side triplets normalize too; utm scrub runs first
+      "http://a.com/x?q=%2f&utm_s=%2f" -> "http://a.com/x?q=%2F",
+      // a bare % with ONE trailing hex char is not a valid triplet —
+      // untouched (the trailing-hex guard)
+      "http://a.com/100%a" -> "http://a.com/100%a",
+      // host triplets end uppercase even though the host lowercases
+      "http://a%3acom.net/x" -> "http://a%3Acom.net/x")
+    cases.foreach { case (in, want) =>
+      assert(canon(in) == want, s"canon($in)")
+    }
+  }
+
+  test("withAsciiHost: raw-Unicode hosts punycode; ascii and pre-encoded pass through") {
+    val out = CrawlOps.withAsciiHost(
+        Seq(
+          (1L, "http://bücher.example/x?ü=1"), // host encodes, path/query untouched
+          (2L, "https://WWW.Ascii.COM/x"),     // pure-ascii unchanged
+          (3L, "http://xn--bcher-kva.example/x"), // already punycoded: idempotent
+          (4L, "not a url at all")             // no host → pass through
+        ).toDF("doc_id", "url"), "url")
+      .select("doc_id", "url_ascii").as[(Long, String)].collect().toMap
+    assert(out(1L) == "http://xn--bcher-kva.example/x?ü=1")
+    assert(out(2L) == "https://WWW.Ascii.COM/x")
+    assert(out(3L) == "http://xn--bcher-kva.example/x")
+    assert(out(4L) == "not a url at all")
+    // composition with the canonical chain: encode at the edge, then
+    // pure string algebra the oracle replays
+    val canonized = Seq("http://BÜCHER.example/%2fx").toDF("url")
+      .transform(df => CrawlOps.withAsciiHost(df, "url"))
+      .select(CrawlOps.canonicalizeUrl(col("url_ascii")).as("c"))
+      .as[String].head()
+    assert(canonized == "http://xn--bcher-kva.example/%2Fx")
+  }
+
   test("host and domain extraction") {
     val rows = Seq(
       (1L, "HTTPS://WWW.Example.COM.:443/x"),
