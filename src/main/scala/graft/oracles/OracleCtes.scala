@@ -136,6 +136,108 @@ private[graft] object OracleCtes {
     (w0 +: stages).mkString(",\n")
   }
 
+  /** Unrolled unigram-LM hard-EM training (mirrors ext.Unigram): seed
+    * substring counts (usc) → count·length-ranked seed vocabulary +
+    * alphabet (uv0) → floor-log2 costs (upc0) → Viterbi dp unrolled
+    * one stage per position (ua1..ua{maxW}, tiebreak cost ASC then
+    * start-position ASC via row_number) → E-step recount (ue1) →
+    * prune + alphabet (uv1) → final costs (upc1) → second Viterbi
+    * pass (ub*) → final segmentation (useg). Words longer than maxW
+    * code points take the single-code-point fallback on both sides,
+    * which is what bounds this unroll STRUCTURALLY — the stage count
+    * is the operator's hyperparameter, not a data-dependent guess.
+    * Every dp stage is AS MATERIALIZED (the [[bpeCtes]] lesson:
+    * DuckDB inlines plain CTEs and each stage is read by up to
+    * maxPieceLen successors). Final relations: upc1(piece, cnt,
+    * cost), useg(word, wl, freq, seg). */
+  private[graft] def unigramCtes(seedSize: Int, vocabSize: Int,
+      maxP: Int, maxW: Int): String = {
+    def viterbi(prefix: String, costTbl: String): (Seq[String], String) = {
+      val z = s"${prefix}0 AS (SELECT word, wl, freq, " +
+        s"CAST(0 AS BIGINT) AS cost, '' AS seg FROM uwords WHERE wl <= $maxW)"
+      val stages = (1 to maxW).map { p =>
+        val arms = (math.max(0, p - maxP) until p).map { j =>
+          val seg = if (j == 0) "pc.piece" else "d.seg || '~' || pc.piece"
+          s"SELECT d.word, d.wl, d.freq, d.cost + pc.cost AS cost, " +
+            s"$seg AS seg, $j AS j FROM $prefix$j d JOIN $costTbl pc " +
+            s"ON pc.piece = substr(d.word, ${j + 1}, ${p - j}) WHERE d.wl >= $p"
+        }.mkString(" UNION ALL ")
+        s"$prefix$p AS MATERIALIZED (SELECT word, wl, freq, cost, seg FROM (" +
+          "SELECT word, wl, freq, cost, seg, row_number() OVER " +
+          "(PARTITION BY word ORDER BY cost ASC, j ASC) AS rn " +
+          s"FROM ($arms)) WHERE rn = 1)"
+      }
+      val finals = (1 to maxW)
+        .map(p => s"SELECT word, wl, freq, seg FROM $prefix$p WHERE wl = $p")
+        .mkString(" UNION ALL ")
+      (z +: stages, finals)
+    }
+    val head = Seq(
+      """uwords AS MATERIALIZED (
+        |  SELECT word, CAST(length(word) AS INTEGER) AS wl,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |          '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word FROM documents)
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""usc AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT substr(word, s, l) AS piece, freq
+        |    FROM uwords, unnest(range(1, wl + 1)) AS ts(s),
+        |         unnest(range(1, $maxP + 1)) AS tl(l)
+        |    WHERE s + l - 1 <= wl)
+        |  GROUP BY 1)""".stripMargin,
+      s"""useedtop AS MATERIALIZED (SELECT piece, cnt FROM (
+        |    SELECT piece, cnt, row_number() OVER
+        |      (ORDER BY cnt * length(piece) DESC, piece ASC) AS rn FROM usc)
+        |  WHERE rn <= $seedSize)""".stripMargin,
+      "uchars AS (SELECT piece, cnt FROM usc WHERE length(piece) = 1)",
+      """uv0 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM useedtop
+        |  UNION ALL
+        |  SELECT piece, cnt FROM uchars
+        |  WHERE piece NOT IN (SELECT piece FROM useedtop))""".stripMargin,
+      "ut0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM uv0)",
+      """upc0 AS MATERIALIZED (SELECT piece,
+        |  CAST(length(bin(t + 1)) - length(bin(cnt + 1)) AS BIGINT) AS cost
+        |  FROM uv0, ut0)""".stripMargin)
+    val (va, vaFin) = viterbi("ua", "upc0")
+    val mid = Seq(
+      s"""useg0 AS MATERIALIZED (
+        |  $vaFin
+        |  UNION ALL
+        |  SELECT word, wl, freq,
+        |         array_to_string(string_split(word, ''), '~') AS seg
+        |  FROM uwords WHERE wl > $maxW)""".stripMargin,
+      """ue1 AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(seg, '~')) AS piece, freq FROM useg0)
+        |  GROUP BY 1)""".stripMargin,
+      s"""utop AS MATERIALIZED (SELECT piece, cnt FROM (
+        |    SELECT piece, cnt, row_number() OVER
+        |      (ORDER BY cnt DESC, piece ASC) AS rn FROM ue1)
+        |  WHERE rn <= $vocabSize)""".stripMargin,
+      """uv1 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM utop
+        |  UNION ALL
+        |  SELECT c.piece, CAST(coalesce(e.cnt, 0) AS BIGINT) AS cnt
+        |  FROM (SELECT DISTINCT piece FROM uchars) c
+        |  LEFT JOIN ue1 e USING (piece)
+        |  WHERE c.piece NOT IN (SELECT piece FROM utop))""".stripMargin,
+      "ut1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM uv1)",
+      """upc1 AS MATERIALIZED (SELECT piece, cnt,
+        |  CAST(length(bin(t + 1)) - length(bin(cnt + 1)) AS BIGINT) AS cost
+        |  FROM uv1, ut1)""".stripMargin)
+    val (vb, vbFin) = viterbi("ub", "upc1")
+    val tail = Seq(
+      s"""useg AS MATERIALIZED (
+        |  $vbFin
+        |  UNION ALL
+        |  SELECT word, wl, freq,
+        |         array_to_string(string_split(word, ''), '~') AS seg
+        |  FROM uwords WHERE wl > $maxW)""".stripMargin)
+    (head ++ va ++ mid ++ vb ++ tail).mkString(",\n")
+  }
+
   private[graft] val lshPairCtes: String =
     """ok AS (SELECT band_idx, band_key FROM bands
       |       GROUP BY 1, 2 HAVING count(*) <= 200),

@@ -774,6 +774,41 @@ private[graft] object TextOracles {
         |       END AS mean_weight
         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // Mirrors Unigram.trainModel(seed 60, vocab 40): the full hard-EM
+    // walk replayed — seed substring counts, count·length seed rank,
+    // floor-log2 costs, unrolled Viterbi E-step, prune, final costs.
+    "vocab_unigram" ->
+      s"""WITH ${unigramCtes(60, 40, 4, 16)}
+         |SELECT piece, cnt AS count, cost AS cost_bits FROM upc1""".stripMargin,
+
+    // Mirrors Unigram.segment under the trained model: the second
+    // Viterbi pass's final dp rows, word for word.
+    "vocab_unigram_segment" ->
+      s"""WITH ${unigramCtes(60, 40, 4, 16)}
+         |SELECT word, freq, seg,
+         |       CAST(len(string_split(seg, '~')) AS INTEGER) AS n_tokens
+         |FROM useg""".stripMargin,
+
+    // Mirrors reportUnigramFertility: per-lang occurrence stream
+    // joined to the unigram token price; each ratio one mirrored
+    // IEEE division over exact integer sums (the BPE report shape).
+    "report_unigram_fertility" ->
+      s"""WITH ${unigramCtes(60, 40, 4, 16)},
+         |useg_n AS (SELECT word,
+         |             CAST(len(string_split(seg, '~')) AS BIGINT) AS n_tok
+         |           FROM useg),
+         |occ AS (SELECT lang, unnest(list_filter(regexp_split_to_array(
+         |          lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS word
+         |        FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_uni_tokens,
+         |       round(CAST(sum(n_tok) * 10000 AS DOUBLE) / count(*)) / 10000
+         |         AS fertility,
+         |       round(CAST(sum(len(word)) * 10000 AS DOUBLE) / sum(n_tok)) / 10000
+         |         AS chars_per_token
+         |FROM occ JOIN useg_n USING (word) GROUP BY 1""".stripMargin,
+
     // Mirrors Bpe.trainMerges(nMerges = 8): each stage's winning pair
     // becomes one merge row; a pair-exhausted stage emits nothing.
     "vocab_bpe_merges" ->

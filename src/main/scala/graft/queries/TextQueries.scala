@@ -401,6 +401,53 @@ trait TextQueries extends QueriesBase {
           .as("chars_per_token"))
   }
 
+  /** Unigram-LM (SentencePiece-class) vocabulary — the trained model
+    * table (piece, count, cost_bits) after one hard-EM iteration in
+    * exact integer bit-space: count·length-ranked seed of 60 pieces
+    * (+ alphabet), Viterbi E-step recount, prune to 40 (+ alphabet),
+    * floor-log2 surprisal costs. Fully hash-checked — the oracle
+    * replays seed, EM and prune over the same parquet
+    * ([[graft.ext.Unigram]]). */
+  val vocabUnigram: Q = (s, dir) =>
+    graft.ext.Unigram.trainModel(Tables.documents(s, dir), "text",
+      seedSize = 60, vocabSize = 40)
+
+  /** The apply side of the trained unigram model: every corpus word
+    * Viterbi-segmented under the final costs — (word, freq, seg,
+    * n_tokens), seg '~'-joined, ties broken (cost asc, longest last
+    * piece). Training runs in-query (the [[vocabBpeSegment]]
+    * posture); the oracle's final dp stage must equal this word for
+    * word. */
+  val vocabUnigramSegment: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val (_, costs) = graft.ext.Unigram.train(docs, "text",
+      seedSize = 60, vocabSize = 40)
+    graft.ext.Unigram.segment(docs, "text", costs)
+      .select("word", "freq", "seg", "n_tokens")
+  }
+
+  /** Tokenizer fertility under the UNIGRAM model — the
+    * [[reportBpeFertility]] audit for the EM-trained tokenizer, so
+    * the two tokenizers' per-language over-segmentation is directly
+    * comparable on one report shape. */
+  val reportUnigramFertility: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val (_, costs) = graft.ext.Unigram.train(docs, "text",
+      seedSize = 60, vocabSize = 40)
+    val seg = graft.ext.Unigram.segment(docs, "text", costs).toDF()
+    docs.select(col("lang"), explode(TextOps.regexTokens(col("text"))).as("word"))
+      .join(seg.select("word", "n_tokens"), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum("n_tokens").as("n_uni_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_uni_tokens"),
+        (round(col("n_uni_tokens") * 10000.0 / col("n_words")) / 1e4)
+          .as("fertility"),
+        (round(col("n_chars") * 10000.0 / col("n_uni_tokens")) / 1e4)
+          .as("chars_per_token"))
+  }
+
   /** PII scrub: replacement count + md5 of the scrubbed text (the
     * md5 lets the oracle verify the full redacted payload without
     * hauling the text through the compare). */
@@ -446,6 +493,9 @@ trait TextQueries extends QueriesBase {
     "quality_dsir" -> qualityDsir,
     "quality_lm_dsir" -> qualityLmDsir,
     "vocab_bpe_merges" -> vocabBpeMerges,
+    "vocab_unigram" -> vocabUnigram,
+    "vocab_unigram_segment" -> vocabUnigramSegment,
+    "report_unigram_fertility" -> reportUnigramFertility,
     "vocab_bpe_segment" -> vocabBpeSegment,
     "text_tokens_bpe" -> textTokensBpe,
     "vocab_bpe_shared" -> vocabBpeShared,

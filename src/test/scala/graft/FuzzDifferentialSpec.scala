@@ -59,6 +59,11 @@ class FuzzDifferentialSpec extends SparkSpec {
     "text_scrub_rare", "text_repetition", "text_bm25", "text_tfidf",
     "text_fingerprint", "text_normalize", "text_tokens_regex",
     "vocab_topk", "vocab_bpe_shared", "vocab_collocations",
+    // unigram-LM trainer: exact integer bit-space end to end, and the
+    // fuzz word pool (max 8 code points, unicode incl. CJK) sits well
+    // inside the maxWordLen=16 dp unroll — the code-point-vs-UTF-16
+    // seam is exactly what the unicode words exercise
+    "vocab_unigram", "vocab_unigram_segment", "report_unigram_fertility",
     "quality_gopher", "quality_ntile", "quality_dsir", "quality_lm_dsir",
     "quality_classifier",
     "source_overlap", "profile_source_overlap",
@@ -86,7 +91,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "similarity_topk", "similarity_ivf", "similarity_knn_graph",
     "mine_triplets", "graph_pagerank", "similarity_quantized",
     "embedding_quantize", "embedding_stats", "embedding_centroids",
-    "dedup_embedding", "dedup_semantic",
+    "dedup_embedding", "dedup_semantic", "decontam_semantic",
     "similarity_lsh_exhaustive", "similarity_ivf_exhaustive",
     // exhaustive-probe append ≡ brute force by construction, so the
     // engine-specific centroids are invisible — fuzz-safe
