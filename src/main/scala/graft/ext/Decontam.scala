@@ -252,6 +252,21 @@ object Decontam {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Streaming form of [[semanticClean]] for incremental embedding
+    * ingest — each micro-batch screens against the STATIC benchmark
+    * embeddings via `foreachBatch`. Batch ≡ stream is structural
+    * (the [[cleanStream]] argument): the keep/drop verdict is
+    * per-document against a frozen benchmark, no cross-document or
+    * cross-batch state; `foreachBatch` rather than a stream-static
+    * join because the per-doc hit count aggregates OVER the stream
+    * side. */
+  def semanticCleanStream(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, floor: Double = 0.4)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    corpus.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(semanticClean(batch.toDF(), bench, idCol, vecCol, floor), batchId)
+    }
+
   /** Streaming form of [[clean]] for incremental ingest: each
     * micro-batch is decontaminated with full batch semantics via
     * `foreachBatch`, and `sink` receives the kept rows.

@@ -809,6 +809,31 @@ private[graft] object TextOracles {
          |         AS chars_per_token
          |FROM occ JOIN useg_n USING (word) GROUP BY 1""".stripMargin,
 
+    // Mirrors reportTokenizerCompare: BOTH tokenizer replays (the BPE
+    // stage chain and the unigram EM chain — disjoint CTE namespaces)
+    // joined to one occurrence stream, per-lang roll-up.
+    "report_tokenizer_compare" ->
+      s"""WITH ${bpeCtes(8)},
+         |${unigramCtes(60, 40, 4, 16)},
+         |bseg AS (SELECT word,
+         |           CAST(len(string_split(symbols, '~')) AS BIGINT) AS n_bpe
+         |         FROM w8),
+         |useg_n AS (SELECT word,
+         |             CAST(len(string_split(seg, '~')) AS BIGINT) AS n_uni
+         |           FROM useg),
+         |occ AS (SELECT lang, unnest(list_filter(regexp_split_to_array(
+         |          lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS word
+         |        FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(sum(n_uni) AS BIGINT) AS n_uni_tokens,
+         |       round(CAST(sum(n_bpe) * 10000 AS DOUBLE) / count(*)) / 10000
+         |         AS bpe_fertility,
+         |       round(CAST(sum(n_uni) * 10000 AS DOUBLE) / count(*)) / 10000
+         |         AS uni_fertility
+         |FROM occ JOIN bseg USING (word) JOIN useg_n USING (word)
+         |GROUP BY 1""".stripMargin,
+
     // Mirrors Bpe.trainMerges(nMerges = 8): each stage's winning pair
     // becomes one merge row; a pair-exhausted stage emits nothing.
     "vocab_bpe_merges" ->

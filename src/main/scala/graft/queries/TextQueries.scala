@@ -448,6 +448,39 @@ trait TextQueries extends QueriesBase {
           .as("chars_per_token"))
   }
 
+  /** BPE vs unigram-LM side-by-side fertility — the tokenizer
+    * SELECTION audit: both trainers run on the same corpus (8-merge
+    * BPE vs seed-60/prune-40 unigram) and the per-language token
+    * price lands in ONE report, so "which tokenizer over-segments
+    * which language" is a single scan of the output instead of a
+    * cross-report join. One occurrence stream, two vocab-bounded
+    * joins; each fertility is one mirrored IEEE division over exact
+    * integer sums. */
+  val reportTokenizerCompare: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val bpeSeg = graft.ext.Bpe.segment(docs, "text", merges).toDF()
+      .select(col("word"), col("n_tokens").as("__bpe"))
+    val (_, costs) = graft.ext.Unigram.train(docs, "text",
+      seedSize = 60, vocabSize = 40)
+    val uniSeg = graft.ext.Unigram.segment(docs, "text", costs).toDF()
+      .select(col("word"), col("n_tokens").as("__uni"))
+    docs.select(col("lang"), explode(TextOps.regexTokens(col("text"))).as("word"))
+      .join(bpeSeg, "word").join(uniSeg, "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("__bpe").as("n_bpe_tokens"),
+        sum("__uni").as("n_uni_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        col("n_uni_tokens"),
+        (round(col("n_bpe_tokens") * 10000.0 / col("n_words")) / 1e4)
+          .as("bpe_fertility"),
+        (round(col("n_uni_tokens") * 10000.0 / col("n_words")) / 1e4)
+          .as("uni_fertility"))
+  }
+
   /** PII scrub: replacement count + md5 of the scrubbed text (the
     * md5 lets the oracle verify the full redacted payload without
     * hauling the text through the compare). */
@@ -496,6 +529,7 @@ trait TextQueries extends QueriesBase {
     "vocab_unigram" -> vocabUnigram,
     "vocab_unigram_segment" -> vocabUnigramSegment,
     "report_unigram_fertility" -> reportUnigramFertility,
+    "report_tokenizer_compare" -> reportTokenizerCompare,
     "vocab_bpe_segment" -> vocabBpeSegment,
     "text_tokens_bpe" -> textTokensBpe,
     "vocab_bpe_shared" -> vocabBpeShared,

@@ -131,6 +131,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set(2L, 3L)) // contaminated 1 and 4 dropped
   }
 
+  test("streaming SEMANTIC decontamination (foreachBatch) ≡ batch semanticClean") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((900L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val batch1 = Seq(
+      (1L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),  // paraphrase-near → drops
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))   // orthogonal → kept
+    val batch2 = Seq(
+      (3L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // exact bench embedding → drops
+      (4L, Seq(0.0f, 0.0f, 0.5f, 0.5f)))   // unrelated → kept
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.ext.Decontam.semanticCleanStream(stream, bench,
+        "vec_id", "embedding", floor = 0.9) { (kept, _) =>
+      val rows = kept.select("vec_id").as[Long].collect()
+      out.synchronized { out ++= rows }
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchClean = graft.ext.Decontam.semanticClean(
+        (batch1 ++ batch2).toDF("vec_id", "embedding"), bench,
+        "vec_id", "embedding", floor = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.toSet == batchClean, "micro-batched ≡ batch semanticClean")
+    assert(out.toSet == Set(2L, 4L), s"near-bench embeddings must drop: $out")
+  }
+
   test("streaming near-dup screen (prebuilt index) ≡ batch screen across splits") {
     implicit val sqlCtx = spark.sqlContext
     val reference = Seq(
