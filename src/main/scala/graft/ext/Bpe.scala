@@ -59,10 +59,10 @@ object Bpe {
     * ends with l's last char and whose right symbol starts with r's
     * first char — so indexing words by their boundary char-pairs gives
     * a small candidate superset per merge without any substring scan. */
-  @inline private def boundaryKey(left: Char, right: Char): Int =
+  @inline private[ext] def boundaryKey(left: Char, right: Char): Int =
     (left << 16) | right
 
-  private def boundaryKeys(joined: String): Array[Int] = {
+  private[ext] def boundaryKeys(joined: String): Array[Int] = {
     val out = new Array[Int](
       { var n = 0; var j = 0
         while (j < joined.length) { if (joined.charAt(j) == '~') n += 1; j += 1 }

@@ -238,6 +238,99 @@ private[graft] object OracleCtes {
     (head ++ va ++ mid ++ vb ++ tail).mkString(",\n")
   }
 
+  /** Unrolled WordPiece training stages (mirrors
+    * ext.WordPiece.trainMerges): wp0 is the word-frequency table with
+    * '~'-joined code-point symbols; each stage counts adjacent symbol
+    * pairs (wpp_i) AND per-symbol occurrences (wps_i), both
+    * frequency-weighted, takes the winner under the quantized
+    * likelihood key `floor(cnt · 2^40 / (cnt_l · cnt_r))` in HUGEINT
+    * (wpb_i — the JVM side computes the identical floor in BigInt),
+    * and applies it as a literal replace (wp_i) with the same
+    * empty-stage guard as [[bpeCtes]]. Every stage AS MATERIALIZED
+    * (the bpeCtes lesson). */
+  private[graft] def wordpieceCtes(n: Int): String = {
+    val scale = graft.ext.WordPiece.ScoreScale
+    val wp0 =
+      """wp0 AS MATERIALIZED (
+        |  SELECT word, array_to_string(string_split(word, ''), '~') AS symbols,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |          '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word FROM documents)
+        |  GROUP BY 1, 2)""".stripMargin
+    val stages = (1 to n).map { i =>
+      s"""wpp$i AS MATERIALIZED (SELECT z[1] AS l, z[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_zip(t[:-2], t[2:])) AS z
+         |        FROM (SELECT string_split(symbols, '~') AS t, freq FROM wp${i - 1}))
+         |  GROUP BY 1, 2),
+         |wps$i AS MATERIALIZED (SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(string_split(symbols, '~')) AS sym FROM wp${i - 1})
+         |  GROUP BY 1),
+         |wpb$i AS MATERIALIZED (SELECT l, r, cnt,
+         |    CAST((cnt::HUGEINT * $scale) // (cl::HUGEINT * cr::HUGEINT) AS BIGINT)
+         |      AS score_key
+         |  FROM (SELECT p.l, p.r, p.cnt, sl.cnt AS cl, sr.cnt AS cr
+         |        FROM wpp$i p JOIN wps$i sl ON sl.sym = p.l
+         |                     JOIN wps$i sr ON sr.sym = p.r)
+         |  ORDER BY (cnt::HUGEINT * $scale) // (cl::HUGEINT * cr::HUGEINT) DESC,
+         |           l ASC, r ASC LIMIT 1),
+         |wp$i AS MATERIALIZED (SELECT word,
+         |    CASE WHEN (SELECT count(*) FROM wpb$i) = 0 THEN symbols
+         |         ELSE replace(symbols, (SELECT l || '~' || r FROM wpb$i),
+         |                      (SELECT l || r FROM wpb$i)) END AS symbols,
+         |    freq FROM wp${i - 1})""".stripMargin
+    }
+    (wp0 +: stages).mkString(",\n")
+  }
+
+  /** Greedy longest-match-first WordPiece segmentation (mirrors
+    * ext.WordPiece.segment), appended after [[wordpieceCtes]]: the
+    * matching vocabulary wpv = corpus alphabet + each step's merged
+    * token, then one unrolled stage per consumed piece (a word of ≤
+    * maxW code points finishes in ≤ maxW greedy steps — each consumes
+    * ≥ 1 code point, the structural bound). Non-initial pieces carry
+    * the '##' continuation marker; words longer than maxW (excluded
+    * from wg0) or hitting an unmatchable position (dropped by the
+    * join) surface as the single token '[UNK]' via the final LEFT
+    * JOIN. Final relation wpseg(word, freq, seg, n_tokens). */
+  private[graft] def wordpieceSegCtes(n: Int, maxW: Int = 16): String = {
+    val wpv =
+      s"""wpv AS MATERIALIZED (SELECT DISTINCT piece FROM (
+         |  SELECT unnest(string_split(word, '')) AS piece FROM wp0
+         |  UNION ALL
+         |  ${(1 to n).map(i => s"SELECT l || r AS piece FROM wpb$i")
+              .mkString("\n  UNION ALL\n  ")}))""".stripMargin
+    val wg0 =
+      s"""wg0 AS (SELECT word, CAST(length(word) AS INTEGER) AS wl, freq,
+         |          0 AS pos, '' AS seg
+         |        FROM wp0 WHERE length(word) <= $maxW)""".stripMargin
+    val stages = (1 to maxW).map { k =>
+      s"""wg$k AS MATERIALIZED (
+         |  SELECT word, wl, freq, pos, seg FROM (
+         |    SELECT g.word, g.wl, g.freq,
+         |           g.pos + length(v.piece) AS pos,
+         |           CASE WHEN g.pos = 0 THEN v.piece
+         |                ELSE g.seg || '~##' || v.piece END AS seg,
+         |           row_number() OVER (PARTITION BY g.word
+         |             ORDER BY length(v.piece) DESC) AS rn
+         |    FROM wg${k - 1} g JOIN wpv v
+         |      ON v.piece = substr(g.word, g.pos + 1, length(v.piece))
+         |    WHERE g.pos < g.wl)
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT word, wl, freq, pos, seg FROM wg${k - 1} WHERE pos >= wl)""".stripMargin
+    }
+    val wpseg =
+      s"""wpseg AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |         CASE WHEN g.seg IS NULL THEN '[UNK]' ELSE g.seg END AS seg,
+         |         CAST(CASE WHEN g.seg IS NULL THEN 1
+         |              ELSE len(string_split(g.seg, '~')) END AS INTEGER) AS n_tokens
+         |  FROM wp0 w LEFT JOIN
+         |    (SELECT word, seg FROM wg$maxW WHERE pos >= wl) g
+         |    ON g.word = w.word)""".stripMargin
+    (Seq(wpv, wg0) ++ stages :+ wpseg).mkString(",\n")
+  }
+
   private[graft] val lshPairCtes: String =
     """ok AS (SELECT band_idx, band_key FROM bands
       |       GROUP BY 1, 2 HAVING count(*) <= 200),

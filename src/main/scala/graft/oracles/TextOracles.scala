@@ -809,30 +809,55 @@ private[graft] object TextOracles {
          |         AS chars_per_token
          |FROM occ JOIN useg_n USING (word) GROUP BY 1""".stripMargin,
 
-    // Mirrors reportTokenizerCompare: BOTH tokenizer replays (the BPE
-    // stage chain and the unigram EM chain — disjoint CTE namespaces)
-    // joined to one occurrence stream, per-lang roll-up.
+    // Mirrors reportTokenizerCompare: ALL THREE tokenizer replays (the
+    // BPE stage chain, the unigram EM chain, the WordPiece likelihood
+    // chain + greedy unroll — disjoint CTE namespaces) joined to one
+    // occurrence stream, per-lang roll-up.
     "report_tokenizer_compare" ->
       s"""WITH ${bpeCtes(8)},
          |${unigramCtes(60, 40, 4, 16)},
+         |${wordpieceCtes(8)},
+         |${wordpieceSegCtes(8)},
          |bseg AS (SELECT word,
          |           CAST(len(string_split(symbols, '~')) AS BIGINT) AS n_bpe
          |         FROM w8),
          |useg_n AS (SELECT word,
          |             CAST(len(string_split(seg, '~')) AS BIGINT) AS n_uni
          |           FROM useg),
+         |wseg_n AS (SELECT word, CAST(n_tokens AS BIGINT) AS n_wp FROM wpseg),
          |occ AS (SELECT lang, unnest(list_filter(regexp_split_to_array(
          |          lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS word
          |        FROM documents)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
          |       CAST(sum(n_uni) AS BIGINT) AS n_uni_tokens,
+         |       CAST(sum(n_wp) AS BIGINT) AS n_wp_tokens,
          |       round(CAST(sum(n_bpe) * 10000 AS DOUBLE) / count(*)) / 10000
          |         AS bpe_fertility,
          |       round(CAST(sum(n_uni) * 10000 AS DOUBLE) / count(*)) / 10000
-         |         AS uni_fertility
+         |         AS uni_fertility,
+         |       round(CAST(sum(n_wp) * 10000 AS DOUBLE) / count(*)) / 10000
+         |         AS wp_fertility
          |FROM occ JOIN bseg USING (word) JOIN useg_n USING (word)
+         |         JOIN wseg_n USING (word)
          |GROUP BY 1""".stripMargin,
+
+    // Mirrors WordPiece.trainMerges(nMerges = 8): each stage's winning
+    // pair under the quantized likelihood key becomes one merge row; a
+    // pair-exhausted stage emits nothing.
+    "vocab_wordpiece" ->
+      s"""WITH ${wordpieceCtes(8)}
+         |${(1 to 8).map(i =>
+              s"SELECT CAST($i AS INTEGER) AS step, l AS lhs, r AS rhs, " +
+              s"l || r AS merged, score_key, cnt AS pair_count FROM wpb$i")
+            .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // Mirrors WordPiece.segment with the model trained on the same
+    // corpus: the greedy longest-match unroll's final relation.
+    "vocab_wordpiece_segment" ->
+      s"""WITH ${wordpieceCtes(8)},
+         |${wordpieceSegCtes(8)}
+         |SELECT word, freq, seg, n_tokens FROM wpseg""".stripMargin,
 
     // Mirrors Bpe.trainMerges(nMerges = 8): each stage's winning pair
     // becomes one merge row; a pair-exhausted stage emits nothing.

@@ -467,18 +467,49 @@ trait TextQueries extends QueriesBase {
       seedSize = 60, vocabSize = 40)
     val uniSeg = graft.ext.Unigram.segment(docs, "text", costs).toDF()
       .select(col("word"), col("n_tokens").as("__uni"))
+    val (_, wpVocab) = graft.ext.WordPiece.train(docs, "text", nMerges = 8)
+    val wpSeg = graft.ext.WordPiece.segment(docs, "text", wpVocab).toDF()
+      .select(col("word"), col("n_tokens").as("__wp"))
     docs.select(col("lang"), explode(TextOps.regexTokens(col("text"))).as("word"))
-      .join(bpeSeg, "word").join(uniSeg, "word")
+      .join(bpeSeg, "word").join(uniSeg, "word").join(wpSeg, "word")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum("__bpe").as("n_bpe_tokens"),
-        sum("__uni").as("n_uni_tokens"))
+        sum("__uni").as("n_uni_tokens"),
+        sum("__wp").as("n_wp_tokens"))
       .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
-        col("n_uni_tokens"),
+        col("n_uni_tokens"), col("n_wp_tokens"),
         (round(col("n_bpe_tokens") * 10000.0 / col("n_words")) / 1e4)
           .as("bpe_fertility"),
         (round(col("n_uni_tokens") * 10000.0 / col("n_words")) / 1e4)
-          .as("uni_fertility"))
+          .as("uni_fertility"),
+        (round(col("n_wp_tokens") * 10000.0 / col("n_words")) / 1e4)
+          .as("wp_fertility"))
+  }
+
+  /** WordPiece merge table trained on the corpus (8 merges): the
+    * likelihood-scored sibling of [[vocabBpeMerges]] — each step's
+    * winner maximizes `count(pair)/(count(l)·count(r))` under the
+    * quantized integer key (see [[graft.ext.WordPiece]]). Fully
+    * hash-checked — the oracle replays pair counts, symbol counts,
+    * the HUGEINT score argmax and the replace chain stage for
+    * stage. */
+  val vocabWordpiece: Q = (s, dir) =>
+    graft.ext.WordPiece.trainMerges(Tables.documents(s, dir), "text",
+      nMerges = 8)
+
+  /** The apply side of the trained WordPiece model: every corpus word
+    * greedily longest-match segmented under the trained vocabulary —
+    * (word, freq, seg, n_tokens), seg '~'-joined with '##'
+    * continuation markers, '[UNK]' for over-long/unmatchable words
+    * (BERT's WordPieceTokenizer semantics). Training runs in-query
+    * (the [[vocabBpeSegment]] posture); the oracle's greedy-walk
+    * unroll must equal this word for word. */
+  val vocabWordpieceSegment: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val (_, pieces) = graft.ext.WordPiece.train(docs, "text", nMerges = 8)
+    graft.ext.WordPiece.segment(docs, "text", pieces)
+      .select("word", "freq", "seg", "n_tokens")
   }
 
   /** PII scrub: replacement count + md5 of the scrubbed text (the
@@ -530,6 +561,8 @@ trait TextQueries extends QueriesBase {
     "vocab_unigram_segment" -> vocabUnigramSegment,
     "report_unigram_fertility" -> reportUnigramFertility,
     "report_tokenizer_compare" -> reportTokenizerCompare,
+    "vocab_wordpiece" -> vocabWordpiece,
+    "vocab_wordpiece_segment" -> vocabWordpieceSegment,
     "vocab_bpe_segment" -> vocabBpeSegment,
     "text_tokens_bpe" -> textTokensBpe,
     "vocab_bpe_shared" -> vocabBpeShared,

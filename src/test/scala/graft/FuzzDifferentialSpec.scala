@@ -64,6 +64,10 @@ class FuzzDifferentialSpec extends SparkSpec {
     // inside the maxWordLen=16 dp unroll — the code-point-vs-UTF-16
     // seam is exactly what the unicode words exercise
     "vocab_unigram", "vocab_unigram_segment", "report_unigram_fertility",
+    // WordPiece: the HUGEINT likelihood argmax and the greedy unroll
+    // meet unicode words + duplicate-heavy corpora; the three-way
+    // compare replays all three tokenizer chains in one statement
+    "vocab_wordpiece", "vocab_wordpiece_segment", "report_tokenizer_compare",
     "quality_gopher", "quality_ntile", "quality_dsir", "quality_lm_dsir",
     "quality_classifier",
     "source_overlap", "profile_source_overlap",
