@@ -152,6 +152,35 @@ object SeriesOps {
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Linear-interpolation gap fill — the interior-gap sibling of
+    * [[locfFill]]: a null between two observations takes the straight
+    * line through its neighbors,
+    * `v0 + (v1 − v0)·(t − t0)/(t1 − t0)`, anchored on the previous and
+    * next non-null (value, time) pairs; leading and trailing gaps
+    * (only one anchor) stay null. Two frames over ONE partition sort
+    * (unbounded-preceding `last` / unbounded-following `first`, both
+    * ignoreNulls — Catalyst reuses the sort). Interpolated values are
+    * rounded at 4 dp (the shared IEEE round — both engines evaluate
+    * the identical expression tree on identical doubles); observed
+    * values pass through untouched. `timeCol` must be numeric and
+    * unique per key (a series axis). */
+  def interpolateFill(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, outCol: String = "filled"): DataFrame = {
+    val wp = seriesWindow(keys, Seq(timeCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = seriesWindow(keys, Seq(timeCol))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valueCol); val t = col(timeCol)
+    val v0 = last(v, ignoreNulls = true).over(wp)
+    val t0 = last(when(v.isNotNull, t), ignoreNulls = true).over(wp)
+    val v1 = first(v, ignoreNulls = true).over(wn)
+    val t1 = first(when(v.isNotNull, t), ignoreNulls = true).over(wn)
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(v0.isNotNull && v1.isNotNull,
+          round((v0 + (v1 - v0) * (t - t0) / (t1 - t0)) * 10000) / 1e4))
+  }
+
   /** Per-event session assignment: a session breaks when the gap to
     * the previous event is ≥ `gapUs` microseconds; `session_seq` is the
     * 0-based running session ordinal within the entity — the row-level

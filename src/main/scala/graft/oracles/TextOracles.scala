@@ -842,6 +842,19 @@ private[graft] object TextOracles {
          |         JOIN wseg_n USING (word)
          |GROUP BY 1""".stripMargin,
 
+    // Mirrors aggHeavyHitters: the two-pass sketch's output is exact
+    // by design, so the twin is a plain GROUP BY with the same
+    // cnt·(k+1) > n integer cross-multiplication threshold.
+    "agg_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(
+         |         lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS word
+         |       FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+         |SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         |       round(count(*) * 10000.0 / (SELECT n FROM n)) / 10000 AS share
+         |FROM toks GROUP BY word
+         |HAVING count(*) * 31 > (SELECT n FROM n)""".stripMargin,
+
     // Mirrors WordPiece.trainMerges(nMerges = 8): each stage's winning
     // pair under the quantized likelihood key becomes one merge row; a
     // pair-exhausted stage emits nothing.

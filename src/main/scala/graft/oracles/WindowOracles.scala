@@ -94,6 +94,35 @@ private[graft] object WindowOracles {
          |             CASE WHEN observation_day % 3 = 0 THEN value END AS v_sparse
          |      FROM d)""".stripMargin,
 
+    // Mirrors SeriesOps.interpolateFill over the window_locf sparse
+    // series: prev/next non-null anchors from mirrored frames, the
+    // identical straight-line expression tree, shared 4-dp round;
+    // edge gaps (one anchor) stay NULL.
+    "window_interpolate" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |s AS (SELECT indicator, observation_day,
+         |             CASE WHEN observation_day % 3 = 0 THEN value END AS v_sparse
+         |      FROM d),
+         |x AS (SELECT indicator, observation_day, v_sparse,
+         |        last_value(v_sparse IGNORE NULLS) OVER wp AS v0,
+         |        last_value(CASE WHEN v_sparse IS NOT NULL
+         |          THEN observation_day END IGNORE NULLS) OVER wp AS t0,
+         |        first_value(v_sparse IGNORE NULLS) OVER wn AS v1,
+         |        first_value(CASE WHEN v_sparse IS NOT NULL
+         |          THEN observation_day END IGNORE NULLS) OVER wn AS t1
+         |      FROM s
+         |      WINDOW wp AS (PARTITION BY indicator ORDER BY observation_day
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             wn AS (PARTITION BY indicator ORDER BY observation_day
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT indicator, observation_day, v_sparse,
+         |       CASE WHEN v_sparse IS NOT NULL THEN v_sparse
+         |            WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN
+         |              round((v0 + (v1 - v0) * (observation_day - t0)
+         |                     / (t1 - t0)) * 10000) / 10000
+         |       END AS filled
+         |FROM x""".stripMargin,
+
     // Mirrors SeriesOps.sessionize: lag-gap break flags, running sum
     // (epoch_us ordering matches Spark's µs truncation).
     "window_sessionize" ->

@@ -289,6 +289,20 @@ trait TextQueries extends QueriesBase {
   val vocabTopk: Q = (s, dir) =>
     TextOps.vocabTopK(Tables.documents(s, dir), "text", k = 100)
 
+  /** Misra–Gries heavy hitters over the corpus token stream (k=30):
+    * every token above n/31 of all occurrences, found through the
+    * two-pass bounded-memory sketch (candidate summaries capped at
+    * partitions·k rows, exact counts over broadcast candidates only —
+    * never a full distinct-key shuffle) yet EXACT in its output, so
+    * the oracle is a plain GROUP BY/HAVING twin. The catalog corpus's
+    * 31-word vocabulary exceeds the 30 counters, so the eviction path
+    * runs in-gate. See [[ext.HeavyHitters]]. */
+  val aggHeavyHitters: Q = (s, dir) =>
+    graft.ext.HeavyHitters.heavyHitters(
+      Tables.documents(s, dir)
+        .select(explode(TextOps.regexTokens(col("text"))).as("word")),
+      "word", k = 30)
+
   /** BPE vocabulary training (Sennrich et al. 2016) over the corpus:
     * the first 8 merges, each the corpus-wide most frequent adjacent
     * symbol pair (frequency-weighted over the vocab-bounded word
@@ -540,6 +554,7 @@ trait TextQueries extends QueriesBase {
     "pack_utilization" -> packUtilization,
     "pack_concat" -> packConcat,
     "vocab_topk" -> vocabTopk,
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "vocab_collocations" -> vocabCollocations,
     "text_tfidf" -> textTfidf,
     "source_overlap" -> sourceOverlap,

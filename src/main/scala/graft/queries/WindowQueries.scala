@@ -96,6 +96,19 @@ trait WindowQueries extends QueriesBase {
         .drop("value"),
       Seq("indicator"), Seq("observation_day"), "v_sparse")
 
+  /** Linear-interpolation gap fill: the same every-3rd-day sparse
+    * series as [[windowLocf]], interior nulls taking the straight
+    * line through their neighbors (leading/trailing gaps stay null) —
+    * the densification a modeling pipeline wants where LOCF's step
+    * function biases. */
+  val windowInterpolate: Q = (s, dir) =>
+    SeriesOps.interpolateFill(
+      dailySeries(s, dir)
+        .withColumn("v_sparse",
+          when(col("observation_day") % 3 === 0, col("value")))
+        .drop("value"),
+      Seq("indicator"), "observation_day", "v_sparse")
+
   /** Row-level sessionization: each event tagged with its 0-based
     * session ordinal (30-minute gap) — the joinable form of
     * window_session. */
@@ -186,6 +199,7 @@ trait WindowQueries extends QueriesBase {
     "window_rank_share" -> windowRankShare,
     "window_cume" -> windowCume,
     "window_locf" -> windowLocf,
+    "window_interpolate" -> windowInterpolate,
     "window_sessionize" -> windowSessionize,
     "window_tumbling" -> windowTumbling,
     "window_session" -> windowSession,

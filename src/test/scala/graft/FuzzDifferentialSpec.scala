@@ -59,6 +59,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "text_scrub_rare", "text_repetition", "text_bm25", "text_tfidf",
     "text_fingerprint", "text_normalize", "text_tokens_regex",
     "vocab_topk", "vocab_bpe_shared", "vocab_collocations",
+    "agg_heavy_hitters",
     // unigram-LM trainer: exact integer bit-space end to end, and the
     // fuzz word pool (max 8 code points, unicode incl. CJK) sits well
     // inside the maxWordLen=16 dp unroll — the code-point-vs-UTF-16
@@ -129,7 +130,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "agg_stats_moments", "agg_corr", "agg_equidepth",
     "quality_expectations", "profile_columns", "quality_funnel",
     "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
-    "fred_yearly_gold", "window_ewma")
+    "fred_yearly_gold", "window_ewma", "window_interpolate")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

@@ -285,6 +285,25 @@ class SimilarityAndSeriesSpec extends SparkSpec {
       ("X", 4, Some(2.0)), ("X", 5, Some(5.0)), ("Y", 1, None)))
   }
 
+  test("interpolateFill: interior gaps take the straight line; edges stay null") {
+    val df = Seq(
+      ("X", 0, None), ("X", 1, Some(2.0)), ("X", 2, None), ("X", 3, None),
+      ("X", 4, Some(5.0)), ("X", 6, None), ("X", 8, Some(13.0)),
+      ("X", 9, None), ("Y", 1, None)
+    ).toDF("k", "t", "v")
+    val out = SeriesOps.interpolateFill(df, Seq("k"), "t", "v")
+      .select("k", "t", "filled").as[(String, Int, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      ("X", 0, None),                  // leading gap: no left anchor
+      ("X", 1, Some(2.0)), ("X", 2, Some(3.0)), ("X", 3, Some(4.0)),
+      ("X", 4, Some(5.0)),
+      ("X", 6, Some(9.0)),             // non-equidistant: 5 + 8·(2/4)
+      ("X", 8, Some(13.0)),
+      ("X", 9, None),                  // trailing gap: no right anchor
+      ("Y", 1, None)))
+  }
+
   test("sessionize: gap >= threshold starts a new 0-based session") {
     val df = Seq(
       (1L, 10L, 0L), (1L, 11L, 1000L), (1L, 12L, 5000L), (1L, 13L, 5500L),
