@@ -331,13 +331,20 @@ object Bpe {
     * that Catalyst stops codegenning long before production
     * vocabulary sizes. */
   def segment(df: DataFrame, textCol: String,
+      mergeList: Seq[(String, String)]): Dataset[SegmentedWord] =
+    segmentWords(wordFreq(df, textCol), mergeList)
+
+  /** [[segment]] over an already-built (word, freq) table — the shape
+    * that lets a multi-tokenizer report scan the corpus ONCE and feed
+    * every trainer/apply from one (persisted) word frame. */
+  def segmentWords(wf: DataFrame,
       mergeList: Seq[(String, String)]): Dataset[SegmentedWord] = {
-    val spark = df.sparkSession
+    val spark = wf.sparkSession
     import spark.implicits._
     val patterns = mergeList
       .map { case (l, r) =>
         (l + "~" + r, l + r, boundaryKey(l.last, r.head)) }.toArray
-    wordFreq(df, textCol).as[(String, Long)].mapPartitions { rows =>
+    wf.as[(String, Long)].mapPartitions { rows =>
       rows.map { case (word, freq) =>
         val toks = replayMerges(word.toCharArray.mkString("~"), patterns)
           .split('~').toSeq

@@ -236,10 +236,17 @@ object Unigram {
     * word-table scan in a single `mapPartitions` pass with constant
     * plan depth (the [[Bpe.segment]] shape). */
   def segment(df: DataFrame, textCol: String, costs: Map[String, Long],
+      maxPieceLen: Int = 4, maxWordLen: Int = 16): Dataset[SegmentedWord] =
+    segmentWords(Bpe.wordFreq(df, textCol), costs, maxPieceLen, maxWordLen)
+
+  /** [[segment]] over an already-built (word, freq) table (the
+    * [[Bpe.segmentWords]] shape — one corpus scan shared across
+    * tokenizers). */
+  def segmentWords(wf: DataFrame, costs: Map[String, Long],
       maxPieceLen: Int = 4, maxWordLen: Int = 16): Dataset[SegmentedWord] = {
-    val spark = df.sparkSession
+    val spark = wf.sparkSession
     import spark.implicits._
-    Bpe.wordFreq(df, textCol).as[(String, Long)].mapPartitions { rows =>
+    wf.as[(String, Long)].mapPartitions { rows =>
       rows.map { case (word, freq) =>
         val toks = viterbiSeg(codePoints(word), costs, maxPieceLen, maxWordLen)
         SegmentedWord(word, freq, toks.mkString("~"), toks.length)

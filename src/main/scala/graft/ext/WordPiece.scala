@@ -305,13 +305,20 @@ object WordPiece {
     * word-table scan in a single `mapPartitions` pass with constant
     * plan depth (the [[Bpe.segment]] shape). */
   def segment(df: DataFrame, textCol: String, pieces: Set[String],
+      maxWordLen: Int = 16): Dataset[SegmentedWord] =
+    segmentWords(Bpe.wordFreq(df, textCol), pieces, maxWordLen)
+
+  /** [[segment]] over an already-built (word, freq) table (the
+    * [[Bpe.segmentWords]] shape — one corpus scan shared across
+    * tokenizers). */
+  def segmentWords(wf: DataFrame, pieces: Set[String],
       maxWordLen: Int = 16): Dataset[SegmentedWord] = {
-    val spark = df.sparkSession
+    val spark = wf.sparkSession
     import spark.implicits._
     val maxPieceLen =
       if (pieces.isEmpty) 1
       else pieces.iterator.map(p => p.codePointCount(0, p.length)).max
-    Bpe.wordFreq(df, textCol).as[(String, Long)].mapPartitions { rows =>
+    wf.as[(String, Long)].mapPartitions { rows =>
       rows.map { case (word, freq) =>
         greedySeg(Unigram.codePoints(word), pieces, maxPieceLen, maxWordLen) match {
           case Some(toks) =>

@@ -472,17 +472,27 @@ trait TextQueries extends QueriesBase {
     * integer sums. */
   val reportTokenizerCompare: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val merges = graft.ext.Bpe.trainMerges(docs, "text", nMerges = 8)
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val bpeSeg = graft.ext.Bpe.segment(docs, "text", merges).toDF()
+    // ONE corpus scan builds the shared word-frequency frame; its
+    // driver copy (the [[graft.ext.Bpe.trainMerges]] vocab bound)
+    // feeds all three in-memory trainers, and the persisted frame
+    // feeds all three apply passes — vs training each tokenizer
+    // standalone, which would re-scan the corpus per trainer AND per
+    // apply (7 scans instead of 2: this frame + the occurrence join).
+    val wf = graft.ext.Bpe.wordFreq(docs, "text").persist()
+    val vocabSeq = wf.orderBy(col("freq").desc, col("word").asc)
+      .limit(4 << 20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.ext.Bpe.trainMergesLocal(vocabSeq, nMerges = 8)
+      .map(m => (m._2, m._3))
+    val bpeSeg = graft.ext.Bpe.segmentWords(wf, merges).toDF()
       .select(col("word"), col("n_tokens").as("__bpe"))
-    val (_, costs) = graft.ext.Unigram.train(docs, "text",
+    val (_, costs) = graft.ext.Unigram.trainLocal(vocabSeq,
       seedSize = 60, vocabSize = 40)
-    val uniSeg = graft.ext.Unigram.segment(docs, "text", costs).toDF()
+    val uniSeg = graft.ext.Unigram.segmentWords(wf, costs).toDF()
       .select(col("word"), col("n_tokens").as("__uni"))
-    val (_, wpVocab) = graft.ext.WordPiece.train(docs, "text", nMerges = 8)
-    val wpSeg = graft.ext.WordPiece.segment(docs, "text", wpVocab).toDF()
+    val wpMerges = graft.ext.WordPiece.trainMergesLocal(vocabSeq, nMerges = 8)
+    val wpVocab = graft.ext.WordPiece.vocabOf(wpMerges, vocabSeq.map(_._1))
+    val wpSeg = graft.ext.WordPiece.segmentWords(wf, wpVocab).toDF()
       .select(col("word"), col("n_tokens").as("__wp"))
     docs.select(col("lang"), explode(TextOps.regexTokens(col("text"))).as("word"))
       .join(bpeSeg, "word").join(uniSeg, "word").join(wpSeg, "word")

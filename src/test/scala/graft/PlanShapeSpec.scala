@@ -306,6 +306,30 @@ class PlanShapeSpec extends SparkSpec {
       s"per-doc re-agg must combine map-side:\n$plan")
   }
 
+  test("agg_heavy_hitters: candidates broadcast back, exact pass never " +
+      "sort-merges the corpus") {
+    val plan = executed(Queries.all("agg_heavy_hitters")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"candidate membership must be a broadcast semi join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for candidate membership:\n$plan")
+    assert("partial_count".r.findAllIn(plan).nonEmpty,
+      s"the exact count must combine map-side:\n$plan")
+  }
+
+  test("window_interpolate: both anchor frames share one window, shuffle and sort") {
+    val plan = executed(Queries.all("window_interpolate")(spark, sf))
+    // exactly two exchanges: the upstream daily aggregation + the one
+    // series partition both frames share
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"prev/next frames must share the series partition:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"all four anchors must plan into ONE Window operator:\n$plan")
+    assert("\\+\\- Sort \\[".r.findAllIn(plan).size == 1,
+      s"prev/next frames must reuse one sort:\n$plan")
+  }
+
   test("report_corpus: distinct-reduction pre-aggs, no countDistinct Expand") {
     val plan = executed(Queries.all("report_corpus")(spark, sf))
     assert(!plan.contains("Expand"),

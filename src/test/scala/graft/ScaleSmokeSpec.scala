@@ -163,6 +163,32 @@ class ScaleSmokeSpec extends SparkSpec {
     big.unpersist()
   }
 
+  smokeTest("heavy hitters: 10M rows / 1M distinct keys shuffle only the summaries") {
+    // Zipf-ish stream: 10 hot keys carry ~55% of 10M rows over a 1M-key
+    // tail. The exact groupBy alternative shuffles 1M distinct rows; the
+    // two-pass sketch shuffles ≤ partitions·(k+1) summary rows and a
+    // broadcast candidate set — the shape that holds when the key space
+    // is billions of URLs/tokens.
+    val big = spark.range(10000000L)
+      .select(when(col("id") % 100 < 55, concat(lit("hot"), col("id") % 10))
+        .otherwise(concat(lit("k"), col("id") % 1000000)).as("word"))
+      .repartition(16).cache()
+    assert(big.count() == 10000000L)
+    val t0 = System.nanoTime()
+    val out = graft.ext.HeavyHitters.heavyHitters(big, "word", k = 30)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"10M-row/1M-key heavy hitters (${out.length} found) in ${secs.round} s")
+    // every hot key clears n/31 ≈ 3.2% (each carries ~5.5%); the 1M
+    // cold keys (~10 rows each) must all be filtered out
+    assert(out.length == 10 && out.forall(_.getString(0).startsWith("hot")))
+    val summary = graft.ext.HeavyHitters.summarize(big, "word", 30)
+    assert(summary.count() <= 16L * 31,
+      "summary frame must stay bounded by partitions·(k+1)")
+    assert(secs < 120, s"heavy hitters blew up: $secs s")
+    big.unpersist()
+  }
+
   smokeTest("context-window chunking stays linear (zero-shuffle) at 100k docs") {
     corpusSize
     val t0 = System.nanoTime()
