@@ -101,13 +101,16 @@ object Bpe {
   def trainMergesLocal(vocab: Seq[(String, Long)],
       nMerges: Int): Seq[(Int, String, String, String, Long)] = {
     require(nMerges > 0, "nMerges must be positive")
-    // '~'-joined code-unit symbols: the representation the replace
+    // '~'-joined code-point symbols: the representation the replace
     // semantics (and the oracle) are defined on
     val syms = new Array[String](vocab.size)
     val freqs = new Array[Long](vocab.size)
     var i = 0
     vocab.foreach { case (w, f) =>
-      syms(i) = w.toCharArray.mkString("~"); freqs(i) = f; i += 1
+      // CODE POINT symbols, not UTF-16 units: SQL string_split(word, '')
+      // splits code points, and the trainer must pair-count exactly
+      // where the oracle does beyond the BMP (the Unigram discipline)
+      syms(i) = Unigram.codePoints(w).mkString("~"); freqs(i) = f; i += 1
     }
     // Pair counts as a flat dict, argmax as a full scan per step: the
     // dict holds only the LIVE pair vocabulary (thousands of keys even
@@ -346,7 +349,7 @@ object Bpe {
         (l + "~" + r, l + r, boundaryKey(l.last, r.head)) }.toArray
     wf.as[(String, Long)].mapPartitions { rows =>
       rows.map { case (word, freq) =>
-        val toks = replayMerges(word.toCharArray.mkString("~"), patterns)
+        val toks = replayMerges(Unigram.codePoints(word).mkString("~"), patterns)
           .split('~').toSeq
         SegmentedWord(word, freq, toks, toks.length)
       }

@@ -58,7 +58,7 @@ class BpeSpec extends SparkSpec {
     // over a full recount, rewrite by scanning all words) — any index
     // staleness or delta drift diverges the merge sequence
     def naive(vocab: Seq[(String, Long)], nMerges: Int): Seq[(Int, String, String, String, Long)] = {
-      var words = vocab.map { case (w, f) => (w.toCharArray.mkString("~"), f) }
+      var words = vocab.map { case (w, f) => (Unigram.codePoints(w).mkString("~"), f) }
       val out = Seq.newBuilder[(Int, String, String, String, Long)]
       var step = 1
       var done = false
@@ -94,6 +94,14 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.trainMergesLocal(vocab, n) == naive(vocab, n),
         s"seed $seed diverged (vocab=$vocab, nMerges=$n)")
     }
+  }
+
+  test("code-point symbols: astral chars merge whole, not as surrogates") {
+    // U+10348 is 2 UTF-16 units; a surrogate-split trainer would emit
+    // half-character merges the SQL oracle (code-point string_split)
+    // can never produce
+    val merges = Bpe.trainMergesLocal(Seq(("𐍈𐍈", 3L)), nMerges = 2)
+    assert(merges == Seq((1, "𐍈", "𐍈", "𐍈𐍈", 3L)), s"got: $merges")
   }
 
   test("determinism: repartitioned input trains the identical merge table") {
