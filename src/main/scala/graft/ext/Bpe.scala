@@ -295,6 +295,23 @@ object Bpe {
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Persist a trained merge table (the [[Pq.save]] train-once /
+    * apply-many lifecycle for tokenizers): one row per merge in
+    * training order. */
+  def saveModel(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveModel]]d merge table as the (lhs, rhs) list
+    * [[segment]] applies — training order restored from the step
+    * column, so a later job segments identically to the trainer. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(path).select("step", "lhs", "rhs")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+      .map(r => (r._2, r._3)).toSeq
+  }
+
   /** Sequential training-order replay of a merge list on one
     * '~'-joined word: BPE inference IS the replay (and the faster
     * rank-priority apply is NOT equivalent — a later merge can create

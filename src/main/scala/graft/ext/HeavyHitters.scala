@@ -80,6 +80,58 @@ object HeavyHitters {
       }(Encoders.row(outSchema))
   }
 
+  /** Merge two summary frames and prune back to ≤ k counters — the
+    * Agarwal et al. (PODS'12) MG merge: sum matching counters,
+    * subtract the (k+1)-th largest merged count from every counter,
+    * drop the non-positive. The deficit bound degrades gracefully to
+    * `(n_a + n_b)/(k+1)` — the associativity that makes the sketch a
+    * STREAMING running state (see [[updateSavedSummary]]) and not just
+    * a per-partition trick. Only the pivot count crosses to the driver
+    * (a k+1-row `limit` collect); ties at the pivot break (est DESC,
+    * key ASC). */
+  def mergeSummaries(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = a.unionByName(b)
+    val n = u.where(col("key").isNull)
+      .agg(coalesce(sum("np"), lit(0L))).head().getLong(0)
+    val counters = u.where(col("key").isNotNull)
+      .groupBy("key").agg(sum("est").as("est"))
+    val top = counters.orderBy(col("est").desc, col("key").asc)
+      .limit(k + 1).collect()
+    val d = if (top.length <= k) 0L else top.last.getLong(1)
+    val pruned = counters.where(col("est") > d)
+      .select(col("key"), (col("est") - d).as("est"), lit(0L).as("np"))
+    val total = u.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(null, 0L, n)),
+      org.apache.spark.sql.types.StructType(u.schema.fields))
+    pruned.unionByName(total)
+  }
+
+  /** Running Misra–Gries summary maintained under a lake path across
+    * micro-batches (the [[Ivf.appendToSaved]] posture for sketches):
+    * each batch summarizes distributedly, merges into the saved
+    * summary, and the ≤ k+1-row result overwrites the path
+    * (materialized on the driver FIRST — a frame this small never
+    * read-overwrite races). After any number of batches the saved
+    * candidates still contain every key with `f·(k+1) > n` over the
+    * WHOLE stream; an exact [[heavyHitters]]-style count pass over
+    * the accumulated lake turns them into the exact answer on
+    * demand. */
+  def updateSavedSummary(root: String, batch: DataFrame, keyCol: String,
+      k: Int): Unit = {
+    val spark = batch.sparkSession
+    val bs = summarize(batch, keyCol, k)
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(path)) mergeSummaries(spark.read.parquet(root), bs, k)
+      else mergeSummaries(bs, bs.limit(0), k)
+    val rows = merged.collect() // ≤ k+1 rows by construction
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+      .repartition(1).write.mode("overwrite").parquet(root)
+  }
+
   /** Exact heavy hitters via the two-pass sketch: every key with
     * `count·(k+1) > n` over non-null rows, as (keyCol, cnt, share)
     * with share at 4 dp (cnt·10000.0/n then the shared round — one

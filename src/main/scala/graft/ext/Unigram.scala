@@ -229,6 +229,28 @@ object Unigram {
     trainLocal(vocab, seedSize, vocabSize, maxPieceLen, maxWordLen, emIters)
   }
 
+  /** Persist a trained vocabulary (the [[Bpe.saveModel]] lifecycle):
+    * one (piece, count, cost_bits) row per kept piece. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      pieces: Seq[Piece], path: String): Unit = {
+    import spark.implicits._
+    pieces.toDF("piece", "count", "cost_bits")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]]d vocabulary: the piece rows (UTF-8 order)
+    * and the cost table [[segment]] applies. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Piece], Map[String, Long]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("piece", "count", "cost_bits")
+      .as[(String, Long, Long)].collect()
+      .sortWith { case ((a, _, _), (b, _, _)) => utf8Lt(a, b) }
+      .map { case (p, c, b) => Piece(p, c, b) }.toSeq
+    (rows, rows.map(p => p.piece -> p.cost_bits).toMap)
+  }
+
   /** Viterbi-segment each corpus word under a trained cost table:
     * (word, freq, seg, n_tokens), seg '~'-joined — the apply side.
     * `costs` is the driver-held model (≤ seedSize + |alphabet| rows,

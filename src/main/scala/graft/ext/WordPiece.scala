@@ -329,6 +329,35 @@ object WordPiece {
     }
   }
 
+  /** Persist a trained model (the [[Bpe.saveModel]] lifecycle): the
+    * merge table under `root/merges` (audit + retraining seed) and the
+    * resolved matching vocabulary under `root/pieces` (what
+    * [[segment]] needs — resolved at save time so a later job doesn't
+    * need the training corpus alphabet). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], pieces: Set[String], root: String): Unit = {
+    import spark.implicits._
+    merges.toDF("step", "lhs", "rhs", "merged", "score_key", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
+    pieces.toSeq.sorted.toDF("piece")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/pieces")
+  }
+
+  /** Load a [[saveModel]]d model: merge rows in training order plus
+    * the matching vocabulary set. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Seq[Merge], Set[String]) = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$root/merges")
+      .select("step", "lhs", "rhs", "merged", "score_key", "pair_count")
+      .as[(Int, String, String, String, Long, Long)].collect()
+      .sortBy(_._1)
+      .map(r => Merge(r._1, r._2, r._3, r._4, r._5, r._6)).toSeq
+    val pieces = spark.read.parquet(s"$root/pieces")
+      .select("piece").as[String].collect().toSet
+    (merges, pieces)
+  }
+
   /** Train and return both the merge rows and the matching vocabulary
     * — for callers that train and [[segment]] in one plan. */
   def train(df: DataFrame, textCol: String, nMerges: Int,

@@ -40,6 +40,25 @@ object CorpusStreams {
     * originals reach the frontier before their copies (re-crawls), and
     * the spec pins both that equality and the within-batch min-id
     * determinism. */
+  /** Streaming running heavy-hitter summary: each micro-batch's token
+    * stream folds into the lake-backed Misra–Gries summary at `root`
+    * ([[graft.ext.HeavyHitters.updateSavedSummary]]) — the crawl-
+    * monitoring form ("which tokens/domains dominate the stream so
+    * far") whose saved candidates keep the whole-stream n/(k+1)
+    * guarantee after any number of batches; an exact count pass over
+    * the accumulated lake turns them into the exact answer on
+    * demand. */
+  def heavyHitterSummaryStream(docs: DataFrame, root: String, k: Int,
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.HeavyHitters.updateSavedSummary(root,
+          batch.toDF().select(explode(
+            graft.ext.TextOps.regexTokens(col(textCol))).as("word")),
+          "word", k)
+    }
+
   def dedupExactStream(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Dataset[KeptDoc] = {
     import docs.sparkSession.implicits._

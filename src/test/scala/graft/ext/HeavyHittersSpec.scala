@@ -69,6 +69,69 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("updateSavedSummary: the running lake summary keeps the whole-stream " +
+      "guarantee across batches and stays <= k counters") {
+    val data = zipf()
+    val n = data.size.toLong
+    val exact = data.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val k = 5
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hh_state").toString + "/summary"
+    // five uneven micro-batches in stream order
+    val chunks = data.grouped(data.size / 5 + 1).toSeq
+    chunks.foreach { c =>
+      graft.ext.HeavyHitters.updateSavedSummary(root, c.toDF("word"), "word", k)
+    }
+    val saved = spark.read.parquet(root)
+    val counters = saved.where(col("key").isNotNull)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val nSaved = saved.where(col("key").isNull).agg(sum("np")).head().getLong(0)
+    assert(nSaved == n, s"saved total must track the stream ($nSaved vs $n)")
+    assert(counters.size <= k, s"merge prune must keep <= k counters: $counters")
+    counters.foreach { case (key, est) =>
+      val f = exact(key)
+      assert(est <= f, s"$key: merged est $est > true $f")
+      assert((f - est) * (k + 1) <= n, s"$key: merged deficit exceeds n/(k+1)")
+    }
+    exact.foreach { case (key, f) =>
+      if (f * (k + 1) > n)
+        assert(counters.contains(key),
+          s"whole-stream heavy hitter $key lost across batch merges")
+    }
+  }
+
+  test("heavyHitterSummaryStream: the streamed state keeps the guarantee " +
+      "(summary contents are partition-layout-dependent; the BOUND is the contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hh_stream")
+    val rootStream = s"$tmp/stream"
+    val b1 = Seq((1L, "the the the quick fox"), (2L, "the lazy dog"))
+    val b2 = Seq((3L, "the quick quick brown fox fox"), (4L, "dog"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams.heavyHitterSummaryStream(
+      input.toDF().toDF("doc_id", "text"), rootStream, k = 3).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val toks = (b1 ++ b2).flatMap(_._2.split(' '))
+    val exact = toks.groupBy(identity).map { case (w, v) => (w, v.size.toLong) }
+    val n = toks.size.toLong
+    val state = spark.read.parquet(rootStream)
+      .as[(String, Long, Long)].collect()
+    val counters = state.collect { case (w, est, _) if w != null => w -> est }.toMap
+    assert(state.collectFirst { case (null, _, np) => np }.contains(n),
+      s"saved total must track the stream: $state")
+    assert(counters.size <= 3)
+    counters.foreach { case (w, est) =>
+      assert(est <= exact(w) && (exact(w) - est) * 4 <= n,
+        s"$w: streamed est $est out of bound vs ${exact(w)} (n=$n)")
+    }
+    // 'the' carries 5/15 > n/(k+1): must survive any batch/partition layout
+    assert(counters.contains("the"), s"dominant token lost: $counters")
+  }
+
   test("null keys are excluded; empty input yields empty output") {
     val df = Seq(Some("a"), None, Some("a"), None, None).toDF("word")
     // nulls don't count toward n (3 nulls dropped, n=2) and never
