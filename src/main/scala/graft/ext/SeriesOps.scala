@@ -217,6 +217,28 @@ object SeriesOps {
         round(col("n") * lit(10000.0) / sum("n").over(share)) / 1e4)
   }
 
+  /** Top-k 3-step event paths — the sequence-mining extension of
+    * [[transitionCounts]]: each entity's time-ordered state stream
+    * yields its sliding (s1, s2, s3) windows (two `lead`s over ONE
+    * window sort), counted globally with map-side partials, top-k by
+    * count under a total order (count DESC, then states ASC) so the
+    * cut is deterministic. Output ≤ k rows; candidate space ≤
+    * |states|³ regardless of input size, and the top-k compiles to
+    * TakeOrdered, not a global sort. */
+  def topPaths(df: DataFrame, entityCol: String, stateCol: String,
+      orderCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    df.withColumn("__s2", lead(col(stateCol), 1).over(w))
+      .withColumn("__s3", lead(col(stateCol), 2).over(w))
+      .filter(col("__s2").isNotNull && col("__s3").isNotNull)
+      .groupBy(col(stateCol).as("s1"), col("__s2").as("s2"),
+        col("__s3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+      .limit(k)
+  }
+
   /** Year-over-year change at monthly grain: value minus the value 12
     * observations earlier in the same series. */
   def yoyChange(df: DataFrame, keys: Seq[String], time: Seq[String],

@@ -238,6 +238,22 @@ private[graft] object WindowOracles {
         |SELECT event_type, next_state, n,
         |       round(n * 10000.0 / sum(n) OVER (PARTITION BY event_type)) / 10000
         |         AS share
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // Mirrors SeriesOps.topPaths(k = 20): two leads over the shared
+    // entity sort, global path counts, the (n DESC, path ASC) total
+    // order making the top-20 cut deterministic.
+    "events_paths" ->
+      """WITH t AS (
+        |  SELECT event_type AS s1,
+        |         lead(event_type, 1) OVER w AS s2,
+        |         lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC
+        |LIMIT 20""".stripMargin
   )
 }

@@ -188,6 +188,16 @@ trait WindowQueries extends QueriesBase {
       "user_id", "event_type", Seq("ts", "event_id"))
       .select("event_type", "next_state", "n", "share")
 
+  /** Top-20 3-step event paths over each user's ordered stream — the
+    * sequence-mining sibling of [[eventsTransitions]] (which paths,
+    * not just which steps, dominate). Deterministic cut: count DESC
+    * then path ASC. */
+  val eventsPaths: Q = (s, dir) =>
+    SeriesOps.topPaths(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      "user_id", "event_type", Seq("ts", "event_id"), k = 20)
+
 
   /** This family's slice of [[Queries.all]]. */
   protected def windowRegistry: Map[String, Q] = Map(
@@ -206,5 +216,6 @@ trait WindowQueries extends QueriesBase {
     "series_asof" -> seriesAsof,
     "series_asof_tolerance" -> seriesAsofTolerance,
     "events_transitions" -> eventsTransitions,
+    "events_paths" -> eventsPaths,
     "join_range" -> joinRange)
 }

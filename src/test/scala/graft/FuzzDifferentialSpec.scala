@@ -119,7 +119,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     "window_locf", "window_sessionize", "window_tumbling",
     "window_moving_avg", "window_rank_share", "window_cume",
     "window_session", "series_asof", "series_asof_tolerance",
-    "events_transitions", "events_retention", "events_retention_weekly",
+    "events_transitions", "events_paths",
+    "events_retention", "events_retention_weekly",
     "events_funnel", "pivot_daily", "unpivot_daily", "agg_histogram",
     "scalar_robust_z",
     // r12 widening: the scalar/profile/agg batteries over the fuzz

@@ -304,6 +304,26 @@ class SimilarityAndSeriesSpec extends SparkSpec {
       ("Y", 1, None)))
   }
 
+  test("topPaths: sliding 3-step paths per entity, deterministic top-k cut") {
+    // user 1: a b a b a → (a,b,a) ×2, (b,a,b) ×1; user 2: a b a →
+    // (a,b,a) ×1; user 3: two events, no 3-window
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 11L, "b"), (1L, 12L, "a"), (1L, 13L, "b"),
+      (1L, 14L, "a"),
+      (2L, 20L, "a"), (2L, 21L, "b"), (2L, 22L, "a"),
+      (3L, 30L, "a"), (3L, 31L, "b")
+    ).toDF("user_id", "event_id", "event_type")
+    val all = SeriesOps.topPaths(df, "user_id", "event_type",
+      Seq("event_id"), k = 10)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(all == Seq(("a", "b", "a", 3L), ("b", "a", "b", 1L)))
+    // the k cut keeps the count-DESC/path-ASC head
+    val top1 = SeriesOps.topPaths(df, "user_id", "event_type",
+      Seq("event_id"), k = 1)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(top1 == Seq(("a", "b", "a", 3L)))
+  }
+
   test("sessionize: gap >= threshold starts a new 0-based session") {
     val df = Seq(
       (1L, 10L, 0L), (1L, 11L, 1000L), (1L, 12L, 5000L), (1L, 13L, 5500L),
