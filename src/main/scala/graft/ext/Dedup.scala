@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, in increasing
@@ -99,6 +100,86 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter"))) / 1e4)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact-Jaccard pairs via PREFIX FILTERING (SSJoin, Chaudhuri et
+    * al. ICDE'06; probing prefix of PPJoin, Xiao et al. WWW'08) — the
+    * candidate generator that makes the EXACT pair join scale where
+    * [[ngramJaccardPairs]] needs its df-cap heuristic: order every
+    * doc's shingles by one global key (document frequency ASC, then
+    * hash — rarest first), keep only each doc's first
+    * `|X| − ⌈t·|X|⌉ + 1` shingles, and equality-join THOSE. Any pair
+    * with Jaccard ≥ t must share a prefix shingle (the prefix
+    * theorem), so the output is the complete uncapped relation —
+    * while hot boilerplate shingles sort LAST in the global order and
+    * never enter a prefix, killing the Σ bucket² blowup by
+    * construction instead of by dropping signal (the df-cap changes
+    * the metric; this keeps true Jaccard).
+    *
+    * Exactness at the rounded gate: the emitted filter is 4-dp-rounded
+    * jaccard ≥ t (the catalog contract), and a true Jaccard up to
+    * 0.00005 BELOW t still rounds up to it — so the prefix/length
+    * stages run at t′ = t − 1/(2·10⁴) in exact integer arithmetic
+    * (⌈t′n⌉ = (tNum·n + tDen−1) div tDen), never dropping a pair the
+    * verify would keep. Global-order ties: the key is (df, 61-bit
+    * shingle hash), total up to hash collisions — the same 2⁻⁶¹
+    * collision class the hashed-shingle machinery already accepts.
+    *
+    * Scale shape: one df aggregate, one per-doc rank window over the
+    * exploded shingles (bounded by doc length), a self-join whose
+    * buckets hold only RARE shingles, then the standard join-back
+    * verify on surviving candidates ([[minhashLshPairs]]'s). The
+    * length filter (t′·max ≤ min) prunes cross-size candidates inside
+    * the join condition. */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // materialized: feeds the exploded frame and both verify
+    // join-backs (see ngramJaccardPairs; persist(DISK_ONLY) on a
+    // cluster)
+    val sh = df.select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint()
+    prefixCandidates(sh, threshold)
+      .join(sh.select(col("doc").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("s_a"), col("s_b"))))
+      // integer-scaled rounding — see ngramJaccardPairs
+      .withColumn("jaccard",
+        round(col("n_inter") * lit(10000.0) /
+          (size(col("s_a")) + size(col("s_b")) - col("n_inter"))) / 1e4)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** [[prefixFilterPairs]]'s candidate stage, split out so the spec
+    * can measure pruning power: (id_a, id_b) pairs whose rarest-first
+    * prefixes share a shingle and whose sizes pass the length filter.
+    * `sh` = (doc, s: array of shingle hashes). */
+  private[graft] def prefixCandidates(sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val tScaled = math.round(threshold * 10000)
+    require(tScaled >= 1 && tScaled <= 10000,
+      s"threshold must be in (0, 1] at 4-dp grain, got $threshold")
+    val tNum = 2 * tScaled - 1 // t′ = tNum/tDen = t − 1/(2·10⁴)
+    val tDen = 20000L
+    val ex = sh.select(col("doc"), explode(col("s")).as("sh"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val byDoc = Window.partitionBy("doc")
+    val ranked = ex.join(dfreq, "sh")
+      .withColumn("rnk",
+        row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("rnk") <= col("n_sh") -
+        expr(s"($tNum * n_sh + ${tDen - 1}) div $tDen") + 1)
+      .select("doc", "sh", "n_sh")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
+          lit(tDen) * least(col("a.n_sh"), col("b.n_sh")) >=
+            lit(tNum) * greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // -------------------------------------------------------------- MinHash

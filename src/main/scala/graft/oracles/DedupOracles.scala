@@ -17,6 +17,30 @@ private[graft] object DedupOracles {
     // Jaccard uses the retained set sizes.
     "dedup_ngram" -> dedupNgramSql,
 
+    // Oracle for prefixFilterPairs: the EXHAUSTIVE uncapped shingle
+    // join — no prefix machinery on purpose. The prefix theorem says
+    // the engine's pruned candidate set loses no qualifying pair, so
+    // its output must equal this plain relation; any false negative
+    // the prefix/length stages introduced would hash-mismatch here.
+    "dedup_prefix_join" ->
+      s"""WITH w AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                        for i in generate_series(1, len(toks) - 2)]) AS s
+         |       FROM w WHERE len(toks) >= 3),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1)
+         |SELECT id_a, id_b,
+         |       round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(CAST(n_inter * 10000 AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) / 10000 >= 0.5""".stripMargin,
+
     // Mirrors ConnectedComponents.run over the SAME pair set: exact
     // transitive closure (recursive CTE) then min reachable id —
     // label propagation's fixpoint, computed exactly.

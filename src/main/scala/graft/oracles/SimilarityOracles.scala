@@ -101,6 +101,40 @@ private[graft] object SimilarityOracles {
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r10""".stripMargin
     },
 
+    // Mirrors operators.LabelPropagation over the symmetrized k=3 knn
+    // graph: 5 unrolled synchronous rounds; each round counts distinct
+    // undirected neighbor votes and picks (count DESC, label ASC) —
+    // exact integer counts, so the winner is engine-independent.
+    "graph_communities" -> {
+      val base =
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |scored AS (
+          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+          |         round(list_dot_product(a.v, b.v) /
+          |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+          |g AS (SELECT vec_id, neighbor_id FROM (
+          |  SELECT vec_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 3),
+          |und AS (SELECT vec_id AS a, neighbor_id AS b FROM g
+          |        UNION SELECT neighbor_id, vec_id FROM g),
+          |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        s"""v$i AS (SELECT u.a AS node, l.label, count(*) AS c
+           |  FROM und u JOIN l${i - 1} l ON u.b = l.node GROUP BY 1, 2),
+           |w$i AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM v$i)
+           |  WHERE rn = 1),
+           |l$i AS (SELECT p.node, coalesce(w.label, p.label) AS label
+           |  FROM l${i - 1} p LEFT JOIN w$i w ON p.node = w.node)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT node, label AS community FROM l5""".stripMargin
+    },
+
     // Mirrors Similarity.mineTriplets over the k=5 knn graph:
     // positive = rank 1, negative = lowest-rank neighbor at rank ≥ 3
     // with cosine ≤ pos_cosine − 0.05 (margin applied in the shared

@@ -19,6 +19,17 @@ trait DedupQueries extends QueriesBase {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       n = 3, threshold = 0.5, maxDocFreq = 50)
 
+  /** Exact-Jaccard pairs through prefix-filtering candidates
+    * ([[Dedup.prefixFilterPairs]]): the UNCAPPED true-Jaccard
+    * relation — hot shingles are excluded from candidate buckets by
+    * the rarest-first global order instead of a df-cap that changes
+    * the metric. Oracle = the plain exhaustive shingle join; the
+    * prefix machinery must reproduce it exactly (no false negatives
+    * is the prefix theorem, verified per-release by this gate). */
+  val dedupPrefixJoin: Q = (s, dir) =>
+    Dedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
   /** MinHash-LSH near-dup pairs. `maxBucket = 200` closes the one
     * quadratic door the defaults leave open: a band bucket holding
     * >200 docs is an exact-dup cluster or degenerate boilerplate —
@@ -304,6 +315,7 @@ trait DedupQueries extends QueriesBase {
   protected def dedupRegistry: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,
+    "dedup_prefix_join" -> dedupPrefixJoin,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_threshold_sweep" -> dedupThresholdSweep,
     "dedup_minhash_clusters" -> dedupMinhashClusters,

@@ -52,6 +52,18 @@ trait SimilarityQueries extends QueriesBase {
         "label", k = 3).select("vec_id", "neighbor_id"),
       "vec_id", "neighbor_id", iterations = 10)
 
+  /** Synchronous label-propagation communities (5 rounds,
+    * deterministic max-count/min-label votes) over the UNDIRECTED
+    * k=3 knn graph — the grouping sibling of [[graphPagerank]]:
+    * which densely-linked neighborhood each vector belongs to, for
+    * mixture design and cluster-aware sampling
+    * ([[graft.operators.LabelPropagation]]). */
+  val graphCommunities: Q = (s, dir) =>
+    graft.operators.LabelPropagation.run(
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", k = 3).select("vec_id", "neighbor_id"),
+      "vec_id", "neighbor_id", iterations = 5)
+
   /** Product-quantization ANN (Jégou 2011): m=8 × k=16 codebooks on
     * unit vectors (64-dim float32 → 8 codes, 32× smaller scan frame),
     * per-query ADC tables, exact-cosine rerank of the top-100
@@ -270,6 +282,7 @@ trait SimilarityQueries extends QueriesBase {
     "mine_triplets" -> mineTriplets,
     "similarity_pq" -> similarityPq,
     "graph_pagerank" -> graphPagerank,
+    "graph_communities" -> graphCommunities,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_ivf_append" -> similarityIvfAppend,
