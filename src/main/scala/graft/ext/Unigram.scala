@@ -114,7 +114,16 @@ object Unigram {
     * the LONGEST last piece. Unique by induction (each dp cell keeps
     * exactly one backpointer), so engines agree string-for-string.
     * Words longer than `maxWordLen` code points fall back to single
-    * code points. */
+    * code points.
+    *
+    * Alphabet coverage is NOT a precondition (r13 ADVICE #2): a code
+    * point absent from the cost table — possible when a SAVED model
+    * is applied to a later corpus — emits itself as a single-point
+    * fallback piece at a sentinel cost higher than any real path, so
+    * a train-once/apply-many job degrades per-character instead of
+    * dying. The fallback is only consulted when NO table piece covers
+    * a position, so covered-alphabet segmentations (everything the
+    * oracles replay) are bit-identical to before. */
   private[ext] def viterbiSeg(cp: Array[String],
       cost: collection.Map[String, Long], maxPieceLen: Int,
       maxWordLen: Int): Array[String] = {
@@ -138,11 +147,15 @@ object Unigram {
         }
         j += 1
       }
+      if (bestJ < 0) {
+        // unseen code point: single-point fallback at a cost above any
+        // real path (16 words × 2^40 stays far under Long.MaxValue),
+        // so it never competes with a table-covered segmentation
+        best = dpCost(p - 1) + (1L << 40); bestJ = p - 1
+      }
       dpCost(p) = best; dpPtr(p) = bestJ
       p += 1
     }
-    require(L == 0 || dpPtr(L) >= 0,
-      "viterbiSeg: no segmentation — cost table must contain every single code point")
     var out = List.empty[String]; var q = L
     while (q > 0) {
       val j = dpPtr(q); out = cp.slice(j, q).mkString :: out; q = j

@@ -187,12 +187,15 @@ trait SimilarityQueries extends QueriesBase {
   // Keyed on the SparkSession OBJECT via WeakHashMap (r12 ADVICE #2:
   // identityHashCode keys can collide across sessions and never evict,
   // so a stopped session's Ivf.Index — whose assigned DataFrame is
-  // session-bound — could leak into a later session). Entries die with
-  // the session; the inner per-dir map is a plain ConcurrentHashMap.
+  // session-bound — could leak into a later session). Cached VALUES
+  // must be session-free or the value→key self-reference keeps the
+  // entry alive forever (r13 ADVICE #1): Pq.Model is plain data, and
+  // for IVF we cache only the trained model ROOT PATH, rebuilding the
+  // (cheap, lazily-read) Index via Ivf.load per lookup.
   private val pqModels = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String, Pq.Model]]()
-  private val ivfIndexes = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, Ivf.Index]]()
+  private val ivfRoots = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, String]]()
   private def perSession[V](m: java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, V]], s: SparkSession)
       : java.util.concurrent.ConcurrentHashMap[String, V] = m.synchronized {
@@ -231,12 +234,13 @@ trait SimilarityQueries extends QueriesBase {
     * probed partitions), truth twin stripped. Benched via
     * [[SparkEntry.benchForm]]. */
   val similarityIvfKmeansBenchForm: Q = (s, dir) => {
-    val index = perSession(ivfIndexes, s).computeIfAbsent(dir, _ => {
+    val savedRoot = perSession(ivfRoots, s).computeIfAbsent(dir, _ => {
         val root = benchModelRoot(s, dir) + "/ivf"
         Ivf.save(Ivf.build(Tables.embeddings(s, dir), "vec_id", "embedding",
           nClusters = 8), root)
-        Ivf.load(s, root)
+        root
       })
+    val index = Ivf.load(s, savedRoot)
     Ivf.searchTopK(index, Tables.embeddings(s, dir).filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 5, nprobe = 2)
   }

@@ -51,6 +51,27 @@ class TokenizerPersistenceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("unigram: loaded model applied to a corpus with unseen code points degrades, not dies") {
+    // r13 ADVICE #2: train-once/apply-many means the later corpus can
+    // contain code points absent from the saved cost table; the apply
+    // must fall back to single-point emission instead of killing the
+    // job, while covered words segment exactly as before.
+    val (pieces, costs) = Unigram.train(corpus, "text",
+      seedSize = 30, vocabSize = 20)
+    val path = tmp("uni_unseen")
+    Unigram.saveModel(spark, pieces, path)
+    val (_, loadedCosts) = Unigram.loadModel(spark, path)
+    val later = Seq((0L, "the fox"), (1L, "日本語 fox")).toDF("doc_id", "text")
+    val segs = Unigram.segment(later, "text", loadedCosts).collect()
+      .map(w => w.word -> w.seg).toMap
+    val covered = Unigram.segment(corpus, "text", loadedCosts).collect()
+      .map(w => w.word -> w.seg).toMap
+    assert(segs("the") == covered("the") && segs("fox") == covered("fox"),
+      "covered words must segment exactly as on the training corpus")
+    assert(segs("日本語") == "日~本~語",
+      "unseen word must fall back to single code points, one per char")
+  }
+
   test("WordPiece: loaded merges + pieces segment identically") {
     val (merges, pieces) = WordPiece.train(corpus, "text", nMerges = 8)
     val root = tmp("wp")
