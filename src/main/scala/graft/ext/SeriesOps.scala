@@ -140,6 +140,68 @@ object SeriesOps {
       .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
   }
 
+  /** Forward as-of join — the time-mirror of [[asofJoin]] (r13 VERDICT
+    * #7): for each left row, the EARLIEST right value at or after the
+    * left row's time, per series key — the standard event-to-outcome
+    * alignment ("what was the next quote/reading after this event").
+    *
+    * Same union-window plan, mirrored: left rows sort FIRST at equal
+    * times (so a right observation at the same instant is eligible)
+    * and the carry is `first(_, ignoreNulls)` over a
+    * current-row-to-unbounded-FOLLOWING frame. One shuffle, linear,
+    * skew bounded by the largest single key. Left rows past the last
+    * right observation get null. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      time: String, rightVal: String, outCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left.withColumn("__side", lit(0))
+      .withColumn("__rv", lit(null).cast(right.schema(rightVal).dataType))
+    val rTagged = right.select((keys :+ time).map(col) :+ col(rightVal).as("__rv"): _*)
+      .withColumn("__side", lit(1))
+    val unioned = lTagged.select(
+        (leftCols.map(col) :+ col("__side") :+ col("__rv")).toSeq: _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn(outCol, first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
+  }
+
+  /** [[asofJoinForward]] with a staleness bound: a next-observation
+    * match further than `tolerance` ahead (in `time` units; `time`
+    * must be numeric) is nulled — the mirror of
+    * [[asofJoinTolerance]]'s gap guard. Same one-shuffle union-window
+    * plan; the right time rides in a struct so the distance check is
+    * per-row arithmetic after the carry. */
+  def asofJoinForwardTolerance(left: DataFrame, right: DataFrame,
+      keys: Seq[String], time: String, rightVal: String, tolerance: Long,
+      outCol: String = "asof_value"): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    val leftCols = left.columns
+    val rvType = right.schema(rightVal).dataType
+    val lTagged = left.withColumn("__side", lit(0))
+      .withColumn("__r", lit(null).cast(s"struct<v:${rvType.sql},t:bigint>"))
+    val rTagged = right.select((keys :+ time).map(col) :+
+        struct(col(rightVal).as("v"), col(time).cast("long").as("t")).as("__r"): _*)
+      .withColumn("__side", lit(1))
+    val unioned = lTagged.select(
+        (leftCols.map(col) :+ col("__side") :+ col("__r")).toSeq: _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn("__carried", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .withColumn(outCol,
+        when(col("__carried.t") - col(time).cast("long") <= tolerance,
+          col("__carried.v")))
+      .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
+  }
+
   /** Last-observation-carried-forward gap fill: nulls in `valueCol`
     * take the most recent non-null value within the series — the
     * standard sparse-series densification (LOCF). One window per key,

@@ -225,6 +225,48 @@ private[graft] object WindowOracles {
          |  FROM u)
          |WHERE side = 1""".stripMargin,
 
+    // Mirrors SeriesOps.asofJoinForward: union-window carry with left
+    // rows FIRST at equal times and a first_value IGNORE NULLS over a
+    // current-to-unbounded-FOLLOWING frame.
+    "series_asof_forward" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),
+         |u AS (
+         |  SELECT indicator, observation_day, value, 0 AS side, CAST(NULL AS DOUBLE) AS rv FROM d
+         |  UNION ALL
+         |  SELECT indicator, observation_day, NULL, 1, value FROM sparse)
+         |SELECT indicator, observation_day, value, asof_value FROM (
+         |  SELECT indicator, observation_day, value, side,
+         |         first_value(rv IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_value
+         |  FROM u)
+         |WHERE side = 0""".stripMargin,
+
+    // Mirrors SeriesOps.asofJoinForwardTolerance: forward carry of
+    // (rv, rt) pairs, next-match further than 1 day ahead → null.
+    "series_asof_forward_tolerance" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),
+         |u AS (
+         |  SELECT indicator, observation_day, value, 0 AS side,
+         |         CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rt FROM d
+         |  UNION ALL
+         |  SELECT indicator, observation_day, NULL, 1, value,
+         |         CAST(observation_day AS BIGINT) FROM sparse)
+         |SELECT indicator, observation_day, value,
+         |       CASE WHEN crt - observation_day <= 1 THEN crv END AS asof_value
+         |FROM (
+         |  SELECT indicator, observation_day, value, side,
+         |         first_value(rv IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS crv,
+         |         first_value(rt IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS crt
+         |  FROM u)
+         |WHERE side = 0""".stripMargin,
+
     // Mirrors SeriesOps.transitionCounts: lead over (user, time) then
     // count + per-origin share.
     "events_transitions" ->

@@ -179,6 +179,26 @@ trait WindowQueries extends QueriesBase {
       "observation_day", "value", tolerance = 1L)
   }
 
+  /** Forward as-of join: align each daily point with the EARLIEST
+    * sparse (every-3rd-day) observation at or after it — the
+    * event-to-outcome alignment mirror of [[seriesAsof]]. */
+  val seriesAsofForward: Q = (s, dir) => {
+    val d = dailySeries(s, dir)
+    val sparse = d.filter(col("observation_day") % 3 === 0)
+    SeriesOps.asofJoinForward(d, sparse, Seq("indicator"),
+      "observation_day", "value")
+  }
+
+  /** Forward as-of with staleness bound: next observations further
+    * than 1 day ahead are nulled (day ≡ 1 mod 3 sits 2 days before
+    * its next sparse anchor → null; ≡ 2 mod 3 sits 1 day → keep). */
+  val seriesAsofForwardTolerance: Q = (s, dir) => {
+    val d = dailySeries(s, dir)
+    val sparse = d.filter(col("observation_day") % 3 === 0)
+    SeriesOps.asofJoinForwardTolerance(d, sparse, Seq("indicator"),
+      "observation_day", "value", tolerance = 1L)
+  }
+
   /** Markov transition matrix over each user's event sequence: step
     * counts + per-origin share — the funnel/drop-off summary. */
   val eventsTransitions: Q = (s, dir) =>
@@ -215,6 +235,8 @@ trait WindowQueries extends QueriesBase {
     "window_session" -> windowSession,
     "series_asof" -> seriesAsof,
     "series_asof_tolerance" -> seriesAsofTolerance,
+    "series_asof_forward" -> seriesAsofForward,
+    "series_asof_forward_tolerance" -> seriesAsofForwardTolerance,
     "events_transitions" -> eventsTransitions,
     "events_paths" -> eventsPaths,
     "join_range" -> joinRange)

@@ -273,6 +273,33 @@ class SimilarityAndSeriesSpec extends SparkSpec {
       (5, None)))       // distance 3 > tolerance: stale, nulled
   }
 
+  test("asofJoinForward: earliest right value at-or-after each left time") {
+    val left = Seq(("X", 1), ("X", 2), ("X", 3), ("X", 5), ("Y", 1))
+      .toDF("indicator", "t")
+    val right = Seq(("X", 2, 20.0), ("X", 4, 40.0)).toDF("indicator", "t", "v")
+    val out = SeriesOps.asofJoinForward(left, right, Seq("indicator"), "t", "v")
+      .select("indicator", "t", "asof_value")
+      .as[(String, Int, Option[Double])].collect().toSet
+    assert(out == Set(
+      ("X", 1, Some(20.0)),
+      ("X", 2, Some(20.0)),  // equal time: right row visible
+      ("X", 3, Some(40.0)),
+      ("X", 5, None),        // nothing at or after t=5
+      ("Y", 1, None)))       // key isolation
+  }
+
+  test("asofJoinForwardTolerance: next matches further than the bound null out") {
+    val left = Seq(("X", 2), ("X", 1), ("X", -2)).toDF("indicator", "t")
+    val right = Seq(("X", 2, 20.0)).toDF("indicator", "t", "v")
+    val out = SeriesOps.asofJoinForwardTolerance(left, right, Seq("indicator"),
+        "t", "v", tolerance = 1L)
+      .select("t", "asof_value").as[(Int, Option[Double])].collect().toSet
+    assert(out == Set(
+      (2, Some(20.0)),   // distance 0
+      (1, Some(20.0)),   // distance 1 == tolerance
+      (-2, None)))       // distance 4 > tolerance: too far ahead, nulled
+  }
+
   test("locfFill: nulls carry the last observation; leading gaps stay null") {
     val df = Seq(
       ("X", 1, None), ("X", 2, Some(2.0)), ("X", 3, None), ("X", 4, None),
