@@ -523,6 +523,65 @@ private[graft] object CompositeOracles {
         |         AS n_copies
         |FROM r""".stripMargin,
 
+    // Mirrors curateCorpusCommunities: gopher gate → portable minhash
+    // bands → verified LSH pairs (lshp) → symmetrized vote graph → 5
+    // unrolled synchronous LPA rounds (the graph_communities pattern)
+    // → min-doc canonical + member count per community, isolated gated
+    // docs as their own 1-member community. Each l_i is MATERIALIZED:
+    // it is read twice per level (votes + coalesce), and DuckDB
+    // inlines plain CTEs — 2^5 re-expansions of the minhash chain
+    // otherwise (the bpeCtes lesson).
+    "curate_corpus_communities" -> {
+      val gate =
+        """g0 AS (
+          |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+          |  FROM documents),
+          |sg AS (SELECT doc_id, text,
+          |        CAST(len(toks) AS BIGINT) AS n_words,
+          |        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+          |          AS BIGINT) AS sum_chars,
+          |        CAST(len(list_filter(toks,
+          |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          |        CAST(len(list_filter(toks, t -> list_contains(
+          |          ['the','be','to','of','and','that','have','with'], t)))
+          |          AS BIGINT) AS n_stop,
+          |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+          |      FROM g0),
+          |keptd AS MATERIALIZED (
+          |  SELECT doc_id, text FROM sg
+          |  WHERE n_words >= 50 AND n_words <= 100000
+          |    AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+          |    AND 5 * n_alpha >= 4 * n_words
+          |    AND n_stop >= 2
+          |    AND 10 * n_sym <= n_words)""".stripMargin
+      val lpa0 =
+        """und AS MATERIALIZED (
+          |  SELECT id_a AS a, id_b AS b FROM lshp
+          |  UNION SELECT id_b, id_a FROM lshp),
+          |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        s"""v$i AS (SELECT u.a AS node, l.label, count(*) AS c
+           |  FROM und u JOIN l${i - 1} l ON u.b = l.node GROUP BY 1, 2),
+           |w$i AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM v$i)
+           |  WHERE rn = 1),
+           |l$i AS MATERIALIZED (SELECT p.node, coalesce(w.label, p.label) AS label
+           |  FROM l${i - 1} p LEFT JOIN w$i w ON p.node = w.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gate,
+         |${minhashCtes("keptd")},
+         |$lshPairCtes,
+         |$lpa0,
+         |$rounds
+         |SELECT min(node) AS doc_id, label AS community,
+         |       count(*) AS n_members
+         |FROM l5 GROUP BY label
+         |UNION ALL
+         |SELECT doc_id, doc_id, CAST(1 AS BIGINT)
+         |FROM keptd WHERE doc_id NOT IN (SELECT node FROM l5)""".stripMargin
+    },
+
     "curate_corpus_gopher" ->
       """WITH g0 AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks

@@ -258,6 +258,44 @@ trait CompositeQueries extends QueriesBase {
   val eventsRetention: Q = (s, dir) =>
     SeriesOps.cohortRetention(Tables.events(s, dir), "user_id", "ts")
 
+  /** Community-aware canonical selection on the near-dup graph (r13
+    * VERDICT #6): gopher gate → MinHash-LSH verified pair graph →
+    * fixed-round label-propagation COMMUNITIES → one canonical doc per
+    * community. Connected components over-merge near-dup neighborhoods
+    * through weak transitive links (A~B, B~C keeps only one of A,C even
+    * when jaccard(A,C) ≈ 0); LPA splits a chained component at its
+    * sparse cuts, so each densely-linked region keeps its own
+    * representative. Output: one row per KEPT doc — (doc_id, community,
+    * n_members), isolated gated docs (no verified pair) as their own
+    * 1-member community.
+    *
+    * Scale shape: gate runs against the raw scan; pairs come from the
+    * bucketed band join (maxBucket=200 hot-bucket guard, Σ bucket²
+    * never N²); LPA is 5 synchronous rounds of two linear shuffles
+    * over a once-checkpointed adjacency; canonical-select is ONE
+    * map-side-combinable (min ‖ count) aggregate per community — the
+    * same agg-beats-window choice the LPA winner step makes, where a
+    * row_number window would shuffle-sort every member row. */
+  val curateCorpusCommunities: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    // stage boundary: the gated corpus feeds the pair generator AND
+    // the isolated-doc anti-join (persist(DISK_ONLY) on a cluster)
+    val kept = docs.filter(TextOps.gopherKeep(col("text")))
+      .select("doc_id", "text").localCheckpoint()
+    val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text", maxBucket = 200)
+      .select("id_a", "id_b")
+    val comm = graft.operators.LabelPropagation.run(
+      pairs, "id_a", "id_b", iterations = 5)
+    val canon = comm.groupBy("community")
+      .agg(min(col("node")).as("doc_id"), count(lit(1)).as("n_members"))
+      .select("doc_id", "community", "n_members")
+    val isolated = kept.select("doc_id")
+      .join(comm.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("community"),
+        lit(1L).as("n_members"))
+    canon.unionByName(isolated)
+  }
+
   /** Weekly cohort retention (r10 ADVICE #2): the fixtures' events
     * span one calendar month, so the MONTHLY matrix collapses to
     * offset-0 cells and the offset arithmetic never meets the oracle;
@@ -286,5 +324,6 @@ trait CompositeQueries extends QueriesBase {
     "events_retention" -> eventsRetention,
     "curate_corpus_gopher" -> curateCorpusGopher,
     "curate_corpus_temperature" -> curateCorpusTemperature,
+    "curate_corpus_communities" -> curateCorpusCommunities,
     "events_retention_weekly" -> eventsRetentionWeekly)
 }

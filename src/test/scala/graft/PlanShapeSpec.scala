@@ -520,4 +520,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"cartesian:\n$plan")
   }
+
+  test("curate_corpus_communities: fixed-round LPA + agg canonical-select, no windows") {
+    val plan = executed(Queries.all("curate_corpus_communities")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian:\n$plan")
+    // the canonical-select and every LPA winner step are (min ‖ count)
+    // hash aggregates — a row_number window would shuffle-SORT every
+    // (community, member) row where the agg combines map-side
+    assert(!plan.contains("Window"),
+      s"canonical-select must be an aggregate, not a window:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the gated corpus and LPA adjacency must be materialized once:\n$plan")
+  }
 }
