@@ -68,6 +68,17 @@ private[graft] object DedupOracles {
       s"""WITH $exactSubstrCtes,
          |${spanApplySql("", "text_dedup")}""".stripMargin,
 
+    // Cross-algorithm twin of SuffixDedup.duplicatedSpans (prefix-
+    // doubling suffix ranks on the engine side): the all-occurrence
+    // gram-coverage replay — see OracleCtes.exactSubstrAllCtes.
+    "dedup_substring_exact" ->
+      s"""WITH $exactSubstrAllCtes
+         |$spanSelectSql""".stripMargin,
+
+    "dedup_substring_exact_apply" ->
+      s"""WITH $exactSubstrAllCtes,
+         |${spanApplySql("", "text_dedup")}""".stripMargin,
+
     // Mirrors Decontam.contaminatedSpans (GPT-3 appendix-C span
     // removal) over the decontam_overlap bench/train split — see
     // OracleCtes.decontamSpanCtes.

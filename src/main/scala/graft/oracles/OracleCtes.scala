@@ -437,6 +437,22 @@ private[graft] object OracleCtes {
        |      WHERE cnt > 1 AND rn > 1),
        |$spanIslandCtes""".stripMargin
 
+  // ALL-occurrence variant (mirrors SuffixDedup.duplicatedSpans'
+  // OUTPUT, deliberately via the other algorithm): the engine runs
+  // prefix-doubling suffix ranks + LCP descent; this replay marks
+  // every window of every duplicated 5-gram — identical merged
+  // regions by the coverage theorem in SuffixDedup's scaladoc
+  // (duplicated spans ≥ L are exactly the unions of duplicated
+  // L-gram windows). No first-occurrence keep.
+  private[graft] val exactSubstrAllCtes: String =
+    s"""$substrOccCtes,
+       |k AS (SELECT doc_id, pos,
+       |        count(*) OVER (PARTITION BY g) AS cnt
+       |      FROM occ),
+       |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
+       |      WHERE cnt > 1),
+       |$spanIslandCtes""".stripMargin
+
   // Span decontamination (mirrors Decontam.contaminatedSpans over the
   // decontam_overlap bench/train split): EVERY train window whose gram
   // sits in the bench slice's gram set is marked — no first-occurrence

@@ -292,6 +292,25 @@ trait DedupQueries extends QueriesBase {
     Dedup.exactSubstrApply(Tables.documents(s, dir), "doc_id", "text",
       minTokens = 5)
 
+  /** EXACT maximal duplicated substrings via prefix-doubling suffix
+    * ranks (r13 VERDICT #1): all occurrences of every ≥5-token
+    * substring occurring more than once, as merged per-doc regions —
+    * the true suffix-array ExactSubstr, no L-gram materialization.
+    * Hash-checked against the INDEPENDENT sliding-gram coverage
+    * formulation (provably identical output — the coverage theorem in
+    * [[graft.ext.SuffixDedup]]): two structurally different
+    * algorithms must agree bit-for-bit. */
+  val dedupSubstringExact: Q = (s, dir) =>
+    graft.ext.SuffixDedup.duplicatedSpans(Tables.documents(s, dir),
+      "doc_id", "text", minTokens = 5)
+
+  /** [[dedupSubstringExact]]'s apply step: EVERY copy of duplicated
+    * text drops (the released-dups policy — compare
+    * [[dedupSubstringApply]]'s keep-first), documents reassemble. */
+  val dedupSubstringExactApply: Q = (s, dir) =>
+    graft.ext.SuffixDedup.duplicatedSpansApply(Tables.documents(s, dir),
+      "doc_id", "text", minTokens = 5)
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -324,6 +343,8 @@ trait DedupQueries extends QueriesBase {
     "dedup_cdc" -> dedupCdc,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_apply" -> dedupSubstringApply,
+    "dedup_substring_exact" -> dedupSubstringExact,
+    "dedup_substring_exact_apply" -> dedupSubstringExactApply,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "split_leakage" -> splitLeakage,

@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the prefix-doubling suffix-rank machinery against a
+  * HAND-COMPUTED suffix array, and the exact-span semantics against
+  * both the coverage theorem (≡ all-occurrence gram coverage) and the
+  * keep-first gram approximation (⊇ its spans on offset-shifted
+  * plants).
+  *
+  * The banana fixture, tokens `b a n a n a` (positions 0-5); suffixes
+  * in sorted order: a(5), a n a(3), a n a n a(1), b a n a n a(0),
+  * n a(4), n a n a(2) — so SA = [5,3,1,0,4,2] and the final ranks are
+  * pos→rank {5→1, 3→2, 1→3, 0→4, 4→5, 2→6}. Adjacent LCPs: (5,3)=1,
+  * (3,1)=3, (1,0)=0, (0,4)=0, (4,2)=2 ⇒ dup_len per position
+  * {0→0, 1→3, 2→2, 3→3, 4→2, 5→1}.
+  */
+class SuffixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val banana = Seq((0L, "b a n a n a")).toDF("doc_id", "text")
+
+  private def bananaToks = banana.select(col("doc_id").as("doc"),
+    posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+
+  test("rankLevels: final ranks realize the hand-computed banana suffix array") {
+    val levels = SuffixDedup.rankLevels(bananaToks, maxLen = 6)
+    val ranks = levels.last._2.select("pos", "r").as[(Int, Long)]
+      .collect().toMap
+    assert(ranks == Map(5 -> 1L, 3 -> 2L, 1 -> 3L, 0 -> 4L, 4 -> 5L, 2 -> 6L),
+      s"got $ranks")
+    // level lengths double from 1 and stop at/above maxLen or
+    // distinctness — banana needs levels 1,2,4,8 (ties at len 4:
+    // none, all distinct after len 4? a(5) vs ana(3) differ at len 2)
+    assert(levels.map(_._1).zip(levels.map(_._1).tail)
+      .forall { case (a, b) => b == 2 * a }, "levels must double")
+  }
+
+  test("dupLens: longest duplicated match per position, clamped at doc end") {
+    val lens = banana.select(col("doc_id").as("doc"),
+      size(TextOps.tokens(col("text"))).as("len"))
+    val dl = SuffixDedup.dupLens(bananaToks, lens, maxLen = 6)
+      .select("pos", "dup_len").as[(Int, Int)].collect().toMap
+    assert(dl == Map(0 -> 0, 1 -> 3, 2 -> 2, 3 -> 3, 4 -> 2, 5 -> 1),
+      s"got $dl")
+  }
+
+  test("duplicatedSpans: banana L=2 marks the single merged region [1,6)") {
+    val spans = SuffixDedup.duplicatedSpans(banana, "doc_id", "text",
+        minTokens = 2)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(spans == Set((0L, 1, 6, 5)), s"got $spans")
+  }
+
+  test("offset-shifted plants: ALL occurrences marked, ⊇ the keep-first gram spans") {
+    // the same 6-token passage at offset 0 of doc 1 and offset 3 of
+    // doc 2 — the alignment the chunked spanDedup misses and the gram
+    // form catches all-but-first; the suffix form marks BOTH copies
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"$passage tail one two"),
+      (2L, s"pre amble words $passage"),
+      (3L, "entirely unrelated content here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val exact = SuffixDedup.duplicatedSpans(docs, "doc_id", "text", minTokens = 5)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(exact == Set((1L, 0, 6), (2L, 3, 9)), s"got $exact")
+    val approx = Dedup.exactSubstrSpans(docs, "doc_id", "text", minTokens = 5)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().toSet
+    // keep-first marks only doc 2's copy; exact is a strict superset
+    assert(approx == Set((2L, 3, 9)), s"got $approx")
+    assert(approx.subsetOf(exact))
+  }
+
+  test("coverage theorem: suffix-rank spans ≡ all-occurrence gram coverage") {
+    // adversarial-ish corpus: periodic runs, nested repeats, shared
+    // passages at different offsets, short docs below L
+    val docs = Seq(
+      (1L, "a a a a a a a"),
+      (2L, "x y a a a a a z"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "zero one two three four five six seven"),
+      (5L, "p q r"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val L = 3
+    val suffix = SuffixDedup.duplicatedSpans(docs, "doc_id", "text", L)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // independent formulation: every window of every duplicated
+    // L-gram (all occurrences), merged — the oracle's algorithm,
+    // built here from the gram primitives the engine's other path uses
+    val occ = docs.select(col("doc_id").as("doc"),
+      posexplode(Dedup.slidingGrams(col("text"), L)).as(Seq("pos", "g")))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("g")
+    val marked = occ.join(dup, "g")
+      .select(col("doc"), col("pos").as("s"), (col("pos") + lit(L)).as("e"))
+    val gram = Dedup.mergeTokenSpans(marked)
+      .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(suffix == gram, s"suffix=$suffix\ngram=$gram")
+  }
+
+  test("apply: every copy of duplicated text drops; unique content survives") {
+    val docs = Seq(
+      (1L, "copy me exactly five tokens"),
+      (2L, "copy me exactly five tokens"),
+      (3L, "unique words that appear once only here")
+    ).toDF("doc_id", "text")
+    val out = SuffixDedup.duplicatedSpansApply(docs, "doc_id", "text", 5)
+      .select("doc_id", "n_tokens", "n_removed", "text_dedup")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5, 5, "")) && out(2L) == ((5, 5, "")),
+      s"both copies must drop entirely: $out")
+    assert(out(3L) == ((7, 0, "unique words that appear once only here")))
+  }
+}
