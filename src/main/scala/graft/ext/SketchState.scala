@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.util.QuantileSummaries
+import org.apache.spark.sql.catalyst.util.QuantileSummaries.Stats
+import org.apache.spark.sql.functions._
+
+/** Saved MERGEABLE sketch state for distinct counts (HLL) and
+  * quantiles (GK) — parity with [[HeavyHitters.updateSavedSummary]]
+  * (r13 VERDICT #3): a 100 TB streaming monitor answers "how many
+  * distinct users / where is p95" from a tiny saved state merged per
+  * micro-batch, never rescanning the accumulated lake.
+  *
+  * HLL here is the PORTABLE register form, not Spark's opaque HLL++
+  * buffer: register index and rank derive from the same md5 posture
+  * the splits/minhash family uses (top-15-hex-chars 60-bit hash), so
+  * the register table is hash-checkable in DuckDB — the
+  * `agg_hll_portable` catalog entry replays every register exactly.
+  * Registers merge by ELEMENTWISE MAX (associative + commutative +
+  * idempotent), so saved state after any batching is IDENTICAL to the
+  * one-shot sketch over the union — the strongest batch≡stream
+  * property a sketch can have (Flajolet et al. 2007, HyperLogLog).
+  *
+  * GK persistence wraps Spark's own Greenwald–Khanna summary
+  * (`QuantileSummaries`, the approx_percentile machinery — public
+  * catalyst util): the (value, g, delta) triples persist to the lake
+  * root and rebuild bit-for-bit; merge keeps the ε·n rank guarantee
+  * (Greenwald & Khanna 2001; mergeability per Agarwal et al.,
+  * PODS'12 — the [[HeavyHitters]] citation). Unlike HLL the merged
+  * summary is batching-DEPENDENT as bytes, batching-INDEPENDENT in
+  * its guarantee: any batching answers within ε·n ranks (spec-pinned
+  * with the doubled-ε slack merging costs in the worst case).
+  */
+object SketchState {
+
+  // ------------------------------------------------ portable HLL
+
+  /** Default precision: 2^12 = 4096 registers, rse ≈ 1.04/64 ≈ 1.6%. */
+  val DefaultP = 12
+
+  /** The 60-bit portable key hash — the splits-assign posture: top 15
+    * hex chars of md5 of the string form, so DuckDB replays it as
+    * `('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT`. */
+  private def h60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** HLL register table of a key column: one row per NONZERO register,
+    * (reg_idx, max_rank) — reg_idx = top p hash bits, rank = leading
+    * zeros in the remaining (60-p)-bit window + 1 (via the binary-
+    * string length, exact integers end to end; a zero window ranks
+    * 60-p+1). Nulls are skipped. Output is a pure function of the key
+    * SET — duplicates collapse under max — and is partitioning-
+    * independent. One scan, one map-side-combinable max-aggregate of
+    * at most 2^p groups. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = DefaultP): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val wBits = 60 - p
+    val h = h60(col(keyCol))
+    val w = h.bitwiseAND(lit((1L << wBits) - 1))
+    val rank = when(w > 0, lit(wBits + 1) - length(conv(w, 10, 2)))
+      .otherwise(lit(wBits + 1))
+    df.where(col(keyCol).isNotNull)
+      .select(shiftright(h, wBits).as("reg_idx"), rank.cast("long").as("r"))
+      .groupBy("reg_idx").agg(max(col("r")).as("max_rank"))
+  }
+
+  /** Merge a micro-batch into the saved register table under `root`
+    * (parquet, ≤ 2^p rows): elementwise max, so after ANY number of
+    * batches the saved table ≡ [[hllRegisters]] over the union —
+    * spec-pinned as exact frame equality. The merged table is
+    * materialized on the driver FIRST (≤ 2^p rows by construction),
+    * the [[HeavyHitters.updateSavedSummary]] read-overwrite
+    * discipline. */
+  def updateSavedHll(root: String, batch: DataFrame, keyCol: String,
+      p: Int = DefaultP): Unit = {
+    val spark = batch.sparkSession
+    val bs = hllRegisters(batch, keyCol, p)
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(path))
+        spark.read.parquet(root).unionByName(bs)
+          .groupBy("reg_idx").agg(max(col("max_rank")).as("max_rank"))
+      else bs
+    val rows = merged.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+      .repartition(1).write.mode("overwrite").parquet(root)
+  }
+
+  /** Distinct-count estimate from a register table: the HLL composite
+    * estimator with the exact-dyadic harmonic sum — `sum_scaled` =
+    * Σ_j 2^(S − M_j) over ALL m registers (S = max rank = 60−p+1,
+    * empty registers contribute 2^S) is an EXACT BIGINT (< m·2^S ≤
+    * 2^61); the estimate is alpha·m²·2^S / sum_scaled with the
+    * standard linear-counting fallback below 2.5m when empty
+    * registers remain. One row: (n_empty, sum_scaled, estimate). */
+  def hllEstimate(registers: DataFrame, p: Int = DefaultP): DataFrame = {
+    val m = 1L << p
+    val s = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(count(lit(1)).as("__nz"),
+        coalesce(sum(expr(s"shiftleft(1L, cast($s - max_rank as int))")),
+          lit(0L)).as("__snz"))
+      .select((lit(m) - col("__nz")).as("n_empty"),
+        (col("__snz") + (lit(m) - col("__nz")) * lit(1L << s)).as("sum_scaled"))
+      .select(col("n_empty"), col("sum_scaled"),
+        when(col("n_empty") > 0 &&
+            lit(alpha * m * m) * lit(math.pow(2.0, s)) / col("sum_scaled") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty")))
+          .otherwise(lit(alpha * m * m) * lit(math.pow(2.0, s)) / col("sum_scaled"))
+          .as("estimate"))
+  }
+
+  /** [[hllEstimate]] over the saved state — the no-rescan query. */
+  def hllEstimateFromSaved(spark: SparkSession, root: String,
+      p: Int = DefaultP): DataFrame =
+    hllEstimate(spark.read.parquet(root), p)
+
+  // ------------------------------------------------ GK quantiles
+
+  private val Threshold = QuantileSummaries.defaultCompressThreshold
+
+  /** Build a GK summary of a numeric column distributed: per-partition
+    * inserts, tree-merged compressed summaries — the
+    * approx_percentile aggregation path, surfaced as a value the
+    * caller can persist. Nulls are skipped. */
+  def gkSummarize(df: DataFrame, valCol: String,
+      eps: Double = 0.01): QuantileSummaries = {
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    val zero = new QuantileSummaries(Threshold, eps, Array.empty[Stats], 0L, false)
+    df.select(col(valCol).cast("double")).na.drop().rdd
+      .map(_.getDouble(0))
+      .treeAggregate(zero)(
+        (summ, v) => summ.insert(v),
+        (a, b) => a.compress().merge(b.compress()))
+      .compress()
+  }
+
+  /** Persist a summary under `root`: `root/sampled` holds the ordered
+    * (idx, value, g, delta) triples, `root/meta` the (count, eps)
+    * envelope. Round-trips bit-for-bit ([[loadGk]]). */
+  def saveGk(spark: SparkSession, summ: QuantileSummaries, root: String): Unit = {
+    import spark.implicits._
+    summ.sampled.zipWithIndex.toSeq
+      .map { case (st, i) => (i, st.value, st.g, st.delta) }
+      .toDF("idx", "value", "g", "delta")
+      .repartition(1).write.mode("overwrite").parquet(root + "/sampled")
+    Seq((summ.count, summ.relativeError))
+      .toDF("count", "eps")
+      .repartition(1).write.mode("overwrite").parquet(root + "/meta")
+  }
+
+  /** Rebuild the persisted summary. */
+  def loadGk(spark: SparkSession, root: String): QuantileSummaries = {
+    val meta = spark.read.parquet(root + "/meta").head()
+    val sampled = spark.read.parquet(root + "/sampled")
+      .orderBy("idx")
+      .select("value", "g", "delta").collect()
+      .map(r => Stats(r.getDouble(0), r.getLong(1), r.getLong(2)))
+    new QuantileSummaries(Threshold, meta.getDouble(1), sampled,
+      meta.getLong(0), true)
+  }
+
+  /** Merge a micro-batch into the saved summary under `root` (create
+    * on first batch): summarize the batch, merge into the loaded
+    * state, compress, persist. The saved state keeps the ε·n rank
+    * guarantee over the WHOLE stream; quantile queries come from
+    * [[loadGk]] + `query`, never from rescanning the lake. */
+  def updateSavedGk(root: String, batch: DataFrame, valCol: String,
+      eps: Double = 0.01): Unit = {
+    val spark = batch.sparkSession
+    val bs = gkSummarize(batch, valCol, eps)
+    val path = new org.apache.hadoop.fs.Path(root + "/meta")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(path)) loadGk(spark, root).merge(bs).compress()
+      else bs
+    saveGk(spark, merged, root)
+  }
+}

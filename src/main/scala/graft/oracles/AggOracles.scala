@@ -7,6 +7,22 @@ import graft.OracleCtes._
   */
 private[graft] object AggOracles {
   val map: Map[String, String] = Map(
+    // Mirrors SketchState.hllRegisters (p=12): 60-bit hash from the
+    // top 15 md5 hex chars (the split_assign posture), register = top
+    // 12 bits, rank = leading zeros of the 48-bit window + 1 via the
+    // binary-string length (w > 0; an all-zero window ranks 49) —
+    // exact integers end to end, elementwise-max merged.
+    "agg_hll_portable" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT h // 281474976710656 AS reg_idx, h % 281474976710656 AS w
+        |      FROM h)
+        |SELECT reg_idx,
+        |       CAST(max(CASE WHEN w > 0 THEN 49 - length(bin(w))
+        |                     ELSE 49 END) AS BIGINT) AS max_rank
+        |FROM r GROUP BY reg_idx""".stripMargin,
+
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE day(ts) <= 15
         |EXCEPT

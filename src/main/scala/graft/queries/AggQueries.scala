@@ -185,7 +185,20 @@ trait AggQueries extends QueriesBase {
 
 
   /** This family's slice of [[Queries.all]]. */
+  /** Portable HLL register table over the event user ids (p=12, 4096
+    * registers): the MERGEABLE saved-state primitive behind
+    * [[graft.ext.SketchState.updateSavedHll]] — registers merge by
+    * elementwise max, so state after any micro-batching ≡ this
+    * one-shot sketch. Unlike the opaque HLL++ buffer this register
+    * table is fully HASH-CHECKED: index and rank derive from the
+    * md5-top-15-hex posture the splits family already replays, and
+    * the rank's leading-zero count rides the binary-string length —
+    * exact integers end to end. */
+  val aggHllPortable: Q = (s, dir) =>
+    graft.ext.SketchState.hllRegisters(Tables.events(s, dir), "user_id")
+
   protected def aggRegistry: Map[String, Q] = Map(
+    "agg_hll_portable" -> aggHllPortable,
     "set_except" -> setExcept,
     "set_intersect" -> setIntersect,
     "agg_rollup" -> aggRollup,

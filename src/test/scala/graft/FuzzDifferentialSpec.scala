@@ -134,7 +134,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     "agg_stats_moments", "agg_corr", "agg_equidepth",
     "quality_expectations", "profile_columns", "quality_funnel",
     "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
-    "fred_yearly_gold", "window_ewma", "window_interpolate")
+    "fred_yearly_gold", "window_ewma", "window_interpolate",
+    "agg_hll_portable")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

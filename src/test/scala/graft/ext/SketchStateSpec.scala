@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Saved mergeable sketch state (r13 VERDICT #3): HLL registers and
+  * GK summaries persisted under a lake root, merged per micro-batch,
+  * answering distinct-count / quantile queries WITHOUT rescanning the
+  * accumulated lake — parity with HeavyHitters.updateSavedSummary.
+  */
+class SketchStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sketch_$name").toString + "/state"
+
+  test("HLL: saved state after N batches ≡ the one-shot sketch over the union") {
+    val all = (1L to 3000L).map(i => i * 7919L % 100000L).distinct
+    val batches = all.grouped(700).toSeq
+    val root = tmp("hll")
+    batches.foreach(b =>
+      SketchState.updateSavedHll(root, b.toDF("k"), "k"))
+    val saved = spark.read.parquet(root)
+      .select("reg_idx", "max_rank").as[(Long, Long)].collect().toSet
+    val oneShot = SketchState.hllRegisters(all.toDF("k"), "k")
+      .select("reg_idx", "max_rank").as[(Long, Long)].collect().toSet
+    assert(saved == oneShot,
+      "elementwise-max merge must make batching invisible")
+  }
+
+  test("HLL: estimate from saved state is within the sketch's error bound") {
+    val n = 2500
+    val keys = (1L to n.toLong).map(i => i * 104729L % 10000000L).distinct
+    val root = tmp("hll_est")
+    keys.grouped(800).foreach(b =>
+      SketchState.updateSavedHll(root, b.toDF("k"), "k"))
+    val est = SketchState.hllEstimateFromSaved(spark, root)
+      .select("estimate").as[Double].head()
+    val exact = keys.size.toDouble
+    // rse = 1.04/sqrt(4096) ≈ 1.6%; assert a generous 4x slack
+    val slack = 4 * 1.04 / math.sqrt(4096) * exact
+    assert(math.abs(est - exact) <= slack,
+      s"estimate $est vs exact $exact (slack $slack)")
+  }
+
+  test("HLL: duplicate keys across batches never move the registers") {
+    val root = tmp("hll_dup")
+    SketchState.updateSavedHll(root, (1L to 500L).toDF("k"), "k")
+    val before = spark.read.parquet(root)
+      .select("reg_idx", "max_rank").as[(Long, Long)].collect().toSet
+    SketchState.updateSavedHll(root, (1L to 500L).toDF("k"), "k")
+    val after = spark.read.parquet(root)
+      .select("reg_idx", "max_rank").as[(Long, Long)].collect().toSet
+    assert(before == after, "max-merge must be idempotent")
+  }
+
+  test("GK: saved summary round-trips bit-for-bit") {
+    val df = (1 to 5000).map(i => (i * 31 % 997).toDouble).toDF("v")
+    val summ = SketchState.gkSummarize(df, "v", eps = 0.01)
+    val root = tmp("gk_rt")
+    SketchState.saveGk(spark, summ, root)
+    val loaded = SketchState.loadGk(spark, root)
+    assert(loaded.count == summ.count &&
+      loaded.relativeError == summ.relativeError &&
+      loaded.sampled.toSeq == summ.sampled.toSeq,
+      "persisted (value, g, delta) triples must rebuild exactly")
+    assert(loaded.query(0.5) == summ.query(0.5))
+  }
+
+  test("GK: state merged over N batches answers within the rank guarantee") {
+    // deterministic skewed-ish values; exact ranks computed directly
+    val all = (1 to 20000).map(i => ((i * 48271L) % 19991).toDouble)
+    val eps = 0.01
+    val root = tmp("gk_merge")
+    all.grouped(3000).foreach(b =>
+      SketchState.updateSavedGk(root, b.toDF("v"), "v", eps))
+    val state = SketchState.loadGk(spark, root)
+    assert(state.count == all.size.toLong,
+      "merged count must track the stream exactly")
+    val sorted = all.sorted
+    val n = all.size
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val ans = state.query(q).get
+      // rank of the answer in the union (count ≤ ans)
+      val rank = sorted.count(_ <= ans)
+      val target = q * n
+      // GK guarantee eps·n per summary; merging keeps it — allow the
+      // worst-case doubled-eps slack across the merge chain
+      assert(math.abs(rank - target) <= 2 * eps * n + 1,
+        s"q=$q answer=$ans rank=$rank target=$target")
+    }
+  }
+
+  test("GK: quantile answers come from the saved state, not the lake") {
+    // sanity of the no-rescan contract: the state alone (no source
+    // data in scope) answers; a later batch shifts the answer
+    val root = tmp("gk_shift")
+    SketchState.updateSavedGk(root, (1 to 1000).map(_.toDouble).toDF("v"), "v")
+    val p50a = SketchState.loadGk(spark, root).query(0.5).get
+    SketchState.updateSavedGk(root,
+      (100001 to 103000).map(_.toDouble).toDF("v"), "v")
+    val p50b = SketchState.loadGk(spark, root).query(0.5).get
+    assert(p50a <= 1000.0 && p50b >= 100000.0,
+      s"median must move with the merged stream: $p50a -> $p50b")
+  }
+}
