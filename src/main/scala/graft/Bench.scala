@@ -25,7 +25,16 @@ import org.apache.spark.sql.SparkSession
   *      round and its median recomputed over all samples, so a host-
   *      noise window that ate two of three runs cannot contaminate
   *      the committed record (r12 VERDICT #3); re-measured names are
-  *      listed under `reran` on the spread line.
+  *      listed under `reran` on the spread line;
+  *   5. CROSS-RUN integrity (r13 VERDICT #2 — a noise window that
+  *      outlasts the whole bench defeats #4): each fresh median is
+  *      checked against the latest history row with the same cpus, sf,
+  *      data fingerprint AND per-query plan hash. If > 25% of the
+  *      comparable queries inflate beyond 1.5×, the inflated set gets
+  *      one more measured round (medians recompute over all samples);
+  *      persistent inflation marks the record `"suspect":true` with
+  *      the inflated names and the baseline row's ts — the record
+  *      indicts itself instead of waiting for post-hoc adjudication.
   *
   * Queries in [[SparkEntry.verifyOnly]] (intentionally non-production
   * anchor plans) are skipped and listed under `excluded`; queries in
@@ -223,18 +232,103 @@ object Bench {
       else tableCounts.map { case (t, n) => "\"" + t + "\":" + n }
         .mkString("\"data\":{", ",", "},")
 
+    val planHashes: Map[String, String] = names.map(n => n -> planHash(n)).toMap
+
+    // CROSS-RUN INTEGRITY (r13 VERDICT "What's wrong" #1 / next-round
+    // #2): the within-run auto-rerun cannot defeat a host-noise window
+    // that outlasts the whole bench — extra samples from the same
+    // window reproduce the same inflation (r13 committed ~25 s of
+    // phantom regression with plan hashes and shuffle bytes
+    // byte-identical to the clean row). The defense must be
+    // CROSS-RUN: compare each fresh median against the latest history
+    // row with the same cpus, same sf, same data fingerprint, and the
+    // same per-query plan hash (same plan + same data moved ⇒ the
+    // time should match within noise). If more than 25% of the
+    // comparable queries inflate beyond 1.5×, the whole-record noise
+    // hypothesis is live: the inflated set is re-measured once more
+    // (medians recompute over ALL samples), and if the inflation
+    // persists the committed record carries an explicit
+    // `"suspect":true` marker + the inflated names + the baseline row
+    // ts — the driver and the next round can see the record indicts
+    // itself instead of adjudicating after the fact.
+    var extraSamples: Map[String, Seq[Double]] = Map.empty
+    var suspectInfo: Option[(Long, Seq[String])] = None
+    var comparedCount = 0
+    if (only.isEmpty) {
+      try {
+        val f = new java.io.File("bench_history.jsonl")
+        if (f.exists && dataField.nonEmpty) {
+          val myData = dataField.stripSuffix(",")
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          val matching = try src.getLines()
+            .filter(l => l.contains("\"cpus\":" + cpus + ",") &&
+              l.contains("\"sf\":\"" + sfDir + "\"") && l.contains(myData))
+            .foldLeft(Option.empty[String])((_, l) => Some(l))
+          finally src.close()
+          matching.foreach { row =>
+            val ts = "\"ts_ms\":(\\d+)".r.findFirstMatchIn(row)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            // 3-element arrays only match the queries section ([min,
+            // med, max]); shuffle rows are 2-element, plans are strings
+            def histMed(n: String): Option[Double] =
+              ("\"" + java.util.regex.Pattern.quote(n) +
+                "\":\\[([-0-9.eE]+),([-0-9.eE]+),([-0-9.eE]+)\\]").r
+                .findFirstMatchIn(row).map(_.group(2).toDouble)
+            def histPlan(n: String): Option[String] =
+              ("\"" + java.util.regex.Pattern.quote(n) + "\":\"([0-9a-f]{12})\"").r
+                .findFirstMatchIn(row).map(_.group(1))
+            val mm = medians.toMap
+            val comparable = names.flatMap { n =>
+              for {
+                h <- histMed(n); p <- histPlan(n)
+                if p == planHashes(n) && mm(n) > 0 && h > 0
+              } yield (n, h)
+            }
+            comparedCount = comparable.size
+            def inflatedOf(m: Map[String, Double]): Seq[String] =
+              comparable.collect { case (n, h) if m(n) > 1.5 * h => n }
+            val firstInflated = inflatedOf(mm)
+            if (comparable.size >= 20 &&
+                firstInflated.size * 4 > comparable.size) {
+              extraSamples = firstInflated
+                .map(n => n -> Seq.fill(runs)(runOnce(n))).toMap
+              val sampleMap = samples.toMap
+              val mm2 = mm ++ firstInflated.map(n =>
+                n -> median(sampleMap(n) ++ extraSamples(n)))
+              val still = inflatedOf(mm2)
+              if (still.size * 4 > comparable.size)
+                suspectInfo = Some((ts, still.sorted))
+            }
+          }
+        }
+      } catch { case _: Throwable => () }
+    }
+    val finalSamples = samples.map { case (n, xs) =>
+      (n, xs ++ extraSamples.getOrElse(n, Nil)) }
+    val finalMedians = finalSamples.map { case (n, xs) => n -> median(xs) }
+    val finalSpreads = finalSamples.map { case (n, xs) => n -> spread(xs) }
+    // `compared` makes the check auditable: suspect:false with
+    // compared:0 means "no comparable baseline", not "verified clean"
+    val suspectField = suspectInfo match {
+      case Some((ts, infl)) =>
+        "\"suspect\":true,\"suspect_vs_ts\":" + ts + ",\"inflated\":" +
+          infl.map("\"" + _ + "\"").mkString("[", ",", "]") +
+          ",\"compared\":" + comparedCount + ","
+      case None => "\"suspect\":false,\"compared\":" + comparedCount + ","
+    }
+
     def numMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = numMap(medians)
-    val sp = numMap(spreads)
-    val ps = names.map(k => "\"" + k + "\":\"" + planHash(k) + "\"")
+    val qs = numMap(finalMedians)
+    val sp = numMap(finalSpreads)
+    val ps = names.map(k => "\"" + k + "\":\"" + planHashes(k) + "\"")
       .mkString("{", ",", "}")
     val excluded = SparkEntry.verifyOnly.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val benchForms = SparkEntry.benchForm.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = medians.map(_._2).filter(_ >= 0).sum
-    val worstSpread = spreads.map(_._2).max
+    val total = finalMedians.map(_._2).filter(_ >= 0).sum
+    val worstSpread = finalSpreads.map(_._2).max
     // Three SEPARATE lines, timings LAST: the driver keeps the END of
     // stdout and truncation eats from the front — plans and spread are
     // sacrificial, the timings line is the record.
@@ -243,7 +337,7 @@ object Bench {
     val spreadLine =
       s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"reran":$reranJson,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,$dataField"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,$suspectField$dataField"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
     if (only.isEmpty)
@@ -252,7 +346,7 @@ object Bench {
       catch { case _: Throwable => () }
     // per-run history row (append): medians + min/max per query, so
     // future rounds diff median-to-median with the noise visible
-    val hist = samples.map { case (n, xs) =>
+    val hist = finalSamples.map { case (n, xs) =>
       val s = xs.sorted
       "\"" + n + "\":[" + s.head + "," + median(xs) + "," + s.last + "]"
     }.mkString("{", ",", "}")
@@ -264,7 +358,7 @@ object Bench {
     // plan hashes ride along so a future diff can tell "median moved,
     // plan unchanged ⇒ host noise" from the history file alone
     val histLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,$dataField"queries":$hist,"shuffle":$shuffleJson,"plans":$ps}""" + "\n"
+      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,$suspectField$dataField"queries":$hist,"shuffle":$shuffleJson,"plans":$ps}""" + "\n"
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
         histLine.getBytes("UTF-8"),

@@ -36,6 +36,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LateDropCounter: watermark-dropped rows are counted exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val counter = LateDropCounter.attach(spark)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingAgg(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1 sets max event time 10:00 → watermark 09:50
+      input.addData((ts("2024-01-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2 advances it to 12:00 → watermark 11:50
+      input.addData((ts("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: the 10:05 event's WINDOW ([10:00,11:00), end 11:00 ≤
+      // watermark 11:50) is closed → DROPPED; the 11:40 event is also
+      // behind the watermark but its window [11:00,12:00) is still
+      // open (end 12:00 > 11:50) → admitted (aggregation eviction
+      // keys on window end, not raw event time); one on-time event
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 11:40:00"), "view", 1.0),
+        (ts("2024-01-01 12:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
+      assert(counter.dropped(q.runId) == 1L,
+        s"exactly the closed-window late row must count, got ${counter.dropped(q.runId)}")
+      // cross-check against the raw per-batch progress metrics
+      val raw = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(raw == 1L, s"progress metrics disagree: $raw")
+      // the open-window late row must have been aggregated, not lost
+      val viewRows = spark.table("late_drop")
+        .where(col("event_type") === "view").count()
+      assert(viewRows == 1L, "open-window late row must be admitted")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(counter)
+    }
+  }
+
   test("attributionJoin: stream-stream interval join ≡ batch on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val viewRows = Seq(
