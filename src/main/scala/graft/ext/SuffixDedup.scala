@@ -185,6 +185,54 @@ object SuffixDedup {
     Dedup.mergeTokenSpans(marked).withColumnRenamed("doc", idCol)
   }
 
+  /** Per-document LONGEST duplicated substring — the suffix-array
+    * primitive [[duplicatedSpans]] thresholds away: for each doc the
+    * maximal `dup_len` over its positions, i.e. the length of the
+    * longest token run that occurs anywhere else in the corpus.
+    * The contamination-triage number ("how much of this doc is
+    * verbatim from elsewhere, at its worst") that no fixed-L gram
+    * pass can produce. Output: (idCol, longest_dup_tokens,
+    * longest_dup_start) — docs whose best match is below `minTokens`
+    * report 0 / -1; the start position is the SMALLEST position
+    * attaining the max (deterministic argmax).
+    *
+    * Oracle form (how the independent SQL replay works): a maximal
+    * aligned match of length m between two locations is exactly a run
+    * of m−L+1 consecutive duplicated L-gram alignments on one
+    * (doc_a, doc_b, pos_a−pos_b) DIAGONAL, so the replay extends
+    * aligned 5-gram pairs along diagonals with gaps-and-islands and
+    * takes max(run+L−1) per doc — quadratic in duplicated positions
+    * (fine for an oracle), while the engine stays in the linear
+    * suffix-rank path. */
+  def longestMatch(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val base = df.select(col(idCol).as("doc"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .localCheckpoint()
+    val toks = base.select(col("doc"),
+      posexplode(col("__t")).as(Seq("pos", "tok")))
+    val lens = base.select(col("doc"), size(col("__t")).as("len"))
+    val maxLen = base.agg(coalesce(max(size(col("__t"))), lit(0)))
+      .head().getInt(0)
+    val best =
+      if (maxLen < minTokens) lens.select(col("doc")).limit(0)
+        .withColumn("__l", lit(0)).withColumn("__s", lit(-1))
+      else
+        dupLens(toks, lens, maxLen)
+          .filter(col("dup_len") >= minTokens)
+          .groupBy("doc")
+          // max length, then smallest attaining position — one
+          // map-side-combinable min(struct) like the LPA winner step
+          .agg(min(struct((-col("dup_len")).as("nl"), col("pos").as("p"))).as("w"))
+          .select(col("doc"), (-col("w.nl")).as("__l"), col("w.p").as("__s"))
+    base.select(col("doc"))
+      .join(best, Seq("doc"), "left_outer")
+      .select(col("doc").as(idCol),
+        coalesce(col("__l"), lit(0)).as("longest_dup_tokens"),
+        coalesce(col("__s"), lit(-1)).as("longest_dup_start"))
+  }
+
   /** The apply step: tokens covered by [[duplicatedSpans]] drop and
     * each document reassembles in original token order — (id,
     * n_tokens, n_removed, text_dedup), span-free docs pass through.

@@ -79,6 +79,36 @@ private[graft] object DedupOracles {
       s"""WITH $exactSubstrAllCtes,
          |${spanApplySql("", "text_dedup")}""".stripMargin,
 
+    // Cross-algorithm twin of SuffixDedup.longestMatch: a maximal
+    // aligned match of length m between two locations is exactly a
+    // run of m-4 consecutive duplicated-5-gram alignments on one
+    // (doc_a, doc_b, pos_a - pos_b) diagonal, so max(run + 4) per doc
+    // — with the min run-start as the deterministic argmax — replays
+    // the suffix-rank answer via a completely different algorithm.
+    "dedup_longest_match" ->
+      s"""WITH $substrOccCtes,
+         |pr AS (SELECT a.doc_id AS da, a.pos AS pa,
+         |              b.doc_id AS db, b.pos - a.pos AS diag
+         |       FROM occ a JOIN occ b ON a.g = b.g
+         |        AND (a.doc_id <> b.doc_id OR a.pos <> b.pos)),
+         |rg AS (SELECT da, db, diag, pa,
+         |         pa - row_number() OVER (PARTITION BY da, db, diag
+         |                                 ORDER BY pa) AS grp
+         |       FROM pr),
+         |runs AS (SELECT da AS doc_id, min(pa) AS run_start,
+         |           count(*) + 4 AS match_len
+         |         FROM rg GROUP BY da, db, diag, grp),
+         |best AS (SELECT doc_id, max(match_len) AS m
+         |         FROM runs GROUP BY doc_id),
+         |arg AS (SELECT r.doc_id, b.m, min(r.run_start) AS s
+         |        FROM runs r JOIN best b
+         |          ON r.doc_id = b.doc_id AND r.match_len = b.m
+         |        GROUP BY r.doc_id, b.m)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(arg.m, 0) AS INTEGER) AS longest_dup_tokens,
+         |       CAST(coalesce(arg.s, -1) AS INTEGER) AS longest_dup_start
+         |FROM documents d LEFT JOIN arg ON d.doc_id = arg.doc_id""".stripMargin,
+
     // Mirrors Decontam.contaminatedSpans (GPT-3 appendix-C span
     // removal) over the decontam_overlap bench/train split — see
     // OracleCtes.decontamSpanCtes.

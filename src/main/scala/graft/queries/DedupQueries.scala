@@ -311,6 +311,18 @@ trait DedupQueries extends QueriesBase {
     graft.ext.SuffixDedup.duplicatedSpansApply(Tables.documents(s, dir),
       "doc_id", "text", minTokens = 5)
 
+  /** Per-doc longest duplicated substring (length + earliest start) —
+    * the suffix-array primitive surfaced as contamination triage:
+    * "how much of this doc is verbatim from elsewhere, at its worst".
+    * Engine = linear suffix-rank path; oracle = the independent
+    * diagonal-run extension of aligned 5-gram pairs (exact by the
+    * run↔maximal-match bijection in [[graft.ext.SuffixDedup
+    * .longestMatch]]'s scaladoc) — the third member of the
+    * cross-algorithm-verified suffix family. */
+  val dedupLongestMatch: Q = (s, dir) =>
+    graft.ext.SuffixDedup.longestMatch(Tables.documents(s, dir),
+      "doc_id", "text", minTokens = 5)
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -345,6 +357,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_substring_apply" -> dedupSubstringApply,
     "dedup_substring_exact" -> dedupSubstringExact,
     "dedup_substring_exact_apply" -> dedupSubstringExactApply,
+    "dedup_longest_match" -> dedupLongestMatch,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "split_leakage" -> splitLeakage,

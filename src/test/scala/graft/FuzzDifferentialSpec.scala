@@ -37,7 +37,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     // LM's OOV path and the datacard's ratio arithmetic all meet
     // dup-heavy unicode corpora the fixtures never saw
     "dedup_substring", "dedup_substring_apply", "quality_lm_indexed",
-    "dedup_substring_exact", "dedup_substring_exact_apply",
+    "dedup_substring_exact", "dedup_substring_exact_apply", "dedup_longest_match",
     "report_corpus", "decontam_spans", "decontam_spans_clean",
     // closing-stretch additions: the temperature mixture's sqrt/
     // largest-remainder walk on skewed 2-3-lang corpora, and the

@@ -107,6 +107,22 @@ class SuffixDedupSpec extends SparkSpec {
     assert(suffix == gram, s"suffix=$suffix\ngram=$gram")
   }
 
+  test("longestMatch: max dup_len + earliest argmax per doc; no-match docs report 0/-1") {
+    val lm = SuffixDedup.longestMatch(banana, "doc_id", "text", minTokens = 2)
+      .as[(Long, Int, Int)].collect().toSet
+    // banana dup_len profile {0→0,1→3,2→2,3→3,4→2,5→1}: max 3, first at pos 1
+    assert(lm == Set((0L, 3, 1)), s"got $lm")
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"$passage tail one two"),
+      (2L, s"pre amble words $passage"),
+      (3L, "entirely unrelated content here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = SuffixDedup.longestMatch(docs, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out == Set((1L, 6, 0), (2L, 6, 3), (3L, 0, -1)), s"got $out")
+  }
+
   test("apply: every copy of duplicated text drops; unique content survives") {
     val docs = Seq(
       (1L, "copy me exactly five tokens"),
