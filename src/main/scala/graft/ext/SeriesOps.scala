@@ -202,6 +202,49 @@ object SeriesOps {
       .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
   }
 
+  /** Nearest as-of join: for each left row, the right value whose
+    * `time` is CLOSEST (either direction), ties to the earlier
+    * observation — the third sibling of [[asofJoin]] (backward) and
+    * [[asofJoinForward]]. `time` must be numeric (distances are
+    * per-row long arithmetic).
+    *
+    * Both carries run in ONE window pass: same partitioning and sort
+    * (right rows first at equal times), a backward
+    * `last(ignoreNulls)` frame and a forward `first(ignoreNulls)`
+    * frame — one shuffle, one sort, two Window operators over the
+    * same Exchange. An equal-time right row is only visible to the
+    * backward carry (it sorts before the left row), which is exactly
+    * right: its distance is 0 and backward wins ties. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      time: String, rightVal: String, outCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    val rvType = right.schema(rightVal).dataType
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(s"struct<v:${rvType.sql},t:bigint>"))
+    val rTagged = right.select((keys :+ time).map(col) :+
+        struct(col(rightVal).as("v"), col(time).cast("long").as("t")).as("__r"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.select(
+        (leftCols.map(col) :+ col("__side") :+ col("__r")).toSeq: _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(time).asc, col("__side").asc)
+    val bwd = last(col("__r"), ignoreNulls = true)
+      .over(base.rowsBetween(Window.unboundedPreceding, 0))
+    val fwd = first(col("__r"), ignoreNulls = true)
+      .over(base.rowsBetween(0, Window.unboundedFollowing))
+    val t = col(time).cast("long")
+    unioned
+      .withColumn("__b", bwd).withColumn("__f", fwd)
+      .filter(col("__side") === 1)
+      .withColumn(outCol,
+        when(col("__b").isNull, col("__f.v"))
+          .when(col("__f").isNull, col("__b.v"))
+          .when(t - col("__b.t") <= col("__f.t") - t, col("__b.v"))
+          .otherwise(col("__f.v")))
+      .select((leftCols.map(col) :+ col(outCol)).toSeq: _*)
+  }
+
   /** Last-observation-carried-forward gap fill: nulls in `valueCol`
     * take the most recent non-null value within the series — the
     * standard sparse-series densification (LOCF). One window per key,

@@ -267,6 +267,42 @@ private[graft] object WindowOracles {
          |  FROM u)
          |WHERE side = 0""".stripMargin,
 
+    // Mirrors SeriesOps.asofJoinNearest: backward + forward carries of
+    // (rv, rt) pairs over ONE ordering (right rows first at equal
+    // times), then per-row distance compare with ties to the earlier
+    // observation. rv/rt are null together, so the paired IGNORE NULLS
+    // carries stay consistent.
+    "series_asof_nearest" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),
+         |u AS (
+         |  SELECT indicator, observation_day, value, 1 AS side,
+         |         CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rt FROM d
+         |  UNION ALL
+         |  SELECT indicator, observation_day, NULL, 0, value,
+         |         CAST(observation_day AS BIGINT) FROM sparse)
+         |SELECT indicator, observation_day, value,
+         |       CASE WHEN bt IS NULL THEN fv
+         |            WHEN ft IS NULL THEN bv
+         |            WHEN observation_day - bt <= ft - observation_day THEN bv
+         |            ELSE fv END AS asof_value
+         |FROM (
+         |  SELECT indicator, observation_day, value, side,
+         |         last_value(rv IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+         |         last_value(rt IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+         |         first_value(rv IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv,
+         |         first_value(rt IGNORE NULLS) OVER (
+         |           PARTITION BY indicator ORDER BY observation_day, side
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+         |  FROM u)
+         |WHERE side = 1""".stripMargin,
+
     // Mirrors SeriesOps.transitionCounts: lead over (user, time) then
     // count + per-origin share.
     "events_transitions" ->

@@ -199,6 +199,16 @@ trait WindowQueries extends QueriesBase {
       "observation_day", "value", tolerance = 1L)
   }
 
+  /** Nearest as-of: each daily point takes whichever sparse
+    * observation is closer (day ≡ 1 mod 3 → the anchor 1 back; ≡ 2
+    * mod 3 → the anchor 1 ahead; ties to the earlier). */
+  val seriesAsofNearest: Q = (s, dir) => {
+    val d = dailySeries(s, dir)
+    val sparse = d.filter(col("observation_day") % 3 === 0)
+    SeriesOps.asofJoinNearest(d, sparse, Seq("indicator"),
+      "observation_day", "value")
+  }
+
   /** Markov transition matrix over each user's event sequence: step
     * counts + per-origin share — the funnel/drop-off summary. */
   val eventsTransitions: Q = (s, dir) =>
@@ -237,6 +247,7 @@ trait WindowQueries extends QueriesBase {
     "series_asof_tolerance" -> seriesAsofTolerance,
     "series_asof_forward" -> seriesAsofForward,
     "series_asof_forward_tolerance" -> seriesAsofForwardTolerance,
+    "series_asof_nearest" -> seriesAsofNearest,
     "events_transitions" -> eventsTransitions,
     "events_paths" -> eventsPaths,
     "join_range" -> joinRange)

@@ -121,7 +121,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "window_locf", "window_sessionize", "window_tumbling",
     "window_moving_avg", "window_rank_share", "window_cume",
     "window_session", "series_asof", "series_asof_tolerance",
-    "series_asof_forward", "series_asof_forward_tolerance",
+    "series_asof_forward", "series_asof_forward_tolerance", "series_asof_nearest",
     "events_transitions", "events_paths",
     "events_retention", "events_retention_weekly",
     "events_funnel", "pivot_daily", "unpivot_daily", "agg_histogram",

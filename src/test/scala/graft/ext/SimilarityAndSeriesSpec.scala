@@ -300,6 +300,20 @@ class SimilarityAndSeriesSpec extends SparkSpec {
       (-2, None)))       // distance 4 > tolerance: too far ahead, nulled
   }
 
+  test("asofJoinNearest: closest observation wins; ties go backward") {
+    val left = Seq(("X", 1), ("X", 2), ("X", 3), ("X", 6), ("Y", 9)).toDF("indicator", "t")
+    val right = Seq(("X", 0, 0.0), ("X", 4, 40.0)).toDF("indicator", "t", "v")
+    val out = SeriesOps.asofJoinNearest(left, right, Seq("indicator"), "t", "v")
+      .select("indicator", "t", "asof_value")
+      .as[(String, Int, Option[Double])].collect().toSet
+    assert(out == Set(
+      ("X", 1, Some(0.0)),   // 1 back vs 3 ahead
+      ("X", 2, Some(0.0)),   // tie (2 vs 2) → earlier
+      ("X", 3, Some(40.0)),  // 3 back vs 1 ahead
+      ("X", 6, Some(40.0)),  // nothing ahead → backward
+      ("Y", 9, None)))       // key isolation
+  }
+
   test("locfFill: nulls carry the last observation; leading gaps stay null") {
     val df = Seq(
       ("X", 1, None), ("X", 2, Some(2.0)), ("X", 3, None), ("X", 4, None),
