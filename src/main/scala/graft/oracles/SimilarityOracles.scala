@@ -135,6 +135,45 @@ private[graft] object SimilarityOracles {
          |SELECT node, label AS community FROM l5""".stripMargin
     },
 
+    // Mirrors operators.TriangleCount over the symmetrized k=3 knn
+    // graph: (degree, id)-oriented wedges closed against the
+    // id-canonical edge set — each triangle counts once at its
+    // orientation-minimal node, then fans out to all three members.
+    "graph_triangles" -> {
+      val base =
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |scored AS (
+          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+          |         round(list_dot_product(a.v, b.v) /
+          |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+          |g AS (SELECT vec_id, neighbor_id FROM (
+          |  SELECT vec_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 3),
+          |und AS (SELECT vec_id AS a, neighbor_id AS b FROM g
+          |        UNION SELECT neighbor_id, vec_id FROM g)""".stripMargin
+      s"""$base,
+         |canon AS (SELECT a, b FROM und WHERE a < b),
+         |deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+         |o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         |             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+         |      FROM (SELECT c.a, c.b, x.d AS da, y.d AS db
+         |            FROM canon c JOIN deg x ON c.a = x.a
+         |                         JOIN deg y ON c.b = y.a)),
+         |w AS (SELECT x.u, x.v AS p, y.v AS q
+         |      FROM o x JOIN o y ON x.u = y.u AND x.v < y.v),
+         |tri AS (SELECT u, p, q FROM w
+         |        WHERE EXISTS (SELECT 1 FROM canon
+         |                      WHERE canon.a = w.p AND canon.b = w.q)),
+         |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n
+         |        FROM (SELECT unnest([u, p, q]) AS node FROM tri)
+         |        GROUP BY node)
+         |SELECT nd.a AS vec_id, coalesce(cnt.n, 0) AS n_triangles
+         |FROM (SELECT DISTINCT a FROM und) nd
+         |LEFT JOIN cnt ON nd.a = cnt.node""".stripMargin
+    },
+
     // Mirrors Similarity.mineTriplets over the k=5 knn graph:
     // positive = rank 1, negative = lowest-rank neighbor at rank ≥ 3
     // with cosine ≤ pos_cosine − 0.05 (margin applied in the shared

@@ -64,6 +64,18 @@ trait SimilarityQueries extends QueriesBase {
         "label", k = 3).select("vec_id", "neighbor_id"),
       "vec_id", "neighbor_id", iterations = 5)
 
+  /** Per-node triangle counts over the same k=3 knn graph — the
+    * local-clustering statistic (dense near-dup neighborhoods
+    * interlink; incidental neighbors don't), via degree-oriented
+    * wedge counting ([[graft.operators.TriangleCount]]): oriented
+    * out-degrees are O(√m), so no hub node concentrates a reducer. */
+  val graphTriangles: Q = (s, dir) =>
+    graft.operators.TriangleCount.perNode(
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", k = 3).select("vec_id", "neighbor_id"),
+      "vec_id", "neighbor_id")
+      .select(col("node").as("vec_id"), col("n_triangles"))
+
   /** Product-quantization ANN (Jégou 2011): m=8 × k=16 codebooks on
     * unit vectors (64-dim float32 → 8 codes, 32× smaller scan frame),
     * per-query ADC tables, exact-cosine rerank of the top-100
@@ -287,6 +299,7 @@ trait SimilarityQueries extends QueriesBase {
     "similarity_pq" -> similarityPq,
     "graph_pagerank" -> graphPagerank,
     "graph_communities" -> graphCommunities,
+    "graph_triangles" -> graphTriangles,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_ivf_append" -> similarityIvfAppend,

@@ -96,7 +96,7 @@ class FuzzDifferentialSpec extends SparkSpec {
   // not invariants — adversarial vectors can legitimately sink them.
   private val embQueries = Seq(
     "similarity_topk", "similarity_ivf", "similarity_knn_graph",
-    "mine_triplets", "graph_pagerank", "similarity_quantized",
+    "mine_triplets", "graph_pagerank", "graph_triangles", "similarity_quantized",
     "embedding_quantize", "embedding_stats", "embedding_centroids",
     "dedup_embedding", "dedup_semantic", "decontam_semantic",
     "similarity_lsh_exhaustive", "similarity_ivf_exhaustive",
