@@ -135,6 +135,40 @@ private[graft] object SimilarityOracles {
          |SELECT node, label AS community FROM l5""".stripMargin
     },
 
+    // Mirrors similarityMrlRecall: full-dim and first-16-dim-prefix
+    // top-5 rankings (both 4-dp cosine + id tiebreak), per-query hit
+    // count and one mirrored recall division.
+    "similarity_mrl_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |fullr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           round(list_dot_product(q.v, c.v) /
+        |                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 DESC,
+        |           c.vec_id ASC) AS rank
+        |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+        |  WHERE rank <= 5),
+        |e16 AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |q16 AS (SELECT * FROM e16 WHERE vec_id < 5),
+        |truncr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q16.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q16.vec_id ORDER BY
+        |           round(list_dot_product(q16.v, c.v) /
+        |                 (sqrt(list_dot_product(q16.v, q16.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 DESC,
+        |           c.vec_id ASC) AS rank
+        |  FROM e16 c CROSS JOIN q16 WHERE q16.vec_id <> c.vec_id)
+        |  WHERE rank <= 5),
+        |h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nh
+        |      FROM truncr WHERE EXISTS (SELECT 1 FROM fullr
+        |        WHERE fullr.query_id = truncr.query_id
+        |          AND fullr.neighbor_id = truncr.neighbor_id)
+        |      GROUP BY query_id)
+        |SELECT f.query_id, coalesce(h.nh, 0) AS n_hits,
+        |       round(coalesce(h.nh, 0) * 10000.0 / f.nt) / 10000 AS recall
+        |FROM (SELECT query_id, count(*) AS nt FROM fullr GROUP BY query_id) f
+        |LEFT JOIN h ON f.query_id = h.query_id""".stripMargin,
+
     // Mirrors operators.TriangleCount over the symmetrized k=3 knn
     // graph: (degree, id)-oriented wedges closed against the
     // id-canonical edge set — each triangle counts once at its

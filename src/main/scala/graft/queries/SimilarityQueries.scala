@@ -76,6 +76,33 @@ trait SimilarityQueries extends QueriesBase {
       "vec_id", "neighbor_id")
       .select(col("node").as("vec_id"), col("n_triangles"))
 
+  /** Matryoshka-truncation A/B (Kusupati et al. 2022, MRL): top-5 on
+    * the FIRST-16-DIM prefix of each embedding vs the full-64-dim
+    * truth, reported as per-query recall — the measured cost of the
+    * 4× scan-bandwidth cut a 100 TB vector store takes by storing
+    * nested-prefix embeddings and searching the short prefix. Fully
+    * hash-checked (both rankings are 4-dp-rounded cosine + id
+    * tiebreak; recall is one mirrored IEEE division) — unlike the
+    * PQ/IVF recall floors, nothing here is engine-specific. */
+  val similarityMrlRecall: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val full = Similarity.topK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val e16 = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16"))
+    val trunc = Similarity.topK(e16, e16.filter(col("vec_id") < 5),
+        "vec_id", "emb16", k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = trunc.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    full.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        (round(coalesce(col("__h"), lit(0L)) * 10000.0 / col("n_truth")) / 1e4)
+          .as("recall"))
+  }
+
   /** Product-quantization ANN (Jégou 2011): m=8 × k=16 codebooks on
     * unit vectors (64-dim float32 → 8 codes, 32× smaller scan frame),
     * per-query ADC tables, exact-cosine rerank of the top-100
@@ -300,6 +327,7 @@ trait SimilarityQueries extends QueriesBase {
     "graph_pagerank" -> graphPagerank,
     "graph_communities" -> graphCommunities,
     "graph_triangles" -> graphTriangles,
+    "similarity_mrl_recall" -> similarityMrlRecall,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_ivf_append" -> similarityIvfAppend,

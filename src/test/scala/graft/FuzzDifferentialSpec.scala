@@ -100,6 +100,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "embedding_quantize", "embedding_stats", "embedding_centroids",
     "dedup_embedding", "dedup_semantic", "decontam_semantic",
     "similarity_lsh_exhaustive", "similarity_ivf_exhaustive",
+    "similarity_mrl_recall",
     // exhaustive-probe append ≡ brute force by construction, so the
     // engine-specific centroids are invisible — fuzz-safe
     "similarity_ivf_append")
