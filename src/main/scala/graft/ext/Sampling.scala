@@ -248,4 +248,53 @@ object Sampling {
         col("__tbs_cum").as("cum_before"),
         (col("__tbs_cum") < budget).as("kept"))
   }
+
+  /** Weighted SYSTEMATIC sample: exactly `n` draws per stratum with
+    * inclusion probability proportional to an integer weight (token
+    * counts — the "sample by data volume, not doc count" form), in
+    * EXACT integer arithmetic. Rows order by md5(key‖salt) with the
+    * key tiebreak (the [[capPerGroup]] construction — a deterministic
+    * circular shuffle); a row with cumulative weight reaching
+    * threshold multiples of W/n takes one copy per multiple crossed:
+    * `n_copies = ⌊c_i·n/W⌋ − ⌊c_{i−1}·n/W⌋`. Σ n_copies = n exactly
+    * per stratum (the largest-remainder discipline of
+    * [[mixtureResample]], weight-proportional instead of
+    * count-balanced); a row heavier than W/n can draw multiple copies
+    * — systematic sampling's documented behavior, and the honest one
+    * (its inclusion probability saturates). Zero-weight rows never
+    * draw. All-integer: no pow/log portability seams, the oracle
+    * replays bit-for-bit.
+    *
+    * Emits the full per-row report (weight, cum_before, n_copies) so
+    * the draw is auditable; filter `n_copies > 0` for survivors.
+    *
+    * Scale shape: one window per stratum (the cumulative sum is
+    * inherently sequential per stratum — the [[tokenBudgetSample]]
+    * discipline; shard strata further before this window at 100 TB);
+    * the per-stratum total joins back as a broadcast of ≤ |strata|
+    * rows. */
+  def weightedSystematic(df: DataFrame, keyCol: String, strataCol: String,
+      weight: Column, n: Int, salt: String = ""): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val ord = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(ord.asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df.withColumn("__ws_w", weight.cast("long"))
+    val totals = base.groupBy(col(strataCol))
+      .agg(sum(col("__ws_w")).as("__ws_total"))
+    base
+      .join(broadcast(totals), Seq(strataCol))
+      .withColumn("__ws_cum", coalesce(sum(col("__ws_w")).over(w), lit(0L)))
+      // `div` (integer division), NOT `/` (double): thresholds must be
+      // exact at any magnitude; an all-zero-weight stratum divides by
+      // zero → null → 0 copies
+      .select(col(keyCol), col(strataCol),
+        col("__ws_w").as("weight"),
+        col("__ws_cum").as("cum_before"),
+        coalesce(
+          expr(s"((__ws_cum + __ws_w) * $n) div __ws_total") -
+            expr(s"(__ws_cum * $n) div __ws_total"),
+          lit(0L)).as("n_copies"))
+  }
 }

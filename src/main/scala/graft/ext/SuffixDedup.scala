@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -68,40 +69,135 @@ object SuffixDedup {
     spark.createDataFrame(rdd, sorted.schema.add(idxName, LongType))
   }
 
-  /** Prefix-doubling rank levels over a token frame (doc, pos, tok):
-    * returns `(prefixLen, table(doc, pos, r))` for prefixLen = 1, 2,
-    * 4, … — table ranks suffixes by their first `min(prefixLen,
-    * remaining)` tokens, with shorter-than-level remainders ranked
-    * distinctly from any full-length prefix (the 0-pad below), which
-    * is what makes the LCP descent's equal-rank ⇒ equal-prefix step
-    * sound at doc ends. Stops once prefixLen ≥ maxDocLen or all ranks
-    * are distinct (then every pairwise LCP < prefixLen, so higher
-    * levels can never fire in the descent). */
-  private[ext] def rankLevels(toks: DataFrame, maxLen: Int): Seq[(Int, DataFrame)] = {
-    val tokRanks = withOrderIndex(
-      toks.select(col("tok")).distinct(), Seq(col("tok")), "r")
-    var cur = toks.join(tokRanks, "tok")
-      .select(col("doc"), col("pos"), col("r")).localCheckpoint()
-    val nPos = cur.count()
-    // ranks are CONTIGUOUS 1..D by construction (zipWithIndex over the
-    // distinct sorted keys), so the all-distinct early-stop test is a
-    // cheap max(r), not a distinct-count shuffle
-    def nDistinct(t: DataFrame): Long =
-      t.agg(coalesce(max(col("r")), lit(0L))).head().getLong(0)
-    var len = 1
+  /** DENSE rank of `df` by `keyCols` in their natural ascending order,
+    * appended as `outCol`, plus the total number of distinct keys —
+    * ONE range-partitioned sort and two passes sharing its shuffle
+    * files (per-partition distinct census with boundary merging, then
+    * offset-based assignment), versus the distinct→sort→zipWithIndex→
+    * join-back chain this replaced (three shuffles and a recomputed
+    * sort per ladder level — measured 2.4 s/level of pure overhead at
+    * sf0.1). Keys may be any orderable type incl. arrays; ranks are
+    * order-determined, so the output is independent of partition
+    * boundaries. The free distinct count is the ladder's early-stop
+    * signal. */
+  private def denseRankBy(df: DataFrame, keyCols: Seq[String],
+      outCol: String, rowsHint: Long = -1L): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    // size partitions to the data: ~64k rows per range partition, the
+    // task-overhead sweet spot for these narrow frames; unknown sizes
+    // fall back to the cluster's parallelism
+    val maxParts = math.max(1, spark.sparkContext.defaultParallelism)
+    val parts =
+      if (rowsHint <= 0) maxParts
+      else math.min(maxParts, math.max(1L, rowsHint / 65536L)).toInt
+    val others = df.columns.filterNot(keyCols.contains).toSeq
+    val sorted = df
+      .repartitionByRange(parts, keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+      .select((keyCols ++ others).map(col): _*)
+    val nk = keyCols.size
+    val rdd = sorted.rdd
+    def keyOf(row: Row): Seq[Any] = (0 until nk).map(row.get)
+    // pass 1: per-partition (#distinct keys, first key, last key)
+    val stats = rdd.mapPartitionsWithIndex { (i, it) =>
+      var first: Seq[Any] = null; var prev: Seq[Any] = null; var d = 0L
+      it.foreach { row =>
+        val k = keyOf(row)
+        if (prev == null || k != prev) { d += 1; if (first == null) first = k }
+        prev = k
+      }
+      Iterator((i, d, Option(first), Option(prev)))
+    }.collect().sortBy(_._1)
+    // offsets with cross-partition boundary dedup (a key spanning a
+    // partition edge must not count twice)
+    val offsets = new Array[Long](stats.length)
+    var acc = 0L
+    var prevLast: Option[Seq[Any]] = None
+    for ((i, d, first, last) <- stats) {
+      val adj = if (first.isDefined && first == prevLast) -1L else 0L
+      offsets(i) = acc + adj
+      acc += d + adj
+      if (last.isDefined) prevLast = last
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    // pass 2: assignment (the sort's shuffle files are reused — the
+    // exchange stage is skipped on re-execution)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = bOff.value(i)
+      var prev: Seq[Any] = null
+      it.map { row =>
+        val k = keyOf(row)
+        if (prev == null || k != prev) rank += 1
+        prev = k
+        Row.fromSeq((nk until row.size).map(row.get) :+ rank)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      others.map(c => sorted.schema(c)) :+
+        org.apache.spark.sql.types.StructField(outCol, LongType, nullable = false))
+    (spark.createDataFrame(out, schema), acc)
+  }
+
+  /** Base prefix length: the doubling ladder starts at rank-by-8-token
+    * prefix instead of rank-by-token, collapsing levels 1/2/4/8 into
+    * ONE distributed rank assignment — at log-round granularity the
+    * pipeline's cost is round LATENCY, not row volume, so halving the
+    * ladder (and the LCP descent with it) halves the wall clock. The
+    * sub-8 LCP remainder is recovered exactly by one per-row array
+    * compare ([[dupLens]]'s fix-up join). */
+  private[ext] val BaseLen = 8
+
+  /** The (doc, pos, p) prefix frame: p = the ≤[[BaseLen]]-token prefix
+    * ARRAY of the suffix at pos. Arrays (not joined strings) carry the
+    * order and the join key: Spark's array<string> ordering IS
+    * token-sequence lexicographic order with shorter-prefix-first —
+    * a separator-joined string would need a separator sorting below
+    * every token character, which no whitespace-split token set
+    * guarantees (control chars below 0x20 are legal token bytes). */
+  private[ext] def prefixFrame(base: DataFrame): DataFrame =
+    base.select(col("doc"), col("__t"),
+        posexplode(col("__t")).as(Seq("pos", "tok")))
+      .select(col("doc"), col("pos"),
+        slice(col("__t"), col("pos") + 1, lit(BaseLen)).as("p"))
+
+  /** Prefix-doubling rank levels over a [[prefixFrame]]: returns
+    * `(prefixLen, table(doc, pos, r))` for prefixLen = 8, 16, 32, … —
+    * table ranks suffixes by their first `min(prefixLen, remaining)`
+    * tokens, with shorter-than-level remainders ranked distinctly
+    * from any full-length prefix (base level: distinct array lengths
+    * are distinct arrays; doubling: the 0-pad below), which is what
+    * makes the LCP descent's equal-rank ⇒ equal-prefix step sound at
+    * doc ends. Stops once prefixLen ≥ maxDocLen or all ranks are
+    * distinct (then every pairwise LCP < prefixLen, so higher levels
+    * can never fire in the descent). */
+  private[ext] def rankLevels(prefixes: DataFrame, maxLen: Int): Seq[(Int, DataFrame)] = {
+    val nPos = prefixes.count()
+    val (ranked0, nd0) = denseRankBy(
+      prefixes.select(col("p"), col("doc"), col("pos")), Seq("p"), "r", nPos)
+    var cur = ranked0.select(col("doc"), col("pos"), col("r")).localCheckpoint()
+    var nDistinct = nd0
+    var len = BaseLen
     val levels = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)](len -> cur)
-    while (len < maxLen && nDistinct(cur) < nPos) {
-      val shifted = cur.select(col("doc"), (col("pos") - len).as("pos"),
-        col("r").as("r2"))
-      // 0-pad: ranks are ≥ 1, so a suffix ending inside this level
-      // keys differently from every continuing one
-      val paired = cur.join(shifted, Seq("doc", "pos"), "left")
-        .withColumn("r2", coalesce(col("r2"), lit(0L)))
-      val pairRanks = withOrderIndex(
-        paired.select(col("r"), col("r2")).distinct(),
-        Seq(col("r"), col("r2")), "nr")
-      cur = paired.join(pairRanks, Seq("r", "r2"))
-        .select(col("doc"), col("pos"), col("nr").as("r")).localCheckpoint()
+    while (len < maxLen && nDistinct < nPos) {
+      // r2 = rank of the suffix `len` positions ahead — positions are
+      // contiguous 0..n-1 per doc, so lead(r, len) IS the (doc,
+      // pos+len) lookup without a self-join (one doc-partitioned
+      // window vs a two-sided shuffle). 0-pad: ranks are ≥ 1, so a
+      // suffix ending inside this level keys differently from every
+      // continuing one.
+      val wDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      // checkpoint the window output: the range partitioner's sampling
+      // pass would otherwise re-execute the whole window a second time
+      val paired = cur.withColumn("r2",
+          coalesce(lead(col("r"), len).over(wDoc), lit(0L)))
+        .localCheckpoint()
+      val (ranked, nd) = denseRankBy(paired, Seq("r", "r2"), "nr", nPos)
+      // no checkpoint on cur itself: later reads (next level, descent)
+      // re-run only the cheap assignment map over the retained range-
+      // shuffle files (stage skipping), and the RANGE-SORTED layout —
+      // which the suffix-array step exploits — survives
+      cur = ranked.select(col("doc"), col("pos"), col("nr").as("r"))
+      nDistinct = nd
       len *= 2
       levels += (len -> cur)
     }
@@ -117,10 +213,21 @@ object SuffixDedup {
     * by binary descent over the doubling levels, clamped to the
     * remaining doc length (verbatim-equal short suffixes overshoot by
     * construction of the 0-pad; the clamp is exact there). */
-  private[ext] def dupLens(toks: DataFrame, lens: DataFrame, maxLen: Int): DataFrame = {
-    val levels = rankLevels(toks, maxLen)
+  private[ext] def dupLens(prefixes: DataFrame, lens: DataFrame, maxLen: Int): DataFrame = {
+    val levels = rankLevels(prefixes, maxLen)
     val top = levels.last._2
-    val sa = withOrderIndex(top, Seq(col("r"), col("doc"), col("pos")), "sa_idx")
+    // top carries the denseRankBy pass-2 layout — range-partitioned
+    // with ranks assigned in sorted order (select/localCheckpoint
+    // preserve it), and equal ranks colocate (equal keys range-
+    // partition together) — so the suffix-array index needs only a
+    // within-partition refinement sort + zipWithIndex, never a second
+    // global sort.
+    val spark = prefixes.sparkSession
+    val saSorted = top.sortWithinPartitions(col("r"), col("doc"), col("pos"))
+    val saRdd = saSorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    val sa = spark.createDataFrame(saRdd, saSorted.schema.add("sa_idx", LongType))
     val nxt = sa.select((col("sa_idx") - 1).as("sa_idx"),
       col("doc").as("bdoc"), col("pos").as("bpos"))
     var pairs = sa.join(nxt, "sa_idx")
@@ -146,6 +253,29 @@ object SuffixDedup {
       // lineage truncation: two joins per level stack up fast
       if (joined % 3 == 0) pairs = pairs.localCheckpoint()
     }
+    // sub-BaseLen fix-up: after the level-8 step the residual LCP is
+    // < 8 and the ranks at the current offsets differ — recover it
+    // EXACTLY with one per-row common-prefix compare of the ≤8-token
+    // prefix arrays (two bounded lookups, no more rounds)
+    val pa = prefixes.select(col("doc").as("adoc"), col("pos").as("__pa"),
+      col("p").as("__p1"))
+    val pb = prefixes.select(col("doc").as("bdoc"), col("pos").as("__pb"),
+      col("p").as("__p2"))
+    val eqFlags = zip_with(col("__p1"), col("__p2"),
+      (x, y) => when(x.isNotNull && y.isNotNull && x === y, lit(1))
+        .otherwise(lit(0)))
+    val firstMismatch = array_position(eqFlags, 0)
+    val common = when(col("__p1").isNull || col("__p2").isNull, lit(0L))
+      .when(firstMismatch === 0,
+        least(size(col("__p1")), size(col("__p2"))).cast("long"))
+      .otherwise(firstMismatch - 1)
+    pairs = pairs
+      .withColumn("__pa", col("apos") + col("lcp"))
+      .withColumn("__pb", col("bpos") + col("lcp"))
+      .join(pa, Seq("adoc", "__pa"), "left")
+      .join(pb, Seq("bdoc", "__pb"), "left")
+      .withColumn("lcp", (col("lcp") + common).cast("int"))
+      .drop("__pa", "__pb", "__p1", "__p2")
     val perSuffix = pairs
       .select(col("adoc").as("doc"), col("apos").as("pos"), col("lcp"))
       .unionByName(pairs.select(col("bdoc").as("doc"), col("bpos").as("pos"),
@@ -169,16 +299,14 @@ object SuffixDedup {
     val base = df.select(col(idCol).as("doc"),
         TextOps.tokens(col(textCol)).as("__t"))
       .localCheckpoint()
-    val toks = base.select(col("doc"),
-      posexplode(col("__t")).as(Seq("pos", "tok")))
     val lens = base.select(col("doc"), size(col("__t")).as("len"))
     val maxLen = base.agg(coalesce(max(size(col("__t"))), lit(0)))
       .head().getInt(0)
     val marked =
       if (maxLen < minTokens)
-        toks.select(col("doc"), col("pos").as("s"), col("pos").as("e")).limit(0)
+        lens.select(col("doc"), lit(0).as("s"), lit(0).as("e")).limit(0)
       else
-        dupLens(toks, lens, maxLen)
+        dupLens(prefixFrame(base), lens, maxLen)
           .filter(col("dup_len") >= minTokens)
           .select(col("doc"), col("pos").as("s"),
             (col("pos") + col("dup_len")).as("e"))
@@ -210,8 +338,6 @@ object SuffixDedup {
     val base = df.select(col(idCol).as("doc"),
         TextOps.tokens(col(textCol)).as("__t"))
       .localCheckpoint()
-    val toks = base.select(col("doc"),
-      posexplode(col("__t")).as(Seq("pos", "tok")))
     val lens = base.select(col("doc"), size(col("__t")).as("len"))
     val maxLen = base.agg(coalesce(max(size(col("__t"))), lit(0)))
       .head().getInt(0)
@@ -219,7 +345,7 @@ object SuffixDedup {
       if (maxLen < minTokens) lens.select(col("doc")).limit(0)
         .withColumn("__l", lit(0)).withColumn("__s", lit(-1))
       else
-        dupLens(toks, lens, maxLen)
+        dupLens(prefixFrame(base), lens, maxLen)
           .filter(col("dup_len") >= minTokens)
           .groupBy("doc")
           // max length, then smallest attaining position — one

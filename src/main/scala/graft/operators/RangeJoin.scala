@@ -41,4 +41,39 @@ object RangeJoin {
       .filter(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
       .drop("__bkt")
   }
+
+  /** Interval×interval OVERLAP join: left intervals `[a_lo, a_hi]`
+    * matched to right intervals `[b_lo, b_hi]` with
+    * `a_lo ≤ b_hi AND b_lo ≤ a_hi` (closed, inclusive), equi-matching
+    * on `keys` first — sessions×outage-windows, span×span
+    * containment checks, any temporal-alignment audit.
+    *
+    * Same bucket discipline as [[pointInInterval]], with one
+    * dedup twist: BOTH sides explode into covered buckets, so an
+    * overlapping pair co-occurs in every bucket their intersection
+    * covers — the exact predicate filters first, then duplicate
+    * matches collapse by keeping only the bucket holding the
+    * intersection's LOW end (`greatest(a_lo, b_lo)`), a stateless
+    * per-row test instead of a distinct over the pair blowup. Work is
+    * Σ per-bucket occupancy products; long intervals replicate
+    * ⌈len/w⌉+1× — cap or split upstream, the hot-shingle rule. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      aLoCol: String, aHiCol: String, bLoCol: String, bHiCol: String,
+      keys: Seq[String] = Nil, bucketWidth: Long = 16L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    val a = left.withColumn("__bkt",
+      explode(sequence(floor(col(aLoCol) / w).cast("long"),
+        floor(col(aHiCol) / w).cast("long"))))
+    val b = right.withColumn("__bkt",
+      explode(sequence(floor(col(bLoCol) / w).cast("long"),
+        floor(col(bHiCol) / w).cast("long"))))
+    a.join(b, keys :+ "__bkt")
+      .filter(col(aLoCol) <= col(bHiCol) && col(bLoCol) <= col(aHiCol))
+      // emit each overlapping pair exactly once: only from the bucket
+      // containing the intersection's low end
+      .filter(col("__bkt") ===
+        floor(greatest(col(aLoCol), col(bLoCol)) / w).cast("long"))
+      .drop("__bkt")
+  }
 }

@@ -366,6 +366,26 @@ private[graft] object CompositeOracles {
     // Mirrors Sampling.tokenBudgetSample: md5-ordered per-source
     // running token total (rows-preceding window), kept iff the
     // preceding total sits under the source's budget.
+    // Mirrors Sampling.weightedSystematic: md5-ordered per-lang
+    // cumulative token weights, exact integer threshold crossings
+    // ((c+w)·n // W − c·n // W), Σ n_copies = 20 per lang.
+    "sample_weighted_systematic" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |         CAST(len(${wsToks("text")}) AS BIGINT) AS w
+        |       FROM documents),
+        |tot AS (SELECT lang, sum(w) AS tw FROM t GROUP BY lang),
+        |c AS (SELECT doc_id, lang, w,
+        |        CAST(coalesce(sum(w) OVER (
+        |          PARTITION BY lang
+        |          ORDER BY md5(doc_id::VARCHAR || 'wsys'), doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cb
+        |      FROM t)
+        |SELECT c.doc_id, c.lang, c.w AS weight, c.cb AS cum_before,
+        |       CAST(coalesce(((c.cb + c.w) * 20) // tw
+        |                     - (c.cb * 20) // tw, 0) AS BIGINT) AS n_copies
+        |FROM c JOIN tot USING (lang)""".stripMargin,
+
     "sample_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
         |         CAST(len(${wsToks("text")}) AS BIGINT) AS n_tokens,

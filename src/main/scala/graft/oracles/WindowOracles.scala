@@ -185,6 +185,27 @@ private[graft] object WindowOracles {
         |  ON p.event_type = windows.event_type AND p.d BETWEEN d_lo AND d_hi
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // Mirrors RangeJoin.intervalOverlap's OUTPUT with the direct
+    // overlap predicate (the bucketing is a physical strategy, not a
+    // semantic): per-(event_type,user) activity span vs the per-type
+    // promo windows, closed-interval overlap.
+    "join_interval_overlap" ->
+      """WITH sp AS (
+        |  SELECT event_type, user_id,
+        |         min(day(ts)) AS u_lo, max(day(ts)) AS u_hi
+        |  FROM events GROUP BY 1, 2),
+        |windows AS (
+        |  SELECT DISTINCT event_type, d_lo, d_hi FROM events
+        |  CROSS JOIN (VALUES (2, 9), (12, 19), (22, 29)) w(d_lo, d_hi))
+        |SELECT sp.event_type, CAST(d_lo AS BIGINT) AS d_lo,
+        |       CAST(d_hi AS BIGINT) AS d_hi,
+        |       count(*) AS n_users,
+        |       CAST(sum(u_hi - u_lo) AS BIGINT) AS span_days_sum
+        |FROM sp JOIN windows
+        |  ON sp.event_type = windows.event_type
+        | AND u_lo <= d_hi AND d_lo <= u_hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "series_asof" ->
       s"""WITH d AS ($dailySeriesCte),
          |sparse AS (SELECT * FROM d WHERE observation_day % 3 = 0),

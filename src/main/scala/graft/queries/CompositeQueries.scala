@@ -197,6 +197,18 @@ trait CompositeQueries extends QueriesBase {
       budgets = Seq("src0" -> 2000L, "src1" -> 500L),
       defaultBudget = 1000L, salt = "graft")
 
+  /** Weighted systematic sample: exactly 20 draws per language with
+    * inclusion ∝ token count — "sample by data volume, not doc
+    * count", in exact integer threshold arithmetic (see
+    * [[Sampling.weightedSystematic]]; full audit report, n_copies
+    * per doc, Σ = 20 per lang). */
+  val sampleWeightedSystematic: Q = (s, dir) =>
+    Sampling.weightedSystematic(
+      Tables.documents(s, dir).select("doc_id", "lang", "text"),
+      "doc_id", "lang", TextOps.tokenCount(col("text")),
+      n = 20, salt = "wsys")
+      .select("doc_id", "lang", "weight", "cum_before", "n_copies")
+
   /** Quality-aware canonical selection: for each near-dup cluster from
     * the n-gram pair graph, keep the LONGEST member (doc id tiebreak) —
     * the doc a curation pipeline would actually retain, vs the
@@ -317,6 +329,7 @@ trait CompositeQueries extends QueriesBase {
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "sample_token_budget" -> sampleTokenBudget,
+    "sample_weighted_systematic" -> sampleWeightedSystematic,
     "dedup_canonical" -> dedupCanonical,
     "dedup_canonical_shared" -> dedupCanonicalShared,
     "text_normalize" -> textNormalize,

@@ -162,6 +162,31 @@ trait WindowQueries extends QueriesBase {
         (sumE6(col("value")).cast("double") / 1e6).as("value_sum"))
   }
 
+  /** Interval×interval OVERLAP join via double bucketing: each
+    * (user, event_type) activity span [first day, last day] matched
+    * to the per-type promo windows it overlaps — the
+    * sessions×windows audit (`a_lo ≤ b_hi AND b_lo ≤ a_hi`), exact
+    * predicate after the bucket equi-join, each pair emitted once
+    * from its intersection-low bucket (no distinct over the pair
+    * blowup). */
+  val joinIntervalOverlap: Q = (s, dir) => {
+    val sess = s
+    import sess.implicits._
+    val spans = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        dayofmonth(col("ts")).cast("long").as("d"))
+      .groupBy("event_type", "user_id")
+      .agg(min(col("d")).as("u_lo"), max(col("d")).as("u_hi"))
+    val windows = Tables.events(s, dir).select("event_type").distinct()
+      .crossJoin(Seq((2L, 9L), (12L, 19L), (22L, 29L)).toDF("d_lo", "d_hi"))
+    graft.operators.RangeJoin
+      .intervalOverlap(spans, windows, "u_lo", "u_hi", "d_lo", "d_hi",
+        keys = Seq("event_type"), bucketWidth = 8L)
+      .groupBy("event_type", "d_lo", "d_hi")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("u_hi") - col("u_lo")).as("span_days_sum"))
+  }
+
   /** As-of join: align each daily point with the most recent sparse
     * (every-3rd-day) observation at or before it. */
   val seriesAsof: Q = (s, dir) => {
@@ -250,5 +275,6 @@ trait WindowQueries extends QueriesBase {
     "series_asof_nearest" -> seriesAsofNearest,
     "events_transitions" -> eventsTransitions,
     "events_paths" -> eventsPaths,
-    "join_range" -> joinRange)
+    "join_range" -> joinRange,
+    "join_interval_overlap" -> joinIntervalOverlap)
 }

@@ -75,7 +75,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "source_overlap", "profile_source_overlap",
     "pack_budget", "pack_concat", "pack_stats",
     "sample_hash", "sample_cap_per_group", "sample_stratified",
-    "sample_mixture", "sample_token_budget",
+    "sample_mixture", "sample_token_budget", "sample_weighted_systematic",
     "split_leakage", "split_repair",
     "curate_corpus", "curate_corpus_gopher", "curate_corpus_near",
     "curate_corpus_communities",
@@ -136,7 +136,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "quality_expectations", "profile_columns", "quality_funnel",
     "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
     "fred_yearly_gold", "window_ewma", "window_interpolate",
-    "agg_hll_portable")
+    "agg_hll_portable", "join_interval_overlap")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

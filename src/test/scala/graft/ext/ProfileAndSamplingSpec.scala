@@ -472,4 +472,30 @@ class ProfileAndSamplingSpec extends SparkSpec {
     assert(b.getAs[Long]("n_exact_dup") == 0L)
     assert(b.getAs[Long]("n_keep") == 1L && b.getAs[Double]("keep_ratio") == 1.0)
   }
+
+  test("weightedSystematic: exactly n draws per stratum, weight-proportional, exact integers") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i <= 20) "x" else "y",
+        if (i == 1) 0L else if (i == 2) 500L else 10L))
+      .toDF("id", "lang", "w")
+    val out = Sampling.weightedSystematic(docs, "id", "lang", col("w"),
+        n = 5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq
+    val perLang = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perLang == Map("x" -> 5L, "y" -> 5L),
+      s"each stratum must draw exactly n: $perLang")
+    val copies = out.map(r => r._1 -> r._3).toMap
+    assert(copies(1L) == 0L, "zero-weight row must never draw")
+    // row 2 holds 500 of x's 680 total weight -> ~73% of 5 draws
+    assert(copies(2L) >= 3L, s"heavy row must saturate: ${copies(2L)}")
+  }
+
+  test("weightedSystematic is partitioning-independent") {
+    val docs = (1 to 100).map(i => (i.toLong, "s", (i % 7 + 1).toLong))
+      .toDF("id", "lang", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSystematic(df, "id", "lang", col("w"), n = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(run(docs.repartition(1)) == run(docs.repartition(17)))
+  }
 }

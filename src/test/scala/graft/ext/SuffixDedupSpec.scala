@@ -21,29 +21,56 @@ class SuffixDedupSpec extends SparkSpec {
 
   private val banana = Seq((0L, "b a n a n a")).toDF("doc_id", "text")
 
-  private def bananaToks = banana.select(col("doc_id").as("doc"),
-    posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+  private def bananaPrefixes = SuffixDedup.prefixFrame(
+    banana.select(col("doc_id").as("doc"), TextOps.tokens(col("text")).as("__t")))
 
   test("rankLevels: final ranks realize the hand-computed banana suffix array") {
-    val levels = SuffixDedup.rankLevels(bananaToks, maxLen = 6)
+    val levels = SuffixDedup.rankLevels(bananaPrefixes, maxLen = 6)
     val ranks = levels.last._2.select("pos", "r").as[(Int, Long)]
       .collect().toMap
     assert(ranks == Map(5 -> 1L, 3 -> 2L, 1 -> 3L, 0 -> 4L, 4 -> 5L, 2 -> 6L),
       s"got $ranks")
-    // level lengths double from 1 and stop at/above maxLen or
-    // distinctness — banana needs levels 1,2,4,8 (ties at len 4:
-    // none, all distinct after len 4? a(5) vs ana(3) differ at len 2)
-    assert(levels.map(_._1).zip(levels.map(_._1).tail)
-      .forall { case (a, b) => b == 2 * a }, "levels must double")
+    // maxLen 6 ≤ BaseLen 8: the base prefix-array rank IS the full
+    // suffix rank — one level, no doubling needed
+    assert(levels.map(_._1) == Seq(8), s"unexpected ladder ${levels.map(_._1)}")
+  }
+
+  test("rankLevels: the ladder doubles past BaseLen on long docs") {
+    // one 40-token doc duplicated → ranks tie at every level until the
+    // length horizon; ladder must climb 8, 16, 32, 64
+    val long = Seq((0L, (1 to 40).map(i => s"t$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val pf = SuffixDedup.prefixFrame(
+      long.select(col("doc_id").as("doc"), TextOps.tokens(col("text")).as("__t")))
+    val levels = SuffixDedup.rankLevels(pf, maxLen = 40)
+    assert(levels.map(_._1) == Seq(8, 16, 32, 64),
+      s"unexpected ladder ${levels.map(_._1)}")
   }
 
   test("dupLens: longest duplicated match per position, clamped at doc end") {
     val lens = banana.select(col("doc_id").as("doc"),
       size(TextOps.tokens(col("text"))).as("len"))
-    val dl = SuffixDedup.dupLens(bananaToks, lens, maxLen = 6)
+    val dl = SuffixDedup.dupLens(bananaPrefixes, lens, maxLen = 6)
       .select("pos", "dup_len").as[(Int, Int)].collect().toMap
     assert(dl == Map(0 -> 0, 1 -> 3, 2 -> 2, 3 -> 3, 4 -> 2, 5 -> 1),
       s"got $dl")
+  }
+
+  test("dupLens: matches longer than BaseLen resolve exactly (ladder + fix-up)") {
+    // a 21-token duplicated passage at different offsets: dup_len at
+    // the copy starts must be exactly 21 = 16 + 4 + sub-8 remainder 1
+    val passage = (1 to 21).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"$passage xa xb"), (2L, s"pre0 pre1 pre2 $passage"))
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id").as("doc"),
+      TextOps.tokens(col("text")).as("__t"))
+    val lens = base.select(col("doc"), size(col("__t")).as("len"))
+    val dl = SuffixDedup.dupLens(SuffixDedup.prefixFrame(base), lens, maxLen = 24)
+      .select("doc", "pos", "dup_len").as[(Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(dl((1L, 0)) == 21 && dl((2L, 3)) == 21,
+      s"copy starts must report the full 21-token match: $dl")
+    assert(dl((1L, 5)) == 16, s"interior suffix match must be exact: ${dl((1L, 5))}")
   }
 
   test("duplicatedSpans: banana L=2 marks the single merged region [1,6)") {

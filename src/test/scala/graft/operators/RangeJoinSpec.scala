@@ -40,4 +40,29 @@ class RangeJoinSpec extends SparkSpec {
       s"range join degenerated to a nested loop:\n$plan")
     assert(plan.contains("Join") || plan.contains("join"), plan)
   }
+
+  private val leftIv = Seq(
+    ("A", 1L, 4L), ("A", 5L, 30L), ("A", 31L, 31L), ("B", 1L, 4L)
+  ).toDF("k", "a_lo", "a_hi")
+  private val rightIv = Seq(
+    ("A", 4L, 6L),    // touches [1,4] at 4 (inclusive) AND [5,30]
+    ("A", 10L, 90L),  // long: overlaps [5,30] across many buckets, [31,31]
+    ("B", 5L, 9L)     // key match but disjoint from B's [1,4]
+  ).toDF("k", "b_lo", "b_hi")
+
+  test("intervalOverlap equals the naive overlap join for any bucket width, pairs once") {
+    val naive = leftIv.join(rightIv, Seq("k"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("k", "a_lo", "a_hi", "b_lo", "b_hi")
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(naive.nonEmpty && naive.size == naive.distinct.size)
+    for (w <- Seq(1L, 3L, 16L, 1000L)) {
+      val bucketed = RangeJoin.intervalOverlap(leftIv, rightIv,
+          "a_lo", "a_hi", "b_lo", "b_hi", keys = Seq("k"), bucketWidth = w)
+        .select("k", "a_lo", "a_hi", "b_lo", "b_hi")
+        .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(bucketed == naive,
+        s"bucketWidth $w diverged (duplicate or missing pairs)")
+    }
+  }
 }
