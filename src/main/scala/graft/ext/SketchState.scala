@@ -117,6 +117,84 @@ object SketchState {
       p: Int = DefaultP): DataFrame =
     hllEstimate(spark.read.parquet(root), p)
 
+  // ------------------------------------------------ Count-Min
+
+  /** Default CMS shape: 4 lanes × 512 buckets — ε = e/512 ≈ 0.5% of
+    * the stream per cell, δ = e^-4. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  /** Count-Min cell table (Cormode & Muthukrishnan 2005) of a key
+    * column: one row per NONZERO cell, (lane, bucket, cnt). Lane
+    * hashes are independent md5 draws over `"<lane>_" ‖ key` reduced
+    * to the top-15-hex 60-bit value mod width — no modular
+    * multiplication, so the whole construction stays in exact BIGINT
+    * arithmetic that DuckDB replays verbatim (the `agg_countmin`
+    * catalog entry hash-checks every cell). Cells merge by ADDITION
+    * (associative + commutative), so saved state after any
+    * micro-batching is IDENTICAL to the one-shot sketch — the HLL
+    * register property, for frequencies instead of cardinality. Point
+    * estimate = min over lanes, always ≥ the true count. */
+  def cmsCells(df: DataFrame, keyCol: String, depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2, "bad CMS shape")
+    val lanes = (0 until depth).map { j =>
+      struct(lit(j).as("lane"),
+        (h60(concat(lit(s"${j}_"), col(keyCol).cast("string"))) % width)
+          .as("bucket"))
+    }
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array(lanes: _*)).as("c"))
+      .groupBy(col("c.lane").as("lane"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge a micro-batch into the saved cell table under `root`
+    * (parquet, ≤ depth·width rows): cell-wise ADDITION, so after any
+    * number of batches the saved table ≡ [[cmsCells]] over the
+    * concatenated stream — spec-pinned as exact frame equality. Same
+    * driver-materialize-first overwrite discipline as
+    * [[updateSavedHll]]. */
+  def updateSavedCms(root: String, batch: DataFrame, keyCol: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth): Unit = {
+    val spark = batch.sparkSession
+    val bs = cmsCells(batch, keyCol, depth, width)
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(path))
+        spark.read.parquet(root).unionByName(bs)
+          .groupBy("lane", "bucket").agg(sum(col("cnt")).as("cnt"))
+      else bs
+    val rows = merged.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+      .repartition(1).write.mode("overwrite").parquet(root)
+  }
+
+  /** Frequency estimates for a key frame against a cell table: min
+    * over lanes of the key's cells (a missing cell is 0). One
+    * broadcast-sized join per lane — the cell table is ≤ depth·width
+    * rows by construction. Output: (keyCol, estimate). */
+  def cmsEstimate(cells: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val lanes = (0 until depth).map { j =>
+      struct(lit(j).as("lane"),
+        (h60(concat(lit(s"${j}_"), col(keyCol).cast("string"))) % width)
+          .as("bucket"))
+    }
+    keys.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array(lanes: _*)).as("c"))
+      .select(col(keyCol), col("c.lane").as("lane"), col("c.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("lane", "bucket"), "left_outer")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
+  }
+
+  /** [[cmsEstimate]] over the saved state — the no-rescan query. */
+  def cmsEstimateFromSaved(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String, depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    cmsEstimate(spark.read.parquet(root), keys, keyCol, depth, width)
+
   // ------------------------------------------------ GK quantiles
 
   private val Threshold = QuantileSummaries.defaultCompressThreshold

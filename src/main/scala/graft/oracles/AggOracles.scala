@@ -23,6 +23,20 @@ private[graft] object AggOracles {
         |                     ELSE 49 END) AS BIGINT) AS max_rank
         |FROM r GROUP BY reg_idx""".stripMargin,
 
+    // Mirrors SketchState.cmsCells (4 lanes × 512 buckets): per lane,
+    // bucket = top-15-hex md5 of "<lane>_" ‖ key, mod 512 — exact
+    // BIGINT end to end, cell-wise-addition mergeable.
+    "agg_countmin" ->
+      """WITH k AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT lane,
+        |         ('0x' || substr(md5(lane::VARCHAR || '_' || user_id::VARCHAR),
+        |            1, 15))::BIGINT % 512 AS bucket
+        |  FROM k CROSS JOIN generate_series(0, 3) t(lane))
+        |SELECT CAST(lane AS INTEGER) AS lane, bucket,
+        |       count(*) AS cnt
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE day(ts) <= 15
         |EXCEPT

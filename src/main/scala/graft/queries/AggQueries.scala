@@ -197,8 +197,17 @@ trait AggQueries extends QueriesBase {
   val aggHllPortable: Q = (s, dir) =>
     graft.ext.SketchState.hllRegisters(Tables.events(s, dir), "user_id")
 
+  /** Count-Min cell table over the event user ids (4×512): the
+    * frequency-sketch sibling of [[aggHllPortable]] — cells merge by
+    * addition ([[graft.ext.SketchState.updateSavedCms]]), every cell
+    * an exact integer from independent md5 lane draws, so the whole
+    * sketch state is hash-checked in DuckDB. */
+  val aggCountmin: Q = (s, dir) =>
+    graft.ext.SketchState.cmsCells(Tables.events(s, dir), "user_id")
+
   protected def aggRegistry: Map[String, Q] = Map(
     "agg_hll_portable" -> aggHllPortable,
+    "agg_countmin" -> aggCountmin,
     "set_except" -> setExcept,
     "set_intersect" -> setIntersect,
     "agg_rollup" -> aggRollup,

@@ -136,7 +136,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "quality_expectations", "profile_columns", "quality_funnel",
     "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
     "fred_yearly_gold", "window_ewma", "window_interpolate",
-    "agg_hll_portable", "join_interval_overlap")
+    "agg_hll_portable", "agg_countmin", "join_interval_overlap")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

@@ -54,6 +54,41 @@ class SketchStateSpec extends SparkSpec {
     assert(before == after, "max-merge must be idempotent")
   }
 
+  test("CMS: saved state after N batches ≡ the one-shot sketch over the stream") {
+    val all = (1L to 5000L).map(i => i * 31L % 400L)
+    val root = tmp("cms")
+    all.grouped(1200).foreach(b =>
+      SketchState.updateSavedCms(root, b.toDF("k"), "k"))
+    val saved = spark.read.parquet(root)
+      .select("lane", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    val oneShot = SketchState.cmsCells(all.toDF("k"), "k")
+      .select("lane", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    assert(saved == oneShot, "cell-wise addition must make batching invisible")
+    // mass conservation: every lane holds the full stream
+    val perLane = saved.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(perLane.values.forall(_ == all.size.toLong), s"lane mass: $perLane")
+  }
+
+  test("CMS: point estimates from saved state never undercount and stay in bound") {
+    val all = (1L to 6000L).map(i => if (i % 3 == 0) 7L else i % 997L)
+    val root = tmp("cms_est")
+    all.grouped(2000).foreach(b =>
+      SketchState.updateSavedCms(root, b.toDF("k"), "k"))
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = SketchState.cmsEstimateFromSaved(spark, root,
+        truth.keys.toSeq.toDF("k"), "k")
+      .as[(Long, Long)].collect().toMap
+    val n = all.size.toLong
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"CMS must never undercount: key $k est ${est(k)} < $t")
+      // ε = e/512 per-cell expectation; allow a generous 4x
+      assert(est(k) - t <= 4 * math.E / 512 * n + 1,
+        s"key $k overcounts beyond bound: est ${est(k)} vs $t (n=$n)")
+    }
+    assert(est(7L) >= 2000L, "the heavy key's estimate must reflect its mass")
+  }
+
   test("GK: saved summary round-trips bit-for-bit") {
     val df = (1 to 5000).map(i => (i * 31 % 997).toDouble).toDF("v")
     val summ = SketchState.gkSummarize(df, "v", eps = 0.01)
