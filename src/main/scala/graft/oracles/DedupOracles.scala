@@ -79,6 +79,28 @@ private[graft] object DedupOracles {
       s"""WITH $exactSubstrAllCtes,
          |${spanApplySql("", "text_dedup")}""".stripMargin,
 
+    // Per-lang rollup of the all-occurrence span CTEs: merged spans
+    // are disjoint per doc, so summing (se − ss) is the exact covered
+    // token count; docs with no spans contribute 0 via the left join.
+    "report_dup_coverage" ->
+      s"""WITH $exactSubstrAllCtes,
+         |sp AS (SELECT doc_id, sum(se - ss) AS dup FROM (
+         |         SELECT doc_id, island, min(s) AS ss, max(e) AS se
+         |         FROM g2 GROUP BY 1, 2)
+         |       GROUP BY doc_id),
+         |d AS (SELECT t.doc_id, docs.lang,
+         |        CAST(len(toks) AS BIGINT) AS nt
+         |      FROM t JOIN documents docs ON t.doc_id = docs.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(sum(dup), 0) AS BIGINT) AS n_dup_tokens,
+         |       CAST(count(CASE WHEN dup > 0 THEN 1 END) AS BIGINT)
+         |         AS n_docs_with_dups,
+         |       round(coalesce(sum(dup), 0) * 10000.0 / sum(nt)) / 10000
+         |         AS dup_share
+         |FROM d LEFT JOIN sp ON d.doc_id = sp.doc_id
+         |GROUP BY lang""".stripMargin,
+
     // Cross-algorithm twin of SuffixDedup.longestMatch: a maximal
     // aligned match of length m between two locations is exactly a
     // run of m-4 consecutive duplicated-5-gram alignments on one

@@ -323,6 +323,31 @@ trait DedupQueries extends QueriesBase {
     graft.ext.SuffixDedup.longestMatch(Tables.documents(s, dir),
       "doc_id", "text", minTokens = 5)
 
+  /** Per-language duplicated-token coverage — the corpus-health
+    * rollup of the exact substring pass: how much of each language
+    * slice is verbatim-duplicated text (all occurrences, ≥5-token
+    * runs), how many docs carry any. The number a curation run reads
+    * FIRST (a language at 40% duplicated text needs dedup before
+    * anything else touches it). Hash-checked end to end: merged
+    * spans are disjoint per doc, so the covered-token sum is exact
+    * integer arithmetic + one mirrored share division. */
+  val reportDupCoverage: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val perDoc = graft.ext.SuffixDedup
+      .duplicatedSpans(docs, "doc_id", "text", minTokens = 5)
+      .groupBy("doc_id").agg(sum(col("span_tokens")).as("__dup"))
+    docs.select(col("doc_id"), col("lang"),
+        size(graft.ext.TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        coalesce(sum(col("__dup")), lit(0L)).as("n_dup_tokens"),
+        count(when(col("__dup") > 0, 1)).as("n_docs_with_dups"))
+      .withColumn("dup_share",
+        round(col("n_dup_tokens") * 10000.0 / col("n_tokens")) / 1e4)
+  }
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -358,6 +383,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_substring_exact" -> dedupSubstringExact,
     "dedup_substring_exact_apply" -> dedupSubstringExactApply,
     "dedup_longest_match" -> dedupLongestMatch,
+    "report_dup_coverage" -> reportDupCoverage,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "split_leakage" -> splitLeakage,

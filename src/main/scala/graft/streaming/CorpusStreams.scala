@@ -59,6 +59,32 @@ object CorpusStreams {
           "word", k)
     }
 
+  /** Streaming distinct-count monitor: each micro-batch's keys fold
+    * into the lake-backed portable HLL registers at `root`
+    * ([[graft.ext.SketchState.updateSavedHll]]) — elementwise-max
+    * merge makes the saved state after any batching IDENTICAL to the
+    * one-shot sketch, and [[graft.ext.SketchState
+    * .hllEstimateFromSaved]] answers "how many distinct so far"
+    * without rescanning the accumulated lake. */
+  def distinctCountStream(rows: DataFrame, root: String, keyCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.SketchState.updateSavedHll(root, batch.toDF(), keyCol)
+    }
+
+  /** Streaming frequency monitor: the Count-Min sibling of
+    * [[distinctCountStream]] — cell-wise addition keeps the saved
+    * table equal to the one-shot sketch over the whole stream;
+    * [[graft.ext.SketchState.cmsEstimateFromSaved]] answers point
+    * frequency queries from state alone. */
+  def frequencyStream(rows: DataFrame, root: String, keyCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.SketchState.updateSavedCms(root, batch.toDF(), keyCol)
+    }
+
   def dedupExactStream(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Dataset[KeptDoc] = {
     import docs.sparkSession.implicits._

@@ -89,6 +89,37 @@ class SketchStateSpec extends SparkSpec {
     assert(est(7L) >= 2000L, "the heavy key's estimate must reflect its mass")
   }
 
+  test("streaming HLL + CMS state through foreachBatch ≡ one-shot over the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hllRoot = tmp("hll_stream"); val cmsRoot = tmp("cms_stream")
+    val b1 = (1L to 800L).map(i => i % 300L)
+    val b2 = (801L to 1600L).map(i => i % 450L)
+    val input = MemoryStream[Long]
+    val qh = graft.streaming.CorpusStreams
+      .distinctCountStream(input.toDF().toDF("k"), hllRoot, "k").start()
+    val input2 = MemoryStream[Long]
+    val qc = graft.streaming.CorpusStreams
+      .frequencyStream(input2.toDF().toDF("k"), cmsRoot, "k").start()
+    try {
+      input.addData(b1: _*); input2.addData(b1: _*)
+      qh.processAllAvailable(); qc.processAllAvailable()
+      input.addData(b2: _*); input2.addData(b2: _*)
+      qh.processAllAvailable(); qc.processAllAvailable()
+    } finally { qh.stop(); qc.stop() }
+    val all = b1 ++ b2
+    val hllSaved = spark.read.parquet(hllRoot)
+      .as[(Long, Long)].collect().toSet
+    val hllOneShot = SketchState.hllRegisters(all.toDF("k"), "k")
+      .as[(Long, Long)].collect().toSet
+    assert(hllSaved == hllOneShot, "streamed HLL state must equal one-shot")
+    val cmsSaved = spark.read.parquet(cmsRoot)
+      .select("lane", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    val cmsOneShot = SketchState.cmsCells(all.toDF("k"), "k")
+      .select("lane", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    assert(cmsSaved == cmsOneShot, "streamed CMS state must equal one-shot")
+  }
+
   test("GK: saved summary round-trips bit-for-bit") {
     val df = (1 to 5000).map(i => (i * 31 % 997).toDouble).toDF("v")
     val summ = SketchState.gkSummarize(df, "v", eps = 0.01)
