@@ -543,6 +543,62 @@ private[graft] object CompositeOracles {
         |         AS n_copies
         |FROM r""".stripMargin,
 
+    // Mirrors curateCorpusSubstring: gopher gate → all-occurrence
+    // duplicated-span removal over the GATED corpus (the coverage-
+    // theorem gram replay, source-parametrized) → ≥30-kept-token gate
+    // → md5 split. A fully-removed doc reassembles to n_kept NULL in
+    // `re` → coalesce 0 → dropped by the length gate.
+    "curate_corpus_substring" -> {
+      val gate =
+        """g0 AS (
+          |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+          |  FROM documents),
+          |sg AS (SELECT doc_id, text,
+          |        CAST(len(toks) AS BIGINT) AS n_words,
+          |        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+          |          AS BIGINT) AS sum_chars,
+          |        CAST(len(list_filter(toks,
+          |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          |        CAST(len(list_filter(toks, t -> list_contains(
+          |          ['the','be','to','of','and','that','have','with'], t)))
+          |          AS BIGINT) AS n_stop,
+          |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+          |      FROM g0),
+          |keptd AS MATERIALIZED (
+          |  SELECT doc_id, text FROM sg
+          |  WHERE n_words >= 50 AND n_words <= 100000
+          |    AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+          |    AND 5 * n_alpha >= 4 * n_words
+          |    AND n_stop >= 2
+          |    AND 10 * n_sym <= n_words)""".stripMargin
+      s"""WITH $gate,
+         |${substrOccCtesFor("keptd")},
+         |dk AS (SELECT doc_id, pos,
+         |         count(*) OVER (PARTITION BY g) AS cnt
+         |       FROM occ),
+         |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM dk
+         |      WHERE cnt > 1),
+         |$spanIslandCtes,
+         |sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+         |       FROM g2 GROUP BY doc_id, island),
+         |tk AS (SELECT doc_id, i FROM (
+         |         SELECT doc_id, unnest(generate_series(1, len(toks))) AS i
+         |         FROM t)),
+         |kp AS (SELECT doc_id, count(*) AS n_kept FROM tk
+         |       WHERE NOT EXISTS (SELECT 1 FROM sp
+         |         WHERE sp.doc_id = tk.doc_id
+         |           AND sp.ss <= tk.i - 1 AND tk.i - 1 < sp.se)
+         |       GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, len(toks) AS n FROM t)
+         |SELECT c.doc_id,
+         |       CAST(c.n AS INTEGER) AS n_tokens,
+         |       CAST(c.n - coalesce(kp.n_kept, 0) AS INTEGER) AS n_removed,
+         |       CASE WHEN ('0x' || substr(md5(c.doc_id::VARCHAR || 'graft'), 1, 15))::BIGINT
+         |                 % 100 < 90 THEN 'train' ELSE 'val' END AS split
+         |FROM cnt c LEFT JOIN kp ON c.doc_id = kp.doc_id
+         |WHERE coalesce(kp.n_kept, 0) >= 30""".stripMargin
+    },
+
     // Mirrors curateCorpusCommunities: gopher gate → portable minhash
     // bands → verified LSH pairs (lshp) → symmetrized vote graph → 5
     // unrolled synchronous LPA rounds (the graph_communities pattern)

@@ -392,12 +392,14 @@ private[graft] object OracleCtes {
   // Sliding 5-gram occurrences with 0-based positions over all
   // documents — relation occ(doc_id, pos, g). Base of every
   // token-span oracle (substring dedup + span decontam).
-  private[graft] val substrOccCtes: String =
-    s"""t AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+  private[graft] def substrOccCtesFor(source: String): String =
+    s"""t AS (SELECT doc_id, ${wsToks("text")} AS toks FROM $source),
        |x AS (SELECT doc_id, toks,
        |        unnest(generate_series(1, len(toks) - 4)) AS i FROM t),
        |occ AS (SELECT doc_id, i - 1 AS pos,
        |          array_to_string(toks[i : i + 4], ' ') AS g FROM x)""".stripMargin
+
+  private[graft] val substrOccCtes: String = substrOccCtesFor("documents")
 
   // Gaps-and-islands interval union over marked windows m(doc_id, s, e)
   // — the running-max-end window of Dedup.mergeTokenSpans. Final

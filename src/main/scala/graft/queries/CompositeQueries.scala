@@ -197,6 +197,31 @@ trait CompositeQueries extends QueriesBase {
       budgets = Seq("src0" -> 2000L, "src1" -> 500L),
       defaultBudget = 1000L, salt = "graft")
 
+  /** The curation funnel with EXACT substring dedup as its scrub
+    * stage: gopher gate → suffix-rank duplicated-span removal (ALL
+    * occurrences of every ≥5-token duplicated run drop, the
+    * released-dups policy) → survivors with ≥30 remaining tokens →
+    * stable split. The funnel form of Lee et al. 2022's headline
+    * result — dedup the TEXT, not just the documents: a doc that
+    * shares half its body with the corpus keeps its unique half.
+    * Fully hash-checked: gate, span removal (via the coverage-theorem
+    * gram replay), the post-dedup length gate and the md5 split all
+    * replay in one oracle statement. */
+  val curateCorpusSubstring: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    // stage boundary: the gated corpus feeds the suffix pipeline's
+    // several consumers (persist(DISK_ONLY) on a cluster)
+    val kept = docs.filter(TextOps.gopherKeep(col("text")))
+      .select("doc_id", "text").localCheckpoint()
+    val applied = graft.ext.SuffixDedup
+      .duplicatedSpansApply(kept, "doc_id", "text", minTokens = 5)
+    val survivors = applied
+      .filter(col("n_tokens") - col("n_removed") >= 30)
+    Splits.assign(survivors, "doc_id", Seq("train" -> 90, "val" -> 10),
+        salt = "graft")
+      .select("doc_id", "n_tokens", "n_removed", "split")
+  }
+
   /** Weighted systematic sample: exactly 20 draws per language with
     * inclusion ∝ token count — "sample by data volume, not doc
     * count", in exact integer threshold arithmetic (see
@@ -338,5 +363,6 @@ trait CompositeQueries extends QueriesBase {
     "curate_corpus_gopher" -> curateCorpusGopher,
     "curate_corpus_temperature" -> curateCorpusTemperature,
     "curate_corpus_communities" -> curateCorpusCommunities,
+    "curate_corpus_substring" -> curateCorpusSubstring,
     "events_retention_weekly" -> eventsRetentionWeekly)
 }
