@@ -235,4 +235,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR 2009)
+    * of N independent retrieval rankings — the standard hybrid-search
+    * combiner (lexical BM25/Jaccard ⊕ dense-vector cosine) precisely
+    * BECAUSE it reads only ranks: no cross-system score calibration,
+    * so two engines whose scores live on incomparable scales fuse
+    * cleanly. score(d) = Σ_lists 1/(rrfK + rank_list(d)), summed over
+    * the lists that ranked d at all.
+    *
+    * Determinism: each contribution is integer-scaled BEFORE the sum —
+    * `round(10⁶ / (rrfK + rank))` is one correctly-rounded IEEE
+    * division of exact integers rounded to an exact long (no divisor
+    * in a plausible rank range lands the true quotient near an .5
+    * boundary), so the per-doc sum is order-independent and the final
+    * ranking (scaled sum DESC, doc ASC) is engine-exact — the
+    * [[graft.ext.Dedup.ngramJaccardPairs]] 4-dp discipline applied to
+    * rank space.
+    *
+    * Scale shape: each input ranking is already top-k-per-query
+    * (bounded: |queries|·k rows), so the union + one hash aggregate +
+    * one per-query window run over tiny frames regardless of corpus
+    * size — the heavy lifting happened inside the per-modality
+    * retrievers, which is exactly where a 100 TB deployment wants it.
+    *
+    * @param rankings frames with (query_id, doc_id, rank), rank 1-based
+    * @return (query_id, doc_id, n_lists, fused_rank, rrf_score),
+    *         fused_rank 1..topN per query */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60,
+      topN: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1000000.0) / (lit(rrfK) + col("rank"))).cast("long").as("__c")))
+      .reduce(_.unionByName(_))
+    val fused = contribs.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("__s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("doc_id").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topN)
+      .select(col("query_id"), col("doc_id"), col("n_lists"),
+        col("fused_rank"), (col("__s").cast("double") / 1e6).as("rrf_score"))
+  }
 }

@@ -98,12 +98,7 @@ object SketchState {
     val m = 1L << p
     val s = 60 - p + 1
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    registers
-      .agg(count(lit(1)).as("__nz"),
-        coalesce(sum(expr(s"shiftleft(1L, cast($s - max_rank as int))")),
-          lit(0L)).as("__snz"))
-      .select((lit(m) - col("__nz")).as("n_empty"),
-        (col("__snz") + (lit(m) - col("__nz")) * lit(1L << s)).as("sum_scaled"))
+    hllStats(registers, p)
       .select(col("n_empty"), col("sum_scaled"),
         when(col("n_empty") > 0 &&
             lit(alpha * m * m) * lit(math.pow(2.0, s)) / col("sum_scaled") <= lit(2.5 * m),
@@ -116,6 +111,29 @@ object SketchState {
   def hllEstimateFromSaved(spark: SparkSession, root: String,
       p: Int = DefaultP): DataFrame =
     hllEstimate(spark.read.parquet(root), p)
+
+  /** The EXACT-INTEGER half of [[hllEstimate]]: one row
+    * (n_empty, sum_scaled) — both pure BIGINT functions of the
+    * register table, engine-replayable without the estimator's libm
+    * log (which is why the `agg_hll_overlap` catalog entry emits
+    * these and leaves the double estimate to the spec's rse bound). */
+  def hllStats(registers: DataFrame, p: Int = DefaultP): DataFrame = {
+    val m = 1L << p
+    val s = 60 - p + 1
+    registers
+      .agg(count(lit(1)).as("__nz"),
+        coalesce(sum(expr(s"shiftleft(1L, cast($s - max_rank as int))")),
+          lit(0L)).as("__snz"))
+      .select((lit(m) - col("__nz")).as("n_empty"),
+        (col("__snz") + (lit(m) - col("__nz")) * lit(1L << s)).as("sum_scaled"))
+  }
+
+  /** Elementwise-max union of register tables — the |A ∪ B| state a
+    * two-corpus overlap reads without ever joining the corpora:
+    * est |A ∩ B| = est(A) + est(B) − est(A ∪ B) by
+    * inclusion-exclusion over three [[hllEstimate]] calls. */
+  def hllUnion(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("reg_idx").agg(max(col("max_rank")).as("max_rank"))
 
   // ------------------------------------------------ Count-Min
 
@@ -194,6 +212,91 @@ object SketchState {
   def cmsEstimateFromSaved(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
     cmsEstimate(spark.read.parquet(root), keys, keyCol, depth, width)
+
+  // ------------------------------------------------ portable Bloom
+
+  /** Default Bloom shape: 2^15 bits (4 KiB) × 4 lanes — FP rate
+    * ≈ (1 − e^{−4n/32768})⁴, under 1% to ~2.4k keys. */
+  val BloomBits = 32768
+  val BloomHashes = 4
+
+  /** Bloom bit table of a key column (Bloom 1970), packed 32 bits per
+    * BIGINT word: one row per NONZERO word, (word_idx, bits). The j
+    * lane positions are independent md5 draws over `"b<lane>_" ‖ key`
+    * (the [[cmsCells]] lane posture) mod `bits`; 32-bit packing keeps
+    * every mask ≤ 2^31, so no sign-bit/overflow seam crosses the
+    * oracle (DuckDB range-checks BIGINT `<<`). Words merge by BITWISE
+    * OR (associative + commutative + IDEMPOTENT), so saved state
+    * after any micro-batching — including replayed batches — is
+    * IDENTICAL to the one-shot sketch over the union: the HLL
+    * max-merge property, for membership instead of cardinality. The
+    * `agg_bloom_portable` catalog entry hash-checks every word in
+    * DuckDB. One scan, one map-side-combinable bit_or of ≤ bits/32
+    * groups. */
+  def bloomWords(df: DataFrame, keyCol: String, bits: Int = BloomBits,
+      hashes: Int = BloomHashes): DataFrame = {
+    require(bits % 32 == 0 && bits >= 32, "bits must be a positive multiple of 32")
+    require(hashes >= 1 && hashes <= 16, "hashes must be in [1, 16]")
+    val lanes = (0 until hashes).map { j =>
+      h60(concat(lit(s"b${j}_"), col(keyCol).cast("string"))) % bits
+    }
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array(lanes: _*)).as("p"))
+      .select(expr("shiftright(p, 5)").as("word_idx"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("b"))
+      .groupBy("word_idx").agg(expr("bit_or(b)").as("bits"))
+  }
+
+  /** Merge a micro-batch into the saved word table under `root`
+    * (parquet, ≤ bits/32 rows): word-wise OR, so after ANY batching
+    * the saved table ≡ [[bloomWords]] over the union — spec-pinned as
+    * exact frame equality (and idempotent: re-merging a replayed
+    * batch changes nothing). Same driver-materialize-first overwrite
+    * discipline as [[updateSavedHll]]. */
+  def updateSavedBloom(root: String, batch: DataFrame, keyCol: String,
+      bits: Int = BloomBits, hashes: Int = BloomHashes): Unit = {
+    val spark = batch.sparkSession
+    val bs = bloomWords(batch, keyCol, bits, hashes)
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(path))
+        spark.read.parquet(root).unionByName(bs)
+          .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+      else bs
+    val rows = merged.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+      .repartition(1).write.mode("overwrite").parquet(root)
+  }
+
+  /** Membership probe of a key frame against a word table: a key
+    * might be present iff ALL its lane bits are set (no false
+    * negatives by construction; FP rate set by the shape). One
+    * broadcast join — the word table is ≤ bits/32 rows by
+    * construction, the no-rescan decontamination screen shape.
+    * Output: (keyCol, might_contain). */
+  def bloomMightContain(words: DataFrame, keys: DataFrame, keyCol: String,
+      bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame = {
+    val lanes = (0 until hashes).map { j =>
+      h60(concat(lit(s"b${j}_"), col(keyCol).cast("string"))) % bits
+    }
+    keys.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array(lanes: _*)).as("p"))
+      .select(col(keyCol), expr("shiftright(p, 5)").as("word_idx"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("m"))
+      .join(broadcast(words), Seq("word_idx"), "left_outer")
+      .withColumn("__hit",
+        coalesce(col("bits").bitwiseAND(col("m")) =!= 0L, lit(false)))
+      .groupBy(keyCol)
+      .agg(min(col("__hit")).as("might_contain"))
+  }
+
+  /** [[bloomMightContain]] over the saved state — the no-rescan
+    * membership screen. */
+  def bloomMightContainFromSaved(spark: SparkSession, root: String,
+      keys: DataFrame, keyCol: String, bits: Int = BloomBits,
+      hashes: Int = BloomHashes): DataFrame =
+    bloomMightContain(spark.read.parquet(root), keys, keyCol, bits, hashes)
 
   // ------------------------------------------------ GK quantiles
 

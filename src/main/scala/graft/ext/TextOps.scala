@@ -719,6 +719,57 @@ object TextOps {
         (col("__s").cast("double") / 1e4).as("score"))
   }
 
+  /** More-like-this lexical retrieval: per-query top-k documents by
+    * n-gram-shingle Jaccard against a small query-document set — the
+    * set-overlap sibling of [[bm25TopK]] (whole-document similarity
+    * where BM25 scores a term bag) and the lexical leg
+    * [[graft.ext.Similarity.rrfFuse]] fuses with dense retrieval.
+    * Same hashed-shingle space and 4-dp integer-scaled Jaccard as
+    * [[graft.ext.Dedup.ngramJaccardPairs]]; candidates are only docs
+    * sharing ≥ 1 shingle with the query (zero-overlap docs are
+    * unranked by construction — RRF treats absence correctly).
+    *
+    * Scale shape: the query side is tiny and BROADCAST (both its
+    * exploded shingles and its sizes), so the corpus is scanned once,
+    * never shuffled — only (query, candidate) survivors reach the
+    * count aggregate, and the rank window partitions by query over
+    * ≤ |candidates| rows. Corpus shingle frame materialized once for
+    * its two consumers (sizes + join).
+    *
+    * @return (query_id, doc_id, jaccard, rank), rank 1..k per query
+    *         by (jaccard DESC, doc ASC) */
+  def jaccardTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, k: Int = 20): DataFrame = {
+    val sh = corpus.select(col(idCol).as("doc"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint()
+    val qsh = queries.select(col(idCol).as("query_id"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+    val cex = sh.select(col("doc"), explode(col("s")).as("sh"))
+    val qex = qsh.select(col("query_id"), explode(col("s")).as("sh"))
+    val inter = cex.join(broadcast(qex), Seq("sh"))
+      .filter(col("doc") =!= col("query_id"))
+      .groupBy("query_id", "doc").agg(count(lit(1)).as("n_inter"))
+    val csz = sh.select(col("doc"), size(col("s")).as("n_c"))
+    val qsz = qsh.select(col("query_id"), size(col("s")).as("n_q"))
+    inter
+      .join(broadcast(qsz), Seq("query_id"))
+      .join(csz, Seq("doc"))
+      // integer-scaled rounding — see Dedup.ngramJaccardPairs
+      .withColumn("jaccard",
+        round(col("n_inter") * lit(10000.0) /
+          (col("n_q") + col("n_c") - col("n_inter"))) / 1e4)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("jaccard").desc, col("doc").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        col("jaccard"), col("rank"))
+  }
+
   /** A pre-trained boilerplate screen — the corpus-STATISTIC half of
     * [[boilerplateSignals]] decoupled from the screening pass (r10
     * VERDICT #5): a crawl pipeline trains the gram-document-frequency

@@ -37,6 +37,51 @@ private[graft] object AggOracles {
         |       count(*) AS cnt
         |FROM cells GROUP BY 1, 2""".stripMargin,
 
+    // Mirrors SketchState.bloomWords (2^15 bits × 4 lanes, 32 bits
+    // per BIGINT word): per lane, position = top-15-hex md5 of
+    // "b<lane>_" ‖ key mod 32768; words OR-merge. 32-bit packing
+    // keeps every mask ≤ 2^31 — no sign-bit seam in either engine.
+    "agg_bloom_portable" ->
+      """WITH k AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |pos AS (
+        |  SELECT ('0x' || substr(md5('b' || lane::VARCHAR || '_' || user_id::VARCHAR),
+        |            1, 15))::BIGINT % 32768 AS p
+        |  FROM k CROSS JOIN generate_series(0, 3) t(lane))
+        |SELECT p // 32 AS word_idx,
+        |       bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+        |FROM pos GROUP BY 1""".stripMargin,
+
+    // Mirrors aggHllOverlap: per-side and max-merged-union HLL
+    // register summaries as exact BIGINTs (n_empty = 4096 − nonzero
+    // registers; sum_scaled = Σ 2^(49 − max_rank) with empty
+    // registers at 2^49) — the estimator's libm half stays in the
+    // spec.
+    "agg_hll_overlap" -> {
+      def regs(pred: String) =
+        s"""SELECT h // 281474976710656 AS reg_idx,
+           |       CAST(max(CASE WHEN h % 281474976710656 > 0
+           |                     THEN 49 - length(bin(h % 281474976710656))
+           |                     ELSE 49 END) AS BIGINT) AS max_rank
+           |FROM (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           |      FROM events WHERE user_id IS NOT NULL AND $pred)
+           |GROUP BY 1""".stripMargin
+      def stats(src: String, suffix: String) =
+        s"""SELECT CAST(4096 - count(*) AS BIGINT) AS n_empty_$suffix,
+           |       CAST(coalesce(sum(1::BIGINT << CAST(49 - max_rank AS INTEGER)), 0)
+           |            + (4096 - count(*)) * (1::BIGINT << 49) AS BIGINT)
+           |         AS sum_scaled_$suffix
+           |FROM $src""".stripMargin
+      s"""WITH ra AS (${regs("event_type = 'view'")}),
+         |rb AS (${regs("event_type = 'purchase'")}),
+         |ru AS (SELECT reg_idx, max(max_rank) AS max_rank
+         |       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+         |       GROUP BY 1),
+         |sa AS (${stats("ra", "a")}),
+         |sb AS (${stats("rb", "b")}),
+         |su AS (${stats("ru", "union")})
+         |SELECT * FROM sa CROSS JOIN sb CROSS JOIN su""".stripMargin
+    },
+
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE day(ts) <= 15
         |EXCEPT

@@ -208,6 +208,95 @@ private[graft] object SimilarityOracles {
          |LEFT JOIN cnt ON nd.a = cnt.node""".stripMargin
     },
 
+    // Mirrors operators.KCore over the symmetrized k=3 knn graph:
+    // 8 unrolled iterated-h-index rounds from the degree start —
+    // H = max(min(score, rank)) per node, which is invariant to
+    // row_number tie order among equal scores, so no tiebreak is
+    // needed for engine agreement.
+    "graph_kcore" -> {
+      val base =
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |scored AS (
+          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+          |         round(list_dot_product(a.v, b.v) /
+          |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+          |g AS (SELECT vec_id, neighbor_id FROM (
+          |  SELECT vec_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 3),
+          |und AS (SELECT vec_id AS a, neighbor_id AS b FROM g
+          |        UNION SELECT neighbor_id, vec_id FROM g),
+          |c0 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS c FROM und GROUP BY 1)""".stripMargin
+      val rounds = (1 to 8).map { i =>
+        s"""h$i AS (SELECT a, max(least(cb, rn)) AS h FROM (
+           |    SELECT u.a, c.c AS cb, row_number() OVER (
+           |      PARTITION BY u.a ORDER BY c.c DESC) AS rn
+           |    FROM und u JOIN c${i - 1} c ON u.b = c.node)
+           |  GROUP BY a),
+           |c$i AS (SELECT p.node, least(p.c, coalesce(h.h, p.c)) AS c
+           |  FROM c${i - 1} p LEFT JOIN h$i h ON p.node = h.a)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT node AS vec_id, c AS coreness FROM c8""".stripMargin
+    },
+
+    // Mirrors similarityRrf: 3-gram-Jaccard lexical top-20 over
+    // documents ⊕ 4-dp-cosine dense top-20 over embeddings, fused by
+    // integer-scaled reciprocal-rank contributions round(1e6/(60+r))
+    // — exact longs, so the sum and the (sum DESC, doc ASC) ranking
+    // are engine-independent.
+    "similarity_rrf" ->
+      s"""WITH w AS (SELECT doc_id, ${graft.OracleCtes.wsToks("text")} AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in generate_series(1, len(toks) - 2)]) AS s
+        |       FROM w WHERE len(toks) >= 3),
+        |cex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |qex AS (SELECT doc_id AS query_id, unnest(s) AS shingle FROM sh
+        |        WHERE doc_id < 3),
+        |sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n_sh FROM sh),
+        |inter AS (SELECT q.query_id, c.doc_id, count(*) AS n_inter
+        |          FROM cex c JOIN qex q ON c.shingle = q.shingle
+        |                                AND c.doc_id <> q.query_id
+        |          GROUP BY 1, 2),
+        |lexj AS (SELECT query_id, i.doc_id,
+        |           round(CAST(n_inter * 10000 AS DOUBLE) /
+        |                 (sq.n_sh + sc.n_sh - n_inter)) / 10000 AS j
+        |         FROM inter i
+        |         JOIN sz sq ON sq.doc_id = i.query_id
+        |         JOIN sz sc ON sc.doc_id = i.doc_id),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY j DESC, doc_id ASC) AS rank
+        |  FROM lexj) WHERE rank <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 3),
+        |sem AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           round(list_dot_product(q.v, c.v) /
+        |                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 DESC,
+        |           c.vec_id ASC) AS rank
+        |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+        |  WHERE rank <= 20),
+        |contrib AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM lex
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) FROM sem),
+        |fused AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |                 sum(c) AS s
+        |          FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_lists, fused_rank,
+        |       CAST(s AS DOUBLE) / 1000000 AS rrf_score
+        |FROM (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS INTEGER)
+        |        AS fused_rank FROM fused)
+        |WHERE fused_rank <= 10""".stripMargin,
+
     // Mirrors Similarity.mineTriplets over the k=5 knn graph:
     // positive = rank 1, negative = lowest-rank neighbor at rank ≥ 3
     // with cosine ≤ pos_cosine − 0.05 (margin applied in the shared

@@ -205,9 +205,43 @@ trait AggQueries extends QueriesBase {
   val aggCountmin: Q = (s, dir) =>
     graft.ext.SketchState.cmsCells(Tables.events(s, dir), "user_id")
 
+  /** Bloom word table over the event user ids (2^15 bits × 4 lanes,
+    * packed 32/word): the membership-sketch sibling of
+    * [[aggHllPortable]] — words merge by idempotent bitwise OR
+    * ([[graft.ext.SketchState.updateSavedBloom]]), every word an
+    * exact integer from independent md5 lane draws, so the whole
+    * filter state is hash-checked in DuckDB. */
+  val aggBloomPortable: Q = (s, dir) =>
+    graft.ext.SketchState.bloomWords(Tables.events(s, dir), "user_id")
+
+  /** Two-corpus overlap from HLL register states alone — no join ever
+    * touches the corpora: per-side and max-merged-union register
+    * summaries ([[graft.ext.SketchState.hllStats]] /
+    * [[graft.ext.SketchState.hllUnion]]) as EXACT BIGINTs; the
+    * inclusion-exclusion intersection estimate
+    * est(A) + est(B) − est(A∪B) is the spec-bounded double half
+    * (SketchStateSpec), kept out of the hashed relation because its
+    * linear-counting branch calls libm log. */
+  val aggHllOverlap: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val st = graft.ext.SketchState
+    val a = st.hllRegisters(ev.filter(col("event_type") === "view"), "user_id")
+    val b = st.hllRegisters(ev.filter(col("event_type") === "purchase"), "user_id")
+    val sa = st.hllStats(a).select(col("n_empty").as("n_empty_a"),
+      col("sum_scaled").as("sum_scaled_a"))
+    val sb = st.hllStats(b).select(col("n_empty").as("n_empty_b"),
+      col("sum_scaled").as("sum_scaled_b"))
+    val su = st.hllStats(st.hllUnion(a, b)).select(
+      col("n_empty").as("n_empty_union"),
+      col("sum_scaled").as("sum_scaled_union"))
+    sa.crossJoin(sb).crossJoin(su) // three 1-row frames
+  }
+
   protected def aggRegistry: Map[String, Q] = Map(
     "agg_hll_portable" -> aggHllPortable,
     "agg_countmin" -> aggCountmin,
+    "agg_bloom_portable" -> aggBloomPortable,
+    "agg_hll_overlap" -> aggHllOverlap,
     "set_except" -> setExcept,
     "set_intersect" -> setIntersect,
     "agg_rollup" -> aggRollup,

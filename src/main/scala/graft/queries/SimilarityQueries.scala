@@ -76,6 +76,39 @@ trait SimilarityQueries extends QueriesBase {
       "vec_id", "neighbor_id")
       .select(col("node").as("vec_id"), col("n_triangles"))
 
+  /** Coreness (k-core number) per node over the same k=3 knn graph —
+    * the density-robustness statistic ([[graft.operators.KCore]]):
+    * how deep each vector sits inside a mutually-dense neighborhood
+    * (template farms and near-dup clusters are high-core even where
+    * triangles are diluted). Iterated-h-index formulation, 8
+    * synchronous rounds from the degree start (fixpoint asserted in
+    * KCoreSpec, so the cap is slack). */
+  val graphKcore: Q = (s, dir) =>
+    graft.operators.KCore.coreness(
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", k = 3).select("vec_id", "neighbor_id"),
+      "vec_id", "neighbor_id", iterations = 8)
+      .select(col("node").as("vec_id"), col("coreness"))
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    * 2009): the lexical leg is 3-gram-shingle Jaccard more-like-this
+    * over `documents` ([[TextOps.jaccardTopK]], top-20), the dense leg
+    * is 4-dp-cosine top-20 over `embeddings` (shared id space), fused
+    * by [[Similarity.rrfFuse]] (k=60) into a top-10 per query — the
+    * RAG-retrieval combiner, exact in integer rank-contribution
+    * space end to end. */
+  val similarityRrf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val lex = TextOps.jaccardTopK(docs, docs.filter(col("doc_id") < 3),
+        "doc_id", "text", n = 3, k = 20)
+      .select("query_id", "doc_id", "rank")
+    val e = Tables.embeddings(s, dir)
+    val sem = Similarity.topK(e, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(lex, sem), rrfK = 60, topN = 10)
+  }
+
   /** Matryoshka-truncation A/B (Kusupati et al. 2022, MRL): top-5 on
     * the FIRST-16-DIM prefix of each embedding vs the full-64-dim
     * truth, reported as per-query recall — the measured cost of the
@@ -327,6 +360,8 @@ trait SimilarityQueries extends QueriesBase {
     "graph_pagerank" -> graphPagerank,
     "graph_communities" -> graphCommunities,
     "graph_triangles" -> graphTriangles,
+    "graph_kcore" -> graphKcore,
+    "similarity_rrf" -> similarityRrf,
     "similarity_mrl_recall" -> similarityMrlRecall,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,

@@ -97,7 +97,8 @@ class FuzzDifferentialSpec extends SparkSpec {
   // not invariants — adversarial vectors can legitimately sink them.
   private val embQueries = Seq(
     "similarity_topk", "similarity_ivf", "similarity_knn_graph",
-    "mine_triplets", "graph_pagerank", "graph_triangles", "similarity_quantized",
+    "mine_triplets", "graph_pagerank", "graph_triangles", "graph_kcore",
+    "similarity_rrf", "similarity_quantized",
     "embedding_quantize", "embedding_stats", "embedding_centroids",
     "dedup_embedding", "dedup_semantic", "decontam_semantic",
     "similarity_lsh_exhaustive", "similarity_ivf_exhaustive",
@@ -137,7 +138,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     "quality_expectations", "profile_columns", "quality_funnel",
     "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
     "fred_yearly_gold", "window_ewma", "window_interpolate",
-    "agg_hll_portable", "agg_countmin", "join_interval_overlap")
+    "agg_hll_portable", "agg_countmin", "join_interval_overlap",
+    "agg_bloom_portable", "agg_hll_overlap")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

@@ -54,6 +54,54 @@ class SketchStateSpec extends SparkSpec {
     assert(before == after, "max-merge must be idempotent")
   }
 
+  test("Bloom: saved state after N batches ≡ one-shot; re-merge idempotent") {
+    val all = (1L to 2000L).map(i => i * 6007L % 1000000L).distinct
+    val root = tmp("bloom")
+    all.grouped(600).foreach(b =>
+      SketchState.updateSavedBloom(root, b.toDF("k"), "k"))
+    val saved = spark.read.parquet(root)
+      .select("word_idx", "bits").as[(Long, Long)].collect().toSet
+    val oneShot = SketchState.bloomWords(all.toDF("k"), "k")
+      .select("word_idx", "bits").as[(Long, Long)].collect().toSet
+    assert(saved == oneShot, "OR-merge must make batching invisible")
+    SketchState.updateSavedBloom(root, all.take(600).toDF("k"), "k")
+    val again = spark.read.parquet(root)
+      .select("word_idx", "bits").as[(Long, Long)].collect().toSet
+    assert(again == saved, "OR-merge must be idempotent under replay")
+  }
+
+  test("Bloom: no false negatives; disjoint probes mostly rejected") {
+    val present = (1L to 1500L).toDF("k")
+    val root = tmp("bloom_fp")
+    SketchState.updateSavedBloom(root, present, "k")
+    val hits = SketchState.bloomMightContainFromSaved(spark, root,
+        present, "k")
+      .filter(!col("might_contain")).count()
+    assert(hits == 0L, "a Bloom filter must never reject an inserted key")
+    val absent = (1000001L to 1003000L).toDF("k")
+    val fps = SketchState.bloomMightContainFromSaved(spark, root,
+        absent, "k")
+      .filter(col("might_contain")).count()
+    // shape 2^15 bits / 4 lanes at n=1500: FP ≈ (1−e^{−4·1500/32768})⁴
+    // ≈ 0.06% — assert a generous 2%
+    assert(fps <= 60L, s"false-positive count $fps out of 3000 probes")
+  }
+
+  test("HLL overlap: inclusion-exclusion intersection within the rse bound") {
+    // |A| = 3000, |B| = 3000, |A ∩ B| = 1000 (keys 2001..3000 shared)
+    val a = (1L to 3000L).map(_ * 2654435761L % 100000000L)
+    val b = (2001L to 5000L).map(_ * 2654435761L % 100000000L)
+    val ra = SketchState.hllRegisters(a.toDF("k"), "k")
+    val rb = SketchState.hllRegisters(b.toDF("k"), "k")
+    def est(r: org.apache.spark.sql.DataFrame): Double =
+      SketchState.hllEstimate(r).select("estimate").as[Double].head()
+    val inter = est(ra) + est(rb) - est(SketchState.hllUnion(ra, rb))
+    // inclusion-exclusion compounds three estimates: allow 4× rse on
+    // the union size (5000), ≈ 325
+    assert(math.abs(inter - 1000.0) <= 4 * 1.04 / math.sqrt(4096) * 5000,
+      s"intersection estimate $inter vs exact 1000")
+  }
+
   test("CMS: saved state after N batches ≡ the one-shot sketch over the stream") {
     val all = (1L to 5000L).map(i => i * 31L % 400L)
     val root = tmp("cms")
