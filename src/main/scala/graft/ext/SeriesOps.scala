@@ -472,4 +472,64 @@ object SeriesOps {
         round(col("n_active") * lit(10000.0) / col("__size")) / 1e4)
       .drop("__size")
   }
+
+  /** Single change-point detection per series: the split maximizing
+    * the between-segment sum-of-squares reduction (binary
+    * segmentation's first step / the offline CUSUM argmax — Page
+    * 1954; Scott & Knott 1974) — where a monitored indicator's mean
+    * jumped, the drift-localization primitive next to the
+    * distributional [[graft.ext.Profile]] drift tests (which say THAT
+    * a window changed; this says WHERE).
+    *
+    * For a split after position t: gain(t) = n₁n₂/n · (μ₁ − μ₂)²
+    *   = (n·S₁ − n₁·S)² / (n₁·n₂·n)
+    * with S₁/n₁ the left prefix sum/count over MICRO-SCALED integer
+    * values (the [[graft.QueriesBase.sumE6]] posture) — so the
+    * numerator root `d = n·S₁ − n₁·S` is an EXACT BIGINT, and the
+    * score is `d·d / (n₁·n₂·n)` computed as exactly two IEEE steps
+    * (one multiply, one divide by an exact ≤2⁵³ integer product):
+    * bit-identical across engines, so the (score DESC, position ASC)
+    * argmax is engine-independent without any rounding seam. Scores
+    * are reported in value²-units (÷10¹² for the two micro-scales,
+    * one further exact-power-of-ten IEEE division).
+    *
+    * Scale shape: one window pass per series (prefix sums + totals
+    * share the single sort), one row per candidate split, one
+    * per-series argmax window — linear in series length, partitioned
+    * by series key; no self-joins, no O(n²) split scan.
+    *
+    * @return one row per series with ≥ 2 points:
+    *         (keyCol, split_<ordCol>, n_before, n_after, mean_before,
+    *         mean_after, score) — split at the LAST position of the
+    *         left segment. */
+  def changePoint(df: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      round(col(valCol) * 1e6).cast("long").as("v"))
+    val wOrd = Window.partitionBy("k").orderBy("o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = base
+      .withColumn("s1", sum(col("v")).over(wOrd))
+      .withColumn("n1", count(lit(1)).over(wOrd))
+      .withColumn("s", sum(col("v")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("n1") < col("n"))
+      .withColumn("d", (col("n") * col("s1") - col("n1") * col("s")).cast("double"))
+      .withColumn("score",
+        col("d") * col("d") /
+          (col("n1") * (col("n") - col("n1")) * col("n")).cast("double") / 1e12)
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("k").orderBy(col("score").desc, col("o").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("k").as(keyCol), col("o").as(s"split_$ordCol"),
+        col("n1").as("n_before"), (col("n") - col("n1")).as("n_after"),
+        // exact micro-sum then two IEEE divisions — see QueriesBase.exactAvg
+        (col("s1").cast("double") / col("n1") / 1e6).as("mean_before"),
+        ((col("s") - col("s1")).cast("double") / (col("n") - col("n1")) / 1e6)
+          .as("mean_after"),
+        col("score"))
+  }
 }

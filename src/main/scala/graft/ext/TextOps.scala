@@ -719,6 +719,41 @@ object TextOps {
         (col("__s").cast("double") / 1e4).as("score"))
   }
 
+  /** Per-document unigram token entropy in the floor-log2 bit space —
+    * the repetitiveness quality signal (low-entropy docs are template
+    * spam, keyword stuffing, boilerplate loops; the CCNet/Gopher
+    * family's entropy screen) as EXACT INTEGERS: dyadic entropy
+    * `sum_bits = N·⌊log2 N⌋ − Σ c_i·⌊log2 c_i⌋` (the algebraic
+    * rearrangement of Σ c_i·(⌊log2 N⌋ − ⌊log2 c_i⌋), which makes the
+    * whole statistic ONE hash aggregate — no join-back for N).
+    * ⌊log2 x⌋ = length(bin(x)) − 1, the [[lmSurprisal]] discipline —
+    * no libm log crosses the oracle. `entropy` = sum_bits/N bits per
+    * token (one mirrored IEEE division); the `low_entropy` gate
+    * (< 1 bit/token) compares the INTEGERS sum_bits < N, so the gate
+    * itself never touches a double.
+    *
+    * Scale shape: one tokenize+explode, one (doc, term) count, one
+    * per-doc aggregate — linear, map-side combinable, no windows.
+    * Docs with zero regex tokens have no defined entropy and drop
+    * (the [[tokenStats]] `len > 0` contract). */
+  def entropySignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def blog(c: Column): Column = (length(conv(c, 10, 2)) - 1).cast("long")
+    val tf = df.select(col(idCol).as("doc"),
+        explode(regexTokens(col(textCol))).as("w"))
+      .groupBy("doc", "w").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * blog(col("c"))).as("__cb"))
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_distinct"),
+        (col("n_tokens") * blog(col("n_tokens")) - col("__cb")).as("sum_bits"),
+        ((col("n_tokens") * blog(col("n_tokens")) - col("__cb")).cast("double") /
+          col("n_tokens")).as("entropy"),
+        ((col("n_tokens") * blog(col("n_tokens")) - col("__cb")) < col("n_tokens"))
+          .as("low_entropy"))
+  }
+
   /** More-like-this lexical retrieval: per-query top-k documents by
     * n-gram-shingle Jaccard against a small query-document set — the
     * set-overlap sibling of [[bm25TopK]] (whole-document similarity

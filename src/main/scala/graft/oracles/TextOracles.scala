@@ -440,6 +440,31 @@ private[graft] object TextOracles {
         |         / 10000 AS ttr
         |FROM t WHERE len(re) > 0""".stripMargin,
 
+    // Mirrors TextOps.entropySignals: dyadic unigram entropy
+    // sum_bits = N·⌊log2 N⌋ − Σ c·⌊log2 c⌋ with ⌊log2 x⌋ =
+    // length(bin(x)) − 1 — exact BIGINTs; entropy is the one mirrored
+    // IEEE division, the gate compares the integers.
+    "quality_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |           '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS re
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT doc_id, unnest(re) AS w FROM toks)
+        |       GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |          CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          CAST(count(*) AS BIGINT) AS n_distinct,
+        |          CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS cb
+        |        FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       n_tokens * (length(bin(n_tokens)) - 1) - cb AS sum_bits,
+        |       CAST(n_tokens * (length(bin(n_tokens)) - 1) - cb AS DOUBLE)
+        |         / n_tokens AS entropy,
+        |       (n_tokens * (length(bin(n_tokens)) - 1) - cb) < n_tokens
+        |         AS low_entropy
+        |FROM agg""".stripMargin,
+
     // Mirrors TextOps.lmSurprisal: corpus bigram LM from adjacent
     // regex-token pairs (list_zip of the token list against its tail),
     // per-occurrence surprisal as the exact bit position

@@ -33,6 +33,38 @@ private[graft] object WindowOracles {
          |         PARTITION BY indicator ORDER BY observation_day) AS change
          |FROM d""".stripMargin,
 
+    // Mirrors SeriesOps.changePoint: micro-scaled BIGINT prefix sums,
+    // exact numerator root d = n·S1 − n1·S, score = d·d / (n1·n2·n)
+    // / 1e12 as the same two-IEEE-step chain — the argmax
+    // (score DESC, day ASC) is engine-independent with no rounding.
+    "series_changepoint" ->
+      s"""WITH ds AS ($dailySeriesCte),
+         |b AS (SELECT indicator AS k, observation_day AS o,
+         |        CAST(round(value * 1000000) AS BIGINT) AS v FROM ds),
+         |sc AS (SELECT k, o,
+         |         CAST(sum(v) OVER (PARTITION BY k ORDER BY o
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+         |         CAST(count(*) OVER (PARTITION BY k ORDER BY o
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+         |         CAST(sum(v) OVER (PARTITION BY k) AS BIGINT) AS s,
+         |         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+         |       FROM b),
+         |g AS (SELECT k, o, s1, n1, s, n,
+         |        CAST(n * s1 - n1 * s AS DOUBLE) AS d
+         |      FROM sc WHERE n1 < n),
+         |r AS (SELECT k, o, s1, n1, s, n,
+         |        d * d / CAST(n1 * (n - n1) * n AS DOUBLE) / 1000000000000 AS score,
+         |        row_number() OVER (PARTITION BY k ORDER BY
+         |          d * d / CAST(n1 * (n - n1) * n AS DOUBLE) / 1000000000000 DESC,
+         |          o ASC) AS rk
+         |      FROM g)
+         |SELECT k AS indicator, o AS split_observation_day,
+         |       n1 AS n_before, (n - n1) AS n_after,
+         |       CAST(s1 AS DOUBLE) / n1 / 1000000 AS mean_before,
+         |       CAST(s - s1 AS DOUBLE) / (n - n1) / 1000000 AS mean_after,
+         |       score
+         |FROM r WHERE rk = 1""".stripMargin,
+
     // Mirrors windowYoy: lag-12 observations within each status series.
     "window_yoy" ->
       """WITH m AS (

@@ -49,6 +49,13 @@ trait TextQueries extends QueriesBase {
   val textTokensRegex: Q = (s, dir) =>
     TextOps.tokenStats(Tables.documents(s, dir))
 
+  /** Per-doc unigram token entropy in exact floor-log2 bit space —
+    * the repetitiveness screen (template spam and keyword stuffing
+    * sit under 1 bit/token), gated on the INTEGER comparison
+    * sum_bits < n_tokens ([[TextOps.entropySignals]]). */
+  val qualityEntropy: Q = (s, dir) =>
+    TextOps.entropySignals(Tables.documents(s, dir))
+
   /** Corpus-trained bigram LM surprisal per document — the CCNet-style
     * perplexity-bucket quality filter in exact integer bit space (see
     * [[TextOps.lmSurprisal]]; no floating log crosses the oracle). */
@@ -574,6 +581,7 @@ trait TextQueries extends QueriesBase {
     "text_tfidf" -> textTfidf,
     "source_overlap" -> sourceOverlap,
     "quality_gopher" -> qualityGopher,
+    "quality_entropy" -> qualityEntropy,
     "text_tokens_regex" -> textTokensRegex,
     "layout_zorder" -> layoutZorder,
     "layout_shuffle" -> layoutShuffle,

@@ -187,6 +187,15 @@ trait WindowQueries extends QueriesBase {
         sum(col("u_hi") - col("u_lo")).as("span_days_sum"))
   }
 
+  /** Single change-point per indicator series: the split maximizing
+    * the between-segment SSE reduction over the daily values —
+    * drift LOCALIZATION (where the mean jumped), exact-BIGINT
+    * numerator + two mirrored IEEE steps so the argmax is
+    * engine-independent ([[SeriesOps.changePoint]]). */
+  val seriesChangepoint: Q = (s, dir) =>
+    SeriesOps.changePoint(dailySeries(s, dir),
+      "indicator", "observation_day", "value")
+
   /** As-of join: align each daily point with the most recent sparse
     * (every-3rd-day) observation at or before it. */
   val seriesAsof: Q = (s, dir) => {
@@ -273,6 +282,7 @@ trait WindowQueries extends QueriesBase {
     "series_asof_forward" -> seriesAsofForward,
     "series_asof_forward_tolerance" -> seriesAsofForwardTolerance,
     "series_asof_nearest" -> seriesAsofNearest,
+    "series_changepoint" -> seriesChangepoint,
     "events_transitions" -> eventsTransitions,
     "events_paths" -> eventsPaths,
     "join_range" -> joinRange,

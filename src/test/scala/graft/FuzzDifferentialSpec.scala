@@ -38,7 +38,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     // dup-heavy unicode corpora the fixtures never saw
     "dedup_substring", "dedup_substring_apply", "quality_lm_indexed",
     "dedup_substring_exact", "dedup_substring_exact_apply", "dedup_longest_match",
-    "report_dup_coverage",
+    "report_dup_coverage", "quality_entropy",
     "report_corpus", "decontam_spans", "decontam_spans_clean",
     // closing-stretch additions: the temperature mixture's sqrt/
     // largest-remainder walk on skewed 2-3-lang corpora, and the
@@ -139,7 +139,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
     "fred_yearly_gold", "window_ewma", "window_interpolate",
     "agg_hll_portable", "agg_countmin", "join_interval_overlap",
-    "agg_bloom_portable", "agg_hll_overlap")
+    "agg_bloom_portable", "agg_hll_overlap", "series_changepoint")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",
