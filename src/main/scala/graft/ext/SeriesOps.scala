@@ -473,6 +473,38 @@ object SeriesOps {
       .drop("__size")
   }
 
+  /** Theil–Sen robust trend per series (Theil 1950; Sen 1968): the
+    * MEDIAN of all pairwise slopes — the outlier-robust complement to
+    * the OLS `agg_linfit` (one corrupted observation drags OLS
+    * arbitrarily; Theil–Sen tolerates ~29% contamination). Slopes are
+    * two mirrored IEEE divisions of exact micro-scaled integers, the
+    * lower median picks row (n+1)/2 under the deterministic
+    * (slope, left-day, right-day) order — engine-exact end to end.
+    *
+    * Scale shape: the pair join is per-series QUADRATIC (the
+    * published estimator is — C(n,2) slopes), partitioned by series
+    * key, so cost is Σ len² over series, bounded by the longest
+    * series, never by corpus size; the monitored-indicator series
+    * this targets are -day grain (≤ a few hundred points). For
+    * multi-year minute grain, subsample or use [[ewma]] trend. */
+  def theilSen(df: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val b = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      round(col(valCol) * 1e6).cast("long").as("v"))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.k") === col("b.k") && col("a.o") < col("b.o"))
+      .select(col("a.k").as("k"), col("a.o").as("oa"), col("b.o").as("ob"),
+        (((col("b.v") - col("a.v")).cast("double") /
+          (col("b.o") - col("a.o")).cast("double")) / 1e6).as("slope"))
+    pairs
+      .withColumn("rn", row_number().over(Window.partitionBy("k")
+        .orderBy(col("slope").asc, col("oa").asc, col("ob").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("rn") === floor((col("n") + lit(1)) / lit(2)).cast("long"))
+      .select(col("k").as(keyCol), col("n").as("n_pairs"),
+        col("slope").as("slope_median"))
+  }
+
   /** Single change-point detection per series: the split maximizing
     * the between-segment sum-of-squares reduction (binary
     * segmentation's first step / the offline CUSUM argmax — Page

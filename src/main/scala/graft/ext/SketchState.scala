@@ -189,6 +189,33 @@ object SketchState {
       .repartition(1).write.mode("overwrite").parquet(root)
   }
 
+  /** Equi-join cardinality estimate from two CMS cell tables of the
+    * SAME shape — the Cormode–Muthukrishnan inner-product estimate
+    * (2005 §4.2, after Alon–Matias–Szegedy): per lane,
+    * Σ_bucket cntA·cntB ≥ Σ_key fA(k)·fB(k) = |A ⋈ B| (collisions
+    * only ADD), so min over lanes is the tightest upper bound the
+    * sketch offers — what a planner reads off SAVED state to size a
+    * 100 TB join's output (shuffle partitions, broadcast eligibility)
+    * WITHOUT running the join or scanning either side. Exact BIGINT
+    * end to end (counts and products — no estimator float), so every
+    * lane's inner product is oracle-replayable.
+    *
+    * @return one row per lane of `a` (a lane with no shared buckets
+    *         reads 0 — disjoint sides estimate zero, not the min of
+    *         the other lanes): (lane, inner_product, est) —
+    *         est = min over the lanes. */
+  def cmsJoinCardinality(a: DataFrame, b: DataFrame): DataFrame = {
+    val ip = a.select(col("lane"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("lane"), col("bucket"), col("cnt").as("__cb")),
+        Seq("lane", "bucket"))
+      .groupBy("lane")
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+    val j = a.select("lane").distinct()
+      .join(ip, Seq("lane"), "left_outer")
+      .select(col("lane"), coalesce(col("__ip"), lit(0L)).as("inner_product"))
+    j.crossJoin(broadcast(j.agg(min(col("inner_product")).as("est"))))
+  }
+
   /** Frequency estimates for a key frame against a cell table: min
     * over lanes of the key's cells (a missing cell is 0). One
     * broadcast-sized join per lane — the cell table is ≤ depth·width

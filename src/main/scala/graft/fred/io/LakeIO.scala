@@ -263,4 +263,73 @@ object LakeIO {
     fs.delete(tmp, true)
     (frag.size.toLong, filesBefore, partitionCensus(spark, root).map(_._2).sum)
   }
+
+  /** Targeted delete propagation — the right-to-be-forgotten /
+    * takedown primitive a training-data lake must run routinely:
+    * remove every row matching `predicate` by rewriting ONLY the
+    * partitions that contain matches, leaving every other partition's
+    * files byte-untouched (at 100 TB, rewriting the lake to delete
+    * one user is absurd; the delete job touches the affected leaves
+    * only — this is Iceberg/Delta `DELETE WHERE`'s copy-on-write
+    * path, minus their catalog transaction, caveat as stated on
+    * [[compactFragmented]]).
+    *
+    * Mechanics: one predicate scan finds the affected partition
+    * tuples (parquet min/max stats prune files the predicate cannot
+    * match even inside unpruned partitions); only those leaves are
+    * re-read, anti-filtered, written to a dot-prefixed temp dir
+    * (invisible to readers) and SWAPPED in per partition with the
+    * [[compactFragmented]] rename discipline — a partition whose rows
+    * ALL matched comes back empty and its leaf is removed outright.
+    * Non-affected partitions are never read past the probe scan.
+    *
+    * @return (partitions_rewritten, rows_deleted) */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = PartitionCols): (Long, Long) = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val probe = spark.read.parquet(root).filter(predicate)
+      .groupBy(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .count()
+      .collect() // bounded by the partition count, not the row count
+    if (probe.isEmpty) return (0L, 0L)
+    val rowsDeleted = probe.map(_.getLong(partitionCols.size)).sum
+    val qRoot = fs.makeQualified(rootPath).toString
+    // hive layout: root/col1=v1/col2=v2 — values here are the
+    // identifier/int partition keys this lake writes; callers with
+    // special-character partition values need hive escaping (stated)
+    val leaves = probe.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+    }
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, ".delete_tmp")
+    fs.delete(tmp, true)
+    // NOT coalesce(p, false), not plain !p: a NULL-valued predicate
+    // row is NOT a match (the probe's filter(p) semantics) and must
+    // SURVIVE the rewrite — `!p` on NULL is NULL and would silently
+    // drop it
+    val kept = spark.read.option("basePath", root)
+      .parquet(leaves.map(l => s"$qRoot/$l").toIndexedSeq: _*)
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
+    kept.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    leaves.foreach { rel =>
+      val leaf = new org.apache.hadoop.fs.Path(s"$qRoot/$rel")
+      val tmpLeaf = new org.apache.hadoop.fs.Path(tmp, rel)
+      val aside = new org.apache.hadoop.fs.Path(
+        leaf.getParent, s".delete_old_${leaf.getName}")
+      fs.delete(aside, true)
+      require(fs.rename(leaf, aside), s"could not move aside $leaf")
+      // a fully-deleted partition has no compacted output: drop it
+      if (fs.exists(tmpLeaf))
+        require(fs.rename(tmpLeaf, leaf), s"could not swap in $tmpLeaf")
+      fs.delete(aside, true)
+    }
+    fs.delete(tmp, true)
+    (leaves.length.toLong, rowsDeleted)
+  }
 }

@@ -63,13 +63,7 @@ object KCore {
     var scores = und.groupBy("a").agg(count(lit(1)).as("c"))
       .select(col("a").as("node"), col("c"))
     for (i <- 1 to iterations) {
-      val nb = und
-        .join(scores.select(col("node").as("b"), col("c").as("cb")), "b")
-        .select(col("a"), col("cb"))
-      val h = nb
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("a").orderBy(col("cb").desc)))
-        .groupBy("a").agg(max(least(col("cb"), col("rn"))).as("h"))
+      val h = hRound(und, scores)
       // least() pins the monotone descent explicitly (true from the
       // degree start anyway) so a partial run is always a valid
       // upper bound on coreness
@@ -82,4 +76,18 @@ object KCore {
     }
     scores.withColumnRenamed("c", "coreness")
   }
+
+  /** One synchronous h-operator round: join scores onto the
+    * symmetrized adjacency, per-node descending `row_number` window
+    * (partitions are single-neighbor-lists, bounded by max degree),
+    * reduce to H = max(min(score, rank)). Exposed so PlanShapeSpec
+    * can pin the ROUND plan — the iteration checkpoints each round,
+    * so the final frame's executed plan is a bare materialized scan. */
+  private[graft] def hRound(und: DataFrame, scores: DataFrame): DataFrame =
+    und
+      .join(scores.select(col("node").as("b"), col("c").as("cb")), "b")
+      .select(col("a"), col("cb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("cb").desc)))
+      .groupBy("a").agg(max(least(col("cb"), col("rn"))).as("h"))
 }

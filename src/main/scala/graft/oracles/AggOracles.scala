@@ -51,6 +51,63 @@ private[graft] object AggOracles {
         |       bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
         |FROM pos GROUP BY 1""".stripMargin,
 
+    // Mirrors aggCmsJoinCard: per-lane Σ cntA·cntB inner products of
+    // the half-month CMS cell tables + the min-lane upper bound —
+    // exact BIGINTs end to end (collisions only add, so every lane
+    // bounds the true join size from above).
+    "agg_cms_join_card" -> {
+      def cells(name: String, pred: String) =
+        s"""$name AS (
+           |  SELECT lane,
+           |         ('0x' || substr(md5(lane::VARCHAR || '_' || user_id::VARCHAR),
+           |            1, 15))::BIGINT % 512 AS bucket,
+           |         count(*) AS c
+           |  FROM (SELECT user_id, ts FROM events
+           |        WHERE user_id IS NOT NULL AND $pred)
+           |  CROSS JOIN generate_series(0, 3) t(lane)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH ${cells("ca", "day(ts) <= 15")},
+         |${cells("cb", "day(ts) > 15")},
+         |ip0 AS (SELECT ca.lane, CAST(sum(ca.c * cb.c) AS BIGINT) AS inner_product
+         |        FROM ca JOIN cb USING (lane, bucket) GROUP BY 1),
+         |ip AS (SELECT l.lane, coalesce(ip0.inner_product, 0) AS inner_product
+         |       FROM (SELECT DISTINCT lane FROM ca) l
+         |       LEFT JOIN ip0 USING (lane))
+         |SELECT CAST(lane AS INTEGER) AS lane, inner_product,
+         |       (SELECT min(inner_product) FROM ip) AS est
+         |FROM ip""".stripMargin
+    },
+
+    // Mirrors aggCmsAccuracy: exact top-10 user counts vs the CMS
+    // min-over-lanes point estimate — exact BIGINTs throughout, the
+    // overcount is the sketch's one-sided error made visible.
+    "agg_cms_accuracy" ->
+      """WITH k AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT lane,
+        |         ('0x' || substr(md5(lane::VARCHAR || '_' || user_id::VARCHAR),
+        |            1, 15))::BIGINT % 512 AS bucket,
+        |         count(*) AS c
+        |  FROM k CROSS JOIN generate_series(0, 3) t(lane)
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+        |          FROM k GROUP BY 1),
+        |top AS (SELECT * FROM exact
+        |        ORDER BY exact_count DESC, user_id ASC LIMIT 10),
+        |probes AS (
+        |  SELECT t.user_id, t.exact_count, lane,
+        |         ('0x' || substr(md5(lane::VARCHAR || '_' || t.user_id::VARCHAR),
+        |            1, 15))::BIGINT % 512 AS bucket
+        |  FROM top t CROSS JOIN generate_series(0, 3) s(lane)),
+        |est AS (SELECT p.user_id, p.exact_count,
+        |          CAST(min(coalesce(c.c, 0)) AS BIGINT) AS estimate
+        |        FROM probes p LEFT JOIN cells c
+        |          ON p.lane = c.lane AND p.bucket = c.bucket
+        |        GROUP BY 1, 2)
+        |SELECT user_id, exact_count, estimate,
+        |       estimate - exact_count AS overcount
+        |FROM est""".stripMargin,
+
     // Mirrors aggHllOverlap: per-side and max-merged-union HLL
     // register summaries as exact BIGINTs (n_empty = 4096 − nonzero
     // registers; sum_scaled = Σ 2^(49 − max_rank) with empty

@@ -242,6 +242,45 @@ private[graft] object SimilarityOracles {
          |SELECT node AS vec_id, c AS coreness FROM c8""".stripMargin
     },
 
+    // Mirrors operators.LinkPredict over the symmetrized k=3 knn
+    // graph: wedge-join common neighbors, existing edges anti-joined
+    // away, 4-dp neighborhood Jaccard, per-node top-5 under
+    // (jaccard DESC, cn DESC, id ASC).
+    "graph_link_predict" -> {
+      val base =
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |scored AS (
+          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+          |         round(list_dot_product(a.v, b.v) /
+          |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000 AS cosine
+          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+          |g AS (SELECT vec_id, neighbor_id FROM (
+          |  SELECT vec_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 3),
+          |und AS (SELECT vec_id AS a, neighbor_id AS b FROM g
+          |        UNION SELECT neighbor_id, vec_id FROM g)""".stripMargin
+      s"""$base,
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+         |cn AS (SELECT w1.x AS a, w2.y AS b, CAST(count(*) AS BIGINT) AS cn
+         |       FROM (SELECT b AS m, a AS x FROM und) w1
+         |       JOIN (SELECT a AS m, b AS y FROM und) w2 USING (m)
+         |       WHERE w1.x < w2.y GROUP BY 1, 2),
+         |cand AS (SELECT cn.a, cn.b, cn.cn FROM cn
+         |         WHERE NOT EXISTS (SELECT 1 FROM und
+         |                           WHERE und.a = cn.a AND und.b = cn.b)),
+         |sc AS (SELECT c.a, c.b, c.cn AS common_neighbors,
+         |         round(CAST(c.cn * 10000 AS DOUBLE) /
+         |               (x.d + y.d - c.cn)) / 10000 AS jaccard
+         |       FROM cand c JOIN deg x ON c.a = x.a JOIN deg y ON c.b = y.a)
+         |SELECT a AS node_a, b AS node_b, common_neighbors, jaccard,
+         |       CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY a ORDER BY
+         |        jaccard DESC, common_neighbors DESC, b ASC) AS rank
+         |      FROM sc)
+         |WHERE rank <= 5""".stripMargin
+    },
+
     // Mirrors similarityRrf: 3-gram-Jaccard lexical top-20 over
     // documents ⊕ 4-dp-cosine dense top-20 over embeddings, fused by
     // integer-scaled reciprocal-rank contributions round(1e6/(60+r))

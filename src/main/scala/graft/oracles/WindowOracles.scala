@@ -33,6 +33,24 @@ private[graft] object WindowOracles {
          |         PARTITION BY indicator ORDER BY observation_day) AS change
          |FROM d""".stripMargin,
 
+    // Mirrors SeriesOps.theilSen: pairwise slopes as two mirrored
+    // IEEE divisions of micro-scaled BIGINTs; lower median at row
+    // (n+1)//2 under the deterministic (slope, oa, ob) order.
+    "series_theilsen" ->
+      s"""WITH d AS ($dailySeriesCte),
+         |b AS (SELECT indicator AS k, observation_day AS o,
+         |        CAST(round(value * 1000000) AS BIGINT) AS v FROM d),
+         |p AS (SELECT x.k, x.o AS oa, y.o AS ob,
+         |        (CAST(y.v - x.v AS DOUBLE) / CAST(y.o - x.o AS DOUBLE))
+         |          / 1000000 AS slope
+         |      FROM b x JOIN b y ON x.k = y.k AND x.o < y.o),
+         |r AS (SELECT k, slope, row_number() OVER (
+         |        PARTITION BY k ORDER BY slope ASC, oa ASC, ob ASC) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+         |      FROM p)
+         |SELECT k AS indicator, n AS n_pairs, slope AS slope_median
+         |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
+
     // Mirrors SeriesOps.changePoint: micro-scaled BIGINT prefix sums,
     // exact numerator root d = n·S1 − n1·S, score = d·d / (n1·n2·n)
     // / 1e12 as the same two-IEEE-step chain — the argmax

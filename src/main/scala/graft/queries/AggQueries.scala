@@ -234,10 +234,48 @@ trait AggQueries extends QueriesBase {
     val su = st.hllStats(st.hllUnion(a, b)).select(
       col("n_empty").as("n_empty_union"),
       col("sum_scaled").as("sum_scaled_union"))
-    sa.crossJoin(sb).crossJoin(su) // three 1-row frames
+    // broadcast hints: 1-row frames, and the catalog-wide invariant
+    // bans CartesianProduct plans
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
+  }
+
+  /** Join-size estimate from sketch state alone: CMS cells of the
+    * first- and second-half-of-month event user ids, per-lane
+    * inner products + the min-lane upper bound on the self-join
+    * cardinality ([[graft.ext.SketchState.cmsJoinCardinality]]) —
+    * the pre-join planning read a 100 TB pipeline does against
+    * SAVED sketches instead of scanning either side. */
+  val aggCmsJoinCard: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val st = graft.ext.SketchState
+    st.cmsJoinCardinality(
+      st.cmsCells(ev.filter(dayofmonth(col("ts")) <= 15), "user_id"),
+      st.cmsCells(ev.filter(dayofmonth(col("ts")) > 15), "user_id"))
+  }
+
+  /** Sketch-accuracy observability: CMS point estimates vs exact
+    * counts for the 10 hottest users — overcount = estimate − exact
+    * is ≥ 0 by the sketch guarantee and every column is an exact
+    * BIGINT (the min-over-lanes estimate never touches a float), so
+    * the whole accuracy report is hash-checked. The dashboard a
+    * 100 TB monitor reads to decide whether the saved sketch shape
+    * still fits the key distribution. */
+  val aggCmsAccuracy: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val st = graft.ext.SketchState
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_count"))
+    val top = exact.orderBy(col("exact_count").desc, col("user_id").asc)
+      .limit(10)
+    st.cmsEstimate(st.cmsCells(ev, "user_id"), top, "user_id")
+      .join(top, Seq("user_id"))
+      .select(col("user_id"), col("exact_count"), col("estimate"),
+        (col("estimate") - col("exact_count")).as("overcount"))
   }
 
   protected def aggRegistry: Map[String, Q] = Map(
+    "agg_cms_join_card" -> aggCmsJoinCard,
+    "agg_cms_accuracy" -> aggCmsAccuracy,
     "agg_hll_portable" -> aggHllPortable,
     "agg_countmin" -> aggCountmin,
     "agg_bloom_portable" -> aggBloomPortable,

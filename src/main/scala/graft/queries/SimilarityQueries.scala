@@ -90,6 +90,17 @@ trait SimilarityQueries extends QueriesBase {
       "vec_id", "neighbor_id", iterations = 8)
       .select(col("node").as("vec_id"), col("coreness"))
 
+  /** Link prediction over the k=3 knn graph: top-5 non-adjacent
+    * pairs per node by neighborhood Jaccard — the near-dup pairs the
+    * banded LSH can miss (shared-neighbor transitivity) and the graph
+    * densifier run before community detection
+    * ([[graft.operators.LinkPredict]]). */
+  val graphLinkPredict: Q = (s, dir) =>
+    graft.operators.LinkPredict.topK(
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", k = 3).select("vec_id", "neighbor_id"),
+      "vec_id", "neighbor_id", k = 5)
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
     * 2009): the lexical leg is 3-gram-shingle Jaccard more-like-this
     * over `documents` ([[TextOps.jaccardTopK]], top-20), the dense leg
@@ -362,6 +373,7 @@ trait SimilarityQueries extends QueriesBase {
     "graph_triangles" -> graphTriangles,
     "graph_kcore" -> graphKcore,
     "similarity_rrf" -> similarityRrf,
+    "graph_link_predict" -> graphLinkPredict,
     "similarity_mrl_recall" -> similarityMrlRecall,
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,

@@ -196,6 +196,13 @@ trait WindowQueries extends QueriesBase {
     SeriesOps.changePoint(dailySeries(s, dir),
       "indicator", "observation_day", "value")
 
+  /** Theil–Sen robust trend per indicator: the median pairwise slope
+    * — one corrupted day drags the OLS `agg_linfit` arbitrarily but
+    * moves this ≤ one order statistic ([[SeriesOps.theilSen]]). */
+  val seriesTheilsen: Q = (s, dir) =>
+    SeriesOps.theilSen(dailySeries(s, dir),
+      "indicator", "observation_day", "value")
+
   /** As-of join: align each daily point with the most recent sparse
     * (every-3rd-day) observation at or before it. */
   val seriesAsof: Q = (s, dir) => {
@@ -283,6 +290,7 @@ trait WindowQueries extends QueriesBase {
     "series_asof_forward_tolerance" -> seriesAsofForwardTolerance,
     "series_asof_nearest" -> seriesAsofNearest,
     "series_changepoint" -> seriesChangepoint,
+    "series_theilsen" -> seriesTheilsen,
     "events_transitions" -> eventsTransitions,
     "events_paths" -> eventsPaths,
     "join_range" -> joinRange,

@@ -85,6 +85,20 @@ object CorpusStreams {
         graft.ext.SketchState.updateSavedCms(root, batch.toDF(), keyCol)
     }
 
+  /** Streaming membership monitor: the Bloom sibling of
+    * [[distinctCountStream]] — idempotent word-wise OR keeps the
+    * saved filter equal to the one-shot sketch over the whole stream
+    * (replayed batches change nothing, so at-least-once delivery is
+    * free); [[graft.ext.SketchState.bloomMightContainFromSaved]]
+    * screens candidate keys from state alone — the no-rescan
+    * have-we-already-crawled/ingested-this gate. */
+  def membershipStream(rows: DataFrame, root: String, keyCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.SketchState.updateSavedBloom(root, batch.toDF(), keyCol)
+    }
+
   def dedupExactStream(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Dataset[KeptDoc] = {
     import docs.sparkSession.implicits._

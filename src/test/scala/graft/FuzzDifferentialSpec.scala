@@ -98,7 +98,7 @@ class FuzzDifferentialSpec extends SparkSpec {
   private val embQueries = Seq(
     "similarity_topk", "similarity_ivf", "similarity_knn_graph",
     "mine_triplets", "graph_pagerank", "graph_triangles", "graph_kcore",
-    "similarity_rrf", "similarity_quantized",
+    "similarity_rrf", "graph_link_predict", "similarity_quantized",
     "embedding_quantize", "embedding_stats", "embedding_centroids",
     "dedup_embedding", "dedup_semantic", "decontam_semantic",
     "similarity_lsh_exhaustive", "similarity_ivf_exhaustive",
@@ -139,7 +139,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     "fred_clean_cast", "fred_dedup_sync", "fred_upsert_merge",
     "fred_yearly_gold", "window_ewma", "window_interpolate",
     "agg_hll_portable", "agg_countmin", "join_interval_overlap",
-    "agg_bloom_portable", "agg_hll_overlap", "series_changepoint")
+    "agg_bloom_portable", "agg_hll_overlap", "series_changepoint",
+    "agg_cms_join_card", "series_theilsen", "agg_cms_accuracy")
 
   private val words = Vector(
     "the", "data", "naïve", "café", "señor", "über", "løsning", "中文",

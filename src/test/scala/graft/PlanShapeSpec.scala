@@ -533,4 +533,71 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"),
       s"the gated corpus and LPA adjacency must be materialized once:\n$plan")
   }
+
+  test("similarity_rrf: query side broadcasts on both legs; fusion is one hash agg") {
+    val plan = executed(Queries.all("similarity_rrf")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // lexical leg: the query shingles and sizes BROADCAST onto the
+    // corpus explode — the corpus is scanned, never shuffled for the
+    // intersect counts' build side
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 3,
+      s"query-side frames must broadcast:\n$plan")
+    // rank windows partition by query over top-k-bounded frames; the
+    // fused score is a (query, doc) hash aggregate with partials
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"RRF sum must be a hash aggregate:\n$plan")
+  }
+
+  test("graph_kcore: equality joins only; h-index windows partition per node") {
+    val plan = executed(Queries.all("graph_kcore")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the iterated rounds must be materialized:\n$plan")
+    // the final frame is a checkpointed scan, so the window shape is
+    // pinned on the ROUND plan: every window is PARTITION BY node
+    // (single-neighbor-list sorts, bounded by max degree) — an
+    // unpartitioned window would move the whole edge list to one task
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L),
+      (1L, 3L)).toDF("a", "b")
+    val scores = Seq((1L, 2L), (2L, 2L), (3L, 2L)).toDF("node", "c")
+    val round = executed(graft.operators.KCore.hRound(und, scores))
+    assert(!round.contains("CartesianProduct") &&
+      !round.contains("BroadcastNestedLoopJoin"), s"cartesian:\n$round")
+    assert("windowspecdefinition\\(a#".r.findFirstIn(round).isDefined,
+      s"h-index window must partition by the node column:\n$round")
+    assert("HashAggregate".r.findAllIn(round).size >= 2,
+      s"the per-node H reduce must combine map-side:\n$round")
+  }
+
+  test("sketch relations (bloom words, CMS join-card) are partial+final hash aggs") {
+    val bloom = executed(Queries.all("agg_bloom_portable")(spark, sf))
+    assert(!bloom.contains("Window") && !bloom.contains("CartesianProduct"),
+      s"bloom words must be one agg chain:\n$bloom")
+    assert("HashAggregate".r.findAllIn(bloom).size >= 2,
+      s"bit_or must combine map-side:\n$bloom")
+    val jc = executed(Queries.all("agg_cms_join_card")(spark, sf))
+    assert(!jc.contains("CartesianProduct"),
+      s"unbounded cartesian in join-card (the 1-row est crossJoin is " +
+        s"broadcast):\n$jc")
+    assert("HashAggregate".r.findAllIn(jc).size >= 2,
+      s"inner products must aggregate with partials:\n$jc")
+  }
+
+  test("series_changepoint: one window pass per series, no self-join") {
+    val plan = executed(Queries.all("series_changepoint")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"split scan must not join the series to itself:\n$plan")
+  }
+
+  test("quality_entropy: linear agg chain — no window, no join") {
+    val plan = executed(Queries.all("quality_entropy")(spark, sf))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"entropy must be a pure aggregate chain:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"term counts must combine map-side:\n$plan")
+  }
 }

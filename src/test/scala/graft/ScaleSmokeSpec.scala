@@ -826,4 +826,32 @@ class ScaleSmokeSpec extends SparkSpec {
     big.unpersist(); out.unpersist()
     assert(secs < 420, s"funnel blew up: $secs s")
   }
+
+  smokeTest("deleteWhere at 1M rows touches only the matching partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_delete_smoke").toString + "/lake"
+    // 1M rows over 40 partitions (20 shards × 2 years)
+    val df = spark.range(1000000L)
+      .select(col("id"),
+        (col("id") % 20).cast("string").as("shard"),
+        (lit(2023) + (col("id") / 20) % 2).cast("int").as("y"),
+        md5(col("id").cast("string")).as("payload"))
+    graft.fred.io.LakeIO.writeParquet(df, root, Seq("shard", "y"))
+    // the takedown predicate hits one shard across both years (2
+    // leaves of 40); a third of that shard's rows match
+    val pred = col("id") % 20 === 7L && col("id") % 3 === 0L
+    val expected = spark.read.parquet(root).filter(pred).count()
+    val t0 = System.nanoTime()
+    val (nPart, nRows) = graft.fred.io.LakeIO.deleteWhere(spark, root,
+      pred, Seq("shard", "y"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"delete: $nRows rows across $nPart partitions in ${secs.round} s")
+    assert(nPart == 2L, "only shard=7's two year-leaves are affected")
+    assert(nRows == expected && expected > 0L)
+    val left = spark.read.parquet(root)
+    assert(left.count() == 1000000L - expected)
+    assert(left.filter(pred).count() == 0L)
+    assert(secs < 120, s"partition-pruned delete blew up: $secs s")
+  }
 }

@@ -45,6 +45,21 @@ class ChangePointAndEntropySpec extends SparkSpec {
     assert(math.abs(strong / weak - 16.0) < 1e-9)
   }
 
+  test("Theil–Sen: exact slope on a clean line; one outlier cannot drag it") {
+    val clean = Seq(("s", 1, 1.0), ("s", 2, 3.0), ("s", 3, 5.0))
+      .toDF("k", "o", "value")
+    val r = SeriesOps.theilSen(clean, "k", "o", "value")
+      .select("n_pairs", "slope_median").as[(Long, Double)].head()
+    assert(r == ((3L, 2.0)))
+    // slopes of (0,1,2,100 at days 1..4): [1,1,1,33.33,49.5,98] →
+    // lower median (rn 3 of 6) = 1.0; OLS slope here is ≈ 30
+    val dirty = Seq(("s", 1, 0.0), ("s", 2, 1.0), ("s", 3, 2.0),
+      ("s", 4, 100.0)).toDF("k", "o", "value")
+    val m = SeriesOps.theilSen(dirty, "k", "o", "value")
+      .select("slope_median").as[Double].head()
+    assert(m == 1.0, s"outlier dragged the median slope to $m")
+  }
+
   test("dyadic entropy: repeated, uniform, and mixed token fixtures") {
     val docs = Seq(
       (0L, "a a a a"),      // N=4 ⌊lg⌋=2, c=4 ⌊lg⌋=2 → bits 8−8 = 0

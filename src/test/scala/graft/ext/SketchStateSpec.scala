@@ -102,6 +102,28 @@ class SketchStateSpec extends SparkSpec {
       s"intersection estimate $inter vs exact 1000")
   }
 
+  test("CMS join-cardinality: upper bound tight on a collision-free fixture") {
+    // true |A ⋈ B| = Σ fA(k)·fB(k) = 3·4 (only "x" is shared) = 12
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("k")
+    val b = (Seq.fill(4)("x") ++ Seq.fill(5)("z")).toDF("k")
+    val out = SketchState.cmsJoinCardinality(
+      SketchState.cmsCells(a, "k"), SketchState.cmsCells(b, "k"))
+    val est = out.select("est").as[Long].head()
+    assert(out.count() == 4L, "one row per lane")
+    assert(est >= 12L, "the inner-product estimate never undercounts")
+    assert(est <= 32L, s"3 keys in 512 buckets: est $est should be near 12")
+  }
+
+  test("CMS join-cardinality: disjoint sides estimate (near) zero") {
+    val est = SketchState.cmsJoinCardinality(
+        SketchState.cmsCells((1L to 30L).toDF("k"), "k"),
+        SketchState.cmsCells((100001L to 100030L).toDF("k"), "k"))
+      .select("est").as[Long].head()
+    // only accidental bucket collisions contribute; 30×30 keys over
+    // 512 buckets × 4 independent lanes keeps the min-lane tiny
+    assert(est <= 8L, s"disjoint join estimated at $est")
+  }
+
   test("CMS: saved state after N batches ≡ the one-shot sketch over the stream") {
     val all = (1L to 5000L).map(i => i * 31L % 400L)
     val root = tmp("cms")
@@ -166,6 +188,29 @@ class SketchStateSpec extends SparkSpec {
     val cmsOneShot = SketchState.cmsCells(all.toDF("k"), "k")
       .select("lane", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
     assert(cmsSaved == cmsOneShot, "streamed CMS state must equal one-shot")
+  }
+
+  test("streaming Bloom state through foreachBatch ≡ one-shot; screens from state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("bloom_stream")
+    val b1 = (1L to 700L); val b2 = (500L to 1200L) // overlapping batches
+    val input = MemoryStream[Long]
+    val q = graft.streaming.CorpusStreams
+      .membershipStream(input.toDF().toDF("k"), root, "k").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally { q.stop() }
+    val saved = spark.read.parquet(root)
+      .as[(Long, Long)].collect().toSet
+    val oneShot = SketchState.bloomWords((b1 ++ b2).toDF("k"), "k")
+      .as[(Long, Long)].collect().toSet
+    assert(saved == oneShot, "streamed Bloom state must equal one-shot")
+    val screened = SketchState.bloomMightContainFromSaved(spark, root,
+        (1L to 1200L).toDF("k"), "k")
+      .filter(!col("might_contain")).count()
+    assert(screened == 0L, "every streamed key must screen as present")
   }
 
   test("GK: saved summary round-trips bit-for-bit") {
