@@ -111,25 +111,31 @@ object HeavyHitters {
   /** Running Misra–Gries summary maintained under a lake path across
     * micro-batches (the [[Ivf.appendToSaved]] posture for sketches):
     * each batch summarizes distributedly, merges into the saved
-    * summary, and the ≤ k+1-row result overwrites the path
-    * (materialized on the driver FIRST — a frame this small never
-    * read-overwrite races). After any number of batches the saved
-    * candidates still contain every key with `f·(k+1) > n` over the
-    * WHOLE stream; an exact [[heavyHitters]]-style count pass over
-    * the accumulated lake turns them into the exact answer on
-    * demand. */
+    * summary, and the ≤ k+1-row result replaces the path via the
+    * crash-safe [[SketchState.swapInState]] swap (materialized on the
+    * driver FIRST — a frame this small never read-overwrite races).
+    * After any number of batches the saved candidates still contain
+    * every key with `f·(k+1) > n` over the WHOLE stream; an exact
+    * [[heavyHitters]]-style count pass over the accumulated lake turns
+    * them into the exact answer on demand.
+    *
+    * The MG merge is additive in `n` (NOT idempotent), so replaying a
+    * micro-batch after a failure inflates the stream count — callers
+    * with replayable sources pass the foreachBatch `batchId` and a
+    * batch with id ≤ the persisted marker is skipped
+    * ([[SketchState.updateSavedCms]]'s exactly-once guard). */
   def updateSavedSummary(root: String, batch: DataFrame, keyCol: String,
-      k: Int): Unit = {
+      k: Int, batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val last = SketchState.lastAppliedBatchId(spark, root)
+    if (batchId.isDefined && last.exists(_ >= batchId.get)) return
     val bs = summarize(batch, keyCol, k)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
       if (fs.exists(path)) mergeSummaries(spark.read.parquet(root), bs, k)
       else mergeSummaries(bs, bs.limit(0), k)
-    val rows = merged.collect() // ≤ k+1 rows by construction
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
-      .repartition(1).write.mode("overwrite").parquet(root)
+    SketchState.replaceState(spark, root, merged, batchId.orElse(last))
   }
 
   /** Exact heavy hitters via the two-pass sketch: every key with

@@ -288,13 +288,19 @@ object Sampling {
       .withColumn("__ws_cum", coalesce(sum(col("__ws_w")).over(w), lit(0L)))
       // `div` (integer division), NOT `/` (double): thresholds must be
       // exact at any magnitude; an all-zero-weight stratum divides by
-      // zero → null → 0 copies
+      // zero → null → 0 copies. The cum·n products compute in
+      // DECIMAL(38,0), not LONG (r14 ADVICE #4): with token-count
+      // weights, Σw·n can clear 2^63 at corpus scale and the Long form
+      // silently wrapped (negative n_copies); 38 digits hold any
+      // Σw ≤ 10^38/n — beyond any token count that can exist.
       .select(col(keyCol), col(strataCol),
         col("__ws_w").as("weight"),
         col("__ws_cum").as("cum_before"),
         coalesce(
-          expr(s"((__ws_cum + __ws_w) * $n) div __ws_total") -
-            expr(s"(__ws_cum * $n) div __ws_total"),
+          expr(s"(cast(__ws_cum + __ws_w as decimal(38,0)) * $n)" +
+            " div cast(__ws_total as decimal(38,0))") -
+            expr(s"(cast(__ws_cum as decimal(38,0)) * $n)" +
+              " div cast(__ws_total as decimal(38,0))"),
           lit(0L)).as("n_copies"))
   }
 }

@@ -33,6 +33,103 @@ import org.apache.spark.sql.functions._
   */
 object SketchState {
 
+  // ------------------------------------------------ crash-safe save
+
+  /** Sibling dot-path of a state root: `<parent>/.<name><suffix>` —
+    * invisible to a reader listing the parent as a lake root. */
+  private[ext] def sibling(root: String, suffix: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val parent = p.getParent
+    if (parent == null) new org.apache.hadoop.fs.Path(root + suffix)
+    else new org.apache.hadoop.fs.Path(parent, "." + p.getName + suffix)
+  }
+
+  private val BatchIdFile = "_graft_batch_id"
+
+  /** Heal a state root lost to a crash between [[swapInState]]'s two
+    * renames (prior state moved aside, new copy not yet in): if the
+    * root is missing but the aside copy exists, rename it back. Every
+    * reader and merger calls this before touching the root. */
+  private[ext] def recoverState(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val aside = sibling(root, ".swap_old")
+    if (!fs.exists(p) && fs.exists(aside))
+      require(fs.rename(aside, p), s"could not restore $root from $aside")
+  }
+
+  /** The last micro-batch id folded into the state at `root`, if any —
+    * the exactly-once guard for NON-idempotent merges (additive CMS
+    * cells, Misra–Gries counts) under foreachBatch's at-least-once
+    * delivery (r14 ADVICE #1): a replayed batch with id ≤ this is
+    * skipped, not re-folded. The marker is an `_`-prefixed file INSIDE
+    * the state dir (invisible to parquet reads) so it swaps in
+    * ATOMICALLY with the state itself — a marker updated in a separate
+    * write could desync from the state on a crash between the two. */
+  def lastAppliedBatchId(spark: SparkSession, root: String): Option[Long] = {
+    val marker = new org.apache.hadoop.fs.Path(root, BatchIdFile)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverState(fs, root)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.isEmpty) None else Some(s.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Crash-safe replacement of the saved state at `root` (r14 ADVICE
+    * #2): `mode("overwrite")` in place deletes the directory BEFORE
+    * writing, so a crash mid-write destroys the only copy of the
+    * accumulated state. Here `write` lands the new state in a
+    * dot-prefixed sibling temp dir first, the prior state moves aside,
+    * the temp renames in, and only then does the aside copy drop — a
+    * complete state exists on disk at every instant
+    * ([[graft.fred.io.LakeIO]]'s dot-temp + rename discipline). A
+    * crash between the renames is healed by [[recoverState]] on the
+    * next touch; a failed rename-in restores the prior state before
+    * rethrowing. */
+  private[ext] def swapInState(spark: SparkSession, root: String)
+      (write: String => Unit): Unit = {
+    val tmp = sibling(root, ".swap_tmp")
+    val aside = sibling(root, ".swap_old")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    fs.delete(aside, true)
+    if (fs.exists(rootPath))
+      require(fs.rename(rootPath, aside), s"could not move aside $root")
+    if (!fs.rename(tmp, rootPath)) {
+      // never leave zero live copies: put the prior state back first
+      if (fs.exists(aside)) fs.rename(aside, rootPath)
+      throw new IllegalStateException(s"could not swap $tmp into $root")
+    }
+    fs.delete(aside, true)
+  }
+
+  /** [[swapInState]] for the common bounded-table shape: materialize
+    * `merged` on the driver (≤ a construction-bounded row count at
+    * every call site), write it + the optional batch-id marker to the
+    * temp dir, swap. */
+  private[ext] def replaceState(spark: SparkSession, root: String,
+      merged: DataFrame, batchId: Option[Long]): Unit = {
+    val rows = merged.collect()
+    swapInState(spark, root) { tmpDir =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+        .repartition(1).write.mode("overwrite").parquet(tmpDir)
+      batchId.foreach { id =>
+        val fs = new org.apache.hadoop.fs.Path(tmpDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(tmpDir, BatchIdFile), true)
+        try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
   // ------------------------------------------------ portable HLL
 
   /** Default precision: 2^12 = 4096 registers, rse ≈ 1.04/64 ≈ 1.6%. */
@@ -68,23 +165,22 @@ object SketchState {
     * (parquet, ≤ 2^p rows): elementwise max, so after ANY number of
     * batches the saved table ≡ [[hllRegisters]] over the union —
     * spec-pinned as exact frame equality. The merged table is
-    * materialized on the driver FIRST (≤ 2^p rows by construction),
-    * the [[HeavyHitters.updateSavedSummary]] read-overwrite
-    * discipline. */
+    * materialized on the driver FIRST (≤ 2^p rows by construction)
+    * and lands via the crash-safe [[swapInState]] swap; max-merge is
+    * idempotent, so at-least-once replay needs no batch-id guard. */
   def updateSavedHll(root: String, batch: DataFrame, keyCol: String,
       p: Int = DefaultP): Unit = {
     val spark = batch.sparkSession
     val bs = hllRegisters(batch, keyCol, p)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverState(fs, root)
     val merged =
       if (fs.exists(path))
         spark.read.parquet(root).unionByName(bs)
           .groupBy("reg_idx").agg(max(col("max_rank")).as("max_rank"))
       else bs
-    val rows = merged.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
-      .repartition(1).write.mode("overwrite").parquet(root)
+    replaceState(spark, root, merged, batchId = None)
   }
 
   /** Distinct-count estimate from a register table: the HLL composite
@@ -110,7 +206,14 @@ object SketchState {
   /** [[hllEstimate]] over the saved state — the no-rescan query. */
   def hllEstimateFromSaved(spark: SparkSession, root: String,
       p: Int = DefaultP): DataFrame =
-    hllEstimate(spark.read.parquet(root), p)
+    hllEstimate(readState(spark, root), p)
+
+  /** Saved-state read with mid-swap crash recovery. */
+  private def readState(spark: SparkSession, root: String): DataFrame = {
+    recoverState(new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf()), root)
+    spark.read.parquet(root)
+  }
 
   /** The EXACT-INTEGER half of [[hllEstimate]]: one row
     * (n_empty, sum_scaled) — both pure BIGINT functions of the
@@ -171,11 +274,24 @@ object SketchState {
     * (parquet, ≤ depth·width rows): cell-wise ADDITION, so after any
     * number of batches the saved table ≡ [[cmsCells]] over the
     * concatenated stream — spec-pinned as exact frame equality. Same
-    * driver-materialize-first overwrite discipline as
-    * [[updateSavedHll]]. */
+    * driver-materialize-first discipline as [[updateSavedHll]], via
+    * the crash-safe swap.
+    *
+    * UNLIKE the HLL/Bloom siblings the cell merge is NOT idempotent,
+    * and foreachBatch delivers micro-batches at-least-once — a batch
+    * replayed after a failure would fold in twice and silently inflate
+    * every count (r14 ADVICE #1). Callers with replayable sources pass
+    * the foreachBatch `batchId`: a batch with id ≤ the persisted
+    * last-applied marker is skipped, and the marker swaps in
+    * atomically with the state ([[lastAppliedBatchId]]), so the
+    * documented "saved state ≡ one-shot sketch over the concatenated
+    * stream" claim survives replays. */
   def updateSavedCms(root: String, batch: DataFrame, keyCol: String,
-      depth: Int = CmsDepth, width: Int = CmsWidth): Unit = {
+      depth: Int = CmsDepth, width: Int = CmsWidth,
+      batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val last = lastAppliedBatchId(spark, root) // recovers a mid-swap crash
+    if (batchId.isDefined && last.exists(_ >= batchId.get)) return
     val bs = cmsCells(batch, keyCol, depth, width)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -184,9 +300,7 @@ object SketchState {
         spark.read.parquet(root).unionByName(bs)
           .groupBy("lane", "bucket").agg(sum(col("cnt")).as("cnt"))
       else bs
-    val rows = merged.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
-      .repartition(1).write.mode("overwrite").parquet(root)
+    replaceState(spark, root, merged, batchId.orElse(last))
   }
 
   /** Equi-join cardinality estimate from two CMS cell tables of the
@@ -238,7 +352,7 @@ object SketchState {
   /** [[cmsEstimate]] over the saved state — the no-rescan query. */
   def cmsEstimateFromSaved(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
-    cmsEstimate(spark.read.parquet(root), keys, keyCol, depth, width)
+    cmsEstimate(readState(spark, root), keys, keyCol, depth, width)
 
   // ------------------------------------------------ portable Bloom
 
@@ -256,7 +370,9 @@ object SketchState {
     * OR (associative + commutative + IDEMPOTENT), so saved state
     * after any micro-batching — including replayed batches — is
     * IDENTICAL to the one-shot sketch over the union: the HLL
-    * max-merge property, for membership instead of cardinality. The
+    * max-merge property, for membership instead of cardinality (so
+    * at-least-once replay needs no batch-id guard, unlike the additive
+    * [[updateSavedCms]]). The
     * `agg_bloom_portable` catalog entry hash-checks every word in
     * DuckDB. One scan, one map-side-combinable bit_or of ≤ bits/32
     * groups. */
@@ -278,22 +394,21 @@ object SketchState {
     * (parquet, ≤ bits/32 rows): word-wise OR, so after ANY batching
     * the saved table ≡ [[bloomWords]] over the union — spec-pinned as
     * exact frame equality (and idempotent: re-merging a replayed
-    * batch changes nothing). Same driver-materialize-first overwrite
-    * discipline as [[updateSavedHll]]. */
+    * batch changes nothing). Same driver-materialize-first discipline
+    * as [[updateSavedHll]], via the crash-safe swap. */
   def updateSavedBloom(root: String, batch: DataFrame, keyCol: String,
       bits: Int = BloomBits, hashes: Int = BloomHashes): Unit = {
     val spark = batch.sparkSession
     val bs = bloomWords(batch, keyCol, bits, hashes)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverState(fs, root)
     val merged =
       if (fs.exists(path))
         spark.read.parquet(root).unionByName(bs)
           .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
       else bs
-    val rows = merged.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
-      .repartition(1).write.mode("overwrite").parquet(root)
+    replaceState(spark, root, merged, batchId = None)
   }
 
   /** Membership probe of a key frame against a word table: a key
@@ -323,7 +438,7 @@ object SketchState {
   def bloomMightContainFromSaved(spark: SparkSession, root: String,
       keys: DataFrame, keyCol: String, bits: Int = BloomBits,
       hashes: Int = BloomHashes): DataFrame =
-    bloomMightContain(spark.read.parquet(root), keys, keyCol, bits, hashes)
+    bloomMightContain(readState(spark, root), keys, keyCol, bits, hashes)
 
   // ------------------------------------------------ GK quantiles
 
@@ -347,20 +462,36 @@ object SketchState {
 
   /** Persist a summary under `root`: `root/sampled` holds the ordered
     * (idx, value, g, delta) triples, `root/meta` the (count, eps)
-    * envelope. Round-trips bit-for-bit ([[loadGk]]). */
-  def saveGk(spark: SparkSession, summ: QuantileSummaries, root: String): Unit = {
+    * envelope. Round-trips bit-for-bit ([[loadGk]]). Both parts write
+    * to a temp sibling and the WHOLE root swaps at once (crash-safe,
+    * and never sampled-from-one-write/meta-from-another); `batchId`
+    * persists the exactly-once marker for [[updateSavedGk]] (GK merge
+    * is additive in `count`, the [[updateSavedCms]] hazard). */
+  def saveGk(spark: SparkSession, summ: QuantileSummaries, root: String,
+      batchId: Option[Long] = None): Unit = {
     import spark.implicits._
-    summ.sampled.zipWithIndex.toSeq
-      .map { case (st, i) => (i, st.value, st.g, st.delta) }
-      .toDF("idx", "value", "g", "delta")
-      .repartition(1).write.mode("overwrite").parquet(root + "/sampled")
-    Seq((summ.count, summ.relativeError))
-      .toDF("count", "eps")
-      .repartition(1).write.mode("overwrite").parquet(root + "/meta")
+    swapInState(spark, root) { tmpDir =>
+      summ.sampled.zipWithIndex.toSeq
+        .map { case (st, i) => (i, st.value, st.g, st.delta) }
+        .toDF("idx", "value", "g", "delta")
+        .repartition(1).write.mode("overwrite").parquet(tmpDir + "/sampled")
+      Seq((summ.count, summ.relativeError))
+        .toDF("count", "eps")
+        .repartition(1).write.mode("overwrite").parquet(tmpDir + "/meta")
+      batchId.foreach { id =>
+        val fs = new org.apache.hadoop.fs.Path(tmpDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(tmpDir, BatchIdFile), true)
+        try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      }
+    }
   }
 
   /** Rebuild the persisted summary. */
   def loadGk(spark: SparkSession, root: String): QuantileSummaries = {
+    recoverState(new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf()), root)
     val meta = spark.read.parquet(root + "/meta").head()
     val sampled = spark.read.parquet(root + "/sampled")
       .orderBy("idx")
@@ -376,14 +507,18 @@ object SketchState {
     * guarantee over the WHOLE stream; quantile queries come from
     * [[loadGk]] + `query`, never from rescanning the lake. */
   def updateSavedGk(root: String, batch: DataFrame, valCol: String,
-      eps: Double = 0.01): Unit = {
+      eps: Double = 0.01, batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val last = lastAppliedBatchId(spark, root) // recovers a mid-swap crash
+    // the merge is additive in `count` — skip replayed batches
+    // (the [[updateSavedCms]] exactly-once guard)
+    if (batchId.isDefined && last.exists(_ >= batchId.get)) return
     val bs = gkSummarize(batch, valCol, eps)
     val path = new org.apache.hadoop.fs.Path(root + "/meta")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
       if (fs.exists(path)) loadGk(spark, root).merge(bs).compress()
       else bs
-    saveGk(spark, merged, root)
+    saveGk(spark, merged, root, batchId.orElse(last))
   }
 }

@@ -317,6 +317,12 @@ object LakeIO {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
+    // The swap loop is per-leaf atomic but NOT transactional across
+    // leaves: a failure mid-loop leaves earlier leaves rewritten and
+    // later ones untouched (each leaf is individually consistent —
+    // re-running the same deleteWhere converges). Within one leaf, a
+    // failed swap-in restores the original partition before rethrowing
+    // so readers never see the partition missing (r14 ADVICE #3).
     leaves.foreach { rel =>
       val leaf = new org.apache.hadoop.fs.Path(s"$qRoot/$rel")
       val tmpLeaf = new org.apache.hadoop.fs.Path(tmp, rel)
@@ -325,8 +331,14 @@ object LakeIO {
       fs.delete(aside, true)
       require(fs.rename(leaf, aside), s"could not move aside $leaf")
       // a fully-deleted partition has no compacted output: drop it
-      if (fs.exists(tmpLeaf))
-        require(fs.rename(tmpLeaf, leaf), s"could not swap in $tmpLeaf")
+      if (fs.exists(tmpLeaf) && !fs.rename(tmpLeaf, leaf)) {
+        // put the original leaf back before failing — the aside dir is
+        // dot-prefixed (invisible), so leaving it there would present
+        // readers a silently-missing partition
+        fs.rename(aside, leaf)
+        throw new IllegalStateException(
+          s"could not swap in $tmpLeaf; original $leaf restored")
+      }
       fs.delete(aside, true)
     }
     fs.delete(tmp, true)

@@ -52,11 +52,14 @@ object CorpusStreams {
       textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      // batchId rides along: the MG merge is additive in n, and
+      // foreachBatch delivers at-least-once — the persisted marker
+      // skips replayed batches (r14 ADVICE #1)
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ext.HeavyHitters.updateSavedSummary(root,
           batch.toDF().select(explode(
             graft.ext.TextOps.regexTokens(col(textCol))).as("word")),
-          "word", k)
+          "word", k, batchId = Some(batchId))
     }
 
   /** Streaming distinct-count monitor: each micro-batch's keys fold
@@ -77,12 +80,16 @@ object CorpusStreams {
     * [[distinctCountStream]] — cell-wise addition keeps the saved
     * table equal to the one-shot sketch over the whole stream;
     * [[graft.ext.SketchState.cmsEstimateFromSaved]] answers point
-    * frequency queries from state alone. */
+    * frequency queries from state alone. Cell addition is NOT
+    * idempotent, so the foreachBatch `batchId` rides into the saved
+    * state as an exactly-once marker: a batch replayed after a failure
+    * is skipped instead of silently double-counted (r14 ADVICE #1). */
   def frequencyStream(rows: DataFrame, root: String, keyCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ext.SketchState.updateSavedCms(root, batch.toDF(), keyCol)
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ext.SketchState.updateSavedCms(root, batch.toDF(), keyCol,
+          batchId = Some(batchId))
     }
 
   /** Streaming membership monitor: the Bloom sibling of

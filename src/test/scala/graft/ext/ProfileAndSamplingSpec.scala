@@ -498,4 +498,19 @@ class ProfileAndSamplingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
     assert(run(docs.repartition(1)) == run(docs.repartition(17)))
   }
+
+  test("weightedSystematic: cum·n products beyond 2^63 stay exact (r14 ADVICE #4)") {
+    // two rows of ~4.6e18 each: total ≈ 9.2e18 fits a Long, but
+    // (cum + w)·n ≈ 2.8e19 overflows 2^63 ≈ 9.2e18 — the old Long form
+    // wrapped negative and corrupted the threshold crossings
+    val big = 4_600_000_000_000_000_000L
+    val docs = Seq((1L, "s", big), (2L, "s", big)).toDF("id", "lang", "w")
+    val out = Sampling.weightedSystematic(docs, "id", "lang", col("w"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out.values.forall(_ >= 0L), s"negative copies = overflow: $out")
+    assert(out.values.sum == 3L, s"Σ n_copies must stay exactly n: $out")
+    // equal weights, n=3: thresholds at W/3, 2W/3, W -> one row draws 1,
+    // the other 2 (which one depends only on the md5 order)
+    assert(out.values.toSeq.sorted == Seq(1L, 2L), s"split must be 1/2: $out")
+  }
 }

@@ -262,4 +262,83 @@ class SketchStateSpec extends SparkSpec {
     assert(p50a <= 1000.0 && p50b >= 100000.0,
       s"median must move with the merged stream: $p50a -> $p50b")
   }
+
+  test("CMS: a replayed micro-batch is skipped, not double-counted (r14 ADVICE #1)") {
+    val root = tmp("cms_replay")
+    val b0 = (1L to 900L).map(_ % 100L); val b1 = (1L to 600L).map(_ % 150L)
+    SketchState.updateSavedCms(root, b0.toDF("k"), "k", batchId = Some(0L))
+    SketchState.updateSavedCms(root, b1.toDF("k"), "k", batchId = Some(1L))
+    val after = spark.read.parquet(root)
+      .select("lane", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    // at-least-once delivery: foreachBatch re-runs batch 1 after a
+    // failure — the additive merge must NOT fold it in twice
+    SketchState.updateSavedCms(root, b1.toDF("k"), "k", batchId = Some(1L))
+    SketchState.updateSavedCms(root, b0.toDF("k"), "k", batchId = Some(0L))
+    val replayed = spark.read.parquet(root)
+      .select("lane", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    assert(replayed == after, "replayed batch ids must be no-ops")
+    assert(SketchState.lastAppliedBatchId(spark, root).contains(1L))
+    // the one-shot equality claim survives the replay
+    val oneShot = SketchState.cmsCells((b0 ++ b1).toDF("k"), "k")
+      .select("lane", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    assert(replayed == oneShot, "state after replays ≡ one-shot over the stream")
+    // a NEW batch still folds
+    SketchState.updateSavedCms(root, Seq(1L).toDF("k"), "k", batchId = Some(2L))
+    assert(SketchState.lastAppliedBatchId(spark, root).contains(2L))
+  }
+
+  test("MG heavy-hitter state: replayed micro-batch skipped, n not inflated") {
+    val root = tmp("mg_replay")
+    val b0 = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ (1 to 40).map("x" + _)
+    val b1 = Seq.fill(40)("a") ++ (1 to 20).map("y" + _)
+    HeavyHitters.updateSavedSummary(root, b0.toDF("k"), "k", k = 4,
+      batchId = Some(0L))
+    HeavyHitters.updateSavedSummary(root, b1.toDF("k"), "k", k = 4,
+      batchId = Some(1L))
+    def streamN: Long = spark.read.parquet(root)
+      .filter(col("key").isNull).select("np").as[Long].head()
+    val n = streamN
+    assert(n == (b0.size + b1.size).toLong, s"stream count $n")
+    HeavyHitters.updateSavedSummary(root, b1.toDF("k"), "k", k = 4,
+      batchId = Some(1L)) // replay
+    assert(streamN == n, "MG merge is additive — a replayed batch must skip")
+  }
+
+  test("saved state survives a crash between the swap renames (r14 ADVICE #2)") {
+    val root = tmp("hll_crash")
+    SketchState.updateSavedHll(root, (1L to 800L).toDF("k"), "k")
+    val before = spark.read.parquet(root)
+      .select("reg_idx", "max_rank").as[(Long, Long)].collect().toSet
+    // simulate the mid-swap crash window: prior state moved aside, new
+    // copy never renamed in — the root is GONE
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val aside = new org.apache.hadoop.fs.Path(
+      rootPath.getParent, "." + rootPath.getName + ".swap_old")
+    assert(fs.rename(rootPath, aside) && !fs.exists(rootPath))
+    // the next touch heals: merge sees the recovered prior state
+    SketchState.updateSavedHll(root, (1L to 800L).toDF("k"), "k")
+    val after = spark.read.parquet(root)
+      .select("reg_idx", "max_rank").as[(Long, Long)].collect().toSet
+    assert(after == before,
+      "recovery must restore the aside copy (idempotent re-merge proves it)")
+    assert(!fs.exists(aside), "the aside copy is consumed by recovery")
+  }
+
+  test("GK state survives a mid-swap crash; sampled+meta move as one unit") {
+    val root = tmp("gk_crash")
+    SketchState.updateSavedGk(root, (1 to 2000).map(_.toDouble).toDF("v"), "v")
+    val before = SketchState.loadGk(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val aside = new org.apache.hadoop.fs.Path(
+      rootPath.getParent, "." + rootPath.getName + ".swap_old")
+    assert(fs.rename(rootPath, aside))
+    val recovered = SketchState.loadGk(spark, root) // reader-side recovery
+    assert(recovered.count == before.count &&
+      recovered.sampled.toSeq == before.sampled.toSeq,
+      "loadGk must heal and rebuild the pre-crash summary exactly")
+  }
 }
