@@ -55,20 +55,6 @@ import org.apache.spark.sql.types.LongType
   */
 object SuffixDedup {
 
-  /** Append a 1-based contiguous `idxName` column in the total order
-    * `ord` (which MUST be a total order for determinism): sort, then
-    * distributed zipWithIndex (one count pass + one assign pass — the
-    * standard scalable dense-rank, no single-partition window). */
-  private def withOrderIndex(df: DataFrame, ord: Seq[org.apache.spark.sql.Column],
-      idxName: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(ord: _*)
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rdd, sorted.schema.add(idxName, LongType))
-  }
-
   /** DENSE rank of `df` by `keyCols` in their natural ascending order,
     * appended as `outCol`, plus the total number of distinct keys —
     * ONE range-partitioned sort and two passes sharing its shuffle
@@ -84,8 +70,11 @@ object SuffixDedup {
       outCol: String, rowsHint: Long = -1L): (DataFrame, Long) = {
     val spark = df.sparkSession
     // size partitions to the data: ~64k rows per range partition, the
-    // task-overhead sweet spot for these narrow frames; unknown sizes
-    // fall back to the cluster's parallelism
+    // task-overhead sweet spot for these narrow frames (measured: 8k
+    // rows/partition at sf0.1 DOUBLED the wall clock — shuffle-block
+    // fan-out beats task balance at this scale; at 100 TB the row
+    // count dominates and the cap below binds); unknown sizes fall
+    // back to the cluster's parallelism
     val maxParts = math.max(1, spark.sparkContext.defaultParallelism)
     val parts =
       if (rowsHint <= 0) maxParts
@@ -138,6 +127,72 @@ object SuffixDedup {
     (spark.createDataFrame(out, schema), acc)
   }
 
+  /** [[denseRankBy]] specialized to the doubling rounds, where the key
+    * is a (r, r2) LONG pair and the first component is a dense rank
+    * with KNOWN bounds [1, nPrevRanks]: the range partitioner needs no
+    * sampling pass — partition ⌊(r−1)·parts/nPrevRanks⌋ is exact — and
+    * `repartitionAndSortWithinPartitions` (spill-backed ExternalSorter)
+    * fuses the shuffle and the sort, so one round costs ONE job: the
+    * window input executes once into shuffle files, the census reads
+    * them sorted, and the assignment pass re-reads the same files
+    * (r14's generic path paid a sampling job + a checkpoint job + a
+    * census job per round — 3× the scheduling for the same bytes).
+    * Equal keys land in one partition by construction (the partition
+    * is a function of r alone), so no cross-boundary dedup is needed.
+    * Rank-range partitioning can skew when one previous rank holds a
+    * giant tie group (a massively duplicated passage); ties only ever
+    * shrink as the ladder climbs, and the sorter spills, so skew costs
+    * time, not memory. */
+  private def denseRankByRankPair(paired: DataFrame, nPrevRanks: Long,
+      rowsHint: Long): (DataFrame, Long) = {
+    val spark = paired.sparkSession
+    val maxParts = math.max(1, spark.sparkContext.defaultParallelism)
+    val parts =
+      if (rowsHint <= 0) maxParts
+      else math.min(maxParts, math.max(1L, rowsHint / 65536L)).toInt
+    val nk = math.max(1L, nPrevRanks)
+    val partitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = parts
+      def getPartition(key: Any): Int = {
+        val r = key.asInstanceOf[(Long, Long)]._1
+        math.min(parts - 1, math.max(0, ((r - 1) * parts / nk).toInt))
+      }
+    }
+    val docIdx = paired.schema.fieldIndex("doc")
+    val posIdx = paired.schema.fieldIndex("pos")
+    val rIdx = paired.schema.fieldIndex("r")
+    val r2Idx = paired.schema.fieldIndex("r2")
+    val sorted = paired.rdd
+      .map(row => ((row.getLong(rIdx), row.getLong(r2Idx)),
+        (row.get(docIdx), row.get(posIdx))))
+      .repartitionAndSortWithinPartitions(partitioner)
+    // pass 1: per-partition distinct-key census (no boundary merge —
+    // equal keys cannot span partitions here)
+    val stats = sorted.mapPartitionsWithIndex { (i, it) =>
+      var prev: (Long, Long) = null; var d = 0L
+      it.foreach { case (k, _) => if (prev == null || k != prev) d += 1; prev = k }
+      Iterator((i, d))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](stats.length)
+    var acc = 0L
+    for ((i, d) <- stats) { offsets(i) = acc; acc += d }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    // pass 2: assignment over the same retained shuffle files
+    val out = sorted.mapPartitionsWithIndex { (i, it) =>
+      var rank = bOff.value(i)
+      var prev: (Long, Long) = null
+      it.map { case (k, (d, p)) =>
+        if (prev == null || k != prev) rank += 1
+        prev = k
+        Row(d, p, rank)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      paired.schema("doc"), paired.schema("pos"),
+      org.apache.spark.sql.types.StructField("r", LongType, nullable = false)))
+    (spark.createDataFrame(out, schema), acc)
+  }
+
   /** Base prefix length: the doubling ladder starts at rank-by-8-token
     * prefix instead of rank-by-token, collapsing levels 1/2/4/8 into
     * ONE distributed rank assignment — at log-round granularity the
@@ -167,18 +222,34 @@ object SuffixDedup {
     * from any full-length prefix (base level: distinct array lengths
     * are distinct arrays; doubling: the 0-pad below), which is what
     * makes the LCP descent's equal-rank ⇒ equal-prefix step sound at
-    * doc ends. Stops once prefixLen ≥ maxDocLen or all ranks are
-    * distinct (then every pairwise LCP < prefixLen, so higher levels
-    * can never fire in the descent). */
-  private[ext] def rankLevels(prefixes: DataFrame, maxLen: Int): Seq[(Int, DataFrame)] = {
-    val nPos = prefixes.count()
+    * doc ends.
+    *
+    * STOP RULE (r15): the ladder ends at the first FIXPOINT — a
+    * doubling round that created no new distinctions — or once
+    * prefixLen ≥ maxDocLen or all ranks are distinct (both special
+    * cases of the fixpoint). Doubling only ever REFINES the rank
+    * partition, so an unchanged distinct count means an unchanged
+    * partition; and a stable partition is stable forever: r(a)=r(b) ⇒
+    * r(a+len)=r(b+len) (stability) ⇒ r(a+2len)=r(b+2len) (stability
+    * applied to the shifted pair), inductively for every further
+    * shift. Hence AT THE TOP LEVEL, equal rank ⟺ the suffixes are
+    * verbatim-equal to their documents' ends (equal remainders
+    * included — a suffix ending inside a level keys differently from
+    * any continuing one), which is exactly the certificate
+    * [[dupLens]] reads. The ladder is thereby log2(longest
+    * NON-identical repeat), not log2(maxDocLen): a 100k-token book
+    * corpus whose deepest duplicated run is 50 tokens ranks in 3
+    * doubling rounds instead of 14. */
+  private[ext] def rankLevels(prefixes: DataFrame, maxLen: Int,
+      nPos: Long): Seq[(Int, DataFrame)] = {
     val (ranked0, nd0) = denseRankBy(
       prefixes.select(col("p"), col("doc"), col("pos")), Seq("p"), "r", nPos)
     var cur = ranked0.select(col("doc"), col("pos"), col("r")).localCheckpoint()
     var nDistinct = nd0
     var len = BaseLen
     val levels = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)](len -> cur)
-    while (len < maxLen && nDistinct < nPos) {
+    var fixpoint = false
+    while (len < maxLen && nDistinct < nPos && !fixpoint) {
       // r2 = rank of the suffix `len` positions ahead — positions are
       // contiguous 0..n-1 per doc, so lead(r, len) IS the (doc,
       // pos+len) lookup without a self-join (one doc-partitioned
@@ -186,20 +257,28 @@ object SuffixDedup {
       // suffix ending inside this level keys differently from every
       // continuing one.
       val wDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
-      // checkpoint the window output: the range partitioner's sampling
-      // pass would otherwise re-execute the whole window a second time
+      // no checkpoint needed: denseRankByRankPair executes the window
+      // exactly once into its shuffle files (census and assignment
+      // both read THEM, not the window)
       val paired = cur.withColumn("r2",
-          coalesce(lead(col("r"), len).over(wDoc), lit(0L)))
-        .localCheckpoint()
-      val (ranked, nd) = denseRankBy(paired, Seq("r", "r2"), "nr", nPos)
-      // no checkpoint on cur itself: later reads (next level, descent)
-      // re-run only the cheap assignment map over the retained range-
-      // shuffle files (stage skipping), and the RANGE-SORTED layout —
-      // which the suffix-array step exploits — survives
-      cur = ranked.select(col("doc"), col("pos"), col("nr").as("r"))
-      nDistinct = nd
-      len *= 2
-      levels += (len -> cur)
+        coalesce(lead(col("r"), len).over(wDoc), lit(0L)))
+      val (ranked, nd) = denseRankByRankPair(paired, nDistinct, nPos)
+      if (nd == nDistinct) {
+        // no new distinctions: the partition is a fixpoint and this
+        // level is rank-identical to the previous — discard it and
+        // stop (see the stop rule above)
+        fixpoint = true
+      } else {
+        // no checkpoint on cur itself: later reads (next level,
+        // descent) re-run only the cheap assignment map over the
+        // retained range-shuffle files (stage skipping), and the
+        // RANGE-SORTED layout — which the suffix-array step exploits —
+        // survives
+        cur = ranked
+        nDistinct = nd
+        len *= 2
+        levels += (len -> cur)
+      }
     }
     levels.toSeq
   }
@@ -212,30 +291,125 @@ object SuffixDedup {
     * the max against ANY suffix is attained at a neighbour). LCPs run
     * by binary descent over the doubling levels, clamped to the
     * remaining doc length (verbatim-equal short suffixes overshoot by
-    * construction of the 0-pad; the clamp is exact there). */
-  private[ext] def dupLens(prefixes: DataFrame, lens: DataFrame, maxLen: Int): DataFrame = {
-    val levels = rankLevels(prefixes, maxLen)
+    * construction of the 0-pad; the clamp is exact there).
+    *
+    * Two r15 plan cuts (r14 VERDICT #3):
+    *   - ADJACENCY WITHOUT AN INDEX: consecutive suffix-array rows
+    *     pair by a per-partition scan with a one-row boundary handoff
+    *     (each partition's FIRST row is collected — bounded by the
+    *     partition count — and rebroadcast so partition i also pairs
+    *     its last row against partition i+1's first), replacing the
+    *     former zipWithIndex + equality self-join: no index-count job,
+    *     no two-sided shuffle of the N-row frame.
+    *   - FREE TOP LEVEL: adjacent rows carry their top-level ranks, and
+    *     by [[rankLevels]]' stop rule equal top ranks ⟺ verbatim-equal
+    *     suffixes, so those pairs read lcp = remaining length directly
+    *     — no descent; unequal top ranks bound lcp < top len, which
+    *     the SUB-top levels express exactly (any multiple of
+    *     [[BaseLen]] below the top is a subset sum of the lower
+    *     levels; the residue < BaseLen is the fix-up's). The descent
+    *     therefore skips the top level's two joins entirely.
+    *   - SHALLOW PAIRS SKIP THE DESCENT: one base-prefix-array compare
+    *     at offset 0 (the fix-up primitive, two bounded joins over the
+    *     full pair frame) settles every pair whose LCP < [[BaseLen]]
+    *     exactly — the overwhelming majority of adjacent pairs in any
+    *     mostly-unique corpus. Only pairs sharing a full BaseLen-token
+    *     prefix descend the ladder, with lcp seeded at BaseLen (the
+    *     greedy high→low test is exact from any starting offset); that
+    *     residual frame is duplicated-region-sized, so every descent
+    *     join broadcasts it against the rank tables instead of
+    *     shuffling the whole N-row pair frame 2·levels times. */
+  private[ext] def dupLens(prefixFrame: DataFrame, lens: DataFrame, maxLen: Int,
+      nPos: Long): DataFrame = {
+    // five consumers (base rank + two compare joins × two sides) would
+    // each re-run the posexplode+slice otherwise; one materialization
+    // (ContextCleaner-reclaimed — a cluster run persists DISK_ONLY)
+    val prefixes = prefixFrame.localCheckpoint()
+    val spark = prefixes.sparkSession
+    val levels = rankLevels(prefixes, maxLen, nPos)
     val top = levels.last._2
     // top carries the denseRankBy pass-2 layout — range-partitioned
     // with ranks assigned in sorted order (select/localCheckpoint
     // preserve it), and equal ranks colocate (equal keys range-
-    // partition together) — so the suffix-array index needs only a
-    // within-partition refinement sort + zipWithIndex, never a second
-    // global sort.
-    val spark = prefixes.sparkSession
+    // partition together) — so suffix-array adjacency needs only a
+    // within-partition refinement sort, never a second global sort.
     val saSorted = top.sortWithinPartitions(col("r"), col("doc"), col("pos"))
-    val saRdd = saSorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
+    val saRdd = saSorted.rdd
+    val firsts = saRdd.mapPartitionsWithIndex((i, it) =>
+        if (it.hasNext) Iterator((i, it.next())) else Iterator.empty)
+      .collect() // bounded by the partition count
+    val sortedFirsts = firsts.sortBy(_._1)
+    val followerOf: Map[Int, Row] = (0 until saRdd.getNumPartitions)
+      .flatMap(i => sortedFirsts.find(_._1 > i).map(f => i -> f._2)).toMap
+    val bFollower = spark.sparkContext.broadcast(followerOf)
+    val pairRdd = saRdd.mapPartitionsWithIndex { (i, it) =>
+      val appended = it ++ bFollower.value.get(i).iterator
+      if (!appended.hasNext) Iterator.empty
+      else new scala.collection.AbstractIterator[Row] {
+        private var prev: Row = appended.next()
+        def hasNext: Boolean = appended.hasNext
+        def next(): Row = {
+          val cur = appended.next()
+          val out = Row(prev.get(0), prev.get(1), prev.get(2),
+            cur.get(0), cur.get(1), cur.get(2))
+          prev = cur
+          out
+        }
+      }
     }
-    val sa = spark.createDataFrame(saRdd, saSorted.schema.add("sa_idx", LongType))
-    val nxt = sa.select((col("sa_idx") - 1).as("sa_idx"),
-      col("doc").as("bdoc"), col("pos").as("bpos"))
-    var pairs = sa.join(nxt, "sa_idx")
-      .select(col("doc").as("adoc"), col("pos").as("apos"),
-        col("bdoc"), col("bpos"))
-      .withColumn("lcp", lit(0))
+    val st = saSorted.schema
+    val adj = spark.createDataFrame(pairRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        st("doc").copy(name = "adoc"), st("pos").copy(name = "apos"),
+        st("r").copy(name = "ra"),
+        st("doc").copy(name = "bdoc"), st("pos").copy(name = "bpos"),
+        st("r").copy(name = "rb"))))
+    // the fix-up primitive: exact common-prefix length of the two
+    // ≤BaseLen-token prefix arrays at the current offsets (a missing
+    // side — offset past the doc end — contributes 0)
+    val pa = prefixes.select(col("doc").as("adoc"), col("pos").as("__pa"),
+      col("p").as("__p1"))
+    val pb = prefixes.select(col("doc").as("bdoc"), col("pos").as("__pb"),
+      col("p").as("__p2"))
+    val eqFlags = zip_with(col("__p1"), col("__p2"),
+      (x, y) => when(x.isNotNull && y.isNotNull && x === y, lit(1))
+        .otherwise(lit(0)))
+    val firstMismatch = array_position(eqFlags, 0)
+    val common = when(col("__p1").isNull || col("__p2").isNull, lit(0L))
+      .when(firstMismatch === 0,
+        least(size(col("__p1")), size(col("__p2"))).cast("long"))
+      .otherwise(firstMismatch - 1)
+    // offset-0 base compare over ALL pairs (the one materialized pair
+    // frame — its three consumers below never redo the pairing or the
+    // compare): common < BaseLen means a NON-verbatim pair's exact LCP
+    // is `common` (either the arrays differ there, or the shorter
+    // suffix ends there) — DONE, no ladder. Only full-BaseLen
+    // agreements (LCP ≥ BaseLen — the duplicated-region pairs)
+    // descend.
+    val compared0 = adj
+      .withColumn("__pa", col("apos")).withColumn("__pb", col("bpos"))
+      .join(pa, Seq("adoc", "__pa"), "left")
+      .join(pb, Seq("bdoc", "__pb"), "left")
+      .withColumn("__c0", common.cast("int"))
+      .drop("__pa", "__pb", "__p1", "__p2")
+      .localCheckpoint()
+    // equal top ranks ⟺ verbatim-equal to doc end: lcp = remaining,
+    // exactly (both remainders are equal by the same certificate)
+    val eqPairs = compared0.filter(col("ra") === col("rb"))
+      .join(broadcast(lens.select(col("doc").as("adoc"),
+        col("len").as("__alen"))), Seq("adoc"))
+      .select(col("adoc"), col("apos"), col("bdoc"), col("bpos"),
+        (col("__alen") - col("apos")).cast("int").as("lcp"))
+    val shallowDone = compared0
+      .filter(col("ra") =!= col("rb") && col("__c0") < BaseLen)
+      .select(col("adoc"), col("apos"), col("bdoc"), col("bpos"),
+        col("__c0").as("lcp"))
+    var pairs = compared0
+      .filter(col("ra") =!= col("rb") && col("__c0") === BaseLen)
+      .select(col("adoc"), col("apos"), col("bdoc"), col("bpos"))
+      .withColumn("lcp", lit(BaseLen))
     var joined = 0
-    for ((len, tbl) <- levels.reverse) {
+    for ((len, tbl) <- levels.init.reverse) {
       val ta = tbl.select(col("doc").as("adoc"), col("pos").as("__pa"),
         col("r").as("__ra"))
       val tb = tbl.select(col("doc").as("bdoc"), col("pos").as("__pb"),
@@ -255,20 +429,7 @@ object SuffixDedup {
     }
     // sub-BaseLen fix-up: after the level-8 step the residual LCP is
     // < 8 and the ranks at the current offsets differ — recover it
-    // EXACTLY with one per-row common-prefix compare of the ≤8-token
-    // prefix arrays (two bounded lookups, no more rounds)
-    val pa = prefixes.select(col("doc").as("adoc"), col("pos").as("__pa"),
-      col("p").as("__p1"))
-    val pb = prefixes.select(col("doc").as("bdoc"), col("pos").as("__pb"),
-      col("p").as("__p2"))
-    val eqFlags = zip_with(col("__p1"), col("__p2"),
-      (x, y) => when(x.isNotNull && y.isNotNull && x === y, lit(1))
-        .otherwise(lit(0)))
-    val firstMismatch = array_position(eqFlags, 0)
-    val common = when(col("__p1").isNull || col("__p2").isNull, lit(0L))
-      .when(firstMismatch === 0,
-        least(size(col("__p1")), size(col("__p2"))).cast("long"))
-      .otherwise(firstMismatch - 1)
+    // EXACTLY with the same bounded compare, at the descended offsets
     pairs = pairs
       .withColumn("__pa", col("apos") + col("lcp"))
       .withColumn("__pb", col("bpos") + col("lcp"))
@@ -276,9 +437,15 @@ object SuffixDedup {
       .join(pb, Seq("bdoc", "__pb"), "left")
       .withColumn("lcp", (col("lcp") + common).cast("int"))
       .drop("__pa", "__pb", "__p1", "__p2")
-    val perSuffix = pairs
+    // the verbatim-equal and shallow pairs rejoin the descended ones
+    // here — neither paid a single descent join
+    val allPairs = pairs
+      .select(col("adoc"), col("apos"), col("bdoc"), col("bpos"), col("lcp"))
+      .unionByName(shallowDone)
+      .unionByName(eqPairs)
+    val perSuffix = allPairs
       .select(col("adoc").as("doc"), col("apos").as("pos"), col("lcp"))
-      .unionByName(pairs.select(col("bdoc").as("doc"), col("bpos").as("pos"),
+      .unionByName(allPairs.select(col("bdoc").as("doc"), col("bpos").as("pos"),
         col("lcp")))
       .groupBy("doc", "pos").agg(max(col("lcp")).as("__l"))
     perSuffix.join(lens, "doc")
@@ -300,13 +467,15 @@ object SuffixDedup {
         TextOps.tokens(col(textCol)).as("__t"))
       .localCheckpoint()
     val lens = base.select(col("doc"), size(col("__t")).as("len"))
-    val maxLen = base.agg(coalesce(max(size(col("__t"))), lit(0)))
-      .head().getInt(0)
+    // one pass reads both ladder bounds off the tiny lens frame
+    val bounds = lens.agg(coalesce(max(col("len")), lit(0)).as("m"),
+      coalesce(sum(col("len").cast("long")), lit(0L)).as("n")).head()
+    val (maxLen, nPos) = (bounds.getInt(0), bounds.getLong(1))
     val marked =
       if (maxLen < minTokens)
         lens.select(col("doc"), lit(0).as("s"), lit(0).as("e")).limit(0)
       else
-        dupLens(prefixFrame(base), lens, maxLen)
+        dupLens(prefixFrame(base), lens, maxLen, nPos)
           .filter(col("dup_len") >= minTokens)
           .select(col("doc"), col("pos").as("s"),
             (col("pos") + col("dup_len")).as("e"))
@@ -339,13 +508,14 @@ object SuffixDedup {
         TextOps.tokens(col(textCol)).as("__t"))
       .localCheckpoint()
     val lens = base.select(col("doc"), size(col("__t")).as("len"))
-    val maxLen = base.agg(coalesce(max(size(col("__t"))), lit(0)))
-      .head().getInt(0)
+    val bounds = lens.agg(coalesce(max(col("len")), lit(0)).as("m"),
+      coalesce(sum(col("len").cast("long")), lit(0L)).as("n")).head()
+    val (maxLen, nPos) = (bounds.getInt(0), bounds.getLong(1))
     val best =
       if (maxLen < minTokens) lens.select(col("doc")).limit(0)
         .withColumn("__l", lit(0)).withColumn("__s", lit(-1))
       else
-        dupLens(prefixFrame(base), lens, maxLen)
+        dupLens(prefixFrame(base), lens, maxLen, nPos)
           .filter(col("dup_len") >= minTokens)
           .groupBy("doc")
           // max length, then smallest attaining position — one

@@ -25,7 +25,7 @@ class SuffixDedupSpec extends SparkSpec {
     banana.select(col("doc_id").as("doc"), TextOps.tokens(col("text")).as("__t")))
 
   test("rankLevels: final ranks realize the hand-computed banana suffix array") {
-    val levels = SuffixDedup.rankLevels(bananaPrefixes, maxLen = 6)
+    val levels = SuffixDedup.rankLevels(bananaPrefixes, maxLen = 6, nPos = 6L)
     val ranks = levels.last._2.select("pos", "r").as[(Int, Long)]
       .collect().toMap
     assert(ranks == Map(5 -> 1L, 3 -> 2L, 1 -> 3L, 0 -> 4L, 4 -> 5L, 2 -> 6L),
@@ -35,22 +35,54 @@ class SuffixDedupSpec extends SparkSpec {
     assert(levels.map(_._1) == Seq(8), s"unexpected ladder ${levels.map(_._1)}")
   }
 
-  test("rankLevels: the ladder doubles past BaseLen on long docs") {
-    // one 40-token doc duplicated → ranks tie at every level until the
-    // length horizon; ladder must climb 8, 16, 32, 64
+  test("rankLevels: verbatim-twin docs FIXPOINT after the base level (r15 stop rule)") {
+    // one 40-token doc duplicated verbatim: every tie is a
+    // verbatim-equal suffix pair, which no doubling round can ever
+    // split — the first doubling creates no new distinctions, so the
+    // ladder stops at [8] instead of climbing to the length horizon
+    // (the r14 ladder ran 8,16,32,64 here for nothing; the top-level
+    // equal-rank ⟺ verbatim-equal certificate replaces the climb)
     val long = Seq((0L, (1 to 40).map(i => s"t$i").mkString(" ")),
       (1L, (1 to 40).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val pf = SuffixDedup.prefixFrame(
       long.select(col("doc_id").as("doc"), TextOps.tokens(col("text")).as("__t")))
-    val levels = SuffixDedup.rankLevels(pf, maxLen = 40)
+    val levels = SuffixDedup.rankLevels(pf, maxLen = 40, nPos = 80L)
+    assert(levels.map(_._1) == Seq(8), s"unexpected ladder ${levels.map(_._1)}")
+    // and dupLens still reads the full match off the certificate:
+    // every position's dup_len = its remaining length
+    val lens = long.select(col("doc_id").as("doc"),
+      size(TextOps.tokens(col("text"))).as("len"))
+    val dl = SuffixDedup.dupLens(pf, lens, maxLen = 40, nPos = 80L)
+      .select("doc", "pos", "dup_len").as[(Long, Int, Int)].collect()
+    assert(dl.length == 80 && dl.forall { case (_, pos, d) => d == 40 - pos },
+      s"certificate must yield exact remaining lengths: ${dl.take(5).toSeq}")
+  }
+
+  test("rankLevels: the ladder doubles past BaseLen while real splits remain") {
+    // two docs sharing a 40-token prefix but different tails: ties at
+    // level 8 split progressively; the ladder must climb until the
+    // shared prefix resolves (8, 16, 32, 64 — no premature fixpoint)
+    val p = (1 to 40).map(i => s"t$i").mkString(" ")
+    val long = Seq((0L, s"$p xx"), (1L, s"$p yy")).toDF("doc_id", "text")
+    val pf = SuffixDedup.prefixFrame(
+      long.select(col("doc_id").as("doc"), TextOps.tokens(col("text")).as("__t")))
+    val levels = SuffixDedup.rankLevels(pf, maxLen = 42, nPos = 84L)
     assert(levels.map(_._1) == Seq(8, 16, 32, 64),
       s"unexpected ladder ${levels.map(_._1)}")
+    // the 40-token shared prefix resolves exactly through descent+fixup
+    val lens = long.select(col("doc_id").as("doc"),
+      size(TextOps.tokens(col("text"))).as("len"))
+    val dl = SuffixDedup.dupLens(pf, lens, maxLen = 42, nPos = 84L)
+      .select("doc", "pos", "dup_len").as[(Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(dl((0L, 0)) == 40 && dl((1L, 0)) == 40, s"${dl((0L, 0))}")
+    assert(dl((0L, 10)) == 30 && dl((1L, 25)) == 15)
   }
 
   test("dupLens: longest duplicated match per position, clamped at doc end") {
     val lens = banana.select(col("doc_id").as("doc"),
       size(TextOps.tokens(col("text"))).as("len"))
-    val dl = SuffixDedup.dupLens(bananaPrefixes, lens, maxLen = 6)
+    val dl = SuffixDedup.dupLens(bananaPrefixes, lens, maxLen = 6, nPos = 6L)
       .select("pos", "dup_len").as[(Int, Int)].collect().toMap
     assert(dl == Map(0 -> 0, 1 -> 3, 2 -> 2, 3 -> 3, 4 -> 2, 5 -> 1),
       s"got $dl")
@@ -65,7 +97,7 @@ class SuffixDedupSpec extends SparkSpec {
     val base = docs.select(col("doc_id").as("doc"),
       TextOps.tokens(col("text")).as("__t"))
     val lens = base.select(col("doc"), size(col("__t")).as("len"))
-    val dl = SuffixDedup.dupLens(SuffixDedup.prefixFrame(base), lens, maxLen = 24)
+    val dl = SuffixDedup.dupLens(SuffixDedup.prefixFrame(base), lens, maxLen = 24, nPos = 47L)
       .select("doc", "pos", "dup_len").as[(Long, Int, Int)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(dl((1L, 0)) == 21 && dl((2L, 3)) == 21,
