@@ -453,14 +453,11 @@ object SuffixDedup {
         least(col("__l"), col("len") - col("pos")).as("dup_len"))
   }
 
-  /** Exact maximal duplicated-substring spans: one row per doc per
-    * merged token region covered by a substring of length ≥
-    * `minTokens` occurring more than once in the corpus (at ANY
-    * offset, within or across documents), ALL occurrences marked.
-    * Output (idCol, span_start, span_end, span_tokens), 0-based
-    * end-exclusive — the schema of [[Dedup.exactSubstrSpans]], whose
-    * non-first-occurrence spans are always a SUBSET of these. */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+  /** Marked duplicate intervals (doc, s, e) of [[duplicatedSpans]]
+    * BEFORE the interval union — the shared primitive of the batch
+    * form and the incremental screen (which unions these with its
+    * saved-index probe hits before merging). */
+  private def markedIntervals(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
     val base = df.select(col(idCol).as("doc"),
@@ -471,15 +468,104 @@ object SuffixDedup {
     val bounds = lens.agg(coalesce(max(col("len")), lit(0)).as("m"),
       coalesce(sum(col("len").cast("long")), lit(0L)).as("n")).head()
     val (maxLen, nPos) = (bounds.getInt(0), bounds.getLong(1))
-    val marked =
-      if (maxLen < minTokens)
-        lens.select(col("doc"), lit(0).as("s"), lit(0).as("e")).limit(0)
-      else
-        dupLens(prefixFrame(base), lens, maxLen, nPos)
-          .filter(col("dup_len") >= minTokens)
-          .select(col("doc"), col("pos").as("s"),
-            (col("pos") + col("dup_len")).as("e"))
-    Dedup.mergeTokenSpans(marked).withColumnRenamed("doc", idCol)
+    if (maxLen < minTokens)
+      lens.select(col("doc"), lit(0).as("s"), lit(0).as("e")).limit(0)
+    else
+      dupLens(prefixFrame(base), lens, maxLen, nPos)
+        .filter(col("dup_len") >= minTokens)
+        .select(col("doc"), col("pos").as("s"),
+          (col("pos") + col("dup_len")).as("e"))
+  }
+
+  /** Exact maximal duplicated-substring spans: one row per doc per
+    * merged token region covered by a substring of length ≥
+    * `minTokens` occurring more than once in the corpus (at ANY
+    * offset, within or across documents), ALL occurrences marked.
+    * Output (idCol, span_start, span_end, span_tokens), 0-based
+    * end-exclusive — the schema of [[Dedup.exactSubstrSpans]], whose
+    * non-first-occurrence spans are always a SUBSET of these. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame =
+    Dedup.mergeTokenSpans(markedIntervals(df, idCol, textCol, minTokens))
+      .withColumnRenamed("doc", idCol)
+
+  // ------------------------------------- incremental corpus screen
+
+  /** Distinct `minTokens`-gram relation of a corpus slice, stamped
+    * with the micro-batch that FIRST contributed each gram:
+    * (g, first_batch_id) — the saved index the incremental screen
+    * probes. Gram strings keep the oracle byte-exact; at production
+    * scale key on the 61-bit portable gram hash and BUCKET the saved
+    * table by `g` so every later probe join is co-located
+    * (the [[Decontam.contaminatedSpans]] trade, persisted). */
+  def gramIndex(df: DataFrame, textCol: String, minTokens: Int,
+      batchId: Long = 0L): DataFrame =
+    df.select(explode(Dedup.slidingGrams(col(textCol), minTokens)).as("g"))
+      .distinct()
+      .withColumn("first_batch_id", lit(batchId))
+
+  /** Fold a micro-batch's grams into the saved index under `root`:
+    * only grams the index has never seen append (left-anti), so
+    * `first_batch_id` is always the FIRST appearance and a replayed
+    * batch appends nothing — idempotent under at-least-once delivery
+    * with no marker file. The provenance column is what makes the
+    * SCREEN replay-exact: [[duplicatedSpansIncremental]] reads only
+    * rows with `first_batch_id < its own batch id`, so a replayed
+    * batch never sees its own grams as "corpus" even though they are
+    * already in the index. Append-only: a crashed write commits
+    * nothing (the Hadoop committer), and the re-run converges. */
+  def updateSavedGramIndex(root: String, batch: DataFrame, textCol: String,
+      minTokens: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val bs = gramIndex(batch, textCol, minTokens, batchId)
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh =
+      if (fs.exists(path))
+        bs.join(spark.read.parquet(root), Seq("g"), "left_anti")
+      else bs
+    fresh.write.mode("append").parquet(root)
+  }
+
+  /** INCREMENTAL exact-substring screen (r14 VERDICT #2 — the
+    * production shape for continuous ingestion): spans of a NEW
+    * micro-batch that are verbatim-duplicated (≥ `minTokens` tokens)
+    * against the ACCUMULATED corpus ∪ the batch itself, WITHOUT
+    * re-ranking the corpus. Suffix exactness stays within the batch
+    * (the full [[dupLens]] machinery over batch suffixes); the
+    * cross-to-corpus check is one probe join of the batch's gram
+    * positions against the saved [[gramIndex]].
+    *
+    * EQUALITY THEOREM (what the oracle and the batch≡incremental spec
+    * replay): output ≡ [[duplicatedSpans]](corpus ∪ batch) restricted
+    * to batch docs. A batch position is covered by a full-corpus
+    * duplicated span iff its L-gram occurs twice in corpus ∪ batch
+    * (the coverage theorem) iff it occurs twice WITHIN the batch
+    * (⟺ covered by the batch-internal suffix intervals, coverage
+    * theorem again, batch-only) OR occurs at all in the corpus
+    * (⟺ an index hit). Merging the union of both interval sets
+    * therefore reconstructs the exact full-corpus regions — including
+    * cross spans much longer than L, which the hits tile.
+    *
+    * `batchId` gates the index by provenance (`first_batch_id <
+    * batchId`), making a replayed batch see exactly the pre-batch
+    * corpus. Scale shape: the corpus is NEVER rescanned or re-ranked —
+    * per batch the work is the batch's own suffix ladder + one
+    * equality join against the (bucketed) index. */
+  def duplicatedSpansIncremental(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, minTokens: Int,
+      batchId: Long = Long.MaxValue): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val internal = markedIntervals(batch, idCol, textCol, minTokens)
+    val hits = batch.select(col(idCol).as("doc"),
+        posexplode(Dedup.slidingGrams(col(textCol), minTokens))
+          .as(Seq("pos", "g")))
+      .join(index.filter(col("first_batch_id") < batchId).select("g"),
+        Seq("g"), "left_semi")
+      .select(col("doc"), col("pos").as("s"),
+        (col("pos") + minTokens).as("e"))
+    Dedup.mergeTokenSpans(internal.unionByName(hits))
+      .withColumnRenamed("doc", idCol)
   }
 
   /** Per-document LONGEST duplicated substring — the suffix-array

@@ -79,6 +79,21 @@ private[graft] object DedupOracles {
       s"""WITH $exactSubstrAllCtes,
          |${spanApplySql("", "text_dedup")}""".stripMargin,
 
+    // Incremental screen ≡ the FULL-corpus all-occurrence coverage
+    // restricted to the batch slice (doc_id % 10 = 7) — the equality
+    // theorem on SuffixDedup.duplicatedSpansIncremental: the engine
+    // runs batch-internal suffix ranks + a corpus gram-index probe,
+    // the replay never splits corpus from batch at all.
+    "dedup_substring_incremental" ->
+      s"""WITH $substrOccCtes,
+         |k AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY g) AS cnt
+         |      FROM occ),
+         |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
+         |      WHERE cnt > 1 AND doc_id % 10 = 7),
+         |$spanIslandCtes
+         |$spanSelectSql""".stripMargin,
+
     // Per-lang rollup of the all-occurrence span CTEs: merged spans
     // are disjoint per doc, so summing (se − ss) is the exact covered
     // token count; docs with no spans contribute 0 via the left join.

@@ -348,6 +348,25 @@ trait DedupQueries extends QueriesBase {
         round(col("n_dup_tokens") * 10000.0 / col("n_tokens")) / 1e4)
   }
 
+  /** INCREMENTAL exact-substring screen (r15, r14 VERDICT #2): docs
+    * `% 10 == 7` play the arriving micro-batch, the rest the
+    * accumulated corpus; the batch's verbatim-duplicated spans (≥5
+    * tokens, vs corpus ∪ batch) come from batch-internal suffix ranks
+    * + one probe of the corpus gram index — the corpus is never
+    * re-ranked. Hash-checked against the independent full-corpus
+    * gram-coverage formulation restricted to batch docs: the equality
+    * theorem on [[graft.ext.SuffixDedup.duplicatedSpansIncremental]]
+    * says the two must agree bit-for-bit. */
+  val dedupSubstringIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    graft.ext.SuffixDedup.duplicatedSpansIncremental(batch,
+      graft.ext.SuffixDedup.gramIndex(corpus, "text", minTokens = 5,
+        batchId = 0L),
+      "doc_id", "text", minTokens = 5, batchId = 1L)
+  }
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -383,6 +402,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_substring_exact" -> dedupSubstringExact,
     "dedup_substring_exact_apply" -> dedupSubstringExactApply,
     "dedup_longest_match" -> dedupLongestMatch,
+    "dedup_substring_incremental" -> dedupSubstringIncremental,
     "report_dup_coverage" -> reportDupCoverage,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,

@@ -182,6 +182,86 @@ class SuffixDedupSpec extends SparkSpec {
     assert(out == Set((1L, 6, 0), (2L, 6, 3), (3L, 0, -1)), s"got $out")
   }
 
+  test("incremental screen ≡ full-corpus duplicatedSpans restricted to the batch") {
+    // corpus: two docs sharing a passage; batch: one doc repeating a
+    // corpus passage at a shifted offset + an internal repeat of its
+    // own + unique content; one batch doc duplicating ANOTHER batch doc
+    val p = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, s"$p corpus tail words here"),
+      (2L, s"lead in text $p"),
+      (3L, "entirely unrelated corpus content nothing shared")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"batch prefix $p and unique suffix u1 u2 u3"),
+      (11L, "own one two three four five own one two three four five"),
+      (12L, "twin doc body here exactly matching words"),
+      (13L, "twin doc body here exactly matching words")
+    ).toDF("doc_id", "text")
+    val index = SuffixDedup.gramIndex(corpus, "text", minTokens = 5)
+    val inc = SuffixDedup
+      .duplicatedSpansIncremental(batch, index, "doc_id", "text", 5)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val full = SuffixDedup
+      .duplicatedSpans(corpus.unionByName(batch), "doc_id", "text", 5)
+      .filter(col("doc_id") >= 10L)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(inc == full, s"inc=$inc\nfull=$full")
+    // and it caught all three duplication modes
+    val byDoc = inc.groupBy(_._1)
+    assert(byDoc.contains(10L), "cross-to-corpus span missed")
+    assert(byDoc.contains(11L), "batch-internal repeat missed")
+    assert(byDoc.contains(12L) && byDoc.contains(13L),
+      "batch-to-batch twin must mark BOTH copies")
+  }
+
+  test("incremental screen: provenance gate makes a replayed batch see only the pre-batch corpus") {
+    val corpus = Seq((1L, "shared five token run here plus corpus filler"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "intro shared five token run here outro"))
+      .toDF("doc_id", "text")
+    val index = SuffixDedup.gramIndex(corpus, "text", 5, batchId = 0L)
+    val expected = SuffixDedup
+      .duplicatedSpansIncremental(batch, index, "doc_id", "text", 5,
+        batchId = 1L)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // at-least-once replay: the index ALREADY holds the batch's own
+    // grams (stamped with the batch's id) — the screen must not see
+    // them as corpus, or every batch token would mark
+    val indexAfter = index.unionByName(
+      SuffixDedup.gramIndex(batch, "text", 5, batchId = 1L)
+        .join(index, Seq("g"), "left_anti"))
+    val replayed = SuffixDedup
+      .duplicatedSpansIncremental(batch, indexAfter, "doc_id", "text", 5,
+        batchId = 1L)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(replayed == expected, s"replay=$replayed expected=$expected")
+    // sanity: WITHOUT the gate the batch's own grams would self-mark
+    val ungated = SuffixDedup
+      .duplicatedSpansIncremental(batch, indexAfter, "doc_id", "text", 5)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(ungated != expected, "fixture must make the gate observable")
+  }
+
+  test("updateSavedGramIndex: first_batch_id is first appearance; replay appends nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gram_idx").toString + "/index"
+    val b0 = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "two three four five six seven")).toDF("doc_id", "text")
+    SuffixDedup.updateSavedGramIndex(root, b0, "text", 5, batchId = 0L)
+    SuffixDedup.updateSavedGramIndex(root, b1, "text", 5, batchId = 1L)
+    val idx = spark.read.parquet(root)
+      .as[(String, Long)].collect().toMap
+    assert(idx("one two three four five") == 0L)
+    assert(idx("two three four five six") == 0L,
+      "a gram both batches contain keeps its FIRST batch id")
+    assert(idx("three four five six seven") == 1L)
+    SuffixDedup.updateSavedGramIndex(root, b1, "text", 5, batchId = 1L)
+    val replayed = spark.read.parquet(root)
+      .as[(String, Long)].collect().toMap
+    assert(replayed == idx, "a replayed batch must append nothing")
+  }
+
   test("apply: every copy of duplicated text drops; unique content survives") {
     val docs = Seq(
       (1L, "copy me exactly five tokens"),

@@ -173,6 +173,62 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set(2L, 3L)) // contaminated 1 and 4 dropped
   }
 
+  test("streaming exact-substring screen: per-batch spans ≡ incremental semantics, index accumulates") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_substr_stream").toString
+    val indexRoot = tmp + "/index"; val outRoot = tmp + "/spans"
+    val p = "alpha beta gamma delta epsilon zeta"
+    // batch 1: an internal twin pair (both copies must mark) + a
+    // unique doc + the passage's FIRST arrival (must NOT mark)
+    val batch1 = Seq(
+      (1L, s"$p plus unique following words"),
+      (2L, "twin body here exactly matching words now"),
+      (3L, "twin body here exactly matching words now"),
+      (4L, "nothing shared here at all truly once"))
+    // batch 2: re-crawls the passage (cross-BATCH dup — must mark in
+    // batch 2 even though batch 1's copy was kept unmarked)
+    val batch2 = Seq(
+      (10L, s"later arrival copies $p verbatim"),
+      (11L, "fresh unique content with no duplicate anywhere"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams.substringScreenStream(
+      input.toDF().toDF("doc_id", "text"), indexRoot, outRoot,
+      minTokens = 5).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outRoot)
+      .select(col("batch_id").cast("long"), col("doc_id"),
+        col("span_start"), col("span_end"))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // batch≡stream: batch k's partition ≡ duplicatedSpans over
+    // everything-so-far restricted to batch k's docs
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val full1 = graft.ext.SuffixDedup
+      .duplicatedSpans(batch1.toDF("doc_id", "text"), "doc_id", "text", 5)
+      .select(lit(0L), col("doc_id"), col("span_start"), col("span_end"))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val full2 = graft.ext.SuffixDedup
+      .duplicatedSpans(all, "doc_id", "text", 5)
+      .filter(col("doc_id") >= 10L)
+      .select(lit(1L), col("doc_id"), col("span_start"), col("span_end"))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == full1 ++ full2, s"got=$got\nexpected=${full1 ++ full2}")
+    assert(got.exists(r => r._1 == 0L && r._2 == 2L) &&
+      got.exists(r => r._1 == 0L && r._2 == 3L),
+      "batch-internal twins must both mark in their own batch")
+    assert(!got.exists(r => r._2 == 1L),
+      "the passage's first arrival stays unmarked (first-arrival-wins)")
+    assert(got.exists(r => r._1 == 1L && r._2 == 10L),
+      "the cross-batch re-crawl must mark against the accumulated index")
+    // the saved index carries first-appearance provenance
+    val idx = spark.read.parquet(indexRoot)
+    assert(idx.filter(col("first_batch_id") === 0L).count() > 0)
+    assert(idx.filter(col("first_batch_id") === 1L).count() > 0)
+  }
+
   test("streaming SEMANTIC decontamination (foreachBatch) ≡ batch semanticClean") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((900L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
