@@ -153,6 +153,44 @@ private[graft] object DedupOracles {
       s"""WITH $decontamSpanCtes
          |$spanSelectSql""".stripMargin,
 
+    // Cross-algorithm twin of SuffixDedup.benchOverlapSpans: the
+    // engine ranks train∪bench suffixes and LCPs nearest-bench
+    // neighbours; the replay marks every train window whose gram sits
+    // in the bench slice — identical output by the cross-side
+    // coverage theorem, and byte-identical to decontam_spans' oracle
+    // on purpose (gram engine and suffix engine must agree).
+    "decontam_substring_exact" ->
+      s"""WITH $decontamSpanCtes
+         |$spanSelectSql""".stripMargin,
+
+    // Cross twin of SuffixDedup.benchLongestOverlap: diagonal-run
+    // extension of aligned train×bench 5-gram pairs (the
+    // dedup_longest_match replay restricted to cross pairs).
+    "decontam_longest_bench" ->
+      s"""WITH $substrOccCtes,
+         |pr AS (SELECT a.doc_id AS da, a.pos AS pa,
+         |              b.doc_id AS db, b.pos - a.pos AS diag
+         |       FROM occ a JOIN occ b ON a.g = b.g
+         |       WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+         |rg AS (SELECT da, db, diag, pa,
+         |         pa - row_number() OVER (PARTITION BY da, db, diag
+         |                                 ORDER BY pa) AS grp
+         |       FROM pr),
+         |runs AS (SELECT da AS doc_id, min(pa) AS run_start,
+         |           count(*) + 4 AS match_len
+         |         FROM rg GROUP BY da, db, diag, grp),
+         |best AS (SELECT doc_id, max(match_len) AS m
+         |         FROM runs GROUP BY doc_id),
+         |arg AS (SELECT r.doc_id, b.m, min(r.run_start) AS s
+         |        FROM runs r JOIN best b
+         |          ON r.doc_id = b.doc_id AND r.match_len = b.m
+         |        GROUP BY r.doc_id, b.m)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(arg.m, 0) AS INTEGER) AS longest_bench_tokens,
+         |       CAST(coalesce(arg.s, -1) AS INTEGER) AS longest_bench_start
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+         |LEFT JOIN arg ON d.doc_id = arg.doc_id""".stripMargin,
+
     // Mirrors Decontam.cleanSpans: the span-removal apply restricted
     // to the train slice of the spine.
     "decontam_spans_clean" ->

@@ -193,6 +193,38 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", minTokens = 5)
   }
 
+  /** Benchmark-side EXACT substring decontamination via suffix ranks
+    * (r15, r14 VERDICT #5): every train region sharing a ≥5-token
+    * verbatim run with the benchmark slice, computed by ranking
+    * train ∪ bench suffixes and LCP-ing each train suffix against its
+    * nearest bench neighbours — a structurally different engine from
+    * [[decontamSpans]]'s gram probe, hash-checked against the SAME
+    * independent gram-coverage oracle (the cross-side coverage
+    * theorem on [[graft.ext.SuffixDedup.benchOverlapSpans]] says the
+    * outputs must be identical). Closes the corpus-internal vs
+    * corpus-vs-benchmark dedup-strength parity. */
+  val decontamSubstringExact: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ext.SuffixDedup.benchOverlapSpans(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", minTokens = 5)
+  }
+
+  /** Per-train-doc LONGEST verbatim overlap with the benchmark suite —
+    * the eval-contamination triage number no fixed-L gram pass can
+    * produce ([[dedupLongestMatch]]'s contract, cross-corpus). Oracle:
+    * the diagonal-run extension of aligned train×bench 5-gram pairs
+    * (exact by the run↔maximal-match bijection), quadratic for the
+    * replay while the engine stays in the linear suffix-rank path. */
+  val decontamLongestBench: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ext.SuffixDedup.benchLongestOverlap(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", minTokens = 5)
+  }
+
   /** [[decontamSpans]]'s apply step: contaminated tokens drop, train
     * docs reassemble, clean docs pass through. */
   val decontamSpansClean: Q = (s, dir) => {
@@ -411,6 +443,8 @@ trait DedupQueries extends QueriesBase {
     "dedup_components" -> dedupComponents,
     "decontam_overlap" -> decontamOverlap,
     "decontam_spans" -> decontamSpans,
+    "decontam_substring_exact" -> decontamSubstringExact,
+    "decontam_longest_bench" -> decontamLongestBench,
     "decontam_spans_clean" -> decontamSpansClean,
     "decontam_bloom" -> decontamBloom,
     "decontam_semantic" -> decontamSemantic,

@@ -262,6 +262,46 @@ class SuffixDedupSpec extends SparkSpec {
     assert(replayed == idx, "a replayed batch must append nothing")
   }
 
+  test("benchOverlapSpans ≡ the gram engine (contaminatedSpans) — cross-side coverage theorem") {
+    val p = "alpha beta gamma delta epsilon zeta eta"
+    val bench = Seq(
+      (100L, s"bench item one containing $p exactly"),
+      (101L, "another bench item with different protected words entirely")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"train doc leaking $p mid body"),          // cross overlap
+      (2L, "train doc with no bench overlap whatsoever today"),
+      (3L, s"$p"),                                     // whole doc leaked
+      (4L, "train train train train train train"),     // self-repeat, NOT bench
+      (5L, "another bench item with different protected words entirely")
+    ).toDF("doc_id", "text")
+    val suffix = SuffixDedup
+      .benchOverlapSpans(train, bench, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val gram = graft.ext.Decontam
+      .contaminatedSpans(train, bench, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(suffix == gram, s"suffix=$suffix\ngram=$gram")
+    val docs = suffix.map(_._1)
+    assert(docs == Set(1L, 3L, 5L), s"got $docs")
+    assert(!docs.contains(4L),
+      "corpus-internal repeats must NOT mark — bench overlaps only")
+  }
+
+  test("benchLongestOverlap: exact longest cross match, clamped, 0/-1 when under floor") {
+    val p = (1 to 12).map(i => s"b$i").mkString(" ") // 12-token protected run
+    val bench = Seq((100L, s"eval question text $p answer")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"pre $p post words"),          // full 12-token leak
+      (2L, s"only b1 b2 b3 b4 here now"),  // 4 < minTokens → 0/-1
+      (3L, "clean doc nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = SuffixDedup
+      .benchLongestOverlap(train, bench, "doc_id", "text", minTokens = 5)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out == Set((1L, 12, 1), (2L, 0, -1), (3L, 0, -1)), s"got $out")
+  }
+
   test("apply: every copy of duplicated text drops; unique content survives") {
     val docs = Seq(
       (1L, "copy me exactly five tokens"),
