@@ -90,6 +90,49 @@ private[graft] object CompositeOracles {
         |              % 100 AS INTEGER) AS bucket
         |  FROM cleaned)""".stripMargin,
 
+    // Per-doc first-failing-stage attribution over the SAME CTE chain
+    // as curate_corpus (quality gate → exact-hash keep-set → 5-gram
+    // bench decontam): one row per train doc; survivors read 'kept'.
+    "curate_corpus_audit" ->
+      """WITH sig AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''),
+        |           t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS INTEGER) AS n_stopwords,
+        |         CAST(coalesce(list_sum(list_transform(
+        |           list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''),
+        |           t -> length(t))), 0) AS BIGINT) AS sum_tok_chars
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         CAST(((CASE WHEN n_tokens > 0 THEN least(300000, greatest(0,
+        |             50 * CAST(round(CAST(n_stopwords * 10000 AS DOUBLE) / n_tokens) AS BIGINT) + 150000
+        |             - 3 * abs(CAST(round(CAST(sum_tok_chars * 10000 AS DOUBLE) / n_tokens) AS BIGINT) - 50000)))
+        |           ELSE 0 END)
+        |           + 15) // 30 AS DOUBLE) / 10000 AS quality_score
+        |  FROM sig),
+        |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                          || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |                        for i in generate_series(1, len(toks) - 4)]) AS s
+        |       FROM w WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 20 <> 0) t
+        |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.shingle = t.shingle))
+        |SELECT doc_id, quality_score,
+        |       CASE WHEN quality_score < 0.5 THEN 'quality'
+        |            WHEN NOT EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = q.doc_id) THEN 'dedup'
+        |            WHEN EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id) THEN 'decontam'
+        |            ELSE 'kept' END AS stage
+        |FROM q""".stripMargin,
+
     // Mirrors curateCorpusClassified: the trained NB-log-odds gate
     // (the quality_classifier CTE chain, model trained on the FULL
     // corpus's doc_id%3 slice) over the doc_id%20<>0 candidates, then

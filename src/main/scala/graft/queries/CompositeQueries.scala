@@ -165,6 +165,46 @@ trait CompositeQueries extends QueriesBase {
       "max_chars" -> (col("n_chars") <= 450),
       "source_ok" -> (col("source") =!= "src3")))
 
+  /** PER-DOC funnel drop attribution (r15, r14 VERDICT #4): the first
+    * thing a curation operator asks when a batch shrinks — WHICH stage
+    * dropped each document. One row per train doc with the FIRST
+    * failing stage of [[curateCorpus]]'s battery: `quality`
+    * (score < 0.5), `dedup` (lost to the exact-hash canonical), or
+    * `decontam` (≥1 shared 5-gram with the bench slice) — survivors
+    * read `kept`. Aggregating `stage` reconciles exactly with the
+    * composite's per-stage survivor counts (spec-pinned), and
+    * `count(stage = 'kept')` IS `curate_corpus`'s row count.
+    *
+    * Plan shape: the same scans the funnel itself pays — the scored
+    * gate frame materializes once and feeds the gate flag, the
+    * keep-set groupBy, and the decontam probe; the keep/contaminated
+    * memberships come back as two left joins (broadcast when they
+    * fit), and the when-chain is one codegen'd projection. No extra
+    * corpus scans. */
+  val curateCorpusAudit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val scored = TextOps.qualityScore(TextOps.qualitySignals(train))
+      .select(col("doc_id"), col("text"), col("quality_score"))
+      .localCheckpoint()
+    val passed = scored.filter(col("quality_score") >= 0.5)
+    val keep = Dedup.exactGroups(passed, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), lit(true).as("__keeper"))
+    val contaminated = Decontam
+      .overlapStats(passed, bench, "doc_id", "text", n = 5)
+      .filter(col("n_overlap") >= 1)
+      .select(col("doc_id"), lit(true).as("__hit"))
+    scored
+      .join(keep, Seq("doc_id"), "left_outer")
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("quality_score"),
+        when(col("quality_score") < 0.5, "quality")
+          .when(col("__keeper").isNull, "dedup")
+          .when(col("__hit").isNotNull, "decontam")
+          .otherwise("kept").as("stage"))
+  }
+
   /** Corpus re-weighting to a 4:3:2:1:1 source mixture — unlisted
     * sources drop, the bottleneck source keeps 100%, everything else
     * down-samples on the stable md5 bucket. */
@@ -351,6 +391,7 @@ trait CompositeQueries extends QueriesBase {
     "drift_chisq" -> driftChisq,
     "scalar_minmax" -> scalarMinmax,
     "quality_funnel" -> qualityFunnel,
+    "curate_corpus_audit" -> curateCorpusAudit,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "sample_token_budget" -> sampleTokenBudget,

@@ -81,7 +81,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "split_leakage", "split_repair",
     "curate_corpus", "curate_corpus_gopher", "curate_corpus_near",
     "curate_corpus_communities", "curate_corpus_substring",
-    "curate_corpus_mix",
+    "curate_corpus_mix", "curate_corpus_audit",
     "crawl_canonicalize", "crawl_domain_cap", "crawl_domain_pagerank",
     "crawl_domain_reputation", "text_dedup_lines", "text_strip_lines",
     "layout_interleave", "crawl_priority", "pack_utilization",
