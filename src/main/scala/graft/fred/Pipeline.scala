@@ -103,6 +103,49 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
           col("observation_year").isin(years: _*)))
     }
 
+  /** GDPR / right-to-erasure propagation through the lineage (the
+    * reference's bronze→silver→gold derivation implies a keyed delete
+    * must re-derive ONLY the affected downstream partitions): drop one
+    * indicator-month at bronze, then heal silver and gold.
+    *
+    *   - bronze + silver: the silver month is a pure function of the
+    *     bronze month, so erasure at the source grain IS a leaf drop
+    *     at both layers. Dynamic partition overwrite cannot express
+    *     this (an empty re-derivation overwrites nothing — the stale
+    *     month would survive), which is exactly why deletion is a
+    *     first-class verb here and not a re-run of [[transform]].
+    *   - gold: the (indicator, year) partition re-aggregates from the
+    *     SURVIVING silver months — one pruned scan of that year only —
+    *     or drops outright when the deleted month was the year's last.
+    *
+    * Every other partition is untouched (spec-pinned byte-identical):
+    * at 100 TB the delete job reads one year of one indicator, never
+    * the lake. Idempotent — a re-run finds the leaves gone and
+    * re-derives gold to the same content. Row-level (sub-partition)
+    * deletes compose from [[graft.fred.io.LakeIO.deleteWhere]] at
+    * bronze followed by the same month re-derivation. */
+  def propagateDelete(seriesId: String, year: Int, month: Int): Unit =
+    withRetry("delete") {
+      val conf = spark.sessionState.newHadoopConf()
+      def drop(root: String, leaf: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$leaf")
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val monthLeaf = s"indicator=$seriesId/observation_year=$year" +
+        s"/observation_month=$month"
+      drop(bronzeRoot, monthLeaf)
+      drop(silverRoot, monthLeaf)
+      val silverYear = LakeIO
+        .readParquet(spark, silverRoot, Some(Schemas.silver))
+        .where(col("indicator") === seriesId &&
+          col("observation_year") === year)
+      if (silverYear.isEmpty)
+        drop(goldRoot, s"indicator=$seriesId/observation_year=$year")
+      else
+        LakeIO.writeParquet(YearlyGold.toGold(silverYear), goldRoot,
+          Seq("indicator", "observation_year"))
+    }
+
   /** The full reference DAG for one indicator over a date window. */
   def runIndicator(seriesId: String, start: LocalDate, end: LocalDate)
       (sink: DataFrame => Unit): Unit = {

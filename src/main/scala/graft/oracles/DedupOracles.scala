@@ -163,6 +163,30 @@ private[graft] object DedupOracles {
       s"""WITH $decontamSpanCtes
          |$spanSelectSql""".stripMargin,
 
+    // Per-lang rollup of the bench-overlap span CTEs — the
+    // report_dup_coverage replay on the bench axis; merged spans are
+    // disjoint per doc so sum(se − ss) is the exact contaminated-token
+    // count, and span-free docs contribute 0 via the left join.
+    "report_bench_contamination" ->
+      s"""WITH $decontamSpanCtes,
+         |sp AS (SELECT doc_id, sum(se - ss) AS contam FROM (
+         |         SELECT doc_id, island, min(s) AS ss, max(e) AS se
+         |         FROM g2 GROUP BY 1, 2)
+         |       GROUP BY doc_id),
+         |d AS (SELECT t.doc_id, docs.lang,
+         |        CAST(len(toks) AS BIGINT) AS nt
+         |      FROM t JOIN documents docs ON t.doc_id = docs.doc_id
+         |      WHERE t.doc_id % 20 <> 0)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(sum(contam), 0) AS BIGINT) AS n_contam_tokens,
+         |       CAST(count(CASE WHEN contam > 0 THEN 1 END) AS BIGINT)
+         |         AS n_docs_contaminated,
+         |       round(coalesce(sum(contam), 0) * 10000.0 / sum(nt)) / 10000
+         |         AS contam_share
+         |FROM d LEFT JOIN sp ON d.doc_id = sp.doc_id
+         |GROUP BY lang""".stripMargin,
+
     // Cross twin of SuffixDedup.benchLongestOverlap: diagonal-run
     // extension of aligned train×bench 5-gram pairs (the
     // dedup_longest_match replay restricted to cross pairs).

@@ -225,6 +225,33 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", minTokens = 5)
   }
 
+  /** Per-language EVAL-CONTAMINATION rollup — the corpus-health report
+    * for benchmark leakage, the [[reportDupCoverage]] mirror on the
+    * bench axis: how much of each language slice is verbatim benchmark
+    * text (≥5-token overlaps, merged spans), how many docs carry any.
+    * The number an eval-hygiene review reads FIRST. Spans from the
+    * suffix engine ([[graft.ext.SuffixDedup.benchOverlapSpans]]);
+    * merged spans are disjoint per doc so the covered-token sum is
+    * exact integers + one mirrored share division. */
+  val reportBenchContamination: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val perDoc = graft.ext.SuffixDedup.benchOverlapSpans(
+        train, docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", minTokens = 5)
+      .groupBy("doc_id").agg(sum(col("span_tokens")).as("__contam"))
+    train.select(col("doc_id"), col("lang"),
+        size(graft.ext.TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        coalesce(sum(col("__contam")), lit(0L)).as("n_contam_tokens"),
+        count(when(col("__contam") > 0, 1)).as("n_docs_contaminated"))
+      .withColumn("contam_share",
+        round(col("n_contam_tokens") * 10000.0 / col("n_tokens")) / 1e4)
+  }
+
   /** [[decontamSpans]]'s apply step: contaminated tokens drop, train
     * docs reassemble, clean docs pass through. */
   val decontamSpansClean: Q = (s, dir) => {
@@ -445,6 +472,7 @@ trait DedupQueries extends QueriesBase {
     "decontam_spans" -> decontamSpans,
     "decontam_substring_exact" -> decontamSubstringExact,
     "decontam_longest_bench" -> decontamLongestBench,
+    "report_bench_contamination" -> reportBenchContamination,
     "decontam_spans_clean" -> decontamSpansClean,
     "decontam_bloom" -> decontamBloom,
     "decontam_semantic" -> decontamSemantic,

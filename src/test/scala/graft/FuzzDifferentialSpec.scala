@@ -40,7 +40,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "dedup_substring_exact", "dedup_substring_exact_apply", "dedup_longest_match",
     "dedup_substring_incremental", "report_dup_coverage", "quality_entropy",
     "report_corpus", "decontam_spans", "decontam_spans_clean",
-    "decontam_substring_exact", "decontam_longest_bench",
+    "decontam_substring_exact", "decontam_longest_bench", "report_bench_contamination",
     // closing-stretch additions: the temperature mixture's sqrt/
     // largest-remainder walk on skewed 2-3-lang corpora, and the
     // fertility roll-up's unicode words through the BPE replay

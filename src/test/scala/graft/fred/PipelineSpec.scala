@@ -218,6 +218,77 @@ class PipelineSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("propagateDelete: erasure heals exactly the touched partitions through the lineage") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gdpr").toString
+    val fixture = new FredSource.Fixture(Map(
+      ("DGS10", 2024, 1) ->
+        """{"observations":[{"date":"2024-01-02","value":"3.95"},{"date":"2024-01-03","value":"4.05"}]}""",
+      ("DGS10", 2024, 2) ->
+        """{"observations":[{"date":"2024-02-01","value":"4.20"}]}""",
+      ("UNRATE", 2024, 1) ->
+        """{"observations":[{"date":"2024-01-05","value":"3.70"}]}""",
+      ("UNRATE", 2024, 2) ->
+        """{"observations":[{"date":"2024-02-05","value":"3.90"}]}"""))
+    val pipe = new Pipeline(spark, fixture, tmp)
+    pipe.runIndicator("DGS10",
+      LocalDate.parse("2024-01-01"), LocalDate.parse("2024-02-29"))(_ => ())
+    pipe.runIndicator("UNRATE",
+      LocalDate.parse("2024-01-01"), LocalDate.parse("2024-02-29"))(_ => ())
+
+    def checksums(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          p.toString -> java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = checksums()
+
+    pipe.propagateDelete("DGS10", 2024, 1)
+
+    // the deleted month is gone through bronze and silver
+    assert(!new java.io.File(
+      s"$tmp/raw_data/indicator=DGS10/observation_year=2024/observation_month=1").exists())
+    assert(!new java.io.File(
+      s"$tmp/processed_data/indicator=DGS10/observation_year=2024/observation_month=1").exists())
+    // gold re-aggregated from the SURVIVING month only
+    val gold = spark.read.parquet(s"$tmp/aggregated_data")
+      .select("indicator", "observation_year", "observation_month", "value")
+      .as[(String, Int, Int, Double)].collect().toSet
+    assert(gold == Set(("DGS10", 2024, 2, 4.2),
+      ("UNRATE", 2024, 1, 3.7), ("UNRATE", 2024, 2, 3.9)), s"got $gold")
+    // every file outside the touched partitions is byte-identical:
+    // the other indicator entirely, AND the surviving DGS10 bronze/
+    // silver month — only the gold (DGS10, 2024) leaf may rewrite
+    val after = checksums()
+    val untouched = before.keySet.filter { p =>
+      !p.contains("indicator=DGS10/observation_year=2024/observation_month=1") &&
+      !(p.contains("aggregated_data") && p.contains("indicator=DGS10"))
+    }
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)), s"file rewritten or lost: $p")
+    }
+    // idempotent: a re-run converges to the same lake state
+    pipe.propagateDelete("DGS10", 2024, 1)
+    val gold2 = spark.read.parquet(s"$tmp/aggregated_data")
+      .select("indicator", "observation_year", "observation_month", "value")
+      .as[(String, Int, Int, Double)].collect().toSet
+    assert(gold2 == gold)
+    // deleting the year's last month drops the gold leaf outright
+    pipe.propagateDelete("DGS10", 2024, 2)
+    assert(!new java.io.File(
+      s"$tmp/aggregated_data/indicator=DGS10").exists() ||
+      new java.io.File(s"$tmp/aggregated_data/indicator=DGS10").list()
+        .forall(_.startsWith("observation_year") == false),
+      "an emptied year must not leave a stale gold partition")
+    val gold3 = spark.read.parquet(s"$tmp/aggregated_data")
+      .select("indicator").as[String].collect().toSet
+    assert(gold3 == Set("UNRATE"), s"got $gold3")
+  }
+
   test("jdbcCreateTableSql: reference-shaped serving DDL") {
     val sql = DdlOps.jdbcCreateTableSql("economic_indicators",
       Seq("indicator" -> "TEXT", "observation_year" -> "INT",
