@@ -581,6 +581,17 @@ object SuffixDedup {
       .withColumnRenamed("doc", idCol)
   }
 
+  /** Apply step of [[duplicatedSpansIncremental]]: covered tokens drop
+    * and batch documents reassemble — (idCol, n_tokens, n_removed,
+    * text_dedup), span-free docs pass through. The streaming curation
+    * composite's span-removal stage. */
+  def duplicatedSpansIncrementalApply(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, minTokens: Int,
+      batchId: Long = Long.MaxValue): DataFrame =
+    Dedup.applySpanRemoval(batch, idCol, textCol,
+      duplicatedSpansIncremental(batch, index, idCol, textCol, minTokens,
+        batchId), "text_dedup")
+
   // --------------------------------- cross-corpus (benchmark) screen
 
   /** Per-TRAIN-suffix longest verbatim overlap with ANY benchmark

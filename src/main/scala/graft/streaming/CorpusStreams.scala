@@ -148,6 +148,108 @@ object CorpusStreams {
           textCol, minTokens, batchId)
     }
 
+  /** The streaming CURATION COMPOSITE — the continuous-ingestion form
+    * of `curate_corpus_substring` (gate → exact dedup → exact-substring
+    * span removal → kept-token floor), with every cross-batch stage
+    * answered from SAVED STATE instead of rescanning the accumulated
+    * lake:
+    *
+    *   1. quality gate: [[graft.ext.TextOps.gopherKeep]];
+    *   2. exact dedup: within-batch min-id winner per canonical
+    *      fingerprint ([[graft.ext.Dedup.exactGroups]]' contract),
+    *      then an anti-probe of the saved fingerprint index — a
+    *      re-crawl of anything the stream ever kept drops
+    *      (first-arrival-wins, the [[dedupExactStream]] semantics,
+    *      here via lake-backed state so a restart keeps its memory);
+    *   3. exact-substring hygiene: [[graft.ext.SuffixDedup
+    *      .duplicatedSpansIncrementalApply]] — verbatim runs ≥
+    *      `minTokens` against everything ingested so far ∪ the batch
+    *      drop from every copy (suffix-exact within the batch, one
+    *      gram-index probe across);
+    *   4. survivors with ≥ `minKeepTokens` remaining land under
+    *      `outRoot` partitioned by batch_id.
+    *
+    * Replay-exact under at-least-once delivery with NO marker files:
+    * both indexes stamp first-appearance batch ids and every probe
+    * filters `first_batch_id < batchId` (a replayed batch never sees
+    * its own contributions), index appends anti-join to no-ops, and
+    * the per-batch output partition overwrites idempotently.
+    * [[curateBatch]] is the testable per-batch body. */
+  def curateStream(docs: DataFrame, fpRoot: String, gramRoot: String,
+      outRoot: String, minWords: Int = 50, minTokens: Int = 5,
+      minKeepTokens: Int = 30, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        curateBatch(batch.toDF(), batchId, fpRoot, gramRoot, outRoot,
+          minWords, minTokens, minKeepTokens, idCol, textCol)
+    }
+
+  /** One [[curateStream]] micro-batch, exposed for direct testing (the
+    * replay-exactness spec calls it twice with the same id). */
+  def curateBatch(batch: DataFrame, batchId: Long, fpRoot: String,
+      gramRoot: String, outRoot: String, minWords: Int, minTokens: Int,
+      minKeepTokens: Int, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val gated = batch.filter(
+      graft.ext.TextOps.gopherKeep(col(textCol), minWords = minWords))
+    // within-batch exact dedup: the deterministic min-id winner
+    val winners = graft.ext.Dedup.exactGroups(gated, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val batchKept = gated.join(winners, Seq(idCol), "left_semi")
+      .withColumn("__fp", graft.ext.TextOps.fingerprint(col(textCol)))
+    // cross-batch exact dedup from saved state (provenance-gated)
+    val fpIndex = readIndex(spark, fpRoot)
+    val deduped = batchKept.join(
+        fpIndex.filter(col("first_batch_id") < batchId)
+          .select(col("g").as("__fp")),
+        Seq("__fp"), "left_anti")
+      .localCheckpoint() // feeds spans, the output, and both index folds
+    // exact-substring hygiene vs accumulated corpus ∪ batch
+    val applied = graft.ext.SuffixDedup.duplicatedSpansIncrementalApply(
+      deduped.select(col(idCol), col(textCol)),
+      readIndex(spark, gramRoot), idCol, textCol, minTokens, batchId)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    applied.filter(col("n_tokens") - col("n_removed") >= minKeepTokens)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outRoot)
+    // fold the batch into both saved indexes (first-appearance ids;
+    // anti-join append — replay-idempotent)
+    appendNewKeys(fpRoot, deduped.select(col("__fp").as("g")), batchId)
+    graft.ext.SuffixDedup.updateSavedGramIndex(gramRoot,
+      deduped.select(col(idCol), col(textCol)), textCol, minTokens, batchId)
+  }
+
+  /** Saved (g, first_batch_id) key index read — empty-schema frame
+    * when the root does not exist yet. */
+  private def readIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) spark.read.parquet(root)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("first_batch_id",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Append keys the index has never seen, stamped with this batch —
+    * the [[graft.ext.SuffixDedup.updateSavedGramIndex]] discipline for
+    * a caller-supplied key frame (column `g`). */
+  private def appendNewKeys(root: String, keys: DataFrame,
+      batchId: Long): Unit = {
+    val spark = keys.sparkSession
+    val fresh = keys.distinct()
+      .withColumn("first_batch_id", lit(batchId))
+      .join(readIndex(spark, root), Seq("g"), "left_anti")
+    fresh.write.mode("append").parquet(root)
+  }
+
   def dedupExactStream(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Dataset[KeptDoc] = {
     import docs.sparkSession.implicits._

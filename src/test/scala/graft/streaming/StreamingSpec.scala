@@ -229,6 +229,65 @@ class StreamingSpec extends SparkSpec {
     assert(idx.filter(col("first_batch_id") === 1L).count() > 0)
   }
 
+  test("streaming curation composite: gate → exact dedup → substring hygiene from saved state; replay-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_curate_stream").toString
+    val (fpRoot, gramRoot, outRoot) =
+      (tmp + "/fp", tmp + "/grams", tmp + "/out")
+    val p = "protected passage tokens alpha beta gamma delta epsilon"
+    val q = "repeated inner run words here zeta"
+    val docA = s"the quick brown fox jumps over and lazy dogs sleep $p today"
+    val batch1 = Seq(
+      (1L, docA),
+      (2L, docA),                       // within-batch exact dup → dropped
+      (3L, "too short"),                // fails the gate
+      (4L, s"the and words here stay $q filler one two three $q"))
+    val batch2 = Seq(
+      (10L, docA),                      // cross-batch exact dup → dropped
+      (11L, s"the glue and more glue here today $p trailing unique words now"),
+      (12L, "the completely fresh and unique document with enough plain words here"))
+    def runBatch(rows: Seq[(Long, String)], id: Long): Unit =
+      graft.streaming.CorpusStreams.curateBatch(rows.toDF("doc_id", "text"),
+        id, fpRoot, gramRoot, outRoot,
+        minWords = 10, minTokens = 5, minKeepTokens = 5)
+    // drive batch 1 through the real stream wiring, batch 2 directly
+    val input = MemoryStream[(Long, String)]
+    val stream = graft.streaming.CorpusStreams.curateStream(
+      input.toDF().toDF("doc_id", "text"), fpRoot, gramRoot, outRoot,
+      minWords = 10, minTokens = 5, minKeepTokens = 5).start()
+    try { input.addData(batch1: _*); stream.processAllAvailable() }
+    finally stream.stop()
+    runBatch(batch2, 1L)
+    def readOut(): Set[(Long, Long, Int, String)] =
+      spark.read.parquet(outRoot)
+        .select(col("batch_id").cast("long"), col("doc_id"),
+          col("n_removed"), col("text_dedup"))
+        .as[(Long, Long, Int, String)].collect().toSet
+    val out = readOut()
+    val byDoc = out.map(r => r._2 -> r).toMap
+    assert(out.map(_._2) == Set(1L, 4L, 11L, 12L), s"kept set: $out")
+    assert(byDoc(1L)._3 == 0 && byDoc(1L)._4 == docA,
+      "the first arrival survives intact")
+    assert(byDoc(4L)._3 == 12,
+      s"BOTH copies of the internal 6-token repeat drop: ${byDoc(4L)}")
+    assert(byDoc(11L)._3 == 8 && !byDoc(11L)._4.contains("protected"),
+      s"the cross-batch verbatim passage drops from the re-user: ${byDoc(11L)}")
+    assert(byDoc(12L)._3 == 0, "clean docs pass through")
+    // indexes carry first-appearance provenance
+    val fpIdx = spark.read.parquet(fpRoot)
+      .as[(String, Long)].collect().toMap
+    assert(fpIdx.values.toSet == Set(0L, 1L), s"fp provenance: $fpIdx")
+    val gramCount = spark.read.parquet(gramRoot).count()
+    // at-least-once REPLAY of batch 2: output, fp index and gram index
+    // must all converge to the same state — no double counting, no
+    // self-marking (doc 11 must not lose more text to its own grams)
+    runBatch(batch2, 1L)
+    assert(readOut() == out, "replay must be a no-op on the output")
+    assert(spark.read.parquet(fpRoot).count() == fpIdx.size.toLong)
+    assert(spark.read.parquet(gramRoot).count() == gramCount)
+  }
+
   test("streaming SEMANTIC decontamination (foreachBatch) ≡ batch semanticClean") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((900L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
