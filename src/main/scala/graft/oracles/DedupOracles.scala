@@ -94,6 +94,18 @@ private[graft] object DedupOracles {
          |$spanIslandCtes
          |$spanSelectSql""".stripMargin,
 
+    // The incremental apply: the same restricted coverage spans fed to
+    // the shared span-removal replay over the batch spine only.
+    "dedup_substring_incremental_apply" ->
+      s"""WITH $substrOccCtes,
+         |k AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY g) AS cnt
+         |      FROM occ),
+         |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
+         |      WHERE cnt > 1 AND doc_id % 10 = 7),
+         |$spanIslandCtes,
+         |${spanApplySql("WHERE doc_id % 10 = 7", "text_dedup")}""".stripMargin,
+
     // Per-lang rollup of the all-occurrence span CTEs: merged spans
     // are disjoint per doc, so summing (se − ss) is the exact covered
     // token count; docs with no spans contribute 0 via the left join.

@@ -426,6 +426,22 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", minTokens = 5, batchId = 1L)
   }
 
+  /** [[dedupSubstringIncremental]]'s apply step: the arriving batch's
+    * verbatim-duplicated tokens (vs corpus ∪ batch) drop and the batch
+    * docs reassemble — what the streaming curation composite actually
+    * ships per micro-batch, hash-checked standalone: the oracle
+    * replays the full-corpus coverage spans restricted to the batch
+    * and applies the shared span-removal SQL over the batch spine. */
+  val dedupSubstringIncrementalApply: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    graft.ext.SuffixDedup.duplicatedSpansIncrementalApply(batch,
+      graft.ext.SuffixDedup.gramIndex(corpus, "text", minTokens = 5,
+        batchId = 0L),
+      "doc_id", "text", minTokens = 5, batchId = 1L)
+  }
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -462,6 +478,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_substring_exact_apply" -> dedupSubstringExactApply,
     "dedup_longest_match" -> dedupLongestMatch,
     "dedup_substring_incremental" -> dedupSubstringIncremental,
+    "dedup_substring_incremental_apply" -> dedupSubstringIncrementalApply,
     "report_dup_coverage" -> reportDupCoverage,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,

@@ -38,7 +38,8 @@ class FuzzDifferentialSpec extends SparkSpec {
     // dup-heavy unicode corpora the fixtures never saw
     "dedup_substring", "dedup_substring_apply", "quality_lm_indexed",
     "dedup_substring_exact", "dedup_substring_exact_apply", "dedup_longest_match",
-    "dedup_substring_incremental", "report_dup_coverage", "quality_entropy",
+    "dedup_substring_incremental", "dedup_substring_incremental_apply",
+    "report_dup_coverage", "quality_entropy",
     "report_corpus", "decontam_spans", "decontam_spans_clean",
     "decontam_substring_exact", "decontam_longest_bench", "report_bench_contamination",
     // closing-stretch additions: the temperature mixture's sqrt/
