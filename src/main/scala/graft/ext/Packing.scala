@@ -25,6 +25,44 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Power-of-two SEQUENCE-LENGTH BUCKETING — the dynamic-batching
+    * prep: pad-to-bucket batching wastes `bucket − n_tokens` pad
+    * tokens per doc, so assigning each doc to the smallest power-of-2
+    * bucket ≥ its token count (floored at `minBucket`) and reading the
+    * per-bucket fill ratio IS the padding-cost audit that decides the
+    * bucket boundaries of a training run. One scan + one
+    * map-side-combinable aggregate.
+    *
+    * The bucket computes in exact BIT arithmetic — binary-string
+    * length, `2^⌈log2 n⌉ = 1 << bits(n−1)` — never libm `log2`, whose
+    * float seam at exact powers of two would bounce a 1024-token doc
+    * into the 2048 bucket on one engine and not the other (the
+    * portable-HLL rank discipline; DuckDB `bin` ≡ Spark `conv(_,10,2)`,
+    * no leading zeros). Output: (bucket, n_docs, n_tokens, capacity,
+    * padding_waste, fill_ratio) — all exact BIGINTs plus one mirrored
+    * 4-dp division. */
+  def lengthBuckets(df: DataFrame, tokens: Column,
+      minBucket: Int = 16): DataFrame = {
+    require(minBucket >= 1 && Integer.bitCount(minBucket) == 1,
+      "minBucket must be a positive power of two")
+    val n = tokens.cast("long")
+    // shiftleft's bit count must be a column here -> SQL expr form
+    val pow2 = when(col("__n") <= 1L, lit(1L))
+      .otherwise(expr("shiftleft(1L, cast(length(conv(__n - 1, 10, 2)) as int))"))
+    df.select(n.as("__n"))
+      .select(col("__n"),
+        greatest(lit(minBucket.toLong), pow2).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        (col("bucket") * col("n_docs")).as("capacity"),
+        (col("bucket") * col("n_docs") - col("n_tokens"))
+          .as("padding_waste"),
+        (round(col("n_tokens") * 10000.0 /
+          (col("bucket") * col("n_docs"))) / 1e4).as("fill_ratio"))
+  }
+
+
   /** Add (`n_tokens`, `pack_id`) within each group. `orderCols` must be
     * a deterministic total order (include a unique id). */
   def packByBudget(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],

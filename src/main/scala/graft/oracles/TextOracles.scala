@@ -242,6 +242,26 @@ private[graft] object TextOracles {
         |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
 
+    // Mirrors Packing.lengthBuckets: smallest power-of-2 bucket ≥
+    // n_tokens via binary-string length (DuckDB bin ≡ Spark
+    // conv(_,10,2), no leading zeros — the portable-HLL discipline).
+    "pack_length_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT n, greatest(16,
+        |    CASE WHEN n <= 1 THEN 1
+        |         ELSE (1::BIGINT << length(bin(n - 1))) END) AS bucket
+        |  FROM t)
+        |SELECT bucket, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(bucket * count(*) AS BIGINT) AS capacity,
+        |       CAST(bucket * count(*) - sum(n) AS BIGINT) AS padding_waste,
+        |       round(sum(n) * 10000.0 / (bucket * count(*))) / 10000
+        |         AS fill_ratio
+        |FROM b GROUP BY bucket""".stripMargin,
+
     // Mirrors packUtilization: the same corpus packed in arrival vs
     // tokens-desc (NFD) order, rolled into per-source utilization.
     "pack_utilization" -> {

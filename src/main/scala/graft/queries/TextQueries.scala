@@ -262,6 +262,18 @@ trait TextQueries extends QueriesBase {
       .unionByName(util(Seq("__negtok", "doc_id"), "nfd"))
   }
 
+  /** Power-of-two sequence-length bucketing (r15): the
+    * dynamic-batching prep — each doc lands in the smallest power-of-2
+    * bucket ≥ its token count (floor 16) and the per-bucket report
+    * (capacity, padding waste, fill ratio) is the padding-cost audit
+    * that sets a training run's bucket boundaries. Buckets compute in
+    * exact BIT arithmetic (1 << bits(n−1), the portable-HLL binary-
+    * string discipline) so no libm-log2 float seam can bounce an exact
+    * power-of-two doc across engines. */
+  val packLengthBuckets: Q = (s, dir) =>
+    Packing.lengthBuckets(Tables.documents(s, dir),
+      TextOps.tokenCount(col("text")), minBucket = 16)
+
   /** Pack assembly: each pack's member docs joined into one training
     * text (md5 in the output so the full string is hash-verified). */
   val packConcat: Q = (s, dir) => {
@@ -574,6 +586,7 @@ trait TextQueries extends QueriesBase {
     "text_topgram" -> textTopgram,
     "pack_budget" -> packBudget,
     "pack_utilization" -> packUtilization,
+    "pack_length_buckets" -> packLengthBuckets,
     "pack_concat" -> packConcat,
     "vocab_topk" -> vocabTopk,
     "agg_heavy_hitters" -> aggHeavyHitters,

@@ -258,4 +258,48 @@ class EmptyInputSpec extends SparkSpec {
     assert(ret.isEmpty && ret.columns.sameElements(
       Array("cohort", "offset", "n_active", "retained_pct")))
   }
+
+  test("round-15 ops on empty inputs") {
+    val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    val someDocs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // incremental screen: empty batch, empty index, both empty
+    val emptyIndex = emptyDf("g" -> StringType, "first_batch_id" -> LongType)
+    val idx = graft.ext.SuffixDedup.gramIndex(someDocs, "text", 5)
+    assert(graft.ext.SuffixDedup
+      .duplicatedSpansIncremental(docs, idx, "doc_id", "text", 5).isEmpty)
+    // a non-empty batch against an EMPTY index degrades to the pure
+    // batch-internal screen (here: nothing repeats -> no spans)
+    assert(graft.ext.SuffixDedup
+      .duplicatedSpansIncremental(someDocs, emptyIndex, "doc_id", "text", 5)
+      .isEmpty)
+    // ...and the apply passes the doc through intact
+    val app = graft.ext.SuffixDedup.duplicatedSpansIncrementalApply(
+      someDocs, emptyIndex, "doc_id", "text", 5)
+    assert(app.count() == 1L &&
+      app.filter(col("n_removed") === 0).count() == 1L)
+    assert(graft.ext.SuffixDedup.gramIndex(docs, "text", 5).isEmpty)
+    // bench-side screen: empty bench -> no spans, all-zero longest;
+    // empty train -> empty both ways
+    assert(graft.ext.SuffixDedup
+      .benchOverlapSpans(someDocs, docs, "doc_id", "text", 5).isEmpty)
+    val lb = graft.ext.SuffixDedup
+      .benchLongestOverlap(someDocs, docs, "doc_id", "text", 5)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(lb == Seq((1L, 0, -1)),
+      s"empty bench must report 0/-1 per train doc: $lb")
+    assert(graft.ext.SuffixDedup
+      .benchOverlapSpans(docs, someDocs, "doc_id", "text", 5).isEmpty)
+    assert(graft.ext.SuffixDedup
+      .benchLongestOverlap(docs, someDocs, "doc_id", "text", 5).isEmpty)
+    // streaming curation on an empty micro-batch: no output partition,
+    // no index growth, no crash
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_empty_curate").toString
+    graft.streaming.CorpusStreams.curateBatch(docs, 0L,
+      tmp + "/fp", tmp + "/grams", tmp + "/out",
+      minWords = 10, minTokens = 5, minKeepTokens = 5)
+    assert(!new java.io.File(tmp + "/fp").exists() ||
+      spark.read.parquet(tmp + "/fp").isEmpty)
+  }
 }

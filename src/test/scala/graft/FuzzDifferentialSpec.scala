@@ -76,7 +76,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "quality_gopher", "quality_ntile", "quality_dsir", "quality_lm_dsir",
     "quality_classifier",
     "source_overlap", "profile_source_overlap",
-    "pack_budget", "pack_concat", "pack_stats",
+    "pack_budget", "pack_concat", "pack_stats", "pack_length_buckets",
     "sample_hash", "sample_cap_per_group", "sample_stratified",
     "sample_mixture", "sample_token_budget", "sample_weighted_systematic",
     "split_leakage", "split_repair",

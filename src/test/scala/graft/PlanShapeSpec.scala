@@ -128,6 +128,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
 
+  test("incremental substring screen: index probe is a semi join, no cartesian") {
+    val plan = executed(Queries.all("dedup_substring_incremental")(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"the gram-index probe must be a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair blowup crept into the incremental screen:\n$plan")
+  }
+
+  test("bench-side exact decontam: no cartesian, no nested-loop join anywhere") {
+    // the cross screen ranks train∪bench ONCE and pairs by a
+    // per-partition scan — any cartesian/NLJ means the nearest-bench
+    // pairing regressed to a pair join
+    for (q <- Seq("decontam_substring_exact", "decontam_longest_bench")) {
+      val plan = executed(Queries.all(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a pair join:\n$plan")
+    }
+  }
+
+  test("curate_corpus_audit: membership flags are LEFT joins over one scored frame") {
+    val plan = executed(Queries.all("curate_corpus_audit")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    // the keep/contaminated memberships come back as outer joins (the
+    // when-chain needs the null), never inner — an inner join would
+    // silently drop the docs the audit exists to explain
+    assert(plan.contains("LeftOuter"), s"membership joins must be outer:\n$plan")
+  }
+
   test("text_chunk is a pure per-row pipeline: zero Exchange") {
     val plan = executed(Queries.all("text_chunk")(spark, sf))
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")

@@ -106,4 +106,30 @@ class PackingAndRedactSpec extends SparkSpec {
     assert(out(3L)._1 == "clean text with the number 42 and ip-free prose")
     assert(out(3L)._2 == 0)
   }
+
+  test("lengthBuckets: exact power-of-2 buckets, no float seam at exact powers") {
+    // 1024 tokens must land in the 1024 bucket — the libm-log2 seam
+    // this operator exists to avoid — and 1025 in 2048; shorts floor
+    // at minBucket; Σ n_tokens is conserved
+    val docs = Seq(
+      (1L, 1024L), (2L, 1025L), (3L, 1023L),
+      (4L, 3L), (5L, 0L), (6L, 16L), (7L, 17L), (8L, 100L)
+    ).toDF("doc_id", "n")
+    val out = graft.ext.Packing.lengthBuckets(docs, col("n"), minBucket = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out.keySet == Set(16L, 32L, 128L, 1024L, 2048L), s"got $out")
+    assert(out(1024L)._1 == 2L && out(1024L)._2 == 1024L + 1023L,
+      s"1024 and 1023 share the 1024 bucket: ${out(1024L)}")
+    assert(out(2048L) == ((1L, 1025L, 2048L, 1023L,
+      math.round(1025L * 10000.0 / 2048L) / 1e4)), s"${out(2048L)}")
+    assert(out(16L)._1 == 3L && out(16L)._2 == 19L,
+      s"0, 3 and 16 floor at minBucket: ${out(16L)}")
+    assert(out(32L) == ((1L, 17L, 32L, 15L, 0.5313)), s"${out(32L)}")
+    assert(out.values.map(_._2).sum == docs.agg(sum("n")).head.getLong(0),
+      "token mass must be conserved across buckets")
+    assert(out.values.forall(v => v._3 == v._2 + v._4),
+      "capacity = n_tokens + padding_waste, exactly")
+  }
 }
