@@ -263,8 +263,12 @@ object Bench {
     // `"suspect":true` marker + the inflated names + the baseline row
     // ts — the driver and the next round can see the record indicts
     // itself instead of adjudicating after the fact.
-    val grossFactor =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_GROSS", "3.0").toDouble
+    // a malformed override must not abort the run AFTER every measured
+    // round already happened — fall back to the default and keep the
+    // record (the check still runs, at 3×)
+    val grossFactor = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GROSS", "3.0").toDouble)
+      .getOrElse(3.0)
     var extraSamples: Map[String, Seq[Double]] = Map.empty
     var suspectInfo: Option[(Long, Seq[String])] = None
     var persistGross: Seq[String] = Nil

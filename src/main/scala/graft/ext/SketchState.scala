@@ -80,6 +80,27 @@ object SketchState {
     }
   }
 
+  /** True when `batchId` is a replay of an already-applied batch
+    * (≤ the persisted marker). foreachBatch only ever re-delivers the
+    * LAST uncommitted batch, so an id lagging the marker by MORE than
+    * a replay window signals a stream restarted WITHOUT its checkpoint
+    * (ids recycle from 0) against surviving saved state — skipping
+    * then silently discards new data, so that case warns loudly while
+    * still skipping (never double-count by default). Operational
+    * prerequisite, stated: saved-state roots live and die WITH the
+    * streaming checkpoint — reset one, reset both. */
+  private[ext] def isReplayedBatch(last: Option[Long], batchId: Option[Long],
+      root: String): Boolean =
+    (last, batchId) match {
+      case (Some(l), Some(b)) if b <= l =>
+        if (b < l) System.err.println(
+          s"[graft] batch $b lags last-applied $l at $root beyond a replay " +
+            "window — if the streaming checkpoint was reset, reset the saved " +
+            "state with it (this batch is SKIPPED to avoid double-counting)")
+        true
+      case _ => false
+    }
+
   /** Crash-safe replacement of the saved state at `root` (r14 ADVICE
     * #2): `mode("overwrite")` in place deletes the directory BEFORE
     * writing, so a crash mid-write destroys the only copy of the
@@ -291,7 +312,7 @@ object SketchState {
       batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val last = lastAppliedBatchId(spark, root) // recovers a mid-swap crash
-    if (batchId.isDefined && last.exists(_ >= batchId.get)) return
+    if (isReplayedBatch(last, batchId, root)) return
     val bs = cmsCells(batch, keyCol, depth, width)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -512,7 +533,7 @@ object SketchState {
     val last = lastAppliedBatchId(spark, root) // recovers a mid-swap crash
     // the merge is additive in `count` — skip replayed batches
     // (the [[updateSavedCms]] exactly-once guard)
-    if (batchId.isDefined && last.exists(_ >= batchId.get)) return
+    if (isReplayedBatch(last, batchId, root)) return
     val bs = gkSummarize(batch, valCol, eps)
     val path = new org.apache.hadoop.fs.Path(root + "/meta")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())

@@ -415,10 +415,15 @@ object SuffixDedup {
       .drop("__pa", "__pb", "__p1", "__p2")
       .localCheckpoint()
     // equal top ranks ⟺ verbatim-equal to doc end: lcp = remaining,
-    // exactly (both remainders are equal by the same certificate)
+    // exactly (both remainders are equal by the same certificate).
+    // NO broadcast hint: lens is one row per DOCUMENT — unbounded at
+    // the corpus scale this operator targets (a forced broadcast dies
+    // at Spark's 8 GB hard cap); AQE broadcasts it when it actually
+    // fits and shuffles when it doesn't, like every other per-doc
+    // join in this pipeline.
     val eqPairs = compared0.filter(col("ra") === col("rb"))
-      .join(broadcast(lens.select(col("doc").as("adoc"),
-        col("len").as("__alen"))), Seq("adoc"))
+      .join(lens.select(col("doc").as("adoc"), col("len").as("__alen")),
+        Seq("adoc"))
       .select(col("adoc"), col("apos"), col("bdoc"), col("bpos"),
         (col("__alen") - col("apos")).cast("int").as("lcp"))
     val shallowDone = compared0
@@ -662,20 +667,29 @@ object SuffixDedup {
       def pairOf(t: Row, b: Row): Row =
         Row(t.get(0), t.get(1), t.get(2), b.get(0), b.get(1), b.get(2))
       var lastBench: Row = bIn.value.getOrElse(i, null)
+      // STREAMING scan (never the whole partition's pair set on-heap):
+      // above-pairs emit as rows arrive; below-pairs buffer only the
+      // CURRENT bench-free run and flush when its closing bench row
+      // appears — memory is bounded by the longest bench-free run,
+      // not the partition
       val buffered = scala.collection.mutable.ArrayBuffer.empty[Row]
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      it.foreach { r =>
+      val main = it.flatMap { r =>
         if (isB.contains(r.get(0))) {
-          buffered.foreach(t => out += pairOf(t, r)) // below-neighbors
+          val below = buffered.map(t => pairOf(t, r)).toVector
           buffered.clear()
           lastBench = r
+          below
         } else {
-          if (lastBench != null) out += pairOf(r, lastBench) // above
+          val above =
+            if (lastBench != null) pairOf(r, lastBench) :: Nil else Nil
           buffered += r
+          above
         }
       }
-      bOut.value.get(i).foreach(b => buffered.foreach(t => out += pairOf(t, b)))
-      out.iterator
+      // the ++ argument is by-name: the carry-out flush only builds
+      // after `main` is exhausted, when `buffered` holds the tail run
+      main ++ bOut.value.get(i).iterator
+        .flatMap(b => buffered.map(t => pairOf(t, b)))
     }
     val st = saSorted.schema
     val adj = spark.createDataFrame(pairRdd,

@@ -128,22 +128,13 @@ object CorpusStreams {
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val path = new org.apache.hadoop.fs.Path(indexRoot)
-        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-        val index =
-          if (fs.exists(path)) spark.read.parquet(indexRoot)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("g",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("first_batch_id",
-                org.apache.spark.sql.types.LongType))))
         val spans = graft.ext.SuffixDedup.duplicatedSpansIncremental(
-          batch.toDF(), index, idCol, textCol, minTokens, batchId)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        spans.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id").parquet(outRoot)
+          batch.toDF(), readIndex(spark, indexRoot), idCol, textCol,
+          minTokens, batchId)
+        withDynamicOverwrite(spark) {
+          spans.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(outRoot)
+        }
         graft.ext.SuffixDedup.updateSavedGramIndex(indexRoot, batch.toDF(),
           textCol, minTokens, batchId)
     }
@@ -211,15 +202,33 @@ object CorpusStreams {
     val applied = graft.ext.SuffixDedup.duplicatedSpansIncrementalApply(
       deduped.select(col(idCol), col(textCol)),
       readIndex(spark, gramRoot), idCol, textCol, minTokens, batchId)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    applied.filter(col("n_tokens") - col("n_removed") >= minKeepTokens)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outRoot)
+    withDynamicOverwrite(spark) {
+      applied.filter(col("n_tokens") - col("n_removed") >= minKeepTokens)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(outRoot)
+    }
     // fold the batch into both saved indexes (first-appearance ids;
     // anti-join append — replay-idempotent)
     appendNewKeys(fpRoot, deduped.select(col("__fp").as("g")), batchId)
     graft.ext.SuffixDedup.updateSavedGramIndex(gramRoot,
       deduped.select(col(idCol), col(textCol)), textCol, minTokens, batchId)
+  }
+
+  /** Run `body` with dynamic partition overwrite, RESTORING the
+    * session's prior setting after — a foreachBatch body must not leak
+    * a session-wide write-semantics change into later jobs (a
+    * subsequent static `mode(Overwrite).partitionBy` write would
+    * silently leave stale partitions behind). */
+  private def withDynamicOverwrite(spark: org.apache.spark.sql.SparkSession)
+      (body: => Unit): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Saved (g, first_batch_id) key index read — empty-schema frame
