@@ -128,7 +128,8 @@ object HeavyHitters {
       k: Int, batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val last = SketchState.lastAppliedBatchId(spark, root)
-    if (SketchState.isReplayedBatch(last, batchId, root)) return
+    if (SketchState.isReplayedBatch(last, batchId, root,
+        SketchState.failOnLag(spark))) return
     val bs = summarize(batch, keyCol, k)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())

@@ -40,12 +40,18 @@ object Packing {
     * portable-HLL rank discipline; DuckDB `bin` ≡ Spark `conv(_,10,2)`,
     * no leading zeros). Output: (bucket, n_docs, n_tokens, capacity,
     * padding_waste, fill_ratio) — all exact BIGINTs plus one mirrored
-    * 4-dp division. */
+    * 4-dp division.
+    *
+    * A NULL token count coalesces to 0 (→ the minBucket row) so the
+    * doc is counted consistently on BOTH axes — before r16 it fell to
+    * minBucket via greatest's null-skipping but its null weight was
+    * skipped by sum, silently skewing that row's padding_waste and
+    * fill_ratio (r15 ADVICE #4). */
   def lengthBuckets(df: DataFrame, tokens: Column,
       minBucket: Int = 16): DataFrame = {
     require(minBucket >= 1 && Integer.bitCount(minBucket) == 1,
       "minBucket must be a positive power of two")
-    val n = tokens.cast("long")
+    val n = coalesce(tokens.cast("long"), lit(0L))
     // shiftleft's bit count must be a column here -> SQL expr form
     val pow2 = when(col("__n") <= 1L, lit(1L))
       .otherwise(expr("shiftleft(1L, cast(length(conv(__n - 1, 10, 2)) as int))"))

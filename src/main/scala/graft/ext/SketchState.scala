@@ -80,26 +80,48 @@ object SketchState {
     }
   }
 
+  /** Spark conf key for the lagging-batch policy below: `"fail"`
+    * aborts the stream on a batch id lagging the marker by more than
+    * the one-batch replay window; anything else (default) warns and
+    * skips. */
+  val FailOnLaggingBatchKey = "graft.state.failOnLaggingBatch"
+
   /** True when `batchId` is a replay of an already-applied batch
     * (≤ the persisted marker). foreachBatch only ever re-delivers the
     * LAST uncommitted batch, so an id lagging the marker by MORE than
-    * a replay window signals a stream restarted WITHOUT its checkpoint
-    * (ids recycle from 0) against surviving saved state — skipping
-    * then silently discards new data, so that case warns loudly while
-    * still skipping (never double-count by default). Operational
-    * prerequisite, stated: saved-state roots live and die WITH the
-    * streaming checkpoint — reset one, reset both. */
+    * that one-batch replay window signals a stream restarted WITHOUT
+    * its checkpoint (ids recycle from 0) against surviving saved
+    * state — skipping then silently discards EVERY new batch until
+    * the recycled ids catch the marker up, which is sustained data
+    * loss, worse than an aborted stream (r15 ADVICE #5). That case
+    * therefore FAILS FAST when [[FailOnLaggingBatchKey]] is set to
+    * `"fail"` on the session; the default keeps the conservative
+    * warn-and-skip (never double-count), for streams whose ids are
+    * externally managed. Operational prerequisite, stated: saved-state
+    * roots live and die WITH the streaming checkpoint — reset one,
+    * reset both. */
   private[ext] def isReplayedBatch(last: Option[Long], batchId: Option[Long],
-      root: String): Boolean =
+      root: String, failOnLag: Boolean = false): Boolean =
     (last, batchId) match {
       case (Some(l), Some(b)) if b <= l =>
-        if (b < l) System.err.println(
-          s"[graft] batch $b lags last-applied $l at $root beyond a replay " +
-            "window — if the streaming checkpoint was reset, reset the saved " +
-            "state with it (this batch is SKIPPED to avoid double-counting)")
+        if (b < l) {
+          val msg =
+            s"[graft] batch $b lags last-applied $l at $root beyond the " +
+              "one-batch replay window — if the streaming checkpoint was " +
+              "reset, reset the saved state with it"
+          if (failOnLag) throw new IllegalStateException(
+            msg + s" (failing fast: $FailOnLaggingBatchKey=fail — every " +
+              "batch until ids catch up would otherwise be discarded)")
+          System.err.println(
+            msg + " (this batch is SKIPPED to avoid double-counting)")
+        }
         true
       case _ => false
     }
+
+  /** The session's [[FailOnLaggingBatchKey]] policy. */
+  private[ext] def failOnLag(spark: SparkSession): Boolean =
+    spark.conf.getOption(FailOnLaggingBatchKey).contains("fail")
 
   /** Crash-safe replacement of the saved state at `root` (r14 ADVICE
     * #2): `mode("overwrite")` in place deletes the directory BEFORE
@@ -312,7 +334,7 @@ object SketchState {
       batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val last = lastAppliedBatchId(spark, root) // recovers a mid-swap crash
-    if (isReplayedBatch(last, batchId, root)) return
+    if (isReplayedBatch(last, batchId, root, failOnLag(spark))) return
     val bs = cmsCells(batch, keyCol, depth, width)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -533,7 +555,7 @@ object SketchState {
     val last = lastAppliedBatchId(spark, root) // recovers a mid-swap crash
     // the merge is additive in `count` — skip replayed batches
     // (the [[updateSavedCms]] exactly-once guard)
-    if (isReplayedBatch(last, batchId, root)) return
+    if (isReplayedBatch(last, batchId, root, failOnLag(spark))) return
     val bs = gkSummarize(batch, valCol, eps)
     val path = new org.apache.hadoop.fs.Path(root + "/meta")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())

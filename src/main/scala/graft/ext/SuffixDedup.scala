@@ -608,16 +608,24 @@ object SuffixDedup {
     * the max LCP against any bench suffix is attained at one of them,
     * because the LCP of two suffixes is the MIN of the adjacent LCPs
     * between them (the classical range-min identity), so moving past
-    * the nearest bench suffix can never increase the LCP. Pairing is
-    * the same one-scan-with-boundary-handoff walk as the adjacency
-    * form: per partition, a forward scan pairs each train row with the
-    * last bench row seen (above) and buffers train rows until the next
-    * bench row flushes them (below); partition edges take their
-    * carry-in/carry-out bench rows from a collected per-partition
-    * bench-edge census (bounded by the partition count). The buffer is
-    * bounded by the longest bench-free run in suffix order — at the
-    * eval-suite scale this operator targets, bench suffixes are sparse
-    * and the runs are long only when nothing matches anyway.
+    * the nearest bench suffix can never increase the LCP.
+    *
+    * Pairing runs as TWO O(1)-memory scans over the same range-sorted
+    * layout (r15 VERDICT #2 — the former single scan buffered every
+    * train row of the current bench-free run until its closing bench
+    * row, and at 100 TB a train region lexically far from all bench
+    * text — e.g. another language — is one giant bench-free run, GBs
+    * on a single task heap):
+    *   - ASCENDING: each train row pairs with the last bench row seen
+    *     — the nearest bench suffix ABOVE;
+    *   - DESCENDING (below-pairs are exactly above-pairs of the
+    *     REVERSED order): a local descending re-sort of the same
+    *     retained shuffle output — no new Exchange — and the same
+    *     one-row carry yields the nearest bench suffix BELOW.
+    * Each scan carries ONE bench row; partition edges take their
+    * carry-in bench rows from a collected per-partition bench-edge
+    * census (bounded by the partition count; one census serves both
+    * directions since the partitioning is shared).
     *
     * The bench doc-id set is collected and broadcast — tiny by the
     * same premise as [[Decontam.contaminatedSpans]] (thousands of eval
@@ -632,6 +640,20 @@ object SuffixDedup {
     val spark = base.sparkSession
     val benchIds: Set[Any] =
       bench.select(col(idCol)).distinct().collect().map(_.get(0)).toSet
+    // doc-id disjointness is load-bearing, not just documented: a
+    // train id also present in bench would classify the train rows as
+    // bench in the pairing scan and silently omit/corrupt their spans
+    // (r15 ADVICE #2). The bench set is already on the driver — one
+    // membership probe of the (tiny) train id slice that collides
+    // catches it for the cost of a pruned scan.
+    if (benchIds.nonEmpty) {
+      val clash = tb.select(col("doc"))
+        .filter(col("doc").isInCollection(benchIds)).take(1)
+      require(clash.isEmpty,
+        s"train/bench doc ids must be disjoint; found shared id " +
+          s"${clash.headOption.map(_.get(0)).orNull} — namespace one side " +
+          "before calling the bench screen")
+    }
     val bBench = spark.sparkContext.broadcast(benchIds)
     val lens = base.select(col("doc"), size(col("__t")).as("len"))
     val bounds = lens.agg(coalesce(max(col("len")), lit(0)).as("m"),
@@ -639,11 +661,12 @@ object SuffixDedup {
     val (maxLen, nPos) = (bounds.getInt(0), bounds.getLong(1))
     val prefixes = prefixFrame(base).localCheckpoint()
     val levels = rankLevels(prefixes, maxLen, nPos)
-    val saSorted = levels.last._2
+    val top = levels.last._2
+    val saSorted = top
       .sortWithinPartitions(col("r"), col("doc"), col("pos"))
     val saRdd = saSorted.rdd
     // per-partition bench-edge census: (first bench row, last bench
-    // row) — the boundary carries of the pairing scan
+    // row) — the boundary carries of both pairing scans
     val edges = saRdd.mapPartitionsWithIndex { (i, it) =>
       var first: Row = null; var last: Row = null
       it.foreach { r =>
@@ -662,35 +685,42 @@ object SuffixDedup {
     }.toMap
     val bIn = spark.sparkContext.broadcast(carryIn)
     val bOut = spark.sparkContext.broadcast(carryOut)
-    val pairRdd = saRdd.mapPartitionsWithIndex { (i, it) =>
+    // pass 1 (ascending): nearest bench suffix ABOVE each train row —
+    // one carried bench row, O(1) memory
+    val abovePairs = saRdd.mapPartitionsWithIndex { (i, it) =>
       val isB = bBench.value
       def pairOf(t: Row, b: Row): Row =
         Row(t.get(0), t.get(1), t.get(2), b.get(0), b.get(1), b.get(2))
       var lastBench: Row = bIn.value.getOrElse(i, null)
-      // STREAMING scan (never the whole partition's pair set on-heap):
-      // above-pairs emit as rows arrive; below-pairs buffer only the
-      // CURRENT bench-free run and flush when its closing bench row
-      // appears — memory is bounded by the longest bench-free run,
-      // not the partition
-      val buffered = scala.collection.mutable.ArrayBuffer.empty[Row]
-      val main = it.flatMap { r =>
-        if (isB.contains(r.get(0))) {
-          val below = buffered.map(t => pairOf(t, r)).toVector
-          buffered.clear()
-          lastBench = r
-          below
-        } else {
-          val above =
-            if (lastBench != null) pairOf(r, lastBench) :: Nil else Nil
-          buffered += r
-          above
-        }
+      it.flatMap { r =>
+        if (isB.contains(r.get(0))) { lastBench = r; Iterator.empty }
+        else if (lastBench != null) Iterator.single(pairOf(r, lastBench))
+        else Iterator.empty
       }
-      // the ++ argument is by-name: the carry-out flush only builds
-      // after `main` is exhausted, when `buffered` holds the tail run
-      main ++ bOut.value.get(i).iterator
-        .flatMap(b => buffered.map(t => pairOf(t, b)))
     }
+    // pass 2 (descending): nearest bench suffix BELOW — below-pairs
+    // are above-pairs of the REVERSED total order, so a LOCAL
+    // descending re-sort of the same partitions (no Exchange; the
+    // retained range-shuffle files re-read, SortExec spills) and the
+    // identical one-row carry cover the other direction with O(1)
+    // memory regardless of how long a bench-free run is. Carry-in for
+    // partition i is the ascending census's carry-OUT: the first
+    // bench row above the partition.
+    val descRdd = top
+      .sortWithinPartitions(col("r").desc, col("doc").desc, col("pos").desc)
+      .rdd
+    val belowPairs = descRdd.mapPartitionsWithIndex { (i, it) =>
+      val isB = bBench.value
+      def pairOf(t: Row, b: Row): Row =
+        Row(t.get(0), t.get(1), t.get(2), b.get(0), b.get(1), b.get(2))
+      var nextBench: Row = bOut.value.getOrElse(i, null)
+      it.flatMap { r =>
+        if (isB.contains(r.get(0))) { nextBench = r; Iterator.empty }
+        else if (nextBench != null) Iterator.single(pairOf(r, nextBench))
+        else Iterator.empty
+      }
+    }
+    val pairRdd = abovePairs.union(belowPairs)
     val st = saSorted.schema
     val adj = spark.createDataFrame(pairRdd,
       org.apache.spark.sql.types.StructType(Seq(

@@ -127,11 +127,26 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
   def propagateDelete(seriesId: String, year: Int, month: Int): Unit =
     withRetry("delete") {
       val conf = spark.sessionState.newHadoopConf()
+      // Spark ESCAPES special characters when writing partition
+      // directories (space, ':', '%', …) — a leaf built from the raw
+      // value would miss those directories and the delete would
+      // silently remove nothing while reporting success, a failed
+      // right-to-erasure (r15 ADVICE #1). Build the leaf with the
+      // same escaping the writer used.
+      def esc(v: String): String = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(v)
       def drop(root: String, leaf: String): Unit = {
         val p = new org.apache.hadoop.fs.Path(s"$root/$leaf")
-        p.getFileSystem(conf).delete(p, true)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p))
+          // absence is legal (idempotent re-run; never-extracted
+          // month) but must be VISIBLE: a compliance run diffing this
+          // log against its erasure list catches a wrong leaf
+          System.err.println(s"[pipeline] delete: no leaf to drop at $p")
+        else if (!fs.delete(p, true))
+          sys.error(s"could not delete partition leaf $p")
       }
-      val monthLeaf = s"indicator=$seriesId/observation_year=$year" +
+      val monthLeaf = s"indicator=${esc(seriesId)}/observation_year=$year" +
         s"/observation_month=$month"
       drop(bronzeRoot, monthLeaf)
       drop(silverRoot, monthLeaf)
@@ -140,7 +155,7 @@ class Pipeline(spark: SparkSession, source: FredSource, lakeRoot: String,
         .where(col("indicator") === seriesId &&
           col("observation_year") === year)
       if (silverYear.isEmpty)
-        drop(goldRoot, s"indicator=$seriesId/observation_year=$year")
+        drop(goldRoot, s"indicator=${esc(seriesId)}/observation_year=$year")
       else
         LakeIO.writeParquet(YearlyGold.toGold(silverYear), goldRoot,
           Seq("indicator", "observation_year"))

@@ -131,10 +131,7 @@ object CorpusStreams {
         val spans = graft.ext.SuffixDedup.duplicatedSpansIncremental(
           batch.toDF(), readIndex(spark, indexRoot), idCol, textCol,
           minTokens, batchId)
-        withDynamicOverwrite(spark) {
-          spans.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").partitionBy("batch_id").parquet(outRoot)
-        }
+        writeBatchPartition(spans, batchId, outRoot)
         graft.ext.SuffixDedup.updateSavedGramIndex(indexRoot, batch.toDF(),
           textCol, minTokens, batchId)
     }
@@ -202,11 +199,9 @@ object CorpusStreams {
     val applied = graft.ext.SuffixDedup.duplicatedSpansIncrementalApply(
       deduped.select(col(idCol), col(textCol)),
       readIndex(spark, gramRoot), idCol, textCol, minTokens, batchId)
-    withDynamicOverwrite(spark) {
-      applied.filter(col("n_tokens") - col("n_removed") >= minKeepTokens)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(outRoot)
-    }
+    writeBatchPartition(
+      applied.filter(col("n_tokens") - col("n_removed") >= minKeepTokens),
+      batchId, outRoot)
     // fold the batch into both saved indexes (first-appearance ids;
     // anti-join append — replay-idempotent)
     appendNewKeys(fpRoot, deduped.select(col("__fp").as("g")), batchId)
@@ -214,22 +209,19 @@ object CorpusStreams {
       deduped.select(col(idCol), col(textCol)), textCol, minTokens, batchId)
   }
 
-  /** Run `body` with dynamic partition overwrite, RESTORING the
-    * session's prior setting after — a foreachBatch body must not leak
-    * a session-wide write-semantics change into later jobs (a
-    * subsequent static `mode(Overwrite).partitionBy` write would
-    * silently leave stale partitions behind). */
-  private def withDynamicOverwrite(spark: org.apache.spark.sql.SparkSession)
-      (body: => Unit): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  /** Idempotent per-batch output write: the batch's rows land under
+    * `outRoot/batch_id=<id>` with dynamic partition overwrite scoped
+    * to THIS WRITE via the DataFrameWriter option — never by toggling
+    * the session-wide conf, which two concurrent foreachBatch streams
+    * on one SparkSession could interleave (one batch overwriting in
+    * static mode wipes the other stream's partitions, or the restore
+    * clobbers the other stream's setting — r15 ADVICE #3). */
+  private def writeBatchPartition(rows: DataFrame, batchId: Long,
+      outRoot: String): Unit =
+    rows.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outRoot)
 
   /** Saved (g, first_batch_id) key index read — empty-schema frame
     * when the root does not exist yet. */
