@@ -39,14 +39,27 @@ import org.apache.spark.sql.SparkSession
   *      fraction test let ~30 s of phantom time ship `suspect:false`
   *      because two gross outliers carried most of it): ANY same-plan
   *      query whose fresh median exceeds SPARK_GRAFT_BENCH_GROSS
-  *      (default 3×) its history median is re-measured for one extra
-  *      round regardless of the whole-record fraction, and queries
-  *      still gross after the extra round are listed per-query in the
+  *      (default 3×) its history median, OR whose fresh median
+  *      exceeds history by more than max(SPARK_GRAFT_BENCH_ABS
+  *      seconds (default 1.5), 0.5 × history) — the ABSOLUTE-seconds
+  *      term (r15 VERDICT #1: a pure ratio gate structurally
+  *      under-weighs expensive queries — 2.6× on an 8 s query is
+  *      +13 s of phantom, more than every sub-3× flag combined, and
+  *      shipped unmarked) — is re-measured for one extra round
+  *      regardless of the whole-record fraction, and queries still
+  *      gross after the extra round are listed per-query in the
   *      record's `inflated` field even when `suspect` stays false —
   *      the fraction test catches broad noise windows, this guard
   *      catches the outliers that carry the phantom seconds. A check
   *      that fails to run says so (`check_errored`) instead of
   *      committing an unmarked record.
+  *   7. JOBS PER QUERY (r15 VERDICT #6): each history row carries a
+  *      `jobs` map — Spark jobs launched per measured run, from a
+  *      SparkListener snapshotted around each query's runs like the
+  *      shuffle counters — so scheduling-floor claims ("~36 jobs ×
+  *      ~230 ms" for the suffix family) are record-backed, and a
+  *      future diff can separate per-job scheduling cost from data
+  *      cost without re-running anything.
   *
   * Queries in [[SparkEntry.verifyOnly]] (intentionally non-production
   * anchor plans) are skipped and listed under `excluded`; queries in
@@ -125,6 +138,11 @@ object Bench {
     // the average IS the per-run number.
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    // job counter (r15 VERDICT #6): jobs/query is the scheduling-floor
+    // axis — at small SFs multi-job operators (the suffix ladders) are
+    // bounded by jobs × per-job launch cost, not data, and the record
+    // must let a reader verify that decomposition
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -134,6 +152,10 @@ object Bench {
             shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
             shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           }
+        }
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
         }
       })
     def flushListeners(): Unit =
@@ -153,10 +175,10 @@ object Bench {
     val rerunSpread =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SPREAD", "1.5").toDouble
     val reran = scala.collection.mutable.ArrayBuffer.empty[String]
-    val samplesWithShuffle: Seq[(String, Seq[Double], Long, Long)] =
+    val samplesWithShuffle: Seq[(String, Seq[Double], Long, Long, Long)] =
       names.map { n =>
         flushListeners()
-        val (r0, w0) = (shuffleRead.get, shuffleWrite.get)
+        val (r0, w0, j0) = (shuffleRead.get, shuffleWrite.get, jobCount.get)
         val first = Seq.fill(runs)(runOnce(n))
         val xs =
           if (first.forall(_ > 0) && first.max / first.min > rerunSpread) {
@@ -165,10 +187,11 @@ object Bench {
           } else first
         flushListeners()
         (n, xs, (shuffleRead.get - r0) / xs.size,
-          (shuffleWrite.get - w0) / xs.size)
+          (shuffleWrite.get - w0) / xs.size,
+          (jobCount.get - j0) / xs.size)
       }
     val samples: Seq[(String, Seq[Double])] =
-      samplesWithShuffle.map { case (n, xs, _, _) => n -> xs }
+      samplesWithShuffle.map { case (n, xs, _, _, _) => n -> xs }
     def median(xs: Seq[Double]): Double =
       if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(xs.size / 2)
     def spread(xs: Seq[Double]): Double =
@@ -269,6 +292,10 @@ object Bench {
     val grossFactor = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_GROSS", "3.0").toDouble)
       .getOrElse(3.0)
+    // absolute-seconds floor for the per-query guard (r15 VERDICT #1)
+    val absFloorSecs = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ABS", "1.5").toDouble)
+      .getOrElse(1.5)
     var extraSamples: Map[String, Seq[Double]] = Map.empty
     var suspectInfo: Option[(Long, Seq[String])] = None
     var persistGross: Seq[String] = Nil
@@ -307,13 +334,23 @@ object Bench {
             comparedCount = comparable.size
             def inflatedOf(m: Map[String, Double], factor: Double): Seq[String] =
               comparable.collect { case (n, h) if m(n) > factor * h => n }
+            // gross = ratio-gross OR seconds-gross: the ratio path
+            // catches cheap queries that multiplied; the absolute term
+            // catches expensive ones hiding big phantoms under small
+            // ratios (r15's report_dup_coverage shipped +10 s at 2.6×,
+            // under the 3× gate — more phantom than everything flagged
+            // combined)
+            def grossOf(m: Map[String, Double]): Seq[String] =
+              comparable.collect { case (n, h)
+                if m(n) > grossFactor * h ||
+                  m(n) - h > math.max(absFloorSecs, 0.5 * h) => n }
             val firstInflated = inflatedOf(mm, 1.5)
             val broad = comparable.size >= 20 &&
               firstInflated.size * 4 > comparable.size
             // per-query guard: gross outliers re-measure even when the
             // whole-record fraction stays quiet (no minimum comparable
             // count — ONE 6.8× outlier is worth an extra round)
-            val gross = inflatedOf(mm, grossFactor)
+            val gross = grossOf(mm)
             val rerunSet = (if (broad) firstInflated else Nil) ++ gross
             if (rerunSet.nonEmpty) {
               extraSamples = rerunSet.distinct
@@ -326,9 +363,9 @@ object Bench {
                 if (still.size * 4 > comparable.size)
                   suspectInfo = Some((ts, still.sorted))
               }
-              // queries STILL beyond the gross factor after the extra
-              // round are individually marked in the record
-              persistGross = inflatedOf(mm2, grossFactor).sorted
+              // queries STILL gross (ratio OR seconds) after the
+              // extra round are individually marked in the record
+              persistGross = grossOf(mm2).sorted
             }
           }
         }
@@ -397,14 +434,20 @@ object Bench {
     // per-run shuffle bytes [read, written] per query: the volume
     // axis plan hashes can't see
     val shuffleJson = samplesWithShuffle
-      .map { case (n, _, rd, wr) => "\"" + n + "\":[" + rd + "," + wr + "]" }
+      .map { case (n, _, rd, wr, _) => "\"" + n + "\":[" + rd + "," + wr + "]" }
+      .mkString("{", ",", "}")
+    // per-run job launches per query: the scheduling-floor axis —
+    // "this query is jobs-bound, not data-bound" becomes checkable
+    // from the record alone (r15 VERDICT #6)
+    val jobsJson = samplesWithShuffle
+      .map { case (n, _, _, _, j) => "\"" + n + "\":" + j }
       .mkString("{", ",", "}")
     // plan hashes ride along so a future diff can tell "median moved,
     // plan unchanged ⇒ host noise" from the history file alone; the
     // per-query spread map rides too (r14 VERDICT #8) so a future
     // judge separates "noisy host" from "noisy query" without a rerun
     val histLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,$suspectField$dataField"queries":$hist,"spread":$sp,"shuffle":$shuffleJson,"plans":$ps}""" + "\n"
+      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,$suspectField$dataField"queries":$hist,"spread":$sp,"shuffle":$shuffleJson,"jobs":$jobsJson,"plans":$ps}""" + "\n"
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
         histLine.getBytes("UTF-8"),
