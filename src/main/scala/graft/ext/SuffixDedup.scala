@@ -512,10 +512,12 @@ object SuffixDedup {
   /** Distinct `minTokens`-gram relation of a corpus slice, stamped
     * with the micro-batch that FIRST contributed each gram:
     * (g, first_batch_id) — the saved index the incremental screen
-    * probes. Gram strings keep the oracle byte-exact; at production
-    * scale key on the 61-bit portable gram hash and BUCKET the saved
-    * table by `g` so every later probe join is co-located
-    * (the [[Decontam.contaminatedSpans]] trade, persisted). */
+    * probes. Gram strings keep the oracle byte-exact; the production
+    * persistence is the BUCKETED table form
+    * ([[savedGramIndexBucketed]] / [[updateSavedGramIndexBucketed]]),
+    * which co-locates every later probe join with zero Exchange on
+    * the index side (the [[Decontam.contaminatedSpans]] trade,
+    * persisted). */
   def gramIndex(df: DataFrame, textCol: String, minTokens: Int,
       batchId: Long = 0L): DataFrame =
     df.select(explode(Dedup.slidingGrams(col(textCol), minTokens)).as("g"))
@@ -543,6 +545,60 @@ object SuffixDedup {
         bs.join(spark.read.parquet(root), Seq("g"), "left_anti")
       else bs
     fresh.write.mode("append").parquet(root)
+  }
+
+  /** Deterministic session-catalog name for the bucketed gram index
+    * at `root` (md5 of the root path — restart-stable, collision-free
+    * across roots, legal identifier chars only). */
+  def gramIndexTableName(root: String): String =
+    "graft_gram_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** The saved gram index as a BUCKETED external table rooted at
+    * `root` (r15 VERDICT #4 — the screen's own scaladoc prescription,
+    * now the implementation): the table is CLUSTERED BY (g) INTO
+    * `buckets` BUCKETS, so every probe join against it scans the
+    * index IN PLACE — zero Exchange on the index side, only the
+    * (small) batch side shuffles to the bucket count — and the
+    * per-batch anti-join append stops shuffling the accumulated
+    * index too. At 100 TB the index is the biggest state in the
+    * system; this is the difference between re-shuffling it per
+    * micro-batch and never moving it at all.
+    *
+    * Registers the table on first touch in a session (CREATE TABLE IF
+    * NOT EXISTS over the same LOCATION — a restart re-adopts the
+    * files already there; bucket ids ride in the file names, so the
+    * bucketed layout survives the catalog's in-memory lifetime).
+    * Schema and provenance semantics are identical to [[gramIndex]]:
+    * (g, first_batch_id). */
+  def savedGramIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val tbl = gramIndexTableName(root)
+    if (!spark.catalog.tableExists(tbl))
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $tbl (g STRING, first_batch_id BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (g) SORTED BY (g) INTO $buckets BUCKETS
+           |LOCATION '$root'""".stripMargin)
+    spark.table(tbl)
+  }
+
+  /** [[updateSavedGramIndex]] against the bucketed table form: the
+    * never-seen grams (left-anti against the in-place bucketed scan)
+    * append THROUGH the catalog, so the new files land bucketed by the
+    * same spec and later probes keep their zero-Exchange plan. Same
+    * idempotence argument as the path form: a replayed batch's grams
+    * all anti-join away. */
+  def updateSavedGramIndexBucketed(root: String, batch: DataFrame,
+      textCol: String, minTokens: Int, batchId: Long,
+      buckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val idx = savedGramIndexBucketed(spark, root, buckets)
+    gramIndex(batch, textCol, minTokens, batchId)
+      .join(idx, Seq("g"), "left_anti")
+      .select("g", "first_batch_id") // insertInto is position-based
+      .write.mode("append").insertInto(gramIndexTableName(root))
   }
 
   /** INCREMENTAL exact-substring screen (r14 VERDICT #2 — the

@@ -120,20 +120,35 @@ object CorpusStreams {
     * rows with `first_batch_id < batchId` (a replayed batch's own
     * grams are invisible to it), the per-batch output partition
     * overwrites idempotently, and the index append anti-joins to a
-    * no-op — all three legs of at-least-once delivery converge. */
+    * no-op — all three legs of at-least-once delivery converge.
+    *
+    * `indexBuckets > 0` stores the saved index as a BUCKETED table
+    * ([[graft.ext.SuffixDedup.savedGramIndexBucketed]], r15 VERDICT
+    * #4): the per-batch probe and the anti-join append both scan the
+    * accumulated index in place — zero Exchange on the index side,
+    * the production shape once the index outgrows a shuffle. 0 keeps
+    * the plain path-parquet index. */
   def substringScreenStream(docs: DataFrame, indexRoot: String,
       outRoot: String, minTokens: Int, idCol: String = "doc_id",
-      textCol: String = "text")
+      textCol: String = "text", indexBuckets: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val spans = graft.ext.SuffixDedup.duplicatedSpansIncremental(
-          batch.toDF(), readIndex(spark, indexRoot), idCol, textCol,
-          minTokens, batchId)
+        val sd = graft.ext.SuffixDedup
+        val index =
+          if (indexBuckets > 0) sd.savedGramIndexBucketed(spark, indexRoot,
+            indexBuckets)
+          else readIndex(spark, indexRoot)
+        val spans = sd.duplicatedSpansIncremental(
+          batch.toDF(), index, idCol, textCol, minTokens, batchId)
         writeBatchPartition(spans, batchId, outRoot)
-        graft.ext.SuffixDedup.updateSavedGramIndex(indexRoot, batch.toDF(),
-          textCol, minTokens, batchId)
+        if (indexBuckets > 0)
+          sd.updateSavedGramIndexBucketed(indexRoot, batch.toDF(), textCol,
+            minTokens, batchId, indexBuckets)
+        else
+          sd.updateSavedGramIndex(indexRoot, batch.toDF(), textCol,
+            minTokens, batchId)
     }
 
   /** The streaming CURATION COMPOSITE — the continuous-ingestion form

@@ -137,6 +137,69 @@ class PlanShapeSpec extends SparkSpec {
       s"pair blowup crept into the incremental screen:\n$plan")
   }
 
+  test("incremental screen over the BUCKETED saved index: zero Exchange on the index side of the probe") {
+    // r15 VERDICT #4: the saved gram index is the biggest state in the
+    // system at 100 TB — the probe must scan it IN PLACE. Build a tiny
+    // bucketed index, run the same duplicatedSpansIncremental the
+    // catalog query uses, and pin that the semi join's index side has
+    // a bucketed FileScan with no shuffle anywhere beneath it.
+    // Broadcast is disabled for the pin: at catalog scale the tiny
+    // test index would broadcast (also exchange-free), but production
+    // indexes can't — the bucketed-SMJ shape is the one that must hold.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bkt-pin").toString + "/index"
+    val tbl = graft.ext.SuffixDedup.gramIndexTableName(root)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = Seq((1L, "one two three four five six seven"))
+        .toDF("doc_id", "text")
+      graft.ext.SuffixDedup.updateSavedGramIndexBucketed(root, corpus,
+        "text", 5, batchId = 0L, buckets = 4)
+      val batch = Seq((10L, "intro one two three four five six outro"))
+        .toDF("doc_id", "text")
+      val screen = graft.ext.SuffixDedup.duplicatedSpansIncremental(batch,
+        graft.ext.SuffixDedup.savedGramIndexBucketed(spark, root, 4),
+        "doc_id", "text", 5, batchId = 1L)
+      val all = flatten(screen.queryExecution.executedPlan)
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == tbl)
+        case _ => false
+      }
+      val probeSide: Option[SparkPlan] = all.collectFirst {
+        case j: SortMergeJoinExec
+          if flatten(j.right).exists(isIndexScan) => j.right
+        case j: ShuffledHashJoinExec
+          if flatten(j.right).exists(isIndexScan) => j.right
+      }
+      assert(probeSide.isDefined,
+        s"no shuffle-family semi join over the index table in:\n$screen")
+      val sub = flatten(probeSide.get)
+      assert(!sub.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"the index side of the probe must not shuffle:\n${probeSide.get}")
+      val scan = sub.collectFirst { case f: FileSourceScanExec if isIndexScan(f) => f }
+      assert(scan.get.toString.contains("Bucketed: true"),
+        s"index scan must be bucketed:\n${scan.get}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("bench-side exact decontam: no cartesian, no nested-loop join anywhere") {
     // the cross screen ranks train∪bench ONCE and pairs by a
     // per-partition scan — any cartesian/NLJ means the nearest-bench

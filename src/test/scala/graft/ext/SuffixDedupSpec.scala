@@ -262,6 +262,49 @@ class SuffixDedupSpec extends SparkSpec {
     assert(replayed == idx, "a replayed batch must append nothing")
   }
 
+  test("bucketed gram index: same contents and screen output as the path form; replay appends nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gram_bkt").toString + "/index"
+    try {
+      val b0 = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+      val b1 = Seq((2L, "two three four five six seven")).toDF("doc_id", "text")
+      SuffixDedup.updateSavedGramIndexBucketed(root, b0, "text", 5,
+        batchId = 0L, buckets = 4)
+      SuffixDedup.updateSavedGramIndexBucketed(root, b1, "text", 5,
+        batchId = 1L, buckets = 4)
+      val idx = SuffixDedup.savedGramIndexBucketed(spark, root, 4)
+        .as[(String, Long)].collect().toMap
+      assert(idx == Map(
+        "one two three four five" -> 0L,
+        "two three four five six" -> 0L,
+        "three four five six seven" -> 1L), s"got $idx")
+      // replay: anti-join append is a no-op through the table too
+      SuffixDedup.updateSavedGramIndexBucketed(root, b1, "text", 5,
+        batchId = 1L, buckets = 4)
+      val replayed = SuffixDedup.savedGramIndexBucketed(spark, root, 4)
+        .as[(String, Long)].collect().toMap
+      assert(replayed == idx, "a replayed batch must append nothing")
+      // the screen probed through the bucketed table ≡ probed through
+      // the equivalent in-memory index
+      val batch = Seq((10L, "intro two three four five six outro"))
+        .toDF("doc_id", "text")
+      val viaTable = SuffixDedup.duplicatedSpansIncremental(batch,
+          SuffixDedup.savedGramIndexBucketed(spark, root, 4),
+          "doc_id", "text", 5, batchId = 2L)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      val viaMemory = SuffixDedup.duplicatedSpansIncremental(batch,
+          SuffixDedup.gramIndex(b0, "text", 5, 0L).unionByName(
+            SuffixDedup.gramIndex(b1, "text", 5, 1L)
+              .join(SuffixDedup.gramIndex(b0, "text", 5, 0L),
+                Seq("g"), "left_anti")),
+          "doc_id", "text", 5, batchId = 2L)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      assert(viaTable == viaMemory && viaTable.nonEmpty,
+        s"table=$viaTable memory=$viaMemory")
+    } finally spark.sql(
+      s"DROP TABLE IF EXISTS ${SuffixDedup.gramIndexTableName(root)}")
+  }
+
   test("benchOverlapSpans ≡ the gram engine (contaminatedSpans) — cross-side coverage theorem") {
     val p = "alpha beta gamma delta epsilon zeta eta"
     val bench = Seq(
