@@ -191,6 +191,35 @@ object Decontam {
       .withColumnRenamed("doc", idCol)
   }
 
+  /** [[contaminatedSpans]] probed against a SAVED benchmark gram
+    * index (any frame with a `g` gram column — the
+    * [[SuffixDedup.gramIndex]] schema; extra columns ignored) instead
+    * of the bench corpus itself: the INGEST-TIME form (r15 VERDICT
+    * #3). The eval suite is frozen, so its gram index is built once
+    * ([[SuffixDedup.updateSavedGramIndex]] or the bucketed
+    * [[SuffixDedup.savedGramIndexBucketed]] form) and every arriving
+    * micro-batch probes it — contamination is flagged at ingest, not
+    * at curation time, and the suite is never re-sharded per batch.
+    *
+    * Identical output to [[contaminatedSpans]] over the index's
+    * source bench (the cross-side coverage theorem — a position is
+    * covered by a ≥L-token bench overlap iff its L-gram is in the
+    * bench set), so the batch≡stream spec replays one against the
+    * other. The probe is a semi join with NO broadcast hint: a
+    * bucketed saved index scans in place, a small path index is
+    * AQE-broadcast — either way the batch side is micro-batch-sized. */
+  def contaminatedSpansFromIndex(batch: DataFrame, benchIndex: DataFrame,
+      idCol: String, textCol: String, minTokens: Int = 5): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val L = minTokens
+    val marked = batch.select(col(idCol).as("doc"),
+        posexplode(Dedup.slidingGrams(col(textCol), L)).as(Seq("pos", "g")))
+      .join(benchIndex.select("g"), Seq("g"), "left_semi")
+      .select(col("doc"), col("pos").as("s"), (col("pos") + lit(L)).as("e"))
+    Dedup.mergeTokenSpans(marked)
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** Apply form of [[contaminatedSpans]]: contaminated tokens drop,
     * train documents reassemble — (idCol, n_tokens, n_removed,
     * text_clean), contamination-free docs pass through. */

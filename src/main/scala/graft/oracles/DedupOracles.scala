@@ -165,6 +165,18 @@ private[graft] object DedupOracles {
       s"""WITH $decontamSpanCtes
          |$spanSelectSql""".stripMargin,
 
+    // The ingest-time screen: the same bench gram-coverage replay
+    // restricted to the micro-batch slice (even train docs) — the
+    // engine probes a frozen saved index, the replay never builds one.
+    "decontam_substring_stream" ->
+      s"""WITH $substrOccCtes,
+         |bench AS (SELECT DISTINCT g FROM occ WHERE doc_id % 20 = 0),
+         |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM occ
+         |      WHERE doc_id % 20 <> 0 AND doc_id % 2 = 0
+         |        AND g IN (SELECT g FROM bench)),
+         |$spanIslandCtes
+         |$spanSelectSql""".stripMargin,
+
     // Cross-algorithm twin of SuffixDedup.benchOverlapSpans: the
     // engine ranks train∪bench suffixes and LCPs nearest-bench
     // neighbours; the replay marks every train window whose gram sits

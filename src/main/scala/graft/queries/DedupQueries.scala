@@ -442,6 +442,24 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", minTokens = 5, batchId = 1L)
   }
 
+  /** Ingest-time benchmark screen (r16, r15 VERDICT #3): the even
+    * train docs play the arriving micro-batch; the eval suite
+    * (docs `% 20 == 0`) is a FROZEN gram index the batch probes —
+    * the batch body of [[graft.streaming.CorpusStreams
+    * .benchScreenStream]], which flags contamination at ingest
+    * instead of curation time and never re-shards the suite.
+    * Hash-checked against the independent gram-coverage replay
+    * restricted to the batch slice (the cross-side coverage
+    * theorem). */
+  val decontamSubstringStream: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 2 === 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    graft.ext.Decontam.contaminatedSpansFromIndex(batch,
+      graft.ext.SuffixDedup.gramIndex(bench, "text", minTokens = 5),
+      "doc_id", "text", minTokens = 5)
+  }
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -491,6 +509,7 @@ trait DedupQueries extends QueriesBase {
     "decontam_longest_bench" -> decontamLongestBench,
     "report_bench_contamination" -> reportBenchContamination,
     "decontam_spans_clean" -> decontamSpansClean,
+    "decontam_substring_stream" -> decontamSubstringStream,
     "decontam_bloom" -> decontamBloom,
     "decontam_semantic" -> decontamSemantic,
     "split_assign" -> splitAssign,

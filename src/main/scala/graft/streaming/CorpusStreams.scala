@@ -151,6 +151,49 @@ object CorpusStreams {
             minTokens, batchId)
     }
 
+  /** Streaming BENCHMARK-decontamination screen (r15 VERDICT #3 —
+    * the ingest-time contamination gate): per micro-batch, every span
+    * of the batch sharing a verbatim run of ≥ `minTokens` tokens with
+    * the EVAL SUITE lands under `outRoot` (partitioned by batch_id).
+    * The suite is frozen, so its gram index at `benchIndexRoot` is
+    * built ONCE before the stream starts
+    * ([[graft.ext.SuffixDedup.updateSavedGramIndex]], or the bucketed
+    * form when `indexBuckets > 0`) and never updated by batches —
+    * unlike [[substringScreenStream]] there is no fold-back step, so
+    * replay-exactness is trivial: the per-batch output is a pure
+    * function of (batch, frozen index) and the partition overwrite is
+    * idempotent. Per batch ≡
+    * [[graft.ext.SuffixDedup.benchOverlapSpans]](batch, bench) by the
+    * cross-side coverage theorem (spec-pinned). [[benchScreenBatch]]
+    * is the testable per-batch body. */
+  def benchScreenStream(docs: DataFrame, benchIndexRoot: String,
+      outRoot: String, minTokens: Int, idCol: String = "doc_id",
+      textCol: String = "text", indexBuckets: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        benchScreenBatch(batch.toDF(), batchId, benchIndexRoot, outRoot,
+          minTokens, idCol, textCol, indexBuckets)
+    }
+
+  /** One [[benchScreenStream]] micro-batch, exposed for direct testing
+    * (the replay-exactness spec calls it twice with the same id). */
+  def benchScreenBatch(batch: DataFrame, batchId: Long,
+      benchIndexRoot: String, outRoot: String, minTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      indexBuckets: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val index =
+      if (indexBuckets > 0)
+        graft.ext.SuffixDedup.savedGramIndexBucketed(spark, benchIndexRoot,
+          indexBuckets)
+      else readIndex(spark, benchIndexRoot)
+    writeBatchPartition(
+      graft.ext.Decontam.contaminatedSpansFromIndex(batch, index, idCol,
+        textCol, minTokens),
+      batchId, outRoot)
+  }
+
   /** The streaming CURATION COMPOSITE — the continuous-ingestion form
     * of `curate_corpus_substring` (gate → exact dedup → exact-substring
     * span removal → kept-token floor), with every cross-batch stage

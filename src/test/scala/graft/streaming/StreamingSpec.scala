@@ -618,4 +618,74 @@ class StreamingSpec extends SparkSpec {
     val typed = graft.fred.io.LakeIO.readSilverTyped(spark, silverRoot).collect()
     assert(typed.length == 1 && typed.head.processed_at.exists(_.nonEmpty))
   }
+
+  test("streaming bench screen: per-batch ≡ suffix benchOverlapSpans; frozen index; replay-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bench_screen").toString
+    val idxRoot = tmp + "/benchidx"; val outRoot = tmp + "/out"
+    val p = "protected eval passage alpha beta gamma delta epsilon"
+    val bench = Seq(
+      (9000L, s"question text $p answer"),
+      (9001L, "wholly separate eval item protected words entirely"))
+      .toDF("doc_id", "text")
+    // the eval suite is frozen: its gram index is built ONCE, before
+    // the stream starts — batches never fold back into it
+    graft.ext.SuffixDedup.updateSavedGramIndex(idxRoot, bench, "text", 5,
+      batchId = 0L)
+    val batch1 = Seq(
+      (1L, s"train doc leaking $p mid body"),
+      (2L, "clean train doc nothing shared with any suite"))
+    val batch2 = Seq(
+      (10L, p),                                                  // whole doc leaked
+      (11L, "wholly separate eval item protected words entirely"), // full second item
+      (12L, "train doc repeating itself train doc repeating itself"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams.benchScreenStream(
+      input.toDF().toDF("doc_id", "text"), idxRoot, outRoot,
+      minTokens = 5).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def readOut() = spark.read.parquet(outRoot)
+      .select(col("batch_id").cast("long"), col("doc_id"),
+        col("span_start"), col("span_end"), col("span_tokens"))
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    val got = readOut()
+    // batch k's partition ≡ the SUFFIX engine's bench screen over
+    // (batch k, bench) — the cross-side coverage theorem across two
+    // structurally different engines
+    def suffixOf(rows: Seq[(Long, String)], batchId: Long) =
+      graft.ext.SuffixDedup.benchOverlapSpans(rows.toDF("doc_id", "text"),
+          bench, "doc_id", "text", minTokens = 5)
+        .select(lit(batchId), col("doc_id"), col("span_start"),
+          col("span_end"), col("span_tokens"))
+        .as[(Long, Long, Int, Int, Int)].collect().toSet
+    val expected = suffixOf(batch1, 0L) ++ suffixOf(batch2, 1L)
+    assert(got == expected, s"got=$got\nexpected=$expected")
+    assert(got.map(_._2) == Set(1L, 10L, 11L),
+      "leaked docs mark; clean and self-repeating docs must not " +
+        s"(corpus-internal duplication is not bench contamination): $got")
+    // replay: same batch id re-screened against the same frozen index
+    // overwrites its partition with identical content
+    graft.streaming.CorpusStreams.benchScreenBatch(
+      batch2.toDF("doc_id", "text"), 1L, idxRoot, outRoot, minTokens = 5)
+    assert(readOut() == got, "replay must be exact")
+    // the BUCKETED frozen-index form screens identically
+    val bktRoot = tmp + "/benchidx_bkt"
+    try {
+      graft.ext.SuffixDedup.updateSavedGramIndexBucketed(bktRoot, bench,
+        "text", 5, batchId = 0L, buckets = 4)
+      val viaBkt = graft.ext.Decontam.contaminatedSpansFromIndex(
+          batch1.toDF("doc_id", "text"),
+          graft.ext.SuffixDedup.savedGramIndexBucketed(spark, bktRoot, 4),
+          "doc_id", "text", 5)
+        .select(lit(0L), col("doc_id"), col("span_start"),
+          col("span_end"), col("span_tokens"))
+        .as[(Long, Long, Int, Int, Int)].collect().toSet
+      assert(viaBkt == suffixOf(batch1, 0L), s"bucketed form diverged: $viaBkt")
+    } finally spark.sql(s"DROP TABLE IF EXISTS " +
+      graft.ext.SuffixDedup.gramIndexTableName(bktRoot))
+  }
 }
