@@ -123,6 +123,21 @@ object SketchState {
   private[ext] def failOnLag(spark: SparkSession): Boolean =
     spark.conf.getOption(FailOnLaggingBatchKey).contains("fail")
 
+  /** Drop the saved state at `root` entirely (state + batch marker +
+    * any in-flight swap siblings) — the ERASURE path for the sketch
+    * monitors: a lossy fold keeps no per-key residue, so a per-key
+    * delete is information-theoretically impossible and the honest
+    * right-to-erasure verb is reset-then-rebuild over the surviving
+    * lake ([[graft.streaming.CorpusStreams.propagateDocDelete]]'s
+    * scaladoc carries the operational contract). */
+  def resetState(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    fs.delete(sibling(root, ".swap_old"), true)
+    fs.delete(sibling(root, ".swap_tmp"), true)
+  }
+
   /** Crash-safe replacement of the saved state at `root` (r14 ADVICE
     * #2): `mode("overwrite")` in place deletes the directory BEFORE
     * writing, so a crash mid-write destroys the only copy of the

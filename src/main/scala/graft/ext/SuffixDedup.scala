@@ -537,6 +537,7 @@ object SuffixDedup {
   def updateSavedGramIndex(root: String, batch: DataFrame, textCol: String,
       minTokens: Int, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    recoverSavedIndex(spark, root) // heals a mid-erasure-swap crash
     val bs = gramIndex(batch, textCol, minTokens, batchId)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -652,6 +653,102 @@ object SuffixDedup {
     Dedup.applySpanRemoval(batch, idCol, textCol,
       duplicatedSpansIncremental(batch, index, idCol, textCol, minTokens,
         batchId), "text_dedup")
+
+  // ------------------------- right-to-erasure over the saved indexes
+
+  /** GDPR / right-to-erasure for a saved key index (the
+    * (g, first_batch_id) schema of [[gramIndex]] and the streaming
+    * fingerprint index; r15 VERDICT #5): drop every key in `keys`,
+    * EXCEPT keys also present in `keep` — the caller passes the
+    * deleted docs' grams/fingerprints as `keys` and (optionally) the
+    * surviving corpus's as `keep`, making the result exactly the
+    * index a from-scratch build over the survivors would produce
+    * (key-set-wise; provenance stamps of retained keys are
+    * unchanged, which the screens cannot observe — they only gate on
+    * `first_batch_id < batchId`). With `keep` ABSENT the delete is
+    * CONSERVATIVE: every deleted-doc key drops, including keys a
+    * survivor still carries. That direction is compliance-SAFE (no
+    * erased content remains indexed) and hygiene-lossy (a future
+    * copy of the survivor's shared passage is re-admitted once) —
+    * the right default when scanning the surviving lake is too
+    * expensive; pass `keep` for the exact form.
+    *
+    *   - `buckets == 0` (path-parquet index): one distributed
+    *     anti-join rewrite, swapped in atomically by the
+    *     [[SketchState.swapInState]] discipline — a complete index
+    *     exists on disk at every instant, and a mid-swap crash heals
+    *     on the next touch.
+    *   - `buckets > 0` (bucketed table, [[savedGramIndexBucketed]]):
+    *     ONLY the bucket files that contain a deleted key rewrite —
+    *     untouched bucket files stay byte-identical (at 100 TB the
+    *     deleted doc set touches a handful of buckets, never the
+    *     index). Crash-convergent instead of atomic: kept rows from
+    *     affected files re-append FIRST (a transient duplicate key is
+    *     benign — every reader is a set-membership probe or an
+    *     anti-join-append), old files drop last, and a re-run after
+    *     any crash completes the remainder.
+    *
+    * For the saved SKETCH states ([[SketchState]] HLL/CMS/Bloom, the
+    * Misra–Gries and GK summaries) a per-key delete is
+    * information-theoretically IMPOSSIBLE — the sketches are lossy
+    * folds with no per-key residue to subtract (documented here
+    * rather than pretended at): the erasure path is a rebuild from
+    * the surviving lake after [[SketchState]] state is reset. */
+  /** Heal a path-parquet index root lost to a crash between
+    * [[deleteKeysFromSavedIndex]]'s two renames — every reader and
+    * updater of a swap-managed index calls this before touching the
+    * root (the [[SketchState.recoverState]] discipline, exported for
+    * the index roots that non-`ext` readers touch directly). */
+  def recoverSavedIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit =
+    SketchState.recoverState(
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf()), root)
+
+  def deleteKeysFromSavedIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, keys: DataFrame, keep: Option[DataFrame] = None,
+      buckets: Int = 0): Unit = {
+    val toDrop0 = keys.select(col("g")).distinct()
+    val toDrop = keep match {
+      case Some(k) => toDrop0.join(k.select(col("g")).distinct(),
+        Seq("g"), "left_anti")
+      case None => toDrop0
+    }
+    if (buckets > 0) {
+      val tbl = gramIndexTableName(root)
+      val idx = savedGramIndexBucketed(spark, root, buckets)
+      val affected = idx.join(toDrop, Seq("g"), "left_semi")
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)) // bounded by the bucket count
+      if (affected.isEmpty) return
+      val kept = idx.withColumn("__f", input_file_name())
+        .filter(col("__f").isInCollection(affected.toSeq))
+        .join(toDrop, Seq("g"), "left_anti")
+        .select("g", "first_batch_id")
+      // stage through a sibling temp dir: inserting rows read from
+      // the table being inserted into is self-referential
+      val tmp = SketchState.sibling(root, ".erase_tmp")
+      val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(tmp, true)
+      kept.write.parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .write.mode("append").insertInto(tbl)
+      affected.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+      }
+      fs.delete(tmp, true)
+      spark.catalog.refreshTable(tbl)
+    } else {
+      val path = new org.apache.hadoop.fs.Path(root)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(path)) return
+      SketchState.swapInState(spark, root) { tmpDir =>
+        spark.read.parquet(root)
+          .join(toDrop, Seq("g"), "left_anti")
+          .write.parquet(tmpDir)
+      }
+    }
+  }
 
   // --------------------------------- cross-corpus (benchmark) screen
 

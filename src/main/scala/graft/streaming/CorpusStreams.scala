@@ -281,10 +281,56 @@ object CorpusStreams {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(outRoot)
 
+  /** GDPR / right-to-erasure across the CURATION state (r15 VERDICT
+    * #5 — the [[graft.fred.Pipeline.propagateDelete]] posture for the
+    * EXT state roots): after deleting documents from the corpus, their
+    * residue in the saved indexes must go too — the fingerprint index
+    * holds each deleted doc's canonical fingerprint, the gram index
+    * its `minTokens`-grams. Both rewrite by
+    * [[graft.ext.SuffixDedup.deleteKeysFromSavedIndex]]: drop the
+    * deleted docs' keys, retaining keys the `survivors` frame still
+    * carries (pass it for the exact form — the result is key-set
+    * identical to a from-scratch build over the survivors; omit it
+    * for the conservative compliance-safe over-delete). The curated
+    * OUTPUT lake is partition-structured and drops via
+    * [[graft.fred.io.LakeIO.deleteWhere]] with a doc predicate — not
+    * duplicated here.
+    *
+    * The saved SKETCH monitors (HLL/CMS/Bloom/MG/GK) admit NO exact
+    * per-key delete — lossy folds keep no per-key residue (see
+    * [[graft.ext.SuffixDedup.deleteKeysFromSavedIndex]]); their
+    * erasure path is [[graft.ext.SketchState.resetState]] + a rebuild
+    * fold over the surviving lake.
+    *
+    * User-visible contract (spec-pinned): a re-ingested copy of a
+    * DELETED doc's text is admitted again (its fingerprint and grams
+    * are no longer "seen"), while a copy of a SURVIVOR's text still
+    * dedups away. */
+  def propagateDocDelete(deleted: DataFrame, fpRoot: String,
+      gramRoot: String, minTokens: Int,
+      survivors: Option[DataFrame] = None, textCol: String = "text",
+      gramBuckets: Int = 0): Unit = {
+    val spark = deleted.sparkSession
+    val sd = graft.ext.SuffixDedup
+    def fps(df: DataFrame) =
+      df.select(graft.ext.TextOps.fingerprint(col(textCol)).as("g"))
+    def grams(df: DataFrame) =
+      sd.gramIndex(df, textCol, minTokens).select("g")
+    sd.deleteKeysFromSavedIndex(spark, fpRoot, fps(deleted),
+      survivors.map(fps))
+    sd.deleteKeysFromSavedIndex(spark, gramRoot, grams(deleted),
+      survivors.map(grams), gramBuckets)
+  }
+
   /** Saved (g, first_batch_id) key index read — empty-schema frame
-    * when the root does not exist yet. */
+    * when the root does not exist yet. Heals a crash mid
+    * erasure-swap first: a root missing because a
+    * [[graft.ext.SuffixDedup.deleteKeysFromSavedIndex]] rewrite died
+    * between its renames must restore, never read as an EMPTY corpus
+    * (which would silently mark nothing). */
   private def readIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): DataFrame = {
+    graft.ext.SuffixDedup.recoverSavedIndex(spark, root)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path)) spark.read.parquet(root)

@@ -305,6 +305,104 @@ class SuffixDedupSpec extends SparkSpec {
       s"DROP TABLE IF EXISTS ${SuffixDedup.gramIndexTableName(root)}")
   }
 
+  test("index erasure: exact with survivors, conservative without; mid-swap crash heals on next touch") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gram_erase").toString
+    // A and B share exactly one 5-gram; each also has unique grams
+    val textA = "shared run one two three aaa alpha tail"
+    val textB = "shared run one two three bbb beta other"
+    def gramsOf(t: String): Set[String] = {
+      val toks = t.split(" ")
+      (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val sharedGram = "shared run one two three"
+    assert((gramsOf(textA) intersect gramsOf(textB)) == Set(sharedGram))
+    def build(root: String): Unit =
+      SuffixDedup.updateSavedGramIndex(root,
+        Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+        "text", 5, batchId = 0L)
+    def keySet(root: String): Set[String] =
+      spark.read.parquet(root).select("g").as[String].collect().toSet
+
+    // EXACT form: delete B's grams, keeping those the survivor A
+    // still carries → key set ≡ a from-scratch index over A alone
+    val r1 = tmp + "/exact"
+    build(r1)
+    SuffixDedup.deleteKeysFromSavedIndex(spark, r1,
+      Seq(Tuple1(gramsOf(textB).toSeq)).toDF("gs")
+        .select(explode(col("gs")).as("g")),
+      keep = Some(Seq(Tuple1(gramsOf(textA).toSeq)).toDF("gs")
+        .select(explode(col("gs")).as("g"))))
+    assert(keySet(r1) == gramsOf(textA),
+      s"exact erasure must equal the survivor-only build: ${keySet(r1)}")
+
+    // CONSERVATIVE form: no survivors passed → the shared gram drops
+    // too (compliance-safe over-delete)
+    val r2 = tmp + "/conservative"
+    build(r2)
+    SuffixDedup.deleteKeysFromSavedIndex(spark, r2,
+      Seq(Tuple1(gramsOf(textB).toSeq)).toDF("gs")
+        .select(explode(col("gs")).as("g")))
+    assert(keySet(r2) == gramsOf(textA) -- Set(sharedGram),
+      s"conservative erasure drops shared keys: ${keySet(r2)}")
+
+    // mid-swap crash: root moved aside, replacement never landed —
+    // the next updater must RESTORE the prior state, not read empty
+    val r3 = tmp + "/crash"
+    build(r3)
+    val before = keySet(r3)
+    val p = new org.apache.hadoop.fs.Path(r3)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".swap_old")
+    assert(fs.rename(p, aside))
+    SuffixDedup.updateSavedGramIndex(r3,
+      Seq((9L, "freshly ingested doc words here now")).toDF("doc_id", "text"),
+      "text", 5, batchId = 1L)
+    assert(keySet(r3).intersect(before) == before,
+      "pre-crash state must survive the heal")
+  }
+
+  test("bucketed index erasure: only bucket files holding deleted keys rewrite; others stay byte-identical") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bkt_erase").toString
+    val root = tmp + "/index"
+    val tbl = SuffixDedup.gramIndexTableName(root)
+    try {
+      // ~36 grams spread over 8 buckets
+      val toks = (1 to 40).map(i => s"tok$i").mkString(" ")
+      SuffixDedup.updateSavedGramIndexBucketed(root,
+        Seq((1L, toks)).toDF("doc_id", "text"), "text", 5,
+        batchId = 0L, buckets = 8)
+      def files(): Map[String, Array[Byte]] =
+        new java.io.File(root).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName ->
+            java.nio.file.Files.readAllBytes(f.toPath)).toMap
+      val before = files()
+      val doomed = Seq("tok1 tok2 tok3 tok4 tok5", "tok20 tok21 tok22 tok23 tok24")
+      // which files actually hold the doomed grams
+      val affected = before.keySet.filter { name =>
+        spark.read.parquet(s"$root/$name").select("g")
+          .as[String].collect().exists(doomed.contains)
+      }
+      assert(affected.nonEmpty && affected.size < before.size,
+        s"fixture must leave untouched buckets: $affected of ${before.size}")
+      SuffixDedup.deleteKeysFromSavedIndex(spark, root,
+        doomed.toDF("g"), buckets = 8)
+      val after = files()
+      val keys = SuffixDedup.savedGramIndexBucketed(spark, root, 8)
+        .select("g").as[String].collect().toSet
+      assert(doomed.forall(!keys.contains(_)), s"doomed keys remain: $keys")
+      assert(keys.size == 36 - 2, s"non-deleted keys must all survive: ${keys.size}")
+      for (name <- before.keySet -- affected)
+        assert(after.contains(name) &&
+          java.util.Arrays.equals(after(name), before(name)),
+          s"untouched bucket file $name must stay byte-identical")
+      for (name <- affected)
+        assert(!after.contains(name), s"affected file $name must be gone")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("benchOverlapSpans ≡ the gram engine (contaminatedSpans) — cross-side coverage theorem") {
     val p = "alpha beta gamma delta epsilon zeta eta"
     val bench = Seq(

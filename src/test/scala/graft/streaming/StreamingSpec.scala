@@ -288,6 +288,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(gramRoot).count() == gramCount)
   }
 
+  test("curation-state erasure: a deleted doc's copy re-admits; a survivor's copy still dedups") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_curate_erase").toString
+    val (fpRoot, gramRoot, outRoot) =
+      (tmp + "/fp", tmp + "/grams", tmp + "/out")
+    val docA = "the quick brown fox jumps over and lazy dogs sleep here today"
+    val docB = "an entirely different body of plain text with its own words inside"
+    val docC = "the third surviving document keeps more ordinary words around here"
+    def runBatch(rows: Seq[(Long, String)], id: Long): Unit =
+      graft.streaming.CorpusStreams.curateBatch(rows.toDF("doc_id", "text"),
+        id, fpRoot, gramRoot, outRoot,
+        minWords = 10, minTokens = 5, minKeepTokens = 5)
+    runBatch(Seq(1L -> docA, 2L -> docB), 0L)
+    runBatch(Seq(3L -> docC), 1L)
+    // right-to-erasure for doc B: its fingerprint and grams leave the
+    // saved state; survivors' keys stay (exact form)
+    graft.streaming.CorpusStreams.propagateDocDelete(
+      Seq(2L -> docB).toDF("doc_id", "text"), fpRoot, gramRoot,
+      minTokens = 5,
+      survivors = Some(Seq(1L -> docA, 3L -> docC).toDF("doc_id", "text")))
+    val fpOfB = Seq(docB).toDF("text")
+      .select(graft.ext.TextOps.fingerprint(col("text"))).as[String].head()
+    assert(!spark.read.parquet(fpRoot).select("g").as[String].collect()
+      .contains(fpOfB), "deleted doc's fingerprint must leave the index")
+    // a fresh crawl: B's copy is no longer "seen" → ADMITTED intact;
+    // A's copy still dedups away
+    runBatch(Seq(10L -> docB, 11L -> docA), 2L)
+    val byDoc = spark.read.parquet(outRoot)
+      .filter(col("batch_id") === 2)
+      .select(col("doc_id"), col("n_removed"), col("text_dedup"))
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(byDoc.keySet == Set(10L), s"batch 2 kept: ${byDoc.keySet}")
+    assert(byDoc(10L)._2 == 0 && byDoc(10L)._3 == docB,
+      s"the re-ingested deleted doc must pass through whole: ${byDoc(10L)}")
+  }
+
   test("streaming SEMANTIC decontamination (foreachBatch) ≡ batch semanticClean") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((900L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
