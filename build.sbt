@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // opt-in extra JVM flags for the scale smokes (e.g. the ladder spill
+  // smoke needs spark.shuffle.spill.numElementsForceSpillThreshold,
+  // a CORE conf readable only at SparkContext creation)
+  sys.env.get("GRAFT_TEST_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
