@@ -228,6 +228,16 @@ object Decontam {
     Dedup.applySpanRemoval(train, idCol, textCol,
       contaminatedSpans(train, bench, idCol, textCol, minTokens), "text_clean")
 
+  /** Apply form of [[contaminatedSpansFromIndex]] — the ingest-time
+    * surgical decontam: leaked windows excise, the rest of the batch
+    * doc reassembles ((idCol, n_tokens, n_removed, text_clean),
+    * clean docs pass through). */
+  def cleanSpansFromIndex(batch: DataFrame, benchIndex: DataFrame,
+      idCol: String, textCol: String, minTokens: Int = 5): DataFrame =
+    Dedup.applySpanRemoval(batch, idCol, textCol,
+      contaminatedSpansFromIndex(batch, benchIndex, idCol, textCol,
+        minTokens), "text_clean")
+
   /** SEMANTIC (embedding-space) decontamination — the second decontam
     * pass the n-gram/bloom/span family structurally misses (r12
     * VERDICT gap #1): a PARAPHRASED or translated benchmark item

@@ -642,6 +642,73 @@ private[graft] object CompositeOracles {
          |WHERE coalesce(kp.n_kept, 0) >= 30""".stripMargin
     },
 
+    // Mirrors curateCorpusIngest: gopher gate over the even-train
+    // micro-batch slice → min-doc-id keep per canonical md5 → bench
+    // gram probe (the frozen-index replay — every batch window whose
+    // gram sits in the doc_id%20=0 suite marks) → span removal with
+    // reassembly → ≥30-kept-token floor. A fully-removed doc
+    // reassembles to NULL n_kept → coalesce 0 → dropped by the floor.
+    "curate_corpus_ingest" -> {
+      val gate =
+        """g0 AS (
+          |  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
+          |  FROM documents WHERE doc_id % 20 <> 0 AND doc_id % 2 = 0),
+          |sg AS (SELECT doc_id, text,
+          |        CAST(len(toks) AS BIGINT) AS n_words,
+          |        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+          |          AS BIGINT) AS sum_chars,
+          |        CAST(len(list_filter(toks,
+          |          t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          |        CAST(len(list_filter(toks, t -> list_contains(
+          |          ['the','be','to','of','and','that','have','with'], t)))
+          |          AS BIGINT) AS n_stop,
+          |        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+          |      FROM g0),
+          |keptd AS MATERIALIZED (
+          |  SELECT doc_id, text FROM sg
+          |  WHERE n_words >= 50 AND n_words <= 100000
+          |    AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+          |    AND 5 * n_alpha >= 4 * n_words
+          |    AND n_stop >= 2
+          |    AND 10 * n_sym <= n_words)""".stripMargin
+      s"""WITH $gate,
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM keptd
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |dd AS MATERIALIZED (
+         |  SELECT k.doc_id, k.text FROM keptd k
+         |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+         |${substrOccCtesFor("dd")},
+         |bt AS (SELECT doc_id, ${wsToks("text")} AS toks
+         |       FROM documents WHERE doc_id % 20 = 0),
+         |bx AS (SELECT doc_id, toks,
+         |         unnest(generate_series(1, len(toks) - 4)) AS i FROM bt),
+         |bench AS (SELECT DISTINCT
+         |            array_to_string(toks[i : i + 4], ' ') AS g FROM bx),
+         |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM occ
+         |      WHERE g IN (SELECT g FROM bench)),
+         |$spanIslandCtes,
+         |sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+         |       FROM g2 GROUP BY doc_id, island),
+         |tk AS (SELECT doc_id, i, toks[i] AS tok FROM (
+         |         SELECT doc_id, toks,
+         |           unnest(generate_series(1, len(toks))) AS i FROM t)),
+         |kept AS (SELECT doc_id, i, tok FROM tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = tk.doc_id
+         |             AND sp.ss <= tk.i - 1 AND tk.i - 1 < sp.se)),
+         |cnt AS (SELECT doc_id, len(toks) AS n FROM t),
+         |re AS (SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY i) AS text_clean
+         |       FROM kept GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |       CAST(c.n AS INTEGER) AS n_tokens,
+         |       CAST(c.n - coalesce(re.n_kept, 0) AS INTEGER) AS n_removed,
+         |       coalesce(re.text_clean, '') AS text_clean
+         |FROM cnt c LEFT JOIN re USING (doc_id)
+         |WHERE coalesce(re.n_kept, 0) >= 30""".stripMargin
+    },
+
     // Mirrors curateCorpusCommunities: gopher gate → portable minhash
     // bands → verified LSH pairs (lshp) → symmetrized vote graph → 5
     // unrolled synchronous LPA rounds (the graph_communities pattern)

@@ -262,6 +262,35 @@ trait CompositeQueries extends QueriesBase {
       .select("doc_id", "n_tokens", "n_removed", "split")
   }
 
+  /** The INGEST-time curation funnel (r16 — the batch body of the
+    * streaming posture [[graft.streaming.CorpusStreams
+    * .benchScreenStream]] + span removal): the even train docs play
+    * the arriving micro-batch, the eval suite (docs `% 20 == 0`) is a
+    * FROZEN gram index. Gopher gate → within-batch exact-dedup
+    * keep-set → SURGICAL bench decontamination (span removal via one
+    * probe of the frozen index — [[Decontam
+    * .contaminatedSpansFromIndex]], not the whole-doc drop) →
+    * ≥30-kept-token floor. Where [[curateCorpus]] drops a leaking doc
+    * outright, this funnel excises exactly the leaked windows and
+    * keeps the rest — the released-dups posture applied at ingest. */
+  val curateCorpusIngest: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val batch = docs.filter(col("doc_id") % 20 =!= 0 &&
+      col("doc_id") % 2 === 0)
+    // stage boundary: the gated batch feeds the keep-set, the probe,
+    // and the reassembly (persist(DISK_ONLY) on a cluster)
+    val gated = batch.filter(TextOps.gopherKeep(col("text")))
+      .select("doc_id", "text").localCheckpoint()
+    val keep = Dedup.exactGroups(gated, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+    Decontam.cleanSpansFromIndex(deduped,
+        graft.ext.SuffixDedup.gramIndex(bench, "text", minTokens = 5),
+        "doc_id", "text", minTokens = 5)
+      .filter(col("n_tokens") - col("n_removed") >= 30)
+  }
+
   /** Weighted systematic sample: exactly 20 draws per language with
     * inclusion ∝ token count — "sample by data volume, not doc
     * count", in exact integer threshold arithmetic (see
@@ -405,5 +434,6 @@ trait CompositeQueries extends QueriesBase {
     "curate_corpus_temperature" -> curateCorpusTemperature,
     "curate_corpus_communities" -> curateCorpusCommunities,
     "curate_corpus_substring" -> curateCorpusSubstring,
+    "curate_corpus_ingest" -> curateCorpusIngest,
     "events_retention_weekly" -> eventsRetentionWeekly)
 }

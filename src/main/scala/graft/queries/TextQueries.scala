@@ -569,6 +569,23 @@ trait TextQueries extends QueriesBase {
       TextOps.piiCount(col("text")).cast("int").as("n_pii"),
       md5(TextOps.redactPii(col("text"))).as("redacted_md5"))
 
+  /** PII density per source (r16): the compliance-triage rollup over
+    * [[textRedact]]'s staged match count — which ingestion sources
+    * carry how much scrubbable PII per token. One scan, one
+    * map-side-combinable aggregate; `pii_share` is the 4-dp
+    * integer-scaled ratio (the dup_share convention). */
+  val reportPiiDensity: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(graft.ext.TextOps.tokens(col("text"))).cast("long").as("__nt"),
+        graft.ext.TextOps.piiCount(col("text")).cast("long").as("__pii"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__pii")).as("n_pii"))
+      .withColumn("pii_share",
+        round(col("n_pii") * 10000.0 / col("n_tokens")) / 1e4)
+
 
   /** This family's slice of [[Queries.all]]. */
   protected def textRegistry: Map[String, Q] = Map(
@@ -578,6 +595,7 @@ trait TextQueries extends QueriesBase {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_redact" -> textRedact,
+    "report_pii_density" -> reportPiiDensity,
     "text_scrub_rare" -> textScrubRare,
     "text_repetition" -> textRepetition,
     "text_boilerplate" -> textBoilerplate,
