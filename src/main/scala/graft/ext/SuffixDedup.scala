@@ -582,6 +582,16 @@ object SuffixDedup {
            |USING PARQUET
            |CLUSTERED BY (g) SORTED BY (g) INTO $buckets BUCKETS
            |LOCATION '$root'""".stripMargin)
+    else {
+      // a silently-ignored bucket-count mismatch would let one caller
+      // append under a different spec than another assumes
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .bucketSpec
+      require(spec.exists(_.numBuckets == buckets),
+        s"index table $tbl at $root is bucketed as $spec, not $buckets")
+    }
     spark.table(tbl)
   }
 
@@ -717,13 +727,27 @@ object SuffixDedup {
     if (buckets > 0) {
       val tbl = gramIndexTableName(root)
       val idx = savedGramIndexBucketed(spark, root, buckets)
-      val affected = idx.join(toDrop, Seq("g"), "left_semi")
-        .select(input_file_name().as("f")).distinct()
+      // tag files BEFORE the join: input_file_name() evaluated above
+      // a sort-merge semi join reads whatever file the task's sorter
+      // drained LAST, not the row's source — the column must
+      // materialize in a project directly over the scan
+      val tagged = idx.withColumn("__f", input_file_name())
+      val affected = tagged.join(toDrop, Seq("g"), "left_semi")
+        .select("__f").distinct()
         .collect().map(_.getString(0)) // bounded by the bucket count
       if (affected.isEmpty) return
-      val kept = idx.withColumn("__f", input_file_name())
+      // kept = affected files' surviving rows, MINUS rows already
+      // present outside the affected files: in a healthy index every
+      // key exists once (the anti-join append), so this second
+      // anti-join drops nothing — but after a crash between a prior
+      // run's append and its file deletions, it is exactly what makes
+      // the re-run converge to single copies instead of compounding
+      // duplicates per crash
+      val kept = tagged
         .filter(col("__f").isInCollection(affected.toSeq))
         .join(toDrop, Seq("g"), "left_anti")
+        .join(tagged.filter(!col("__f").isInCollection(affected.toSeq))
+          .select("g"), Seq("g"), "left_anti")
         .select("g", "first_batch_id")
       // stage through a sibling temp dir: inserting rows read from
       // the table being inserted into is self-referential
@@ -739,9 +763,22 @@ object SuffixDedup {
       fs.delete(tmp, true)
       spark.catalog.refreshTable(tbl)
     } else {
+      recoverSavedIndex(spark, root) // a crashed prior erasure must
+      // restore BEFORE the existence check — returning on a missing
+      // root while .swap_old holds the pre-delete state would report
+      // success and let the next reader resurrect the deleted keys
       val path = new org.apache.hadoop.fs.Path(root)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(path)) return
+      // a bucketed layout must not be rewritten by the path form: the
+      // swap would land plain part-files under a LOCATION the catalog
+      // still declares CLUSTERED BY, and the next bucketed scan dies
+      // with "Invalid bucket file" — fail at erase time instead
+      val bucketedFile = fs.listStatus(path).exists(
+        s => s.getPath.getName.matches("part-.*_\\d{5}\\.c\\d{3}.*"))
+      require(!bucketedFile,
+        s"$root holds a BUCKETED index — pass its bucket count " +
+          "(buckets > 0) so only the affected bucket files rewrite")
       SketchState.swapInState(spark, root) { tmpDir =>
         spark.read.parquet(root)
           .join(toDrop, Seq("g"), "left_anti")

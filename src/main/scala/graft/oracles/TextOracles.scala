@@ -428,7 +428,9 @@ private[graft] object TextOracles {
         |SELECT source, count(*) AS n_docs,
         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
         |       CAST(sum(pii) AS BIGINT) AS n_pii,
-        |       round(sum(pii) * 10000.0 / sum(nt)) / 10000 AS pii_share
+        |       CASE WHEN sum(nt) > 0
+        |            THEN round(sum(pii) * 10000.0 / sum(nt)) / 10000
+        |            ELSE 0 END AS pii_share
         |FROM p GROUP BY source""".stripMargin,
 
     // Mirrors TextOps.gopherSignals: the Gopher rule battery with

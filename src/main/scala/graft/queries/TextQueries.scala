@@ -584,7 +584,10 @@ trait TextQueries extends QueriesBase {
         sum(col("__nt")).as("n_tokens"),
         sum(col("__pii")).as("n_pii"))
       .withColumn("pii_share",
-        round(col("n_pii") * 10000.0 / col("n_tokens")) / 1e4)
+        // zero-token source: 0.0, not a null/inf engine divergence
+        when(col("n_tokens") > 0,
+          round(col("n_pii") * 10000.0 / col("n_tokens")) / 1e4)
+          .otherwise(lit(0.0)))
 
 
   /** This family's slice of [[Queries.all]]. */

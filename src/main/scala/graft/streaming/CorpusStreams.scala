@@ -183,6 +183,19 @@ object CorpusStreams {
       idCol: String = "doc_id", textCol: String = "text",
       indexBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
+    // the frozen suite index is a HARD prerequisite: unlike the
+    // substring screen (where an empty index is the legitimate cold
+    // start), a missing bench index here would make the contamination
+    // gate silently pass everything as clean forever — a typoed root
+    // or a forgotten one-time build must fail loudly at the first
+    // batch, not report all-clear
+    graft.ext.SuffixDedup.recoverSavedIndex(spark, benchIndexRoot)
+    val rootPath = new org.apache.hadoop.fs.Path(benchIndexRoot)
+    require(rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(rootPath),
+      s"bench gram index not found at $benchIndexRoot — build it once " +
+        "from the eval suite (updateSavedGramIndex / " +
+        "updateSavedGramIndexBucketed) before starting the screen")
     val index =
       if (indexBuckets > 0)
         graft.ext.SuffixDedup.savedGramIndexBucketed(spark, benchIndexRoot,

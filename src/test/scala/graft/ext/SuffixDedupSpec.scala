@@ -403,6 +403,43 @@ class SuffixDedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("bucketed erasure re-run after a mid-delete crash converges to single copies") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bkt_crash").toString
+    val root = tmp + "/index"
+    val tbl = SuffixDedup.gramIndexTableName(root)
+    try {
+      val toks = (1 to 30).map(i => s"ck$i").mkString(" ")
+      SuffixDedup.updateSavedGramIndexBucketed(root,
+        Seq((1L, toks)).toDF("doc_id", "text"), "text", 5,
+        batchId = 0L, buckets = 4)
+      val doomed = Seq("ck1 ck2 ck3 ck4 ck5")
+      // simulate run 1 crashing AFTER its kept-rows append but BEFORE
+      // its old-file deletions: append the affected files' surviving
+      // rows by hand, leave every original file in place
+      val idx = SuffixDedup.savedGramIndexBucketed(spark, root, 4)
+      val tagged = idx.withColumn("__f", input_file_name())
+      val affected = tagged.join(doomed.toDF("g"), Seq("g"), "left_semi")
+        .select("__f").distinct().as[String].collect().toSeq
+      val keptOnce = tagged.filter(col("__f").isInCollection(affected))
+        .join(doomed.toDF("g"), Seq("g"), "left_anti")
+        .select("g", "first_batch_id").collect().toSeq
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(keptOnce), idx.schema)
+        .write.mode("append").insertInto(tbl)
+      spark.catalog.refreshTable(tbl)
+      // re-run the erasure: it must finish the job without compounding
+      SuffixDedup.deleteKeysFromSavedIndex(spark, root,
+        doomed.toDF("g"), buckets = 4)
+      val out = SuffixDedup.savedGramIndexBucketed(spark, root, 4)
+        .select("g").as[String].collect().toSeq
+      assert(out.distinct.size == out.size,
+        s"crash re-run left duplicate keys: ${out.groupBy(identity).filter(_._2.size > 1).keys}")
+      assert(doomed.forall(!out.contains(_)), s"doomed keys remain: $out")
+      assert(out.size == 26 - 1, s"survivor count wrong: ${out.size}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("benchOverlapSpans ≡ the gram engine (contaminatedSpans) — cross-side coverage theorem") {
     val p = "alpha beta gamma delta epsilon zeta eta"
     val bench = Seq(
