@@ -302,4 +302,43 @@ class EmptyInputSpec extends SparkSpec {
     assert(!new java.io.File(tmp + "/fp").exists() ||
       spark.read.parquet(tmp + "/fp").isEmpty)
   }
+
+  test("round-16 ops on empty inputs") {
+    val docs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    val someDocs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val emptyIndex = emptyDf("g" -> StringType, "first_batch_id" -> LongType)
+    val idx = graft.ext.SuffixDedup.gramIndex(someDocs, "text", 5)
+    // ingest screen: empty batch -> no spans; empty (frozen) index ->
+    // no spans; apply passes the clean doc through intact
+    assert(graft.ext.Decontam
+      .contaminatedSpansFromIndex(docs, idx, "doc_id", "text", 5).isEmpty)
+    assert(graft.ext.Decontam
+      .contaminatedSpansFromIndex(someDocs, emptyIndex, "doc_id", "text", 5)
+      .isEmpty)
+    val app = graft.ext.Decontam
+      .cleanSpansFromIndex(someDocs, emptyIndex, "doc_id", "text", 5)
+    assert(app.count() == 1L &&
+      app.filter(col("n_removed") === 0).count() == 1L)
+    // erasure: empty key frame is a no-op; a nonexistent path root
+    // returns without error
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_empty_erase").toString
+    graft.ext.SuffixDedup.deleteKeysFromSavedIndex(spark,
+      tmp + "/missing", emptyIndex.select("g"))
+    graft.ext.SuffixDedup.updateSavedGramIndex(tmp + "/idx", someDocs,
+      "text", 5, batchId = 0L)
+    graft.ext.SuffixDedup.deleteKeysFromSavedIndex(spark,
+      tmp + "/idx", emptyIndex.select("g"))
+    assert(spark.read.parquet(tmp + "/idx").count() == 2L)
+    // bench screen batch: an EMPTY micro-batch against a built frozen
+    // index completes without crash and lands no data files (a later
+    // non-empty batch establishes the readable root, as in streaming)
+    graft.streaming.CorpusStreams.benchScreenBatch(docs, 0L,
+      tmp + "/idx", tmp + "/out", minTokens = 5)
+    val outF = new java.io.File(tmp + "/out")
+    assert(!outF.exists() || !outF.listFiles().exists(f =>
+      f.isDirectory || f.getName.endsWith(".parquet")),
+      "empty batch must write no data files")
+  }
 }

@@ -200,6 +200,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("curate_corpus_ingest: keep-set and index probe are semi joins, no cartesian") {
+    val plan = executed(Queries.all("curate_corpus_ingest")(spark, sf))
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      s"keep-set and frozen-index probe must both be semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair blowup crept into the ingest funnel:\n$plan")
+  }
+
   test("bench-side exact decontam: no cartesian, no nested-loop join anywhere") {
     // the cross screen ranks train∪bench ONCE and pairs by a
     // per-partition scan — any cartesian/NLJ means the nearest-bench
