@@ -301,6 +301,23 @@ class SuffixDedupSpec extends SparkSpec {
         .as[(Long, Int, Int, Int)].collect().toSet
       assert(viaTable == viaMemory && viaTable.nonEmpty,
         s"table=$viaTable memory=$viaMemory")
+      // restart re-adoption: the table is EXTERNAL, so losing the
+      // (in-memory) catalog entry — a new session — must re-adopt the
+      // files at the root with contents and bucketed layout intact
+      spark.sql(s"DROP TABLE ${SuffixDedup.gramIndexTableName(root)}")
+      val readopted = SuffixDedup.savedGramIndexBucketed(spark, root, 4)
+      assert(readopted.as[(String, Long)].collect().toMap == idx,
+        "re-adopted table must carry the same contents")
+      // a bare scan legitimately reads "Bucketed: false (disabled by
+      // query planner)" — no operator needs the grouping; the catalog
+      // metadata is what re-adoption must restore (the join-side
+      // zero-Exchange behavior is pinned in PlanShapeSpec)
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          SuffixDedup.gramIndexTableName(root))).bucketSpec
+      assert(spec.exists(s => s.numBuckets == 4 &&
+          s.bucketColumnNames == Seq("g")),
+        s"re-adopted table must keep its bucket spec: $spec")
     } finally spark.sql(
       s"DROP TABLE IF EXISTS ${SuffixDedup.gramIndexTableName(root)}")
   }
