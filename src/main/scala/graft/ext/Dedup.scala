@@ -680,6 +680,42 @@ object Dedup {
       .withColumnRenamed("doc", idCol)
   }
 
+  /** Per-document GRAM NOVELTY — the doc-granular complement of the
+    * duplication reports: for each doc, the share of its DISTINCT
+    * `n`-grams that occur in NO other document ((idCol, n_grams,
+    * n_unique_grams, novelty), 4-dp integer-scaled ratio; docs with
+    * fewer than `n` tokens report 0/0/0.0 via the spine join). A low
+    * novelty means the doc's content exists elsewhere even when no
+    * single run clears a span threshold — the "is this doc adding
+    * anything" curation signal, and the doc-level memorization-risk
+    * triage (highly novel docs are the ones a model can only have
+    * learned from here).
+    *
+    * Scale shape: one gram explode → distinct (doc, gram) → one gram
+    * doc-frequency aggregate → one per-doc aggregate; two key-hashed
+    * shuffles, no pair joins, nothing quadratic. Gram strings keep
+    * the oracle byte-exact (the [[exactSubstrSpans]] trade). */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n > 0, "n must be positive")
+    val og = df.select(col(idCol).as("doc"),
+        explode(slidingGrams(col(textCol), n)).as("g"))
+      .distinct()
+    val dfreq = og.groupBy("g").agg(count(lit(1)).as("__nd"))
+    val per = og.join(dfreq, Seq("g"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__nd") === 1, 1L).otherwise(0L)).as("__nu"))
+    df.select(col(idCol).as("doc"))
+      .join(per, Seq("doc"), "left_outer")
+      .select(col("doc").as(idCol),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__nu"), lit(0L)).as("n_unique_grams"),
+        when(coalesce(col("__ng"), lit(0L)) > 0,
+          round(col("__nu") * 10000.0 / col("__ng")) / 1e4)
+          .otherwise(lit(0.0)).as("novelty"))
+  }
+
   /** Sliding L-token gram array (windows at every offset, space-joined)
     * — via L zipped slices, NOT transform(sequence(...)) (projection
     * collapse re-tokenizes per element; see TextOps.topGramShare).

@@ -158,6 +158,24 @@ private[graft] object DedupOracles {
          |       CAST(coalesce(arg.s, -1) AS INTEGER) AS longest_dup_start
          |FROM documents d LEFT JOIN arg ON d.doc_id = arg.doc_id""".stripMargin,
 
+    // Mirrors Dedup.gramNovelty: distinct (doc, 5-gram) pairs, gram
+    // doc-frequency, per-doc share of df=1 grams; the documents spine
+    // gives gramless docs their 0/0/0.0 row.
+    "report_doc_novelty" ->
+      s"""WITH $substrOccCtes,
+         |og AS (SELECT DISTINCT doc_id, g FROM occ),
+         |dfreq AS (SELECT g, count(*) AS nd FROM og GROUP BY g),
+         |per AS (SELECT doc_id, count(*) AS ng,
+         |          sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS nu
+         |        FROM og JOIN dfreq USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ng, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(nu, 0) AS BIGINT) AS n_unique_grams,
+         |       CASE WHEN coalesce(ng, 0) > 0
+         |            THEN round(nu * 10000.0 / ng) / 10000
+         |            ELSE 0 END AS novelty
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Mirrors Decontam.contaminatedSpans (GPT-3 appendix-C span
     // removal) over the decontam_overlap bench/train split — see
     // OracleCtes.decontamSpanCtes.

@@ -460,6 +460,13 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", minTokens = 5)
   }
 
+  /** Per-doc gram novelty (r16): the share of each doc's distinct
+    * 5-grams occurring in NO other document — the "is this doc adding
+    * anything" signal and doc-level memorization-risk triage,
+    * replayed by an independent doc-frequency window in DuckDB. */
+  val reportDocNovelty: Q = (s, dir) =>
+    Dedup.gramNovelty(Tables.documents(s, dir), "doc_id", "text", n = 5)
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -498,6 +505,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_substring_incremental" -> dedupSubstringIncremental,
     "dedup_substring_incremental_apply" -> dedupSubstringIncrementalApply,
     "report_dup_coverage" -> reportDupCoverage,
+    "report_doc_novelty" -> reportDocNovelty,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "split_leakage" -> splitLeakage,
