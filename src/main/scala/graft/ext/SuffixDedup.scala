@@ -555,6 +555,63 @@ object SuffixDedup {
     "graft_gram_idx_" + java.security.MessageDigest.getInstance("MD5")
       .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
+  /** Bucket-count marker a bucketed index root carries alongside its
+    * data files (leading underscore — Spark's file index skips it,
+    * like `_SUCCESS`). Nothing else on disk records the count the
+    * files were written with: the catalog entry is in-memory, and a
+    * restart that re-adopts the LOCATION with a DIFFERENT `buckets`
+    * would declare a hash-modulo that disagrees with the file layout —
+    * bucketed SMJ probes then silently MISS matching grams (missed
+    * duplication/contamination, duplicate index keys, no error). */
+  private val BucketsFile = "_graft_buckets"
+
+  /** Bucket id a bucketed part file carries in its name
+    * (`part-00000-<uuid>_00003.c000...` → 3). */
+  private val BucketIdInName = "part-.*_(\\d{5})\\.c\\d{3}.*".r
+
+  /** Validate `buckets` against what the root's files were actually
+    * written with, BEFORE the catalog re-adopts the location; pin the
+    * count in a [[BucketsFile]] marker for every later re-adoption.
+    * Fails loudly on: a marker recording a different count; part
+    * files with no bucket id in their names (a PATH-form index — the
+    * bucketed table form must never adopt one); a legacy pre-marker
+    * root whose file names carry a bucket id ≥ `buckets`. */
+  private def validateOrPinBuckets(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      buckets: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(path, BucketsFile)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(recorded == buckets,
+        s"bucketed index at $root was written with $recorded buckets; " +
+          s"re-adopting it as $buckets would make every probe silently " +
+          "miss matching keys — pass the recorded count")
+    } else {
+      if (fs.exists(path)) {
+        val parts = fs.listStatus(path).map(_.getPath.getName)
+          .filter(_.startsWith("part-"))
+        val ids = parts.collect { case BucketIdInName(id) => id.toInt }
+        require(ids.length == parts.length,
+          s"$root holds NON-bucketed part files — it is a path-form " +
+            "index; read it with spark.read.parquet, not the bucketed " +
+            "table form")
+        // legacy pre-marker root: the ids in the names are the only
+        // falsifiable signal (buckets may be legitimately unfilled)
+        require(ids.forall(_ < buckets),
+          s"$root holds bucket file ids up to ${ids.max} — it was " +
+            s"written with more than $buckets buckets")
+      }
+      val out = fs.create(marker, true)
+      try out.write(buckets.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** The saved gram index as a BUCKETED external table rooted at
     * `root` (r15 VERDICT #4 — the screen's own scaladoc prescription,
     * now the implementation): the table is CLUSTERED BY (g) INTO
@@ -569,20 +626,27 @@ object SuffixDedup {
     * Registers the table on first touch in a session (CREATE TABLE IF
     * NOT EXISTS over the same LOCATION — a restart re-adopts the
     * files already there; bucket ids ride in the file names, so the
-    * bucketed layout survives the catalog's in-memory lifetime).
+    * bucketed layout survives the catalog's in-memory lifetime). The
+    * root's [[BucketsFile]] marker pins the count the files were
+    * written with: re-adoption with any other `buckets` fails loudly
+    * instead of silently missing probe matches (r16 ADVICE #1).
     * Schema and provenance semantics are identical to [[gramIndex]]:
     * (g, first_batch_id). */
   def savedGramIndexBucketed(spark: org.apache.spark.sql.SparkSession,
       root: String, buckets: Int = 16): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val tbl = gramIndexTableName(root)
-    if (!spark.catalog.tableExists(tbl))
+    if (!spark.catalog.tableExists(tbl)) {
+      validateOrPinBuckets(spark, root, buckets)
+      // escape the path for the string literal: a quote or backslash
+      // in the root must not break (or worse, redirect) the DDL
+      val loc = root.replace("\\", "\\\\").replace("'", "\\'")
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $tbl (g STRING, first_batch_id BIGINT)
            |USING PARQUET
            |CLUSTERED BY (g) SORTED BY (g) INTO $buckets BUCKETS
-           |LOCATION '$root'""".stripMargin)
-    else {
+           |LOCATION '$loc'""".stripMargin)
+    } else {
       // a silently-ignored bucket-count mismatch would let one caller
       // append under a different spec than another assumes
       val spec = spark.sessionState.catalog
@@ -595,22 +659,32 @@ object SuffixDedup {
     spark.table(tbl)
   }
 
-  /** [[updateSavedGramIndex]] against the bucketed table form: the
-    * never-seen grams (left-anti against the in-place bucketed scan)
-    * append THROUGH the catalog, so the new files land bucketed by the
+  /** [[updateSavedGramIndexBucketed]] for a CALLER-SUPPLIED key frame
+    * (column `g` — e.g. the curation composite's per-batch document
+    * fingerprints): the never-seen keys, stamped with this batch,
+    * append THROUGH the catalog so the new files land bucketed by the
     * same spec and later probes keep their zero-Exchange plan. Same
-    * idempotence argument as the path form: a replayed batch's grams
-    * all anti-join away. */
-  def updateSavedGramIndexBucketed(root: String, batch: DataFrame,
-      textCol: String, minTokens: Int, batchId: Long,
-      buckets: Int = 16): Unit = {
-    val spark = batch.sparkSession
+    * idempotence argument as the path form ([[updateSavedGramIndex]]):
+    * a replayed batch's keys all anti-join away. */
+  def updateSavedKeyIndexBucketed(root: String, keys: DataFrame,
+      batchId: Long, buckets: Int = 16): Unit = {
+    val spark = keys.sparkSession
     val idx = savedGramIndexBucketed(spark, root, buckets)
-    gramIndex(batch, textCol, minTokens, batchId)
+    keys.select(col("g")).distinct()
+      .withColumn("first_batch_id", lit(batchId))
       .join(idx, Seq("g"), "left_anti")
       .select("g", "first_batch_id") // insertInto is position-based
       .write.mode("append").insertInto(gramIndexTableName(root))
   }
+
+  /** [[updateSavedGramIndex]] against the bucketed table form: the
+    * batch's `minTokens`-grams through [[updateSavedKeyIndexBucketed]]. */
+  def updateSavedGramIndexBucketed(root: String, batch: DataFrame,
+      textCol: String, minTokens: Int, batchId: Long,
+      buckets: Int = 16): Unit =
+    updateSavedKeyIndexBucketed(root,
+      gramIndex(batch, textCol, minTokens, batchId).select("g"),
+      batchId, buckets)
 
   /** INCREMENTAL exact-substring screen (r14 VERDICT #2 — the
     * production shape for continuous ingestion): spans of a NEW
@@ -696,7 +770,15 @@ object SuffixDedup {
     *     affected files re-append FIRST (a transient duplicate key is
     *     benign — every reader is a set-membership probe or an
     *     anti-join-append), old files drop last, and a re-run after
-    *     any crash completes the remainder.
+    *     any crash completes the remainder. CONCURRENT readers must
+    *     quiesce for the bucketed erase (r16 ADVICE #3): a stream or
+    *     probe holding a file listing cached before the erase can hit
+    *     `FileNotFoundException` on the dropped originals — pause the
+    *     streams (the transient-duplicate argument covers semantics,
+    *     not listings), or run readers with
+    *     `spark.sql.files.ignoreMissingFiles=true` for the erasure
+    *     window (safe here: a missing file's rows were either deleted
+    *     keys or re-appended kept copies).
     *
     * For the saved SKETCH states ([[SketchState]] HLL/CMS/Bloom, the
     * Misra–Gries and GK summaries) a per-key delete is
@@ -757,6 +839,13 @@ object SuffixDedup {
       kept.write.parquet(tmp.toString)
       spark.read.parquet(tmp.toString)
         .write.mode("append").insertInto(tbl)
+      // drop the cached file listing BEFORE the deletes as well: a
+      // same-session reader planning a scan between a delete and the
+      // final refresh would otherwise hold a listing naming files
+      // about to vanish (r16 ADVICE #3). This narrows the window; it
+      // cannot close it for CONCURRENT readers — see the quiescence
+      // note in the method scaladoc.
+      spark.catalog.refreshTable(tbl)
       affected.foreach { f =>
         fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
       }
@@ -775,7 +864,8 @@ object SuffixDedup {
       // still declares CLUSTERED BY, and the next bucketed scan dies
       // with "Invalid bucket file" — fail at erase time instead
       val bucketedFile = fs.listStatus(path).exists(
-        s => s.getPath.getName.matches("part-.*_\\d{5}\\.c\\d{3}.*"))
+        s => s.getPath.getName.matches("part-.*_\\d{5}\\.c\\d{3}.*")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(path, BucketsFile))
       require(!bucketedFile,
         s"$root holds a BUCKETED index — pass its bucket count " +
           "(buckets > 0) so only the affected bucket files rewrite")

@@ -122,15 +122,18 @@ object CorpusStreams {
     * overwrites idempotently, and the index append anti-joins to a
     * no-op — all three legs of at-least-once delivery converge.
     *
-    * `indexBuckets > 0` stores the saved index as a BUCKETED table
+    * The saved index defaults to a BUCKETED table
     * ([[graft.ext.SuffixDedup.savedGramIndexBucketed]], r15 VERDICT
     * #4): the per-batch probe and the anti-join append both scan the
     * accumulated index in place — zero Exchange on the index side,
-    * the production shape once the index outgrows a shuffle. 0 keeps
-    * the plain path-parquet index. */
+    * the production shape once the index outgrows a shuffle (the
+    * index is the biggest state in the system at 100 TB; its bucket
+    * count is pinned at the root and a mismatched re-adoption fails
+    * loudly). `indexBuckets = 0` is the explicit legacy knob for the
+    * plain path-parquet index. */
   def substringScreenStream(docs: DataFrame, indexRoot: String,
       outRoot: String, minTokens: Int, idCol: String = "doc_id",
-      textCol: String = "text", indexBuckets: Int = 0)
+      textCol: String = "text", indexBuckets: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -168,7 +171,7 @@ object CorpusStreams {
     * is the testable per-batch body. */
   def benchScreenStream(docs: DataFrame, benchIndexRoot: String,
       outRoot: String, minTokens: Int, idCol: String = "doc_id",
-      textCol: String = "text", indexBuckets: Int = 0)
+      textCol: String = "text", indexBuckets: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -181,7 +184,7 @@ object CorpusStreams {
   def benchScreenBatch(batch: DataFrame, batchId: Long,
       benchIndexRoot: String, outRoot: String, minTokens: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      indexBuckets: Int = 0): Unit = {
+      indexBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     // the frozen suite index is a HARD prerequisite: unlike the
     // substring screen (where an empty index is the legitimate cold
@@ -233,51 +236,91 @@ object CorpusStreams {
     * filters `first_batch_id < batchId` (a replayed batch never sees
     * its own contributions), index appends anti-join to no-ops, and
     * the per-batch output partition overwrites idempotently.
-    * [[curateBatch]] is the testable per-batch body. */
+    *
+    * BOTH saved indexes default to BUCKETED tables
+    * ([[graft.ext.SuffixDedup.savedGramIndexBucketed]] — the
+    * fingerprint index shares the (g, first_batch_id) key-index
+    * machinery): the fingerprint anti-probe, the gram-index probe,
+    * and both fold-back appends all scan the accumulated state IN
+    * PLACE, zero Exchange on the index side — at 100 TB the
+    * composite's state is the biggest frame in the system and must
+    * never re-shuffle per micro-batch (r16 VERDICT #1). The bucket
+    * count is pinned at each root; a mismatched re-adoption fails
+    * loudly. `indexBuckets = 0` is the explicit legacy knob for
+    * path-parquet state. [[curateBatch]] is the testable per-batch
+    * body. */
   def curateStream(docs: DataFrame, fpRoot: String, gramRoot: String,
       outRoot: String, minWords: Int = 50, minTokens: Int = 5,
       minKeepTokens: Int = 30, idCol: String = "doc_id",
-      textCol: String = "text")
+      textCol: String = "text", indexBuckets: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         curateBatch(batch.toDF(), batchId, fpRoot, gramRoot, outRoot,
-          minWords, minTokens, minKeepTokens, idCol, textCol)
+          minWords, minTokens, minKeepTokens, idCol, textCol, indexBuckets)
     }
+
+  /** The composite's cross-batch exact-dedup stage: the gated,
+    * within-batch-deduped survivors anti-probed against the saved
+    * fingerprint index (provenance-gated so a replayed batch never
+    * sees its own fold). Exposed for plan pinning: with a bucketed
+    * `fpIndex` the index side of the anti join must carry zero
+    * Exchange. */
+  private[graft] def curateDedupStage(batch: DataFrame, fpIndex: DataFrame,
+      batchId: Long, minWords: Int, idCol: String,
+      textCol: String): DataFrame = {
+    val gated = batch.filter(
+      graft.ext.TextOps.gopherKeep(col(textCol), minWords = minWords))
+    // within-batch exact dedup: the deterministic min-id winner
+    val winners = graft.ext.Dedup.exactGroups(gated, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    gated.join(winners, Seq(idCol), "left_semi")
+      .withColumn("__fp", graft.ext.TextOps.fingerprint(col(textCol)))
+      .join(fpIndex.filter(col("first_batch_id") < batchId)
+          .select(col("g").as("__fp")),
+        Seq("__fp"), "left_anti")
+  }
 
   /** One [[curateStream]] micro-batch, exposed for direct testing (the
     * replay-exactness spec calls it twice with the same id). */
   def curateBatch(batch: DataFrame, batchId: Long, fpRoot: String,
       gramRoot: String, outRoot: String, minWords: Int, minTokens: Int,
       minKeepTokens: Int, idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text", indexBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    val gated = batch.filter(
-      graft.ext.TextOps.gopherKeep(col(textCol), minWords = minWords))
-    // within-batch exact dedup: the deterministic min-id winner
-    val winners = graft.ext.Dedup.exactGroups(gated, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val batchKept = gated.join(winners, Seq(idCol), "left_semi")
-      .withColumn("__fp", graft.ext.TextOps.fingerprint(col(textCol)))
-    // cross-batch exact dedup from saved state (provenance-gated)
-    val fpIndex = readIndex(spark, fpRoot)
-    val deduped = batchKept.join(
-        fpIndex.filter(col("first_batch_id") < batchId)
-          .select(col("g").as("__fp")),
-        Seq("__fp"), "left_anti")
+    val sd = graft.ext.SuffixDedup
+    def index(root: String): DataFrame =
+      if (indexBuckets > 0) sd.savedGramIndexBucketed(spark, root,
+        indexBuckets)
+      else readIndex(spark, root)
+    // gate → within-batch dedup → cross-batch anti-probe of the saved
+    // fingerprint index (in place when bucketed)
+    val deduped = curateDedupStage(batch, index(fpRoot), batchId,
+        minWords, idCol, textCol)
       .localCheckpoint() // feeds spans, the output, and both index folds
     // exact-substring hygiene vs accumulated corpus ∪ batch
-    val applied = graft.ext.SuffixDedup.duplicatedSpansIncrementalApply(
+    val applied = sd.duplicatedSpansIncrementalApply(
       deduped.select(col(idCol), col(textCol)),
-      readIndex(spark, gramRoot), idCol, textCol, minTokens, batchId)
+      index(gramRoot), idCol, textCol, minTokens, batchId)
     writeBatchPartition(
       applied.filter(col("n_tokens") - col("n_removed") >= minKeepTokens),
       batchId, outRoot)
     // fold the batch into both saved indexes (first-appearance ids;
-    // anti-join append — replay-idempotent)
-    appendNewKeys(fpRoot, deduped.select(col("__fp").as("g")), batchId)
-    graft.ext.SuffixDedup.updateSavedGramIndex(gramRoot,
-      deduped.select(col(idCol), col(textCol)), textCol, minTokens, batchId)
+    // anti-join append — replay-idempotent; bucketed appends land
+    // through the catalog so the layout and the zero-Exchange probe
+    // plan survive)
+    if (indexBuckets > 0) {
+      sd.updateSavedKeyIndexBucketed(fpRoot,
+        deduped.select(col("__fp").as("g")), batchId, indexBuckets)
+      sd.updateSavedGramIndexBucketed(gramRoot,
+        deduped.select(col(idCol), col(textCol)), textCol, minTokens,
+        batchId, indexBuckets)
+    } else {
+      appendNewKeys(fpRoot, deduped.select(col("__fp").as("g")), batchId)
+      sd.updateSavedGramIndex(gramRoot,
+        deduped.select(col(idCol), col(textCol)), textCol, minTokens,
+        batchId)
+    }
   }
 
   /** Idempotent per-batch output write: the batch's rows land under
@@ -318,11 +361,17 @@ object CorpusStreams {
     * User-visible contract (spec-pinned): a re-ingested copy of a
     * DELETED doc's text is admitted again (its fingerprint and grams
     * are no longer "seen"), while a copy of a SURVIVOR's text still
-    * dedups away. */
+    * dedups away.
+    *
+    * `fpBuckets`/`gramBuckets` must match the layout the composite
+    * wrote (both default to the [[curateStream]] bucketed default;
+    * pass 0 for legacy path-parquet state) — a mismatch fails loudly
+    * via the pinned bucket-count marker, never silently
+    * half-erases. */
   def propagateDocDelete(deleted: DataFrame, fpRoot: String,
       gramRoot: String, minTokens: Int,
       survivors: Option[DataFrame] = None, textCol: String = "text",
-      gramBuckets: Int = 0): Unit = {
+      gramBuckets: Int = 16, fpBuckets: Int = 16): Unit = {
     val spark = deleted.sparkSession
     val sd = graft.ext.SuffixDedup
     def fps(df: DataFrame) =
@@ -330,7 +379,7 @@ object CorpusStreams {
     def grams(df: DataFrame) =
       sd.gramIndex(df, textCol, minTokens).select("g")
     sd.deleteKeysFromSavedIndex(spark, fpRoot, fps(deleted),
-      survivors.map(fps))
+      survivors.map(fps), fpBuckets)
     sd.deleteKeysFromSavedIndex(spark, gramRoot, grams(deleted),
       survivors.map(grams), gramBuckets)
   }

@@ -299,8 +299,12 @@ class EmptyInputSpec extends SparkSpec {
     graft.streaming.CorpusStreams.curateBatch(docs, 0L,
       tmp + "/fp", tmp + "/grams", tmp + "/out",
       minWords = 10, minTokens = 5, minKeepTokens = 5)
-    assert(!new java.io.File(tmp + "/fp").exists() ||
-      spark.read.parquet(tmp + "/fp").isEmpty)
+    // bucketed-by-default: the table exists (declared schema, so the
+    // empty scan is legal) but holds no keys
+    assert(graft.ext.SuffixDedup
+      .savedGramIndexBucketed(spark, tmp + "/fp").isEmpty)
+    assert(graft.ext.SuffixDedup
+      .savedGramIndexBucketed(spark, tmp + "/grams").isEmpty)
   }
 
   test("round-16 ops on empty inputs") {
@@ -335,7 +339,7 @@ class EmptyInputSpec extends SparkSpec {
     // index completes without crash and lands no data files (a later
     // non-empty batch establishes the readable root, as in streaming)
     graft.streaming.CorpusStreams.benchScreenBatch(docs, 0L,
-      tmp + "/idx", tmp + "/out", minTokens = 5)
+      tmp + "/idx", tmp + "/out", minTokens = 5, indexBuckets = 0)
     val outF = new java.io.File(tmp + "/out")
     assert(!outF.exists() || !outF.listFiles().exists(f =>
       f.isDirectory || f.getName.endsWith(".parquet")),

@@ -200,6 +200,93 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("curation composite over BUCKETED saved state: zero Exchange on the index side of BOTH probes") {
+    // r16 VERDICT #1: curateBatch's fingerprint anti-probe and its
+    // gram-index probe must scan the accumulated state IN PLACE. The
+    // stages are pinned pre-localCheckpoint (the checkpoint barrier
+    // hides the dedup stage's plan from the final frame); broadcast
+    // is disabled as in the screen pin above — production indexes
+    // can't broadcast, the bucketed-SMJ shape is the one that must
+    // hold.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    def pinIndexSide(frame: org.apache.spark.sql.DataFrame,
+        tbl: String, what: String): Unit = {
+      val all = flatten(frame.queryExecution.executedPlan)
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == tbl)
+        case _ => false
+      }
+      // the probe side is Project/Filter directly over the index scan:
+      // demand the INNERMOST such join (no other join beneath its
+      // right side), not an outer join transitively containing it
+      def isProbe(right: SparkPlan): Boolean = {
+        val sub = flatten(right)
+        sub.exists(isIndexScan) &&
+          !sub.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      }
+      val side: Option[SparkPlan] = all.collectFirst {
+        case j: SortMergeJoinExec if isProbe(j.right) => j.right
+        case j: ShuffledHashJoinExec if isProbe(j.right) => j.right
+      }
+      assert(side.isDefined,
+        s"$what: no shuffle-family join over the index table in:\n$frame")
+      val sub = flatten(side.get)
+      assert(!sub.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"$what: the index side of the probe must not shuffle:\n${side.get}")
+      val scan = sub.collectFirst {
+        case f: FileSourceScanExec if isIndexScan(f) => f }
+      assert(scan.get.toString.contains("Bucketed: true"),
+        s"$what: index scan must be bucketed:\n${scan.get}")
+    }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-curate-bkt-pin").toString
+    val (fpRoot, gramRoot) = (tmp + "/fp", tmp + "/grams")
+    val fpTbl = graft.ext.SuffixDedup.gramIndexTableName(fpRoot)
+    val gramTbl = graft.ext.SuffixDedup.gramIndexTableName(gramRoot)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val seen = Seq((1L, "the quick brown fox jumps over and lazy dogs sleep here today"))
+        .toDF("doc_id", "text")
+      graft.ext.SuffixDedup.updateSavedKeyIndexBucketed(fpRoot,
+        seen.select(graft.ext.TextOps.fingerprint(col("text")).as("g")),
+        batchId = 0L, buckets = 4)
+      graft.ext.SuffixDedup.updateSavedGramIndexBucketed(gramRoot, seen,
+        "text", 5, batchId = 0L, buckets = 4)
+      val batch = Seq(
+        (10L, "the quick brown fox jumps over and lazy dogs sleep here today"),
+        (11L, "an entirely different body of plain text with its own words inside"))
+        .toDF("doc_id", "text")
+      val fpIdx = graft.ext.SuffixDedup.savedGramIndexBucketed(spark, fpRoot, 4)
+      val deduped = graft.streaming.CorpusStreams.curateDedupStage(
+        batch, fpIdx, batchId = 1L, minWords = 10, idCol = "doc_id",
+        textCol = "text")
+      pinIndexSide(deduped, fpTbl, "fingerprint anti-probe")
+      val gramIdx = graft.ext.SuffixDedup.savedGramIndexBucketed(spark, gramRoot, 4)
+      val applied = graft.ext.SuffixDedup.duplicatedSpansIncrementalApply(
+        deduped.select(col("doc_id"), col("text")), gramIdx,
+        "doc_id", "text", minTokens = 5, batchId = 1L)
+      pinIndexSide(applied, gramTbl, "gram-index probe")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql(s"DROP TABLE IF EXISTS $fpTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $gramTbl")
+    }
+  }
+
   test("curate_corpus_ingest: keep-set and index probe are semi joins, no cartesian") {
     val plan = executed(Queries.all("curate_corpus_ingest")(spark, sf))
     assert("LeftSemi".r.findAllIn(plan).size >= 2,

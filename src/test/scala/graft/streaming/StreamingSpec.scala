@@ -666,9 +666,11 @@ class StreamingSpec extends SparkSpec {
       (9001L, "wholly separate eval item protected words entirely"))
       .toDF("doc_id", "text")
     // the eval suite is frozen: its gram index is built ONCE, before
-    // the stream starts — batches never fold back into it
-    graft.ext.SuffixDedup.updateSavedGramIndex(idxRoot, bench, "text", 5,
-      batchId = 0L)
+    // the stream starts — batches never fold back into it. Built in
+    // the default BUCKETED form (r16 VERDICT #5): the stream below
+    // runs with its bucketed-by-default posture
+    graft.ext.SuffixDedup.updateSavedGramIndexBucketed(idxRoot, bench,
+      "text", 5, batchId = 0L)
     val batch1 = Seq(
       (1L, s"train doc leaking $p mid body"),
       (2L, "clean train doc nothing shared with any suite"))
@@ -708,20 +710,23 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.CorpusStreams.benchScreenBatch(
       batch2.toDF("doc_id", "text"), 1L, idxRoot, outRoot, minTokens = 5)
     assert(readOut() == got, "replay must be exact")
-    // the BUCKETED frozen-index form screens identically
-    val bktRoot = tmp + "/benchidx_bkt"
-    try {
-      graft.ext.SuffixDedup.updateSavedGramIndexBucketed(bktRoot, bench,
-        "text", 5, batchId = 0L, buckets = 4)
-      val viaBkt = graft.ext.Decontam.contaminatedSpansFromIndex(
-          batch1.toDF("doc_id", "text"),
-          graft.ext.SuffixDedup.savedGramIndexBucketed(spark, bktRoot, 4),
-          "doc_id", "text", 5)
-        .select(lit(0L), col("doc_id"), col("span_start"),
-          col("span_end"), col("span_tokens"))
-        .as[(Long, Long, Int, Int, Int)].collect().toSet
-      assert(viaBkt == suffixOf(batch1, 0L), s"bucketed form diverged: $viaBkt")
-    } finally spark.sql(s"DROP TABLE IF EXISTS " +
-      graft.ext.SuffixDedup.gramIndexTableName(bktRoot))
+    // the legacy PATH-parquet form (indexBuckets = 0) screens
+    // identically — and the bucketed reader REFUSES a path-form root
+    // instead of silently missing every probe
+    val pathRoot = tmp + "/benchidx_path"
+    graft.ext.SuffixDedup.updateSavedGramIndex(pathRoot, bench, "text", 5,
+      batchId = 0L)
+    graft.streaming.CorpusStreams.benchScreenBatch(
+      batch1.toDF("doc_id", "text"), 0L, pathRoot, tmp + "/out_path",
+      minTokens = 5, indexBuckets = 0)
+    val viaPath = spark.read.parquet(tmp + "/out_path")
+      .select(col("batch_id").cast("long"), col("doc_id"),
+        col("span_start"), col("span_end"), col("span_tokens"))
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(viaPath == suffixOf(batch1, 0L), s"path form diverged: $viaPath")
+    val refuse = intercept[IllegalArgumentException] {
+      graft.ext.SuffixDedup.savedGramIndexBucketed(spark, pathRoot, 4)
+    }
+    assert(refuse.getMessage.contains("path-form"), refuse.getMessage)
   }
 }
