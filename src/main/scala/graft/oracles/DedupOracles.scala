@@ -94,6 +94,20 @@ private[graft] object DedupOracles {
          |$spanIslandCtes
          |$spanSelectSql""".stripMargin,
 
+    // The BUCKETED saved-index form must agree with the in-memory
+    // form bit-for-bit: same restricted-coverage replay (the bucket
+    // layout is an execution detail the oracle can't see — any
+    // missed probe from a layout/modulo bug hash-fails here).
+    "dedup_substring_incremental_bucketed" ->
+      s"""WITH $substrOccCtes,
+         |k AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY g) AS cnt
+         |      FROM occ),
+         |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
+         |      WHERE cnt > 1 AND doc_id % 10 = 7),
+         |$spanIslandCtes
+         |$spanSelectSql""".stripMargin,
+
     // The incremental apply: the same restricted coverage spans fed to
     // the shared span-removal replay over the batch spine only.
     "dedup_substring_incremental_apply" ->

@@ -426,6 +426,29 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", minTokens = 5, batchId = 1L)
   }
 
+  /** [[dedupSubstringIncremental]] over the saved BUCKETED index —
+    * the production posture, oracle-gated end-to-end (r16 VERDICT
+    * #2): the corpus gram index is BUILT as a bucketed external
+    * table under a fresh root ([[graft.ext.SuffixDedup
+    * .updateSavedGramIndexBucketed]] — the fold the ingest stream
+    * pays per batch), then the batch probes it through the catalog
+    * scan ([[graft.ext.SuffixDedup.savedGramIndexBucketed]], the
+    * zero-Exchange-on-the-index-side plan PlanShapeSpec pins) and
+    * must hash-match the SAME full-corpus coverage oracle as the
+    * in-memory form. */
+  val dedupSubstringIncrementalBucketed: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bkt_incr").toString + "/index"
+    graft.ext.SuffixDedup.updateSavedGramIndexBucketed(root, corpus,
+      "text", minTokens = 5, batchId = 0L)
+    graft.ext.SuffixDedup.duplicatedSpansIncremental(batch,
+      graft.ext.SuffixDedup.savedGramIndexBucketed(s, root),
+      "doc_id", "text", minTokens = 5, batchId = 1L)
+  }
+
   /** [[dedupSubstringIncremental]]'s apply step: the arriving batch's
     * verbatim-duplicated tokens (vs corpus ∪ batch) drop and the batch
     * docs reassemble — what the streaming curation composite actually
@@ -503,6 +526,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_substring_exact_apply" -> dedupSubstringExactApply,
     "dedup_longest_match" -> dedupLongestMatch,
     "dedup_substring_incremental" -> dedupSubstringIncremental,
+    "dedup_substring_incremental_bucketed" -> dedupSubstringIncrementalBucketed,
     "dedup_substring_incremental_apply" -> dedupSubstringIncrementalApply,
     "report_dup_coverage" -> reportDupCoverage,
     "report_doc_novelty" -> reportDocNovelty,

@@ -39,6 +39,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "dedup_substring", "dedup_substring_apply", "quality_lm_indexed",
     "dedup_substring_exact", "dedup_substring_exact_apply", "dedup_longest_match",
     "dedup_substring_incremental", "dedup_substring_incremental_apply",
+    "dedup_substring_incremental_bucketed",
     "report_dup_coverage", "quality_entropy",
     "report_corpus", "decontam_spans", "decontam_spans_clean",
     "decontam_substring_exact", "decontam_longest_bench", "report_bench_contamination",
