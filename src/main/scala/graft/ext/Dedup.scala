@@ -716,6 +716,168 @@ object Dedup {
           .otherwise(lit(0.0)).as("novelty"))
   }
 
+  // --------------------- incremental novelty: saved (g, doc_count) state
+
+  /** The corpus's per-gram DOC-FREQUENCY contributions: (g, doc_count)
+    * over distinct (doc, `n`-gram) pairs — the saved-state unit of the
+    * incremental [[gramNovelty]] (r16 VERDICT #3). Unlike the
+    * set-membership gram index, this is a COUNTED fold: totals add
+    * across batches, which is what makes both the one-probe batch
+    * novelty and the exact per-key erasure decrement possible. */
+  def gramDfIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.select(col(idCol).as("doc"),
+        explode(slidingGrams(col(textCol), n)).as("g"))
+      .distinct()
+      .groupBy("g").agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** Per-doc novelty of an arriving BATCH against the accumulated
+    * corpus, answered from the saved doc-frequency state instead of a
+    * full-corpus recompute (r16 VERDICT #3 — [[gramNovelty]] rescans
+    * everything per run; at continuous-ingestion scale the natural
+    * form folds a (g, doc_count) index per batch and probes it once).
+    *
+    * EQUALITY THEOREM (spec-pinned and the oracle's formulation):
+    * output ≡ [[gramNovelty]](corpus ∪ batch) restricted to batch
+    * docs — a batch doc's gram is unique in corpus ∪ batch iff its
+    * batch-internal distinct-doc count plus the corpus doc-frequency
+    * equals 1, and the per-gram doc-frequency over a disjoint union
+    * is exactly that sum.
+    *
+    * `dfIndex` rows are (g, doc_count, batch_id) signed PARTIALS
+    * ([[updateSavedDfIndex]] / [[deleteDocsFromSavedDfIndex]]); the
+    * probe sums partials with `batch_id < batchId` per gram — fold
+    * provenance gating makes a replayed batch see exactly the
+    * pre-batch corpus (its own fold is invisible), while erasure
+    * partials (negative ids) stay visible to every probe. Scale
+    * shape: the corpus is never rescanned — per batch the work is
+    * the batch's own grams plus ONE equality join against the index
+    * (in place when the index is the bucketed table form). */
+  def gramNoveltyIncremental(batch: DataFrame, dfIndex: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      batchId: Long = Long.MaxValue): DataFrame = {
+    require(n > 0, "n must be positive")
+    val og = batch.select(col(idCol).as("doc"),
+        explode(slidingGrams(col(textCol), n)).as("g"))
+      .distinct()
+    val saved = dfIndex.filter(col("batch_id") < batchId)
+      .groupBy("g").agg(sum(col("doc_count")).as("__sc"))
+    val tot = og.groupBy("g").agg(count(lit(1)).as("__bc"))
+      .join(saved, Seq("g"), "left_outer")
+      .select(col("g"),
+        (col("__bc") + coalesce(col("__sc"), lit(0L))).as("__nd"))
+    val per = og.join(tot, Seq("g"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__nd") === 1, 1L).otherwise(0L)).as("__nu"))
+    batch.select(col(idCol).as("doc"))
+      .join(per, Seq("doc"), "left_outer")
+      .select(col("doc").as(idCol),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__nu"), lit(0L)).as("n_unique_grams"),
+        when(coalesce(col("__ng"), lit(0L)) > 0,
+          round(col("__nu") * 10000.0 / col("__ng")) / 1e4)
+          .otherwise(lit(0.0)).as("novelty"))
+  }
+
+  /** Deterministic session-catalog name for the bucketed df index at
+    * `root` (the [[SuffixDedup.gramIndexTableName]] discipline). */
+  def dfIndexTableName(root: String): String =
+    "graft_df_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** The saved df index as a BUCKETED external table — CLUSTERED BY
+    * (g), so the per-batch probe's per-gram partial-sum and the join
+    * against the batch's grams scan the accumulated state IN PLACE
+    * (zero Exchange on the index side), and the per-batch fold and
+    * erasure appends land through the catalog keeping that plan. The
+    * state is append-only in BOTH directions (folds append positive
+    * partials, erasures negative ones), so unlike the key indexes no
+    * file ever rewrites. Bucket count pinned at the root
+    * ([[SuffixDedup.savedGramIndexBucketed]] semantics). */
+  def savedDfIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): DataFrame =
+    SuffixDedup.ensureBucketedTable(spark, root, dfIndexTableName(root),
+      "g STRING, doc_count BIGINT, batch_id BIGINT", buckets)
+
+  /** The saved df index in path-parquet form (empty-schema frame when
+    * the root does not exist yet — the legacy `buckets = 0` knob). */
+  def savedDfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) spark.read.parquet(root)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("doc_count",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  private def readDfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int): DataFrame =
+    if (buckets > 0) savedDfIndexBucketed(spark, root, buckets)
+    else savedDfIndex(spark, root)
+
+  /** Fold one micro-batch's doc-frequency contributions into the
+    * saved df index at `root`. Counted folds are NOT idempotent under
+    * at-least-once delivery (unlike the key indexes' anti-join
+    * appends), so the batch's own `batchId` stamp doubles as the
+    * replay marker: a batch whose id is already present in the state
+    * appends nothing. `batchId` must be ≥ 0 (negative ids are the
+    * erasure stamp space) and each doc must be folded exactly once
+    * across all batches — the caller's dedup stage upstream
+    * guarantees it in the curation posture. */
+  def updateSavedDfIndex(root: String, batch: DataFrame, idCol: String,
+      textCol: String, n: Int, batchId: Long, buckets: Int = 16): Unit = {
+    require(batchId >= 0, "fold batch ids must be >= 0")
+    val spark = batch.sparkSession
+    val idx = readDfIndex(spark, root, buckets)
+    if (!idx.filter(col("batch_id") === batchId).isEmpty) return
+    val partial = gramDfIndex(batch, idCol, textCol, n)
+      .withColumn("batch_id", lit(batchId))
+      .select("g", "doc_count", "batch_id") // insertInto is positional
+    if (buckets > 0)
+      partial.write.mode("append").insertInto(dfIndexTableName(root))
+    else partial.write.mode("append").parquet(root)
+  }
+
+  /** Right-to-erasure for the saved df index (r16 VERDICT #4): a
+    * deleted doc's gram contributions DECREMENT the saved counts —
+    * the exact per-key delete the set-membership indexes can't do
+    * without a survivor scan, possible here precisely because the
+    * state keeps per-key counts. Appends the deleted docs' (g,
+    * −doc_count) partials under a unique NEGATIVE stamp
+    * (−1 − `eraseId`): per-gram totals become exactly what a
+    * from-scratch fold over the survivors would produce (the
+    * survivor-equality spec), negative stamps sort below every fold
+    * gate so every probe sees the erasure immediately, and a
+    * re-delivered erasure with the same `eraseId` appends nothing
+    * (counted decrements are as non-idempotent as counted folds —
+    * the stamp is the marker). Precondition, as for every erasure
+    * path: the deleted docs were actually folded, exactly once. */
+  def deleteDocsFromSavedDfIndex(root: String, deleted: DataFrame,
+      idCol: String, textCol: String, n: Int, eraseId: Long,
+      buckets: Int = 16): Unit = {
+    require(eraseId >= 0, "eraseId must be >= 0")
+    val stamp = -1L - eraseId
+    val spark = deleted.sparkSession
+    val idx = readDfIndex(spark, root, buckets)
+    if (!idx.filter(col("batch_id") === stamp).isEmpty) return
+    val partial = gramDfIndex(deleted, idCol, textCol, n)
+      .select(col("g"), (-col("doc_count")).as("doc_count"),
+        lit(stamp).as("batch_id"))
+    if (buckets > 0)
+      partial.write.mode("append").insertInto(dfIndexTableName(root))
+    else partial.write.mode("append").parquet(root)
+  }
+
   /** Sliding L-token gram array (windows at every offset, space-joined)
     * — via L zipped slices, NOT transform(sequence(...)) (projection
     * collapse re-tokenizes per element; see TextOps.topGramShare).

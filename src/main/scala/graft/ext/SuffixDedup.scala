@@ -633,16 +633,26 @@ object SuffixDedup {
     * Schema and provenance semantics are identical to [[gramIndex]]:
     * (g, first_batch_id). */
   def savedGramIndexBucketed(spark: org.apache.spark.sql.SparkSession,
-      root: String, buckets: Int = 16): DataFrame = {
+      root: String, buckets: Int = 16): DataFrame =
+    ensureBucketedTable(spark, root, gramIndexTableName(root),
+      "g STRING, first_batch_id BIGINT", buckets)
+
+  /** Shared machinery for every saved state stored as a
+    * g-CLUSTERED bucketed external table (the gram/fingerprint key
+    * indexes, [[Dedup.savedDfIndexBucketed]]): registers the table on
+    * first touch, validates the pinned bucket count against the root's
+    * files, and fails loudly on any same-session spec mismatch. */
+  private[ext] def ensureBucketedTable(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      tbl: String, columnsDdl: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val tbl = gramIndexTableName(root)
     if (!spark.catalog.tableExists(tbl)) {
       validateOrPinBuckets(spark, root, buckets)
       // escape the path for the string literal: a quote or backslash
       // in the root must not break (or worse, redirect) the DDL
       val loc = root.replace("\\", "\\\\").replace("'", "\\'")
       spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS $tbl (g STRING, first_batch_id BIGINT)
+        s"""CREATE TABLE IF NOT EXISTS $tbl ($columnsDdl)
            |USING PARQUET
            |CLUSTERED BY (g) SORTED BY (g) INTO $buckets BUCKETS
            |LOCATION '$loc'""".stripMargin)

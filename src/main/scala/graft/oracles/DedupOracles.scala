@@ -190,6 +190,27 @@ private[graft] object DedupOracles {
          |            ELSE 0 END AS novelty
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // The incremental form ≡ the FULL-corpus doc-frequency replay
+    // restricted to the batch slice — the engine answers from the
+    // saved (g, doc_count) state with one probe, the replay never
+    // splits corpus from batch at all (the equality theorem on
+    // Dedup.gramNoveltyIncremental).
+    "report_doc_novelty_incremental" ->
+      s"""WITH $substrOccCtes,
+         |og AS (SELECT DISTINCT doc_id, g FROM occ),
+         |dfreq AS (SELECT g, count(*) AS nd FROM og GROUP BY g),
+         |per AS (SELECT doc_id, count(*) AS ng,
+         |          sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS nu
+         |        FROM og JOIN dfreq USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ng, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(nu, 0) AS BIGINT) AS n_unique_grams,
+         |       CASE WHEN coalesce(ng, 0) > 0
+         |            THEN round(nu * 10000.0 / ng) / 10000
+         |            ELSE 0 END AS novelty
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |WHERE d.doc_id % 10 = 7""".stripMargin,
+
     // Mirrors Decontam.contaminatedSpans (GPT-3 appendix-C span
     // removal) over the decontam_overlap bench/train split — see
     // OracleCtes.decontamSpanCtes.

@@ -490,6 +490,28 @@ trait DedupQueries extends QueriesBase {
   val reportDocNovelty: Q = (s, dir) =>
     Dedup.gramNovelty(Tables.documents(s, dir), "doc_id", "text", n = 5)
 
+  /** INCREMENTAL doc novelty from SAVED state (r16 VERDICT #3): docs
+    * `% 10 == 7` play the arriving micro-batch; the rest of the
+    * corpus's per-gram doc frequencies live in a saved BUCKETED
+    * (g, doc_count, batch_id) index built under a fresh root — the
+    * fold the novelty stream pays per batch — and the batch's novelty
+    * comes from ONE probe of it, never a corpus rescan. Hash-checked
+    * against the full-corpus doc-frequency replay restricted to the
+    * batch (the equality theorem on
+    * [[graft.ext.Dedup.gramNoveltyIncremental]]). */
+  val reportDocNoveltyIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_df_incr").toString + "/dfidx"
+    Dedup.updateSavedDfIndex(root, corpus, "doc_id", "text", n = 5,
+      batchId = 0L)
+    Dedup.gramNoveltyIncremental(batch,
+      Dedup.savedDfIndexBucketed(s, root), "doc_id", "text", n = 5,
+      batchId = 1L)
+  }
+
   val aggDistinct: Q = (s, dir) =>
     Dedup.distinctPerGroup(Tables.events(s, dir), "event_type", "user_id")
 
@@ -530,6 +552,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_substring_incremental_apply" -> dedupSubstringIncrementalApply,
     "report_dup_coverage" -> reportDupCoverage,
     "report_doc_novelty" -> reportDocNovelty,
+    "report_doc_novelty_incremental" -> reportDocNoveltyIncremental,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "split_leakage" -> splitLeakage,

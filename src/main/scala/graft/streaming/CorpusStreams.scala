@@ -323,6 +323,48 @@ object CorpusStreams {
     }
   }
 
+  /** Streaming per-doc GRAM NOVELTY (r16 VERDICT #3): each arriving
+    * micro-batch's docs report the share of their distinct `n`-grams
+    * unique across EVERYTHING ingested so far ∪ the batch — answered
+    * from the saved (g, doc_count) state
+    * ([[graft.ext.Dedup.updateSavedDfIndex]]) with ONE probe join,
+    * never a corpus rescan — then the batch's own contributions fold
+    * in. Per batch ≡ [[graft.ext.Dedup.gramNovelty]](everything so
+    * far ∪ batch) restricted to the batch (the equality theorem on
+    * [[graft.ext.Dedup.gramNoveltyIncremental]], spec-pinned).
+    * Replay-exact: the probe gates `batch_id < batchId` (a replayed
+    * batch never counts its own fold), the counted fold skips a
+    * batch id already present, and the output partition overwrites
+    * idempotently. NOTE an erasure between a batch and its replay
+    * changes the replayed output by design — erasure rewrites
+    * history. [[docNoveltyBatch]] is the testable per-batch body. */
+  def docNoveltyStream(docs: DataFrame, dfRoot: String, outRoot: String,
+      n: Int = 5, idCol: String = "doc_id", textCol: String = "text",
+      indexBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        docNoveltyBatch(batch.toDF(), batchId, dfRoot, outRoot, n,
+          idCol, textCol, indexBuckets)
+    }
+
+  /** One [[docNoveltyStream]] micro-batch, exposed for direct testing. */
+  def docNoveltyBatch(batch: DataFrame, batchId: Long, dfRoot: String,
+      outRoot: String, n: Int, idCol: String = "doc_id",
+      textCol: String = "text", indexBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val idx =
+      if (indexBuckets > 0)
+        graft.ext.Dedup.savedDfIndexBucketed(spark, dfRoot, indexBuckets)
+      else graft.ext.Dedup.savedDfIndex(spark, dfRoot)
+    writeBatchPartition(
+      graft.ext.Dedup.gramNoveltyIncremental(batch, idx, idCol, textCol,
+        n, batchId),
+      batchId, outRoot)
+    graft.ext.Dedup.updateSavedDfIndex(dfRoot, batch, idCol, textCol, n,
+      batchId, indexBuckets)
+  }
+
   /** Idempotent per-batch output write: the batch's rows land under
     * `outRoot/batch_id=<id>` with dynamic partition overwrite scoped
     * to THIS WRITE via the DataFrameWriter option — never by toggling
@@ -366,12 +408,17 @@ object CorpusStreams {
     * `fpBuckets`/`gramBuckets` must match the layout the composite
     * wrote (both default to the [[curateStream]] bucketed default;
     * pass 0 for legacy path-parquet state) — a mismatch fails loudly
-    * via the pinned bucket-count marker, never silently
-    * half-erases. */
+    * via the pinned bucket-count marker, never silently half-erases.
+    * When a [[docNoveltyStream]] df index is maintained, pass its
+    * root as `dfRoot`: the deleted docs' gram contributions DECREMENT
+    * the counted state exactly (no survivor scan needed — r16 VERDICT
+    * #4), stamped idempotent under `dfEraseId`. */
   def propagateDocDelete(deleted: DataFrame, fpRoot: String,
       gramRoot: String, minTokens: Int,
       survivors: Option[DataFrame] = None, textCol: String = "text",
-      gramBuckets: Int = 16, fpBuckets: Int = 16): Unit = {
+      gramBuckets: Int = 16, fpBuckets: Int = 16,
+      dfRoot: Option[String] = None, dfN: Int = 5, dfEraseId: Long = 0,
+      dfBuckets: Int = 16, idCol: String = "doc_id"): Unit = {
     val spark = deleted.sparkSession
     val sd = graft.ext.SuffixDedup
     def fps(df: DataFrame) =
@@ -382,6 +429,14 @@ object CorpusStreams {
       survivors.map(fps), fpBuckets)
     sd.deleteKeysFromSavedIndex(spark, gramRoot, grams(deleted),
       survivors.map(grams), gramBuckets)
+    // the novelty/df state (when maintained) decrements EXACTLY —
+    // counted folds keep per-key residue, so no survivor scan is
+    // needed for the exact form (r16 VERDICT #4); dfEraseId is the
+    // idempotence stamp for this erasure
+    dfRoot.foreach { root =>
+      graft.ext.Dedup.deleteDocsFromSavedDfIndex(root, deleted, idCol,
+        textCol, dfN, dfEraseId, dfBuckets)
+    }
   }
 
   /** Saved (g, first_batch_id) key index read — empty-schema frame

@@ -229,6 +229,45 @@ class StreamingSpec extends SparkSpec {
     assert(idx.filter(col("first_batch_id") === 1L).count() > 0)
   }
 
+  test("streaming doc novelty: per-batch output from saved df state ≡ full recompute over everything so far") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_novelty_stream").toString
+    val (dfRoot, outRoot) = (tmp + "/dfidx", tmp + "/out")
+    val p = "alpha beta gamma delta epsilon zeta"
+    val batch1 = Seq(
+      (1L, s"the quick brown fox jumps $p over lazy dogs"),
+      (2L, "an entirely different body of plain text with its own words"))
+    val batch2 = Seq(
+      (10L, s"later arrival copies $p verbatim plus fresh trailing words"),
+      (11L, "wholly new content sharing nothing with anything else"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams.docNoveltyStream(
+      input.toDF().toDF("doc_id", "text"), dfRoot, outRoot, n = 5).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    try {
+      def outOf(id: Long) = spark.read.parquet(outRoot)
+        .filter(col("batch_id") === id)
+        .select(col("doc_id"), col("n_grams"), col("n_unique_grams"),
+          col("novelty"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      def fullOf(rows: Seq[(Long, String)], minId: Long) =
+        graft.ext.Dedup.gramNovelty(rows.toDF("doc_id", "text"),
+            "doc_id", "text", n = 5)
+          .filter(col("doc_id") >= minId)
+          .as[(Long, Long, Long, Double)].collect().toSet
+      assert(outOf(0L) == fullOf(batch1, 0L))
+      assert(outOf(1L) == fullOf(batch1 ++ batch2, 10L))
+      // the re-used passage is non-novel in batch 2 even though its
+      // first holder arrived a batch earlier
+      assert(outOf(1L).exists(r => r._1 == 10L && r._3 < r._2))
+    } finally spark.sql(s"DROP TABLE IF EXISTS " +
+      graft.ext.Dedup.dfIndexTableName(dfRoot))
+  }
+
   test("streaming curation composite: gate → exact dedup → substring hygiene from saved state; replay-exact") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files
