@@ -491,21 +491,13 @@ trait TextQueries extends QueriesBase {
     * integer sums. */
   val reportTokenizerCompare: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    // ONE corpus scan builds the shared word-frequency frame; its
-    // driver copy (the [[graft.ext.Bpe.trainMerges]] vocab bound)
-    // feeds all three in-memory trainers, and the materialized frame
-    // feeds all three apply passes — vs training each tokenizer
-    // standalone, which would re-scan the corpus per trainer AND per
-    // apply (7 scans instead of 2: this frame + the occurrence join).
-    // localCheckpoint, not persist: the builder returns a LAZY frame,
-    // so there is no safe point to unpersist inside it — checkpoint
-    // blocks are GC-reclaimed by the ContextCleaner once the result
-    // is unreferenced, where CacheManager-pinned persist() blocks
-    // accumulate for the life of the session (r13 ADVICE #4).
-    val wf = graft.ext.Bpe.wordFreq(docs, "text").localCheckpoint()
-    val vocabSeq = wf.orderBy(col("freq").desc, col("word").asc)
-      .limit(4 << 20).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ONE corpus scan builds the shared maxVocab-bounded training
+    // frame (graft.ext.Bpe.trainingVocab): the driver copy feeds all
+    // three in-memory trainers, the materialized frame all three
+    // apply passes — vs training each tokenizer standalone, which
+    // would re-scan the corpus per trainer AND per apply (7 scans
+    // instead of 2: this frame + the occurrence join).
+    val (wf, vocabSeq) = graft.ext.Bpe.trainingVocab(docs, "text")
     val merges = graft.ext.Bpe.trainMergesLocal(vocabSeq, nMerges = 8)
       .map(m => (m._2, m._3))
     val bpeSeg = graft.ext.Bpe.segmentWords(wf, merges).toDF()

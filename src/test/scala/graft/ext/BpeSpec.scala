@@ -111,4 +111,22 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("trainingVocab: the driver copy is bounded by maxVocab and keeps the most frequent words (freq desc, word asc)") {
+    val corpus = Seq(
+      "bb bb bb cc cc aa aa dd ee",
+      "bb cc aa ff").toDF("text")
+    val (_, top3) = Bpe.trainingVocab(corpus, "text", maxVocab = 3)
+    // bb:4, aa:3, cc:3 — the aa/cc tie breaks by word asc
+    assert(top3 == Seq(("bb", 4L), ("aa", 3L), ("cc", 3L)),
+      s"bounded vocab: $top3")
+    // the default bound is a truncation guard, not a sample: under it,
+    // the copy is the whole vocabulary
+    val (wf, all) = Bpe.trainingVocab(corpus, "text")
+    assert(all.size == 6 && wf.count() == 6L)
+    val bad = intercept[IllegalArgumentException] {
+      Bpe.trainingVocab(corpus, "text", maxVocab = 0)
+    }
+    assert(bad.getMessage.contains("maxVocab"))
+  }
 }
