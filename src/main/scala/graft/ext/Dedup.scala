@@ -798,14 +798,20 @@ object Dedup {
     * file ever rewrites. Bucket count pinned at the root
     * ([[SuffixDedup.savedGramIndexBucketed]] semantics). */
   def savedDfIndexBucketed(spark: org.apache.spark.sql.SparkSession,
-      root: String, buckets: Int = 16): DataFrame =
+      root: String, buckets: Int = 16): DataFrame = {
+    // heal a crash between compactSavedDfIndex's renames: a root
+    // missing while .swap_old holds the state must restore, never
+    // read as a zero-count corpus
+    SuffixDedup.recoverSavedIndex(spark, root)
     SuffixDedup.ensureBucketedTable(spark, root, dfIndexTableName(root),
       "g STRING, doc_count BIGINT, batch_id BIGINT", buckets)
+  }
 
   /** The saved df index in path-parquet form (empty-schema frame when
     * the root does not exist yet — the legacy `buckets = 0` knob). */
   def savedDfIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): DataFrame = {
+    SuffixDedup.recoverSavedIndex(spark, root)
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path)) spark.read.parquet(root)
@@ -876,6 +882,62 @@ object Dedup {
     if (buckets > 0)
       partial.write.mode("append").insertInto(dfIndexTableName(root))
     else partial.write.mode("append").parquet(root)
+  }
+
+  /** COMPACTION for the saved df index: collapse every partial with
+    * `batch_id < upToBatchId` (folds below the horizon AND all
+    * erasure stamps, which are negative) into one net row per gram,
+    * stamped `upToBatchId − 1`; zero-net grams drop. Bounds the state
+    * back to O(distinct grams) — without it the signed-partials
+    * discipline grows one row per (batch, gram), the same order as
+    * the token count at 100 TB.
+    *
+    * PRECONDITIONS (the quiesced-maintenance contract): no concurrent
+    * readers; no batch with id < `upToBatchId` and no erasure already
+    * stamped will ever re-deliver (their marker rows collapse, so a
+    * later replay would silently double-fold / double-decrement) —
+    * i.e. the stream's checkpoint has advanced past the horizon and
+    * the erasure queue below it is fully acknowledged. Probes and new
+    * folds (ids ≥ `upToBatchId`) see identical totals before and
+    * after (spec-pinned).
+    *
+    * Path form swaps atomically ([[SketchState.swapInState]] — a
+    * complete state exists on disk at every instant, crashes heal on
+    * next touch); the bucketed form stages a fully-written BUCKETED
+    * sibling (same spec, marker included) and renames it in under the
+    * table's LOCATION, then refreshes — the rename pair is the same
+    * swap discipline, so a crash leaves either the old or the new
+    * state, never a half-compacted mix a summing reader would
+    * misreport. */
+  def compactSavedDfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, upToBatchId: Long, buckets: Int = 16): Unit = {
+    require(upToBatchId >= 1,
+      "upToBatchId must be >= 1 (the compacted stamp is upToBatchId - 1)")
+    val idx = readDfIndex(spark, root, buckets)
+    val compacted = idx.filter(col("batch_id") < upToBatchId)
+      .groupBy("g").agg(sum(col("doc_count")).as("doc_count"))
+      .filter(col("doc_count") =!= 0)
+      .withColumn("batch_id", lit(upToBatchId - 1))
+      .unionByName(idx.filter(col("batch_id") >= upToBatchId))
+      .select("g", "doc_count", "batch_id")
+    if (buckets > 0) {
+      val tbl = dfIndexTableName(root)
+      SketchState.swapInState(spark, root) { tmpDir =>
+        val tmpTbl = dfIndexTableName(tmpDir)
+        SuffixDedup.ensureBucketedTable(spark, tmpDir, tmpTbl,
+          "g STRING, doc_count BIGINT, batch_id BIGINT", buckets)
+        // reads the live root table while writing the sibling — the
+        // root only moves after this returns
+        compacted.write.mode("append").insertInto(tmpTbl)
+        // external table: dropping the catalog entry keeps the files
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+      }
+      spark.catalog.refreshTable(tbl)
+    } else {
+      SketchState.swapInState(spark, root) { tmpDir =>
+        compacted.write.parquet(tmpDir)
+      }
+    }
   }
 
   /** Sliding L-token gram array (windows at every offset, space-joined)

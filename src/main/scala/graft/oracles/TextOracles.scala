@@ -433,6 +433,29 @@ private[graft] object TextOracles {
         |            ELSE 0 END AS pii_share
         |FROM p GROUP BY source""".stripMargin,
 
+    // The incremental form folds per-source counted partials per
+    // batch and reports from state alone; by the counted-fold
+    // identity (sums of per-batch sums) it must equal the full-corpus
+    // replay bit-for-bit — same SQL as report_pii_density.
+    "report_pii_density_incremental" ->
+      """WITH s0 AS (SELECT doc_id, source, text AS t0,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS BIGINT) AS nt
+        |       FROM documents),
+        |s1 AS (SELECT *, regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM s0),
+        |s2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS t2 FROM s1),
+        |p AS (SELECT source, nt,
+        |        CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |           + len(regexp_extract_all(t1, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+        |           + len(regexp_extract_all(t2, '\d{7,}')) AS BIGINT) AS pii
+        |      FROM s2)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       CAST(sum(pii) AS BIGINT) AS n_pii,
+        |       CASE WHEN sum(nt) > 0
+        |            THEN round(sum(pii) * 10000.0 / sum(nt)) / 10000
+        |            ELSE 0 END AS pii_share
+        |FROM p GROUP BY source""".stripMargin,
+
     // Mirrors TextOps.gopherSignals: the Gopher rule battery with
     // every gate in exact integer space (no float boundary can flip a
     // flag between engines) and 4-dp integer-scaled display ratios.

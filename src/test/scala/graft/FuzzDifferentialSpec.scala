@@ -44,6 +44,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "report_corpus", "decontam_spans", "decontam_spans_clean",
     "decontam_substring_exact", "decontam_longest_bench", "report_bench_contamination",
     "decontam_substring_stream", "curate_corpus_ingest", "report_pii_density",
+    "report_pii_density_incremental",
     "report_doc_novelty", "report_doc_novelty_incremental",
     // closing-stretch additions: the temperature mixture's sqrt/
     // largest-remainder walk on skewed 2-3-lang corpora, and the

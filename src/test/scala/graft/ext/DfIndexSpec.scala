@@ -112,6 +112,54 @@ class DfIndexSpec extends SparkSpec {
       s"DROP TABLE IF EXISTS ${Dedup.dfIndexTableName(dfRoot)}")
   }
 
+  test("compaction: partials below the horizon collapse to one net row per gram; probes, later folds and erasures unchanged") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_df_compact").toString
+    val dfRoot = tmp + "/dfidx"
+    try {
+      Dedup.updateSavedDfIndex(dfRoot, corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 5, batchId = 0L)
+      Dedup.updateSavedDfIndex(dfRoot, batch.toDF("doc_id", "text"),
+        "doc_id", "text", n = 5, batchId = 1L)
+      // erase doc 2 (stamp −1) so the compaction must net erasures too
+      Dedup.deleteDocsFromSavedDfIndex(dfRoot,
+        corpus.filter(_._1 == 2L).toDF("doc_id", "text"),
+        "doc_id", "text", n = 5, eraseId = 0L)
+      val probe = Seq((30L, corpus.head._2), (31L, "wholly novel closing words never seen anywhere before"))
+      def probeNovelty() = collect(Dedup.gramNoveltyIncremental(
+        probe.toDF("doc_id", "text"),
+        Dedup.savedDfIndexBucketed(spark, dfRoot), "doc_id", "text",
+        n = 5, batchId = 5L))
+      val before = probeNovelty()
+      Dedup.compactSavedDfIndex(spark, dfRoot, upToBatchId = 2L)
+      val state = Dedup.savedDfIndexBucketed(spark, dfRoot)
+      // every surviving row is the single net per-gram partial at the
+      // horizon stamp; zero-net grams (the erased doc's unique grams)
+      // are gone
+      assert(state.filter(col("batch_id") =!= 1L).isEmpty)
+      assert(state.groupBy("g").count().filter(col("count") > 1).isEmpty)
+      assert(state.filter(col("doc_count") === 0).isEmpty)
+      assert(probeNovelty() == before, "compaction must not move probes")
+      // the state keeps working: a post-horizon fold and a fresh
+      // erasure still produce the exact from-scratch answer
+      val b2 = Seq((40L, "a third wave of entirely fresh material arrives now"))
+      Dedup.updateSavedDfIndex(dfRoot, b2.toDF("doc_id", "text"),
+        "doc_id", "text", n = 5, batchId = 2L)
+      Dedup.deleteDocsFromSavedDfIndex(dfRoot,
+        corpus.filter(_._1 == 1L).toDF("doc_id", "text"),
+        "doc_id", "text", n = 5, eraseId = 1L)
+      val survivors = corpus.filter(_._1 == 3L) ++ batch ++ b2
+      val reBatch = Seq((50L, corpus.head._2))
+      val inc = collect(Dedup.gramNoveltyIncremental(
+        reBatch.toDF("doc_id", "text"),
+        Dedup.savedDfIndexBucketed(spark, dfRoot), "doc_id", "text",
+        n = 5, batchId = 9L))
+      assert(inc == collect(novelty(survivors ++ reBatch)
+        .filter(col("doc_id") >= 50L)), s"post-compaction erase: $inc")
+    } finally spark.sql(
+      s"DROP TABLE IF EXISTS ${Dedup.dfIndexTableName(dfRoot)}")
+  }
+
   test("propagateDocDelete wires the df-index leg; path form (buckets = 0) agrees with the bucketed form") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_df_path").toString
