@@ -37,23 +37,18 @@ object CorpusReports {
         sum(col("__pii")).as("n_pii"))
 
   /** The saved per-source PII state at `root` — empty-schema frame
-    * when the root does not exist yet. */
+    * when the root holds no data yet (the shared
+    * [[SketchState.readStateOrEmpty]] reader, swap-heal included). */
   def savedPiiCounts(spark: org.apache.spark.sql.SparkSession,
       root: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(root)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) spark.read.parquet(root)
-    else {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("source", StringType),
-          StructField("n_docs", LongType),
-          StructField("n_tokens", LongType),
-          StructField("n_pii", LongType),
-          StructField("batch_id", LongType))))
-    }
+    import org.apache.spark.sql.types._
+    SketchState.readStateOrEmpty(spark, root,
+      StructType(Seq(
+        StructField("source", StringType),
+        StructField("n_docs", LongType),
+        StructField("n_tokens", LongType),
+        StructField("n_pii", LongType),
+        StructField("batch_id", LongType))))
   }
 
   /** Fold one micro-batch's contributions into the saved state; a

@@ -785,8 +785,30 @@ object Dedup {
   /** Deterministic session-catalog name for the bucketed df index at
     * `root` (the [[SuffixDedup.gramIndexTableName]] discipline). */
   def dfIndexTableName(root: String): String =
-    "graft_df_idx_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    SuffixDedup.indexTableName("graft_df_idx_", root)
+
+  /** Gram-size marker a df-index root carries alongside its data: the
+    * state is meaningless under any other `n` (a fold or erasure with
+    * a mismatched gram size would silently corrupt the counts — the
+    * exact failure class the bucket-count marker closes for layout),
+    * so the first fold pins `n` at the root and every later fold or
+    * erasure validates against it, failing loudly on mismatch. */
+  private val GramNFile = "_graft_gram_n"
+
+  private def validateOrPinGramN(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      n: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(path, GramNFile)
+    if (fs.exists(marker)) {
+      val recorded = SuffixDedup.readIntMarker(fs, marker, "gram-size")
+      require(recorded == n,
+        s"df index at $root was built with n=$recorded grams; a fold " +
+          s"or erasure with n=$n would silently corrupt the counts — " +
+          "pass the recorded gram size")
+    } else SuffixDedup.writeMarkerAtomic(fs, path, GramNFile, n.toString)
+  }
 
   /** The saved df index as a BUCKETED external table — CLUSTERED BY
     * (g), so the per-batch probe's per-gram partial-sum and the join
@@ -808,15 +830,11 @@ object Dedup {
   }
 
   /** The saved df index in path-parquet form (empty-schema frame when
-    * the root does not exist yet — the legacy `buckets = 0` knob). */
+    * the root holds no data yet — the legacy `buckets = 0` knob;
+    * refuses a bucketed root, heals a crashed compaction swap). */
   def savedDfIndex(spark: org.apache.spark.sql.SparkSession,
-      root: String): DataFrame = {
-    SuffixDedup.recoverSavedIndex(spark, root)
-    val path = new org.apache.hadoop.fs.Path(root)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) spark.read.parquet(root)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      root: String): DataFrame =
+    SketchState.readStateOrEmpty(spark, root,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("g",
           org.apache.spark.sql.types.StringType),
@@ -824,7 +842,6 @@ object Dedup {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("batch_id",
           org.apache.spark.sql.types.LongType))))
-  }
 
   private def readDfIndex(spark: org.apache.spark.sql.SparkSession,
       root: String, buckets: Int): DataFrame =
@@ -844,6 +861,7 @@ object Dedup {
       textCol: String, n: Int, batchId: Long, buckets: Int = 16): Unit = {
     require(batchId >= 0, "fold batch ids must be >= 0")
     val spark = batch.sparkSession
+    validateOrPinGramN(spark, root, n)
     val idx = readDfIndex(spark, root, buckets)
     if (!idx.filter(col("batch_id") === batchId).isEmpty) return
     val partial = gramDfIndex(batch, idCol, textCol, n)
@@ -874,6 +892,7 @@ object Dedup {
     require(eraseId >= 0, "eraseId must be >= 0")
     val stamp = -1L - eraseId
     val spark = deleted.sparkSession
+    validateOrPinGramN(spark, root, n)
     val idx = readDfIndex(spark, root, buckets)
     if (!idx.filter(col("batch_id") === stamp).isEmpty) return
     val partial = gramDfIndex(deleted, idCol, textCol, n)
@@ -920,15 +939,33 @@ object Dedup {
       .withColumn("batch_id", lit(upToBatchId - 1))
       .unionByName(idx.filter(col("batch_id") >= upToBatchId))
       .select("g", "doc_count", "batch_id")
+    // the gram-size marker must survive the swap: the new root is a
+    // fresh directory
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val nMarker = new org.apache.hadoop.fs.Path(rootPath, GramNFile)
+    val pinnedN: Option[Int] =
+      if (fs.exists(nMarker))
+        Some(SuffixDedup.readIntMarker(fs, nMarker, "gram-size"))
+      else None
+    def carryMarker(tmpDir: String): Unit = pinnedN.foreach { n =>
+      SuffixDedup.writeMarkerAtomic(fs,
+        new org.apache.hadoop.fs.Path(tmpDir), GramNFile, n.toString)
+    }
     if (buckets > 0) {
       val tbl = dfIndexTableName(root)
       SketchState.swapInState(spark, root) { tmpDir =>
         val tmpTbl = dfIndexTableName(tmpDir)
+        // a retried compaction after a crash may find the temp table
+        // still registered — dropping it first forces the CREATE
+        // branch, so the fresh temp dir gets its bucket-count marker
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
         SuffixDedup.ensureBucketedTable(spark, tmpDir, tmpTbl,
           "g STRING, doc_count BIGINT, batch_id BIGINT", buckets)
         // reads the live root table while writing the sibling — the
         // root only moves after this returns
         compacted.write.mode("append").insertInto(tmpTbl)
+        carryMarker(tmpDir)
         // external table: dropping the catalog entry keeps the files
         spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
       }
@@ -936,6 +973,7 @@ object Dedup {
     } else {
       SketchState.swapInState(spark, root) { tmpDir =>
         compacted.write.parquet(tmpDir)
+        carryMarker(tmpDir)
       }
     }
   }

@@ -58,6 +58,36 @@ object SketchState {
       require(fs.rename(aside, p), s"could not restore $root from $aside")
   }
 
+  /** THE path-form saved-state reader (shared by every path-parquet
+    * index/state root — the gram/fingerprint key indexes, the df
+    * index, the PII counts): heals a crashed swap first, REFUSES a
+    * root carrying the bucketed marker (reading a bucketed layout
+    * through the path form would at best crash and at worst misplan —
+    * use its bucketed table form), and returns an empty frame of
+    * `schema` when the root holds no DATA files yet (a marker-only
+    * root — e.g. a bucketed first-touch before any fold — must not
+    * crash parquet schema inference). */
+  private[graft] def readStateOrEmpty(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverState(fs, root)
+    if (fs.exists(p)) {
+      require(!fs.exists(new org.apache.hadoop.fs.Path(p,
+          SuffixDedup.BucketsFile)),
+        s"$root holds a BUCKETED saved state — read it through its " +
+          "bucketed table form, not the path reader")
+      val hasData = fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasData) return spark.read.parquet(root)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** The last micro-batch id folded into the state at `root`, if any —
     * the exactly-once guard for NON-idempotent merges (additive CMS
     * cells, Misra–Gries counts) under foreachBatch's at-least-once

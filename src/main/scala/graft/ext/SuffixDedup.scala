@@ -537,23 +537,30 @@ object SuffixDedup {
   def updateSavedGramIndex(root: String, batch: DataFrame, textCol: String,
       minTokens: Int, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    recoverSavedIndex(spark, root) // heals a mid-erasure-swap crash
-    val bs = gramIndex(batch, textCol, minTokens, batchId)
-    val path = new org.apache.hadoop.fs.Path(root)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val fresh =
-      if (fs.exists(path))
-        bs.join(spark.read.parquet(root), Seq("g"), "left_anti")
-      else bs
-    fresh.write.mode("append").parquet(root)
+    // the shared path-form reader: heals a mid-erasure-swap crash and
+    // refuses a bucketed root instead of appending plain files under
+    // a CLUSTERED BY layout
+    val saved = SketchState.readStateOrEmpty(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("first_batch_id",
+          org.apache.spark.sql.types.LongType))))
+    gramIndex(batch, textCol, minTokens, batchId)
+      .join(saved, Seq("g"), "left_anti")
+      .write.mode("append").parquet(root)
   }
 
-  /** Deterministic session-catalog name for the bucketed gram index
-    * at `root` (md5 of the root path — restart-stable, collision-free
-    * across roots, legal identifier chars only). */
-  def gramIndexTableName(root: String): String =
-    "graft_gram_idx_" + java.security.MessageDigest.getInstance("MD5")
+  /** Deterministic session-catalog name for a bucketed saved-state
+    * table at `root` (md5 of the root path — restart-stable,
+    * collision-free across roots, legal identifier chars only). */
+  private[ext] def indexTableName(prefix: String, root: String): String =
+    prefix + java.security.MessageDigest.getInstance("MD5")
       .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** [[indexTableName]] for the bucketed gram index at `root`. */
+  def gramIndexTableName(root: String): String =
+    indexTableName("graft_gram_idx_", root)
 
   /** Bucket-count marker a bucketed index root carries alongside its
     * data files (leading underscore — Spark's file index skips it,
@@ -563,11 +570,42 @@ object SuffixDedup {
     * would declare a hash-modulo that disagrees with the file layout —
     * bucketed SMJ probes then silently MISS matching grams (missed
     * duplication/contamination, duplicate index keys, no error). */
-  private val BucketsFile = "_graft_buckets"
+  private[ext] val BucketsFile = "_graft_buckets"
 
   /** Bucket id a bucketed part file carries in its name
     * (`part-00000-<uuid>_00003.c000...` → 3). */
   private val BucketIdInName = "part-.*_(\\d{5})\\.c\\d{3}.*".r
+
+  /** Atomic marker publication: content lands in a dot-temp sibling
+    * first and RENAMES in — a crash can leave the old marker or the
+    * new one, never an empty/truncated file a later adoption would
+    * choke on. */
+  private[ext] def writeMarkerAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, name: String, value: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, "." + name + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(dir, name)
+    fs.delete(target, false)
+    require(fs.rename(tmp, target), s"could not publish marker $target")
+  }
+
+  /** Marker read with a diagnosable failure mode: a corrupt or empty
+    * marker names itself instead of surfacing as a bare
+    * NumberFormatException. */
+  private[ext] def readIntMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, what: String): Int = {
+    val in = fs.open(marker)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    try txt.toInt
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"corrupt $what marker at $marker ('$txt') — restore or " +
+          "rewrite it with the correct value before re-adoption")
+    }
+  }
 
   /** Validate `buckets` against what the root's files were actually
     * written with, BEFORE the catalog re-adopts the location; pin the
@@ -575,7 +613,14 @@ object SuffixDedup {
     * Fails loudly on: a marker recording a different count; part
     * files with no bucket id in their names (a PATH-form index — the
     * bucketed table form must never adopt one); a legacy pre-marker
-    * root whose file names carry a bucket id ≥ `buckets`. */
+    * root whose file ids do not evidence exactly `buckets` (top
+    * bucket populated) — a sparse legacy root must have its true
+    * count confirmed and the marker written by hand, because a wrong
+    * modulo would silently miss every probe. Residual legacy hazard,
+    * stated honestly: a pre-marker root written with MORE buckets
+    * whose top buckets happen to be empty can still alias a smaller
+    * count; the marker exists precisely to end this class for every
+    * root written from r17 on. */
   private def validateOrPinBuckets(
       spark: org.apache.spark.sql.SparkSession, root: String,
       buckets: Int): Unit = {
@@ -583,10 +628,7 @@ object SuffixDedup {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(path, BucketsFile)
     if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val recorded =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
+      val recorded = readIntMarker(fs, marker, "bucket-count")
       require(recorded == buckets,
         s"bucketed index at $root was written with $recorded buckets; " +
           s"re-adopting it as $buckets would make every probe silently " +
@@ -600,15 +642,18 @@ object SuffixDedup {
           s"$root holds NON-bucketed part files — it is a path-form " +
             "index; read it with spark.read.parquet, not the bucketed " +
             "table form")
-        // legacy pre-marker root: the ids in the names are the only
-        // falsifiable signal (buckets may be legitimately unfilled)
-        require(ids.forall(_ < buckets),
-          s"$root holds bucket file ids up to ${ids.max} — it was " +
-            s"written with more than $buckets buckets")
+        // legacy pre-marker root: adopting with a count the file ids
+        // do not positively evidence (top bucket populated) risks a
+        // silent modulo mismatch in BOTH directions — refuse and ask
+        // for the confirmed count instead of guessing
+        require(ids.isEmpty || ids.max == buckets - 1,
+          s"$root predates the bucket-count marker and its file ids " +
+            s"(max ${if (ids.isEmpty) "none" else ids.max.toString}) do " +
+            s"not evidence exactly $buckets buckets — confirm the count " +
+            s"it was written with and write it to $BucketsFile at the " +
+            "root before re-adoption")
       }
-      val out = fs.create(marker, true)
-      try out.write(buckets.toString.getBytes("UTF-8"))
-      finally out.close()
+      writeMarkerAtomic(fs, path, BucketsFile, buckets.toString)
     }
   }
 

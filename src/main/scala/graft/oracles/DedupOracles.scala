@@ -6,6 +6,20 @@ import graft.OracleCtes._
   * scaladoc for the cross-engine determinism rules every entry obeys.
   */
 private[graft] object DedupOracles {
+  /** ONE definition for the incremental screen's replay, bound to both
+    * the in-memory-index and the bucketed-saved-index catalog queries:
+    * the two engines MUST be checked against the same SQL — sharing
+    * the val makes silent divergence of the copies impossible. */
+  private val incrementalCoverageSql: String =
+    s"""WITH $substrOccCtes,
+       |k AS (SELECT doc_id, pos,
+       |        count(*) OVER (PARTITION BY g) AS cnt
+       |      FROM occ),
+       |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
+       |      WHERE cnt > 1 AND doc_id % 10 = 7),
+       |$spanIslandCtes
+       |$spanSelectSql""".stripMargin
+
   val map: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
@@ -84,29 +98,14 @@ private[graft] object DedupOracles {
     // theorem on SuffixDedup.duplicatedSpansIncremental: the engine
     // runs batch-internal suffix ranks + a corpus gram-index probe,
     // the replay never splits corpus from batch at all.
-    "dedup_substring_incremental" ->
-      s"""WITH $substrOccCtes,
-         |k AS (SELECT doc_id, pos,
-         |        count(*) OVER (PARTITION BY g) AS cnt
-         |      FROM occ),
-         |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
-         |      WHERE cnt > 1 AND doc_id % 10 = 7),
-         |$spanIslandCtes
-         |$spanSelectSql""".stripMargin,
+    "dedup_substring_incremental" -> incrementalCoverageSql,
 
     // The BUCKETED saved-index form must agree with the in-memory
-    // form bit-for-bit: same restricted-coverage replay (the bucket
-    // layout is an execution detail the oracle can't see — any
-    // missed probe from a layout/modulo bug hash-fails here).
-    "dedup_substring_incremental_bucketed" ->
-      s"""WITH $substrOccCtes,
-         |k AS (SELECT doc_id, pos,
-         |        count(*) OVER (PARTITION BY g) AS cnt
-         |      FROM occ),
-         |m AS (SELECT doc_id, pos AS s, pos + 5 AS e FROM k
-         |      WHERE cnt > 1 AND doc_id % 10 = 7),
-         |$spanIslandCtes
-         |$spanSelectSql""".stripMargin,
+    // form bit-for-bit: the SAME restricted-coverage replay, by
+    // construction (shared val — the bucket layout is an execution
+    // detail the oracle can't see; any missed probe from a
+    // layout/modulo bug hash-fails here).
+    "dedup_substring_incremental_bucketed" -> incrementalCoverageSql,
 
     // The incremental apply: the same restricted coverage spans fed to
     // the shared span-removal replay over the batch spine only.

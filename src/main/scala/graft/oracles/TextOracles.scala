@@ -6,6 +6,29 @@ import graft.OracleCtes._
   * scaladoc for the cross-engine determinism rules every entry obeys.
   */
 private[graft] object TextOracles {
+  /** ONE definition for the PII-density report's replay, bound to
+    * both the one-shot and the saved-state catalog queries: by the
+    * counted-fold identity they must equal bit-for-bit, and sharing
+    * the val makes silent divergence of the copies impossible. */
+  private val piiDensitySql: String =
+    """WITH s0 AS (SELECT doc_id, source, text AS t0,
+      |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS BIGINT) AS nt
+      |       FROM documents),
+      |s1 AS (SELECT *, regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM s0),
+      |s2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS t2 FROM s1),
+      |p AS (SELECT source, nt,
+      |        CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |           + len(regexp_extract_all(t1, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+      |           + len(regexp_extract_all(t2, '\d{7,}')) AS BIGINT) AS pii
+      |      FROM s2)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |       CAST(sum(pii) AS BIGINT) AS n_pii,
+      |       CASE WHEN sum(nt) > 0
+      |            THEN round(sum(pii) * 10000.0 / sum(nt)) / 10000
+      |            ELSE 0 END AS pii_share
+      |FROM p GROUP BY source""".stripMargin
+
   val map: Map[String, String] = Map(
     // Mirrors textFingerprint: winnow(k=8, w=4) summary stats.
     "text_fingerprint" ->
@@ -414,47 +437,13 @@ private[graft] object TextOracles {
     // the raw text, IP after the email pass, long-number after the IP
     // pass — the same replacement-stage semantics) over the whitespace
     // token denominator; pii_share is the 4-dp integer-scaled ratio.
-    "report_pii_density" ->
-      """WITH s0 AS (SELECT doc_id, source, text AS t0,
-        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS BIGINT) AS nt
-        |       FROM documents),
-        |s1 AS (SELECT *, regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM s0),
-        |s2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS t2 FROM s1),
-        |p AS (SELECT source, nt,
-        |        CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |           + len(regexp_extract_all(t1, '\b\d{1,3}(\.\d{1,3}){3}\b'))
-        |           + len(regexp_extract_all(t2, '\d{7,}')) AS BIGINT) AS pii
-        |      FROM s2)
-        |SELECT source, count(*) AS n_docs,
-        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |       CAST(sum(pii) AS BIGINT) AS n_pii,
-        |       CASE WHEN sum(nt) > 0
-        |            THEN round(sum(pii) * 10000.0 / sum(nt)) / 10000
-        |            ELSE 0 END AS pii_share
-        |FROM p GROUP BY source""".stripMargin,
+    "report_pii_density" -> piiDensitySql,
 
     // The incremental form folds per-source counted partials per
     // batch and reports from state alone; by the counted-fold
     // identity (sums of per-batch sums) it must equal the full-corpus
-    // replay bit-for-bit — same SQL as report_pii_density.
-    "report_pii_density_incremental" ->
-      """WITH s0 AS (SELECT doc_id, source, text AS t0,
-        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) AS BIGINT) AS nt
-        |       FROM documents),
-        |s1 AS (SELECT *, regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM s0),
-        |s2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS t2 FROM s1),
-        |p AS (SELECT source, nt,
-        |        CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |           + len(regexp_extract_all(t1, '\b\d{1,3}(\.\d{1,3}){3}\b'))
-        |           + len(regexp_extract_all(t2, '\d{7,}')) AS BIGINT) AS pii
-        |      FROM s2)
-        |SELECT source, count(*) AS n_docs,
-        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |       CAST(sum(pii) AS BIGINT) AS n_pii,
-        |       CASE WHEN sum(nt) > 0
-        |            THEN round(sum(pii) * 10000.0 / sum(nt)) / 10000
-        |            ELSE 0 END AS pii_share
-        |FROM p GROUP BY source""".stripMargin,
+    // replay bit-for-bit — the SAME SQL, by construction (shared val).
+    "report_pii_density_incremental" -> piiDensitySql,
 
     // Mirrors TextOps.gopherSignals: the Gopher rule battery with
     // every gate in exact integer space (no float boundary can flip a

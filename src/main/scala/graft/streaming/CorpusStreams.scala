@@ -427,15 +427,20 @@ object CorpusStreams {
     * wrote (both default to the [[curateStream]] bucketed default;
     * pass 0 for legacy path-parquet state) — a mismatch fails loudly
     * via the pinned bucket-count marker, never silently half-erases.
-    * When a [[docNoveltyStream]] df index is maintained, pass its
-    * root as `dfRoot`: the deleted docs' gram contributions DECREMENT
-    * the counted state exactly (no survivor scan needed — r16 VERDICT
-    * #4), stamped idempotent under `dfEraseId`. */
+    * When a [[docNoveltyStream]] df index is maintained, pass
+    * `dfErase = Some((root, eraseId))`: the deleted docs' gram
+    * contributions DECREMENT the counted state exactly (no survivor
+    * scan needed — r16 VERDICT #4). The eraseId is this erasure
+    * event's UNIQUE idempotence stamp and therefore has NO default —
+    * a reused id makes the df leg a silent no-op (the stamp reads as
+    * already-applied), which is exactly the residue-persists failure
+    * erasure must never have. `dfN` is validated against the gram
+    * size pinned at the root (mismatch fails loudly). */
   def propagateDocDelete(deleted: DataFrame, fpRoot: String,
       gramRoot: String, minTokens: Int,
       survivors: Option[DataFrame] = None, textCol: String = "text",
       gramBuckets: Int = 16, fpBuckets: Int = 16,
-      dfRoot: Option[String] = None, dfN: Int = 5, dfEraseId: Long = 0,
+      dfErase: Option[(String, Long)] = None, dfN: Int = 5,
       dfBuckets: Int = 16, idCol: String = "doc_id"): Unit = {
     val spark = deleted.sparkSession
     val sd = graft.ext.SuffixDedup
@@ -449,34 +454,29 @@ object CorpusStreams {
       survivors.map(grams), gramBuckets)
     // the novelty/df state (when maintained) decrements EXACTLY —
     // counted folds keep per-key residue, so no survivor scan is
-    // needed for the exact form (r16 VERDICT #4); dfEraseId is the
-    // idempotence stamp for this erasure
-    dfRoot.foreach { root =>
+    // needed for the exact form (r16 VERDICT #4); the caller-supplied
+    // eraseId is this erasure event's unique idempotence stamp
+    dfErase.foreach { case (root, eraseId) =>
       graft.ext.Dedup.deleteDocsFromSavedDfIndex(root, deleted, idCol,
-        textCol, dfN, dfEraseId, dfBuckets)
+        textCol, dfN, eraseId, dfBuckets)
     }
   }
 
   /** Saved (g, first_batch_id) key index read — empty-schema frame
-    * when the root does not exist yet. Heals a crash mid
-    * erasure-swap first: a root missing because a
+    * when the root holds no data yet. The shared
+    * [[graft.ext.SketchState.readStateOrEmpty]] reader: heals a crash
+    * mid erasure-swap (a root missing because a
     * [[graft.ext.SuffixDedup.deleteKeysFromSavedIndex]] rewrite died
-    * between its renames must restore, never read as an EMPTY corpus
-    * (which would silently mark nothing). */
+    * between its renames must restore, never read as an EMPTY corpus)
+    * and REFUSES a bucketed root instead of misreading it. */
   private def readIndex(spark: org.apache.spark.sql.SparkSession,
-      root: String): DataFrame = {
-    graft.ext.SuffixDedup.recoverSavedIndex(spark, root)
-    val path = new org.apache.hadoop.fs.Path(root)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) spark.read.parquet(root)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      root: String): DataFrame =
+    graft.ext.SketchState.readStateOrEmpty(spark, root,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("g",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("first_batch_id",
           org.apache.spark.sql.types.LongType))))
-  }
 
   /** Append keys the index has never seen, stamped with this batch —
     * the [[graft.ext.SuffixDedup.updateSavedGramIndex]] discipline for

@@ -180,7 +180,7 @@ class DfIndexSpec extends SparkSpec {
       deleted.toDF("doc_id", "text"), fpRoot, gramRoot, minTokens = 5,
       survivors = Some(survivors.toDF("doc_id", "text")),
       gramBuckets = 0, fpBuckets = 0,
-      dfRoot = Some(dfRoot), dfN = 5, dfEraseId = 7L, dfBuckets = 0)
+      dfErase = Some((dfRoot, 7L)), dfN = 5, dfBuckets = 0)
     val reBatch = Seq((20L, deleted.head._2))
     val inc = collect(Dedup.gramNoveltyIncremental(
       reBatch.toDF("doc_id", "text"),
