@@ -795,7 +795,7 @@ object Dedup {
     * erasure validates against it, failing loudly on mismatch. */
   private val GramNFile = "_graft_gram_n"
 
-  private def validateOrPinGramN(
+  private[graft] def validateOrPinGramN(
       spark: org.apache.spark.sql.SparkSession, root: String,
       n: Int): Unit = {
     val path = new org.apache.hadoop.fs.Path(root)
@@ -807,7 +807,22 @@ object Dedup {
         s"df index at $root was built with n=$recorded grams; a fold " +
           s"or erasure with n=$n would silently corrupt the counts — " +
           "pass the recorded gram size")
-    } else SuffixDedup.writeMarkerAtomic(fs, path, GramNFile, n.toString)
+    } else {
+      // refuse to guess for a legacy data-bearing root: pinning the
+      // CALLER's unverified n over existing counts is the silent
+      // corruption the marker exists to prevent (the bucket-count
+      // legacy discipline) — confirm the n the state was built with
+      // and write the marker by hand
+      val hasData = fs.exists(path) && fs.listStatus(path).exists { s =>
+        val nm = s.getPath.getName
+        !nm.startsWith("_") && !nm.startsWith(".")
+      }
+      require(!hasData,
+        s"df index at $root predates the gram-size marker — confirm " +
+          s"the n it was built with and write it to $GramNFile at the " +
+          "root before folding, erasing, or probing")
+      SuffixDedup.writeMarkerAtomic(fs, path, GramNFile, n.toString)
+    }
   }
 
   /** The saved df index as a BUCKETED external table — CLUSTERED BY

@@ -74,12 +74,18 @@ object SketchState {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     recoverState(fs, root)
     if (fs.exists(p)) {
-      require(!fs.exists(new org.apache.hadoop.fs.Path(p,
-          SuffixDedup.BucketsFile)),
+      val names = fs.listStatus(p).map(_.getPath.getName)
+      // a bucketed root must never flow through the path form (reads
+      // would misplan, appends would wedge the layout): the marker is
+      // the primary signal, bucket ids in legacy pre-marker file
+      // names the fallback
+      val bucketed =
+        names.contains(SuffixDedup.BucketsFile) ||
+          names.exists(_.matches("part-.*_\\d{5}\\.c\\d{3}.*"))
+      require(!bucketed,
         s"$root holds a BUCKETED saved state — read it through its " +
           "bucketed table form, not the path reader")
-      val hasData = fs.listStatus(p).exists { s =>
-        val n = s.getPath.getName
+      val hasData = names.exists { n =>
         !n.startsWith("_") && !n.startsWith(".")
       }
       if (hasData) return spark.read.parquet(root)

@@ -576,18 +576,39 @@ object SuffixDedup {
     * (`part-00000-<uuid>_00003.c000...` → 3). */
   private val BucketIdInName = "part-.*_(\\d{5})\\.c\\d{3}.*".r
 
-  /** Atomic marker publication: content lands in a dot-temp sibling
-    * first and RENAMES in — a crash can leave the old marker or the
-    * new one, never an empty/truncated file a later adoption would
-    * choke on. */
+  private def readMarkerText(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Crash-safe marker publication. Markers are IMMUTABLE once
+    * pinned (a root's bucket count / gram size never changes), which
+    * is what makes this safe without rename-overwrite semantics: an
+    * existing marker with the same value is a no-op, a different
+    * value refuses, and a missing marker publishes via dot-temp +
+    * rename INTO A NONEXISTENT TARGET — a crash leaves either the
+    * complete marker or no marker (re-pinnable on the next touch),
+    * never a truncated or deleted-but-not-replaced one. */
   private[ext] def writeMarkerAtomic(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, name: String, value: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(dir, name)
+    def requireSame(): Unit = {
+      val cur = readMarkerText(fs, target)
+      require(cur == value,
+        s"refusing to overwrite marker $target ('$cur' -> '$value') — " +
+          "pinned state parameters are immutable")
+    }
+    if (fs.exists(target)) { requireSame(); return }
     val tmp = new org.apache.hadoop.fs.Path(dir, "." + name + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
-    val target = new org.apache.hadoop.fs.Path(dir, name)
-    fs.delete(target, false)
-    require(fs.rename(tmp, target), s"could not publish marker $target")
+    if (!fs.rename(tmp, target)) {
+      // lost a publish race — accept an identical concurrent pin
+      requireSame()
+      fs.delete(tmp, false)
+    }
   }
 
   /** Marker read with a diagnosable failure mode: a corrupt or empty
@@ -595,10 +616,7 @@ object SuffixDedup {
     * NumberFormatException. */
   private[ext] def readIntMarker(fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path, what: String): Int = {
-    val in = fs.open(marker)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+    val txt = readMarkerText(fs, marker)
     try txt.toInt
     catch { case _: NumberFormatException =>
       throw new IllegalArgumentException(

@@ -371,6 +371,11 @@ object CorpusStreams {
       outRoot: String, n: Int, idCol: String = "doc_id",
       textCol: String = "text", indexBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
+    // validate n BEFORE the probe, not only at fold time: a probe
+    // with a mismatched gram size reports everything as novel and
+    // would land that wrong partition on disk before the fold's
+    // loud failure aborts the batch
+    graft.ext.Dedup.validateOrPinGramN(spark, dfRoot, n)
     val idx =
       if (indexBuckets > 0)
         graft.ext.Dedup.savedDfIndexBucketed(spark, dfRoot, indexBuckets)

@@ -160,6 +160,52 @@ class DfIndexSpec extends SparkSpec {
       s"DROP TABLE IF EXISTS ${Dedup.dfIndexTableName(dfRoot)}")
   }
 
+  test("gram-size guard: mismatched n fails loudly everywhere; legacy unmarked roots refuse; probes validate before landing output") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_df_guard").toString
+    val dfRoot = tmp + "/dfidx"
+    Dedup.updateSavedDfIndex(dfRoot, corpus.toDF("doc_id", "text"),
+      "doc_id", "text", n = 5, batchId = 0L, buckets = 0)
+    // fold and erasure with the wrong n both refuse
+    val foldErr = intercept[IllegalArgumentException] {
+      Dedup.updateSavedDfIndex(dfRoot, batch.toDF("doc_id", "text"),
+        "doc_id", "text", n = 7, batchId = 1L, buckets = 0)
+    }
+    assert(foldErr.getMessage.contains("built with n=5"))
+    val eraseErr = intercept[IllegalArgumentException] {
+      Dedup.deleteDocsFromSavedDfIndex(dfRoot,
+        corpus.take(1).toDF("doc_id", "text"), "doc_id", "text", n = 7,
+        eraseId = 0L, buckets = 0)
+    }
+    assert(eraseErr.getMessage.contains("built with n=5"))
+    // the PROBE validates too, BEFORE the wrong report lands on disk
+    val outRoot = tmp + "/out"
+    val probeErr = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusStreams.docNoveltyBatch(
+        batch.toDF("doc_id", "text"), 1L, dfRoot, outRoot, n = 7,
+        indexBuckets = 0)
+    }
+    assert(probeErr.getMessage.contains("built with n=5"))
+    assert(!new java.io.File(outRoot).exists(),
+      "a mismatched-n probe must not land an all-novel partition")
+    // a legacy data-bearing root with NO marker refuses instead of
+    // pinning the caller's unverified n over existing counts
+    val legacyRoot = tmp + "/legacy"
+    spark.read.parquet(dfRoot).write.parquet(legacyRoot)
+    val legacyErr = intercept[IllegalArgumentException] {
+      Dedup.updateSavedDfIndex(legacyRoot, batch.toDF("doc_id", "text"),
+        "doc_id", "text", n = 5, batchId = 1L, buckets = 0)
+    }
+    assert(legacyErr.getMessage.contains("predates the gram-size marker"))
+    // the pinned marker itself is immutable
+    val path = new org.apache.hadoop.fs.Path(dfRoot)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val overwriteErr = intercept[IllegalArgumentException] {
+      SuffixDedup.writeMarkerAtomic(fs, path, "_graft_gram_n", "9")
+    }
+    assert(overwriteErr.getMessage.contains("immutable"))
+  }
+
   test("propagateDocDelete wires the df-index leg; path form (buckets = 0) agrees with the bucketed form") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_df_path").toString
