@@ -1260,6 +1260,89 @@ object Dedup {
     incoming.join(dup, Seq(idCol), "left_anti")
   }
 
+  // ---------------- saved near-dup state (self-accumulating screen)
+
+  /** Table names for the two bucketed tables a saved near-dup state
+    * root carries: the BAND index (clustered by band hash — the probe
+    * join's key) under `root/bands`, and the SHINGLE table (clustered
+    * by doc — the verify join's key) under `root/sh`. */
+  def nearDupBandsTableName(root: String): String =
+    SuffixDedup.indexTableName("graft_band_idx_", root + "/bands")
+  def nearDupShTableName(root: String): String =
+    SuffixDedup.indexTableName("graft_sh_idx_", root + "/sh")
+
+  /** The saved band index: (g = band_hash, band_idx, doc,
+    * first_batch_id), CLUSTERED BY (g) — the candidate join and the
+    * per-probe occupancy aggregate both scan it in place
+    * (HashPartitioning on the band hash satisfies the (band_idx,
+    * band_hash) clustering both require). */
+  def savedNearDupBands(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): DataFrame =
+    SuffixDedup.ensureBucketedTable(spark, root + "/bands",
+      nearDupBandsTableName(root),
+      "g BIGINT, band_idx INT, doc BIGINT, first_batch_id BIGINT", buckets)
+
+  /** The saved shingle table: (g = doc, s, first_batch_id), CLUSTERED
+    * BY (g) — the Jaccard-verify join fetches candidate shingle sets
+    * in place. Doc ids must be integral (stored as BIGINT). */
+  def savedNearDupShingles(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): DataFrame =
+    SuffixDedup.ensureBucketedTable(spark, root + "/sh",
+      nearDupShTableName(root),
+      "g BIGINT, s ARRAY<BIGINT>, first_batch_id BIGINT", buckets)
+
+  /** Fold a batch's KEPT docs into the saved near-dup state — the
+    * self-accumulating form of [[nearDupIndex]] (the static-reference
+    * screen's own scaladoc prescribes folding accepted batches at the
+    * next rebuild; this state removes the rebuild entirely). New docs
+    * are those absent from the SHINGLE table (one zero-Exchange
+    * anti-probe); their band rows append FIRST and their shingle rows
+    * last, so a crash between the appends re-folds both on the next
+    * run and converges — the transient duplicate band rows are benign
+    * (candidates are `dropDuplicates`-ed; the occupancy heuristic
+    * reads at most one doc's bands twice, erring conservative).
+    * Replay-idempotent: a replayed batch's docs all anti-join away. */
+  def updateSavedNearDupState(root: String, kept: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, batchId: Long = 0L, buckets: Int = 16): Unit = {
+    val spark = kept.sparkSession
+    val shTbl = savedNearDupShingles(spark, root, buckets)
+    savedNearDupBands(spark, root, buckets) // ensure both tables exist
+    val fresh = kept.select(col(idCol).cast("long").as("g"),
+        graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .join(shTbl.select("g"), Seq("g"), "left_anti")
+      .withColumn("first_batch_id", lit(batchId))
+      .localCheckpoint() // feeds the band derivation AND both appends
+    lshBandKeys(fresh.select(col("g").as("doc"), col("s")), k, bands)
+      .select(col("band_hash").as("g"), col("band_idx"), col("doc"),
+        lit(batchId).as("first_batch_id"))
+      .write.mode("append").insertInto(nearDupBandsTableName(root))
+    fresh.select("g", "s", "first_batch_id")
+      .write.mode("append").insertInto(nearDupShTableName(root))
+  }
+
+  /** The saved state as a [[NearDupIndex]], provenance-gated
+    * (`first_batch_id < batchId`, so a replayed batch sees exactly
+    * the pre-batch corpus): probe it with [[newAgainstIndex]] — the
+    * SAME engine the static-reference screen uses, so the saved form
+    * inherits its semantics and its oracle verbatim. Per-probe band
+    * occupancy recomputes as one bucketed (exchange-free) aggregate
+    * over the band index. */
+  def savedNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, n: Int = 3, k: Int = 64, bands: Int = 16,
+      batchId: Long = Long.MaxValue, buckets: Int = 16): NearDupIndex = {
+    val sh = savedNearDupShingles(spark, root, buckets)
+      .filter(col("first_batch_id") < batchId)
+      .select(col("g").as("doc"), col("s"))
+    val b = savedNearDupBands(spark, root, buckets)
+      .filter(col("first_batch_id") < batchId)
+      .select(col("doc"), col("band_idx"), col("g").as("band_hash"))
+    val counts = b.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__n_ref"))
+    NearDupIndex(sh, b, counts, n, k, bands)
+  }
+
   /** Streaming form of [[newAgainstReferenceNear]] for incremental
     * ingest: the reference index is built ONCE, outside the stream,
     * and every micro-batch probes it with full batch semantics via

@@ -20,6 +20,29 @@ private[graft] object DedupOracles {
        |$spanIslandCtes
        |$spanSelectSql""".stripMargin
 
+  /** ONE definition for the incremental near-dup screen's replay,
+    * bound to both the in-memory-index and the saved-state catalog
+    * queries (same sharing discipline as [[incrementalCoverageSql]]). */
+  private lazy val incrementalNearSql: String =
+    s"""WITH ${minhashCtes("documents")},
+       |ok AS (SELECT band_idx, band_key FROM bands
+       |       GROUP BY 1, 2 HAVING count(*) <= 200),
+       |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+       |cand AS (SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS ref_doc
+       |         FROM b2 a JOIN b2 b
+       |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |         WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0),
+       |dup AS (SELECT DISTINCT in_doc FROM (
+       |  SELECT in_doc,
+       |         round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
+       |               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = in_doc
+       |            JOIN sh sb ON sb.doc_id = ref_doc)
+       |  WHERE jaccard >= 0.5)
+       |SELECT doc_id, text FROM documents d
+       |WHERE doc_id % 2 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.in_doc = d.doc_id)""".stripMargin
+
   val map: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
@@ -607,25 +630,13 @@ private[graft] object DedupOracles {
     // documents ≡ the union of both sides' band frames, since banding
     // is per-doc), combined-occupancy maxBucket=200 cap, cross-side
     // candidates, exact-Jaccard verify, anti-join of verified dups.
-    "dedup_incremental_near" ->
-      s"""WITH ${minhashCtes("documents")},
-         |ok AS (SELECT band_idx, band_key FROM bands
-         |       GROUP BY 1, 2 HAVING count(*) <= 200),
-         |b2 AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
-         |cand AS (SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS ref_doc
-         |         FROM b2 a JOIN b2 b
-         |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |         WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0),
-         |dup AS (SELECT DISTINCT in_doc FROM (
-         |  SELECT in_doc,
-         |         round(len(list_intersect(sa.s, sb.s)) * 10000.0 /
-         |               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) / 10000 AS jaccard
-         |  FROM cand JOIN sh sa ON sa.doc_id = in_doc
-         |            JOIN sh sb ON sb.doc_id = ref_doc)
-         |  WHERE jaccard >= 0.5)
-         |SELECT doc_id, text FROM documents d
-         |WHERE doc_id % 2 <> 0
-         |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.in_doc = d.doc_id)""".stripMargin,
+    "dedup_incremental_near" -> incrementalNearSql,
+
+    // The SAVED-STATE form probes the identical engine
+    // (newAgainstIndex) against the persisted bucketed band/shingle
+    // tables — the SAME replay, by construction (shared val): any
+    // drift in what the saved tables reconstruct hash-fails here.
+    "dedup_incremental_near_saved" -> incrementalNearSql,
 
     // Mirrors curateCorpusMix: boilerplate (df >= 20) ∧ gopher gates on
     // the raw corpus → minhash canonical keep over the gated subset

@@ -335,6 +335,27 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", maxBucket = 200)
   }
 
+  /** [[dedupIncrementalNear]] from SAVED STATE (r17 — the
+    * self-accumulating near-dup screen's production posture): the
+    * reference corpus's shingles and LSH bands persist as bucketed
+    * tables under a fresh root (the fold
+    * [[graft.streaming.CorpusStreams.nearDupScreenStream]] pays per
+    * kept batch), the batch probes the reconstructed index through
+    * the catalog scans, and the output hash-matches the SAME replay
+    * as the in-memory form. */
+  val dedupIncrementalNearSaved: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_near_state").toString + "/state"
+    Dedup.updateSavedNearDupState(root,
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      "doc_id", "text", batchId = 0L)
+    Dedup.newAgainstIndex(
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
+      Dedup.savedNearDupIndex(s, root, batchId = 1L),
+      "doc_id", "text", maxBucket = 200)
+  }
+
   /** ExactSubstr duplicated-substring removal spans (Lee et al. 2022):
     * merged token regions covered by a non-first duplicated 5-gram —
     * the alignment-free pass that catches a copied passage at
@@ -572,5 +593,6 @@ trait DedupQueries extends QueriesBase {
     "agg_approx_distinct" -> aggApproxDistinct,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_near" -> dedupIncrementalNear,
+    "dedup_incremental_near_saved" -> dedupIncrementalNearSaved,
     "curate_corpus_mix" -> curateCorpusMix)
 }

@@ -341,6 +341,51 @@ object CorpusStreams {
     }
   }
 
+  /** Streaming SELF-ACCUMULATING near-dup screen: each micro-batch is
+    * screened against everything the stream has ever KEPT (MinHash/LSH
+    * band candidates → exact-Jaccard verify, the full
+    * [[graft.ext.Dedup.newAgainstIndex]] semantics), survivors land
+    * under `outRoot` per batch, and their shingles + bands fold into
+    * the saved bucketed state at `stateRoot` — unlike
+    * [[graft.ext.Dedup.newAgainstReferenceNearStream]] (frozen
+    * reference, accepted batches wait for the next index rebuild),
+    * a near-copy of anything kept in ANY earlier batch drops with no
+    * rebuild ever. First-arrival-wins; batch-INTERNAL near-pairs both
+    * survive (the composite's exact stage owns within-batch dedup).
+    * Replay-exact: the probe gates `first_batch_id < batchId`, the
+    * fold anti-joins, the partition overwrite is idempotent.
+    * [[nearDupScreenBatch]] is the testable per-batch body. */
+  def nearDupScreenStream(docs: DataFrame, stateRoot: String,
+      outRoot: String, n: Int = 3, k: Int = 64, bands: Int = 16,
+      verifyThreshold: Double = 0.5, maxBucket: Int = Int.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text",
+      indexBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        nearDupScreenBatch(batch.toDF(), batchId, stateRoot, outRoot,
+          n, k, bands, verifyThreshold, maxBucket, idCol, textCol,
+          indexBuckets)
+    }
+
+  /** One [[nearDupScreenStream]] micro-batch, exposed for direct
+    * testing. */
+  def nearDupScreenBatch(batch: DataFrame, batchId: Long,
+      stateRoot: String, outRoot: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, verifyThreshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text", indexBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val index = graft.ext.Dedup.savedNearDupIndex(spark, stateRoot,
+      n, k, bands, batchId, indexBuckets)
+    val kept = graft.ext.Dedup.newAgainstIndex(batch, index, idCol,
+      textCol, verifyThreshold, maxBucket)
+      .localCheckpoint() // feeds the output write AND the state fold
+    writeBatchPartition(kept, batchId, outRoot)
+    graft.ext.Dedup.updateSavedNearDupState(stateRoot, kept, idCol,
+      textCol, n, k, bands, batchId, indexBuckets)
+  }
+
   /** Streaming per-doc GRAM NOVELTY (r16 VERDICT #3): each arriving
     * micro-batch's docs report the share of their distinct `n`-grams
     * unique across EVERYTHING ingested so far ∪ the batch — answered

@@ -62,6 +62,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "dedup_components", "dedup_canonical", "dedup_canonical_shared",
     "dedup_winnowing", "dedup_editdist", "dedup_threshold_sweep",
     "dedup_incremental", "dedup_incremental_near",
+    "dedup_incremental_near_saved",
     "decontam_overlap", "decontam_bloom",
     "text_stats", "text_quality", "text_langid", "text_redact",
     "text_scrub_rare", "text_repetition", "text_bm25", "text_tfidf",

@@ -229,6 +229,59 @@ class StreamingSpec extends SparkSpec {
     assert(idx.filter(col("first_batch_id") === 1L).count() > 0)
   }
 
+  test("self-accumulating near-dup screen: batch k ≡ newAgainstReferenceNear vs everything kept so far; replay-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_near_stream").toString
+    val (stateRoot, outRoot) = (tmp + "/state", tmp + "/out")
+    val baseA = "the quick brown fox jumps over the lazy dog while rain falls on the quiet grey town square tonight"
+    val baseB = "an entirely different body of plain text with its own words and nothing shared across any other document here"
+    val batch1 = Seq(
+      (1L, baseA),
+      (2L, baseB))
+    val batch2 = Seq(
+      (10L, baseA.replace("tonight", "today")),   // near-dup of kept doc 1
+      (11L, baseB.replace("here", "inside")),     // near-dup of kept doc 2
+      (12L, "wholly fresh material with no resemblance to anything the stream has ever accepted before now"))
+    def runBatch(rows: Seq[(Long, String)], id: Long): Unit =
+      graft.streaming.CorpusStreams.nearDupScreenBatch(
+        rows.toDF("doc_id", "text"), id, stateRoot, outRoot)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams.nearDupScreenStream(
+      input.toDF().toDF("doc_id", "text"), stateRoot, outRoot).start()
+    try { input.addData(batch1: _*); q.processAllAvailable() }
+    finally q.stop()
+    runBatch(batch2, 1L)
+    def readOut() = spark.read.parquet(outRoot)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = readOut()
+    // batch 1: empty state keeps everything; batch 2 ≡ the static
+    // screen against exactly what batch 1 kept
+    val expected2 = graft.ext.Dedup.newAgainstReferenceNear(
+        batch2.toDF("doc_id", "text"), batch1.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == Set(0L -> 1L, 0L -> 2L) ++ expected2.map(1L -> _),
+      s"got=$got expected2=$expected2")
+    assert(got.map(_._2).intersect(Set(10L, 11L)).isEmpty,
+      "near-copies of kept docs must drop cross-batch")
+    assert(got.contains(1L -> 12L), "fresh material must survive")
+    // replay: output and both state tables unchanged
+    def stateCounts() = (
+      graft.ext.Dedup.savedNearDupShingles(spark, stateRoot).count(),
+      graft.ext.Dedup.savedNearDupBands(spark, stateRoot).count())
+    val before = stateCounts()
+    runBatch(batch2, 1L)
+    assert(readOut() == got, "replay must be a no-op on the output")
+    assert(stateCounts() == before, "replay must fold nothing")
+    // a later near-copy of batch-2's kept doc drops too — the state
+    // accumulates across every batch, no rebuild
+    runBatch(Seq((20L, batch2(2)._2.replace("now", "then"))), 2L)
+    assert(!readOut().exists(r => r._1 == 2L),
+      "a near-copy of a batch-2 keep must drop in batch 3")
+  }
+
   test("streaming doc novelty: per-batch output from saved df state ≡ full recompute over everything so far") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files
