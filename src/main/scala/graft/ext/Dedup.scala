@@ -1322,6 +1322,99 @@ object Dedup {
       .write.mode("append").insertInto(nearDupShTableName(root))
   }
 
+  /** Right-to-erasure for the saved near-dup state: a deleted doc's
+    * SHINGLE row and all its BAND rows leave the tables — after the
+    * erase a re-ingested copy of the deleted text is admitted again
+    * (nothing collides with it), while near-copies of SURVIVORS still
+    * drop (their rows are untouched). Naturally exact with no
+    * survivor scan: rows are keyed by doc, so unlike the
+    * set-membership gram index nothing a survivor contributed can be
+    * lost. Naturally idempotent too (deleting absent rows is a
+    * no-op), so no erasure stamp is needed.
+    *
+    * Only the bucket files HOLDING a deleted row rewrite, in each
+    * table's own key space: the shingle table by doc id directly; the
+    * band table by the deleted docs' band hashes, recomputed from the
+    * deleted TEXT (the erasure request carries it). Crash-convergent:
+    * kept rows re-append first, old files drop last. The shingle
+    * table (one row per doc) converges by the key-index anti-join
+    * discipline; the band table (many rows per hash) by a DISTINCT
+    * over the affected files — every transient copy lives in a tagged
+    * file, so a re-run collapses them. Transient duplicates are
+    * benign for every reader (candidates are dropDuplicates-ed; the
+    * occupancy heuristic errs conservative). Readers should quiesce
+    * as for [[SuffixDedup.deleteKeysFromSavedIndex]]'s bucketed
+    * form. */
+  def deleteDocsFromSavedNearDupState(root: String, deleted: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, buckets: Int = 16): Unit = {
+    val spark = deleted.sparkSession
+    val ids = deleted.select(col(idCol).cast("long").as("g")).distinct()
+    // shingle table: one row per doc — the key-index erase discipline
+    val shTbl = savedNearDupShingles(spark, root, buckets)
+    eraseBucketRows(spark, root + "/sh", nearDupShTableName(root), shTbl,
+      hitKeys = ids, keyCol = "g", outsideAnti = true,
+      cols = Seq("g", "s", "first_batch_id"))
+    // band table: the deleted docs' band hashes, recomputed from text
+    val delBands = lshBandKeys(
+      deleted.select(col(idCol).cast("long").as("doc"),
+          graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
+        .filter(size(col("s")) > 0), k, bands)
+      .select(col("band_hash").as("g")).distinct()
+    val bTbl = savedNearDupBands(spark, root, buckets)
+    eraseBucketRows(spark, root + "/bands", nearDupBandsTableName(root),
+      bTbl, hitKeys = delBands, keyCol = "g", outsideAnti = false,
+      cols = Seq("g", "band_idx", "doc", "first_batch_id"),
+      dropDocs = Some(ids))
+  }
+
+  /** Shared bucket-surgical row erase: tag files directly over the
+    * scan, keep the affected files' surviving rows, re-append, drop
+    * the old files last. `outsideAnti` selects the convergence
+    * discipline: true = one-row-per-key tables (anti-join kept rows
+    * against copies outside the affected files — the
+    * [[SuffixDedup.deleteKeysFromSavedIndex]] argument); false =
+    * many-rows-per-key tables (DISTINCT over the affected files —
+    * valid because every transient copy shares the key and is
+    * therefore tagged). */
+  private def eraseBucketRows(spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String, tbl: String, table: DataFrame,
+      hitKeys: DataFrame, keyCol: String, outsideAnti: Boolean,
+      cols: Seq[String], dropDocs: Option[DataFrame] = None): Unit = {
+    val tagged = table.withColumn("__f", input_file_name())
+    val affected = tagged
+      .join(hitKeys.withColumnRenamed("g", keyCol), Seq(keyCol), "left_semi")
+      .select("__f").distinct()
+      .collect().map(_.getString(0)) // bounded by the bucket count
+    if (affected.isEmpty) return
+    val inAffected = tagged.filter(col("__f").isInCollection(affected.toSeq))
+    val surviving0 = dropDocs match {
+      case Some(ids) => inAffected.join(
+        ids.withColumnRenamed("g", "doc"), Seq("doc"), "left_anti")
+      case None => inAffected.join(
+        hitKeys.withColumnRenamed("g", keyCol), Seq(keyCol), "left_anti")
+    }
+    val surviving =
+      if (outsideAnti)
+        surviving0.join(
+          tagged.filter(!col("__f").isInCollection(affected.toSeq))
+            .select(keyCol), Seq(keyCol), "left_anti")
+          .select(cols.map(col): _*)
+      else surviving0.select(cols.map(col): _*).distinct()
+    val tmp = SketchState.sibling(tableRoot, ".erase_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true)
+    surviving.write.parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode("append").insertInto(tbl)
+    spark.catalog.refreshTable(tbl)
+    affected.foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+    }
+    fs.delete(tmp, true)
+    spark.catalog.refreshTable(tbl)
+  }
+
   /** The saved state as a [[NearDupIndex]], provenance-gated
     * (`first_batch_id < batchId`, so a replayed batch sees exactly
     * the pre-batch corpus): probe it with [[newAgainstIndex]] — the

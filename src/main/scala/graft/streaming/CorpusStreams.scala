@@ -477,6 +477,9 @@ object CorpusStreams {
     * wrote (both default to the [[curateStream]] bucketed default;
     * pass 0 for legacy path-parquet state) — a mismatch fails loudly
     * via the pinned bucket-count marker, never silently half-erases.
+    * A [[nearDupScreenStream]] state root erases through
+    * [[graft.ext.Dedup.deleteDocsFromSavedNearDupState]] (doc-keyed
+    * rows — exact with no survivor scan, naturally idempotent).
     * When a [[docNoveltyStream]] df index is maintained, pass
     * `dfErase = Some((root, eraseId))`: the deleted docs' gram
     * contributions DECREMENT the counted state exactly (no survivor

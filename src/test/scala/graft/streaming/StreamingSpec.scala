@@ -280,6 +280,29 @@ class StreamingSpec extends SparkSpec {
     runBatch(Seq((20L, batch2(2)._2.replace("now", "then"))), 2L)
     assert(!readOut().exists(r => r._1 == 2L),
       "a near-copy of a batch-2 keep must drop in batch 3")
+    // right-to-erasure: doc 1's rows leave both tables — its
+    // near-copy is ADMITTED again, a survivor's near-copy still drops
+    graft.ext.Dedup.deleteDocsFromSavedNearDupState(stateRoot,
+      batch1.take(1).toDF("doc_id", "text"), "doc_id", "text")
+    assert(graft.ext.Dedup.savedNearDupShingles(spark, stateRoot)
+      .filter(col("g") === 1L).isEmpty, "deleted doc's shingles remain")
+    assert(graft.ext.Dedup.savedNearDupBands(spark, stateRoot)
+      .filter(col("doc") === 1L).isEmpty, "deleted doc's bands remain")
+    runBatch(Seq(
+      (30L, baseA.replace("tonight", "someday")), // near-copy of ERASED
+      (31L, baseB.replace("here", "nearby"))),    // near-copy of SURVIVOR
+      3L)
+    val batch3 = readOut().filter(_._1 == 3L).map(_._2)
+    assert(batch3 == Set(30L),
+      s"erased doc's copy must re-admit, survivor's must drop: $batch3")
+    // idempotent: re-delivering the same erasure changes nothing
+    val counts = (
+      graft.ext.Dedup.savedNearDupShingles(spark, stateRoot).count(),
+      graft.ext.Dedup.savedNearDupBands(spark, stateRoot).count())
+    graft.ext.Dedup.deleteDocsFromSavedNearDupState(stateRoot,
+      batch1.take(1).toDF("doc_id", "text"), "doc_id", "text")
+    assert((graft.ext.Dedup.savedNearDupShingles(spark, stateRoot).count(),
+      graft.ext.Dedup.savedNearDupBands(spark, stateRoot).count()) == counts)
   }
 
   test("streaming doc novelty: per-batch output from saved df state ≡ full recompute over everything so far") {
