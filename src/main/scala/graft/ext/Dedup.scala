@@ -1421,7 +1421,19 @@ object Dedup {
     * SAME engine the static-reference screen uses, so the saved form
     * inherits its semantics and its oracle verbatim. Per-probe band
     * occupancy recomputes as one bucketed (exchange-free) aggregate
-    * over the band index. */
+    * over the band index.
+    *
+    * ZERO-EXCHANGE CAVEAT (plan-pinned in PlanShapeSpec): the band
+    * table is clustered by band_hash, a SUBSET of the candidate
+    * join's (band_idx, band_hash) keys. Spark ≥ 3.3 rejects subset
+    * co-partitioning for joins by default — set
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` on the
+    * session running the screen to probe the band index in place
+    * (the standard knob for exactly this layout; the hash carries
+    * all the key entropy, so the skew concern behind the default
+    * does not apply). With the default conf the screen is still
+    * correct, but the candidate join re-shuffles the accumulated
+    * band index per batch. */
   def savedNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       root: String, n: Int = 3, k: Int = 64, bands: Int = 16,
       batchId: Long = Long.MaxValue, buckets: Int = 16): NearDupIndex = {

@@ -287,6 +287,91 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("near-dup screen over SAVED state: zero Exchange on the band-index and shingle-table sides") {
+    // r17: the self-accumulating near-dup screen's candidate join and
+    // Jaccard-verify join must scan the persisted state IN PLACE —
+    // the band table is clustered by band hash (a SUBSET of the
+    // (band_idx, band_hash) join keys, which HashPartitioning
+    // satisfies), the shingle table by doc. Broadcast disabled as in
+    // the other pins: production state can't broadcast.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-near-pin").toString + "/state"
+    val bandTbl = graft.ext.Dedup.nearDupBandsTableName(root)
+    val shTbl = graft.ext.Dedup.nearDupShTableName(root)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the band table is clustered by band_hash, a SUBSET of the
+    // (band_idx, band_hash) join keys: subset co-partitioning is what
+    // this standard knob exists for (the hash carries all the
+    // entropy, so the skew caveat behind the default does not bite)
+    val requireAll = spark.conf
+      .get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val kept = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "an entirely different body of plain text right here"))
+        .toDF("doc_id", "text")
+      graft.ext.Dedup.updateSavedNearDupState(root, kept, "doc_id",
+        "text", batchId = 0L, buckets = 4)
+      val batch = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text")
+      val screened = graft.ext.Dedup.newAgainstIndex(batch,
+        graft.ext.Dedup.savedNearDupIndex(spark, root, batchId = 1L,
+          buckets = 4),
+        "doc_id", "text")
+      val all = flatten(screened.queryExecution.executedPlan)
+      def pinned(tbl: String, what: String): Unit = {
+        def isScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == tbl)
+          case _ => false
+        }
+        val sides = all.collect {
+          case j: BaseJoinExec
+            if flatten(j.right).exists(isScan) &&
+              !flatten(j.right).exists(p =>
+                p.isInstanceOf[BaseJoinExec] && p.ne(j)) => j.right
+          case j: BaseJoinExec
+            if flatten(j.left).exists(isScan) &&
+              !flatten(j.left).exists(p =>
+                p.isInstanceOf[BaseJoinExec] && p.ne(j)) => j.left
+        }
+        assert(sides.nonEmpty, s"$what: no join over the table in:\n$screened")
+        sides.foreach { side =>
+          val sub = flatten(side)
+          assert(!sub.exists(_.isInstanceOf[ShuffleExchangeLike]),
+            s"$what: the state side of the join must not shuffle:\n$side")
+          val scan = sub.collectFirst { case f: FileSourceScanExec if isScan(f) => f }
+          assert(scan.get.toString.contains("Bucketed: true"),
+            s"$what: state scan must be bucketed:\n${scan.get}")
+        }
+      }
+      pinned(bandTbl, "band-index candidate join")
+      pinned(shTbl, "shingle verify join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        requireAll)
+      spark.sql(s"DROP TABLE IF EXISTS $bandTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $shTbl")
+    }
+  }
+
   test("curate_corpus_ingest: keep-set and index probe are semi joins, no cartesian") {
     val plan = executed(Queries.all("curate_corpus_ingest")(spark, sf))
     assert("LeftSemi".r.findAllIn(plan).size >= 2,
