@@ -30,7 +30,11 @@ object SparkEntry {
     Set("similarity_lsh_exhaustive", "similarity_ivf_exhaustive",
       // exhaustive-probe append anchor: the probe covers every
       // cluster so the EXACT oracle reaches the append machinery
-      "similarity_ivf_append")
+      "similarity_ivf_append",
+      // exhaustive-probe erase anchor: same construction — the probe
+      // covers every cluster so the erase machinery (survivor rewrite,
+      // emptied-partition drop) gets the exact survivors-only oracle
+      "similarity_ivf_erase")
 
   /** Production-shaped bench plans for gate composites that EMBED their
     * own verification twin (the r9 tolerance-bound protocol): at the

@@ -1377,7 +1377,7 @@ object Dedup {
     * many-rows-per-key tables (DISTINCT over the affected files —
     * valid because every transient copy shares the key and is
     * therefore tagged). */
-  private def eraseBucketRows(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def eraseBucketRows(spark: org.apache.spark.sql.SparkSession,
       tableRoot: String, tbl: String, table: DataFrame,
       hitKeys: DataFrame, keyCol: String, outsideAnti: Boolean,
       cols: Seq[String], dropDocs: Option[DataFrame] = None): Unit = {

@@ -162,6 +162,69 @@ object Ivf {
       .write.mode("append").partitionBy("cluster").parquet(s"$root/assigned")
   }
 
+  /** Right-to-erasure for a SAVED index: the deleted ids' rows leave
+    * `assigned/` — after the erase a search can never return them,
+    * and the centroid table is untouched (centroids are aggregate
+    * machinery, not any one row's embedding — unlike
+    * [[SemDedup]]'s literal-vector centers, nothing of the deleted
+    * row persists).
+    *
+    * Id-only by design: one column-pruned membership scan
+    * ((neighbor_id, cluster) — the vectors never read) finds the
+    * affected clusters, then ONLY those cluster partitions rewrite
+    * via per-write dynamic partition overwrite; untouched clusters'
+    * files are not opened. Clusters whose every row is deleted get
+    * their partition directories dropped explicitly (dynamic
+    * overwrite only replaces partitions present in the written data
+    * — an emptied cluster would otherwise silently keep its old
+    * files, the exact silent-residue failure erasure exists to
+    * prevent).
+    *
+    * Idempotent and crash-convergent: a re-run finds whatever rows
+    * remain and converges; the one non-atomic window (between the
+    * survivor overwrite and the empty-partition drops) leaves only
+    * NOT-YET-ERASED rows, never duplicates and never lost survivors
+    * (survivors land through the committed overwrite before any
+    * delete happens). Readers should quiesce for the erase, as for
+    * every saved-state erasure in this library. Corner: erasing EVERY
+    * row leaves a layout with no parquet files — [[load]] refuses it
+    * (there is nothing left to search); rebuild from the next corpus
+    * instead of probing an emptied index. */
+  def deleteFromSaved(spark: SparkSession, root: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val assignedPath = s"$root/assigned"
+    val assigned = spark.read.parquet(assignedPath)
+    val del = ids
+      .select(col(idCol).cast(assigned.schema("neighbor_id").dataType)
+        .as("neighbor_id"))
+      .distinct()
+    val affected = assigned
+      .join(del, Seq("neighbor_id"), "left_semi")
+      .select(col("cluster").cast("int")).distinct()
+      .collect().map(_.getInt(0)) // bounded by the cluster count
+    if (affected.isEmpty) return
+    val tmp = SketchState.sibling(assignedPath, ".erase_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true)
+    // stage survivors of the affected clusters OUTSIDE the source dir
+    // (Spark refuses an overwrite of a path it is reading)
+    assigned.filter(col("cluster").isInCollection(affected.toSeq))
+      .join(del, Seq("neighbor_id"), "left_anti")
+      .write.parquet(tmp.toString)
+    val staged = spark.read.parquet(tmp.toString)
+    val nonEmpty = staged.select(col("cluster").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (nonEmpty.nonEmpty)
+      staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(assignedPath)
+    affected.filterNot(nonEmpty).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(assignedPath, s"cluster=$c"),
+        true)
+    }
+    fs.delete(tmp, true)
+  }
+
   /** Top-k search probing each query's `nprobe` nearest clusters.
     *
     * Centroid ranking has two plan shapes, switched on

@@ -208,4 +208,398 @@ object SemDedup {
         coalesce(col("label"), col("id")).as("dup_label"),
         (coalesce(col("label"), col("id")) === col("id")).as("is_keep"))
   }
+
+  // ------------- incremental embedding-cosine screen (frozen quantizer)
+
+  /** The frozen coarse quantizer of the incremental screen: the
+    * min-md5(id) center draw of [[assign]], collected to the driver —
+    * bounded by `nCenters` rows of dimension d, the same size class
+    * as an [[Ivf.Index]]'s centroid matrix. Ids ride along so the
+    * oracle can replay the draw and so erasure can detect a deleted
+    * center ([[deleteDocsFromSavedSemanticState]]). */
+  final case class SemCenters(ids: Array[Long], vecs: Array[Array[Float]])
+
+  /** Deterministic center draw ([[assign]]'s md5-min rule) collected
+    * to the driver. One TakeOrdered scan; the collect is bounded by
+    * `nCenters`. Fewer than `nCenters` rows in `df` yields fewer
+    * centers (small corpora, tests) — never an error. */
+  def drawCenters(df: DataFrame, idCol: String, vecCol: String,
+      nCenters: Int): SemCenters = {
+    require(nCenters > 0, "nCenters must be positive")
+    val rows = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      .limit(nCenters)
+      .collect()
+    SemCenters(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Per-row argmax-cosine assignment against a FROZEN center set:
+    * the centers ride as literal expressions ([[Ivf.assignBatch]]'s
+    * shape), so assignment is one codegen'd zero-shuffle pass —
+    * unlike [[assign]]'s groupBy form there is no N-row shuffle at
+    * all. Same semantics as [[assign]]: cosine compared in the
+    * rounded 4-dp integer space, ties to the smallest center id
+    * (lexicographic struct min ≡ score desc, center asc).
+    *
+    * The literal plan grows with nCenters·d — fine for the blocking
+    * quantizer this screen wants (nCenters ≲ 10³); a quantizer that
+    * must scale with the corpus is [[assignTwoLevel]]'s territory,
+    * not this one's. Returns (id LONG, v ARRAY<FLOAT>, cluster LONG). */
+  private[graft] def assignToCenters(df: DataFrame, idCol: String,
+      vecCol: String, centers: SemCenters): DataFrame = {
+    require(centers.ids.nonEmpty, "semantic centers must be non-empty")
+    val scored = centers.ids.indices.map { j =>
+      struct(
+        (-round(cosineF(col("v"), typedLit(centers.vecs(j).toSeq)) *
+          lit(10000.0)).cast("long")).as("ns"),
+        lit(centers.ids(j)).as("c"))
+    }
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("cluster", array_min(array(scored: _*)).getField("c"))
+  }
+
+  /** The screen body over two pre-assigned frames: an incoming vector
+    * drops when ANY reference vector in its cluster clears `floor`
+    * at 4-dp-rounded cosine. The incoming side broadcasts (a batch is
+    * bounded; the reference corpus is not), so the reference frame is
+    * scanned once and never shuffled — work is Σ per-cluster
+    * |in|·|ref|, the quantizer's blocking guarantee. Returns the
+    * SURVIVING assigned rows (id, v, cluster). */
+  private[graft] def screenAssigned(inA: DataFrame, refA: DataFrame,
+      floor: Double): DataFrame = {
+    val dup = broadcast(inA.select(col("id"), col("v"), col("cluster")))
+      .as("i")
+      .join(refA.as("r"), col("i.cluster") === col("r.cluster"))
+      .filter(round(cosineF(col("i.v"), col("r.v")) * lit(10000.0)) /
+        lit(10000.0) >= lit(floor))
+      .select(col("i.id").as("id")).distinct()
+    inA.join(dup, Seq("id"), "left_anti")
+  }
+
+  /** EMBEDDING-COSINE form of [[Dedup.newAgainstReferenceNear]] — the
+    * incremental-ingest screen the shingle family structurally
+    * misses: a paraphrase or re-render of an already-ingested doc
+    * shares no n-grams but sits next to it in embedding space. New
+    * vectors are blocked by the deterministic frozen quantizer
+    * (centers = the reference's md5-min draw — engine-portable, so
+    * the whole screen replays exactly in the SQL oracle, the
+    * [[SemDedup]] object-doc argument) and drop when any
+    * SAME-CLUSTER reference vector clears `floor` at 4-dp cosine.
+    * Within-batch near-pairs are intentionally not collapsed
+    * ([[semanticDedup]] over the batch owns that); this op answers
+    * "is it already in the corpus?". Returns survivors as
+    * (idCol, cluster). */
+  def newAgainstReferenceSemantic(incoming: DataFrame, reference: DataFrame,
+      idCol: String, vecCol: String, nCenters: Int = 16,
+      floor: Double = 0.4): DataFrame = {
+    val centers = drawCenters(reference, idCol, vecCol, nCenters)
+    val refA = assignToCenters(reference, idCol, vecCol, centers)
+    val inA = assignToCenters(incoming, idCol, vecCol, centers)
+    screenAssigned(inA, refA, floor)
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
+  // ------------- saved semantic state (self-accumulating screen)
+
+  private def semRebuildMarker(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_graft_sem_rebuild")
+  private def semRebuildTmp(root: String) =
+    new org.apache.hadoop.fs.Path(root, ".sem_rebuild_tmp")
+  private def semCentersDir(root: String) =
+    new org.apache.hadoop.fs.Path(root, "centers")
+  private def semNCentersMarkerName = "_graft_sem_ncenters"
+  private def rootFs(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  def semanticAssignedTableName(root: String): String =
+    SuffixDedup.indexTableName("graft_sem_idx_", root + "/assigned")
+
+  /** The saved assignment table: (g = cluster, doc, v,
+    * first_batch_id), CLUSTERED BY (g) — the probe join's key, so the
+    * accumulated state streams into the per-batch screen in place,
+    * and erasure rewrites only the bucket files holding a deleted
+    * row. The quantizer itself is FROZEN at first fold (parquet under
+    * `root/centers` + an immutable nCenters marker): blocking quality
+    * is what freezes, not correctness — re-center via
+    * [[rebuildSavedSemanticState]] at maintenance cadence if the
+    * embedding distribution drifts. */
+  def savedSemanticAssigned(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): DataFrame =
+    SuffixDedup.ensureBucketedTable(spark, root + "/assigned",
+      semanticAssignedTableName(root),
+      "g BIGINT, doc BIGINT, v ARRAY<FLOAT>, first_batch_id BIGINT", buckets)
+
+  /** Read the frozen quantizer back; requires a prior fold. */
+  def readSemanticCenters(spark: org.apache.spark.sql.SparkSession,
+      root: String): SemCenters = {
+    val fs = rootFs(spark, root)
+    require(fs.exists(semCentersDir(root)),
+      s"no frozen semantic centers at $root/centers — fold at least one " +
+        "batch (updateSavedSemanticState) before probing")
+    val rows = spark.read.parquet(semCentersDir(root).toString)
+      .select(col("id"), col("v")).collect()
+    // deterministic in-memory order (files may list in any order)
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    SemCenters(sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** Read-or-freeze the quantizer: first caller draws the md5-min
+    * centers from `from` and publishes them atomically (parquet to a
+    * dot-temp dir, then rename — a crash leaves either no centers or
+    * complete centers; the nCenters marker is immutable, so a restart
+    * reconfigured with a different `nCenters` fails loudly instead of
+    * silently probing under the wrong quantizer). */
+  private[graft] def ensureSemanticCenters(from: DataFrame, root: String,
+      idCol: String, vecCol: String, nCenters: Int): SemCenters = {
+    val spark = from.sparkSession
+    val fs = rootFs(spark, root)
+    val cDir = semCentersDir(root)
+    if (fs.exists(cDir)) {
+      val stored = SuffixDedup.readIntMarker(fs,
+        new org.apache.hadoop.fs.Path(root, semNCentersMarkerName),
+        "semantic nCenters")
+      require(stored == nCenters,
+        s"saved semantic state at $root was frozen with nCenters=$stored, " +
+          s"not $nCenters — pinned state parameters are immutable " +
+          "(rebuild the state to re-quantize)")
+      readSemanticCenters(spark, root)
+    } else {
+      val c = drawCenters(from, idCol, vecCol, nCenters)
+      require(c.ids.nonEmpty,
+        "cannot freeze semantic centers from an empty frame")
+      import spark.implicits._
+      val tmp = new org.apache.hadoop.fs.Path(root, ".centers_tmp")
+      fs.delete(tmp, true)
+      c.ids.zip(c.vecs.map(_.toSeq)).toSeq.toDF("id", "v")
+        .coalesce(1).write.parquet(tmp.toString)
+      SuffixDedup.writeMarkerAtomic(fs,
+        new org.apache.hadoop.fs.Path(root), semNCentersMarkerName,
+        nCenters.toString)
+      require(fs.rename(tmp, cDir) || fs.exists(cDir),
+        s"failed to publish semantic centers at $cDir")
+      c
+    }
+  }
+
+  /** The saved state's reference side for a probe at `batchId`,
+    * provenance-gated (`first_batch_id < batchId` — a replayed batch
+    * sees exactly the pre-batch corpus) as (id, v, cluster). */
+  def savedSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long = Long.MaxValue,
+      buckets: Int = 16): DataFrame = {
+    healSemanticState(spark, root, buckets)
+    savedSemanticAssigned(spark, root, buckets)
+      .filter(col("first_batch_id") < batchId)
+      .select(col("doc").as("id"), col("v"), col("g").as("cluster"))
+  }
+
+  /** [[newAgainstReferenceSemantic]] with the reference side read from
+    * the SAVED state: the batch assigns under the frozen quantizer
+    * (zero shuffle), broadcasts into the cluster-equality probe, and
+    * the accumulated state is scanned once in place — never shuffled,
+    * never rebuilt. Same screen body ⇒ the saved form inherits the
+    * static screen's semantics and its oracle verbatim. */
+  def newAgainstSavedSemantic(incoming: DataFrame, root: String,
+      idCol: String, vecCol: String, floor: Double = 0.4,
+      batchId: Long = Long.MaxValue, buckets: Int = 16): DataFrame = {
+    val spark = incoming.sparkSession
+    healSemanticState(spark, root, buckets)
+    val centers = readSemanticCenters(spark, root)
+    val inA = assignToCenters(incoming, idCol, vecCol, centers)
+    screenAssigned(inA, savedSemanticIndex(spark, root, batchId, buckets),
+      floor)
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** Fold a batch's KEPT vectors into the saved state. New docs are
+    * those absent from the table at their (g, doc) — the membership
+    * anti-probe joins on a superset of the clustering key, so the
+    * state side streams in place under the
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` posture
+    * ([[Dedup.savedNearDupIndex]]'s documented knob). Replay-
+    * idempotent: a replayed batch's rows all anti-join away. */
+  def updateSavedSemanticState(root: String, kept: DataFrame,
+      idCol: String, vecCol: String, nCenters: Int = 16,
+      batchId: Long = 0L, buckets: Int = 16): Unit = {
+    val spark = kept.sparkSession
+    healSemanticState(spark, root, buckets)
+    val centers = ensureSemanticCenters(kept, root, idCol, vecCol, nCenters)
+    foldAssignedIntoSemanticState(root,
+      assignToCenters(kept, idCol, vecCol, centers), batchId, buckets)
+  }
+
+  /** [[updateSavedSemanticState]] for rows already assigned under the
+    * frozen quantizer (the streaming batch body assigns ONCE and
+    * reuses the frame for screen + fold). */
+  private[graft] def foldAssignedIntoSemanticState(root: String,
+      assigned: DataFrame, batchId: Long, buckets: Int = 16): Unit = {
+    val spark = assigned.sparkSession
+    val tbl = savedSemanticAssigned(spark, root, buckets)
+    assigned
+      .select(col("cluster").as("g"), col("id").as("doc"), col("v"),
+        lit(batchId).as("first_batch_id"))
+      .join(tbl.select("g", "doc"), Seq("g", "doc"), "left_anti")
+      .write.mode("append").insertInto(semanticAssignedTableName(root))
+  }
+
+  /** Right-to-erasure for the saved semantic state: the deleted docs'
+    * rows leave the assignment table — a re-ingested copy of a
+    * deleted embedding is admitted again, near-copies of SURVIVORS
+    * still drop. Rows are doc-keyed, so the delete is exact with no
+    * survivor scan; clusters recompute from the deleted VECTORS under
+    * the frozen quantizer (the erasure request carries them — the
+    * [[Dedup.deleteDocsFromSavedNearDupState]] discipline), so only
+    * the bucket files holding a deleted row rewrite. Idempotent
+    * (deleting absent rows is a no-op); transient duplicate rows from
+    * a crashed prior erase are benign for every reader (the probe
+    * `distinct`s dup ids; the fold's membership anti-join needs
+    * existence only) and collapse on re-delivery.
+    *
+    * When a deleted doc IS a frozen center, surgical erasure cannot
+    * help — the center parquet itself holds the person's embedding —
+    * so the erase escalates to [[rebuildSavedSemanticState]]: a full
+    * re-quantize from the surviving state rows (centers re-drawn by
+    * the same md5-min rule over survivors). Readers should quiesce
+    * for either path, as for the bucketed gram-index erase. */
+  def deleteDocsFromSavedSemanticState(root: String, deleted: DataFrame,
+      idCol: String, vecCol: String, buckets: Int = 16): Unit = {
+    val spark = deleted.sparkSession
+    healSemanticState(spark, root, buckets)
+    val fs = rootFs(spark, root)
+    if (!fs.exists(semCentersDir(root))) return // nothing folded yet
+    val centers = readSemanticCenters(spark, root)
+    val delA = assignToCenters(deleted, idCol, vecCol, centers)
+      .localCheckpoint() // feeds the center check AND both erase frames
+    val centerHit = delA
+      .filter(col("id").isInCollection(centers.ids.toSeq)).limit(1).count() > 0
+    if (centerHit)
+      rebuildSavedSemanticState(spark, root,
+        delA.select(col("id").as("g")).distinct(), buckets)
+    else
+      Dedup.eraseBucketRows(spark, root + "/assigned",
+        semanticAssignedTableName(root),
+        savedSemanticAssigned(spark, root, buckets),
+        hitKeys = delA.select(col("cluster").as("g")).distinct(),
+        keyCol = "g", outsideAnti = false,
+        cols = Seq("g", "doc", "v", "first_batch_id"),
+        dropDocs = Some(delA.select(col("id").as("g"))))
+  }
+
+  /** Full re-quantize of the saved state from its SURVIVING rows —
+    * the erasure path when a frozen center itself is deleted, and the
+    * maintenance path when the embedding distribution has drifted
+    * past the frozen draw. One scan of the state (never the corpus):
+    * survivors anti-join the deleted ids, new centers re-draw by the
+    * same md5-min rule over the survivors, and every survivor
+    * re-assigns under the new quantizer, preserving its
+    * first-appearance provenance.
+    *
+    * Crash-convergent by a presumed-abort protocol: a sentinel is
+    * published FIRST, the replacement state builds COMPLETELY under a
+    * dot-temp dir (live state untouched and still readable by the
+    * build), a `_COMPLETE` stamp commits it, and only then does the
+    * live state swap out. [[healSemanticState]] — called by every
+    * reader and writer entry point — finishes a stamped swap and
+    * rolls back an unstamped one (live intact; the triggering erasure
+    * re-delivers, which is safe because erasure is idempotent). With
+    * zero survivors the root resets to virgin (next fold re-freezes
+    * the quantizer). */
+  def rebuildSavedSemanticState(spark: org.apache.spark.sql.SparkSession,
+      root: String, deletedIds: DataFrame, buckets: Int = 16): Unit = {
+    val fs = rootFs(spark, root)
+    val sentinel = semRebuildMarker(root)
+    val tmp = semRebuildTmp(root)
+    val complete = new org.apache.hadoop.fs.Path(tmp, "_COMPLETE")
+    if (!(fs.exists(sentinel) && fs.exists(complete))) {
+      fs.delete(tmp, true)
+      fs.create(sentinel, true).close()
+      val nCenters = SuffixDedup.readIntMarker(fs,
+        new org.apache.hadoop.fs.Path(root, semNCentersMarkerName),
+        "semantic nCenters")
+      val survivors = savedSemanticAssigned(spark, root, buckets)
+        .join(deletedIds.withColumnRenamed("g", "doc"), Seq("doc"),
+          "left_anti")
+        .select(col("doc"), col("v"), col("first_batch_id"))
+        .dropDuplicates("doc") // collapse crashed-erase transients
+      val newCenters = drawCenters(survivors, "doc", "v", nCenters)
+      if (newCenters.ids.nonEmpty) {
+        import spark.implicits._
+        // provenance rides through the re-assignment join on doc
+        assignToCenters(survivors, "doc", "v", newCenters)
+          .join(survivors.select(col("doc").as("id"),
+            col("first_batch_id")), Seq("id"))
+          .select(col("cluster").as("g"), col("id").as("doc"), col("v"),
+            col("first_batch_id"))
+          .write.parquet(new org.apache.hadoop.fs.Path(tmp, "assigned").toString)
+        newCenters.ids.zip(newCenters.vecs.map(_.toSeq)).toSeq.toDF("id", "v")
+          .coalesce(1)
+          .write.parquet(new org.apache.hadoop.fs.Path(tmp, "centers").toString)
+      } else {
+        // zero survivors: commit an EMPTY tmp — the swap resets the root
+        fs.mkdirs(tmp)
+      }
+      fs.create(complete, true).close()
+    }
+    finishSemanticRebuild(spark, root, buckets)
+  }
+
+  /** The committed half of the rebuild swap: requires the sentinel +
+    * a `_COMPLETE`-stamped tmp. Every step re-runs safely (drop/delete
+    * are idempotent, the re-created table re-inserts from the intact
+    * tmp), so a crash anywhere inside converges on the next heal. */
+  private def finishSemanticRebuild(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      buckets: Int): Unit = {
+    val fs = rootFs(spark, root)
+    val tmp = semRebuildTmp(root)
+    val tmpAssigned = new org.apache.hadoop.fs.Path(tmp, "assigned")
+    val tmpCenters = new org.apache.hadoop.fs.Path(tmp, "centers")
+    val tbl = semanticAssignedTableName(root)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    fs.delete(new org.apache.hadoop.fs.Path(root, "assigned"), true)
+    fs.delete(semCentersDir(root), true)
+    if (fs.exists(tmpCenters)) {
+      // COPY (never rename) out of tmp: a crash mid-swap must leave
+      // the stamped tmp intact so the next heal can re-run every step
+      spark.read.parquet(tmpCenters.toString)
+        .coalesce(1).write.parquet(semCentersDir(root).toString)
+      savedSemanticAssigned(spark, root, buckets)
+      if (fs.exists(tmpAssigned))
+        spark.read.parquet(tmpAssigned.toString)
+          .write.mode("append").insertInto(tbl)
+    } else {
+      // virgin reset: the nCenters pin goes too (next fold re-freezes)
+      fs.delete(new org.apache.hadoop.fs.Path(root, semNCentersMarkerName),
+        false)
+    }
+    fs.delete(tmp, true)
+    fs.delete(semRebuildMarker(root), false)
+  }
+
+  /** Mid-crash healing for the rebuild swap, wired into EVERY reader
+    * and writer of the saved semantic state: a stamped tmp finishes
+    * its swap (the erase commits), an unstamped one rolls back with
+    * the live state intact (the erase never applied — re-deliver it).
+    * A crashed rebuild can therefore never read back as a silently
+    * half-erased corpus. */
+  def healSemanticState(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): Unit = {
+    val fs = rootFs(spark, root)
+    val sentinel = semRebuildMarker(root)
+    if (!fs.exists(sentinel)) return
+    val tmp = semRebuildTmp(root)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_COMPLETE")))
+      finishSemanticRebuild(spark, root, buckets)
+    else {
+      fs.delete(tmp, true)
+      fs.delete(sentinel, false)
+    }
+  }
 }

@@ -43,6 +43,41 @@ private[graft] object DedupOracles {
        |WHERE doc_id % 2 <> 0
        |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.in_doc = d.doc_id)""".stripMargin
 
+  /** ONE definition for the incremental SEMANTIC screen's replay,
+    * bound to both the in-memory and the saved-state catalog queries
+    * (same sharing discipline as [[incrementalNearSql]]). Mirrors
+    * SemDedup.newAgainstReferenceSemantic end to end: centers = the
+    * even-id reference's 16 smallest-md5 vectors (the dedup_semantic
+    * draw), both sides argmax-assign in the rounded 4-dp integer
+    * cosine space with ties to the smallest center id, and an odd-id
+    * vector drops when any SAME-CLUSTER reference vector clears 0.4
+    * at 4-dp cosine. */
+  private lazy val incrementalSemanticSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |r AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+      |i AS (SELECT vec_id, v FROM e WHERE vec_id % 2 <> 0),
+      |c AS (SELECT vec_id AS center_id, v AS cv FROM r
+      |      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      |ra AS (SELECT vec_id, v, center_id AS cluster FROM (
+      |    SELECT r.vec_id, r.v, c.center_id,
+      |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+      |        round(list_dot_product(r.v, c.cv) /
+      |          (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(c.cv, c.cv))) * 10000) DESC,
+      |        c.center_id) AS rk
+      |    FROM r CROSS JOIN c) WHERE rk = 1),
+      |ia AS (SELECT vec_id, v, center_id AS cluster FROM (
+      |    SELECT i.vec_id, i.v, c.center_id,
+      |      row_number() OVER (PARTITION BY i.vec_id ORDER BY
+      |        round(list_dot_product(i.v, c.cv) /
+      |          (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(c.cv, c.cv))) * 10000) DESC,
+      |        c.center_id) AS rk
+      |    FROM i CROSS JOIN c) WHERE rk = 1),
+      |dup AS (SELECT DISTINCT ia.vec_id FROM ia JOIN ra ON ia.cluster = ra.cluster
+      |        WHERE round(list_dot_product(ia.v, ra.v) /
+      |          (sqrt(list_dot_product(ia.v, ia.v)) * sqrt(list_dot_product(ra.v, ra.v))) * 10000) / 10000 >= 0.4)
+      |SELECT vec_id, cluster FROM ia
+      |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vec_id = ia.vec_id)""".stripMargin
+
   val map: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
@@ -637,6 +672,17 @@ private[graft] object DedupOracles {
     // tables — the SAME replay, by construction (shared val): any
     // drift in what the saved tables reconstruct hash-fails here.
     "dedup_incremental_near_saved" -> incrementalNearSql,
+
+    // Mirrors SemDedup.newAgainstReferenceSemantic over the odd/even
+    // split: the deterministic frozen-quantizer blocking + 4-dp
+    // cosine floor replay exactly (shared val — see its scaladoc).
+    "dedup_incremental_semantic" -> incrementalSemanticSql,
+
+    // The SAVED-STATE form probes the identical screen body against
+    // the persisted bucketed assignment table under the frozen
+    // quantizer — the SAME replay, by construction (shared val): any
+    // drift in what the saved state reconstructs hash-fails here.
+    "dedup_incremental_semantic_saved" -> incrementalSemanticSql,
 
     // Mirrors curateCorpusMix: boilerplate (df >= 20) ∧ gopher gates on
     // the raw corpus → minhash canonical keep over the gated subset

@@ -379,6 +379,26 @@ private[graft] object SimilarityOracles {
     // the append machinery gets the exact similarity_topk oracle.
     "similarity_ivf_append" -> similarityTopkSql,
 
+    // Erase + exhaustive probe ≡ brute force over the SURVIVORS by
+    // construction: the vec_id % 5 = 1 slice is appended then erased,
+    // so it must be invisible on BOTH sides of the search — an
+    // un-erased row, a lost survivor, or an over-deleted cluster
+    // hash-fails against this survivors-only twin.
+    "similarity_ivf_erase" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id % 5 <> 1),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
+        |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
     // Mirrors Similarity.topKQuantizedRerank end to end: the same
     // floor(x·scale+0.5) quantization as embedding_quantize (kept as
     // integer-valued DOUBLE lists — exact), candidate score = ratio of

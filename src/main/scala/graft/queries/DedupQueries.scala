@@ -356,6 +356,41 @@ trait DedupQueries extends QueriesBase {
       "doc_id", "text", maxBucket = 200)
   }
 
+  /** EMBEDDING-COSINE incremental screen: the odd-id batch against the
+    * even-id corpus via the deterministic frozen quantizer (centers =
+    * the reference's md5-min draw) + same-cluster 4-dp cosine ≥ 0.4 —
+    * the paraphrase re-crawl that shares no shingles with its source
+    * and therefore passes [[dedupIncrementalNear]] untouched.
+    * Hash-checked end to end: the quantizer, the blocking, and the
+    * cosine floor all replay exactly in SQL. */
+  val dedupIncrementalSemantic: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    SemDedup.newAgainstReferenceSemantic(
+      e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+      e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 16, floor = 0.4)
+  }
+
+  /** [[dedupIncrementalSemantic]] from SAVED STATE (the
+    * [[graft.streaming.CorpusStreams.semanticScreenStream]] posture):
+    * the even-id corpus folds into a fresh state root — freezing the
+    * quantizer and persisting the assignment as a bucketed table —
+    * and the odd-id batch probes it through the catalog scan. Output
+    * hash-matches the SAME replay as the in-memory form (shared SQL
+    * val): any drift in what the saved tables reconstruct fails the
+    * gate. */
+  val dedupIncrementalSemanticSaved: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sem_state").toString + "/state"
+    SemDedup.updateSavedSemanticState(root,
+      e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 16, batchId = 0L)
+    SemDedup.newAgainstSavedSemantic(
+      e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+      root, "vec_id", "embedding", floor = 0.4, batchId = 1L)
+  }
+
   /** ExactSubstr duplicated-substring removal spans (Lee et al. 2022):
     * merged token regions covered by a non-first duplicated 5-gram —
     * the alignment-free pass that catches a copied passage at
@@ -594,5 +629,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_near" -> dedupIncrementalNear,
     "dedup_incremental_near_saved" -> dedupIncrementalNearSaved,
+    "dedup_incremental_semantic" -> dedupIncrementalSemantic,
+    "dedup_incremental_semantic_saved" -> dedupIncrementalSemanticSaved,
     "curate_corpus_mix" -> curateCorpusMix)
 }

@@ -230,6 +230,35 @@ trait SimilarityQueries extends QueriesBase {
       "embedding", k = 10, nprobe = appended.centroids.length)
   }
 
+  /** Right-to-erasure through the SAVED index lifecycle: build on 3/5
+    * of the corpus, [[Ivf.save]] to a lake root, [[Ivf.appendToSaved]]
+    * the remaining 2/5 (including the rows about to be erased),
+    * [[Ivf.deleteFromSaved]] the `vec_id % 5 = 1` slice, reload, and
+    * search with exhaustive probing. With every cluster probed the
+    * output ≡ brute-force top-k over the SURVIVORS by construction —
+    * so the whole erase machinery (affected-cluster discovery,
+    * dynamic-partition survivor rewrite, emptied-partition drop) gets
+    * an exact oracle: one un-erased row, one lost survivor, or one
+    * over-deleted cluster hash-fails. */
+  val similarityIvfErase: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_erase").toString + "/ivf"
+    val index = Ivf.build(
+      e.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 5 =!= 1),
+      "vec_id", "embedding", nClusters = 8)
+    Ivf.save(index, root)
+    Ivf.appendToSaved(s, root,
+      e.filter(col("vec_id") % 5 === 0 || col("vec_id") % 5 === 1),
+      "vec_id", "embedding")
+    Ivf.deleteFromSaved(s, root,
+      e.filter(col("vec_id") % 5 === 1).select("vec_id"), "vec_id")
+    val reloaded = Ivf.load(s, root)
+    Ivf.searchTopK(reloaded,
+      e.filter(col("vec_id") < 5 && col("vec_id") % 5 =!= 1),
+      "vec_id", "embedding", k = 10, nprobe = reloaded.centroids.length)
+  }
+
   /** Hyperplane-LSH near-neighbor pairs at cosine ≥ 0.4, recall-
     * CHECKED against the exhaustive pair set in the same plan: LSH
     * output is a SUBSET of brute force by construction (candidates
@@ -378,6 +407,7 @@ trait SimilarityQueries extends QueriesBase {
     "similarity_ivf_kmeans" -> similarityIvfKmeans,
     "similarity_ivf_exhaustive" -> similarityIvfExhaustive,
     "similarity_ivf_append" -> similarityIvfAppend,
+    "similarity_ivf_erase" -> similarityIvfErase,
     "similarity_lsh" -> similarityLsh,
     "similarity_lsh_exhaustive" -> similarityLshExhaustive,
     "similarity_quantized" -> similarityQuantized,

@@ -386,6 +386,56 @@ object CorpusStreams {
       textCol, n, k, bands, batchId, indexBuckets)
   }
 
+  /** Streaming SELF-ACCUMULATING EMBEDDING-COSINE screen — the
+    * semantic sibling of [[nearDupScreenStream]] for the vector side
+    * of the corpus: each micro-batch assigns under the quantizer
+    * FROZEN at the stream's first batch (deterministic md5-min draw —
+    * [[graft.ext.SemDedup.ensureSemanticCenters]]), drops vectors
+    * whose 4-dp cosine to anything ever KEPT clears `floor`
+    * (cluster-blocked — the accumulated state scans once in place,
+    * never shuffles), writes survivors under `outRoot`, and folds
+    * them back. First-arrival-wins; batch-internal near-pairs both
+    * survive ([[graft.ext.SemDedup.semanticDedup]] over the batch
+    * owns that). Replay-exact: probe gates `first_batch_id <
+    * batchId`, fold anti-joins, output partition overwrite is
+    * idempotent. Right-to-erasure:
+    * [[graft.ext.SemDedup.deleteDocsFromSavedSemanticState]].
+    * [[semanticScreenBatch]] is the testable per-batch body. */
+  def semanticScreenStream(vecs: DataFrame, stateRoot: String,
+      outRoot: String, nCenters: Int = 16, floor: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        semanticScreenBatch(batch.toDF(), batchId, stateRoot, outRoot,
+          nCenters, floor, idCol, vecCol, buckets)
+    }
+
+  /** One [[semanticScreenStream]] micro-batch, exposed for direct
+    * testing. An empty batch is a no-op (there is nothing to freeze a
+    * first-batch quantizer from, and nothing to screen). */
+  def semanticScreenBatch(batch: DataFrame, batchId: Long,
+      stateRoot: String, outRoot: String, nCenters: Int = 16,
+      floor: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding", buckets: Int = 16): Unit = {
+    import graft.ext.SemDedup
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    SemDedup.healSemanticState(spark, stateRoot, buckets)
+    val centers = SemDedup.ensureSemanticCenters(batch, stateRoot,
+      idCol, vecCol, nCenters)
+    val inA = SemDedup.assignToCenters(batch, idCol, vecCol, centers)
+    val kept = SemDedup.screenAssigned(inA,
+        SemDedup.savedSemanticIndex(spark, stateRoot, batchId, buckets),
+        floor)
+      .localCheckpoint() // feeds the output write AND the state fold
+    writeBatchPartition(kept.select(col("id").as(idCol), col("cluster")),
+      batchId, outRoot)
+    SemDedup.foldAssignedIntoSemanticState(stateRoot, kept, batchId,
+      buckets)
+  }
+
   /** Streaming per-doc GRAM NOVELTY (r16 VERDICT #3): each arriving
     * micro-batch's docs report the share of their distinct `n`-grams
     * unique across EVERYTHING ingested so far ∪ the batch — answered

@@ -372,6 +372,96 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semantic screen over SAVED state: zero Exchange on the assignment-table side") {
+    // r17: the self-accumulating embedding screen's probe broadcasts
+    // the (bounded) batch, so the accumulated state streams in place;
+    // the fold's (g, doc) membership anti-probe joins on a SUPERSET of
+    // the clustering key (g), which HashPartitioning satisfies under
+    // the same subset co-partition knob as the band index. Broadcast
+    // auto-threshold disabled: the PROBE's broadcast is the explicit
+    // hint on the batch side, never a size estimate.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sem-pin").toString + "/state"
+    val tbl = graft.ext.SemDedup.semanticAssignedTableName(root)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val requireAll = spark.conf
+      .get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val kept = Seq(
+        (1L, Array(1.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+      graft.ext.SemDedup.updateSavedSemanticState(root, kept,
+        "vec_id", "embedding", nCenters = 2, batchId = 0L, buckets = 4)
+      val batch = Seq((10L, Array(0.99f, 0.05f, 0.0f)))
+        .toDF("vec_id", "embedding")
+      def pinned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+        import org.apache.spark.sql.execution.joins.BaseJoinExec
+        val all = flatten(df.queryExecution.executedPlan)
+        def isStateScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == tbl)
+          case _ => false
+        }
+        // the JOIN INPUT feeding from the state table must carry no
+        // Exchange (the dup-id distinct ABOVE the join may shuffle —
+        // it is bounded by the batch side, never by the state)
+        val sides = all.collect {
+          case j: BaseJoinExec
+            if flatten(j.right).exists(isStateScan) &&
+              !flatten(j.right).exists(p =>
+                p.isInstanceOf[BaseJoinExec] && p.ne(j)) => j.right
+          case j: BaseJoinExec
+            if flatten(j.left).exists(isStateScan) &&
+              !flatten(j.left).exists(p =>
+                p.isInstanceOf[BaseJoinExec] && p.ne(j)) => j.left
+        }
+        assert(sides.nonEmpty, s"$what: no join over the state table in:\n$df")
+        sides.foreach { side =>
+          assert(!flatten(side).exists(_.isInstanceOf[ShuffleExchangeLike]),
+            s"$what: the state side of the join must not shuffle:\n$side")
+        }
+      }
+      pinned(graft.ext.SemDedup.newAgainstSavedSemantic(batch, root,
+        "vec_id", "embedding", floor = 0.9, batchId = 1L, buckets = 4),
+        "saved-state probe")
+      // the fold's membership anti-probe, as foldAssignedIntoSemanticState
+      // builds it before the insertInto
+      val centers = graft.ext.SemDedup.readSemanticCenters(spark, root)
+      val assigned = graft.ext.SemDedup
+        .assignToCenters(batch, "vec_id", "embedding", centers)
+        .select(col("cluster").as("g"), col("id").as("doc"), col("v"),
+          lit(1L).as("first_batch_id"))
+      val fresh = assigned.join(spark.table(tbl).select("g", "doc"),
+        Seq("g", "doc"), "left_anti")
+      pinned(fresh, "fold membership anti-probe")
+      val scan = flatten(fresh.queryExecution.executedPlan).collectFirst {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == tbl) => f
+      }
+      assert(scan.get.toString.contains("Bucketed: true"),
+        s"fold anti-probe state scan must be bucketed:\n${scan.get}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        requireAll)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("curate_corpus_ingest: keep-set and index probe are semi joins, no cartesian") {
     val plan = executed(Queries.all("curate_corpus_ingest")(spark, sf))
     assert("LeftSemi".r.findAllIn(plan).size >= 2,

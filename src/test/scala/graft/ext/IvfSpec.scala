@@ -145,4 +145,65 @@ class IvfSpec extends SparkSpec {
     val direct = Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8)
     assert(rows(appended) == rows(direct))
   }
+
+  test("deleteFromSaved: erased rows leave the lake layout; partitions rewrite surgically; idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_del").toString + "/ivf"
+    Ivf.save(Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8), root)
+    val del = embeddings.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val delIds = del.as[Long].collect().toSet
+    val untouched = Ivf.load(spark, root).assigned
+      .join(del.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+      .select(col("cluster").cast("int")).distinct()
+      .as[Int].collect().toSet --
+      Ivf.load(spark, root).assigned
+        .join(del.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"), "left_semi")
+        .select(col("cluster").cast("int")).distinct()
+        .as[Int].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mtimes(clusters: Set[Int]): Map[Int, Long] = clusters.map { c =>
+      val d = new org.apache.hadoop.fs.Path(s"$root/assigned/cluster=$c")
+      c -> fs.listStatus(d).map(_.getModificationTime).max
+    }.toMap
+    val before = mtimes(untouched)
+    Ivf.deleteFromSaved(spark, root, del, "vec_id")
+    val after = Ivf.load(spark, root)
+    val ids = after.assigned.select($"neighbor_id".cast("long"))
+      .as[Long].collect().toSet
+    assert(ids.intersect(delIds).isEmpty, "erased ids must leave the index")
+    assert(ids == embeddings.select($"vec_id").as[Long].collect().toSet
+      .diff(delIds), "every survivor must remain")
+    // partitions with no deleted row were never rewritten
+    assert(mtimes(untouched) == before,
+      "clusters holding no deleted row must not be touched")
+    // search never returns an erased id, and equals brute force over
+    // the survivors under exhaustive probing
+    val got = Ivf.searchTopK(after,
+        embeddings.filter(col("vec_id") < 3 && col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", k = 5, nprobe = after.centroids.length)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val brute = Similarity.topK(
+        embeddings.filter(col("vec_id") % 7 =!= 0),
+        embeddings.filter(col("vec_id") < 3 && col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(got.toSeq == brute.toSeq)
+    // idempotent: re-delivering the same erasure changes nothing
+    Ivf.deleteFromSaved(spark, root, del, "vec_id")
+    assert(Ivf.load(spark, root).assigned.count() == ids.size.toLong)
+    // an entirely-deleted cluster's directory must drop, not linger:
+    // erase EVERYTHING and check no cluster partition remains on disk
+    Ivf.deleteFromSaved(spark, root,
+      embeddings.select("vec_id"), "vec_id")
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/assigned"))
+      .map(_.getPath.getName).filter(_.startsWith("cluster="))
+    assert(left.isEmpty,
+      s"a full erase must leave no cluster partitions, found: ${left.toSeq}")
+  }
 }

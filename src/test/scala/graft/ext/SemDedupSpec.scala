@@ -128,4 +128,143 @@ class SemDedupSpec extends SparkSpec {
       "assignment when buckets are unambiguous")
     assert(flat.map(_._1) == (1L to 12L), "every vector assigned exactly once")
   }
+
+  // ------------- incremental embedding-cosine screen + saved state
+
+  // reference corpus: two tight directions + one isolated; incoming
+  // batch: one near-copy of each reference direction + one fresh
+  private def refRows = Seq(
+    (2L, Array(1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 1.0f, 0.0f)),
+    (6L, Array(0.7f, 0.7f, 0.1f)))
+  private def inRows = Seq(
+    (11L, Array(0.99f, 0.05f, 0.0f)),   // near-copy of 2 → drops
+    (13L, Array(0.05f, 0.99f, 0.0f)),   // near-copy of 4 → drops
+    (15L, Array(0.0f, 0.0f, 1.0f)))     // orthogonal fresh → survives
+
+  private def freshRoot(): String = java.nio.file.Files
+    .createTempDirectory("graft_sem_spec").toString + "/state"
+
+  test("newAgainstReferenceSemantic: same-cluster near-copies drop, fresh survives") {
+    val out = SemDedup.newAgainstReferenceSemantic(
+        inRows.toDF("vec_id", "embedding"), refRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 3, floor = 0.9)
+      .select($"vec_id".as[Long], $"cluster".as[Long]).collect().toMap
+    assert(out.keySet == Set(15L),
+      s"near-copies must drop, the fresh vector must survive: $out")
+  }
+
+  test("saved semantic state: probe ≡ static screen; replay-gated; fold-idempotent") {
+    val root = freshRoot()
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 3, batchId = 0L, buckets = 4)
+    def probe() = SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 1L, buckets = 4)
+      .select($"vec_id".as[Long], $"cluster".as[Long]).collect().toSet
+    val static = SemDedup.newAgainstReferenceSemantic(
+        inRows.toDF("vec_id", "embedding"), refRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 3, floor = 0.9)
+      .select($"vec_id".as[Long], $"cluster".as[Long]).collect().toSet
+    assert(probe() == static, "saved probe must equal the static screen")
+    // fold replay: re-folding the same reference is a no-op
+    val before = SemDedup.savedSemanticAssigned(spark, root, 4).count()
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 3, batchId = 0L, buckets = 4)
+    assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == before,
+      "a replayed fold must append nothing")
+    // the frozen quantizer is pinned: a different nCenters fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.updateSavedSemanticState(root,
+        refRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nCenters = 2, batchId = 2L, buckets = 4)
+    }
+    assert(e.getMessage.contains("nCenters"), e.getMessage)
+  }
+
+  test("saved semantic erasure: re-admit after erase, survivor still drops, idempotent") {
+    val root = freshRoot()
+    // make sure the deleted doc is NOT a frozen center: freeze centers
+    // from the two survivors first, then fold the victim in batch 1
+    SemDedup.updateSavedSemanticState(root,
+      refRows.filter(_._1 != 2L).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 2, batchId = 0L, buckets = 4)
+    SemDedup.updateSavedSemanticState(root,
+      refRows.filter(_._1 == 2L).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 2, batchId = 1L, buckets = 4)
+    def screen() = SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 9L, buckets = 4)
+      .select($"vec_id".as[Long]).collect().toSet
+    assert(screen() == Set(15L), "both near-copies drop pre-erase")
+    SemDedup.deleteDocsFromSavedSemanticState(root,
+      refRows.filter(_._1 == 2L).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", buckets = 4)
+    assert(SemDedup.savedSemanticAssigned(spark, root, 4)
+      .filter(col("doc") === 2L).isEmpty, "deleted doc's row must leave")
+    assert(screen() == Set(11L, 15L),
+      "the erased doc's near-copy re-admits; the survivor's still drops")
+    val counts = SemDedup.savedSemanticAssigned(spark, root, 4).count()
+    SemDedup.deleteDocsFromSavedSemanticState(root,
+      refRows.filter(_._1 == 2L).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", buckets = 4)
+    assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == counts,
+      "re-delivered erasure must change nothing")
+  }
+
+  test("saved semantic erasure of a FROZEN CENTER rebuilds: contract holds, provenance survives") {
+    val root = freshRoot()
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 3, batchId = 0L, buckets = 4)
+    // with nCenters = |reference| every doc is a center → any delete
+    // takes the rebuild path
+    SemDedup.deleteDocsFromSavedSemanticState(root,
+      refRows.filter(_._1 == 2L).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_sem_rebuild")),
+      "the rebuild sentinel must clear on completion")
+    val state = SemDedup.savedSemanticAssigned(spark, root, 4)
+      .select($"doc".as[Long], $"first_batch_id".as[Long]).collect().toMap
+    assert(state.keySet == Set(4L, 6L), s"survivors only: $state")
+    assert(state.values.toSet == Set(0L), "provenance must survive the rebuild")
+    // the deleted center's vector is gone from the centers parquet too
+    val centerIds = spark.read.parquet(root + "/centers")
+      .select($"id".as[Long]).collect().toSet
+    assert(!centerIds.contains(2L), "the deleted center's embedding must leave")
+    val out = SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 9L, buckets = 4)
+      .select($"vec_id".as[Long]).collect().toSet
+    assert(out == Set(11L, 15L),
+      "post-rebuild: erased center's near-copy re-admits, survivor's drops")
+  }
+
+  test("rebuild crash healing: unstamped tmp rolls back, stamped tmp commits, zero survivors resets") {
+    val root = freshRoot()
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 2, batchId = 0L, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sentinel = new org.apache.hadoop.fs.Path(root, "_graft_sem_rebuild")
+    // crash BEFORE the tmp completed: live state intact → roll back
+    fs.create(sentinel, true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".sem_rebuild_tmp"))
+    SemDedup.healSemanticState(spark, root, 4)
+    assert(!fs.exists(sentinel), "unstamped rebuild must roll back")
+    assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == 3L,
+      "rollback must leave the live state intact")
+    // a rebuild that deletes EVERYTHING commits a virgin reset: the
+    // next fold re-freezes the quantizer with a different nCenters
+    SemDedup.rebuildSavedSemanticState(spark, root,
+      refRows.map(_._1).toDF("g"), buckets = 4)
+    assert(SemDedup.savedSemanticAssigned(spark, root, 4).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "centers")),
+      "a zero-survivor rebuild resets the quantizer")
+    SemDedup.updateSavedSemanticState(root, inRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 1, batchId = 5L, buckets = 4)
+    assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == 3L,
+      "the reset root must accept a fresh freeze under new parameters")
+  }
 }

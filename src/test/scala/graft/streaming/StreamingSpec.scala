@@ -305,6 +305,57 @@ class StreamingSpec extends SparkSpec {
       graft.ext.Dedup.savedNearDupBands(spark, stateRoot).count()) == counts)
   }
 
+  test("self-accumulating semantic screen: batch k ≡ static screen vs everything kept so far; replay-exact; accumulates") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sem_stream").toString
+    val (stateRoot, outRoot) = (tmp + "/state", tmp + "/out")
+    val batch1 = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+    val batch2 = Seq(
+      (10L, Array(0.99f, 0.05f, 0.0f)),  // near-copy of kept 1 → drops
+      (11L, Array(0.05f, 0.99f, 0.0f)),  // near-copy of kept 2 → drops
+      (12L, Array(0.0f, 0.0f, 1.0f)))    // fresh → survives
+    def runBatch(rows: Seq[(Long, Array[Float])], id: Long): Unit =
+      graft.streaming.CorpusStreams.semanticScreenBatch(
+        rows.toDF("vec_id", "embedding"), id, stateRoot, outRoot,
+        nCenters = 2, floor = 0.9, buckets = 4)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.CorpusStreams.semanticScreenStream(
+      input.toDF().toDF("vec_id", "embedding"), stateRoot, outRoot,
+      nCenters = 2, floor = 0.9, buckets = 4).start()
+    try { input.addData(batch1: _*); q.processAllAvailable() }
+    finally q.stop()
+    runBatch(batch2, 1L)
+    def readOut() = spark.read.parquet(outRoot)
+      .select(col("batch_id").cast("long"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = readOut()
+    // batch 1: empty state keeps everything; batch 2 ≡ the static
+    // screen against exactly what batch 1 kept, under the quantizer
+    // the stream froze at batch 1 (= a draw over batch 1 ≡ reference)
+    val expected2 = graft.ext.SemDedup.newAgainstReferenceSemantic(
+        batch2.toDF("vec_id", "embedding"), batch1.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 2, floor = 0.9)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(got == Set(0L -> 1L, 0L -> 2L) ++ expected2.map(1L -> _),
+      s"got=$got expected2=$expected2")
+    assert(got.map(_._2).intersect(Set(10L, 11L)).isEmpty,
+      "near-copies of kept vectors must drop cross-batch")
+    assert(got.contains(1L -> 12L), "fresh material must survive")
+    // replay: output and state unchanged
+    val before = graft.ext.SemDedup.savedSemanticAssigned(spark, stateRoot, 4).count()
+    runBatch(batch2, 1L)
+    assert(readOut() == got, "replay must be a no-op on the output")
+    assert(graft.ext.SemDedup.savedSemanticAssigned(spark, stateRoot, 4)
+      .count() == before, "replay must fold nothing")
+    // accumulation: a later near-copy of batch-2's keep drops too
+    runBatch(Seq((20L, Array(0.02f, 0.01f, 0.99f))), 2L)
+    assert(!readOut().exists(_._1 == 2L),
+      "a near-copy of a batch-2 keep must drop in batch 3")
+  }
+
   test("streaming doc novelty: per-batch output from saved df state ≡ full recompute over everything so far") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files
