@@ -583,6 +583,29 @@ object SemDedup {
     fs.delete(semRebuildMarker(root), false)
   }
 
+  /** Blocking-health triage over a SAVED semantic state: per-cluster
+    * occupancy and corpus share, answered from the state alone (never
+    * a corpus rescan). The number the screen's operator reads FIRST:
+    * the probe's work is Σ per-cluster |batch|·|state|, so one
+    * runaway cluster (embedding collapse, or a frozen quantizer the
+    * distribution has drifted past) is where the screen turns
+    * quadratic — a share far above 1/nCenters says re-center
+    * ([[rebuildSavedSemanticState]]) before it says anything else.
+    * The count aggregate groups on the clustering key, so it runs
+    * exchange-free over the bucketed table; the share join broadcasts
+    * one total row. */
+  def savedSemanticOccupancy(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): DataFrame = {
+    healSemanticState(spark, root, buckets)
+    val counts = savedSemanticAssigned(spark, root, buckets)
+      .groupBy(col("g").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+    counts.crossJoin(broadcast(counts.agg(sum("n_vectors").as("__t"))))
+      .select(col("cluster"), col("n_vectors"),
+        (round(col("n_vectors") * lit(10000.0) / col("__t")) / lit(10000.0))
+          .as("occupancy_share"))
+  }
+
   /** Mid-crash healing for the rebuild swap, wired into EVERY reader
     * and writer of the saved semantic state: a stamped tmp finishes
     * its swap (the erase commits), an unstamped one rolls back with

@@ -684,6 +684,28 @@ private[graft] object DedupOracles {
     // drift in what the saved state reconstructs hash-fails here.
     "dedup_incremental_semantic_saved" -> incrementalSemanticSql,
 
+    // Mirrors savedSemanticOccupancy over a state folded from the
+    // whole embeddings corpus: the md5-min 16-center draw, argmax
+    // assignment in the 4-dp integer cosine space (ties to the
+    // smallest center id), exact per-cluster counts, mirrored share
+    // division.
+    "report_semantic_occupancy" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS center_id, v AS cv FROM e
+        |      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |a AS (SELECT vec_id, center_id AS cluster FROM (
+        |    SELECT e.vec_id, c.center_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) * 10000) DESC,
+        |        c.center_id) AS rk
+        |    FROM e CROSS JOIN c) WHERE rk = 1),
+        |cnt AS (SELECT cluster, count(*) AS n_vectors FROM a GROUP BY 1),
+        |t AS (SELECT sum(n_vectors) AS tt FROM cnt)
+        |SELECT cluster, n_vectors,
+        |       round(n_vectors * 10000.0 / tt) / 10000 AS occupancy_share
+        |FROM cnt, t""".stripMargin,
+
     // Mirrors curateCorpusMix: boilerplate (df >= 20) ∧ gopher gates on
     // the raw corpus → minhash canonical keep over the gated subset
     // (the shared cluster CTEs run on `kept`) → per-source token

@@ -391,6 +391,24 @@ trait DedupQueries extends QueriesBase {
       root, "vec_id", "embedding", floor = 0.4, batchId = 1L)
   }
 
+  /** Blocking-health triage of the saved semantic state: per-cluster
+    * occupancy + corpus share from the state table alone — the
+    * screen's quadratic-risk monitor (one runaway cluster is where
+    * the per-batch probe blows up; a share far above 1/nCenters says
+    * re-center). The fold into a fresh root IS the cost the stream
+    * pays per kept batch, measured honestly like the other saved-
+    * state queries. Hash-checked: the md5-frozen quantizer replays
+    * exactly, counts are exact integers, the share division is
+    * mirrored. */
+  val reportSemanticOccupancy: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sem_occ").toString + "/state"
+    SemDedup.updateSavedSemanticState(root, e.select("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 16, batchId = 0L)
+    SemDedup.savedSemanticOccupancy(s, root)
+  }
+
   /** ExactSubstr duplicated-substring removal spans (Lee et al. 2022):
     * merged token regions covered by a non-first duplicated 5-gram —
     * the alignment-free pass that catches a copied passage at
@@ -631,5 +649,6 @@ trait DedupQueries extends QueriesBase {
     "dedup_incremental_near_saved" -> dedupIncrementalNearSaved,
     "dedup_incremental_semantic" -> dedupIncrementalSemantic,
     "dedup_incremental_semantic_saved" -> dedupIncrementalSemanticSaved,
+    "report_semantic_occupancy" -> reportSemanticOccupancy,
     "curate_corpus_mix" -> curateCorpusMix)
 }

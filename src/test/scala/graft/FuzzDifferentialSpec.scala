@@ -112,7 +112,13 @@ class FuzzDifferentialSpec extends SparkSpec {
     "similarity_mrl_recall",
     // exhaustive-probe append ≡ brute force by construction, so the
     // engine-specific centroids are invisible — fuzz-safe
-    "similarity_ivf_append")
+    "similarity_ivf_append",
+    // exhaustive-probe erase ≡ brute force over survivors — same
+    // argument; the erase machinery itself is what the fuzz stresses
+    "similarity_ivf_erase",
+    // the frozen quantizer is md5-deterministic, so both forms replay
+    // exactly on ANY id/vector set (including reused exact-dup vectors)
+    "dedup_incremental_semantic", "dedup_incremental_semantic_saved")
   // TPC-H-shaped subset: generated with consistent foreign keys, a
   // hot customer (30% of orders) and a hot order (20% of lineitem) so
   // the salted operators meet real skew, and two years of dates so

@@ -454,6 +454,13 @@ class PlanShapeSpec extends SparkSpec {
       }
       assert(scan.get.toString.contains("Bucketed: true"),
         s"fold anti-probe state scan must be bucketed:\n${scan.get}")
+      // the occupancy report's count groups on the clustering key —
+      // the whole aggregate runs in place, zero Exchange
+      val counts = spark.table(tbl).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"))
+      assert(!flatten(counts.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"occupancy count over the bucketed state must not shuffle:\n$counts")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
       spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
