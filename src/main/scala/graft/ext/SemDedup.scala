@@ -452,15 +452,20 @@ object SemDedup {
   /** Right-to-erasure for the saved semantic state: the deleted docs'
     * rows leave the assignment table — a re-ingested copy of a
     * deleted embedding is admitted again, near-copies of SURVIVORS
-    * still drop. Rows are doc-keyed, so the delete is exact with no
-    * survivor scan; clusters recompute from the deleted VECTORS under
-    * the frozen quantizer (the erasure request carries them — the
-    * [[Dedup.deleteDocsFromSavedNearDupState]] discipline), so only
-    * the bucket files holding a deleted row rewrite. Idempotent
-    * (deleting absent rows is a no-op); transient duplicate rows from
-    * a crashed prior erase are benign for every reader (the probe
-    * `distinct`s dup ids; the fold's membership anti-join needs
-    * existence only) and collapse on re-delivery.
+    * still drop. ID-ONLY by design: rows are doc-keyed, so the delete
+    * is exact with no survivor scan, and the affected clusters come
+    * from one column-pruned membership lookup of the rows AS STORED
+    * ((g, doc) only — the vectors never read). Looking up the stored
+    * g rather than recomputing it from the deleted vectors matters:
+    * after a [[rebuildSavedSemanticState]] re-centered the quantizer,
+    * a recomputed cluster could disagree with a row folded under the
+    * OLD centers, and the erase would silently miss it — the lookup
+    * is immune to any quantizer history. Only the bucket files
+    * holding a deleted row rewrite. Idempotent (deleting absent rows
+    * is a no-op); transient duplicate rows from a crashed prior erase
+    * are benign for every reader (the probe `distinct`s dup ids; the
+    * fold's membership anti-join needs existence only) and collapse
+    * on re-delivery.
     *
     * When a deleted doc IS a frozen center, surgical erasure cannot
     * help — the center parquet itself holds the person's embedding —
@@ -469,27 +474,33 @@ object SemDedup {
     * the same md5-min rule over survivors). Readers should quiesce
     * for either path, as for the bucketed gram-index erase. */
   def deleteDocsFromSavedSemanticState(root: String, deleted: DataFrame,
-      idCol: String, vecCol: String, buckets: Int = 16): Unit = {
+      idCol: String, buckets: Int = 16): Unit = {
     val spark = deleted.sparkSession
     healSemanticState(spark, root, buckets)
     val fs = rootFs(spark, root)
     if (!fs.exists(semCentersDir(root))) return // nothing folded yet
     val centers = readSemanticCenters(spark, root)
-    val delA = assignToCenters(deleted, idCol, vecCol, centers)
+    val delIds = deleted.select(col(idCol).cast("long").as("doc"))
+      .distinct()
       .localCheckpoint() // feeds the center check AND both erase frames
-    val centerHit = delA
-      .filter(col("id").isInCollection(centers.ids.toSeq)).limit(1).count() > 0
+    val centerHit = delIds
+      .filter(col("doc").isInCollection(centers.ids.toSeq))
+      .limit(1).count() > 0
     if (centerHit)
       rebuildSavedSemanticState(spark, root,
-        delA.select(col("id").as("g")).distinct(), buckets)
-    else
+        delIds.select(col("doc").as("g")), buckets)
+    else {
+      val tbl = savedSemanticAssigned(spark, root, buckets)
+      // the id set broadcasts (an erasure request is bounded), so the
+      // column-pruned state scan streams — no shuffle at erase time
+      val hitG = tbl.join(broadcast(delIds), Seq("doc"), "left_semi")
+        .select("g").distinct()
       Dedup.eraseBucketRows(spark, root + "/assigned",
-        semanticAssignedTableName(root),
-        savedSemanticAssigned(spark, root, buckets),
-        hitKeys = delA.select(col("cluster").as("g")).distinct(),
-        keyCol = "g", outsideAnti = false,
+        semanticAssignedTableName(root), tbl,
+        hitKeys = hitG, keyCol = "g", outsideAnti = false,
         cols = Seq("g", "doc", "v", "first_batch_id"),
-        dropDocs = Some(delA.select(col("id").as("g"))))
+        dropDocs = Some(delIds.select(col("doc").as("g"))))
+    }
   }
 
   /** Full re-quantize of the saved state from its SURVIVING rows —
@@ -542,8 +553,12 @@ object SemDedup {
           .coalesce(1)
           .write.parquet(new org.apache.hadoop.fs.Path(tmp, "centers").toString)
       } else {
-        // zero survivors: commit an EMPTY tmp — the swap resets the root
+        // zero survivors: the reset intent is marked EXPLICITLY — a
+        // stamped tmp with neither centers nor this marker is
+        // incoherent (e.g. a quiescence-violating reader healed
+        // mid-build) and must fail loudly, never read as a reset
         fs.mkdirs(tmp)
+        fs.create(new org.apache.hadoop.fs.Path(tmp, "_VIRGIN"), true).close()
       }
       fs.create(complete, true).close()
     }
@@ -562,10 +577,18 @@ object SemDedup {
     val tmpAssigned = new org.apache.hadoop.fs.Path(tmp, "assigned")
     val tmpCenters = new org.apache.hadoop.fs.Path(tmp, "centers")
     val tbl = semanticAssignedTableName(root)
+    val virgin = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_VIRGIN"))
+    if (!virgin && !fs.exists(tmpCenters))
+      throw new IllegalStateException(
+        s"stamped rebuild tmp at $tmp carries neither centers nor the " +
+          "_VIRGIN reset marker — incoherent (a reader may have healed " +
+          "mid-build; the rebuild requires quiesced readers). Live state " +
+          "is untouched: delete the tmp and the _graft_sem_rebuild " +
+          "sentinel, then re-run the erasure")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     fs.delete(new org.apache.hadoop.fs.Path(root, "assigned"), true)
     fs.delete(semCentersDir(root), true)
-    if (fs.exists(tmpCenters)) {
+    if (!virgin) {
       // COPY (never rename) out of tmp: a crash mid-swap must leave
       // the stamped tmp intact so the next heal can re-run every step
       spark.read.parquet(tmpCenters.toString)

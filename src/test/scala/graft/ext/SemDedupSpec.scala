@@ -199,7 +199,7 @@ class SemDedupSpec extends SparkSpec {
     assert(screen() == Set(15L), "both near-copies drop pre-erase")
     SemDedup.deleteDocsFromSavedSemanticState(root,
       refRows.filter(_._1 == 2L).toDF("vec_id", "embedding"),
-      "vec_id", "embedding", buckets = 4)
+      "vec_id", buckets = 4)
     assert(SemDedup.savedSemanticAssigned(spark, root, 4)
       .filter(col("doc") === 2L).isEmpty, "deleted doc's row must leave")
     assert(screen() == Set(11L, 15L),
@@ -207,7 +207,7 @@ class SemDedupSpec extends SparkSpec {
     val counts = SemDedup.savedSemanticAssigned(spark, root, 4).count()
     SemDedup.deleteDocsFromSavedSemanticState(root,
       refRows.filter(_._1 == 2L).toDF("vec_id", "embedding"),
-      "vec_id", "embedding", buckets = 4)
+      "vec_id", buckets = 4)
     assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == counts,
       "re-delivered erasure must change nothing")
   }
@@ -220,7 +220,7 @@ class SemDedupSpec extends SparkSpec {
     // takes the rebuild path
     SemDedup.deleteDocsFromSavedSemanticState(root,
       refRows.filter(_._1 == 2L).toDF("vec_id", "embedding"),
-      "vec_id", "embedding", buckets = 4)
+      "vec_id", buckets = 4)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_sem_rebuild")),
@@ -255,6 +255,21 @@ class SemDedupSpec extends SparkSpec {
     assert(!fs.exists(sentinel), "unstamped rebuild must roll back")
     assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == 3L,
       "rollback must leave the live state intact")
+    // a STAMPED tmp with neither centers nor the _VIRGIN reset marker
+    // is incoherent (quiescence-violating interleaving): heal must
+    // fail loudly BEFORE touching the live state, never reset it
+    fs.create(sentinel, true).close()
+    val tmpDir = new org.apache.hadoop.fs.Path(root, ".sem_rebuild_tmp")
+    fs.mkdirs(tmpDir)
+    fs.create(new org.apache.hadoop.fs.Path(tmpDir, "_COMPLETE"), true).close()
+    val bad = intercept[IllegalStateException] {
+      SemDedup.healSemanticState(spark, root, 4)
+    }
+    assert(bad.getMessage.contains("_VIRGIN"), bad.getMessage)
+    assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == 3L,
+      "an incoherent stamped tmp must not destroy the live state")
+    fs.delete(tmpDir, true)
+    fs.delete(sentinel, false)
     // a rebuild that deletes EVERYTHING commits a virgin reset: the
     // next fold re-freezes the quantizer with a different nCenters
     SemDedup.rebuildSavedSemanticState(spark, root,
