@@ -606,6 +606,48 @@ object SemDedup {
     fs.delete(semRebuildMarker(root), false)
   }
 
+  /** File-count compaction for the saved semantic state: every fold
+    * appends one file set per batch, so a long-running stream
+    * accumulates thousands of small files per bucket — this rewrites
+    * the SAME rows (one row per kept doc; nothing merges, unlike the
+    * counted df-index) into one fresh file set per bucket. Exact
+    * full-row duplicates — the benign transients a crashed erase can
+    * leave — collapse for free. Same swap discipline as
+    * [[Dedup.compactSavedDfIndex]]'s bucketed form: a fully-written
+    * bucketed sibling (bucket marker re-pinned by the CREATE) renames
+    * in under the table's LOCATION, so a crash leaves either the old
+    * or the new state, never a mix. Requires quiesced writers (the
+    * single-writer stream pauses for the compaction tick); probes
+    * before and after see identical rows (spec-pinned). */
+  def compactSavedSemanticState(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): Unit = {
+    healSemanticState(spark, root, buckets)
+    val aRoot = root + "/assigned"
+    val tbl = semanticAssignedTableName(root)
+    // one task per bucket (HashPartitioning on g = the bucket hash),
+    // so each bucket compacts to exactly one file — without this the
+    // bucketed write emits one file per (task, bucket) pair and a
+    // 32-task shuffle would defeat the compaction's purpose
+    val rows = savedSemanticAssigned(spark, root, buckets)
+      .select("g", "doc", "v", "first_batch_id")
+      .dropDuplicates()
+      .repartition(buckets, col("g"))
+    SketchState.swapInState(spark, aRoot) { tmpDir =>
+      val tmpTbl = SuffixDedup.indexTableName("graft_sem_idx_", tmpDir)
+      // a retried compaction after a crash may find the temp table
+      // still registered — drop it so CREATE re-pins the bucket marker
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+      SuffixDedup.ensureBucketedTable(spark, tmpDir, tmpTbl,
+        "g BIGINT, doc BIGINT, v ARRAY<FLOAT>, first_batch_id BIGINT",
+        buckets)
+      // reads the live table while writing the sibling — the root
+      // only moves after this returns
+      rows.write.mode("append").insertInto(tmpTbl)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    }
+    spark.catalog.refreshTable(tbl)
+  }
+
   /** Blocking-health triage over a SAVED semantic state: per-cluster
     * occupancy and corpus share, answered from the state alone (never
     * a corpus rescan). The number the screen's operator reads FIRST:

@@ -241,6 +241,36 @@ class SemDedupSpec extends SparkSpec {
       "post-rebuild: erased center's near-copy re-admits, survivor's drops")
   }
 
+  test("semantic state compaction: fewer files, identical probe, markers survive") {
+    val root = freshRoot()
+    // three folds → three file sets per touched bucket
+    refRows.zipWithIndex.foreach { case ((id, v), b) =>
+      SemDedup.updateSavedSemanticState(root,
+        Seq((id, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 1, batchId = b.toLong, buckets = 2)
+    }
+    def probe() = SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 9L, buckets = 2)
+      .select($"vec_id".as[Long], $"cluster".as[Long]).collect().toSet
+    def dataFiles(): Int = {
+      val d = new java.io.File(root + "/assigned")
+      d.listFiles().count(f => f.getName.endsWith(".parquet") ||
+        f.getName.startsWith("part-"))
+    }
+    val (beforeProbe, beforeFiles) = (probe(), dataFiles())
+    SemDedup.compactSavedSemanticState(spark, root, buckets = 2)
+    assert(dataFiles() < beforeFiles,
+      s"compaction must shrink the file count ($beforeFiles -> ${dataFiles()})")
+    assert(probe() == beforeProbe, "probe must be identical after compaction")
+    assert(SemDedup.savedSemanticAssigned(spark, root, 2).count() == 3L)
+    // a later fold still appends through the re-pinned bucket marker
+    SemDedup.updateSavedSemanticState(root,
+      inRows.take(1).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 1, batchId = 9L, buckets = 2)
+    assert(SemDedup.savedSemanticAssigned(spark, root, 2).count() == 4L)
+  }
+
   test("rebuild crash healing: unstamped tmp rolls back, stamped tmp commits, zero survivors resets") {
     val root = freshRoot()
     SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
