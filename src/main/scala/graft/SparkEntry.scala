@@ -34,7 +34,12 @@ object SparkEntry {
       // exhaustive-probe erase anchor: same construction — the probe
       // covers every cluster so the erase machinery (survivor rewrite,
       // emptied-partition drop) gets the exact survivors-only oracle
-      "similarity_ivf_erase")
+      "similarity_ivf_erase",
+      // every-survivor-reranked erase anchor: candidateFactor spans
+      // the corpus so the PQ erase machinery (codes anti-join rewrite,
+      // swap, reload) gets the same survivors-only oracle; a per-run
+      // codebook train rides in it too — gate scaffolding either way
+      "similarity_pq_erase")
 
   /** Production-shaped bench plans for gate composites that EMBED their
     * own verification twin (the r9 tolerance-bound protocol): at the

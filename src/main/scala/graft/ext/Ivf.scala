@@ -86,6 +86,10 @@ object Ivf {
     * search time — the point of the partitioned layout). */
   def load(spark: SparkSession, root: String): Index = {
     import spark.implicits._
+    healSavedIvf(spark, root) // finish a crashed erase commit first:
+    // a crash mid-commit can leave a partition whose only copy of its
+    // survivors is the staged erase dir — reading without the heal
+    // would return a silently truncated index
     val centroids = spark.read.parquet(s"$root/centroids")
       .select("cluster", "centroid").as[(Int, Seq[Float])]
       .collect().sortBy(_._1).map(_._2.toArray)
@@ -153,6 +157,7 @@ object Ivf {
     * appended index would no longer equal the build-time one. */
   def appendToSaved(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
+    healSavedIvf(spark, root) // see load
     val saved = spark.read.parquet(s"$root/assigned").schema
     assignBatch(load(spark, root).centroids, batch, idCol, vecCol)
       .select(
@@ -180,18 +185,32 @@ object Ivf {
     * files, the exact silent-residue failure erasure exists to
     * prevent).
     *
-    * Idempotent and crash-convergent: a re-run finds whatever rows
-    * remain and converges; the one non-atomic window (between the
-    * survivor overwrite and the empty-partition drops) leaves only
-    * NOT-YET-ERASED rows, never duplicates and never lost survivors
-    * (survivors land through the committed overwrite before any
-    * delete happens). Readers should quiesce for the erase, as for
-    * every saved-state erasure in this library. Corner: erasing EVERY
+    * Crash-convergent by a staged-commit protocol (r17 ADVICE #2
+    * closed the commit window the previous form carried): survivors
+    * stage OUTSIDE the source dir first, then an `_AFFECTED` marker
+    * (the atomically-published cluster list) stamps the stage
+    * COMPLETE — that stamp is the commit point. Only after it does
+    * the dynamic partition overwrite touch the live layout. Spark's
+    * dynamic overwrite commits per partition by delete-then-rename,
+    * so a crash inside it CAN leave a partition whose only survivor
+    * copy is the staged dir — which is exactly why the stage is kept
+    * until the commit fully lands, and why [[healSavedIvf]] (wired
+    * into [[load]], [[appendToSaved]], and the top of this method)
+    * re-runs the commit FROM THE STAGE on the next touch instead of
+    * recomputing from the possibly-truncated layout. An unstamped
+    * stage means the live layout was never touched: the heal discards
+    * it and the erase re-delivers. Every commit step re-runs
+    * idempotently (same staged rows overwrite the same partitions;
+    * empty-partition drops are no-ops on re-run).
+    *
+    * Readers should quiesce for the erase, as for every saved-state
+    * erasure in this library. Corner: erasing EVERY
     * row leaves a layout with no parquet files — [[load]] refuses it
     * (there is nothing left to search); rebuild from the next corpus
     * instead of probing an emptied index. */
   def deleteFromSaved(spark: SparkSession, root: String,
       ids: DataFrame, idCol: String): Unit = {
+    healSavedIvf(spark, root) // finish/discard any crashed prior erase
     val assignedPath = s"$root/assigned"
     val assigned = spark.read.parquet(assignedPath)
     val del = ids
@@ -211,6 +230,27 @@ object Ivf {
     assigned.filter(col("cluster").isInCollection(affected.toSeq))
       .join(del, Seq("neighbor_id"), "left_anti")
       .write.parquet(tmp.toString)
+    // COMMIT POINT: the affected-cluster list publishes atomically
+    // (dot-temp + rename) into the stage — from here the heal can
+    // always finish the commit from the staged copy alone
+    SuffixDedup.writeMarkerAtomic(fs, tmp, AffectedMarker,
+      affected.sorted.mkString(","))
+    commitStagedErase(spark, root, affected.toSeq)
+  }
+
+  /** Stage-stamp file inside a [[deleteFromSaved]] erase stage: the
+    * affected cluster ids, published atomically. Presence = the stage
+    * is complete and the commit may have started. */
+  private val AffectedMarker = "_AFFECTED"
+
+  /** The committed half of [[deleteFromSaved]]: replace the affected
+    * clusters' partitions from the staged survivors, drop emptied
+    * partitions, discard the stage LAST. Every step re-runs safely. */
+  private def commitStagedErase(spark: SparkSession, root: String,
+      affected: Seq[Int]): Unit = {
+    val assignedPath = s"$root/assigned"
+    val tmp = SketchState.sibling(assignedPath, ".erase_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     val staged = spark.read.parquet(tmp.toString)
     val nonEmpty = staged.select(col("cluster").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -223,6 +263,28 @@ object Ivf {
         true)
     }
     fs.delete(tmp, true)
+  }
+
+  /** Heal a crashed [[deleteFromSaved]], wired into every reader and
+    * writer of a saved index: a STAMPED stage re-runs its commit from
+    * the staged survivors (never from the live layout, which a crash
+    * mid-overwrite may have truncated — the staged dir holds the only
+    * copy of that partition's survivors until the commit lands); an
+    * unstamped stage is discarded with the live layout untouched (the
+    * erase never committed anything — re-deliver it). */
+  def healSavedIvf(spark: SparkSession, root: String): Unit = {
+    val tmp = SketchState.sibling(s"$root/assigned", ".erase_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tmp)) return
+    val marker = new org.apache.hadoop.fs.Path(tmp, AffectedMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      val affected =
+        if (txt.isEmpty) Seq.empty[Int] else txt.split(",").toSeq.map(_.toInt)
+      commitStagedErase(spark, root, affected)
+    } else fs.delete(tmp, true)
   }
 
   /** Top-k search probing each query's `nprobe` nearest clusters.

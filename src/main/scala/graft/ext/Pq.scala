@@ -145,10 +145,14 @@ object Pq {
   }
 
   /** Load a [[saveEncoded]] layout: the model plus the lazily-read
-    * codes frame (feed it to [[searchTopK]] as `encoded`). */
+    * codes frame (feed it to [[searchTopK]] as `encoded`). Heals a
+    * [[deleteFromSaved]] swap crashed between its two renames first
+    * ([[SketchState.recoverState]] discipline). */
   def loadEncoded(spark: org.apache.spark.sql.SparkSession,
-      root: String): (Model, DataFrame) =
+      root: String): (Model, DataFrame) = {
+    SuffixDedup.recoverSavedIndex(spark, s"$root/codes")
     (load(spark, s"$root/codebooks"), spark.read.parquet(s"$root/codes"))
+  }
 
   /** Append a new batch into a [[saveEncoded]] lake layout — the
     * streaming-ingest form ([[Ivf.appendToSaved]]'s PQ sibling, r12
@@ -162,6 +166,7 @@ object Pq {
     * documented `LakeIO.compactFragmented` case. */
   def appendToSaved(spark: org.apache.spark.sql.SparkSession, root: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    SuffixDedup.recoverSavedIndex(spark, s"$root/codes") // see loadEncoded
     val model = load(spark, s"$root/codebooks")
     val saved = spark.read.parquet(s"$root/codes").schema
     val savedId = saved.fieldNames.filter(_ != "codes").head
@@ -169,6 +174,45 @@ object Pq {
       .select(col(idCol).cast(saved(savedId).dataType).as(savedId),
         col("codes").cast(saved("codes").dataType))
       .write.mode("append").parquet(s"$root/codes")
+  }
+
+  /** Right-to-erasure for a [[saveEncoded]] layout (r17 VERDICT
+    * "What's missing" #2 — the last ANN tier without one): the
+    * deleted docs' CODES rows leave `root/codes`, so nothing derived
+    * from a deleted embedding persists anywhere in the layout. The
+    * codebooks are untouched — like [[Ivf]]'s centroids they are
+    * aggregate machinery fit on a (sampled) population, not any one
+    * row's vector (unlike [[SemDedup]]'s literal-vector centers,
+    * which is why THAT erase must sometimes re-draw).
+    *
+    * Codes are doc-keyed, so the delete is exact with no survivor
+    * scan: one anti-join rewrite of the codes frame, swapped in
+    * atomically by the [[SketchState.swapInState]] discipline — a
+    * complete codes table exists on disk at every instant, and a
+    * mid-swap crash heals on the next touch ([[loadEncoded]] /
+    * [[appendToSaved]] / this method all recover first). A full
+    * rewrite is the honest trade here: the codes frame is m small
+    * ints per doc (~64× smaller than the vectors — the reason PQ
+    * exists), and it carries no partition/bucket key to rewrite
+    * surgically by; at the cadence erasure requests arrive, one
+    * codes-sized rewrite is cheaper than maintaining a keyed layout
+    * every search would then have to probe through. Idempotent:
+    * deleting absent ids is a no-op. Readers quiesce, as for every
+    * saved-state erasure in this library. */
+  def deleteFromSaved(spark: org.apache.spark.sql.SparkSession,
+      root: String, ids: DataFrame, idCol: String): Unit = {
+    val codesPath = s"$root/codes"
+    SuffixDedup.recoverSavedIndex(spark, codesPath)
+    val saved = spark.read.parquet(codesPath)
+    val savedId = saved.schema.fieldNames.filter(_ != "codes").head
+    val del = ids
+      .select(col(idCol).cast(saved.schema(savedId).dataType).as(savedId))
+      .distinct()
+    SketchState.swapInState(spark, codesPath) { tmpDir =>
+      // reads the live codes while writing the sibling — the path
+      // only moves after this returns
+      saved.join(del, Seq(savedId), "left_anti").write.parquet(tmpDir)
+    }
   }
 
   /** Code assignment as ONE codegen'd per-row pass: per subspace,

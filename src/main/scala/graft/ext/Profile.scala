@@ -455,18 +455,28 @@ object Profile {
     * reduction for language spread (pre-agg to distinct pairs, so no
     * countDistinct Expand anywhere) — joined on the |sources|-row key.
     * Output is ≤ |sources| rows however big the corpus. */
-  def corpusReport(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", srcCol: String = "source",
-      langCol: String = "lang"): DataFrame = {
-    // pack the carried keys into the id struct: gopherSignals is a
-    // one-pass per-row battery keyed by an opaque id column
+  /** The datacard's per-doc battery — (source, lang, fp, n_words,
+    * keep) in one scan: the Gopher gate + canonical fingerprint keyed
+    * through the packed id struct (gopherSignals is a one-pass
+    * per-row battery keyed by an opaque id column). Shared by
+    * [[corpusReport]] and the incremental
+    * [[graft.ext.CorpusReports.updateSavedCorpusReport]] fold, so the
+    * two forms cannot drift. */
+  private[ext] def corpusDocSignals(df: DataFrame, idCol: String,
+      textCol: String, srcCol: String, langCol: String): DataFrame = {
     val packed = df.select(
       struct(col(idCol), col(srcCol).as("src"), col(langCol).as("lng"),
         TextOps.fingerprint(col(textCol)).as("fp")).as("__k"),
       col(textCol))
-    val perDoc = TextOps.gopherSignals(packed, "__k", textCol)
+    TextOps.gopherSignals(packed, "__k", textCol)
       .select(col("__k.src").as("source"), col("__k.lng").as("lang"),
         col("__k.fp").as("fp"), col("n_words"), col("keep"))
+  }
+
+  def corpusReport(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val perDoc = corpusDocSignals(df, idCol, textCol, srcCol, langCol)
       .localCheckpoint() // three aggregate consumers of one scan
     val base = perDoc.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
@@ -476,7 +486,16 @@ object Profile {
       .groupBy("source").agg(count(lit(1)).as("__n_uniq"))
     val langs = perDoc.select("source", "lang").distinct()
       .groupBy("source").agg(count(lit(1)).as("n_langs"))
-    base.join(uniq, "source").join(langs, "source")
+    finalizeCorpusReport(base.join(uniq, "source").join(langs, "source"))
+  }
+
+  /** The datacard's final projection over (source, n_docs, n_tokens,
+    * n_keep, __n_uniq, n_langs) — shared by [[corpusReport]] and
+    * [[graft.ext.CorpusReports.reportCorpusFromState]] so the ratio
+    * arithmetic cannot drift between the full-scan and incremental
+    * forms. */
+  private[ext] def finalizeCorpusReport(joined: DataFrame): DataFrame =
+    joined
       .select(col("source"), col("n_docs"), col("n_tokens"),
         // integer-scaled rounding — see TextOps.qualitySignals
         (round(col("n_tokens") * lit(10000.0) / col("n_docs")) / 1e4)
@@ -488,5 +507,4 @@ object Profile {
         col("n_keep"),
         (round(col("n_keep") * lit(10000.0) / col("n_docs")) / 1e4)
           .as("keep_ratio"))
-  }
 }

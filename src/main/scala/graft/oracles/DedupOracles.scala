@@ -684,6 +684,14 @@ private[graft] object DedupOracles {
     // drift in what the saved state reconstructs hash-fails here.
     "dedup_incremental_semantic_saved" -> incrementalSemanticSql,
 
+    // The RE-CENTER lifecycle (8-center fold -> re-quantize to 16 ->
+    // probe) must land bit-identical to a from-scratch 16-center
+    // freeze, because the re-draw is the same md5-min rule over the
+    // state's docs — so it binds the SAME replay as the other two
+    // semantic forms (shared val): a lost survivor, stale assignment,
+    // or wrong re-pinned count hash-fails here.
+    "dedup_semantic_recenter" -> incrementalSemanticSql,
+
     // Mirrors savedSemanticOccupancy over a state folded from the
     // whole embeddings corpus: the md5-min 16-center draw, argmax
     // assignment in the 4-dp integer cosine space (ties to the

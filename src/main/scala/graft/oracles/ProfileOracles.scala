@@ -322,7 +322,18 @@ private[graft] object ProfileOracles {
     // and keep gate, the dedup_exact canonical fingerprint, then three
     // per-source aggregates (doc sums, distinct-fingerprint reduction,
     // distinct-lang reduction) joined on source.
-    "report_corpus" ->
+    "report_corpus" -> corpusReportSql,
+
+    // The incremental form folds two disjoint batches into counted
+    // state and reports from state alone; fold(A) + fold(B) must equal
+    // scan(A ∪ B) exactly — distinct-fingerprint and distinct-lang
+    // reductions included — so it binds the SAME SQL (shared val): a
+    // double-counted partial, a dropped fingerprint group, or ratio
+    // drift between the two forms hash-fails here.
+    "report_corpus_incremental" -> corpusReportSql
+  )
+
+  private lazy val corpusReportSql: String =
       """WITH w AS (SELECT doc_id, source, lang, text,
         |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
@@ -361,5 +372,4 @@ private[graft] object ProfileOracles {
         |       n_keep,
         |       round(n_keep * 10000.0 / n_docs) / 10000 AS keep_ratio
         |FROM base JOIN uniq USING (source) JOIN langs USING (source)""".stripMargin
-  )
 }

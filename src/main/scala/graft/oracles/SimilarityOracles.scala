@@ -6,6 +6,26 @@ import graft.OracleCtes._
   * scaladoc for the cross-engine determinism rules every entry obeys.
   */
 private[graft] object SimilarityOracles {
+  /** ONE definition of the survivors-only brute-force top-10 twin,
+    * bound to BOTH saved-layout erase lifecycles (IVF and PQ): each
+    * searches exhaustively after erasing the `vec_id % 5 = 1` slice,
+    * so each must equal this relation exactly — sharing the val makes
+    * silent divergence of the two copies impossible. */
+  private lazy val eraseSurvivorsTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE vec_id % 5 <> 1),
+      |q AS (SELECT * FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.v, c.v) /
+      |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
+      |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, cosine, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10""".stripMargin
+
   val map: Map[String, String] = Map(
     // Mirrors similarityLshExhaustive: all vector pairs (no label
     // blocking — the constant signature puts everything in one
@@ -384,20 +404,14 @@ private[graft] object SimilarityOracles {
     // so it must be invisible on BOTH sides of the search — an
     // un-erased row, a lost survivor, or an over-deleted cluster
     // hash-fails against this survivors-only twin.
-    "similarity_ivf_erase" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |           WHERE vec_id % 5 <> 1),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         round(list_dot_product(q.v, c.v) /
-        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) / 10000 AS cosine
-        |  FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, cosine, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10""".stripMargin,
+    "similarity_ivf_erase" -> eraseSurvivorsTopkSql,
+
+    // The PQ erase searches with candidateFactor sized so every
+    // survivor reaches the exact rerank (the ADC stage can hide
+    // nothing) — ≡ brute force over the survivors by the same
+    // argument, so it binds the SAME survivors-only twin (shared
+    // val): an un-erased codes row or a lost survivor hash-fails.
+    "similarity_pq_erase" -> eraseSurvivorsTopkSql,
 
     // Mirrors Similarity.topKQuantizedRerank end to end: the same
     // floor(x·scale+0.5) quantization as embedding_quantize (kept as

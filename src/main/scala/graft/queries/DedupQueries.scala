@@ -368,7 +368,8 @@ trait DedupQueries extends QueriesBase {
     SemDedup.newAgainstReferenceSemantic(
       e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
       e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
-      "vec_id", "embedding", nCenters = 16, floor = 0.4)
+      "vec_id", "embedding", nCenters = 16, floor = 0.4,
+      maxCluster = 100000)
   }
 
   /** [[dedupIncrementalSemantic]] from SAVED STATE (the
@@ -388,7 +389,36 @@ trait DedupQueries extends QueriesBase {
       "vec_id", "embedding", nCenters = 16, batchId = 0L)
     SemDedup.newAgainstSavedSemantic(
       e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
-      root, "vec_id", "embedding", floor = 0.4, batchId = 1L)
+      root, "vec_id", "embedding", floor = 0.4, batchId = 1L,
+      maxCluster = 100000)
+  }
+
+  /** RE-CENTER lifecycle of the saved semantic state (the r17 `weak`
+    * closed end to end): the even-id corpus folds under a DELIBERATELY
+    * small quantizer (8 centers — the drifted/undersized state the
+    * occupancy monitor flags), [[graft.ext.SemDedup
+    * .recenterSavedSemanticState]] re-quantizes the state to 16
+    * centers through the crash-convergent rebuild protocol (marker
+    * re-pinned, survivors re-assigned, provenance preserved), and the
+    * odd-id batch probes the re-centered state under the hot-cluster
+    * guard. Because the re-draw is the same md5-min rule over the
+    * state's docs, the re-centered state is bit-identical to one
+    * frozen from scratch at 16 — so the output hash-matches the SAME
+    * replay as [[dedupIncrementalSemantic]] (shared SQL val): a
+    * re-center that lost a survivor, kept a stale assignment, or
+    * pinned the wrong count fails the gate. */
+  val dedupSemanticRecenter: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sem_recenter").toString + "/state"
+    SemDedup.updateSavedSemanticState(root,
+      e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 8, batchId = 0L)
+    SemDedup.recenterSavedSemanticState(s, root, newNCenters = 16)
+    SemDedup.newAgainstSavedSemantic(
+      e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+      root, "vec_id", "embedding", floor = 0.4, batchId = 1L,
+      maxCluster = 100000)
   }
 
   /** Blocking-health triage of the saved semantic state: per-cluster
@@ -649,6 +679,7 @@ trait DedupQueries extends QueriesBase {
     "dedup_incremental_near_saved" -> dedupIncrementalNearSaved,
     "dedup_incremental_semantic" -> dedupIncrementalSemantic,
     "dedup_incremental_semantic_saved" -> dedupIncrementalSemanticSaved,
+    "dedup_semantic_recenter" -> dedupSemanticRecenter,
     "report_semantic_occupancy" -> reportSemanticOccupancy,
     "curate_corpus_mix" -> curateCorpusMix)
 }

@@ -245,9 +245,29 @@ trait ProfileQueries extends QueriesBase {
   val reportCorpus: Q = (s, dir) =>
     Profile.corpusReport(Tables.documents(s, dir))
 
+  /** [[reportCorpus]] from SAVED counted state (r17 VERDICT "What's
+    * missing" #5 — the last rescan-per-run report): two batch folds
+    * into a fresh root (per-source scalars + per-(source, lang)
+    * counts as kilobyte partials, per-(source, fingerprint) counts as
+    * the one bucketed corpus-sized state), then the datacard answers
+    * from state alone — never a corpus rescan. Hash-matches the SAME
+    * SQL as the full-scan form (shared oracle val): fold(A) + fold(B)
+    * must equal scan(A ∪ B) exactly, distinct reductions included. */
+  val reportCorpusIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_corpus_state").toString + "/card"
+    graft.ext.CorpusReports.updateSavedCorpusReport(root,
+      docs.filter(col("doc_id") % 10 =!= 7), batchId = 0L)
+    graft.ext.CorpusReports.updateSavedCorpusReport(root,
+      docs.filter(col("doc_id") % 10 === 7), batchId = 1L)
+    graft.ext.CorpusReports.reportCorpusFromState(s, root)
+  }
+
   /** This family's slice of [[Queries.all]]. */
   protected def profileRegistry: Map[String, Q] = Map(
     "report_corpus" -> reportCorpus,
+    "report_corpus_incremental" -> reportCorpusIncremental,
     "profile_source_overlap" -> profileSourceOverlap,
     "agg_histogram" -> aggHistogram,
     "agg_equidepth" -> aggEquidepth,

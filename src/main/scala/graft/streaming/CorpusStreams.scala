@@ -110,6 +110,29 @@ object CorpusStreams {
           batchId, sourceCol, textCol)
     }
 
+  /** Streaming corpus DATACARD monitor: the datacard sibling of
+    * [[piiDensityStream]] (r17 VERDICT "What's missing" #5) — each
+    * micro-batch's per-source volume/lang/fingerprint/keep
+    * contributions fold into the saved counted state
+    * ([[graft.ext.CorpusReports.updateSavedCorpusReport]]; each of the
+    * three states stamps and skips independently, so at-least-once
+    * delivery folds once even across a crash between the appends), and
+    * [[graft.ext.CorpusReports.reportCorpusFromState]] answers the
+    * per-source datacard from state alone — never a lake rescan;
+    * [[graft.ext.CorpusReports.deleteDocsFromSavedCorpusReport]]
+    * decrements it exactly under erasure, distinct reductions
+    * included. */
+  def corpusDatacardStream(docs: DataFrame, root: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source", langCol: String = "lang",
+      buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ext.CorpusReports.updateSavedCorpusReport(root, batch.toDF(),
+          batchId, idCol, textCol, srcCol, langCol, buckets)
+    }
+
   /** Streaming membership monitor: the Bloom sibling of
     * [[distinctCountStream]] — idempotent word-wise OR keeps the
     * saved filter equal to the one-shot sketch over the whole stream
@@ -404,12 +427,12 @@ object CorpusStreams {
   def semanticScreenStream(vecs: DataFrame, stateRoot: String,
       outRoot: String, nCenters: Int = 16, floor: Double = 0.4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      buckets: Int = 16)
+      buckets: Int = 16, maxCluster: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         semanticScreenBatch(batch.toDF(), batchId, stateRoot, outRoot,
-          nCenters, floor, idCol, vecCol, buckets)
+          nCenters, floor, idCol, vecCol, buckets, maxCluster)
     }
 
   /** One [[semanticScreenStream]] micro-batch, exposed for direct
@@ -418,7 +441,8 @@ object CorpusStreams {
   def semanticScreenBatch(batch: DataFrame, batchId: Long,
       stateRoot: String, outRoot: String, nCenters: Int = 16,
       floor: Double = 0.4, idCol: String = "vec_id",
-      vecCol: String = "embedding", buckets: Int = 16): Unit = {
+      vecCol: String = "embedding", buckets: Int = 16,
+      maxCluster: Int = Int.MaxValue): Unit = {
     import graft.ext.SemDedup
     val spark = batch.sparkSession
     if (batch.isEmpty) return
@@ -426,9 +450,13 @@ object CorpusStreams {
     val centers = SemDedup.ensureSemanticCenters(batch, stateRoot,
       idCol, vecCol, nCenters)
     val inA = SemDedup.assignToCenters(batch, idCol, vecCol, centers)
-    val kept = SemDedup.screenAssigned(inA,
-        SemDedup.savedSemanticIndex(spark, stateRoot, batchId, buckets),
-        floor)
+    val ref = SemDedup.savedSemanticIndex(spark, stateRoot, batchId, buckets)
+    // THROW before quadratic work on a runaway cluster (the exchange-
+    // free occupancy probe — graft.ext.SemDedup.guardHotClusters): the
+    // operator re-centers (recenterSavedSemanticState) and restarts,
+    // instead of every later batch silently degrading
+    SemDedup.guardHotClusters(ref, maxCluster)
+    val kept = SemDedup.screenAssigned(inA, ref, floor)
       .localCheckpoint() // feeds the output write AND the state fold
     writeBatchPartition(kept.select(col("id").as(idCol), col("cluster")),
       batchId, outRoot)

@@ -44,7 +44,7 @@ class FuzzDifferentialSpec extends SparkSpec {
     "report_corpus", "decontam_spans", "decontam_spans_clean",
     "decontam_substring_exact", "decontam_longest_bench", "report_bench_contamination",
     "decontam_substring_stream", "curate_corpus_ingest", "report_pii_density",
-    "report_pii_density_incremental",
+    "report_pii_density_incremental", "report_corpus_incremental",
     "report_doc_novelty", "report_doc_novelty_incremental",
     // closing-stretch additions: the temperature mixture's sqrt/
     // largest-remainder walk on skewed 2-3-lang corpora, and the
@@ -118,7 +118,12 @@ class FuzzDifferentialSpec extends SparkSpec {
     "similarity_ivf_erase",
     // the frozen quantizer is md5-deterministic, so both forms replay
     // exactly on ANY id/vector set (including reused exact-dup vectors)
-    "dedup_incremental_semantic", "dedup_incremental_semantic_saved")
+    "dedup_incremental_semantic", "dedup_incremental_semantic_saved",
+    // the re-center re-draw is the same md5-min rule, so the lifecycle
+    // replays exactly on any vector set; the PQ erase searches with
+    // every survivor reaching the exact rerank — brute force over
+    // survivors by construction, fuzz-safe like the IVF form
+    "dedup_semantic_recenter", "similarity_pq_erase")
   // TPC-H-shaped subset: generated with consistent foreign keys, a
   // hot customer (30% of orders) and a hot order (20% of lineitem) so
   // the salted operators meet real skew, and two years of dates so

@@ -93,4 +93,137 @@ class CorpusReportsSpec extends SparkSpec {
       CorpusReports.savedPiiCounts(spark, root))) ==
       collect(full(batch1 ++ batch2)))
   }
+
+  // ------------- incremental corpus datacard (r17 VERDICT missing #5)
+
+  private val longText = (1 to 60).map(i => s"the word$i and of").mkString(" ")
+  private val cardB1 = Seq(
+    (1L, "web", "en", longText),
+    (2L, "web", "en", longText),            // exact dup of 1, same source
+    (3L, "web", "de", "short junk ###"),
+    (4L, "books", "en", longText + " trailer"))
+  private val cardB2 = Seq(
+    (10L, "web", "fr", longText),           // dup of 1's text, new lang
+    (11L, "books", "en", longText + " trailer"), // cross-batch exact dup of 4
+    (12L, "wiki", "en", "tiny"))
+
+  private def cardDf(rows: Seq[(Long, String, String, String)]) =
+    rows.toDF("doc_id", "source", "lang", "text")
+  private def collectCard(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_doc_tokens"), col("n_langs"), col("n_exact_dup"),
+        col("dup_ratio"), col("n_keep"), col("keep_ratio"))
+      .as[(String, Long, Long, Double, Long, Long, Double, Long, Double)]
+      .collect().toSet
+
+  test("datacard folds: report from state ≡ full corpusReport; replays fold nothing; cross-batch dups reduce") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_card").toString + "/card"
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB1), batchId = 0L,
+      buckets = 4)
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB2), batchId = 1L,
+      buckets = 4)
+    val got = collectCard(CorpusReports.reportCorpusFromState(spark, root, 4))
+    val want = collectCard(Profile.corpusReport(cardDf(cardB1 ++ cardB2)))
+    assert(got == want, s"state datacard must equal the full scan:\n$got\n$want")
+    // the cross-batch exact dup (11 vs 4) must have reduced n_uniq:
+    // books has 2 docs but 1 distinct fingerprint
+    val books = got.find(_._1 == "books").get
+    assert(books._2 == 2L && books._6 == 1L,
+      s"cross-batch dup must fold into the same fingerprint group: $books")
+    // at-least-once replay: every state skips its stamp
+    val counts = (
+      CorpusReports.savedCorpusScalars(spark, root).count(),
+      CorpusReports.savedCorpusLangs(spark, root).count(),
+      CorpusReports.savedCorpusFp(spark, root, 4).count())
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB2), batchId = 1L,
+      buckets = 4)
+    assert((CorpusReports.savedCorpusScalars(spark, root).count(),
+      CorpusReports.savedCorpusLangs(spark, root).count(),
+      CorpusReports.savedCorpusFp(spark, root, 4).count()) == counts,
+      "a replayed fold must append nothing to any of the three states")
+    // provenance gating: AS OF batch 1 the report sees only batch 0
+    assert(collectCard(CorpusReports.reportCorpusFromState(spark, root, 4,
+        batchId = 1L)) ==
+      collectCard(Profile.corpusReport(cardDf(cardB1))))
+  }
+
+  test("datacard erasure: report ≡ from-scratch over survivors; distinct reductions shrink; re-run appends nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_card_erase").toString + "/card"
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB1 ++ cardB2),
+      batchId = 0L, buckets = 4)
+    // erase one copy of the web dup pair (1) AND wiki's only doc (12)
+    val deleted = (cardB1 ++ cardB2).filter(r => r._1 == 1L || r._1 == 12L)
+    CorpusReports.deleteDocsFromSavedCorpusReport(root, cardDf(deleted),
+      eraseId = 0L, buckets = 4)
+    val survivors = (cardB1 ++ cardB2).filterNot(r => r._1 == 1L || r._1 == 12L)
+    val got = collectCard(CorpusReports.reportCorpusFromState(spark, root, 4))
+    assert(got == collectCard(Profile.corpusReport(cardDf(survivors))),
+      s"post-erase report must equal a from-scratch fold over survivors: $got")
+    assert(!got.exists(_._1 == "wiki"), "a drained source drops entirely")
+    // the surviving copy (2) keeps its fingerprint group alive: web
+    // still counts the fp once, so n_exact_dup dropped by exactly one
+    val web = got.find(_._1 == "web").get
+    assert(web._6 == 1L, s"one dup pair left in web after the erase: $web")
+    // re-delivered erasure appends nothing anywhere
+    val counts = (
+      CorpusReports.savedCorpusScalars(spark, root).count(),
+      CorpusReports.savedCorpusLangs(spark, root).count(),
+      CorpusReports.savedCorpusFp(spark, root, 4).count())
+    CorpusReports.deleteDocsFromSavedCorpusReport(root, cardDf(deleted),
+      eraseId = 0L, buckets = 4)
+    assert((CorpusReports.savedCorpusScalars(spark, root).count(),
+      CorpusReports.savedCorpusLangs(spark, root).count(),
+      CorpusReports.savedCorpusFp(spark, root, 4).count()) == counts)
+  }
+
+  test("corpusDatacardStream wiring: MemoryStream batches fold; report from state ≡ full scan") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_card_stream").toString + "/card"
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = graft.streaming.CorpusStreams.corpusDatacardStream(
+      input.toDF().toDF("doc_id", "source", "lang", "text"), root,
+      buckets = 4).start()
+    try {
+      input.addData(cardB1: _*); q.processAllAvailable()
+      input.addData(cardB2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(collectCard(CorpusReports.reportCorpusFromState(spark, root, 4)) ==
+      collectCard(Profile.corpusReport(cardDf(cardB1 ++ cardB2))))
+  }
+
+  test("datacard fp compaction: partials collapse to one net row per group, report unchanged, erase stamps fold in") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_card_compact").toString + "/card"
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB1), batchId = 0L,
+      buckets = 4)
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB2), batchId = 1L,
+      buckets = 4)
+    CorpusReports.deleteDocsFromSavedCorpusReport(root,
+      cardDf(cardB2.filter(_._1 == 12L)), eraseId = 0L, buckets = 4)
+    val before = collectCard(CorpusReports.reportCorpusFromState(spark, root, 4))
+    val rowsBefore = CorpusReports.savedCorpusFp(spark, root, 4).count()
+    CorpusReports.compactSavedCorpusFp(spark, root, upToBatchId = 2L,
+      buckets = 4)
+    val after = CorpusReports.savedCorpusFp(spark, root, 4)
+    // one net row per surviving (source, fp); the drained wiki group
+    // (fold + erase cancel) dropped entirely
+    assert(after.count() < rowsBefore,
+      s"compaction must shrink partials ($rowsBefore -> ${after.count()})")
+    assert(after.filter(col("source") === "wiki").isEmpty,
+      "a cancelled (source, fp) group must drop at compaction")
+    assert(after.filter(col("batch_id") =!= 1L).isEmpty,
+      "every surviving partial carries the horizon stamp")
+    assert(collectCard(CorpusReports.reportCorpusFromState(spark, root, 4)) ==
+      before, "the report must be identical after compaction")
+    // a later fold still appends through the re-pinned bucket marker
+    CorpusReports.updateSavedCorpusReport(root,
+      cardDf(Seq((30L, "web", "en", "brand new content here"))),
+      batchId = 5L, buckets = 4)
+    assert(CorpusReports.savedCorpusFp(spark, root, 4)
+      .filter(col("batch_id") === 5L).count() == 1L)
+  }
 }

@@ -406,4 +406,43 @@ class DedupSpec extends SparkSpec {
     assert(atHalf == production,
       s"sweep says $atHalf pairs at >= 0.5, screen finds $production")
   }
+
+  test("near-dup state compaction: both tables shrink to one file per bucket, identical screen, later folds append") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_near_compact").toString + "/state"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about distributed query engines"),
+      (3L, "a third unrelated document mentioning suffix automata theory"),
+      (4L, "the quick brown fox jumps over the lazy dog at dawn"))
+    docs.zipWithIndex.foreach { case ((id, t), b) =>
+      Dedup.updateSavedNearDupState(root, Seq((id, t)).toDF("doc_id", "text"),
+        "doc_id", "text", batchId = b.toLong, buckets = 2)
+    }
+    val probeBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "entirely novel text that matches nothing in the state"))
+      .toDF("doc_id", "text")
+    def screen() = Dedup.newAgainstIndex(probeBatch,
+        Dedup.savedNearDupIndex(spark, root, batchId = 99L, buckets = 2),
+        "doc_id", "text")
+      .select($"doc_id".as[Long]).collect().toSet
+    def dataFiles(sub: String): Int = new java.io.File(root + "/" + sub)
+      .listFiles().count(_.getName.startsWith("part-"))
+    val before = screen()
+    val (bBands, bSh) = (dataFiles("bands"), dataFiles("sh"))
+    Dedup.compactSavedNearDupState(spark, root, buckets = 2)
+    assert(dataFiles("bands") < bBands && dataFiles("bands") <= 2,
+      s"bands files: $bBands -> ${dataFiles("bands")}")
+    assert(dataFiles("sh") < bSh && dataFiles("sh") <= 2,
+      s"shingle files: $bSh -> ${dataFiles("sh")}")
+    assert(screen() == before, "screen identical after compaction")
+    // later folds still append through both re-pinned markers
+    Dedup.updateSavedNearDupState(root,
+      Seq((20L, "yet another genuinely fresh document body")).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 50L, buckets = 2)
+    assert(Dedup.savedNearDupShingles(spark, root, 2)
+      .filter(col("g") === 20L).count() == 1L)
+  }
 }

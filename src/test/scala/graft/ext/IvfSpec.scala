@@ -206,4 +206,56 @@ class IvfSpec extends SparkSpec {
     assert(left.isEmpty,
       s"a full erase must leave no cluster partitions, found: ${left.toSeq}")
   }
+
+  test("deleteFromSaved crash protocol: stamped stage re-commits from staged copy; unstamped stage discards (r17 ADVICE #2)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_crash").toString + "/ivf"
+    Ivf.save(Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8), root)
+    val allIds = embeddings.select($"vec_id").as[Long].collect().toSet
+    // --- unstamped stage (crash BEFORE the commit point): the live
+    // layout was never touched — heal discards the stage
+    val tmp = SketchState.sibling(s"$root/assigned", ".erase_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(tmp) // junk, no _AFFECTED marker
+    val intact = Ivf.load(spark, root) // heals on load
+    assert(!fs.exists(tmp), "an unstamped stage must be discarded")
+    assert(intact.assigned.count() == allIds.size.toLong,
+      "the live layout must be untouched")
+
+    // --- stamped stage with a crash MID-COMMIT: replicate the commit
+    // point exactly (survivors staged + _AFFECTED published), then
+    // simulate Spark's dynamic-overwrite delete-before-rename crash by
+    // removing one affected partition dir — the stage holds the ONLY
+    // copy of that partition's survivors
+    val del = embeddings.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val delIds = del.as[Long].collect().toSet
+    val assigned = spark.read.parquet(s"$root/assigned")
+    val affected = assigned
+      .join(del.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("cluster").cast("int")).distinct().as[Int].collect().sorted
+    assert(affected.nonEmpty, "fixture needs at least one affected cluster")
+    assigned.filter(col("cluster").isInCollection(affected.toSeq))
+      .join(del.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+      .write.parquet(tmp.toString)
+    SuffixDedup.writeMarkerAtomic(fs, tmp, "_AFFECTED",
+      affected.mkString(","))
+    // the simulated crash: one affected partition's dir already deleted
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/assigned/cluster=${affected.head}"), true)
+    // heal via load: the commit re-runs FROM THE STAGE — that
+    // partition's survivors come back, deleted ids are gone everywhere
+    val healed = Ivf.load(spark, root)
+    val ids = healed.assigned.select($"neighbor_id".cast("long"))
+      .as[Long].collect().toSet
+    assert(ids == allIds.diff(delIds),
+      "heal must finish the erase from the staged survivors — " +
+        "no lost survivors, no resurrected deletes")
+    assert(!fs.exists(tmp), "the stage is discarded only after the commit lands")
+    // re-delivering the erase after the heal changes nothing
+    Ivf.deleteFromSaved(spark, root, del, "vec_id")
+    assert(Ivf.load(spark, root).assigned.count() == ids.size.toLong)
+  }
 }

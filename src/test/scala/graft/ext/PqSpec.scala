@@ -175,4 +175,51 @@ class PqSpec extends SparkSpec {
       .as[(Long, Seq[Int])].collect().toMap
     assert(codes(1L) == codes(2L), s"scale must not change codes: $codes")
   }
+
+  test("pq deleteFromSaved: codes rows leave, survivors search exactly, swap crash heals, idempotent") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pq_del").toString + "/pq"
+    val model = Pq.train(e, "embedding", dim = 64, m = 4, k = 8)
+    Pq.saveEncoded(spark, model, e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", root)
+    Pq.appendToSaved(spark, root, e.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding")
+    val del = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val delIds = del.as[Long].collect().toSet
+    Pq.deleteFromSaved(spark, root, del, "vec_id")
+    val (reloaded, codes) = Pq.loadEncoded(spark, root)
+    val ids = codes.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(ids.intersect(delIds).isEmpty, "erased ids must leave the codes")
+    assert(ids == e.select($"vec_id").as[Long].collect().toSet.diff(delIds),
+      "every survivor's codes must remain")
+    // full-coverage search over the erased layout ≡ brute force over
+    // the survivors (the catalog query's construction)
+    val survivors = e.filter(col("vec_id") % 7 =!= 0)
+    val queries = e.filter(col("vec_id") < 3 && col("vec_id") % 7 =!= 0)
+    val factor = math.max(1L, (ids.size.toLong + 4L) / 5L).toInt
+    val got = Pq.searchTopK(reloaded, codes, survivors, queries,
+        "vec_id", "embedding", k = 5, candidateFactor = factor)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val brute = Similarity.topK(survivors, queries, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(got.toSeq == brute.toSeq)
+    // idempotent: re-delivering the erase changes nothing
+    Pq.deleteFromSaved(spark, root, del, "vec_id")
+    assert(Pq.loadEncoded(spark, root)._2.count() == ids.size.toLong)
+    // swap crash between the two renames: codes moved aside, nothing
+    // renamed in — the next load heals and reads the full codes back
+    val cPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    val fs = cPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new org.apache.hadoop.fs.Path(cPath.getParent,
+      "." + cPath.getName + ".swap_old")
+    assert(fs.rename(cPath, aside), "fixture: move the codes aside")
+    assert(Pq.loadEncoded(spark, root)._2.count() == ids.size.toLong,
+      "a crashed swap must heal on load, never read as missing codes")
+    assert(fs.exists(cPath) && !fs.exists(aside))
+  }
 }

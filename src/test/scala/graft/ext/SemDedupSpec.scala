@@ -312,4 +312,118 @@ class SemDedupSpec extends SparkSpec {
     assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == 3L,
       "the reset root must accept a fresh freeze under new parameters")
   }
+
+  test("recenterSavedSemanticState: marker re-pins, state ≡ from-scratch freeze, provenance survives") {
+    val root = freshRoot()
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 2, batchId = 0L, buckets = 4)
+    SemDedup.recenterSavedSemanticState(spark, root, newNCenters = 3, buckets = 4)
+    // the pinned count is now 3: folding at 3 works, at 2 refuses
+    SemDedup.updateSavedSemanticState(root,
+      inRows.take(1).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 3, batchId = 1L, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.updateSavedSemanticState(root,
+        inRows.take(1).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 2, batchId = 2L, buckets = 4)
+    }
+    assert(e.getMessage.contains("nCenters"), e.getMessage)
+    // provenance survived the re-center
+    val prov = SemDedup.savedSemanticAssigned(spark, root, 4)
+      .filter(col("doc").isin(refRows.map(_._1): _*))
+      .select($"first_batch_id".as[Long]).collect().toSet
+    assert(prov == Set(0L), s"provenance must survive the re-center: $prov")
+    // the re-centered state is bit-identical to a from-scratch freeze
+    // at the new count over the same folded corpus (the md5-min
+    // argument the catalog query hash-checks at scale)
+    val fresh = freshRoot()
+    SemDedup.updateSavedSemanticState(fresh, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 3, batchId = 0L, buckets = 4)
+    def snap(r: String) = SemDedup.savedSemanticAssigned(spark, r, 4)
+      .filter(col("doc").isin(refRows.map(_._1): _*))
+      .select($"g".as[Long], $"doc".as[Long]).collect().toSet
+    assert(snap(root) == snap(fresh),
+      "re-centered assignment must equal a from-scratch freeze at the new count")
+  }
+
+  test("hot-cluster guard: saved probe refuses a runaway cluster, generous bound passes") {
+    val root = freshRoot()
+    // nCenters = 1 → every reference vector lands in ONE cluster
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 1, batchId = 0L, buckets = 4)
+    val e = intercept[IllegalStateException] {
+      SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 1L, buckets = 4, maxCluster = 2)
+    }
+    assert(e.getMessage.contains("maxCluster"), e.getMessage)
+    assert(e.getMessage.contains("recenterSavedSemanticState"), e.getMessage)
+    // a generous bound changes nothing
+    val out = SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 1L, buckets = 4, maxCluster = 100)
+      .select($"vec_id".as[Long]).collect().toSet
+    assert(out == SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 1L, buckets = 4)
+      .select($"vec_id".as[Long]).collect().toSet)
+    // the static screen guards the same way
+    intercept[IllegalStateException] {
+      SemDedup.newAgainstReferenceSemantic(
+        inRows.toDF("vec_id", "embedding"), refRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 1, floor = 0.9, maxCluster = 2)
+    }
+  }
+
+  test("compaction swap crash heals: state read back intact from .swap_old (r17 ADVICE #1)") {
+    val root = freshRoot()
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 2, batchId = 0L, buckets = 4)
+    val before = SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 9L, buckets = 4)
+      .select($"vec_id".as[Long]).collect().toSet
+    // simulate a compaction crash between swapInState's two renames:
+    // the table root moved aside, nothing renamed in
+    val aPath = new org.apache.hadoop.fs.Path(root + "/assigned")
+    val fs = aPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new org.apache.hadoop.fs.Path(aPath.getParent,
+      "." + aPath.getName + ".swap_old")
+    assert(fs.rename(aPath, aside), "fixture: move the live state aside")
+    // the catalog entry caches the old file listing — refresh like a
+    // restarted session would plan fresh
+    spark.catalog.refreshTable(SemDedup.semanticAssignedTableName(root))
+    // the next probe heals at the ensureBucketedTable choke point and
+    // reads the FULL state — not an empty root
+    val after = SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 9L, buckets = 4)
+      .select($"vec_id".as[Long]).collect().toSet
+    assert(after == before,
+      "a crashed compaction swap must heal, never read as empty state")
+    assert(fs.exists(aPath) && !fs.exists(aside), "the aside copy renamed back")
+  }
+
+  test("centers publish crash (marker missing) fails loudly and re-pin recovers (r17 ADVICE #3)") {
+    val root = freshRoot()
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 2, batchId = 0L, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_graft_sem_ncenters")
+    fs.delete(marker, false) // the crash window: centers in, marker not yet
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.updateSavedSemanticState(root,
+        inRows.take(1).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 2, batchId = 1L, buckets = 4)
+    }
+    assert(e.getMessage.contains("marker is missing"), e.getMessage)
+    // re-pin with the frozen count: everything works again
+    val out = fs.create(marker, true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    SemDedup.updateSavedSemanticState(root,
+      inRows.take(1).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 2, batchId = 1L, buckets = 4)
+    assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == 4L)
+  }
 }

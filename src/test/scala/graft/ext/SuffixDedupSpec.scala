@@ -511,4 +511,38 @@ class SuffixDedupSpec extends SparkSpec {
       s"both copies must drop entirely: $out")
     assert(out(3L) == ((7, 0, "unique words that appear once only here")))
   }
+
+  test("key-index compaction: files shrink to one per touched bucket, identical probe, later folds append") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gram_compact").toString + "/index"
+    // five single-doc folds → five file sets
+    (0 until 5).foreach { b =>
+      SuffixDedup.updateSavedGramIndexBucketed(root,
+        Seq((b.toLong, s"alpha bravo charlie delta echo shard$b tail one two")).toDF("doc_id", "text"),
+        "text", 5, batchId = b.toLong, buckets = 2)
+    }
+    def rows() = SuffixDedup.savedGramIndexBucketed(spark, root, 2)
+      .as[(String, Long)].collect().toMap
+    def dataFiles(): Int = new java.io.File(root)
+      .listFiles().count(_.getName.startsWith("part-"))
+    val (beforeRows, beforeFiles) = (rows(), dataFiles())
+    SuffixDedup.compactSavedKeyIndexBucketed(spark, root, buckets = 2)
+    assert(dataFiles() < beforeFiles,
+      s"compaction must shrink files ($beforeFiles -> ${dataFiles()})")
+    assert(dataFiles() <= 2, "at most one file per bucket after compaction")
+    assert(rows() == beforeRows, "rows identical after compaction")
+    // a later fold still appends through the re-pinned bucket marker,
+    // and the screen still probes the compacted index correctly
+    SuffixDedup.updateSavedGramIndexBucketed(root,
+      Seq((99L, "echo foxtrot golf hotel india juliet")).toDF("doc_id", "text"),
+      "text", 5, batchId = 9L, buckets = 2)
+    assert(rows().size > beforeRows.size)
+    val probe = SuffixDedup.duplicatedSpansIncremental(
+        Seq((100L, "xx alpha bravo charlie delta echo shard0 yy")).toDF("doc_id", "text"),
+        SuffixDedup.savedGramIndexBucketed(spark, root, 2),
+        "doc_id", "text", 5, batchId = 10L)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(probe.nonEmpty, "the compacted index must still catch duplicated spans")
+  }
 }
