@@ -233,6 +233,12 @@ object CorpusReports {
       root: String, upToBatchId: Long, buckets: Int = 16): Unit = {
     require(upToBatchId >= 1,
       "upToBatchId must be >= 1 (the compacted stamp is upToBatchId - 1)")
+    // the horizon is MONOTONE: a re-compaction with a lower
+    // upToBatchId leaves earlier-collapsed rows (stamped at the old,
+    // higher horizon) in place, so lowering the published horizon
+    // would re-admit probes that still hit them — read the prior pin
+    // before the swap destroys it and publish the max
+    val priorHorizon = savedFpCompactionHorizon(spark, root, buckets)
     val idx = savedCorpusFp(spark, root, buckets)
     val compacted = idx.filter(col("batch_id") < upToBatchId)
       .groupBy("g", "source").agg(sum("doc_count").as("doc_count"))
@@ -245,6 +251,45 @@ object CorpusReports {
       "graft_cfp_idx_",
       "g STRING, source STRING, doc_count BIGINT, batch_id BIGINT",
       buckets, compacted)
+    // Publish the horizon AFTER the swap: compaction re-stamps fp
+    // partials to upToBatchId − 1 while the scalar/lang states keep
+    // their original stamps, so an as-of probe at or below the
+    // horizon would see scalars without fp rows and the report's
+    // inner join would silently DROP those sources —
+    // [[reportCorpusFromState]] reads this marker and rejects such
+    // probes loudly instead. The swap destroys any prior marker with
+    // the old dir, so the (immutable-once-pinned) atomic marker write
+    // is always a fresh pin here. A crash between the swap and this
+    // write loses only the reject guard for one window — full reports
+    // and probes above the horizon stay exact — and the next
+    // compaction re-pins it.
+    val fpPath = new org.apache.hadoop.fs.Path(root + "/fp")
+    SuffixDedup.writeMarkerAtomic(
+      fpPath.getFileSystem(spark.sessionState.newHadoopConf()),
+      fpPath, FpHorizonMarker,
+      math.max(upToBatchId - 1, priorHorizon.getOrElse(Long.MinValue))
+        .toString)
+  }
+
+  /** Marker recording the fp state's compaction horizon (the stamp
+    * every partial below `upToBatchId` was collapsed TO). */
+  private val FpHorizonMarker = "_graft_cfp_horizon"
+
+  /** The fp state's compaction horizon, if any compaction has run:
+    * as-of probes must stay strictly ABOVE it (see
+    * [[compactSavedCorpusFp]]). */
+  def savedFpCompactionHorizon(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int = 16): Option[Long] = {
+    savedCorpusFp(spark, root, buckets) // heal a crashed swap first
+    val marker = new org.apache.hadoop.fs.Path(root + "/fp", FpHorizonMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      if (txt.isEmpty) None else Some(txt.toLong)
+    }
   }
 
   /** The per-source datacard from state alone — ≡
@@ -259,6 +304,20 @@ object CorpusReports {
   def reportCorpusFromState(spark: org.apache.spark.sql.SparkSession,
       root: String, buckets: Int = 16,
       batchId: Long = Long.MaxValue): DataFrame = {
+    // as-of probes below the fp state's compaction horizon are
+    // UNSUPPORTED, and must fail loudly rather than silently drop
+    // sources (r18 ADVICE #3): partials at or below the horizon were
+    // collapsed to one row stamped AT the horizon, so a probe there
+    // would filter out every fp row while the uncompacted scalars
+    // survive, and the inner join would eat those sources whole
+    if (batchId != Long.MaxValue)
+      savedFpCompactionHorizon(spark, root, buckets).foreach { h =>
+        require(batchId > h,
+          s"as-of probe batchId=$batchId is at or below the fp state's " +
+            s"compaction horizon $h — partials there were collapsed to " +
+            s"stamp $h and the report would silently drop sources; probe " +
+            s"with batchId > $h, or don't compact past stamps still probed")
+      }
     val base = savedCorpusScalars(spark, root)
       .filter(col("batch_id") < batchId)
       .groupBy("source")

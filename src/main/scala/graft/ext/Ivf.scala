@@ -245,7 +245,19 @@ object Ivf {
 
   /** The committed half of [[deleteFromSaved]]: replace the affected
     * clusters' partitions from the staged survivors, drop emptied
-    * partitions, discard the stage LAST. Every step re-runs safely. */
+    * partitions, discard the stage LAST — marker file FIRST, then the
+    * staged data. Every step re-runs safely.
+    *
+    * The marker-first delete order is load-bearing: a directory
+    * delete is not atomic, so dropping the stage dir with `_AFFECTED`
+    * still inside it leaves a crash window where the marker survives
+    * but some staged survivor files are already gone — the next heal
+    * would re-run the commit FROM THE PARTIAL STAGE, read the lost
+    * clusters as emptied, and drop their live partitions (silent
+    * survivor loss). Deleting the single marker file first (effectively
+    * atomic) inverts the failure: a crash mid-dir-delete leaves a
+    * marker-LESS partial stage, which [[healSavedIvf]] discards — the
+    * commit it stamped has already fully landed. */
   private def commitStagedErase(spark: SparkSession, root: String,
       affected: Seq[Int]): Unit = {
     val assignedPath = s"$root/assigned"
@@ -262,6 +274,7 @@ object Ivf {
       fs.delete(new org.apache.hadoop.fs.Path(assignedPath, s"cluster=$c"),
         true)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, AffectedMarker), false)
     fs.delete(tmp, true)
   }
 

@@ -290,11 +290,34 @@ object SemDedup {
         "~N/1e4), or raise maxCluster explicitly")
   }
 
+  /** THROW-before-broadcast guard on the screen's incoming side (the
+    * [[guardHotClusters]] discipline applied to the OTHER axis of the
+    * probe's Σ per-cluster |in|·|ref| work): [[screenAssigned]]
+    * broadcasts the whole incoming batch — ids AND vectors — so a
+    * misconfigured unbounded "batch" (someone points the screen at a
+    * corpus) fails only at Spark's broadcast size limit, deep inside
+    * the exchange and after the work was scheduled. This makes it
+    * fail LOUDLY at the operator boundary instead, naming the knob.
+    * The probe is a short-circuiting `limit(n+1).count()`, never a
+    * full count of the incoming frame. */
+  private[graft] def guardBatchBound(incoming: DataFrame,
+      maxBatch: Int): Unit = {
+    if (maxBatch == Int.MaxValue) return
+    require(maxBatch > 0, "maxBatch must be positive")
+    if (incoming.limit(maxBatch + 1).count() > maxBatch)
+      throw new IllegalStateException(
+        s"semantic screen: incoming batch exceeds maxBatch=$maxBatch " +
+          "rows — the batch side broadcasts whole (ids and vectors). " +
+          "Split the ingest into bounded micro-batches, or raise " +
+          "maxBatch explicitly if the executors can hold the broadcast")
+  }
+
   /** The screen body over two pre-assigned frames: an incoming vector
     * drops when ANY reference vector in its cluster clears `floor`
     * at 4-dp-rounded cosine. The incoming side broadcasts (a batch is
     * bounded; the reference corpus is not — callers with unbounded
-    * batches pass `maxBatch` to enforce the broadcast bound), so the
+    * batches pass `maxBatch` on the public screens, which routes to
+    * [[guardBatchBound]]'s THROW before this broadcast), so the
     * reference frame is scanned once and never shuffled — work is
     * Σ per-cluster |in|·|ref|, the quantizer's blocking guarantee.
     * Returns the SURVIVING assigned rows (id, v, cluster). */
@@ -324,7 +347,9 @@ object SemDedup {
     * (idCol, cluster). */
   def newAgainstReferenceSemantic(incoming: DataFrame, reference: DataFrame,
       idCol: String, vecCol: String, nCenters: Int = 16,
-      floor: Double = 0.4, maxCluster: Int = Int.MaxValue): DataFrame = {
+      floor: Double = 0.4, maxCluster: Int = Int.MaxValue,
+      maxBatch: Int = Int.MaxValue): DataFrame = {
+    guardBatchBound(incoming, maxBatch)
     val centers = drawCenters(reference, idCol, vecCol, nCenters)
     val refA = assignToCenters(reference, idCol, vecCol, centers)
     val inA = assignToCenters(incoming, idCol, vecCol, centers)
@@ -456,8 +481,10 @@ object SemDedup {
   def newAgainstSavedSemantic(incoming: DataFrame, root: String,
       idCol: String, vecCol: String, floor: Double = 0.4,
       batchId: Long = Long.MaxValue, buckets: Int = 16,
-      maxCluster: Int = Int.MaxValue): DataFrame = {
+      maxCluster: Int = Int.MaxValue,
+      maxBatch: Int = Int.MaxValue): DataFrame = {
     val spark = incoming.sparkSession
+    guardBatchBound(incoming, maxBatch)
     healSemanticState(spark, root, buckets)
     val centers = readSemanticCenters(spark, root)
     val inA = assignToCenters(incoming, idCol, vecCol, centers)

@@ -49,13 +49,23 @@ object SketchState {
   /** Heal a state root lost to a crash between [[swapInState]]'s two
     * renames (prior state moved aside, new copy not yet in): if the
     * root is missing but the aside copy exists, rename it back. Every
-    * reader and merger calls this before touching the root. */
+    * reader and merger calls this before touching the root.
+    *
+    * A stale aside NEXT TO a live root is the mirror crash — the
+    * rename-in landed but the final aside-delete didn't. The aside
+    * then holds the complete PRE-swap state, which for an erasure swap
+    * ([[graft.ext.Pq.deleteFromSaved]]'s codes rewrite) is the erased
+    * rows' last on-disk copy: right-to-erasure must not leave it
+    * lingering in a hidden sibling indefinitely. The swap already
+    * committed (the root IS the new state), so the purge finishes it. */
   private[ext] def recoverState(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
     val aside = sibling(root, ".swap_old")
     if (!fs.exists(p) && fs.exists(aside))
       require(fs.rename(aside, p), s"could not restore $root from $aside")
+    else if (fs.exists(p) && fs.exists(aside))
+      fs.delete(aside, true)
   }
 
   /** THE path-form saved-state reader (shared by every path-parquet

@@ -427,12 +427,13 @@ object CorpusStreams {
   def semanticScreenStream(vecs: DataFrame, stateRoot: String,
       outRoot: String, nCenters: Int = 16, floor: Double = 0.4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      buckets: Int = 16, maxCluster: Int = Int.MaxValue)
+      buckets: Int = 16, maxCluster: Int = Int.MaxValue,
+      maxBatch: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         semanticScreenBatch(batch.toDF(), batchId, stateRoot, outRoot,
-          nCenters, floor, idCol, vecCol, buckets, maxCluster)
+          nCenters, floor, idCol, vecCol, buckets, maxCluster, maxBatch)
     }
 
   /** One [[semanticScreenStream]] micro-batch, exposed for direct
@@ -442,10 +443,16 @@ object CorpusStreams {
       stateRoot: String, outRoot: String, nCenters: Int = 16,
       floor: Double = 0.4, idCol: String = "vec_id",
       vecCol: String = "embedding", buckets: Int = 16,
-      maxCluster: Int = Int.MaxValue): Unit = {
+      maxCluster: Int = Int.MaxValue, maxBatch: Int = Int.MaxValue): Unit = {
     import graft.ext.SemDedup
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    // THROW before the broadcast on an oversized micro-batch (the
+    // batch side of the screen broadcasts whole — ids AND vectors):
+    // a misconfigured source trigger that delivers a corpus-sized
+    // "batch" should fail at the operator boundary naming the knob,
+    // not at Spark's broadcast limit deep in the exchange
+    SemDedup.guardBatchBound(batch, maxBatch)
     SemDedup.healSemanticState(spark, stateRoot, buckets)
     val centers = SemDedup.ensureSemanticCenters(batch, stateRoot,
       idCol, vecCol, nCenters)

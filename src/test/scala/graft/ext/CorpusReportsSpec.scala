@@ -226,4 +226,50 @@ class CorpusReportsSpec extends SparkSpec {
     assert(CorpusReports.savedCorpusFp(spark, root, 4)
       .filter(col("batch_id") === 5L).count() == 1L)
   }
+
+  test("as-of probes at or below the fp compaction horizon are REJECTED, above it exact; the horizon is monotone (r18 ADVICE)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_card_horizon").toString + "/card"
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB1), batchId = 0L,
+      buckets = 4)
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB2), batchId = 1L,
+      buckets = 4)
+    assert(CorpusReports.savedFpCompactionHorizon(spark, root, 4).isEmpty,
+      "no horizon before any compaction")
+    // as-of probes work at every stamp BEFORE compaction
+    val asOf1 = collectCard(
+      CorpusReports.reportCorpusFromState(spark, root, 4, batchId = 1L))
+    val asOf2 = collectCard(
+      CorpusReports.reportCorpusFromState(spark, root, 4, batchId = 2L))
+    assert(asOf1 == collectCard(Profile.corpusReport(cardDf(cardB1))))
+    CorpusReports.compactSavedCorpusFp(spark, root, upToBatchId = 2L,
+      buckets = 4)
+    assert(CorpusReports.savedFpCompactionHorizon(spark, root, 4)
+      .contains(1L))
+    // at/below the horizon: the fp partials were collapsed to stamp 1
+    // while the scalars keep stamp 0 — a probe at batchId=1 would see
+    // scalars without fp rows and silently DROP sources via the inner
+    // join; it must throw naming the horizon instead
+    val e = intercept[IllegalArgumentException] {
+      CorpusReports.reportCorpusFromState(spark, root, 4, batchId = 1L)
+    }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    // strictly above the horizon: exact, unchanged by compaction; the
+    // full report takes no horizon check at all
+    assert(collectCard(CorpusReports.reportCorpusFromState(spark, root, 4,
+      batchId = 2L)) == asOf2)
+    assert(collectCard(CorpusReports.reportCorpusFromState(spark, root, 4)) ==
+      collectCard(Profile.corpusReport(cardDf(cardB1 ++ cardB2))))
+    // monotone: a re-compaction with a LOWER upToBatchId must not
+    // lower the published horizon — rows collapsed to stamp 1 are
+    // still there, so re-admitting batchId=1 probes would silently
+    // drop sources again
+    CorpusReports.compactSavedCorpusFp(spark, root, upToBatchId = 1L,
+      buckets = 4)
+    assert(CorpusReports.savedFpCompactionHorizon(spark, root, 4)
+      .contains(1L), "the horizon must never move backwards")
+    intercept[IllegalArgumentException] {
+      CorpusReports.reportCorpusFromState(spark, root, 4, batchId = 1L)
+    }
+  }
 }

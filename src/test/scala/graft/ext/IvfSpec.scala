@@ -258,4 +258,37 @@ class IvfSpec extends SparkSpec {
     Ivf.deleteFromSaved(spark, root, del, "vec_id")
     assert(Ivf.load(spark, root).assigned.count() == ids.size.toLong)
   }
+
+  test("marker-first stage discard: a crash mid stage-delete leaves a marker-less partial stage the heal discards (r18 ADVICE)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_mfirst").toString + "/ivf"
+    Ivf.save(Ivf.build(embeddings, "vec_id", "embedding", nClusters = 8), root)
+    val del = embeddings.filter(col("vec_id") % 7 === 0).select("vec_id")
+    Ivf.deleteFromSaved(spark, root, del, "vec_id") // commit fully lands
+    val committed = Ivf.load(spark, root).assigned
+      .select($"neighbor_id".cast("long")).as[Long].collect().toSet
+    // the post-fix crash window: commitStagedErase drops the
+    // _AFFECTED marker FIRST (single file, effectively atomic), then
+    // the JVM dies mid stage-dir delete — leaving a marker-LESS
+    // PARTIAL stage (some staged files already gone) beside the
+    // fully-committed layout. Replicate it: a stage holding only ONE
+    // cluster's survivor rows and no marker. Under the old
+    // marker-LAST order this partial stage would still carry the
+    // marker naming EVERY affected cluster, and the heal would
+    // re-commit from it — reading the lost clusters as emptied and
+    // dropping their live partitions (silent survivor loss).
+    val tmp = SketchState.sibling(s"$root/assigned", ".erase_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    val assigned = spark.read.parquet(s"$root/assigned")
+    val oneCluster = assigned.select(col("cluster").cast("int"))
+      .distinct().limit(1).as[Int].collect().head
+    assigned.filter(col("cluster") === oneCluster)
+      .write.parquet(tmp.toString)
+    val healed = Ivf.load(spark, root) // heal: marker-less ⇒ discard
+    assert(!fs.exists(tmp), "a marker-less partial stage must be discarded")
+    assert(healed.assigned.select($"neighbor_id".cast("long"))
+      .as[Long].collect().toSet == committed,
+      "the committed layout must be untouched — no survivor loss")
+  }
 }

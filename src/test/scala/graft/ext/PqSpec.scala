@@ -222,4 +222,91 @@ class PqSpec extends SparkSpec {
       "a crashed swap must heal on load, never read as missing codes")
     assert(fs.exists(cPath) && !fs.exists(aside))
   }
+
+  test("stale .swap_old beside a live codes root purges on recovery — erased rows leave no hidden copy (r18 ADVICE)") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pq_aside").toString + "/pq"
+    val model = Pq.train(e, "embedding", dim = 64, m = 4, k = 8)
+    Pq.saveEncoded(spark, model, e, "vec_id", "embedding", root)
+    val cPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    val fs = cPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new org.apache.hadoop.fs.Path(cPath.getParent,
+      "." + cPath.getName + ".swap_old")
+    // snapshot the PRE-erase codes (the deleted rows included), then
+    // erase, then plant the snapshot as the aside sibling — exactly
+    // what a crash between swapInState's rename-in and its final
+    // aside-delete leaves behind: the erased rows' last on-disk copy
+    val preErase = new org.apache.hadoop.fs.Path(
+      cPath.getParent, "pre_erase_snapshot")
+    spark.read.parquet(cPath.toString).write.parquet(preErase.toString)
+    val del = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+    Pq.deleteFromSaved(spark, root, del, "vec_id")
+    val survivors = Pq.loadEncoded(spark, root)._2.count()
+    assert(fs.rename(preErase, aside), "fixture: plant the stale aside")
+    // any next touch purges the residue: the swap already committed
+    // (the root IS the post-erase state), so right-to-erasure finishes
+    val (_, codes) = Pq.loadEncoded(spark, root)
+    assert(!fs.exists(aside),
+      "a stale .swap_old beside a live root must purge on recovery")
+    assert(codes.count() == survivors, "the live codes stay post-erase")
+    assert(codes.filter(col("vec_id") % 7 === 0).isEmpty,
+      "no erased row may resurface")
+  }
+
+  test("compactSaved: fewer code files, byte-identical search, appends and erase still work (r18 VERDICT #5)") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pq_compact").toString + "/pq"
+    val model = Pq.train(e, "embedding", dim = 64, m = 4, k = 8)
+    Pq.saveEncoded(spark, model, e.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", root)
+    // three appended batches — one parquet file set each, the accrual
+    // compaction exists to mop up
+    (1 to 3).foreach { r =>
+      Pq.appendToSaved(spark, root, e.filter(col("vec_id") % 4 === r),
+        "vec_id", "embedding")
+    }
+    val cPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    val fs = cPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Int = fs.listStatus(cPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val queries = e.filter(col("vec_id") < 3)
+    def search(): Seq[(Long, Long, Double, Int)] = {
+      val (m, codes) = Pq.loadEncoded(spark, root)
+      Pq.searchTopK(m, codes, e, queries, "vec_id", "embedding",
+          k = 5, candidateFactor = 200)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+        .toSeq
+    }
+    val before = search()
+    val filesBefore = dataFiles()
+    assert(filesBefore >= 4, s"fixture needs fragmented codes, got $filesBefore")
+    Pq.compactSaved(spark, root)
+    assert(dataFiles() == 1,
+      s"tiny codes must compact to ONE file, got ${dataFiles()}")
+    assert(search() == before,
+      "compaction moves rows between files, never changes search results")
+    // re-running on an already-compact layout is a no-op
+    val mtime = fs.listStatus(cPath).map(_.getModificationTime).max
+    Pq.compactSaved(spark, root)
+    assert(fs.listStatus(cPath).map(_.getModificationTime).max == mtime,
+      "a second compaction over a compact layout must not rewrite")
+    // the layout stays live: erasure stays exact, and a post-
+    // compaction append lands (the erased rows come back as a batch)
+    val del = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+    Pq.deleteFromSaved(spark, root, del, "vec_id")
+    val all = e.select($"vec_id").as[Long].collect().toSet
+    val ids = Pq.loadEncoded(spark, root)._2
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(ids == all.diff(del.as[Long].collect().toSet))
+    Pq.appendToSaved(spark, root, e.filter(col("vec_id") % 7 === 0),
+      "vec_id", "embedding")
+    assert(Pq.loadEncoded(spark, root)._2
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet == all,
+      "a post-compaction append must land in the compacted layout")
+  }
 }

@@ -426,4 +426,41 @@ class SemDedupSpec extends SparkSpec {
       "vec_id", "embedding", nCenters = 2, batchId = 1L, buckets = 4)
     assert(SemDedup.savedSemanticAssigned(spark, root, 4).count() == 4L)
   }
+
+  test("maxBatch guard refuses an oversized incoming batch before the broadcast (r18 VERDICT #4)") {
+    // 3 incoming rows over a cap of 2: both screens must throw at the
+    // operator boundary, naming the knob — NOT at Spark's broadcast
+    // limit deep inside the exchange
+    val e1 = intercept[IllegalStateException] {
+      SemDedup.newAgainstReferenceSemantic(
+        inRows.toDF("vec_id", "embedding"), refRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 3, floor = 0.9, maxBatch = 2)
+    }
+    assert(e1.getMessage.contains("maxBatch"), e1.getMessage)
+    val root = freshRoot()
+    SemDedup.updateSavedSemanticState(root, refRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCenters = 3, batchId = 0L, buckets = 4)
+    val e2 = intercept[IllegalStateException] {
+      SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 1L, buckets = 4, maxBatch = 2)
+    }
+    assert(e2.getMessage.contains("maxBatch"), e2.getMessage)
+    // at the bound (3 rows ≤ maxBatch=3) both run and equal the
+    // unguarded screens row for row — the guard is a probe, never a
+    // semantics change
+    val guarded = SemDedup.newAgainstReferenceSemantic(
+        inRows.toDF("vec_id", "embedding"), refRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 3, floor = 0.9, maxBatch = 3)
+      .select($"vec_id".as[Long], $"cluster".as[Long]).collect().toSet
+    val unguarded = SemDedup.newAgainstReferenceSemantic(
+        inRows.toDF("vec_id", "embedding"), refRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCenters = 3, floor = 0.9)
+      .select($"vec_id".as[Long], $"cluster".as[Long]).collect().toSet
+    assert(guarded == unguarded)
+    assert(SemDedup.newAgainstSavedSemantic(
+        inRows.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+        floor = 0.9, batchId = 1L, buckets = 4, maxBatch = 3)
+      .count() == unguarded.size.toLong)
+  }
 }
