@@ -9,6 +9,26 @@ import org.apache.spark.sql.SparkSession
   * `bench_out.json`, and every run appends one row to
   * `bench_history.jsonl` so rounds compare median-to-median.
   *
+  * TIMEOUT-SURVIVABLE RECORD (r18 VERDICT #1 — the round's one `weak`:
+  * the driver's r18 bench was wall-cap-killed at rc=124 and, because
+  * every byte of output used to be written only AFTER the last query,
+  * the round shipped with ZERO per-query data). Three defenses:
+  *   a. per-query progress: as each query's measurement completes, one
+  *      JSON line (median/spread/samples/shuffle/jobs) appends to
+  *      `bench_progress.jsonl` (truncated at run start) — survives
+  *      even SIGKILL, which no shutdown hook sees;
+  *   b. a JVM shutdown hook: a SIGTERM'd run (what `timeout` sends at
+  *      a wall cap) flushes a PARTIAL record before dying — a
+  *      `"partial":true` history row with `completed`/`of`/`active`
+  *      fields, the same line into `bench_out.json`, and the same line
+  *      to stdout so the driver's tail-capture parses it. Partial rows
+  *      are excluded from every cross-run comparison (here and in
+  *      `tools/bench_diff.py`);
+  *   c. `setJobDescription` around every query's runs (warm-up,
+  *      measurement, plan hashing), so a killed run's Spark log names
+  *      the in-flight query instead of leaving it to broadcast-pattern
+  *      forensics (r18 VERDICT #2).
+  *
   * Protocol (r8 VERDICT "What's missing" #1 — single-run numbers made
   * real regressions indistinguishable from host noise):
   *   1. one UNMEASURED warm-up pass over the whole set (JVM/codegen
@@ -25,16 +45,27 @@ import org.apache.spark.sql.SparkSession
   *      round and its median recomputed over all samples, so a host-
   *      noise window that ate two of three runs cannot contaminate
   *      the committed record (r12 VERDICT #3); re-measured names are
-  *      listed under `reran` on the spread line;
+  *      listed under `reran` on the spread line. RERUN CAP (r18
+  *      VERDICT #3): once the within-run broad-noise hypothesis is
+  *      live — >25% of the queries measured so far flagged for spread
+  *      (and ≥20 measured) — per-query spread reruns stop paying
+  *      (extra samples drawn from the same window reproduce the same
+  *      inflation) and are SKIPPED for the rest of the run; skipped
+  *      names are listed under `rerun_capped`. The cross-run check
+  *      (#5) keeps its one whole-set extra round, so worst-case wall
+  *      is bounded at ~4×runs instead of ~6×runs — the r18 driver run
+  *      spent ~40% of its wall re-measuring 131 queries under a noise
+  *      window that outlasted the bench, then died at the cap;
   *   5. CROSS-RUN integrity (r13 VERDICT #2 — a noise window that
   *      outlasts the whole bench defeats #4): each fresh median is
-  *      checked against the latest history row with the same cpus, sf,
-  *      data fingerprint AND per-query plan hash. If > 25% of the
-  *      comparable queries inflate beyond 1.5×, the inflated set gets
-  *      one more measured round (medians recompute over all samples);
-  *      persistent inflation marks the record `"suspect":true` with
-  *      the inflated names and the baseline row's ts — the record
-  *      indicts itself instead of waiting for post-hoc adjudication;
+  *      checked against the latest NON-PARTIAL history row with the
+  *      same cpus, sf, data fingerprint AND per-query plan hash. If
+  *      > 25% of the comparable queries inflate beyond 1.5×, the
+  *      inflated set gets one more measured round (medians recompute
+  *      over all samples); persistent inflation marks the record
+  *      `"suspect":true` with the inflated names and the baseline
+  *      row's ts — the record indicts itself instead of waiting for
+  *      post-hoc adjudication;
   *   6. PER-QUERY gross-inflation guard (r14 VERDICT #1 — the 25%
   *      fraction test let ~30 s of phantom time ship `suspect:false`
   *      because two gross outliers carried most of it): ANY same-plan
@@ -60,6 +91,17 @@ import org.apache.spark.sql.SparkSession
   *      ~230 ms" for the suffix family) are record-backed, and a
   *      future diff can separate per-job scheduling cost from data
   *      cost without re-running anything.
+  *   8. WHOLE-RECORD suspect term (r17 VERDICT #5, shipped r19): when
+  *      ≥95% of the plan hashes match the baseline row (same code,
+  *      same plans) but the SUM of the comparable medians — or the
+  *      harness WALL clock, vs the baseline row's recorded `wall` —
+  *      exceeds 1.5× the baseline, the record marks itself
+  *      `"suspect":true` with a `suspect_whole` reason even when no
+  *      individual fraction/gross test fired: a uniformly degraded
+  *      host inflates everything a little, which the per-query guards
+  *      structurally under-detect. The r18 driver run would have
+  *      self-identified before dying. Decision cores are pure
+  *      functions (unit-tested in BenchLogicSpec).
   *
   * Queries in [[SparkEntry.verifyOnly]] (intentionally non-production
   * anchor plans) are skipped and listed under `excluded`; queries in
@@ -89,10 +131,81 @@ import org.apache.spark.sql.SparkSession
   * counts is fine because the history row carries the config.
   */
 object Bench {
+
+  // ------------------- pure decision cores (BenchLogicSpec pins them)
+
+  /** Median over all samples; −1 poisons a query any run of which
+    * failed (a failed query must never contribute partial time). */
+  private[graft] def median(xs: Seq[Double]): Double =
+    if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(xs.size / 2)
+
+  /** max/min spread, 2 dp; −1 when any run failed. */
+  private[graft] def spread(xs: Seq[Double]): Double =
+    if (xs.exists(_ <= 0)) -1.0
+    else math.round(xs.max / xs.min * 100.0) / 100.0
+
+  /** Within-run broad-noise detector for the rerun cap (#4): once a
+    * quarter of the measured queries flagged for spread, further
+    * per-query spread reruns re-sample the same noise window and stop
+    * paying. ≥20 measured so a couple of early genuinely-noisy
+    * queries don't cap the whole run. */
+  private[graft] def broadNoiseLive(flagged: Int, measured: Int): Boolean =
+    measured >= 20 && flagged * 4 > measured
+
+  /** Comparable queries whose fresh median exceeds `factor` × their
+    * history median. */
+  private[graft] def inflatedOf(comparable: Seq[(String, Double)],
+      fresh: Map[String, Double], factor: Double): Seq[String] =
+    comparable.collect { case (n, h) if fresh(n) > factor * h => n }
+
+  /** The per-query gross guard (#6): ratio-gross OR seconds-gross. */
+  private[graft] def grossOf(comparable: Seq[(String, Double)],
+      fresh: Map[String, Double], grossFactor: Double,
+      absFloorSecs: Double): Seq[String] =
+    comparable.collect { case (n, h)
+      if fresh(n) > grossFactor * h ||
+        fresh(n) - h > math.max(absFloorSecs, 0.5 * h) => n }
+
+  /** ≥95% of the queries whose plan hash the baseline row knows hash
+    * the same now — "same code, same plans" for the whole-record
+    * terms. ≥20 known so a near-empty baseline can't qualify. */
+  private[graft] def plansStable(plansKnown: Int, plansSame: Int): Boolean =
+    plansKnown >= 20 && plansSame.toLong * 20 >= plansKnown.toLong * 19
+
+  /** Whole-record term (#8), sum-of-medians axis: plans unchanged but
+    * the comparable set's total time >1.5× the baseline's. */
+  private[graft] def wholeRecordSuspect(comparable: Seq[(String, Double)],
+      fresh: Map[String, Double], plansKnown: Int, plansSame: Int,
+      factor: Double = 1.5): Option[String] = {
+    if (!plansStable(plansKnown, plansSame)) return None
+    val histSum = comparable.map(_._2).sum
+    val freshSum = comparable.map { case (n, _) => fresh(n) }.sum
+    if (histSum > 0 && freshSum > factor * histSum)
+      Some(f"sum_of_medians ${freshSum}%.1fs > ${factor}%.1fx history " +
+        f"${histSum}%.1fs ($plansSame/$plansKnown plans unchanged)")
+    else None
+  }
+
+  /** Whole-record term (#8), wall axis: plans unchanged but this run's
+    * harness wall >1.5× the baseline row's recorded wall. */
+  private[graft] def wallSuspect(wallSecs: Double, histWall: Option[Double],
+      plansKnown: Int, plansSame: Int,
+      factor: Double = 1.5): Option[String] =
+    histWall.filter(w =>
+        w > 0 && plansStable(plansKnown, plansSame) && wallSecs > factor * w)
+      .map(w => f"wall ${wallSecs}%.0fs > ${factor}%.1fx history ${w}%.0fs " +
+        f"($plansSame/$plansKnown plans unchanged)")
+
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def wallSecs(): Double =
+      math.round((System.nanoTime() - wallStart) / 1e7) / 100.0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // override point for harness tests; committed records use the default
+    val histPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -101,25 +214,125 @@ object Bench {
     def planFor(name: String) =
       SparkEntry.benchForm.getOrElse(name, SparkEntry.queries(name))
 
+    // the in-flight query + phase: named in the Spark UI/event log via
+    // setJobDescription, and in the shutdown hook's partial record —
+    // a killed run identifies what it was doing (r18 VERDICT #2)
+    @volatile var phase = "warmup"
+    @volatile var active = ""
+
     def runOnce(name: String): Double = {
+      active = name
+      spark.sparkContext.setJobDescription(s"graft-bench[$phase] $name")
       val t0 = System.nanoTime()
       try planFor(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-      }
+      } finally spark.sparkContext.setJobDescription(null)
       (System.nanoTime() - t0) / 1e9
     }
 
     // local-iteration subset (comma-separated names): when set, the
-    // run measures only those queries and SKIPS bench_out/history
-    // writes — committed history rows always cover the whole set, so
-    // rounds stay median-to-median comparable
+    // run measures only those queries and SKIPS bench_out/history/
+    // progress writes — committed history rows always cover the whole
+    // set, so rounds stay median-to-median comparable
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.verifyOnly)
       .filter(n => only.forall(_.contains(n)))
+
+    // Data fingerprint: per-table row counts straight from the parquet
+    // FOOTERS (no scan). The r10 driver regenerated sf0.1 with 10×
+    // documents and 4× embeddings under the SAME path — every
+    // path-keyed round-over-round diff silently compared different
+    // data. Each record now carries what it actually measured, and
+    // tools/bench_diff.py refuses to diff across differing counts.
+    // Computed UP FRONT (cheap footer reads) so even a partial record
+    // states what it measured.
+    def tableRows(table: String): Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = new org.apache.hadoop.fs.Path(Tables.path(sfDir, table))
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+        finally r.close()
+      } catch { case _: Throwable => -1L }
+    // A failed footer read must make the fingerprint NON-comparable,
+    // not equal (r10 ADVICE #1: a shared -1 sentinel let two broken
+    // reads fingerprint identically and silently resume cross-data
+    // diffs). Any failure drops the field; bench_diff treats
+    // missing-vs-present as incomparable.
+    val tableCounts = Seq("documents", "embeddings", "events", "lineitem",
+        "orders", "customer", "part", "supplier", "nation", "region")
+      .map(t => t -> tableRows(t))
+    val dataField: String =
+      if (tableCounts.exists(_._2 < 0)) ""
+      else tableCounts.map { case (t, n) => "\"" + t + "\":" + n }
+        .mkString("\"data\":{", ",", "},")
+
+    def numMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def appendLine(path: String, line: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+
+    // per-query results as they complete — the shutdown hook's source
+    // of truth, and the progress file's
+    final case class QDone(name: String, samples: Seq[Double],
+      shuffleRd: Long, shuffleWr: Long, jobs: Long)
+    val doneQ = new java.util.concurrent.ConcurrentLinkedQueue[QDone]()
+    @volatile var recordWritten = false
+
+    // SHUTDOWN HOOK (r18 VERDICT #1): a wall-cap SIGTERM lands here —
+    // flush a partial-but-parseable record (stdout, bench_out.json,
+    // and a "partial":true history row) naming the in-flight query.
+    // Partial rows never participate in cross-run comparisons.
+    val hook = new Thread(() => if (!recordWritten) try {
+      import scala.jdk.CollectionConverters._
+      val done = doneQ.iterator().asScala.toSeq
+      val qs = numMap(done.map(d => d.name -> median(d.samples)))
+      val sp = numMap(done.map(d => d.name -> spread(d.samples)))
+      val sh = done.map(d =>
+          "\"" + d.name + "\":[" + d.shuffleRd + "," + d.shuffleWr + "]")
+        .mkString("{", ",", "}")
+      val jb = done.map(d => "\"" + d.name + "\":" + d.jobs)
+        .mkString("{", ",", "}")
+      val partialTotal = done.map(d => median(d.samples)).filter(_ >= 0).sum
+      val core =
+        s""""partial":true,"completed":${done.size},"of":${names.size},""" +
+        s""""active":"$active","phase":"$phase","value":$partialTotal,""" +
+        s""""unit":"sec","wall":${wallSecs()},"runs":$runs,"cpus":$cpus,""" +
+        s""""queries":$qs,"spread":$sp,"shuffle":$sh,"jobs":$jb,""" +
+        dataField + s""""sf":"$sfDir""""
+      val line = s"""{"metric":"total",$core}"""
+      if (only.isEmpty) {
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_out.json"),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+        appendLine(histPath,
+          s"""{"ts_ms":${System.currentTimeMillis()},$core}""")
+      }
+      // the driver keeps the TAIL of stdout — the partial line is the
+      // last thing this process says
+      System.out.println(line)
+      System.out.flush()
+    } catch { case _: Throwable => () })
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    // progress file: truncate, then one line per completed query —
+    // survives even SIGKILL
+    val progressPath = "bench_progress.jsonl"
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(progressPath),
+        Array.empty[Byte])
+      catch { case _: Throwable => () }
 
     // JVM + codegen + page-cache warm-up: one pass over the whole set,
     // not billed (r8's single flagship warm-up left the first minhash
@@ -170,35 +383,48 @@ object Bench {
     // query whose max/min spread exceeds the threshold gets ONE extra
     // round of `runs` samples and its median recomputes over ALL
     // samples — a noise window must now outlast 2×runs measured runs
-    // to survive into the record. Bounded: one rerun per query, and
-    // queries with stable spreads pay nothing.
+    // to survive into the record. Bounded two ways: one rerun per
+    // query, and NO rerun once the broad-noise detector fires (#4's
+    // rerun cap — extra samples from a window that covers the whole
+    // run reproduce the same inflation; the cross-run check owns that
+    // case with its single whole-set extra round).
+    phase = "measure"
     val rerunSpread =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SPREAD", "1.5").toDouble
     val reran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rerunCapped = scala.collection.mutable.ArrayBuffer.empty[String]
+    var measured = 0
+    var flagged = 0
     val samplesWithShuffle: Seq[(String, Seq[Double], Long, Long, Long)] =
       names.map { n =>
         flushListeners()
         val (r0, w0, j0) = (shuffleRead.get, shuffleWrite.get, jobCount.get)
         val first = Seq.fill(runs)(runOnce(n))
+        val noisy = first.forall(_ > 0) && first.max / first.min > rerunSpread
         val xs =
-          if (first.forall(_ > 0) && first.max / first.min > rerunSpread) {
+          if (noisy && !broadNoiseLive(flagged, measured)) {
             reran += n
             first ++ Seq.fill(runs)(runOnce(n))
-          } else first
+          } else {
+            if (noisy) rerunCapped += n
+            first
+          }
+        measured += 1
+        if (noisy) flagged += 1
         flushListeners()
-        (n, xs, (shuffleRead.get - r0) / xs.size,
-          (shuffleWrite.get - w0) / xs.size,
-          (jobCount.get - j0) / xs.size)
+        val rec = QDone(n, xs, (shuffleRead.get - r0) / xs.size,
+          (shuffleWrite.get - w0) / xs.size, (jobCount.get - j0) / xs.size)
+        doneQ.add(rec)
+        // per-query progress line — the record a wall-cap kill keeps
+        if (only.isEmpty) appendLine(progressPath,
+          s"""{"q":"$n","median":${median(xs)},"spread":${spread(xs)},""" +
+          s""""samples":[${xs.mkString(",")}],"shuffle":[${rec.shuffleRd},""" +
+          s"""${rec.shuffleWr}],"jobs":${rec.jobs},"wall":${wallSecs()}}""")
+        (n, xs, rec.shuffleRd, rec.shuffleWr, rec.jobs)
       }
     val samples: Seq[(String, Seq[Double])] =
       samplesWithShuffle.map { case (n, xs, _, _, _) => n -> xs }
-    def median(xs: Seq[Double]): Double =
-      if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(xs.size / 2)
-    def spread(xs: Seq[Double]): Double =
-      if (xs.exists(_ <= 0)) -1.0
-      else math.round(xs.max / xs.min * 100.0) / 100.0
     val medians = samples.map { case (n, xs) => n -> median(xs) }
-    val spreads = samples.map { case (n, xs) => n -> spread(xs) }
 
     // 48-bit md5 of the optimized plan's NODE TREE (indent + node kind
     // per line, full text for leaf relations). Expression bodies are
@@ -211,8 +437,11 @@ object Bench {
     // column pruning (leaf lines keep their schema); it deliberately
     // does NOT move on expression-level rewrites, which the oracle
     // gate owns anyway.
+    phase = "plans"
     def planHash(name: String): String =
       try {
+        active = name
+        spark.sparkContext.setJobDescription(s"graft-bench[plans] $name")
         val canon = planFor(name)(spark, sfDir)
           .queryExecution.optimizedPlan.canonicalized.toString
           .linesIterator.map { line =>
@@ -237,35 +466,7 @@ object Bench {
         java.security.MessageDigest.getInstance("MD5")
           .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       } catch { case _: Throwable => "err" }
-
-    // Data fingerprint: per-table row counts straight from the parquet
-    // FOOTERS (no scan). The r10 driver regenerated sf0.1 with 10×
-    // documents and 4× embeddings under the SAME path — every
-    // path-keyed round-over-round diff silently compared different
-    // data. Each record now carries what it actually measured, and
-    // tools/bench_diff.py refuses to diff across differing counts.
-    def tableRows(table: String): Long =
-      try {
-        import scala.jdk.CollectionConverters._
-        val p = new org.apache.hadoop.fs.Path(Tables.path(sfDir, table))
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(p, spark.sparkContext.hadoopConfiguration)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
-        finally r.close()
-      } catch { case _: Throwable => -1L }
-    // A failed footer read must make the fingerprint NON-comparable,
-    // not equal (r10 ADVICE #1: a shared -1 sentinel let two broken
-    // reads fingerprint identically and silently resume cross-data
-    // diffs). Any failure drops the field; bench_diff treats
-    // missing-vs-present as incomparable.
-    val tableCounts = Seq("documents", "embeddings", "events", "lineitem",
-        "orders", "customer", "part", "supplier", "nation", "region")
-      .map(t => t -> tableRows(t))
-    val dataField: String =
-      if (tableCounts.exists(_._2 < 0)) ""
-      else tableCounts.map { case (t, n) => "\"" + t + "\":" + n }
-        .mkString("\"data\":{", ",", "},")
+      finally spark.sparkContext.setJobDescription(null)
 
     val planHashes: Map[String, String] = names.map(n => n -> planHash(n)).toMap
 
@@ -275,20 +476,21 @@ object Bench {
     // window reproduce the same inflation (r13 committed ~25 s of
     // phantom regression with plan hashes and shuffle bytes
     // byte-identical to the clean row). The defense must be
-    // CROSS-RUN: compare each fresh median against the latest history
-    // row with the same cpus, same sf, same data fingerprint, and the
-    // same per-query plan hash (same plan + same data moved ⇒ the
-    // time should match within noise). If more than 25% of the
-    // comparable queries inflate beyond 1.5×, the whole-record noise
-    // hypothesis is live: the inflated set is re-measured once more
-    // (medians recompute over ALL samples), and if the inflation
-    // persists the committed record carries an explicit
-    // `"suspect":true` marker + the inflated names + the baseline row
-    // ts — the driver and the next round can see the record indicts
-    // itself instead of adjudicating after the fact.
+    // CROSS-RUN: compare each fresh median against the latest
+    // non-partial history row with the same cpus, same sf, same data
+    // fingerprint, and the same per-query plan hash (same plan + same
+    // data moved ⇒ the time should match within noise). If more than
+    // 25% of the comparable queries inflate beyond 1.5×, the
+    // whole-record noise hypothesis is live: the inflated set is
+    // re-measured once more (medians recompute over ALL samples), and
+    // if the inflation persists the committed record carries an
+    // explicit `"suspect":true` marker + the inflated names + the
+    // baseline row ts — the driver and the next round can see the
+    // record indicts itself instead of adjudicating after the fact.
     // a malformed override must not abort the run AFTER every measured
     // round already happened — fall back to the default and keep the
     // record (the check still runs, at 3×)
+    phase = "integrity"
     val grossFactor = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_GROSS", "3.0").toDouble)
       .getOrElse(3.0)
@@ -301,13 +503,22 @@ object Bench {
     var persistGross: Seq[String] = Nil
     var comparedCount = 0
     var checkErrored = false
+    // whole-record term (#8): the sum axis decides inside the matching
+    // block; the wall axis needs the end-of-run clock, so the block
+    // exports the baseline wall + plan-stability counts
+    var suspectWhole: Option[String] = None
+    var baselineWall: Option[Double] = None
+    var baselineTs = -1L
+    var plansKnownN = 0
+    var plansSameN = 0
     if (only.isEmpty) {
       try {
-        val f = new java.io.File("bench_history.jsonl")
+        val f = new java.io.File(histPath)
         if (f.exists && dataField.nonEmpty) {
           val myData = dataField.stripSuffix(",")
           val src = scala.io.Source.fromFile(f, "UTF-8")
           val matching = try src.getLines()
+            .filterNot(_.contains("\"partial\":true"))
             .filter(l => l.contains("\"cpus\":" + cpus + ",") &&
               l.contains("\"sf\":\"" + sfDir + "\"") && l.contains(myData))
             .foldLeft(Option.empty[String])((_, l) => Some(l))
@@ -315,6 +526,9 @@ object Bench {
           matching.foreach { row =>
             val ts = "\"ts_ms\":(\\d+)".r.findFirstMatchIn(row)
               .map(_.group(1).toLong).getOrElse(-1L)
+            baselineTs = ts
+            baselineWall = "\"wall\":([-0-9.eE]+)".r.findFirstMatchIn(row)
+              .map(_.group(1).toDouble)
             // 3-element arrays only match the queries section ([min,
             // med, max]); shuffle rows are 2-element, plans are strings
             def histMed(n: String): Option[Double] =
@@ -332,41 +546,38 @@ object Bench {
               } yield (n, h)
             }
             comparedCount = comparable.size
-            def inflatedOf(m: Map[String, Double], factor: Double): Seq[String] =
-              comparable.collect { case (n, h) if m(n) > factor * h => n }
-            // gross = ratio-gross OR seconds-gross: the ratio path
-            // catches cheap queries that multiplied; the absolute term
-            // catches expensive ones hiding big phantoms under small
-            // ratios (r15's report_dup_coverage shipped +10 s at 2.6×,
-            // under the 3× gate — more phantom than everything flagged
-            // combined)
-            def grossOf(m: Map[String, Double]): Seq[String] =
-              comparable.collect { case (n, h)
-                if m(n) > grossFactor * h ||
-                  m(n) - h > math.max(absFloorSecs, 0.5 * h) => n }
-            val firstInflated = inflatedOf(mm, 1.5)
+            plansKnownN = names.count(n => histPlan(n).isDefined)
+            plansSameN = names.count(n => histPlan(n).contains(planHashes(n)))
+            val firstInflated = inflatedOf(comparable, mm, 1.5)
             val broad = comparable.size >= 20 &&
               firstInflated.size * 4 > comparable.size
             // per-query guard: gross outliers re-measure even when the
             // whole-record fraction stays quiet (no minimum comparable
             // count — ONE 6.8× outlier is worth an extra round)
-            val gross = grossOf(mm)
+            val gross = grossOf(comparable, mm, grossFactor, absFloorSecs)
             val rerunSet = (if (broad) firstInflated else Nil) ++ gross
-            if (rerunSet.nonEmpty) {
-              extraSamples = rerunSet.distinct
-                .map(n => n -> Seq.fill(runs)(runOnce(n))).toMap
-              val sampleMap = samples.toMap
-              val mm2 = mm ++ extraSamples.keys.map(n =>
-                n -> median(sampleMap(n) ++ extraSamples(n)))
-              if (broad) {
-                val still = inflatedOf(mm2, 1.5)
-                if (still.size * 4 > comparable.size)
-                  suspectInfo = Some((ts, still.sorted))
-              }
-              // queries STILL gross (ratio OR seconds) after the
-              // extra round are individually marked in the record
-              persistGross = grossOf(mm2).sorted
+            val mm2 =
+              if (rerunSet.nonEmpty) {
+                extraSamples = rerunSet.distinct
+                  .map(n => n -> Seq.fill(runs)(runOnce(n))).toMap
+                val sampleMap = samples.toMap
+                mm ++ extraSamples.keys.map(n =>
+                  n -> median(sampleMap(n) ++ extraSamples(n)))
+              } else mm
+            if (broad) {
+              val still = inflatedOf(comparable, mm2, 1.5)
+              if (still.size * 4 > comparable.size)
+                suspectInfo = Some((ts, still.sorted))
             }
+            // queries STILL gross (ratio OR seconds) after the
+            // extra round are individually marked in the record
+            if (rerunSet.nonEmpty)
+              persistGross = grossOf(comparable, mm2, grossFactor,
+                absFloorSecs).sorted
+            // whole-record sum axis (#8): decided on the post-extra-
+            // round medians, like the other persistent flags
+            suspectWhole = wholeRecordSuspect(comparable, mm2,
+              plansKnownN, plansSameN)
           }
         }
       } catch { case scala.util.control.NonFatal(_) =>
@@ -379,27 +590,42 @@ object Bench {
       (n, xs ++ extraSamples.getOrElse(n, Nil)) }
     val finalMedians = finalSamples.map { case (n, xs) => n -> median(xs) }
     val finalSpreads = finalSamples.map { case (n, xs) => n -> spread(xs) }
+    // whole-record wall axis (#8): the harness clock vs the baseline
+    // row's recorded wall, checked after all measurement is done
+    phase = "record"
+    active = ""
+    val wallNow = wallSecs()
+    if (suspectWhole.isEmpty && !checkErrored)
+      suspectWhole = wallSuspect(wallNow, baselineWall,
+        plansKnownN, plansSameN)
     // `compared` makes the check auditable: suspect:false with
     // compared:0 means "no comparable baseline", not "verified clean";
     // `inflated` lists the PER-QUERY persistently-gross names even when
-    // the whole-record `suspect` stays false (r14 VERDICT #1), and
+    // the whole-record `suspect` stays false (r14 VERDICT #1),
+    // `suspect_whole` carries the uniform-degradation reason (#8), and
     // `check_errored` marks a record whose integrity check failed to
     // run at all (vs ran and found nothing)
     val inflatedJson = persistGross.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errField = if (checkErrored) "\"check_errored\":true," else ""
+    val wholeField = suspectWhole
+      .map(r => "\"suspect_whole\":\"" + r + "\",").getOrElse("")
     val suspectField = suspectInfo match {
       case Some((ts, infl)) =>
         "\"suspect\":true,\"suspect_vs_ts\":" + ts + ",\"suspect_broad\":" +
-          infl.map("\"" + _ + "\"").mkString("[", ",", "]") +
-          ",\"inflated\":" + inflatedJson +
+          infl.map("\"" + _ + "\"").mkString("[", ",", "]") + "," +
+          wholeField +
+          "\"inflated\":" + inflatedJson +
+          ",\"compared\":" + comparedCount + "," + errField
+      case None if suspectWhole.nonEmpty =>
+        "\"suspect\":true,\"suspect_vs_ts\":" + baselineTs + "," +
+          wholeField +
+          "\"inflated\":" + inflatedJson +
           ",\"compared\":" + comparedCount + "," + errField
       case None =>
         "\"suspect\":false,\"inflated\":" + inflatedJson +
           ",\"compared\":" + comparedCount + "," + errField
     }
 
-    def numMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = numMap(finalMedians)
     val sp = numMap(finalSpreads)
     val ps = names.map(k => "\"" + k + "\":\"" + planHashes(k) + "\"")
@@ -415,10 +641,12 @@ object Bench {
     // sacrificial, the timings line is the record.
     val plansLine = s"""{"metric":"plans","plans":$ps,"sf":"$sfDir"}"""
     val reranJson = reran.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cappedJson = rerunCapped.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val spreadLine =
-      s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"reran":$reranJson,"spread":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"reran":$reranJson,"rerun_capped":$cappedJson,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"excluded":$excluded,"bench_forms":$benchForms,$suspectField$dataField"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"wall":$wallNow,"excluded":$excluded,"bench_forms":$benchForms,$suspectField$dataField"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
     if (only.isEmpty)
@@ -445,15 +673,12 @@ object Bench {
     // plan hashes ride along so a future diff can tell "median moved,
     // plan unchanged ⇒ host noise" from the history file alone; the
     // per-query spread map rides too (r14 VERDICT #8) so a future
-    // judge separates "noisy host" from "noisy query" without a rerun
+    // judge separates "noisy host" from "noisy query" without a rerun;
+    // `wall` is the whole-record axis future runs compare against (#8)
     val histLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,$suspectField$dataField"queries":$hist,"spread":$sp,"shuffle":$shuffleJson,"jobs":$jobsJson,"plans":$ps}""" + "\n"
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
-        histLine.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      catch { case _: Throwable => () }
+      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"wall":$wallNow,$suspectField$dataField"queries":$hist,"spread":$sp,"shuffle":$shuffleJson,"jobs":$jobsJson,"plans":$ps}"""
+    if (only.isEmpty) appendLine(histPath, histLine)
+    recordWritten = true
     println(plansLine)
     println(spreadLine)
     println(timingsLine)

@@ -30,11 +30,14 @@ object Verify {
       case None        => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
+      // name the in-flight query in the Spark UI/event log, so a
+      // killed run's log says what it was doing (r18 VERDICT #2)
+      spark.sparkContext.setJobDescription(s"graft-verify $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

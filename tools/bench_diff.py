@@ -21,7 +21,11 @@ import json, sys
 
 def main(path="bench_history.jsonl", threshold=1.15):
     rows = [json.loads(l) for l in open(path)]
-    rows = [r for r in rows if r.get("queries")]
+    # partial rows are a wall-cap-killed run's shutdown-hook flush
+    # (r18 VERDICT #1): their medians cover an arbitrary prefix of the
+    # set under an arbitrary slice of the warm-up, so they are never a
+    # comparison baseline — diagnostic only
+    rows = [r for r in rows if r.get("queries") and not r.get("partial")]
     if len(rows) < 2:
         print("need at least two bench runs in history"); return 0
     cur = rows[-1]
