@@ -212,11 +212,14 @@ object LakeIO {
     * readers — Spark skips dot-dirs), then SWAPPED in via one
     * FS rename per partition (atomic per partition on HDFS/POSIX;
     * the old leaf is renamed aside first and deleted after, so a
-    * crash mid-swap strands at most a `.compact_old` leaf to sweep,
-    * never a half-written visible partition). Untouched partitions
-    * keep their exact files. Global atomicity across partitions is a
-    * table format's job (Iceberg/Delta `rewrite_data_files` = this +
-    * a catalog transaction) — caveat stated, like [[compactParquet]].
+    * crash mid-swap strands at most a `.compact_old` aside — never a
+    * half-written visible partition — and [[healPartitionSwaps]],
+    * wired into the top of this op and [[deleteWhere]], restores a
+    * leaf whose only copy is its aside and purges stale asides whose
+    * swap landed). Untouched partitions keep their exact files.
+    * Global atomicity across partitions is a table format's job
+    * (Iceberg/Delta `rewrite_data_files` = this + a catalog
+    * transaction) — caveat stated, like [[compactParquet]].
     *
     * Returns (partitions_compacted, files_before, files_after) over
     * the whole root. */
@@ -225,6 +228,7 @@ object LakeIO {
       partitionCols: Seq[String] = PartitionCols): (Long, Long, Long) = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(minFiles >= 1, "minFiles must be >= 1")
+    healPartitionSwaps(spark, root) // finish a crashed prior swap first
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val leaves = partitionCensus(spark, root)
@@ -287,6 +291,7 @@ object LakeIO {
   def deleteWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
       partitionCols: Seq[String] = PartitionCols): (Long, Long) = {
+    healPartitionSwaps(spark, root) // finish a crashed prior swap first
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val probe = spark.read.parquet(root).filter(predicate)
@@ -343,5 +348,61 @@ object LakeIO {
     }
     fs.delete(tmp, true)
     (leaves.length.toLong, rowsDeleted)
+  }
+
+  /** Heal the per-partition swap asides a crashed [[compactFragmented]]
+    * or [[deleteWhere]] leaves behind — wired into the top of both ops
+    * (the maintenance-cadence choke point; plain lake roots have no
+    * reader funnel to intercept, so run this after a crash before
+    * trusting reads). Walks the partition tree for
+    * `.compact_old_*` / `.delete_old_*` siblings:
+    *
+    *   - visible leaf MISSING → rename the aside back. The crash hit
+    *     between the two renames and the aside holds the partition's
+    *     ONLY copy — without the restore every read silently misses
+    *     that partition (the dot-prefix hides the aside from Spark).
+    *   - visible leaf PRESENT → delete the stale aside. The swap
+    *     landed; for [[deleteWhere]] the aside is the deleted rows'
+    *     LAST on-disk copy, and right-to-be-forgotten must not leave
+    *     it lingering in a hidden sibling.
+    *
+    * One state is ambiguous: a FULLY-deleted partition's crash between
+    * its move-aside and its aside-drop looks identical to a crashed
+    * swap-in (leaf missing, aside present). The heal RESTORES — the
+    * convergent choice: re-delivering the same `deleteWhere`
+    * re-deletes it (predicate semantics, idempotent), whereas guessing
+    * "drop" in the other case would destroy a compacted partition's
+    * survivors outright. Erasure callers therefore re-deliver after a
+    * crash, the standing contract for every erasure path in this
+    * library.
+    *
+    * @return (leaves_restored, stale_asides_purged) */
+  def healPartitionSwaps(spark: SparkSession, root: String): (Long, Long) = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return (0L, 0L)
+    var restored = 0L
+    var purged = 0L
+    val aside = "^\\.(?:compact_old_|delete_old_)(.+)$".r
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).filter(_.isDirectory).foreach { e =>
+        e.getPath.getName match {
+          case aside(orig) =>
+            val leaf = new org.apache.hadoop.fs.Path(dir, orig)
+            if (!fs.exists(leaf)) {
+              require(fs.rename(e.getPath, leaf),
+                s"could not restore $leaf from ${e.getPath}")
+              restored += 1
+            } else {
+              fs.delete(e.getPath, true)
+              purged += 1
+            }
+          case n if !n.startsWith(".") && !n.startsWith("_") =>
+            walk(e.getPath)
+          case _ => ()
+        }
+      }
+    walk(rootPath)
+    (restored, purged)
   }
 }

@@ -108,4 +108,51 @@ class DeleteWhereSpec extends SparkSpec {
     assert(n2 == 0L && r2 == 0L)
     assert(spark.read.parquet(root).filter(col("user") === "u2").count() == 0L)
   }
+
+  test("healPartitionSwaps: a missing leaf restores from its aside; a stale aside purges (erased rows leave no hidden copy)") {
+    val root = freshLake()
+    val all = spark.read.parquet(root).count()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash between the two renames: the leaf's ONLY copy is the
+    // invisible aside — every read silently misses the partition
+    val leaf = new org.apache.hadoop.fs.Path(
+      s"$root/indicator=A/observation_year=2023")
+    val aside = new org.apache.hadoop.fs.Path(
+      leaf.getParent, ".delete_old_" + leaf.getName)
+    assert(fs.rename(leaf, aside), "fixture: strand the leaf in its aside")
+    assert(spark.read.parquet(root).count() < all,
+      "fixture: the stranded partition must be invisible to reads")
+    val (restored, _) = LakeIO.healPartitionSwaps(spark, root)
+    assert(restored == 1L)
+    assert(spark.read.parquet(root).count() == all,
+      "the restored partition must be visible again")
+    // crash between a landed swap and its aside-drop: the aside holds
+    // the PRE-delete partition — for the right-to-be-forgotten op,
+    // the deleted rows' last on-disk copy. The next op's heal purges.
+    // staged OUTSIDE the lake root: a non-dot dir inside it would
+    // break Spark's partition discovery
+    val snapshot = new org.apache.hadoop.fs.Path(
+      root + "_pre_delete_snapshot")
+    org.apache.hadoop.fs.FileUtil.copy(fs, leaf, fs, snapshot, false,
+      spark.sessionState.newHadoopConf())
+    LakeIO.deleteWhere(spark, root,
+      col("user") === "u1" && col("indicator") === "A" &&
+        col("observation_year") === 2023, parts)
+    val afterDelete = spark.read.parquet(root).count()
+    assert(fs.rename(snapshot, aside), "fixture: plant the stale aside")
+    val (_, purged) = LakeIO.healPartitionSwaps(spark, root)
+    assert(purged == 1L && !fs.exists(aside),
+      "a stale aside beside a live leaf must purge")
+    assert(spark.read.parquet(root).count() == afterDelete,
+      "the live layout stays post-delete")
+    // the ops self-heal: strand the leaf again, then let deleteWhere's
+    // own entry heal before it probes (a no-op predicate)
+    assert(fs.rename(leaf, aside))
+    val (nPart, nRows) = LakeIO.deleteWhere(spark, root,
+      col("user") === "nobody", parts)
+    assert(nPart == 0L && nRows == 0L)
+    assert(spark.read.parquet(root).count() == afterDelete,
+      "deleteWhere must heal the stranded partition before probing")
+  }
 }
