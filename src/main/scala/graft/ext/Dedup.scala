@@ -933,7 +933,12 @@ object Dedup {
     * i.e. the stream's checkpoint has advanced past the horizon and
     * the erasure queue below it is fully acknowledged. Probes and new
     * folds (ids ≥ `upToBatchId`) see identical totals before and
-    * after (spec-pinned).
+    * after (spec-pinned). As-of probes AT OR BELOW the horizon are
+    * unsupported afterwards and fail loudly: the compaction pins a
+    * monotone `_graft_df_horizon` marker (carried inside the swap, so
+    * it can never lag the re-stamped rows) and
+    * [[requireProbeAboveDfHorizon]] rejects such probes instead of
+    * letting every gram read as absent (falsely novel).
     *
     * Path form swaps atomically ([[SketchState.swapInState]] — a
     * complete state exists on disk at every instant, crashes heal on
@@ -955,7 +960,12 @@ object Dedup {
       .unionByName(idx.filter(col("batch_id") >= upToBatchId))
       .select("g", "doc_count", "batch_id")
     // the gram-size marker must survive the swap: the new root is a
-    // fresh directory
+    // fresh directory. The compaction HORIZON rides the same way —
+    // written INTO the staged sibling, so it swaps in atomically with
+    // the re-stamped rows (no marker-lags-state crash window) and is
+    // MONOTONE (max with any prior pin: a re-compaction with a lower
+    // upToBatchId leaves earlier-collapsed rows at the old horizon, so
+    // lowering the pin would re-admit probes that still hit them).
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val nMarker = new org.apache.hadoop.fs.Path(rootPath, GramNFile)
@@ -963,9 +973,16 @@ object Dedup {
       if (fs.exists(nMarker))
         Some(SuffixDedup.readIntMarker(fs, nMarker, "gram-size"))
       else None
-    def carryMarker(tmpDir: String): Unit = pinnedN.foreach { n =>
+    val horizon = math.max(upToBatchId - 1,
+      savedDfIndexCompactionHorizon(spark, root).getOrElse(Long.MinValue))
+    def carryMarker(tmpDir: String): Unit = {
+      pinnedN.foreach { n =>
+        SuffixDedup.writeMarkerAtomic(fs,
+          new org.apache.hadoop.fs.Path(tmpDir), GramNFile, n.toString)
+      }
       SuffixDedup.writeMarkerAtomic(fs,
-        new org.apache.hadoop.fs.Path(tmpDir), GramNFile, n.toString)
+        new org.apache.hadoop.fs.Path(tmpDir), DfHorizonFile,
+        horizon.toString)
     }
     if (buckets > 0) {
       val tbl = dfIndexTableName(root)
@@ -992,6 +1009,51 @@ object Dedup {
       }
     }
   }
+
+  /** Marker recording the df index's compaction horizon (the stamp
+    * every partial below a [[compactSavedDfIndex]] `upToBatchId` was
+    * collapsed TO). Carried through every compaction swap, monotone. */
+  private val DfHorizonFile = "_graft_df_horizon"
+
+  /** The df index's compaction horizon, if any compaction has run:
+    * as-of probes must stay strictly ABOVE it — see
+    * [[requireProbeAboveDfHorizon]]. */
+  def savedDfIndexCompactionHorizon(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[Long] = {
+    SuffixDedup.recoverSavedIndex(spark, root) // heal a crashed swap
+    val marker = new org.apache.hadoop.fs.Path(root, DfHorizonFile)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      if (txt.isEmpty) None else Some(txt.toLong)
+    }
+  }
+
+  /** REJECT an as-of probe at or below the df index's compaction
+    * horizon (the [[graft.ext.CorpusReports.reportCorpusFromState]]
+    * discipline applied to the OTHER re-stamping counted state):
+    * partials there were collapsed to one net row stamped AT the
+    * horizon, so a [[gramNoveltyIncremental]] probe gating
+    * `batch_id < batchId` with `batchId ≤ horizon` would see NO
+    * partials — every gram reads as count 0 and the whole batch
+    * reports falsely novel, a silent wrong answer. Saved-root callers
+    * with a real per-batch id (the novelty stream) call this before
+    * probing; `Long.MaxValue` (the full-state probe) never rejects. */
+  def requireProbeAboveDfHorizon(spark: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long): Unit =
+    if (batchId != Long.MaxValue)
+      savedDfIndexCompactionHorizon(spark, root).foreach { h =>
+        require(batchId > h,
+          s"as-of probe batchId=$batchId is at or below the df index's " +
+            s"compaction horizon $h — partials there were collapsed to " +
+            s"stamp $h and every gram would read as absent (falsely " +
+            s"novel); probe with batchId > $h, or don't compact past " +
+            "stamps still probed")
+      }
 
   /** Sliding L-token gram array (windows at every offset, space-joined)
     * — via L zipped slices, NOT transform(sequence(...)) (projection

@@ -506,6 +506,10 @@ object CorpusStreams {
     // would land that wrong partition on disk before the fold's
     // loud failure aborts the batch
     graft.ext.Dedup.validateOrPinGramN(spark, dfRoot, n)
+    // likewise reject a batch id at or below the index's compaction
+    // horizon (a checkpoint reset against a compacted state): the
+    // probe would see zero partials and report everything novel
+    graft.ext.Dedup.requireProbeAboveDfHorizon(spark, dfRoot, batchId)
     val idx =
       if (indexBuckets > 0)
         graft.ext.Dedup.savedDfIndexBucketed(spark, dfRoot, indexBuckets)

@@ -156,6 +156,30 @@ class DfIndexSpec extends SparkSpec {
         n = 5, batchId = 9L))
       assert(inc == collect(novelty(survivors ++ reBatch)
         .filter(col("doc_id") >= 50L)), s"post-compaction erase: $inc")
+      // the horizon pinned at upToBatchId − 1, rode the swap, and
+      // rejects as-of probes at or below it (they would read every
+      // gram as absent — falsely novel — instead of failing)
+      assert(Dedup.savedDfIndexCompactionHorizon(spark, dfRoot)
+        .contains(1L))
+      val e = intercept[IllegalArgumentException] {
+        Dedup.requireProbeAboveDfHorizon(spark, dfRoot, batchId = 1L)
+      }
+      assert(e.getMessage.contains("horizon"), e.getMessage)
+      Dedup.requireProbeAboveDfHorizon(spark, dfRoot, batchId = 2L)
+      Dedup.requireProbeAboveDfHorizon(spark, dfRoot, Long.MaxValue)
+      // monotone: a re-compaction with a LOWER upToBatchId cannot
+      // move the horizon backwards (rows at the old horizon persist)
+      Dedup.compactSavedDfIndex(spark, dfRoot, upToBatchId = 1L)
+      assert(Dedup.savedDfIndexCompactionHorizon(spark, dfRoot)
+        .contains(1L), "the horizon must never move backwards")
+      // the streaming body rejects a stale batch id BEFORE probing —
+      // a checkpoint reset against a compacted state must not land a
+      // falsely-all-novel output partition
+      intercept[IllegalArgumentException] {
+        graft.streaming.CorpusStreams.docNoveltyBatch(
+          probe.toDF("doc_id", "text"), batchId = 1L, dfRoot,
+          tmp + "/out", n = 5)
+      }
     } finally spark.sql(
       s"DROP TABLE IF EXISTS ${Dedup.dfIndexTableName(dfRoot)}")
   }
