@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * every byte of output used to be written only AFTER the last query,
   * the round shipped with ZERO per-query data). Three defenses:
   *   a. per-query progress: as each query's measurement completes, one
-  *      JSON line (median/spread/samples/shuffle/jobs) appends to
+  *      JSON line (median/spread/samples/shuffle/jobs/plan) appends to
   *      `bench_progress.jsonl` (truncated at run start) — survives
   *      even SIGKILL, which no shutdown hook sees;
   *   b. a JVM shutdown hook: a SIGTERM'd run (what `timeout` sends at
@@ -23,16 +23,47 @@ import org.apache.spark.sql.SparkSession
   *      fields, the same line into `bench_out.json`, and the same line
   *      to stdout so the driver's tail-capture parses it. Partial rows
   *      are excluded from every cross-run comparison (here and in
-  *      `tools/bench_diff.py`);
-  *   c. `setJobDescription` around every query's runs (warm-up,
-  *      measurement, plan hashing), so a killed run's Spark log names
-  *      the in-flight query instead of leaving it to broadcast-pattern
-  *      forensics (r18 VERDICT #2).
+  *      `tools/bench_diff.py`). The hook checks the history file for a
+  *      full row carrying this run's `run_id` before writing anything:
+  *      a SIGTERM landing in the window between the final history
+  *      append and the in-memory flag must not append a confusing
+  *      near-duplicate partial row (r19 ADVICE #3);
+  *   c. `setJobDescription` around every query's runs, so a killed
+  *      run's Spark log names the in-flight query instead of leaving
+  *      it to broadcast-pattern forensics (r18 VERDICT #2).
+  *
+  * WALL-BUDGET ADAPTATION (r19 VERDICT #1 — survivability is not
+  * enough: three driver rounds in a row were rc=124-killed, so the
+  * driver has partial records but no COMPLETE one; the harness must
+  * fit the host it finds instead of being killed at an arbitrary
+  * point). The warm-up pass is timed per query, which makes it a
+  * projection of the measure phase at this host's CURRENT speed:
+  *   - after warm-up, projected wall = elapsed + warm-up-sum ×
+  *     (runs + 1) (the +1 is the whole-set allowance for
+  *     spread/gross/integrity reruns). Projected > the
+  *     SPARK_GRAFT_BENCH_WALL budget (default 3300 s — just under the
+  *     driver's ~3600 s cap) ⇒ DEGRADE deliberately: runs drop to 1
+  *     and every rerun class (spread, gross, integrity extra rounds)
+  *     is skipped, trading median-of-3 precision for a complete
+  *     single-run record that states `"degraded":true` with the
+  *     projection that triggered it;
+  *   - the projection is re-checked before every query from the
+  *     remaining warm-up-measured work (a host that degrades MID-run
+  *     — the r19 driver profile, five 10-100× single-query outliers —
+  *     is caught by the re-projection even when warm-up looked fine);
+  *   - degraded records are complete and honest (single-run medians,
+  *     spread 1.0) but are NEVER a comparison baseline: this run's
+  *     cross-run matching and `tools/bench_diff.py` both skip
+  *     `"degraded":true` rows — a record measured under a known-slow
+  *     projection would make every later quiet run read as
+  *     "improved" and disarm the suspect machinery.
   *
   * Protocol (r8 VERDICT "What's missing" #1 — single-run numbers made
   * real regressions indistinguishable from host noise):
   *   1. one UNMEASURED warm-up pass over the whole set (JVM/codegen
-  *      warmup and page cache aren't billed to any query);
+  *      warmup and page cache aren't billed to any query); since r20
+  *      the pass is per-query TIMED — not billed, but the wall-budget
+  *      projection's input;
   *   2. three measured runs per query; the reported number is the
   *      MEDIAN (this host shows sporadic 4-10× single-run spikes from
   *      background load — the median measures the plan, not the
@@ -58,14 +89,14 @@ import org.apache.spark.sql.SparkSession
   *      window that outlasted the bench, then died at the cap;
   *   5. CROSS-RUN integrity (r13 VERDICT #2 — a noise window that
   *      outlasts the whole bench defeats #4): each fresh median is
-  *      checked against the latest NON-PARTIAL history row with the
-  *      same cpus, sf, data fingerprint AND per-query plan hash. If
-  *      > 25% of the comparable queries inflate beyond 1.5×, the
-  *      inflated set gets one more measured round (medians recompute
-  *      over all samples); persistent inflation marks the record
-  *      `"suspect":true` with the inflated names and the baseline
-  *      row's ts — the record indicts itself instead of waiting for
-  *      post-hoc adjudication;
+  *      checked against the latest NON-PARTIAL, NON-DEGRADED history
+  *      row with the same cpus, sf, data fingerprint AND per-query
+  *      plan hash. If > 25% of the comparable queries inflate beyond
+  *      1.5×, the inflated set gets one more measured round (medians
+  *      recompute over all samples); persistent inflation marks the
+  *      record `"suspect":true` with the inflated names and the
+  *      baseline row's ts — the record indicts itself instead of
+  *      waiting for post-hoc adjudication;
   *   6. PER-QUERY gross-inflation guard (r14 VERDICT #1 — the 25%
   *      fraction test let ~30 s of phantom time ship `suspect:false`
   *      because two gross outliers carried most of it): ANY same-plan
@@ -103,6 +134,21 @@ import org.apache.spark.sql.SparkSession
   *      self-identified before dying. Decision cores are pure
   *      functions (unit-tested in BenchLogicSpec).
   *
+  * PLAN HASHES COME FROM THE MEASURE PHASE (r19 VERDICT #2): each
+  * query's hash is computed from the DataFrame of its last measured
+  * run — `df.queryExecution.optimizedPlan` is driver-side Catalyst
+  * work, O(ms), outside the timed window. The old separate "plans"
+  * phase called the catalog's builder functions FRESH at the end of
+  * the run, which for the ~20 saved-state/temp-root entries
+  * re-executed real work (index builds, KMeans fits, erase
+  * lifecycles) just to hash a plan — a hidden 4th-plus execution of
+  * the most expensive entries, at exactly the point where a wall cap
+  * bites (the r19 driver run died there with 222/222 already
+  * measured). A side effect closes r19 VERDICT #3 for free: partial
+  * records now carry the completed queries' plan hashes, so a
+  * wall-capped run can still satisfy the cross-run "plans unchanged"
+  * check.
+  *
   * Queries in [[SparkEntry.verifyOnly]] (intentionally non-production
   * anchor plans) are skipped and listed under `excluded`; queries in
   * [[SparkEntry.benchForm]] (gate composites embedding their own
@@ -129,6 +175,13 @@ import org.apache.spark.sql.SparkSession
   * previous one. The committed record runs at whatever SPARK_GRAFT_CPUS
   * the driver pins (local[32] since r9); local iteration at other cpu
   * counts is fine because the history row carries the config.
+  *
+  * Subset runs (SPARK_GRAFT_BENCH_ONLY) skip every record write by
+  * default so committed history rows always cover the whole set;
+  * SPARK_GRAFT_BENCH_RECORD=1 overrides that for a deliberately-
+  * committed subset record (the r19 VERDICT #3 synthetic-scale row:
+  * a different SF_DIR carries its own data fingerprint, so the row
+  * can never pair with a full-catalog sf0.1 row in any comparison).
   */
 object Bench {
 
@@ -196,13 +249,76 @@ object Bench {
       .map(w => f"wall ${wallSecs}%.0fs > ${factor}%.1fx history ${w}%.0fs " +
         f"($plansSame/$plansKnown plans unchanged)")
 
+  /** Wall-budget projection, decided right after the timed warm-up
+    * pass (r19 VERDICT #1): elapsed so far + warm-up-sum × (runs + 1)
+    * — `runs` measured passes over the set, plus ONE whole-set
+    * allowance for the spread/gross/integrity rerun classes (the
+    * committed r18/r19 profiles both fit inside one extra pass once
+    * the rerun cap is in play). Projected > budget ⇒ degrade. */
+  private[graft] def projectWall(elapsedSecs: Double, warmSumSecs: Double,
+      runs: Int): Double =
+    elapsedSecs + warmSumSecs * (runs + 1)
+
+  /** Mid-measure re-projection: with `remainingWarmSecs` of warm-up-
+    * measured work still unmeasured at `runs` passes each, does the
+    * run still fit the budget? No rerun allowance here — by the time
+    * this fires the choice is "degrade the tail" vs "get killed", and
+    * a degraded run skips every rerun class anyway. */
+  private[graft] def midRunDegrade(elapsedSecs: Double,
+      remainingWarmSecs: Double, runs: Int, budgetSecs: Double): Boolean =
+    elapsedSecs + remainingWarmSecs * runs > budgetSecs
+
+  /** 48-bit md5 of the optimized plan's NODE TREE (indent + node kind
+    * per line, full text for leaf relations). Expression bodies are
+    * deliberately excluded: canonicalization normalizes most exprIds,
+    * but RewriteDistinctAggregates assigns its Expand group ids in
+    * JVM-history-dependent order — measured: profile_columns_approx's
+    * full-text hash changed with which queries ran BEFORE it, turning
+    * the noise discriminator into a false-positive source. The tree
+    * still moves on join reorders, added/removed operators, and lost
+    * column pruning (leaf lines keep their schema); it deliberately
+    * does NOT move on expression-level rewrites, which the oracle
+    * gate owns anyway. Input is
+    * `df.queryExecution.optimizedPlan.canonicalized.toString`. */
+  private[graft] def hashPlanTree(canonText: String): String = {
+    val canon = canonText.linesIterator.map { line =>
+      val masked = line
+        .replaceAll("\\$\\$Lambda[$/][^,\\s)]*", "<lambda>")
+        .replaceAll("@[0-9a-f]{6,}", "@id")
+        .replaceAll("#\\d+", "#n")
+      val prefixLen = masked.segmentLength(
+        c => c == ' ' || c == ':' || c == '+' || c == '-', 0)
+      val t = masked.substring(prefixLen)
+      if (t.startsWith("Relation") || t.startsWith("LogicalRDD")) masked
+      else {
+        val kind = t.takeWhile(c => c.isLetterOrDigit || c == '!' || c == '*')
+        // join TYPE is structural (Inner vs LeftAnti is a
+        // different plan, not a different expression)
+        val joinType = if (kind.endsWith("Join") && t.contains(" "))
+          " " + t.drop(kind.length + 1).takeWhile(_.isLetterOrDigit)
+        else ""
+        masked.substring(0, prefixLen) + kind + joinType
+      }
+    }.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
     def wallSecs(): Double =
       math.round((System.nanoTime() - wallStart) / 1e7) / 100.0
+    // stamps this run's full history row so the shutdown hook can tell
+    // "record already landed" from "killed mid-run" (r19 ADVICE #3)
+    val runId = java.util.UUID.randomUUID().toString
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // the wall budget the whole run must fit (r19 VERDICT #1); a
+    // malformed override falls back rather than aborting the run
+    val wallBudget = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL", "3300").toDouble)
+      .getOrElse(3300.0)
     // override point for harness tests; committed records use the default
     val histPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")
@@ -219,13 +335,22 @@ object Bench {
     // a killed run identifies what it was doing (r18 VERDICT #2)
     @volatile var phase = "warmup"
     @volatile var active = ""
+    // the DataFrame of the last runOnce — the measure phase hashes its
+    // plan instead of re-calling the builder (r19 VERDICT #2); reset
+    // at entry so a builder failure can't leave a stale frame that
+    // hashes the PREVIOUS query's plan under this query's name
+    @volatile var lastDf: org.apache.spark.sql.DataFrame = null
 
     def runOnce(name: String): Double = {
       active = name
+      lastDf = null
       spark.sparkContext.setJobDescription(s"graft-bench[$phase] $name")
       val t0 = System.nanoTime()
-      try planFor(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      try {
+        val df = planFor(name)(spark, sfDir)
+        lastDf = df
+        df.write.format("noop").mode("overwrite").save()
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       } finally spark.sparkContext.setJobDescription(null)
@@ -233,11 +358,14 @@ object Bench {
     }
 
     // local-iteration subset (comma-separated names): when set, the
-    // run measures only those queries and SKIPS bench_out/history/
-    // progress writes — committed history rows always cover the whole
-    // set, so rounds stay median-to-median comparable
+    // run measures only those queries and — unless BENCH_RECORD forces
+    // a deliberate subset record — SKIPS bench_out/history/progress
+    // writes, so committed history rows normally cover the whole set
+    // and rounds stay median-to-median comparable
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val record = only.isEmpty ||
+      sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("1")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.verifyOnly)
       .filter(n => only.forall(_.contains(n)))
@@ -285,15 +413,39 @@ object Bench {
     // per-query results as they complete — the shutdown hook's source
     // of truth, and the progress file's
     final case class QDone(name: String, samples: Seq[Double],
-      shuffleRd: Long, shuffleWr: Long, jobs: Long)
+      shuffleRd: Long, shuffleWr: Long, jobs: Long, plan: String)
     val doneQ = new java.util.concurrent.ConcurrentLinkedQueue[QDone]()
     @volatile var recordWritten = false
+    // wall-budget state: flipped after warm-up or mid-measure; the
+    // projection that triggered the degrade rides in every record
+    @volatile var degraded = false
+    @volatile var degradeProjection = -1.0
+    def degradedField: String =
+      if (degraded)
+        s""""degraded":true,"projected":$degradeProjection,""" +
+          s""""budget":$wallBudget,"""
+      else ""
+
+    // has this run's FULL history row already landed? (closes the
+    // append→flag race window — r19 ADVICE #3)
+    def fullRowLanded(): Boolean = try {
+      val f = new java.io.File(histPath)
+      f.exists && {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().exists(l =>
+          l.contains("\"run_id\":\"" + runId + "\"") &&
+            !l.contains("\"partial\":true"))
+        finally src.close()
+      }
+    } catch { case _: Throwable => false }
 
     // SHUTDOWN HOOK (r18 VERDICT #1): a wall-cap SIGTERM lands here —
     // flush a partial-but-parseable record (stdout, bench_out.json,
     // and a "partial":true history row) naming the in-flight query.
-    // Partial rows never participate in cross-run comparisons.
-    val hook = new Thread(() => if (!recordWritten) try {
+    // Partial rows never participate in cross-run comparisons. The
+    // completed queries' PLAN HASHES ride along (r19 VERDICT #3), so
+    // even a capped run supports the cross-run "plans unchanged" check.
+    val hook = new Thread(() => if (!recordWritten && !fullRowLanded()) try {
       import scala.jdk.CollectionConverters._
       val done = doneQ.iterator().asScala.toSeq
       val qs = numMap(done.map(d => d.name -> median(d.samples)))
@@ -303,15 +455,18 @@ object Bench {
         .mkString("{", ",", "}")
       val jb = done.map(d => "\"" + d.name + "\":" + d.jobs)
         .mkString("{", ",", "}")
+      val pl = done.map(d => "\"" + d.name + "\":\"" + d.plan + "\"")
+        .mkString("{", ",", "}")
       val partialTotal = done.map(d => median(d.samples)).filter(_ >= 0).sum
       val core =
-        s""""partial":true,"completed":${done.size},"of":${names.size},""" +
-        s""""active":"$active","phase":"$phase","value":$partialTotal,""" +
-        s""""unit":"sec","wall":${wallSecs()},"runs":$runs,"cpus":$cpus,""" +
+        s""""partial":true,"run_id":"$runId","completed":${done.size},""" +
+        s""""of":${names.size},"active":"$active","phase":"$phase",""" +
+        s""""value":$partialTotal,"unit":"sec","wall":${wallSecs()},""" +
+        s""""runs":$runs,"cpus":$cpus,""" + degradedField +
         s""""queries":$qs,"spread":$sp,"shuffle":$sh,"jobs":$jb,""" +
-        dataField + s""""sf":"$sfDir""""
+        s""""plans":$pl,""" + dataField + s""""sf":"$sfDir""""
       val line = s"""{"metric":"total",$core}"""
-      if (only.isEmpty) {
+      if (record) {
         try java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_out.json"),
           (line + "\n").getBytes("UTF-8"))
@@ -329,17 +484,29 @@ object Bench {
     // progress file: truncate, then one line per completed query —
     // survives even SIGKILL
     val progressPath = "bench_progress.jsonl"
-    if (only.isEmpty)
+    if (record)
       try java.nio.file.Files.write(java.nio.file.Paths.get(progressPath),
         Array.empty[Byte])
       catch { case _: Throwable => () }
 
     // JVM + codegen + page-cache warm-up: one pass over the whole set,
     // not billed (r8's single flagship warm-up left the first minhash
-    // query paying everyone's classloading)
+    // query paying everyone's classloading). TIMED per query since r20:
+    // the pass doubles as the wall-budget projection's estimate of the
+    // measure phase at this host's current speed.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    names.foreach(runOnce)
+    val warmByName: Map[String, Double] =
+      names.map(n => n -> math.max(0.0, runOnce(n))).toMap
+    val warmSum = names.map(warmByName).sum
+    val projectedAfterWarmup = projectWall(wallSecs(), warmSum, runs)
+    if (projectedAfterWarmup > wallBudget) {
+      degraded = true
+      degradeProjection = math.round(projectedAfterWarmup * 100.0) / 100.0
+      System.err.println(f"[bench] projected wall $projectedAfterWarmup%.0fs" +
+        f" > budget $wallBudget%.0fs after warm-up — degrading to 1 run" +
+        " per query, no reruns")
+    }
 
     // Shuffle-bytes observability (r10 VERDICT #8): plan hashes catch
     // SHAPE changes but not VOLUME changes — "same plan, 10× bytes
@@ -383,11 +550,10 @@ object Bench {
     // query whose max/min spread exceeds the threshold gets ONE extra
     // round of `runs` samples and its median recomputes over ALL
     // samples — a noise window must now outlast 2×runs measured runs
-    // to survive into the record. Bounded two ways: one rerun per
-    // query, and NO rerun once the broad-noise detector fires (#4's
-    // rerun cap — extra samples from a window that covers the whole
-    // run reproduce the same inflation; the cross-run check owns that
-    // case with its single whole-set extra round).
+    // to survive into the record. Bounded three ways: one rerun per
+    // query, NO rerun once the broad-noise detector fires (#4's rerun
+    // cap), and NO rerun at all on a degraded run (the budget already
+    // doesn't fit the baseline protocol).
     phase = "measure"
     val rerunSpread =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SPREAD", "1.5").toDouble
@@ -395,80 +561,65 @@ object Bench {
     val rerunCapped = scala.collection.mutable.ArrayBuffer.empty[String]
     var measured = 0
     var flagged = 0
-    val samplesWithShuffle: Seq[(String, Seq[Double], Long, Long, Long)] =
+    var remainingWarm = warmSum
+    val samplesWithMeta: Seq[(String, Seq[Double], Long, Long, Long, String)] =
       names.map { n =>
+        // re-project before every query: a host that degrades MID-run
+        // (the r19 driver profile) must flip the budget switch too,
+        // not just one that was already slow at warm-up
+        if (!degraded &&
+            midRunDegrade(wallSecs(), remainingWarm, runs, wallBudget)) {
+          degraded = true
+          degradeProjection =
+            math.round((wallSecs() + remainingWarm * runs) * 100.0) / 100.0
+          System.err.println(f"[bench] re-projected wall " +
+            f"$degradeProjection%.0fs > budget $wallBudget%.0fs at " +
+            s"$measured/${names.size} measured — degrading remaining " +
+            "queries to 1 run, no reruns")
+        }
+        val effRuns = if (degraded) 1 else runs
         flushListeners()
         val (r0, w0, j0) = (shuffleRead.get, shuffleWrite.get, jobCount.get)
-        val first = Seq.fill(runs)(runOnce(n))
-        val noisy = first.forall(_ > 0) && first.max / first.min > rerunSpread
+        val first = Seq.fill(effRuns)(runOnce(n))
+        // plan hash from the run that just executed (r19 VERDICT #2):
+        // driver-side Catalyst only, no jobs, outside the timed window
+        val pHash =
+          try {
+            if (lastDf == null) "err"
+            else hashPlanTree(
+              lastDf.queryExecution.optimizedPlan.canonicalized.toString)
+          } catch { case _: Throwable => "err" }
+        val noisy = first.size > 1 && first.forall(_ > 0) &&
+          first.max / first.min > rerunSpread
         val xs =
           if (noisy && !broadNoiseLive(flagged, measured)) {
             reran += n
-            first ++ Seq.fill(runs)(runOnce(n))
+            first ++ Seq.fill(effRuns)(runOnce(n))
           } else {
             if (noisy) rerunCapped += n
             first
           }
         measured += 1
         if (noisy) flagged += 1
+        remainingWarm = math.max(0.0, remainingWarm - warmByName(n))
         flushListeners()
         val rec = QDone(n, xs, (shuffleRead.get - r0) / xs.size,
-          (shuffleWrite.get - w0) / xs.size, (jobCount.get - j0) / xs.size)
+          (shuffleWrite.get - w0) / xs.size, (jobCount.get - j0) / xs.size,
+          pHash)
         doneQ.add(rec)
         // per-query progress line — the record a wall-cap kill keeps
-        if (only.isEmpty) appendLine(progressPath,
+        if (record) appendLine(progressPath,
           s"""{"q":"$n","median":${median(xs)},"spread":${spread(xs)},""" +
           s""""samples":[${xs.mkString(",")}],"shuffle":[${rec.shuffleRd},""" +
-          s"""${rec.shuffleWr}],"jobs":${rec.jobs},"wall":${wallSecs()}}""")
-        (n, xs, rec.shuffleRd, rec.shuffleWr, rec.jobs)
+          s"""${rec.shuffleWr}],"jobs":${rec.jobs},"plan":"$pHash",""" +
+          s""""wall":${wallSecs()}}""")
+        (n, xs, rec.shuffleRd, rec.shuffleWr, rec.jobs, pHash)
       }
     val samples: Seq[(String, Seq[Double])] =
-      samplesWithShuffle.map { case (n, xs, _, _, _) => n -> xs }
+      samplesWithMeta.map { case (n, xs, _, _, _, _) => n -> xs }
     val medians = samples.map { case (n, xs) => n -> median(xs) }
-
-    // 48-bit md5 of the optimized plan's NODE TREE (indent + node kind
-    // per line, full text for leaf relations). Expression bodies are
-    // deliberately excluded: canonicalization normalizes most exprIds,
-    // but RewriteDistinctAggregates assigns its Expand group ids in
-    // JVM-history-dependent order — measured: profile_columns_approx's
-    // full-text hash changed with which queries ran BEFORE it, turning
-    // the noise discriminator into a false-positive source. The tree
-    // still moves on join reorders, added/removed operators, and lost
-    // column pruning (leaf lines keep their schema); it deliberately
-    // does NOT move on expression-level rewrites, which the oracle
-    // gate owns anyway.
-    phase = "plans"
-    def planHash(name: String): String =
-      try {
-        active = name
-        spark.sparkContext.setJobDescription(s"graft-bench[plans] $name")
-        val canon = planFor(name)(spark, sfDir)
-          .queryExecution.optimizedPlan.canonicalized.toString
-          .linesIterator.map { line =>
-            val masked = line
-              .replaceAll("\\$\\$Lambda[$/][^,\\s)]*", "<lambda>")
-              .replaceAll("@[0-9a-f]{6,}", "@id")
-              .replaceAll("#\\d+", "#n")
-            val prefixLen = masked.segmentLength(
-              c => c == ' ' || c == ':' || c == '+' || c == '-', 0)
-            val t = masked.substring(prefixLen)
-            if (t.startsWith("Relation") || t.startsWith("LogicalRDD")) masked
-            else {
-              val kind = t.takeWhile(c => c.isLetterOrDigit || c == '!' || c == '*')
-              // join TYPE is structural (Inner vs LeftAnti is a
-              // different plan, not a different expression)
-              val joinType = if (kind.endsWith("Join") && t.contains(" "))
-                " " + t.drop(kind.length + 1).takeWhile(_.isLetterOrDigit)
-              else ""
-              masked.substring(0, prefixLen) + kind + joinType
-            }
-          }.mkString("\n")
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      } catch { case _: Throwable => "err" }
-      finally spark.sparkContext.setJobDescription(null)
-
-    val planHashes: Map[String, String] = names.map(n => n -> planHash(n)).toMap
+    val planHashes: Map[String, String] =
+      samplesWithMeta.map { case (n, _, _, _, _, p) => n -> p }.toMap
 
     // CROSS-RUN INTEGRITY (r13 VERDICT "What's wrong" #1 / next-round
     // #2): the within-run auto-rerun cannot defeat a host-noise window
@@ -477,16 +628,19 @@ object Bench {
     // phantom regression with plan hashes and shuffle bytes
     // byte-identical to the clean row). The defense must be
     // CROSS-RUN: compare each fresh median against the latest
-    // non-partial history row with the same cpus, same sf, same data
-    // fingerprint, and the same per-query plan hash (same plan + same
-    // data moved ⇒ the time should match within noise). If more than
-    // 25% of the comparable queries inflate beyond 1.5×, the
-    // whole-record noise hypothesis is live: the inflated set is
-    // re-measured once more (medians recompute over ALL samples), and
-    // if the inflation persists the committed record carries an
-    // explicit `"suspect":true` marker + the inflated names + the
-    // baseline row ts — the driver and the next round can see the
-    // record indicts itself instead of adjudicating after the fact.
+    // non-partial, non-degraded history row with the same cpus, same
+    // sf, same data fingerprint, and the same per-query plan hash
+    // (same plan + same data moved ⇒ the time should match within
+    // noise). If more than 25% of the comparable queries inflate
+    // beyond 1.5×, the whole-record noise hypothesis is live: the
+    // inflated set is re-measured once more (medians recompute over
+    // ALL samples), and if the inflation persists the committed record
+    // carries an explicit `"suspect":true` marker + the inflated names
+    // + the baseline row ts — the driver and the next round can see
+    // the record indicts itself instead of adjudicating after the
+    // fact. On a DEGRADED run the extra measurement rounds are skipped
+    // (the budget is already blown) but the flags still compute and
+    // ship — the record states what it saw.
     // a malformed override must not abort the run AFTER every measured
     // round already happened — fall back to the default and keep the
     // record (the check still runs, at 3×)
@@ -511,7 +665,7 @@ object Bench {
     var baselineTs = -1L
     var plansKnownN = 0
     var plansSameN = 0
-    if (only.isEmpty) {
+    if (record) {
       try {
         val f = new java.io.File(histPath)
         if (f.exists && dataField.nonEmpty) {
@@ -519,6 +673,7 @@ object Bench {
           val src = scala.io.Source.fromFile(f, "UTF-8")
           val matching = try src.getLines()
             .filterNot(_.contains("\"partial\":true"))
+            .filterNot(_.contains("\"degraded\":true"))
             .filter(l => l.contains("\"cpus\":" + cpus + ",") &&
               l.contains("\"sf\":\"" + sfDir + "\"") && l.contains(myData))
             .foldLeft(Option.empty[String])((_, l) => Some(l))
@@ -557,7 +712,7 @@ object Bench {
             val gross = grossOf(comparable, mm, grossFactor, absFloorSecs)
             val rerunSet = (if (broad) firstInflated else Nil) ++ gross
             val mm2 =
-              if (rerunSet.nonEmpty) {
+              if (rerunSet.nonEmpty && !degraded) {
                 extraSamples = rerunSet.distinct
                   .map(n => n -> Seq.fill(runs)(runOnce(n))).toMap
                 val sampleMap = samples.toMap
@@ -646,10 +801,10 @@ object Bench {
     val spreadLine =
       s"""{"metric":"spread","runs":$runs,"worst":$worstSpread,"reran":$reranJson,"rerun_capped":$cappedJson,"spread":$sp,"sf":"$sfDir"}"""
     val timingsLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"wall":$wallNow,"excluded":$excluded,"bench_forms":$benchForms,$suspectField$dataField"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":$cpus,"wall":$wallNow,$degradedField"excluded":$excluded,"bench_forms":$benchForms,$suspectField$dataField"sf":"$sfDir"}"""
     val out = plansLine + "\n" + spreadLine + "\n" + timingsLine + "\n"
     // durable copy, immune to stdout truncation entirely
-    if (only.isEmpty)
+    if (record)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
         out.getBytes("UTF-8"))
       catch { case _: Throwable => () }
@@ -661,14 +816,14 @@ object Bench {
     }.mkString("{", ",", "}")
     // per-run shuffle bytes [read, written] per query: the volume
     // axis plan hashes can't see
-    val shuffleJson = samplesWithShuffle
-      .map { case (n, _, rd, wr, _) => "\"" + n + "\":[" + rd + "," + wr + "]" }
+    val shuffleJson = samplesWithMeta
+      .map { case (n, _, rd, wr, _, _) => "\"" + n + "\":[" + rd + "," + wr + "]" }
       .mkString("{", ",", "}")
     // per-run job launches per query: the scheduling-floor axis —
     // "this query is jobs-bound, not data-bound" becomes checkable
     // from the record alone (r15 VERDICT #6)
-    val jobsJson = samplesWithShuffle
-      .map { case (n, _, _, _, j) => "\"" + n + "\":" + j }
+    val jobsJson = samplesWithMeta
+      .map { case (n, _, _, _, j, _) => "\"" + n + "\":" + j }
       .mkString("{", ",", "}")
     // plan hashes ride along so a future diff can tell "median moved,
     // plan unchanged ⇒ host noise" from the history file alone; the
@@ -676,8 +831,8 @@ object Bench {
     // judge separates "noisy host" from "noisy query" without a rerun;
     // `wall` is the whole-record axis future runs compare against (#8)
     val histLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"wall":$wallNow,$suspectField$dataField"queries":$hist,"spread":$sp,"shuffle":$shuffleJson,"jobs":$jobsJson,"plans":$ps}"""
-    if (only.isEmpty) appendLine(histPath, histLine)
+      s"""{"ts_ms":${System.currentTimeMillis()},"run_id":"$runId","sf":"$sfDir","cpus":$cpus,"runs":$runs,"total":$total,"wall":$wallNow,$degradedField$suspectField$dataField"queries":$hist,"spread":$sp,"shuffle":$shuffleJson,"jobs":$jobsJson,"plans":$ps}"""
+    if (record) appendLine(histPath, histLine)
     recordWritten = true
     println(plansLine)
     println(spreadLine)

@@ -247,28 +247,28 @@ object CorpusReports {
       .unionByName(idx.filter(col("batch_id") >= upToBatchId)
         .select("g", "source", "doc_count", "batch_id"))
       .select("g", "source", "doc_count", "batch_id")
+    // The horizon marker writes INTO the staged sibling (the in-swap
+    // hook), so it swaps in atomically with the re-stamped rows — the
+    // [[Dedup.compactSavedDfIndex]] carryMarker discipline. Publishing
+    // it AFTER the swap (the pre-r20 shape) had a crash window where
+    // the swap had already destroyed the prior pin with the old dir
+    // and the new marker never landed: as-of probes below the
+    // PREVIOUSLY-protected horizon would be silently re-admitted —
+    // they see compacted fp rows stamped at the horizon but scalars at
+    // original stamps, and the report's inner join silently DROPS
+    // those sources (r19 ADVICE #1). [[reportCorpusFromState]] reads
+    // this marker and rejects such probes loudly.
+    val fs = new org.apache.hadoop.fs.Path(root + "/fp")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val horizon =
+      math.max(upToBatchId - 1, priorHorizon.getOrElse(Long.MinValue))
     SuffixDedup.compactBucketedState(spark, root + "/fp",
       "graft_cfp_idx_",
       "g STRING, source STRING, doc_count BIGINT, batch_id BIGINT",
-      buckets, compacted)
-    // Publish the horizon AFTER the swap: compaction re-stamps fp
-    // partials to upToBatchId − 1 while the scalar/lang states keep
-    // their original stamps, so an as-of probe at or below the
-    // horizon would see scalars without fp rows and the report's
-    // inner join would silently DROP those sources —
-    // [[reportCorpusFromState]] reads this marker and rejects such
-    // probes loudly instead. The swap destroys any prior marker with
-    // the old dir, so the (immutable-once-pinned) atomic marker write
-    // is always a fresh pin here. A crash between the swap and this
-    // write loses only the reject guard for one window — full reports
-    // and probes above the horizon stay exact — and the next
-    // compaction re-pins it.
-    val fpPath = new org.apache.hadoop.fs.Path(root + "/fp")
-    SuffixDedup.writeMarkerAtomic(
-      fpPath.getFileSystem(spark.sessionState.newHadoopConf()),
-      fpPath, FpHorizonMarker,
-      math.max(upToBatchId - 1, priorHorizon.getOrElse(Long.MinValue))
-        .toString)
+      buckets, compacted,
+      inSwap = tmpDir => SuffixDedup.writeMarkerAtomic(fs,
+        new org.apache.hadoop.fs.Path(tmpDir), FpHorizonMarker,
+        horizon.toString))
   }
 
   /** Marker recording the fp state's compaction horizon (the stamp

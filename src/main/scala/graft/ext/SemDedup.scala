@@ -299,7 +299,22 @@ object SemDedup {
     * the exchange and after the work was scheduled. This makes it
     * fail LOUDLY at the operator boundary instead, naming the knob.
     * The probe is a short-circuiting `limit(n+1).count()`, never a
-    * full count of the incoming frame. */
+    * full count of the incoming frame.
+    *
+    * EXACTNESS CONTRACT (r19 ADVICE #4): the probe is an extra action
+    * over the incoming frame's LINEAGE — it recomputes the upstream,
+    * and the screen evaluates it again for the broadcast. With a
+    * deterministic upstream (every caller in this library: a
+    * foreachBatch micro-batch replayable from its source, or a batch
+    * frame built from parquet) the counted rows ARE the broadcast
+    * rows. A caller with an expensive or NON-deterministic upstream
+    * (a sampled or rand()-filtered batch) must cache/localCheckpoint
+    * the frame before passing it, or the guard is advisory — it
+    * bounds a different draw than the one broadcast. Checkpointing
+    * inside the guard instead would defeat the short-circuit: it
+    * materializes the whole (possibly corpus-sized) frame before the
+    * bound is known, which is exactly the failure the guard exists
+    * to prevent. */
   private[graft] def guardBatchBound(incoming: DataFrame,
       maxBatch: Int): Unit = {
     if (maxBatch == Int.MaxValue) return

@@ -761,7 +761,7 @@ object SuffixDedup {
   private[ext] def compactBucketedState(
       spark: org.apache.spark.sql.SparkSession, root: String,
       tblPrefix: String, columnsDdl: String, buckets: Int,
-      rows: DataFrame): Unit = {
+      rows: DataFrame, inSwap: String => Unit = _ => ()): Unit = {
     val tbl = indexTableName(tblPrefix, root)
     val compacted = rows.repartition(buckets, col("g"))
     SketchState.swapInState(spark, root) { tmpDir =>
@@ -773,6 +773,13 @@ object SuffixDedup {
       // reads the live table while writing the sibling — the root
       // only moves after this returns
       compacted.write.mode("append").insertInto(tmpTbl)
+      // caller's markers (e.g. a compaction-horizon pin) write INTO
+      // the staged sibling, so they swap in atomically with the
+      // re-stamped rows — a marker published after the swap has a
+      // crash window where the swap destroyed the old pin and the new
+      // one never landed (r19 ADVICE #1, the Dedup.compactSavedDfIndex
+      // carryMarker discipline generalized)
+      inSwap(tmpDir)
       // external table: dropping the catalog entry keeps the files
       spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
     }

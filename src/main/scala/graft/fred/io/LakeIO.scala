@@ -392,6 +392,16 @@ object LakeIO {
             if (!fs.exists(leaf)) {
               require(fs.rename(e.getPath, leaf),
                 s"could not restore $leaf from ${e.getPath}")
+              // name WHICH partitions came back (r19 ADVICE #5): for a
+              // crashed fully-deleted partition the restore quietly
+              // resurrects erased rows until the caller re-delivers
+              // the delete (the documented convergent choice) — an
+              // erasure operator watching this log can re-deliver
+              // promptly instead of discovering the rows in an audit
+              System.err.println(
+                s"[graft] healPartitionSwaps: restored $leaf from a " +
+                  "crashed swap aside — if this partition was being " +
+                  "DELETED, re-deliver the deleteWhere")
               restored += 1
             } else {
               fs.delete(e.getPath, true)

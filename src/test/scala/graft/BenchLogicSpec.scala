@@ -74,4 +74,41 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.inflatedOf(comparable, fresh, 1.5).toSet ==
       Set("cheap", "big"))
   }
+
+  test("wall budget: builder-profile fits, driver-2.6x-profile degrades (r19 #1)") {
+    // builder host: ~400s warm-up, 3 runs → ~2000s projected, fits 3300
+    assert(Bench.projectWall(400.0, 400.0, 3) == 2000.0)
+    assert(Bench.projectWall(400.0, 400.0, 3) <= 3300.0)
+    // the r19 driver host (~2.6x): ~1040s warm-up → projected 5200 > cap
+    assert(Bench.projectWall(1040.0, 1040.0, 3) > 3300.0)
+    // mid-run: healthy tail never trips; a tail that alone blows the
+    // budget trips even when warm-up looked fine
+    assert(!Bench.midRunDegrade(1500.0, 500.0, 3, 3300.0))
+    assert(Bench.midRunDegrade(1500.0, 700.0, 3, 3300.0))
+    // degraded tail at 1 run fits where 3 runs did not
+    assert(!Bench.midRunDegrade(1500.0, 700.0, 1, 3300.0))
+  }
+
+  test("plan-tree hash: exprId-invariant, join-type- and schema-sensitive") {
+    def plan(id1: Int, id2: Int, join: String, schema: String) =
+      s"""Aggregate [x#$id1], [sum(y#$id2) AS s#99]
+         |+- Join $join, (x#$id1 = k#$id2)
+         |   :- Filter (y#$id2 > 1)
+         |   :  +- Relation spark_catalog.t[$schema] parquet
+         |   +- Relation spark_catalog.d[k#$id2] parquet""".stripMargin
+    val base = Bench.hashPlanTree(plan(12, 13, "Inner", "x#12,y#13"))
+    assert(base.matches("[0-9a-f]{12}"))
+    // different exprIds, same tree → same hash (the RewriteDistinct-
+    // Aggregates JVM-history-dependence defense)
+    assert(Bench.hashPlanTree(plan(45, 46, "Inner", "x#45,y#46")) == base)
+    // join TYPE is structural: Inner vs LeftAnti is a different plan
+    assert(Bench.hashPlanTree(plan(12, 13, "LeftAnti", "x#12,y#13")) != base)
+    // leaf relations keep their schema: lost column pruning moves it
+    assert(Bench.hashPlanTree(
+      plan(12, 13, "Inner", "x#12,y#13,z#14")) != base)
+    // expression-level rewrites do NOT move it (oracle gate owns them):
+    // the Filter line's predicate body is excluded from the hash
+    assert(Bench.hashPlanTree(plan(12, 13, "Inner", "x#12,y#13")
+      .replace("(y#13 > 1)", "(y#13 >= 2)")) == base)
+  }
 }

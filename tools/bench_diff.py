@@ -20,14 +20,36 @@ Usage: python3 tools/bench_diff.py [history_file] [threshold]
 import json, sys
 
 def main(path="bench_history.jsonl", threshold=1.15):
-    rows = [json.loads(l) for l in open(path)]
+    all_rows = [json.loads(l) for l in open(path)]
     # partial rows are a wall-cap-killed run's shutdown-hook flush
     # (r18 VERDICT #1): their medians cover an arbitrary prefix of the
     # set under an arbitrary slice of the warm-up, so they are never a
-    # comparison baseline — diagnostic only
-    rows = [r for r in rows if r.get("queries") and not r.get("partial")]
+    # comparison baseline — diagnostic only. Degraded rows (r19 VERDICT
+    # #1: the wall budget dropped the run to single-run medians on a
+    # known-slow host) are complete but excluded the same way — diffing
+    # against one would read every later quiet run as "improved".
+    drop = lambda r: r.get("partial") or r.get("degraded")
+    rows = [r for r in all_rows if r.get("queries") and not drop(r)]
+    # a silently-dropped TRAILING row is easy to misread as "the diff
+    # shows the current state" when a more recent wall-capped run
+    # exists (r19 ADVICE #2) — say so
+    trailing = 0
+    for r in reversed(all_rows):
+        if not drop(r):
+            break
+        trailing += 1
+    if trailing:
+        last = all_rows[-1]
+        kind = "partial" if last.get("partial") else "degraded"
+        detail = (f" ({last.get('completed', '?')}/{last.get('of', '?')} "
+                  "queries)" if last.get("partial") else
+                  " (single-run medians under a blown wall budget)")
+        print(f"note: latest {trailing} row(s) dropped as partial/degraded "
+              f"— newest is {kind}{detail}; diffing the last two "
+              "full-quality runs")
     if len(rows) < 2:
-        print("need at least two bench runs in history"); return 0
+        print("need at least two full-quality bench runs in history")
+        return 0
     cur = rows[-1]
     cfg = lambda r: (r["sf"], r.get("cpus", 4))
     # Data-fingerprint pairing: the r10 driver regenerated sf0.1 with
