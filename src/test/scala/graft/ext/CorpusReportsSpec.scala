@@ -272,4 +272,42 @@ class CorpusReportsSpec extends SparkSpec {
       CorpusReports.reportCorpusFromState(spark, root, 4, batchId = 1L)
     }
   }
+
+  test("fp horizon swaps in atomically: a crash inside the compaction swap keeps the OLD state AND the OLD horizon pin (r19 ADVICE)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_card_crash").toString + "/card"
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB1), batchId = 0L,
+      buckets = 4)
+    CorpusReports.updateSavedCorpusReport(root, cardDf(cardB2), batchId = 1L,
+      buckets = 4)
+    CorpusReports.compactSavedCorpusFp(spark, root, upToBatchId = 2L,
+      buckets = 4)
+    assert(CorpusReports.savedFpCompactionHorizon(spark, root, 4)
+      .contains(1L))
+    val before = collectCard(
+      CorpusReports.reportCorpusFromState(spark, root, 4))
+    // a second compaction whose swap body dies AFTER the rows and
+    // marker were staged but BEFORE the rename pair: the pre-r20
+    // shape published the marker after the swap, so a crash there
+    // could destroy the old pin with the old dir and leave NO marker
+    // at all — silently re-admitting probes below the previously-
+    // protected horizon. With the marker staged IN the sibling, the
+    // old root (rows + pin) must survive untouched.
+    intercept[RuntimeException] {
+      SuffixDedup.compactBucketedState(spark, root + "/fp",
+        "graft_cfp_idx_",
+        "g STRING, source STRING, doc_count BIGINT, batch_id BIGINT", 4,
+        CorpusReports.savedCorpusFp(spark, root, 4),
+        inSwap = _ => throw new RuntimeException("crash mid-swap"))
+    }
+    assert(CorpusReports.savedFpCompactionHorizon(spark, root, 4)
+      .contains(1L),
+      "the old horizon pin must survive a crashed compaction swap")
+    assert(collectCard(CorpusReports.reportCorpusFromState(spark, root, 4))
+      == before, "the old state must survive a crashed compaction swap")
+    // and the reject guard is still armed at the old horizon
+    intercept[IllegalArgumentException] {
+      CorpusReports.reportCorpusFromState(spark, root, 4, batchId = 1L)
+    }
+  }
 }
