@@ -85,7 +85,11 @@ object SuffixDedup {
       .sortWithinPartitions(keyCols.map(col): _*)
       .select((keyCols ++ others).map(col): _*)
     val nk = keyCols.size
-    val rdd = sorted.rdd
+    // non-adaptive capture: one job runs sample + sort-exchange +
+    // census together instead of AQE materializing the exchange as a
+    // separate sequential job (the partitioner below is explicit —
+    // there is nothing for AQE to adapt)
+    val rdd = rddNonAdaptive(sorted)
     def keyOf(row: Row): Seq[Any] = (0 until nk).map(row.get)
     // pass 1: per-partition (#distinct keys, first key, last key)
     val stats = rdd.mapPartitionsWithIndex { (i, it) =>
@@ -162,7 +166,10 @@ object SuffixDedup {
     val posIdx = paired.schema.fieldIndex("pos")
     val rIdx = paired.schema.fieldIndex("r")
     val r2Idx = paired.schema.fieldIndex("r2")
-    val sorted = paired.rdd
+    // non-adaptive capture: the round's window exchange is explicitly
+    // right-sized by the caller, so AQE would only add a second
+    // sequential job barrier per round (measured: 2 jobs → 1 at sf0.1)
+    val sorted = rddNonAdaptive(paired)
       .map(row => ((row.getLong(rIdx), row.getLong(r2Idx)),
         (row.get(docIdx), row.get(posIdx))))
       .repartitionAndSortWithinPartitions(partitioner)
@@ -201,6 +208,43 @@ object SuffixDedup {
     * sub-8 LCP remainder is recovered exactly by one per-row array
     * compare ([[dupLens]]'s fix-up join). */
   private[ext] val BaseLen = 8
+
+  /** Parallelize a NARROW upstream before per-position expansion
+    * (r20 optimization, guide §2.5 "input skew": a small corpus slice
+    * arrives as one parquet split, so the tokenize + posexplode stage
+    * — whose output is BaseLen+ times its input — ran on ONE task
+    * while every other core idled; measured 0.6–0.8 s serial at the
+    * head of every suffix query at sf0.1). When the incoming frame
+    * plans fewer partitions than the cluster's parallelism, hash-
+    * repartition it by `key` (deterministic — round-robin would
+    * re-sort its input under SPARK-23207); a production-scale input
+    * already plans thousands of scan partitions and is left untouched,
+    * so the guard keeps this scale-adaptive rather than tuned to
+    * either regime. Callers pass a scan-level frame (no upstream
+    * exchanges), so the partition probe is pure planning, no jobs. */
+  private[ext] def spreadNarrow(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
+
+  /** Capture `df.rdd` with AQE disabled for THIS plan only (restored
+    * in a finally). The ladder's internal exchanges have fully
+    * determined shapes — the partition count is derived from the row
+    * count and the downstream RDD partitioner re-partitions anyway —
+    * so adaptive re-planning buys nothing here, while its stage-by-
+    * stage materialization submits each internal Exchange as its OWN
+    * job: measured at sf0.1, every doubling round paid 2 sequential
+    * job barriers instead of 1, and at any scale the extra barrier is
+    * pure scheduler latency on the ladder's critical path (guide §2.4:
+    * remove the barrier, not just the bytes). AQE stays ON for every
+    * DataFrame-side join/aggregate in this pipeline (broadcast
+    * decisions and coalescing are load-bearing there). */
+  private def rddNonAdaptive(df: DataFrame): org.apache.spark.rdd.RDD[Row] = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try df.rdd finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
 
   /** The (doc, pos, p) prefix frame: p = the ≤[[BaseLen]]-token prefix
     * ARRAY of the suffix at pos. Arrays (not joined strings) carry the
@@ -257,10 +301,21 @@ object SuffixDedup {
       // suffix ending inside this level keys differently from every
       // continuing one.
       val wDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      // explicit doc repartition sized like the rank partitioner
+      // (~64k rows/partition from the row count, capped at the
+      // cluster's parallelism): the window's required distribution is
+      // then already satisfied, so the round plans exactly ONE
+      // exchange ahead of the rank sort — scale-adaptive without
+      // leaving the exchange to AQE (whose stage materialization would
+      // make it a second job barrier; see rddNonAdaptive)
+      val maxParts =
+        math.max(1, cur.sparkSession.sparkContext.defaultParallelism)
+      val wParts = math.min(maxParts.toLong,
+        math.max(1L, nPos / 65536L)).toInt
       // no checkpoint needed: denseRankByRankPair executes the window
       // exactly once into its shuffle files (census and assignment
       // both read THEM, not the window)
-      val paired = cur.withColumn("r2",
+      val paired = cur.repartition(wParts, col("doc")).withColumn("r2",
         coalesce(lead(col("r"), len).over(wDoc), lit(0L)))
       val (ranked, nd) = denseRankByRankPair(paired, nDistinct, nPos)
       if (nd == nDistinct) {
@@ -334,7 +389,15 @@ object SuffixDedup {
     // partition together) — so suffix-array adjacency needs only a
     // within-partition refinement sort, never a second global sort.
     val saSorted = top.sortWithinPartitions(col("r"), col("doc"), col("pos"))
+    // two consumers (the firsts census below, then the pairing scan)
+    // would each re-run the top level's assignment + the refinement
+    // sort from the retained shuffle files otherwise — persist the
+    // sorted layout once, disk-backed so a corpus-scale run spills
+    // instead of evicting (measured ~0.7 s of pure re-execution per
+    // query at sf0.1; unpersisted as soon as the pair frame
+    // materializes)
     val saRdd = saSorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = saRdd.mapPartitionsWithIndex((i, it) =>
         if (it.hasNext) Iterator((i, it.next())) else Iterator.empty)
       .collect() // bounded by the partition count
@@ -364,7 +427,10 @@ object SuffixDedup {
         st("r").copy(name = "ra"),
         st("doc").copy(name = "bdoc"), st("pos").copy(name = "bpos"),
         st("r").copy(name = "rb"))))
+    // lcpOfPairs materializes the pair frame (its localCheckpoint) —
+    // after that nothing reads the sorted layout again
     val allPairs = lcpOfPairs(adj, prefixes, lens, levels)
+    saRdd.unpersist(blocking = false)
     val perSuffix = allPairs
       .select(col("adoc").as("doc"), col("apos").as("pos"), col("lcp"))
       .unionByName(allPairs.select(col("bdoc").as("doc"), col("bpos").as("pos"),
@@ -478,8 +544,8 @@ object SuffixDedup {
   private def markedIntervals(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
-    val base = df.select(col(idCol).as("doc"),
-        TextOps.tokens(col(textCol)).as("__t"))
+    val base = spreadNarrow(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("__t"))
       .localCheckpoint()
     val lens = base.select(col("doc"), size(col("__t")).as("len"))
     // one pass reads both ladder bounds off the tiny lens frame
@@ -520,7 +586,8 @@ object SuffixDedup {
     * persisted). */
   def gramIndex(df: DataFrame, textCol: String, minTokens: Int,
       batchId: Long = 0L): DataFrame =
-    df.select(explode(Dedup.slidingGrams(col(textCol), minTokens)).as("g"))
+    spreadNarrow(df.select(col(textCol)), textCol)
+      .select(explode(Dedup.slidingGrams(col(textCol), minTokens)).as("g"))
       .distinct()
       .withColumn("first_batch_id", lit(batchId))
 
@@ -859,7 +926,8 @@ object SuffixDedup {
       batchId: Long = Long.MaxValue): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
     val internal = markedIntervals(batch, idCol, textCol, minTokens)
-    val hits = batch.select(col(idCol).as("doc"),
+    val hits = spreadNarrow(batch.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("doc"),
         posexplode(Dedup.slidingGrams(col(textCol), minTokens))
           .as(Seq("pos", "g")))
       .join(index.filter(col("first_batch_id") < batchId).select("g"),
@@ -1055,8 +1123,8 @@ object SuffixDedup {
     * items vs billions of train docs). */
   private def crossDupLens(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val tb = train.select(col(idCol).as("doc"),
-      TextOps.tokens(col(textCol)).as("__t"))
+    val tb = spreadNarrow(train.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("__t"))
     val bb = bench.select(col(idCol).as("doc"),
       TextOps.tokens(col(textCol)).as("__t"))
     val base = tb.unionByName(bb).localCheckpoint()
@@ -1084,10 +1152,21 @@ object SuffixDedup {
     val (maxLen, nPos) = (bounds.getInt(0), bounds.getLong(1))
     val prefixes = prefixFrame(base).localCheckpoint()
     val levels = rankLevels(prefixes, maxLen, nPos)
-    val top = levels.last._2
+    // THREE consumers of the top level (the bench-edge census, the
+    // ascending pairing scan, the descending pairing scan) would each
+    // re-run its assignment pass over the retained shuffle files plus
+    // a full refinement sort — flatten it once (the base-only ladder
+    // is already a localCheckpoint; a second one would just copy the
+    // blocks), persist the ascending sort for its two consumers, and
+    // let the descending sort read the flattened blocks (it keeps the
+    // spilling SortExec — a giant rank tie-group must cost time, not
+    // memory)
+    val top0 = levels.last._2
+    val top = if (levels.size == 1) top0 else top0.localCheckpoint()
     val saSorted = top
       .sortWithinPartitions(col("r"), col("doc"), col("pos"))
     val saRdd = saSorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition bench-edge census: (first bench row, last bench
     // row) — the boundary carries of both pairing scans
     val edges = saRdd.mapPartitionsWithIndex { (i, it) =>
@@ -1151,7 +1230,10 @@ object SuffixDedup {
         st("r").copy(name = "ra"),
         st("doc").copy(name = "bdoc"), st("pos").copy(name = "bpos"),
         st("r").copy(name = "rb"))))
+    // lcpOfPairs materializes the pair frame (its localCheckpoint) —
+    // nothing reads the sorted layout after that
     val pairs = lcpOfPairs(adj, prefixes, lens, levels)
+    saRdd.unpersist(blocking = false)
     pairs.select(col("adoc").as("doc"), col("apos").as("pos"), col("lcp"))
       .groupBy("doc", "pos").agg(max(col("lcp")).as("__l"))
       .join(lens, "doc")
@@ -1223,8 +1305,8 @@ object SuffixDedup {
   def longestMatch(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
-    val base = df.select(col(idCol).as("doc"),
-        TextOps.tokens(col(textCol)).as("__t"))
+    val base = spreadNarrow(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("__t"))
       .localCheckpoint()
     val lens = base.select(col("doc"), size(col("__t")).as("len"))
     val bounds = lens.agg(coalesce(max(col("len")), lit(0)).as("m"),
