@@ -22,8 +22,23 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** documents/embeddings feed per-row EXPANSION pipelines (tokenize,
+    * gram explode, vector math) in nearly every consumer, and the
+    * driver testdata ships each as ONE single-row-group parquet file —
+    * an unsplittable scan that ran every such pipeline's head on one
+    * task (r20 optimization, guide §2.5 "input skew"). The conditional
+    * spread hash-repartitions to the cluster parallelism only when the
+    * scan plans fewer partitions; a production-scale table with
+    * thousands of splits passes through untouched, so the plan stays
+    * scale-adaptive rather than tuned to the local regime. The
+    * row-sized tables (lineitem/orders/events) are deliberately NOT
+    * spread: their consumers aggregate at the scan, and repartitioning
+    * raw rows ahead of a map-side partial aggregation would shuffle
+    * strictly more bytes than it saves. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.spreadNarrow(load(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.spreadNarrow(load(spark, dir, "embeddings"), "vec_id")
 
   /** `events.ts` has shipped in two physical forms across driver
     * testdata generations: INT64 TIMESTAMP(NANOS) — which Spark's

@@ -209,23 +209,12 @@ object SuffixDedup {
     * compare ([[dupLens]]'s fix-up join). */
   private[ext] val BaseLen = 8
 
-  /** Parallelize a NARROW upstream before per-position expansion
-    * (r20 optimization, guide §2.5 "input skew": a small corpus slice
-    * arrives as one parquet split, so the tokenize + posexplode stage
-    * — whose output is BaseLen+ times its input — ran on ONE task
-    * while every other core idled; measured 0.6–0.8 s serial at the
-    * head of every suffix query at sf0.1). When the incoming frame
-    * plans fewer partitions than the cluster's parallelism, hash-
-    * repartition it by `key` (deterministic — round-robin would
-    * re-sort its input under SPARK-23207); a production-scale input
-    * already plans thousands of scan partitions and is left untouched,
-    * so the guard keeps this scale-adaptive rather than tuned to
-    * either regime. Callers pass a scan-level frame (no upstream
-    * exchanges), so the partition probe is pure planning, no jobs. */
-  private[ext] def spreadNarrow(df: DataFrame, key: String): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
-  }
+  /** [[TextOps.spreadNarrow]] — parallelize a narrow upstream before
+    * the per-position expansion (the prefix frame is BaseLen+ times
+    * its input; a single-split corpus slice would build it on one
+    * task). */
+  private[ext] def spreadNarrow(df: DataFrame, key: String): DataFrame =
+    TextOps.spreadNarrow(df, key)
 
   /** Capture `df.rdd` with AQE disabled for THIS plan only (restored
     * in a finally). The ladder's internal exchanges have fully

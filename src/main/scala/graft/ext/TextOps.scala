@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Parallelize a NARROW upstream before per-row expansion (r20
+    * optimization, guide §2.5 "input skew"): a small corpus slice
+    * arrives as one parquet split (single row group — unsplittable),
+    * so every tokenize / gram-explode / vector stage at the head of a
+    * pipeline ran on ONE task while every other core idled (measured
+    * 0.5–0.9 s serial per query at sf0.1). When the incoming frame
+    * plans fewer partitions than the cluster's parallelism, hash-
+    * repartition it by `key` (deterministic — round-robin would
+    * re-sort its input under SPARK-23207); a production-scale input
+    * already plans thousands of scan partitions and is left untouched,
+    * so the guard keeps this scale-adaptive rather than tuned to
+    * either regime. Callers pass a scan-level frame (no upstream
+    * exchanges), so the partition probe is pure planning, no jobs. */
+  private[graft] def spreadNarrow(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
+
   /** Whitespace tokenizer: maximal non-whitespace runs — runs of
     * spaces/tabs/newlines produce NO empty tokens (the r8 fidelity fix:
     * the old single-space split inflated n_words on real crawl text,
