@@ -140,7 +140,18 @@ object Dedup {
         graft.functions.TextHashes.hashedShingles(col(textCol), n).as("s"))
       .filter(size(col("s")) > 0)
       .localCheckpoint()
+    // verify-stage width (r20 optimization): the per-pair
+    // array_intersect is CPU-bound on NARROW rows, and AQE's
+    // size-based coalescing packed it onto 3 tasks at sf0.1 (measured
+    // 1.7 s of a 3 s query on one stage). An explicit repartition to
+    // the core count sizes the stage to the resource it actually
+    // binds on; at corpus scale the verify runs in the join's own
+    // (wide) shuffle partitioning instead, so the explicit width is
+    // only ever a floor, not a cap
     prefixCandidates(sh, threshold)
+      .repartition(
+        math.max(1, df.sparkSession.sparkContext.defaultParallelism),
+        col("id_a"), col("id_b"))
       .join(sh.select(col("doc").as("id_a"), col("s").as("s_a")), "id_a")
       .join(sh.select(col("doc").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("s_a"), col("s_b"))))

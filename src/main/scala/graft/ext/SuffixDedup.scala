@@ -131,8 +131,14 @@ object SuffixDedup {
     (spark.createDataFrame(out, schema), acc)
   }
 
-  /** [[denseRankBy]] specialized to the doubling rounds, where the key
-    * is a (r, r2) LONG pair and the first component is a dense rank
+  /** [[denseRankBy]] specialized to the ladder rounds, where the key
+    * is a (r, r2, r3, r4) LONG tuple — the ranks at offsets 0, len,
+    * 2·len, 3·len, i.e. TWO fused doubling steps (dense-ranking is
+    * injective and monotone on pairs, so lexicographic order and the
+    * equality classes of ((r,r2),(r3,r4)) and (r,r2,r3,r4) coincide;
+    * one shuffle round quadruples the resolved prefix instead of
+    * doubling it, halving the ladder's sequential barriers) — and the
+    * first component is a dense rank
     * with KNOWN bounds [1, nPrevRanks]: the range partitioner needs no
     * sampling pass — partition ⌊(r−1)·parts/nPrevRanks⌋ is exact — and
     * `repartitionAndSortWithinPartitions` (spill-backed ExternalSorter)
@@ -147,7 +153,7 @@ object SuffixDedup {
     * giant tie group (a massively duplicated passage); ties only ever
     * shrink as the ladder climbs, and the sorter spills, so skew costs
     * time, not memory. */
-  private def denseRankByRankPair(paired: DataFrame, nPrevRanks: Long,
+  private def denseRankByRankTuple(paired: DataFrame, nPrevRanks: Long,
       rowsHint: Long): (DataFrame, Long) = {
     val spark = paired.sparkSession
     val maxParts = math.max(1, spark.sparkContext.defaultParallelism)
@@ -158,7 +164,7 @@ object SuffixDedup {
     val partitioner = new org.apache.spark.Partitioner {
       def numPartitions: Int = parts
       def getPartition(key: Any): Int = {
-        val r = key.asInstanceOf[(Long, Long)]._1
+        val r = key.asInstanceOf[(Long, Long, Long, Long)]._1
         math.min(parts - 1, math.max(0, ((r - 1) * parts / nk).toInt))
       }
     }
@@ -166,17 +172,20 @@ object SuffixDedup {
     val posIdx = paired.schema.fieldIndex("pos")
     val rIdx = paired.schema.fieldIndex("r")
     val r2Idx = paired.schema.fieldIndex("r2")
+    val r3Idx = paired.schema.fieldIndex("r3")
+    val r4Idx = paired.schema.fieldIndex("r4")
     // non-adaptive capture: the round's window exchange is explicitly
     // right-sized by the caller, so AQE would only add a second
     // sequential job barrier per round (measured: 2 jobs → 1 at sf0.1)
     val sorted = rddNonAdaptive(paired)
-      .map(row => ((row.getLong(rIdx), row.getLong(r2Idx)),
+      .map(row => ((row.getLong(rIdx), row.getLong(r2Idx),
+          row.getLong(r3Idx), row.getLong(r4Idx)),
         (row.get(docIdx), row.get(posIdx))))
       .repartitionAndSortWithinPartitions(partitioner)
     // pass 1: per-partition distinct-key census (no boundary merge —
     // equal keys cannot span partitions here)
     val stats = sorted.mapPartitionsWithIndex { (i, it) =>
-      var prev: (Long, Long) = null; var d = 0L
+      var prev: (Long, Long, Long, Long) = null; var d = 0L
       it.foreach { case (k, _) => if (prev == null || k != prev) d += 1; prev = k }
       Iterator((i, d))
     }.collect().sortBy(_._1)
@@ -187,7 +196,7 @@ object SuffixDedup {
     // pass 2: assignment over the same retained shuffle files
     val out = sorted.mapPartitionsWithIndex { (i, it) =>
       var rank = bOff.value(i)
-      var prev: (Long, Long) = null
+      var prev: (Long, Long, Long, Long) = null
       it.map { case (k, (d, p)) =>
         if (prev == null || k != prev) rank += 1
         prev = k
@@ -257,22 +266,37 @@ object SuffixDedup {
     * makes the LCP descent's equal-rank ⇒ equal-prefix step sound at
     * doc ends.
     *
+    * QUADRUPLING (r20 optimization): each round ranks by the 4-tuple
+    * (r, r2, r3, r4) of level-len ranks at offsets 0/len/2·len/3·len —
+    * exactly TWO doubling steps fused into one shuffle round (dense
+    * ranking is injective and monotone on pairs, so the equality
+    * classes and lexicographic order of ((r,r2),(r3,r4)) and
+    * (r,r2,r3,r4) coincide) — level lengths run 8, 32, 128, … and the
+    * round count halves; a round's shuffle rows widen by two longs,
+    * a strictly smaller cost than a whole extra round's shuffle. The
+    * rounds are the pipeline's sequential critical path at every
+    * scale, which is what makes halving them the right trade
+    * (guide §2.4).
+    *
     * STOP RULE (r15): the ladder ends at the first FIXPOINT — a
-    * doubling round that created no new distinctions — or once
+    * round that created no new distinctions — or once
     * prefixLen ≥ maxDocLen or all ranks are distinct (both special
-    * cases of the fixpoint). Doubling only ever REFINES the rank
+    * cases of the fixpoint). A round only ever REFINES the rank
     * partition, so an unchanged distinct count means an unchanged
-    * partition; and a stable partition is stable forever: r(a)=r(b) ⇒
-    * r(a+len)=r(b+len) (stability) ⇒ r(a+2len)=r(b+2len) (stability
-    * applied to the shifted pair), inductively for every further
+    * partition; and a stable partition is stable forever: the
+    * quadrupled partition at 4·len refining nothing forces the
+    * doubling partition at 2·len (sandwiched between them in the
+    * refinement chain) to refine nothing either, giving the shift-
+    * stability r(a)=r(b) ⇒ r(a+len)=r(b+len) ⇒ r(a+2len)=r(b+2len),
+    * inductively for every further
     * shift. Hence AT THE TOP LEVEL, equal rank ⟺ the suffixes are
     * verbatim-equal to their documents' ends (equal remainders
     * included — a suffix ending inside a level keys differently from
     * any continuing one), which is exactly the certificate
-    * [[dupLens]] reads. The ladder is thereby log2(longest
-    * NON-identical repeat), not log2(maxDocLen): a 100k-token book
-    * corpus whose deepest duplicated run is 50 tokens ranks in 3
-    * doubling rounds instead of 14. */
+    * [[dupLens]] reads. The ladder is thereby log4(longest
+    * NON-identical repeat), not log4(maxDocLen): a 100k-token book
+    * corpus whose deepest duplicated run is 50 tokens ranks in 2
+    * quadrupling rounds instead of 7. */
   private[ext] def rankLevels(prefixes: DataFrame, maxLen: Int,
       nPos: Long): Seq[(Int, DataFrame)] = {
     val (ranked0, nd0) = denseRankBy(
@@ -283,12 +307,12 @@ object SuffixDedup {
     val levels = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)](len -> cur)
     var fixpoint = false
     while (len < maxLen && nDistinct < nPos && !fixpoint) {
-      // r2 = rank of the suffix `len` positions ahead — positions are
-      // contiguous 0..n-1 per doc, so lead(r, len) IS the (doc,
-      // pos+len) lookup without a self-join (one doc-partitioned
-      // window vs a two-sided shuffle). 0-pad: ranks are ≥ 1, so a
-      // suffix ending inside this level keys differently from every
-      // continuing one.
+      // r2/r3/r4 = ranks of the suffixes len/2·len/3·len positions
+      // ahead — positions are contiguous 0..n-1 per doc, so lead(r, k)
+      // IS the (doc, pos+k) lookup without a self-join (ONE doc-
+      // partitioned window serves all three leads). 0-pad: ranks are
+      // ≥ 1, so a suffix ending inside this level keys differently
+      // from every continuing one.
       val wDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
       // explicit doc repartition sized like the rank partitioner
       // (~64k rows/partition from the row count, capped at the
@@ -301,12 +325,17 @@ object SuffixDedup {
         math.max(1, cur.sparkSession.sparkContext.defaultParallelism)
       val wParts = math.min(maxParts.toLong,
         math.max(1L, nPos / 65536L)).toInt
-      // no checkpoint needed: denseRankByRankPair executes the window
+      // no checkpoint needed: denseRankByRankTuple executes the window
       // exactly once into its shuffle files (census and assignment
       // both read THEM, not the window)
-      val paired = cur.repartition(wParts, col("doc")).withColumn("r2",
-        coalesce(lead(col("r"), len).over(wDoc), lit(0L)))
-      val (ranked, nd) = denseRankByRankPair(paired, nDistinct, nPos)
+      val paired = cur.repartition(wParts, col("doc"))
+        .withColumn("r2",
+          coalesce(lead(col("r"), len).over(wDoc), lit(0L)))
+        .withColumn("r3",
+          coalesce(lead(col("r"), 2 * len).over(wDoc), lit(0L)))
+        .withColumn("r4",
+          coalesce(lead(col("r"), 3 * len).over(wDoc), lit(0L)))
+      val (ranked, nd) = denseRankByRankTuple(paired, nDistinct, nPos)
       if (nd == nDistinct) {
         // no new distinctions: the partition is a fixpoint and this
         // level is rank-identical to the previous — discard it and
@@ -320,7 +349,7 @@ object SuffixDedup {
         // survives
         cur = ranked
         nDistinct = nd
-        len *= 2
+        len *= 4
         levels += (len -> cur)
       }
     }
@@ -349,10 +378,13 @@ object SuffixDedup {
     *     by [[rankLevels]]' stop rule equal top ranks ⟺ verbatim-equal
     *     suffixes, so those pairs read lcp = remaining length directly
     *     — no descent; unequal top ranks bound lcp < top len, which
-    *     the SUB-top levels express exactly (any multiple of
-    *     [[BaseLen]] below the top is a subset sum of the lower
-    *     levels; the residue < BaseLen is the fix-up's). The descent
-    *     therefore skips the top level's two joins entirely.
+    *     the SUB-top levels express exactly (with the quadrupled
+    *     ladder each lower level is tested up to THREE times — every
+    *     residual below a level is a base-4 digit expansion over the
+    *     lower levels, ≤3 uses each; the residue < BaseLen is the
+    *     fix-up's; a repeat test after a failed test re-probes the
+    *     SAME offset and fails again, so blind repetition is exact).
+    *     The descent therefore skips the top level's joins entirely.
     *   - SHALLOW PAIRS SKIP THE DESCENT: one base-prefix-array compare
     *     at offset 0 (the fix-up primitive, two bounded joins over the
     *     full pair frame) settles every pair whose LCP < [[BaseLen]]
@@ -490,7 +522,12 @@ object SuffixDedup {
       .select(col("adoc"), col("apos"), col("bdoc"), col("bpos"))
       .withColumn("lcp", lit(BaseLen))
     var joined = 0
-    for ((len, tbl) <- levels.init.reverse) {
+    // quadrupled ladder: the residual below each level is a base-4
+    // digit over the lower levels, so every level tests up to THREE
+    // times (a repeat after a failed test re-probes the same offset
+    // and fails again — blind repetition is exact; see the FREE TOP
+    // LEVEL bullet above)
+    for ((len, tbl) <- levels.init.reverse; _ <- 1 to 3) {
       val ta = tbl.select(col("doc").as("adoc"), col("pos").as("__pa"),
         col("r").as("__ra"))
       val tb = tbl.select(col("doc").as("bdoc"), col("pos").as("__pb"),
@@ -505,10 +542,10 @@ object SuffixDedup {
             col("lcp") + len).otherwise(col("lcp")))
         .drop("__pa", "__pb", "__ra", "__rb")
       joined += 1
-      // lineage truncation: two joins per level stack up fast
+      // lineage truncation: two joins per level-test stack up fast
       if (joined % 3 == 0) pairs = pairs.localCheckpoint()
     }
-    // sub-BaseLen fix-up: after the level-8 step the residual LCP is
+    // sub-BaseLen fix-up: after the level-8 tests the residual LCP is
     // < 8 and the ranks at the current offsets differ — recover it
     // EXACTLY with the same bounded compare, at the descended offsets
     pairs = pairs

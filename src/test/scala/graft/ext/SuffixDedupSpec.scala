@@ -58,16 +58,17 @@ class SuffixDedupSpec extends SparkSpec {
       s"certificate must yield exact remaining lengths: ${dl.take(5).toSeq}")
   }
 
-  test("rankLevels: the ladder doubles past BaseLen while real splits remain") {
+  test("rankLevels: the ladder climbs past BaseLen while real splits remain") {
     // two docs sharing a 40-token prefix but different tails: ties at
-    // level 8 split progressively; the ladder must climb until the
-    // shared prefix resolves (8, 16, 32, 64 — no premature fixpoint)
+    // level 8 split progressively; the quadrupled ladder must climb
+    // until the shared prefix resolves (8, 32, 128 — no premature
+    // fixpoint; each round fuses two doubling steps)
     val p = (1 to 40).map(i => s"t$i").mkString(" ")
     val long = Seq((0L, s"$p xx"), (1L, s"$p yy")).toDF("doc_id", "text")
     val pf = SuffixDedup.prefixFrame(
       long.select(col("doc_id").as("doc"), TextOps.tokens(col("text")).as("__t")))
     val levels = SuffixDedup.rankLevels(pf, maxLen = 42, nPos = 84L)
-    assert(levels.map(_._1) == Seq(8, 16, 32, 64),
+    assert(levels.map(_._1) == Seq(8, 32, 128),
       s"unexpected ladder ${levels.map(_._1)}")
     // the 40-token shared prefix resolves exactly through descent+fixup
     val lens = long.select(col("doc_id").as("doc"),

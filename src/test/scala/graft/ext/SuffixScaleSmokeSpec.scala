@@ -60,8 +60,8 @@ class SuffixScaleSmokeSpec extends SparkSpec {
     val levels = SuffixDedup.rankLevels(
       SuffixDedup.prefixFrame(tokBase), maxLen, nPos)
     val ladderSecs = (System.nanoTime() - t0) / 1e9
-    val expectedRounds =
-      math.ceil(math.log(maxLen.toDouble / SuffixDedup.BaseLen) / math.log(2)).toInt
+    val expectedRounds = // quadrupled ladder (r20): log4, not log2
+      math.ceil(math.log(maxLen.toDouble / SuffixDedup.BaseLen) / math.log(4)).toInt
     info(s"maxLen=$maxLen nPos=$nPos ladder=${levels.map(_._1)} in ${ladderSecs.round} s")
     assert(levels.size == 1 + expectedRounds,
       s"ladder ${levels.map(_._1)} vs expected $expectedRounds rounds for maxLen=$maxLen")
