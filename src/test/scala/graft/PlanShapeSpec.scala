@@ -19,6 +19,23 @@ class PlanShapeSpec extends SparkSpec {
   private def executed(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Exchanges the OPERATOR requires (ENSURE_REQUIREMENTS), excluding
+    * the conditional narrow-scan spread (REPARTITION_BY_NUM/_COL — see
+    * TextOps.spreadNarrow): the spread fires only on a sub-parallelism
+    * scan (these specs' single-split testdata) and is a no-op on a
+    * production-scale input, so the zero/one-shuffle scale contracts
+    * below are pinned NET of it. */
+  private def requiredExchanges(plan: String): Int =
+    "Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r
+      .findAllIn(plan).size
+
+  /** True when the plan's only Exchange nodes are the narrow-scan
+    * spread — the per-row/zero-shuffle contract, net of the spread. */
+  private def shuffleFree(plan: String): Boolean =
+    "Exchange [^\n]*".r.findAllIn(plan)
+      .forall(l => l.contains("REPARTITION_BY_COL") ||
+        l.contains("REPARTITION_BY_NUM"))
+
   test("filter + projection reach the parquet scan (pushdown, pruning)") {
     val df = Tables.orders(spark, sf)
       .filter(col("o_orderstatus") === "F")
@@ -72,10 +89,13 @@ class PlanShapeSpec extends SparkSpec {
       graft.functions.TextHashes.simhash(col("text")).as("s"),
       graft.functions.TextHashes.minhashSig(
         graft.functions.TextHashes.hashedShingles(col("text"), 3), 16).as("m"))
+    df.collect() // finalize THIS QueryExecution's adaptive plan
     val plan = executed(df)
     // the project sits under a WholeStageCodegen span, not a standalone
-    // interpreted Project
-    assert(plan.contains("*(1) Project"), s"expression fell out of codegen:\n$plan")
+    // interpreted Project (any span index — the narrow-scan spread may
+    // put an exchange below it)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"expression fell out of codegen:\n$plan")
   }
 
   test("bucketed tables join and aggregate with zero Exchange") {
@@ -107,15 +127,18 @@ class PlanShapeSpec extends SparkSpec {
 
   test("split/redact/repetition queries are pure per-row pipelines: zero Exchange") {
     for (q <- Seq("split_assign", "text_redact", "text_repetition")) {
-      val plan = executed(Queries.all(q)(spark, sf))
-      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
-      assert(plan.contains("*(1)"), s"$q fell out of WholeStageCodegen:\n$plan")
+      val df = Queries.all(q)(spark, sf)
+      df.collect() // finalize THIS QueryExecution's adaptive plan
+      val plan = executed(df)
+      assert(shuffleFree(plan), s"$q must not shuffle:\n$plan")
+      assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+        s"$q fell out of WholeStageCodegen:\n$plan")
     }
   }
 
   test("pack_budget plans exactly one shuffle (the per-group window)") {
     val plan = executed(Queries.packBudget(spark, sf))
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+    assert(requiredExchanges(plan) == 1,
       s"packing must cost one group-partitioned shuffle:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"a global sort crept into packing:\n$plan")
@@ -501,13 +524,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("text_chunk is a pure per-row pipeline: zero Exchange") {
     val plan = executed(Queries.all("text_chunk")(spark, sf))
-    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(shuffleFree(plan), s"chunking must not shuffle:\n$plan")
   }
 
   test("text_normalize runs inside WholeStageCodegen with zero Exchange") {
-    val plan = executed(Queries.all("text_normalize")(spark, sf))
-    assert(!plan.contains("Exchange"), s"normalization must not shuffle:\n$plan")
-    assert(plan.contains("*(1)"),
+    val dfN = Queries.all("text_normalize")(spark, sf)
+    dfN.collect() // finalize THIS QueryExecution's adaptive plan
+    val plan = executed(dfN)
+    assert(shuffleFree(plan), s"normalization must not shuffle:\n$plan")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
       s"unicode-normalize expressions fell out of WholeStageCodegen:\n$plan")
   }
 
@@ -768,7 +793,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("sample_token_budget: exactly one shuffle (the per-source window), no join") {
     val plan = executed(Queries.all("sample_token_budget")(spark, sf))
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+    assert(requiredExchanges(plan) == 1,
       s"token budget must cost one source-partitioned shuffle:\n$plan")
     assert(!plan.contains("Join"), s"budget lookup must be a CASE, not a join:\n$plan")
   }
@@ -811,20 +836,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("crawl_canonicalize is a pure projection: zero exchanges") {
-    val plan = executed(Queries.all("crawl_canonicalize")(spark, sf))
-    assert(!plan.contains("Exchange"),
+    val dfC = Queries.all("crawl_canonicalize")(spark, sf)
+    dfC.collect() // finalize THIS QueryExecution's adaptive plan
+    val plan = executed(dfC)
+    assert(shuffleFree(plan),
       s"canonicalization must be per-row string algebra:\n$plan")
     // '*' prefixes mark whole-stage-codegen'd nodes in the executed
-    // plan string — the TOP projection (the canonicalization itself)
-    // must carry one (the r12 regex-chain rewrite: a filter() lambda
-    // here evaluated interpreted and unstarred)
-    assert(plan.trim.startsWith("*("),
+    // plan string — the projection (the canonicalization itself) must
+    // carry one (the r12 regex-chain rewrite: a filter() lambda here
+    // evaluated interpreted and unstarred); with the narrow-scan
+    // spread an AQE wrapper may sit above it, so the pin is on the
+    // Project node, not the plan root
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
       s"canonicalization fell out of codegen:\n$plan")
   }
 
   test("crawl_domain_cap: one hash shuffle on the domain key, no join") {
     val plan = executed(Queries.all("crawl_domain_cap")(spark, sf))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val exchanges = requiredExchanges(plan)
     assert(exchanges == 1, s"expected exactly the window shuffle:\n$plan")
     assert(!plan.contains("Join"), s"cap must not join:\n$plan")
   }

@@ -8,6 +8,22 @@ class TextAndMultiModalSpec extends SparkSpec {
 
   // ----------------------------------------------------------- TextOps
 
+  test("spreadNarrow: widens a narrow frame to parallelism, rows unchanged; wide frames untouched") {
+    val p = spark.sparkContext.defaultParallelism
+    val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text").coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val spread = TextOps.spreadNarrow(narrow, "doc_id")
+    assert(spread.rdd.getNumPartitions == p,
+      s"expected $p partitions, got ${spread.rdd.getNumPartitions}")
+    // the repartition relocates rows, never changes them
+    assert(spread.collect().toSet == narrow.collect().toSet)
+    // an already-wide frame passes through with its plan untouched
+    // (the production-scale no-op guard)
+    val wide = narrow.repartition(p + 1, col("doc_id"))
+    assert(TextOps.spreadNarrow(wide, "doc_id") eq wide)
+  }
+
   test("regexTokens: splits on non-letter/number runs, lowercases, drops empties") {
     val out = Seq("Hello, World!! 42x").toDF("text")
       .select(TextOps.regexTokens(col("text"))).as[Seq[String]].head()
