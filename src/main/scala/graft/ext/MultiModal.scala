@@ -18,6 +18,72 @@ import org.apache.spark.sql.functions._
   */
 object MultiModal {
 
+  /** Keep `javax.imageio` stream wrapping IN MEMORY (r20, guide §1.2
+    * per-task work): with the default `useCache=true`, every
+    * `ImageIO.read(InputStream)` AND every `ImageIO.write(..., stream)`
+    * buffers through a fresh TEMP FILE on disk
+    * (`FileCacheImageInput/OutputStream`) — for this module's small
+    * in-memory payloads that is one file create+delete per row, and
+    * under many concurrent tasks the tmp-dir churn outweighs the codec
+    * work itself. The flag is JVM-global and idempotent; flipping it
+    * only changes the BUFFERING strategy (memory instead of a spill
+    * file), never decoded pixels or encoded bytes. Called at the head
+    * of every partition function that touches ImageIO, so executors
+    * get it regardless of driver initialization order. */
+  private[ext] def inMemoryImageIO(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
+  /** `javax.sound` provider lookup re-scans the classpath under a
+    * global class lock on EVERY `AudioSystem` entry point (the JDK
+    * dropped the JDK13Services provider cache in 9): thread dumps of
+    * the sf0.1 decode stage showed 31/32 executor threads BLOCKED on
+    * the `JSSecurityManager` monitor while one thread iterated the
+    * Spark jar list (guide §7.3 — count threads by frame). Resolve the
+    * SPI providers ONCE per JVM through the same public
+    * `ServiceLoader` surface `AudioSystem` uses and dispatch through
+    * the cached list. Semantics preserved exactly: readers probe in
+    * provider order and the first that does not reject wins (the
+    * stream is reset between probes, as AudioSystem does); the writer
+    * is the first that supports the requested file type. Decoded
+    * samples and encoded bytes are unchanged — only the per-call
+    * registry scan is gone. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator.asScala.toList
+  }
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator.asScala.toList
+  }
+
+  private[ext] def readAudio(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          in.reset() // mark defaults to 0 on a ByteArrayInputStream
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed provider could decode the payload")
+  }
+
+  private[ext] def writeWave(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(t, ais)) match {
+      case Some(w) => w.write(ais, t, out)
+      case None => throw new IllegalArgumentException(
+        "no installed provider writes WAVE")
+    }
+  }
+
   /** A decoded-media feature row. A real pipeline would carry
     * width/height/channels from the codec and a feature vector from a
     * model; [[ImageIODecoder]] fills them from the real codec,
@@ -113,6 +179,7 @@ object MultiModal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real decoder init would happen here, once per partition
+        inMemoryImageIO()
         rows.map { case (id, payload) => decoder.decode(id, payload) }
       }
   }
@@ -154,9 +221,9 @@ object MultiModal {
     val spark = df.sparkSession
     import spark.implicits._
     val payloads = df.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .mapPartitions { it => inMemoryImageIO(); it.map(id => (id, syntheticPng(id))) }
       .toDF(idCol, "payload")
-    payloads.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+    payloads.as[(Long, Array[Byte])].mapPartitions { it => inMemoryImageIO(); it.map { case (id, bytes) =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, s"round-trip payload of doc $id failed to decode")
       val (w, h) = (img.getWidth, img.getHeight)
@@ -165,7 +232,7 @@ object MultiModal {
       DecodedPixels(id, w, h, img.getRaster.getNumBands,
         (first >> 16) & 0xff, (first >> 8) & 0xff, first & 0xff,
         (last >> 16) & 0xff, (last >> 8) & 0xff, last & 0xff)
-    })
+    } }
   }
 
   /** One decoded audio clip: format fields off the REAL codec plus
@@ -206,8 +273,7 @@ object MultiModal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writeWave(ais, bos) // cached-provider form of AudioSystem.write
     bos.toByteArray
   }
 
@@ -240,8 +306,7 @@ object MultiModal {
     * Factored out of [[audioRoundTrip]] so externally-encoded payloads
     * (bytes the JVM never synthesized) run the identical path. */
   def decodeWavMeta(id: Long, bytes: Array[Byte]): AudioMeta = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val ais = readAudio(bytes) // cached-provider getAudioInputStream
     val fmt = ais.getFormat
     require(fmt.getEncoding ==
       javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
@@ -283,8 +348,7 @@ object MultiModal {
       .mapPartitions(_.map(id => (id, syntheticWav(id))))
       .toDF(idCol, "payload")
     payloads.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = readAudio(bytes) // cached-provider getAudioInputStream
       val n = ais.getFrameLength
       val pcm = ais.readAllBytes()
       require(pcm.length == 2 * n, s"doc $id: short PCM read")
@@ -359,7 +423,7 @@ object MultiModal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => (id, syntheticScenePng(id))))
+      .mapPartitions { it => inMemoryImageIO(); it.map(id => (id, syntheticScenePng(id))) }
       .toDF(idCol, "payload")
   }
 
@@ -391,6 +455,7 @@ object MultiModal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        inMemoryImageIO()
         rows.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))
@@ -432,6 +497,7 @@ object MultiModal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        inMemoryImageIO()
         rows.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))

@@ -55,11 +55,18 @@ trait MultiModalQueries extends QueriesBase {
     * and PCM WAV is lossless, so the oracle replays the energy
     * arithmetic exactly; see [[MultiModal.audioFingerprint]]. */
   val dedupAudioFp: Q = (s, dir) => {
+    // r20 (guide §2.4): the old groupBy + join-back consumed the
+    // fingerprint frame TWICE — the synth+decode lineage re-ran per
+    // join side (profiled: two overlapping ~2.1 s codec jobs at
+    // sf0.1) and paid a second shuffle. A window over the same afp
+    // key computes min/count in ONE pass over ONE exchange with the
+    // codec work done once; rows are identical by definition of the
+    // group aggregate.
     val fp = MultiModal.audioFingerprint(Tables.documents(s, dir))
-    val groups = fp.groupBy("afp").agg(
-      min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
-    fp.join(groups, "afp")
-      .select("doc_id", "afp", "keep_id", "n_dups")
+    val w = Window.partitionBy("afp")
+    fp.select(col("doc_id"), col("afp"),
+      min("doc_id").over(w).as("keep_id"),
+      count(lit(1)).over(w).as("n_dups"))
   }
 
   /** Image near-dup via perceptual hash over REAL decode (r10 VERDICT
